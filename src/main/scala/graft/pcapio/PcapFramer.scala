@@ -1,0 +1,278 @@
+package graft.pcapio
+
+import java.io.{EOFException, IOException, InputStream}
+
+import graft.core.RawFrame
+
+/** Streaming pcap / pcapng block reader: `InputStream => Iterator[RawFrame]`.
+  *
+  * Behavior contract follows the reference's reader loop
+  * (reference: src/main.rs:148-233):
+  *   - legacy pcap: `frame_time = ts_sec * 1e6 + ts_subsec` — the subsecond
+  *     field is treated as microseconds even for nanosecond-magic captures,
+  *     matching the reference (reference: src/main.rs:165-166);
+  *   - pcapng EnhancedPacket: 64-bit timestamp scaled by `if_tsresol`
+  *     (reference: src/main.rs:186-190);
+  *   - pcapng SimplePacket: `frame_time = 0`, linktype of first interface
+  *     (reference: src/main.rs:201-213);
+  *   - SectionHeader resets the interface list (reference: src/main.rs:177-179);
+  *   - unknown NG block types are skipped (reference: src/main.rs:214-215);
+  *   - a truncated trailing record terminates the stream cleanly, keeping
+  *     all complete frames before it (reference: src/main.rs:222-230).
+  *
+  * Two deliberate divergences from reference quirks, controlled by
+  * [[PcapFramer.Mode]] (SURVEY §2.1 "decide fidelity vs fix"):
+  *   - EPB `frame_len`: reference uses `caplen` (src/main.rs:191); sane mode
+  *     uses `origlen` (the wire length, what the column means elsewhere).
+  *   - EPB linktype: reference uses the stale legacy-global linktype
+  *     variable (src/main.rs:197, always ETHERNET for pure pcapng files);
+  *     sane mode uses the packet's interface linktype. Likewise tsresol is
+  *     per-interface in sane mode vs last-IDB-wins in the reference
+  *     (src/main.rs:151,182).
+  */
+object PcapFramer {
+  sealed trait Mode
+  /** Fix the reference's EPB quirks (default). */
+  case object Sane extends Mode
+  /** Bug-for-bug reference fidelity (caplen frame_len, stale linktype,
+    * last-IDB-wins tsresol). */
+  case object ReferenceCompat extends Mode
+
+  val LinktypeEthernet = 1
+
+  def frames(in: InputStream, mode: Mode = Sane): Iterator[RawFrame] =
+    new PcapFramer(in, mode)
+
+  def frames(bytes: Array[Byte], mode: Mode): Iterator[RawFrame] =
+    new PcapFramer(new java.io.ByteArrayInputStream(bytes), mode)
+
+  def frames(bytes: Array[Byte]): Iterator[RawFrame] = frames(bytes, Sane)
+}
+
+private final class PcapFramer(in: InputStream, mode: PcapFramer.Mode)
+    extends Iterator[RawFrame] {
+  import PcapFramer._
+
+  // ---- buffered exact reads -------------------------------------------------
+  private val bin = new java.io.BufferedInputStream(in, 65536)
+
+  /** Read exactly n bytes, or null on clean EOF at a record boundary /
+    * truncated tail (terminates the iterator, like the reference's
+    * consecutive-Incomplete guard).
+    */
+  private def readN(n: Int): Array[Byte] = {
+    if (n < 0) return null
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = bin.read(buf, off, n - off)
+      if (r < 0) return null
+      off += r
+    }
+    buf
+  }
+
+  private def u16(b: Array[Byte], o: Int, be: Boolean): Int =
+    if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+
+  private def u32(b: Array[Byte], o: Int, be: Boolean): Long =
+    if (be)
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    else
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+
+  // ---- format state ---------------------------------------------------------
+  private var initialized = false
+  private var legacy = false
+  private var bigEndian = false
+  private var legacyLinktype = LinktypeEthernet
+  // pcapng per-section state
+  private var ifLinktypes = Vector.empty[Int]
+  private var ifTsresols = Vector.empty[Int]
+  private var lastTsresol = 6 // reference: global, last-IDB-wins (main.rs:151)
+
+  private var nextFrame: RawFrame = _
+  private var done = false
+
+  private def init(): Unit = {
+    initialized = true
+    val magic = readN(4)
+    if (magic == null) { done = true; return }
+    val m = u32(magic, 0, be = true)
+    m match {
+      case 0xa1b2c3d4L | 0xa1b23c4dL => // written big-endian
+        legacy = true; bigEndian = true; readLegacyHeader()
+      case 0xd4c3b2a1L | 0x4d3cb2a1L =>
+        legacy = true; bigEndian = false; readLegacyHeader()
+      case 0x0a0d0d0aL => // pcapng SHB (type is endian-palindromic)
+        legacy = false
+        if (!readShbAfterType()) done = true
+      case _ =>
+        throw new IOException(f"not a pcap/pcapng file (magic 0x$m%08x)")
+    }
+  }
+
+  private def readLegacyHeader(): Unit = {
+    // remaining 20 bytes: ver(4) thiszone(4) sigfigs(4) snaplen(4) network(4)
+    val rest = readN(20)
+    if (rest == null) { done = true; return }
+    legacyLinktype = u32(rest, 16, bigEndian).toInt
+  }
+
+  /** SHB body after the 4 type bytes: total_len(4) BOM(4) ... trailer(4). */
+  private def readShbAfterType(): Boolean = {
+    val lenBom = readN(8)
+    if (lenBom == null) return false
+    val bom = u32(lenBom, 4, be = true)
+    bigEndian = bom == 0x1a2b3c4dL
+    val totalLen = u32(lenBom, 0, bigEndian).toInt
+    if (totalLen < 12 || (totalLen & 3) != 0) return false
+    val rest = readN(totalLen - 12)
+    if (rest == null) return false
+    // new section: reset interface registry (reference: src/main.rs:177-179)
+    ifLinktypes = Vector.empty
+    ifTsresols = Vector.empty
+    true
+  }
+
+  /** Scale a pcapng 64-bit timestamp to microseconds given if_tsresol.
+    * Decimal resolutions follow the reference's `*10^(9-r)/1000` formula
+    * (src/main.rs:186-190); r > 9 and power-of-2 (MSB set) resolutions are
+    * handled sanely (the reference would panic on them).
+    */
+  private def toMicros(ts: Long, tsresol: Int): Long =
+    if ((tsresol & 0x80) != 0) {
+      val bits = tsresol & 0x7f
+      // ts / 2^bits seconds → µs, without overflow for sane inputs
+      (BigInt(ts) * 1000000 >> bits).toLong
+    } else if (tsresol <= 6) {
+      ts * math.pow(10, 6 - tsresol).toLong
+    } else {
+      ts / math.pow(10, tsresol - 6).toLong
+    }
+
+  /** Parse one pcapng block; returns a frame or null (metadata/skipped). */
+  private def readNgBlock(): Option[RawFrame] = {
+    val head = readN(8)
+    if (head == null) { done = true; return None }
+    val blockType = u32(head, 0, bigEndian)
+    if (blockType == 0x0a0d0d0aL) {
+      // a new SHB: its endianness may differ — re-read BOM path
+      // (we already consumed type+len with the *old* endianness; re-derive)
+      val bomBytes = readN(4)
+      if (bomBytes == null) { done = true; return None }
+      val bom = u32(bomBytes, 0, be = true)
+      bigEndian = bom == 0x1a2b3c4dL
+      val totalLen = u32(head, 4, bigEndian).toInt
+      if (totalLen < 12 || (totalLen & 3) != 0 || readN(totalLen - 12) == null) {
+        done = true; return None
+      }
+      ifLinktypes = Vector.empty
+      ifTsresols = Vector.empty
+      return None
+    }
+    val totalLen = u32(head, 4, bigEndian).toInt
+    if (totalLen < 12 || (totalLen & 3) != 0) { done = true; return None }
+    val body = readN(totalLen - 8) // includes trailing total_len copy
+    if (body == null) { done = true; return None }
+    val bodyLen = totalLen - 12 // without trailer
+
+    blockType match {
+      case 1L => // InterfaceDescription
+        if (bodyLen < 8) return None
+        val linktype = u16(body, 0, bigEndian)
+        var tsresol = 6
+        // options start at offset 8: code(2) len(2) value (padded to 4)
+        var o = 8
+        var endOpts = false
+        while (!endOpts && o + 4 <= bodyLen) {
+          val code = u16(body, o, bigEndian)
+          val olen = u16(body, o + 2, bigEndian)
+          if (code == 0) endOpts = true
+          else {
+            if (code == 9 && olen >= 1) tsresol = body(o + 4) & 0xff
+            o += 4 + ((olen + 3) & ~3)
+          }
+        }
+        ifLinktypes :+= linktype
+        ifTsresols :+= tsresol
+        lastTsresol = tsresol // reference: last IDB wins (src/main.rs:182)
+        None
+
+      case 6L => // EnhancedPacket
+        if (bodyLen < 20) return None
+        val ifId = u32(body, 0, bigEndian).toInt
+        val ts = (u32(body, 4, bigEndian) << 32) | u32(body, 8, bigEndian)
+        val caplen = u32(body, 12, bigEndian).toInt
+        val origlen = u32(body, 16, bigEndian)
+        if (caplen < 0 || 20 + caplen > bodyLen) return None
+        val data = java.util.Arrays.copyOfRange(body, 20, 20 + caplen)
+        val (lt, res) = mode match {
+          case ReferenceCompat =>
+            // stale legacy linktype + global tsresol (src/main.rs:197,189)
+            (legacyLinktype, lastTsresol)
+          case Sane =>
+            val lt0 =
+              if (ifId >= 0 && ifId < ifLinktypes.size) ifLinktypes(ifId)
+              else LinktypeEthernet
+            val r0 =
+              if (ifId >= 0 && ifId < ifTsresols.size) ifTsresols(ifId) else 6
+            (lt0, r0)
+        }
+        val frameLen = mode match {
+          case ReferenceCompat => caplen.toLong // reference quirk (main.rs:191)
+          case Sane            => origlen
+        }
+        Some(RawFrame(toMicros(ts, res), frameLen, data, lt))
+
+      case 3L => // SimplePacket
+        if (bodyLen < 4) return None
+        val origlen = u32(body, 0, bigEndian)
+        // reference: caplen = block_len - 16 (src/main.rs:204)
+        val caplen = math.min(totalLen - 16, bodyLen - 4)
+        if (caplen < 0) return None
+        val data = java.util.Arrays.copyOfRange(body, 4, 4 + caplen)
+        val lt = ifLinktypes.headOption.getOrElse(LinktypeEthernet)
+        Some(RawFrame(0L, origlen, data, lt))
+
+      case _ => None // skip statistics/name-resolution/custom blocks
+    }
+  }
+
+  private def readLegacyRecord(): Option[RawFrame] = {
+    val head = readN(16)
+    if (head == null) { done = true; return None }
+    val tsSec = u32(head, 0, bigEndian)
+    val tsSub = u32(head, 4, bigEndian)
+    val caplen = u32(head, 8, bigEndian).toInt
+    val origlen = u32(head, 12, bigEndian)
+    if (caplen < 0 || caplen > 0x0fffffff) { done = true; return None }
+    val data = readN(caplen)
+    if (data == null) { done = true; return None } // truncated tail
+    // subsecond field treated as µs regardless of ns magic (main.rs:165-166)
+    Some(RawFrame(tsSec * 1000000L + tsSub, origlen, data, legacyLinktype))
+  }
+
+  private def advance(): Unit = {
+    if (!initialized) init()
+    while (nextFrame == null && !done) {
+      val f = if (legacy) readLegacyRecord() else readNgBlock()
+      f.foreach(nextFrame = _)
+    }
+  }
+
+  override def hasNext: Boolean = {
+    if (nextFrame == null) advance()
+    nextFrame != null
+  }
+
+  override def next(): RawFrame = {
+    if (!hasNext) throw new EOFException("no more frames")
+    val f = nextFrame
+    nextFrame = null
+    f
+  }
+}

@@ -1,0 +1,91 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.PacketSchema
+
+/** The reference's one shipped query: UDP datagram "defragmentation" —
+  * back-fill L7 columns from each datagram's first fragment onto its
+  * sibling fragments (reference: src/main.rs:268-301). Not payload
+  * reassembly; a filter → first-per-group → left join → coalesce pipeline.
+  *
+  * Spark plan shape (designed for the 100 TB case):
+  *   - `ff` (first fragments) is one row per fragmented UDP datagram —
+  *     orders of magnitude smaller than the packet table → `broadcast(ff)`
+  *     turns the enrichment join into a map-side broadcast hash join; the
+  *     big table is never shuffled.
+  *   - The window that picks the first fragment runs only on the
+  *     pre-filtered fragment subset (predicate pushed to the parquet scan),
+  *     not the full table.
+  *   - `first()` determinism: the reference relies on DuckDB scan order
+  *     (src/main.rs:292, SURVEY §4.4); we use `row_number()` ordered by
+  *     `frame_time` so results are stable across partitionings.
+  */
+object Defrag {
+
+  val JoinKeys: Seq[String] = Seq("ip_src", "ip_dst", "ip_proto", "ip_id")
+  val Patched: Seq[String] = PacketSchema.defragPatched
+
+  /** `(ip_frag_offset = 0 AND ip_mf) OR ip_frag_offset > 0` — the
+    * fragmented-packet predicate of the reference's % scan
+    * (reference src/main.rs:274).
+    */
+  val fragmentedCond =
+    (col("ip_frag_offset") === 0 && col("ip_mf")) || col("ip_frag_offset") > 0
+
+  /** Percentage of fragmented packets, one aggregation job
+    * (reference src/main.rs:274: `round(100*count(frag)/count(*))`).
+    */
+  def fragmentedPct(pcap: DataFrame): Double = {
+    val row = pcap
+      .agg(
+        sum(when(fragmentedCond, 1L).otherwise(0L)).as("frag"),
+        count(lit(1)).as("total"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L) 0.0
+    else math.round(100.0 * row.getLong(0) / row.getLong(1)).toDouble
+  }
+
+  /** One row per fragmented UDP datagram: the deterministic "first"
+    * fragment's six L7 columns (reference src/main.rs:292, with
+    * row_number instead of DuckDB's scan-order `first`, SURVEY §4.4).
+    */
+  def firstFragments(pcap: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(JoinKeys.map(col): _*)
+      .orderBy(col("frame_time").asc)
+    pcap
+      .filter(col("ip_proto") === 17 && col("ip_mf") && col("ip_frag_offset") === 0)
+      .select((JoinKeys ++ Patched :+ "frame_time").distinct.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((JoinKeys ++ Patched).map(col): _*)
+  }
+
+  /** The enrichment join: every packet inherits its datagram's
+    * first-fragment L7 columns where its own are NULL
+    * (reference src/main.rs:296: EXCLUDE + coalesce×6). Keeps the
+    * reference's defragged column order — the six patched columns move to
+    * the end of the schema (SURVEY §2.4).
+    */
+  def defrag(pcap: DataFrame): DataFrame = {
+    val ff = Patched.foldLeft(firstFragments(pcap)) { (d, c) =>
+      d.withColumnRenamed(c, "__ff_" + c)
+    }
+    val joined = pcap.join(broadcast(ff), JoinKeys, "left")
+    val keep = pcap.columns.filterNot(Patched.contains).toSeq
+    joined.select(
+      keep.map(col) ++
+        Patched.map(c => coalesce(col(c), col("__ff_" + c)).as(c)): _*)
+  }
+
+  /** Full adaptive pipeline (reference src/main.rs:274-301): measure the
+    * fragmentation percentage, run the defrag join only when >= threshold
+    * (default 1%). The caller should `.cache()` `pcap` when it comes from
+    * a pcap parse — both the % scan and the join consume it.
+    */
+  def apply(pcap: DataFrame, thresholdPct: Double = 1.0): DataFrame =
+    if (fragmentedPct(pcap) < thresholdPct) pcap else defrag(pcap)
+}

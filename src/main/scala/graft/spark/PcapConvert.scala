@@ -1,0 +1,72 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pcapio.PcapFramer
+
+/** CLI parity with the reference converter
+  * (`pcap-converter -f in.pcap -o out.parquet [-n] [-j N] [-v]`,
+  * reference src/main.rs:22-43): pcap/pcapng → dissect → optional defrag →
+  * snappy Parquet.
+  */
+object PcapConvert {
+
+  final case class Args(
+      file: String = "",
+      out: String = "",
+      nodefrag: Boolean = false,
+      jobs: Int = 0, // 0 = let Spark decide (per-file tasks)
+      verbose: Boolean = false,
+      singleFile: Boolean = true,
+      referenceCompat: Boolean = false)
+
+  def parse(argv: Array[String]): Args = {
+    @annotation.tailrec
+    def loop(rest: List[String], a: Args): Args = rest match {
+      case "-f" :: v :: t            => loop(t, a.copy(file = v))
+      case "--file" :: v :: t        => loop(t, a.copy(file = v))
+      case "-o" :: v :: t            => loop(t, a.copy(out = v))
+      case "--out" :: v :: t         => loop(t, a.copy(out = v))
+      case ("-n" | "--nodefrag") :: t => loop(t, a.copy(nodefrag = true))
+      case "-j" :: v :: t            => loop(t, a.copy(jobs = v.toInt))
+      case ("-v" | "--verbose") :: t => loop(t, a.copy(verbose = true))
+      case "--multi-file" :: t       => loop(t, a.copy(singleFile = false))
+      case "--reference-compat" :: t => loop(t, a.copy(referenceCompat = true))
+      case Nil                       => a
+      case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
+    }
+    val a = loop(argv.toList, Args())
+    require(a.file.nonEmpty && a.out.nonEmpty, "usage: -f <in.pcap> -o <out.parquet>")
+    a
+  }
+
+  def run(spark: SparkSession, a: Args): Unit = {
+    val mode: PcapFramer.Mode =
+      if (a.referenceCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
+    val m = PcapSource.metrics(spark)
+    val pcap = PcapSource
+      .read(spark, a.file, mode, decodePartitions = a.jobs, metrics = Some(m))
+      .cache() // both the % scan and the defrag join consume it
+    val out =
+      if (a.nodefrag) pcap
+      else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
+    PcapSource.write(out, a.out, a.singleFile)
+    if (a.verbose)
+      System.err.println(
+        s"Packets: ${m.packets.value} Errors: ${m.errors.value}")
+    pcap.unpersist()
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val builder = SparkSession.builder()
+      .appName("pcap-convert")
+      .config("spark.sql.session.timeZone", "UTC")
+    // default to local mode when not launched via spark-submit
+    if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
+      builder.master("local[*]").config("spark.sql.shuffle.partitions", "32")
+    val spark = builder.getOrCreate()
+    try run(spark, a)
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+import graft.core.{PacketSchema, RawFrame}
+import graft.dissect.PacketDissector
+import graft.pcapio.PcapFramer
+
+/** pcap/pcapng → packet-table DataFrame source.
+  *
+  * Execution model (SURVEY §4.3, mirroring the reference's
+  * reader-thread → channel → j-worker pipeline, reference src/main.rs:84-146):
+  * pcap files have no sync markers, so each file is framed by exactly one
+  * task via a streaming iterator ([[graft.pcapio.PcapFramer]] never holds
+  * more than one block in memory — no 2 GiB `binaryFiles.toArray` ceiling).
+  * Parallelism comes from (1) many files → many tasks, and (2) optionally
+  * decoupling framing from dissection: `decodePartitions > 0` repartitions
+  * the cheap raw frames before the expensive dissect stage — the Spark
+  * translation of the reference's bounded channel + worker pool
+  * (reference src/main.rs:102,119). For the common many-files case leave it
+  * at 0: per-file pipelining already saturates the cluster and avoids a
+  * shuffle of the raw bytes.
+  */
+object PcapSource {
+
+  /** Per-job metric accumulators (reference's `Packets: N Errors: M`
+    * progress counter, src/statswriter.rs:62-68).
+    */
+  final case class Metrics(packets: LongAccumulator, errors: LongAccumulator)
+
+  def metrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("pcap_packets"),
+    spark.sparkContext.longAccumulator("pcap_dissect_errors"))
+
+  /** Read one or many pcap/pcapng files into the 31-column packet table.
+    *
+    * @param path file, directory, or Hadoop glob (`*.pcap` under a dir)
+    * @param mode framer fidelity mode (SURVEY §2.1 quirk policy)
+    * @param decodePartitions if > 0, shuffle raw frames to this many
+    *        partitions before dissection (single-huge-file parallelism)
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      mode: PcapFramer.Mode = PcapFramer.Sane,
+      decodePartitions: Int = 0,
+      metrics: Option[Metrics] = None): DataFrame = {
+    val m = metrics.getOrElse(this.metrics(spark))
+    val files = spark.sparkContext.binaryFiles(path)
+    val frames = files.flatMap { case (name, stream) =>
+      val base = basename(name)
+      PcapFramer.frames(stream.open(), mode).map(f => (base, f))
+    }
+    val staged =
+      if (decodePartitions > 0) frames.repartition(decodePartitions)
+      else frames
+    val rows = staged.mapPartitions { it =>
+      it.map { case (base: String, f: RawFrame) =>
+        val r = PacketDissector.dissect(f)
+        m.packets.add(1L)
+        if (r.errors > 0) m.errors.add(r.errors.toLong)
+        r.toRow(base)
+      }
+    }
+    spark.createDataFrame(rows, PacketSchema.schema)
+  }
+
+  /** basename of a Hadoop path/URI (reference: src/statscollector.rs:21-27). */
+  def basename(path: String): String = {
+    val cut = path.lastIndexOf('/')
+    if (cut < 0) path else path.substring(cut + 1)
+  }
+
+  /** Write the packet table the way the reference does: snappy Parquet
+    * (reference src/statswriter.rs:36-40). `singleFile = true` reproduces
+    * the one-file-per-run contract via coalesce(1); leave false at scale —
+    * many part files parallelize both the write and downstream scans.
+    */
+  def write(df: DataFrame, out: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode("overwrite").option("compression", "snappy").parquet(out)
+  }
+}

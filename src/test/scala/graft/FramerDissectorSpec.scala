@@ -1,0 +1,201 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.RawFrame
+import graft.dissect.{Dns, PacketDissector}
+import graft.pcapio.PcapFramer
+import PcapFixtures._
+
+class FramerDissectorSpec extends AnyFunSuite {
+
+  private def dissectOne(pkt: Array[Byte], linktype: Int = 1) =
+    PacketDissector.dissect(RawFrame(1000000L, pkt.length.toLong, pkt, linktype))
+
+  // ---- framer ----------------------------------------------------------------
+
+  test("legacy pcap framing: timestamps are sec*1e6+usec, origlen kept") {
+    val p1 = ethernet(0x0800, ipv4("1.2.3.4", "5.6.7.8", 17, udp(1111, 2222, Array[Byte](1))))
+    val bytes = legacyPcap(Seq((1234567890123456L, 9999, p1), (42L, -1, p1)))
+    val fs = PcapFramer.frames(bytes).toList
+    assert(fs.map(_.timeMicros) == List(1234567890123456L, 42L))
+    assert(fs.head.origLen == 9999L)
+    assert(fs(1).origLen == p1.length.toLong)
+    assert(fs.forall(_.linktype == 1))
+  }
+
+  test("legacy pcap big-endian is handled") {
+    val p = ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 6, tcp(80, 1024, 0x12)))
+    val fs = PcapFramer.frames(legacyPcap(Seq((7L, -1, p)), bigEndian = true)).toList
+    assert(fs.size == 1 && fs.head.timeMicros == 7L)
+  }
+
+  test("truncated tail keeps complete frames (main.rs:222-230 contract)") {
+    val p = ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17, udp(1, 2, Array.empty)))
+    val whole = legacyPcap(Seq((1L, -1, p), (2L, -1, p)))
+    val truncated = whole.dropRight(5)
+    assert(PcapFramer.frames(truncated).size == 1)
+  }
+
+  test("pcapng EPB: tsresol scaling, per-interface linktype in Sane mode") {
+    val p = ethernet(0x0800, ipv4("1.2.3.4", "5.6.7.8", 17, udp(1, 2, Array.empty)))
+    // if0: µs resolution; if1: ns resolution, raw-IP linktype
+    val ip = ipv4("4.3.2.1", "8.7.6.5", 17, udp(3, 4, Array.empty))
+    val bytes = pcapng(
+      interfaces = Seq((1, 6), (101, 9)),
+      epbs = Seq((0, 5000000L, p.length, p), (1, 5000000000L, ip.length, ip)))
+    val fs = PcapFramer.frames(bytes).toList
+    assert(fs.map(_.timeMicros) == List(5000000L, 5000000L))
+    assert(fs.map(_.linktype) == List(1, 101))
+  }
+
+  test("pcapng ReferenceCompat: frame_len = caplen, stale legacy linktype") {
+    val p = ethernet(0x0800, ipv4("1.2.3.4", "5.6.7.8", 17, udp(1, 2, Array.empty)))
+    val bytes = pcapng(Seq((101, 6)), Seq((0, 1L, 12345, p)))
+    val f = PcapFramer.frames(bytes, PcapFramer.ReferenceCompat).toList.head
+    assert(f.origLen == p.length.toLong) // caplen, not the 12345 origlen
+    assert(f.linktype == 1)              // stale global, not if0's 101
+  }
+
+  // ---- dissector -------------------------------------------------------------
+
+  test("IPv4/UDP/DNS chain: the DDoS hot path") {
+    val pkt = ethernet(0x0800,
+      ipv4("10.0.0.1", "10.0.0.2", 17, udp(5353, 53, dnsQuery("www.example.com", 1)),
+        ttl = 61, id = 777))
+    val r = dissectOne(pkt)
+    assert(r.ethType.contains(0x0800))
+    assert(r.ipSrc.contains("10.0.0.1") && r.ipDst.contains("10.0.0.2"))
+    assert(r.ipProto == 17 && r.ipTtl.contains(61.toShort) && r.ipId == 777)
+    assert(r.udpSrcport.contains(5353) && r.udpDstport.contains(53))
+    assert(r.colProtocol.contains("DNS"))
+    assert(r.dnsQryName.contains("www.example.com.")) // trailing dot
+    assert(r.dnsQryType.contains(1))
+    assert(r.errors == 0)
+  }
+
+  test("DNS root query renders <Root> (packetstats.rs:274-278)") {
+    val pkt = ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17, udp(9, 53, dnsQuery("", 255))))
+    val r = dissectOne(pkt)
+    assert(r.dnsQryName.contains("<Root>") && r.dnsQryType.contains(255))
+  }
+
+  test("DNS compression pointer is followed") {
+    // header + name at 12 = ptr to 18; at 18: 3www 0
+    val msg = Array[Byte](0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+      0xc0.toByte, 18, 0, 1, 0, 1, // question: ptr, qtype=1, qclass=1
+      3, 'w', 'w', 'w', 0)
+    val pkt = ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17, udp(9, 53, msg)))
+    val r = dissectOne(pkt)
+    assert(r.dnsQryName.contains("www."))
+  }
+
+  test("TCP flags string matches the CEUAPRSF truth table (packetstats.rs:114-142)") {
+    assert(PacketDissector.tcpFlagsString(0x12) == "...A..S.")
+    assert(PacketDissector.tcpFlagsString(0x01) == ".......F")
+    assert(PacketDissector.tcpFlagsString(0xff) == "CEUAPRSF")
+    assert(PacketDissector.tcpFlagsString(0x00) == "........")
+    val pkt = ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 6, tcp(443, 55555, 0x18)))
+    val r = dissectOne(pkt)
+    assert(r.tcpFlags.contains("...AP...") && r.tcpSrcport.contains(443))
+    assert(r.colProtocol.contains("TCP"))
+  }
+
+  test("fragment gate: non-first fragments carry no transport columns") {
+    val frag = ethernet(0x0800,
+      ipv4("1.1.1.1", "2.2.2.2", 17, Array.fill[Byte](16)(0), id = 9, mf = true, fragOffset = 185))
+    val r = dissectOne(frag)
+    assert(r.ipFragOffset == 185 && r.ipMf)
+    assert(r.udpSrcport.isEmpty && r.colProtocol.contains("IPv4"))
+  }
+
+  test("first fragment (mf=1, off=0) still gets transport + L7 parsed") {
+    val ff = ethernet(0x0800,
+      ipv4("1.1.1.1", "2.2.2.2", 17, udp(123, 123, ntpPrivate(42)), id = 9, mf = true))
+    val r = dissectOne(ff)
+    assert(r.udpSrcport.contains(123) && r.ntpPrivReqcode.contains(42.toShort))
+    assert(r.colProtocol.contains("NTP"))
+  }
+
+  test("NTP: v2 private mode sets reqcode; well-formed v4 sets only the label") {
+    val priv = dissectOne(ethernet(0x0800,
+      ipv4("1.1.1.1", "2.2.2.2", 17, udp(9999, 123, ntpPrivate(20)))))
+    assert(priv.ntpPrivReqcode.contains(20.toShort) && priv.colProtocol.contains("NTP"))
+    val v4 = dissectOne(ethernet(0x0800,
+      ipv4("1.1.1.1", "2.2.2.2", 17, udp(123, 9999, ntpV4Client))))
+    assert(v4.ntpPrivReqcode.isEmpty && v4.colProtocol.contains("NTP") && v4.errors == 0)
+  }
+
+  test("DHIP discovery: DeviceType kept with JSON quotes (packetstats.rs:336)") {
+    val pkt = ethernet(0x0800,
+      ipv4("1.1.1.1", "2.2.2.2", 17, udp(37810, 5050, dhipDiscover("IPC"))))
+    val r = dissectOne(pkt)
+    assert(r.dhipDevice.contains("\"IPC\""))
+    assert(r.colProtocol.contains("DHDiscover"))
+  }
+
+  test("ICMP dest-unreachable recovers inner UDP ports (packetstats.rs:357-384)") {
+    val inner = ipv4("10.0.0.2", "10.0.0.1", 17, udp(53, 33333, Array.empty))
+    val pkt = ethernet(0x0800,
+      ipv4("10.0.0.9", "10.0.0.1", 1, icmpDestUnreachable(inner)))
+    val r = dissectOne(pkt)
+    assert(r.icmpType.contains(3.toShort))
+    assert(r.udpSrcport.contains(53) && r.udpDstport.contains(33333))
+    assert(r.colProtocol.contains("ICMP"))
+  }
+
+  test("IPv6: RFC 5952 compression + hop limit (packetstats.rs:242-253)") {
+    val g = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 1)
+    val dst = Array(0xfe80, 0, 0, 0, 0, 0, 0, 0x1234)
+    val pkt = ethernet(0x86dd, ipv6(g, dst, 17, udp(1, 2, Array.empty), hopLimit = 7))
+    val r = dissectOne(pkt)
+    assert(r.ipSrc.contains("2001:db8::1"))
+    assert(r.ipDst.contains("fe80::1234"))
+    assert(r.ipTtl.contains(7.toShort) && r.ipProto == 17)
+    assert(r.colProtocol.contains("UDP"))
+  }
+
+  test("ipv6Text edge cases") {
+    assert(PacketDissector.ipv6Text(Array(0, 0, 0, 0, 0, 0, 0, 0)) == "::")
+    assert(PacketDissector.ipv6Text(Array(0, 0, 0, 0, 0, 0, 0, 1)) == "::1")
+    assert(PacketDissector.ipv6Text(Array(1, 0, 0, 0, 0, 0, 0, 0)) == "1::")
+    assert(PacketDissector.ipv6Text(Array(1, 2, 3, 4, 5, 6, 7, 8)) == "1:2:3:4:5:6:7:8")
+    // single zero group is NOT compressed (RFC 5952 §4.2.2)
+    assert(PacketDissector.ipv6Text(Array(1, 0, 2, 3, 4, 5, 6, 7)) == "1:0:2:3:4:5:6:7")
+  }
+
+  test("VLAN-tagged frame reaches the IP layer; eth_type keeps outer value") {
+    val pkt = ethernet(0x0800, ipv4("3.3.3.3", "4.4.4.4", 17, udp(5, 6, Array.empty)),
+      vlan = Some(100))
+    val r = dissectOne(pkt)
+    assert(r.ethType.contains(0x8100))
+    assert(r.ipSrc.contains("3.3.3.3") && r.colProtocol.contains("UDP"))
+  }
+
+  test("raw-IP linktype dissects without panic (divergence from reference)") {
+    val r = dissectOne(ipv4("6.6.6.6", "7.7.7.7", 17, udp(1, 2, Array.empty)), linktype = 101)
+    assert(r.ethType.isEmpty && r.ipSrc.contains("6.6.6.6"))
+  }
+
+  test("IPv4 frame_len overwritten with total_len (packetstats.rs:197)") {
+    val ip = ipv4("1.1.1.1", "2.2.2.2", 17, udp(1, 2, Array.fill[Byte](10)(0)))
+    val r = dissectOne(ethernet(0x0800, ip))
+    assert(r.frameLen.contains(ip.length.toLong)) // = IP total_len, not frame len
+  }
+
+  test("malformed packets count errors, never throw") {
+    val junk = Array.fill[Byte](7)(0x5a)
+    val r = dissectOne(junk)
+    assert(r.errors == 1 && r.frameTime == 1000000L)
+    val shortIp = ethernet(0x0800, Array.fill[Byte](10)(1))
+    assert(dissectOne(shortIp).errors == 1)
+  }
+
+  test("DNS name label escaping follows presentation format") {
+    // label with a dot inside → escaped
+    val msg = Array[Byte](0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+      4, 'a', '.', 'b', 0x7f, 0, 0, 1, 0, 1)
+    val (name, _) = Dns.parseName(msg, 0, msg.length, 12).get
+    assert(name == "a\\.b\\127.")
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.spark.{Defrag, PcapConvert, PcapSource}
+import PcapFixtures._
+
+/** End-to-end: pcap file → PcapSource → packet table → Defrag → parquet.
+  * This is the minimum end-to-end slice of SURVEY §7.
+  */
+class PcapPipelineSpec extends SparkFunSuite {
+
+  private def writeTemp(name: String, bytes: Array[Byte]): Path = {
+    val dir = Files.createTempDirectory("graft-pcap")
+    val p = dir.resolve(name)
+    Files.write(p, bytes)
+    p
+  }
+
+  /** A capture with 2 fragmented UDP datagrams (3 fragments each) + noise. */
+  private def fragmentedCapture: Array[Byte] = {
+    def firstFrag(id: Int, qname: String) = ethernet(0x0800,
+      ipv4("198.51.100.1", "203.0.113.9", 17,
+        udp(53, 40000 + id, dnsQuery(qname, 1)), id = id, mf = true))
+    def midFrag(id: Int, off: Int, mf: Boolean) = ethernet(0x0800,
+      ipv4("198.51.100.1", "203.0.113.9", 17, Array.fill[Byte](24)(0x61),
+        id = id, mf = mf, fragOffset = off))
+    val tcpPkt = ethernet(0x0800,
+      ipv4("192.0.2.5", "203.0.113.9", 6, tcp(443, 5555, 0x12)))
+    val frames = Seq(
+      (1000L, firstFrag(1, "a.example.com")),
+      (2000L, midFrag(1, 6, mf = true)),
+      (3000L, midFrag(1, 12, mf = false)),
+      (4000L, firstFrag(2, "b.example.org")),
+      (5000L, midFrag(2, 6, mf = true)),
+      (6000L, midFrag(2, 12, mf = false)),
+      (7000L, tcpPkt))
+    legacyPcap(frames.map { case (ts, p) => (ts, -1, p) })
+  }
+
+  test("pcap → DataFrame: schema, pcap_file column, row count") {
+    val p = writeTemp("cap1.pcap", fragmentedCapture)
+    val df = PcapSource.read(spark, p.toString)
+    assert(df.schema == graft.core.PacketSchema.schema)
+    assert(df.count() == 7)
+    assert(df.select("pcap_file").distinct().head().getString(0) == "cap1.pcap")
+    val dns = df.filter(col("col_protocol") === "DNS").collect()
+    assert(dns.length == 2)
+    assert(dns.map(_.getAs[String]("dns_qry_name")).toSet ==
+      Set("a.example.com.", "b.example.org."))
+  }
+
+  test("fragmentedPct matches the reference's % formula (main.rs:274)") {
+    val p = writeTemp("cap2.pcap", fragmentedCapture)
+    val df = PcapSource.read(spark, p.toString).cache()
+    // 6 of 7 packets fragmented → round(85.7) = 86
+    assert(Defrag.fragmentedPct(df) == 86.0)
+    df.unpersist()
+  }
+
+  test("defrag back-fills L7 columns onto sibling fragments") {
+    val p = writeTemp("cap3.pcap", fragmentedCapture)
+    val df = PcapSource.read(spark, p.toString).cache()
+    val out = Defrag(df).cache()
+    assert(out.count() == 7)
+    // all fragments of datagram id=1 now carry the first fragment's DNS name
+    val d1 = out.filter(col("ip_id") === 1).collect()
+    assert(d1.length == 3)
+    assert(d1.forall(_.getAs[String]("dns_qry_name") == "a.example.com."))
+    // col_protocol coalesces, so the non-null "IPv4" on non-first fragments
+    // survives — exactly the reference's behavior (main.rs:296)
+    assert(d1.map(_.getAs[String]("col_protocol")).sorted.toSeq ==
+      Seq("DNS", "IPv4", "IPv4"))
+    assert(d1.forall(r => r.getAs[Int]("udp_srcport") == 53))
+    // the TCP packet is untouched (left join + coalesce)
+    val t = out.filter(col("ip_proto") === 6).head()
+    assert(t.getAs[String]("col_protocol") == "TCP")
+    assert(t.getAs[String]("tcp_flags") == "...A..S.")
+    // patched columns moved to the end (reference EXCLUDE+re-append order)
+    assert(out.columns.takeRight(6).toSeq == Defrag.Patched)
+    df.unpersist(); out.unpersist()
+  }
+
+  test("defrag skipped below 1% threshold (main.rs:277)") {
+    val frames = (1 to 200).map { i =>
+      (i * 1000L, -1, ethernet(0x0800,
+        ipv4("1.1.1.1", "2.2.2.2", 6, tcp(80, 1000 + i, 0x10))))
+    }
+    val p = writeTemp("cap4.pcap", legacyPcap(frames))
+    val df = PcapSource.read(spark, p.toString).cache()
+    val out = Defrag(df)
+    // unchanged frame: original column order preserved
+    assert(out.columns.toSeq == df.columns.toSeq)
+    assert(Defrag.fragmentedPct(df) == 0.0)
+    df.unpersist()
+  }
+
+  test("full CLI pipeline writes snappy parquet with defrag applied") {
+    val p = writeTemp("cap5.pcap", fragmentedCapture)
+    val outDir = Files.createTempDirectory("graft-out").resolve("out.parquet")
+    PcapConvert.run(spark,
+      PcapConvert.Args(file = p.toString, out = outDir.toString, verbose = true))
+    val back = spark.read.parquet(outDir.toString)
+    assert(back.count() == 7)
+    assert(back.filter(col("dns_qry_name") === "a.example.com.").count() == 3)
+  }
+
+  test("decodePartitions repartitions raw frames before dissection") {
+    val p = writeTemp("cap6.pcap", fragmentedCapture)
+    val df = PcapSource.read(spark, p.toString, decodePartitions = 3)
+    assert(df.count() == 7)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("pcapng capture goes through the same pipeline") {
+    val pkt = ethernet(0x0800,
+      ipv4("10.1.1.1", "10.2.2.2", 17, udp(123, 123, ntpPrivate(42))))
+    val bytes = pcapng(Seq((1, 6)), Seq((0, 99L, pkt.length, pkt)))
+    val p = writeTemp("cap7.pcapng", bytes)
+    val df = PcapSource.read(spark, p.toString)
+    val r = df.head()
+    assert(r.getAs[java.sql.Timestamp]("frame_time").getTime == 0L ||
+      r.getAs[java.sql.Timestamp]("frame_time").toInstant.toEpochMilli == 0L)
+    assert(r.getAs[Short]("ntp_priv_reqcode") == 42)
+  }
+}
