@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact all-pairs Jaccard over per-row token/shingle sets, with an
+  * adaptive physical strategy (in the spirit of the reference's own
+  * adaptive defrag branch, reference src/main.rs:274-285):
+  *
+  *   - **dense path** — when the distinct-shingle vocabulary and the
+  *     corpus bitset matrix are small enough to broadcast, every row's
+  *     shingle set becomes a fixed-width bitset and pair intersections are
+  *     popcount(AND) over broadcast data: zero shuffle, no quadratic
+  *     row explosion, embarrassingly parallel.
+  *   - **join path** — the general case: candidate pairs via a shingle
+  *     equijoin + pair-count aggregation. Linear shuffles, but the pair
+  *     stream is inherently O(Σ per-shingle doc-frequency²).
+  *
+  * Both paths produce identical results (exact set Jaccard, integer
+  * permille, floor division). For corpora where even the join path's pair
+  * stream is infeasible (the 100 TB case), MinHash LSH
+  * ([[graft.queries.FuzzyDedup]]) is the approximate scale path.
+  */
+object JaccardAllPairs {
+
+  /** Max distinct shingles for the dense path (bitset width). */
+  val MaxDenseVocab: Long = 1 << 18
+  /** Max total bitset bytes (docs × vocab/8) we are willing to broadcast. */
+  val MaxDenseMatrixBytes: Long = 512L << 20
+
+  /** @param sh  (id: Long, h: Long) — one row per set element (duplicates
+    *            tolerated; sets are deduplicated by construction)
+    * @param thresholdPermille  keep pairs with jaccard*1000 >= this
+    * @return (id_a, id_b, jaccard_permille) with id_a < id_b
+    */
+  def apply(sh: DataFrame, thresholdPermille: Int): DataFrame = {
+    val Row2 = sh.columns.length
+    require(Row2 == 2, s"expected (id, h) input, got ${sh.columns.mkString(",")}")
+    val stats = sh.agg(
+      countDistinct(col(sh.columns(1))).as("vocab"),
+      countDistinct(col(sh.columns(0))).as("docs")).head()
+    val vocab = stats.getLong(0)
+    val docs = stats.getLong(1)
+    val matrixBytes = docs * ((vocab + 63) / 64) * 8
+    if (vocab <= MaxDenseVocab && matrixBytes <= MaxDenseMatrixBytes)
+      dense(sh, thresholdPermille)
+    else joinPath(sh, thresholdPermille)
+  }
+
+  /** Dense bitset path. Deterministic: ids sorted, pairs emitted a < b. */
+  private def dense(sh: DataFrame, thresholdPermille: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val Seq(idCol, hCol) = sh.columns.toSeq
+    val pairsDs = sh.select(col(idCol).cast("long"), col(hCol).cast("long")).as[(Long, Long)]
+    val vocabArr = pairsDs.map(_._2).distinct().collect().sorted
+    val idOf = vocabArr.zipWithIndex.toMap
+    val words = (vocabArr.length + 63) / 64
+    val bIdOf = spark.sparkContext.broadcast(idOf)
+    val sets: Array[(Long, Array[Long])] = pairsDs
+      .groupByKey(_._1)
+      .mapGroups { (doc, it) =>
+        val bs = new Array[Long](words)
+        val m = bIdOf.value
+        it.foreach { case (_, h) =>
+          val i = m(h)
+          bs(i >> 6) |= 1L << (i & 63)
+        }
+        (doc, bs)
+      }
+      .collect()
+      .sortBy(_._1)
+    val bSets = spark.sparkContext.broadcast(sets)
+    val slices = math.max(spark.sparkContext.defaultParallelism * 4, 1)
+    spark.sparkContext
+      .parallelize(sets.indices, math.min(slices, math.max(sets.length, 1)))
+      .flatMap { ai =>
+        val arr = bSets.value
+        val (da, ba) = arr(ai)
+        var na = 0
+        var w = 0
+        while (w < ba.length) { na += java.lang.Long.bitCount(ba(w)); w += 1 }
+        (ai + 1 until arr.length).iterator.flatMap { bi =>
+          val (db, bb) = arr(bi)
+          var inter = 0
+          var nb = 0
+          var k = 0
+          while (k < bb.length) {
+            inter += java.lang.Long.bitCount(ba(k) & bb(k))
+            nb += java.lang.Long.bitCount(bb(k))
+            k += 1
+          }
+          val union = na + nb - inter
+          val jm = if (union == 0) 0L else 1000L * inter / union
+          if (jm >= thresholdPermille) Iterator.single((da, db, jm))
+          else Iterator.empty
+        }
+      }
+      .toDF("doc_a", "doc_b", "jaccard_permille")
+  }
+
+  /** General shingle-equijoin path. The probe side is broadcast when small
+    * (Catalyst decides); pair counts partially aggregate before the one
+    * wide shuffle.
+    */
+  private def joinPath(sh: DataFrame, thresholdPermille: Int): DataFrame = {
+    val Seq(idCol, hCol) = sh.columns.toSeq
+    val d = sh.select(col(idCol).cast("long").as("doc_id"),
+      col(hCol).cast("long").as("h")).distinct().cache()
+    val sz = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = d
+      .join(d.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((1000 * inter) div (na + nb - inter) AS BIGINT)").as("jaccard_permille"))
+      .filter(col("jaccard_permille") >= thresholdPermille)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode/feature-extraction as a partition-local stage.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * deterministic fake decoder (clearly marked); everything around it — the
+  * schema, the `Dataset[MediaBlob]` encoder, the mapPartitions batch
+  * shape, the partition sizing — is the real 100 TB plumbing: blobs never
+  * pass through a shuffle (decode is a narrow map stage), and features
+  * come out as fixed-width columns ready for columnar storage.
+  */
+object Multimodal {
+  import Tables.t
+
+  final case class MediaBlob(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, mean_byte: Double, features: Array[Float])
+
+  /** STUB — stands in for a real image/audio decoder (libs absent here).
+    * Deterministic: "dimensions" from the first payload bytes, an 8-bin
+    * byte histogram as the "feature vector". A real deployment swaps only
+    * this function; the surrounding pipeline is unchanged.
+    */
+  def decodeStub(b: MediaBlob): MediaFeatures = {
+    val p = b.payload
+    val w = if (p.length >= 2) ((p(0) & 0xff) << 4 | (p(1) & 0x0f)) + 16 else 16
+    val h = if (p.length >= 4) ((p(2) & 0xff) << 4 | (p(3) & 0x0f)) + 16 else 16
+    val hist = new Array[Float](8)
+    var sum = 0L
+    var i = 0
+    while (i < p.length) {
+      val v = p(i) & 0xff
+      hist(v >> 5) += 1f
+      sum += v
+      i += 1
+    }
+    if (p.length > 0) { var j = 0; while (j < 8) { hist(j) /= p.length; j += 1 } }
+    MediaFeatures(b.media_id, b.kind, p.length.toLong, w, h,
+      if (p.length == 0) 0.0 else sum.toDouble / p.length, hist)
+  }
+
+  /** documents.text re-cast as opaque binary payloads — the testdata's
+    * stand-in for an image/audio blob column.
+    */
+  def blobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast(BinaryType).as("payload"))
+      .as[MediaBlob]
+  }
+
+  /** Decode/feature-extract stage: partition-local, no shuffle. */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(decodeStub))
+  }
+
+  val queries: Seq[Q] = Seq(
+    // binary-column basics, oracled: byte length, content hash, magic bytes
+    Q("m01_blob_stats",
+      (s, dir) => {
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          octet_length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"),
+          md5(col("text").cast(BinaryType)).as("content_md5"),
+          hex(substring(col("text").cast(BinaryType), 1, 4)).as("magic_hex"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  upper(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic_hex
+             |FROM documents""".stripMargin)),
+
+    // full decode pipeline (stubbed decoder) — rows-only check + ScalaTest
+    Q("m02_decode_features",
+      (s, dir) => extractFeatures(blobs(s, dir)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), round(col("mean_byte"), 4).as("mean_byte")),
+      None)
+  )
+}

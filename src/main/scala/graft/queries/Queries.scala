@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query of the engine's surface: a Spark-first DataFrame build
+  * plus (when SQL-expressible) an equivalent DuckDB oracle statement over
+  * the same parquet tables. Oracle-less queries get the driver's weaker
+  * rows-only check (builder contract).
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** headline queries are the ones Bench times at sf0.1 */
+    headline: Boolean = false)
+
+/** Table loaders. All testdata tables are one parquet file per table. */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
+    * with `nanosAsLong` it reads as BIGINT nanoseconds since epoch — all
+    * event-time logic here works in exact integer nanos (no double
+    * precision loss on ~1.7e18 values).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
+}

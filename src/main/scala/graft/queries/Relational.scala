@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator coverage (SURVEY §2.4/§2.5): every operator family
+  * the reference's query surface implies — filter, hash aggregate,
+  * first-per-group, equi/semi/anti join, window, rollup, set ops, sort/
+  * limit, distinct aggregation, scalar functions — expressed Spark-first
+  * and oracled against DuckDB.
+  *
+  * Determinism rules (oracle hash-compare):
+  *   - doubles from parquet are cast to DECIMAL before SUM (exact, engine
+  *     independent); averages are exact-sum ÷ count in IEEE double;
+  *   - every top-k / first-per-group has a full deterministic sort key;
+  *   - computed integers are cast to BIGINT on both sides.
+  */
+object Relational {
+  import Tables.t
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  val queries: Seq[Q] = Seq(
+    // --- q01: filtered hash aggregate (TPC-H Q1 shape) --------------------
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec2)).cast(dec2).as("sum_base_price"),
+            sum(col("l_extendedprice").cast(dec2) *
+              (lit(1) - col("l_discount").cast(dec2))).cast(dec4).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // --- q02: sort + limit (top-k) ---------------------------------------
+    Q("q02_topk_orders",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast(dec2).as("total_price"))
+          .orderBy(col("total_price").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+             |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // --- q03: 3-way shuffle join + aggregate ------------------------------
+    Q("q03_revenue_by_nation",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val customer = t(s, dir, "customer")
+        val nation = t(s, dir, "nation")
+        orders
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            sum(col("o_totalprice").cast(dec2)).cast(dec2).as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+             |  COUNT(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin),
+      headline = true),
+
+    // --- q04: broadcast dim join ------------------------------------------
+    Q("q04_brand_revenue",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum(col("l_extendedprice").cast(dec2) *
+            (lit(1) - col("l_discount").cast(dec2))).cast(dec4).as("revenue"))
+      },
+      Some("""SELECT p_brand,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin),
+      headline = true),
+
+    // --- q05: left semi join (EXISTS) -------------------------------------
+    Q("q05_semi_join",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin)),
+
+    // --- q06: left anti join (NOT EXISTS) ---------------------------------
+    Q("q06_anti_join",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+
+    // --- q07: window first-per-group (deterministic, SURVEY §4.4) --------
+    Q("q07_top_order_per_customer",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("total_price").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice").cast(dec2).as("total_price"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "total_price")
+      },
+      Some("""SELECT o_custkey, o_orderkey, total_price FROM (
+             |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+             |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn = 1""".stripMargin)),
+
+    // --- q08: rollup ------------------------------------------------------
+    Q("q08_rollup",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // --- q09: set operations ---------------------------------------------
+    Q("q09_set_ops",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        val neg = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey"))
+        o.intersect(f).union(neg).distinct()
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+             |INTERSECT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+             |UNION
+             |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin)),
+
+    // --- q10: scalar function battery ------------------------------------
+    Q("q10_scalar_functions",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("yr"),
+            month(col("o_orderdate")).cast(LongType).as("mo"),
+            dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+            upper(substring(col("o_orderpriority"), 1, 4)).as("pri4"),
+            length(col("o_orderpriority")).cast(LongType).as("pri_len"),
+            concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+            abs(col("o_totalprice").cast(dec2)).cast(dec2).as("abs_price"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+             |  upper(substr(o_orderpriority, 1, 4)) AS pri4,
+             |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+             |  o_orderstatus || '-' || o_orderpriority AS tag,
+             |  CAST(abs(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS abs_price
+             |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)),
+
+    // --- q11: the reference defrag pipeline shape over lineitem -----------
+    // filter → deterministic first-per-group → broadcast left join →
+    // coalesce backfill (reference src/main.rs:292-296 translated to a
+    // TPC-H-shaped fixture so DuckDB can oracle it)
+    Q("q11_defrag_shape",
+      (s, dir) => {
+        val base = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_linenumber") === 1, col("l_returnflag")).as("flag"))
+        val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc)
+        val ff = base.filter(col("l_linenumber") === 1)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("flag").as("ff_flag"))
+        base.join(broadcast(ff), Seq("l_orderkey"), "left")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            coalesce(col("flag"), col("ff_flag")).as("flag"))
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |         CASE WHEN l_linenumber = 1 THEN l_returnflag END AS flag
+             |  FROM lineitem),
+             |ff AS (
+             |  SELECT l_orderkey, flag AS ff_flag FROM (
+             |    SELECT l_orderkey, flag,
+             |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+             |    FROM base WHERE l_linenumber = 1)
+             |  WHERE rn = 1)
+             |SELECT b.l_orderkey, b.l_linenumber, COALESCE(b.flag, f.ff_flag) AS flag
+             |FROM base b LEFT JOIN ff f USING (l_orderkey)""".stripMargin),
+      headline = true),
+
+    // --- q12: scalar %-style aggregate (reference src/main.rs:274 shape) --
+    Q("q12_pct_scalar",
+      (s, dir) => {
+        t(s, dir, "lineitem").agg(
+          round(lit(100.0) * sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)) /
+            count(lit(1))).cast(LongType).as("pct"))
+      },
+      Some("""SELECT CAST(round(100.0 * SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS pct
+             |FROM lineitem""".stripMargin)),
+
+    // --- q13: distinct aggregation ----------------------------------------
+    Q("q13_distinct_agg",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"))
+      },
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_suppkey) AS n_supp,
+             |  COUNT(DISTINCT l_partkey) AS n_part
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // --- q14: event-time bucketing (exact integer nanos) ------------------
+    Q("q14_events_hourly",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(expr("ts div 3600000000000").as("hour_bucket"),
+            col("value"), col("event_type"))
+          .groupBy("hour_bucket")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(dec4)).cast(dec4).as("sum_value"))
+      },
+      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin),
+      headline = true),
+
+    // --- q15: sessionization via lag window -------------------------------
+    Q("q15_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("ts") - col("prev") > 1800000000000L, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("new_s")).as("n_sessions"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+             |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+             |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+             |FROM d GROUP BY user_id""".stripMargin))
+  )
+}

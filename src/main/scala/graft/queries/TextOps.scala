@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + deduplication operators for a training-data pipeline:
+  * exact dedup, token/quality stats, language-ID heuristic, n-gram Jaccard
+  * near-dup. All DataFrame-native (codegen'd built-ins — no UDFs), all
+  * oracled against DuckDB.
+  *
+  * Determinism: occurrence counts use exact integer string arithmetic
+  * (length/replace); ratios use integer floor-division (`div` / DuckDB
+  * `//`), never double→int casts (Spark truncates, DuckDB rounds).
+  */
+object TextOps {
+  import Tables.t
+
+  /** word-bigram shingles of a single-space-tokenized text column */
+  private val bigramsExpr =
+    "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"
+
+  val queries: Seq[Q] = Seq(
+    // --- d01: exact dedup by content hash ---------------------------------
+    Q("d01_exact_dedup",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      },
+      Some("""SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // --- d02: token counting ----------------------------------------------
+    Q("d02_token_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_calc"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast(LongType).as("n_tokens"),
+          // mean token length in permille, exact integer arithmetic
+          expr("CAST(1000 * (length(text) - (length(text) - length(replace(text, ' ', '')))) div (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)")
+            .as("mean_tok_len_permille"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+             |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+             |  CAST(1000 * (length(text) - (length(text) - length(replace(text, ' ', '')))) // (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS mean_tok_len_permille
+             |FROM documents""".stripMargin)),
+
+    // --- d03: quality scoring ---------------------------------------------
+    // stopword rate + length band, the classic pre-training quality gates
+    Q("d03_quality_score",
+      (s, dir) => {
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)").as("n_tokens"),
+          expr("CAST((length(text) - length(replace(text, 'the', ''))) div 3 AS BIGINT)").as("n_stop"),
+          expr("""CAST(1000 * ((length(text) - length(replace(text, 'the', ''))) div 3)
+                 |  div (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)""".stripMargin)
+            .as("stop_permille"),
+          expr("CAST(CASE WHEN length(text) BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS BIGINT)").as("len_ok"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+             |  CAST((length(text) - length(replace(text, 'the', ''))) // 3 AS BIGINT) AS n_stop,
+             |  CAST(1000 * ((length(text) - length(replace(text, 'the', ''))) // 3) // (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS stop_permille,
+             |  CAST(CASE WHEN length(text) BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS BIGINT) AS len_ok
+             |FROM documents""".stripMargin)),
+
+    // --- d04: language identification (marker-token heuristic) ------------
+    Q("d04_langid",
+      (s, dir) => {
+        // occurrence counts of language marker tokens on the padded text,
+        // then argmax with a fixed precedence (en > de > fr > es > zh)
+        def cnt(m: String) =
+          s"((length(p) - length(replace(p, ' $m ', ''))) div ${m.length + 2})"
+        val markers = Map(
+          "en" -> cnt("the"), "de" -> cnt("der"),
+          "fr" -> cnt("le"), "es" -> cnt("el"), "zh" -> cnt("shi"))
+        t(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
+          .select(
+            col("doc_id"), col("lang").as("lang_declared"),
+            expr(s"""CASE
+                    | WHEN ${markers("en")} >= greatest(${markers.values.mkString(",")}) THEN 'en'
+                    | WHEN ${markers("de")} >= greatest(${markers.values.mkString(",")}) THEN 'de'
+                    | WHEN ${markers("fr")} >= greatest(${markers.values.mkString(",")}) THEN 'fr'
+                    | WHEN ${markers("es")} >= greatest(${markers.values.mkString(",")}) THEN 'es'
+                    | ELSE 'zh' END""".stripMargin).as("lang_pred"))
+      },
+      Some {
+        def cnt(m: String) =
+          s"((length(p) - length(replace(p, ' $m ', ''))) // ${m.length + 2})"
+        val all = Seq("the", "der", "le", "el", "shi").map(cnt).mkString(",")
+        s"""SELECT doc_id, lang AS lang_declared,
+           |  CASE
+           |   WHEN ${cnt("the")} >= greatest($all) THEN 'en'
+           |   WHEN ${cnt("der")} >= greatest($all) THEN 'de'
+           |   WHEN ${cnt("le")} >= greatest($all) THEN 'fr'
+           |   WHEN ${cnt("el")} >= greatest($all) THEN 'es'
+           |   ELSE 'zh' END AS lang_pred
+           |FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)""".stripMargin
+      }),
+
+    // --- d05: n-gram Jaccard near-dup detection ---------------------------
+    // word-bigram shingle sets; candidate pairs via shingle-equijoin;
+    // jaccard in exact integer permille. The brute-force baseline — the
+    // 100 TB path is d06 (MinHash LSH), which approximates this.
+    Q("d05_ngram_jaccard",
+      (s, dir) => {
+        // shingles hashed to longs (xxhash64 collisions are 2^-64-scale —
+        // immaterial); the adaptive all-pairs operator picks the dense
+        // bitset path or the shingle-equijoin path by data shape
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(bigramsExpr)).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        graft.operators.JaccardAllPairs(sh, 300)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
+             |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+             |SELECT da AS doc_a, db AS doc_b,
+             |       CAST((1000*inter) // (x.n + y.n - inter) AS BIGINT) AS jaccard_permille
+             |FROM p JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+             |WHERE (1000*inter) // (x.n + y.n - inter) >= 300""".stripMargin),
+      headline = true)
+  )
+}

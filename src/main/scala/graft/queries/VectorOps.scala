@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * e01 is the brute-force baseline: broadcast the (small) query set,
+  * stream the corpus — the big side is never shuffled, so the plan scales
+  * to any corpus size; cost is O(|corpus| × |queries|) dot products inside
+  * whole-stage codegen.
+  *
+  * e02 is the bucketed scale path (IVF-style): restrict candidate pairs to
+  * a shared coarse bucket (here the `label` column stands in for a k-means
+  * cell id, which is how a real IVF index would be built — assign once,
+  * then equijoin on cell). Turns the cross product into a per-bucket join.
+  *
+  * Dot products run in double precision via higher-order functions
+  * (`zip_with` + `aggregate`) — deterministic sequential fold, matching
+  * the DuckDB oracle's double arithmetic; similarities are rounded to 4
+  * decimals *before* ranking so both engines rank identical values.
+  */
+object VectorOps {
+  import Tables.t
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(e, x -> x * x), 0D, (a, x) -> a + x))"))
+
+  private val simExpr =
+    "round(aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x) / (qnrm * nrm), 4)"
+
+  /** Top-k cosine neighbors for each query vector (vec_id < nQueries). */
+  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), expr(simExpr).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "sim")
+  }
+
+  /** IVF-style bucketed ANN: only same-bucket candidates are scored. */
+  def bucketedAnn(s: SparkSession, dir: String, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    emb.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), expr(simExpr).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "sim")
+  }
+
+  /** All embedding pairs above a cosine threshold — embedding-based
+    * near-dup detection (bucketed by label to keep the join linear).
+    */
+  def cosineNearDups(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val b = emb.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("e").as("qe"), col("nrm").as("qnrm"))
+    emb.join(b, col("label") === col("qlabel") && col("vec_id") < col("qid"))
+      .select(col("vec_id").as("vec_a"), col("qid").as("vec_b"), expr(simExpr).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  private def oracleCosine(filterA: String, joinCond: String, k: Int): String =
+    s"""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
+       |q AS (SELECT * FROM f WHERE $filterA),
+       |d AS (SELECT q.vec_id qid, c.vec_id cid, SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) dot
+       |      FROM q JOIN f c ON q.i = c.i AND c.vec_id <> q.vec_id $joinCond
+       |      GROUP BY 1, 2),
+       |s AS (SELECT qid, cid, round(dot / (x.nrm * y.nrm), 4) sim
+       |      FROM d JOIN n x ON x.vec_id = qid JOIN n y ON y.vec_id = cid)
+       |SELECT qid, cid, sim FROM (
+       |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s)
+       |WHERE rn <= $k""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("e01_cosine_topk", (s, dir) => cosineTopK(s, dir),
+      Some(oracleCosine("vec_id < 10", "", 5)),
+      headline = true),
+    Q("e02_ann_bucketed", (s, dir) => bucketedAnn(s, dir),
+      Some(oracleCosine("vec_id < 50", "AND c.label = q.label", 3))),
+    Q("e03_cosine_neardups", (s, dir) => cosineNearDups(s, dir),
+      Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
+             |d AS (SELECT a.vec_id va, b.vec_id vb, SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) dot
+             |      FROM f a JOIN f b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+             |      GROUP BY 1, 2)
+             |SELECT va AS vec_a, vb AS vec_b, sim FROM (
+             |  SELECT va, vb, round(dot / (x.nrm * y.nrm), 4) sim
+             |  FROM d JOIN n x ON x.vec_id = va JOIN n y ON y.vec_id = vb)
+             |WHERE sim >= 0.3""".stripMargin))
+  )
+}

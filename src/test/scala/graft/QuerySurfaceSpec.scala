@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{FuzzyDedup, Multimodal, TextOps, VectorOps}
+
+/** Validates the non-oracled operators against exact baselines, plus a
+  * smoke pass over the whole declared surface at sf0.001.
+  */
+class QuerySurfaceSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every declared query runs at sf0.001; oracles cover the SQL-expressible ones") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    SparkEntry.all.foreach { q =>
+      val n = q.build(spark, sf).count()
+      assert(n >= 0, s"${q.name} failed")
+    }
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("minhash LSH recovers the exact-Jaccard near-dup pairs (recall)") {
+    val exact = SparkEntry.queries("d05_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = FuzzyDedup.minhashNearDups(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("minhash signature estimates track exact jaccard on planted dups") {
+    val est = FuzzyDedup.minhashNearDups(spark, sf)
+      .filter(col("est_jaccard_permille") >= 500).count()
+    assert(est > 0)
+  }
+
+  test("simhash near-dups include the strongly similar pairs") {
+    val exact = SparkEntry.queries("d05_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard_permille") >= 800)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = FuzzyDedup.simhashNearDups(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${exact.size} strong pairs")
+  }
+
+  test("winnowing fingerprints: deterministic, near-dups share fingerprints") {
+    val fp1 = FuzzyDedup.fingerprints(
+      spark.read.parquet(s"$sf/documents.parquet")).cache()
+    // deterministic across runs
+    val a = fp1.groupBy("doc_id").count().orderBy("doc_id").collect()
+    val b = FuzzyDedup.fingerprints(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .groupBy("doc_id").count().orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    // a planted near-dup pair shares a large fraction of fingerprints
+    val pair = SparkEntry.queries("d05_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard_permille") >= 800).select("doc_a", "doc_b").head()
+    val fa = fp1.filter(col("doc_id") === pair.getLong(0))
+      .select("fingerprint").collect().map(_.getLong(0)).toSet
+    val fb = fp1.filter(col("doc_id") === pair.getLong(1))
+      .select("fingerprint").collect().map(_.getLong(0)).toSet
+    val overlap = (fa & fb).size.toDouble / math.min(fa.size, fb.size)
+    assert(overlap >= 0.5, s"fingerprint overlap $overlap")
+    fp1.unpersist()
+  }
+
+  test("brute-force cosine topk: self-consistency against a local computation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000
+    }
+    val got = VectorOps.cosineTopK(spark, sf, nQueries = 3, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val expTop = emb.keys.filter(_ != qid)
+        .map(c => (c, cos(emb(qid), emb(c)))).toSeq
+        .sortBy { case (c, s) => (-s, c) }.take(4)
+      assert(rows.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq == expTop,
+        s"qid=$qid")
+    }
+  }
+
+  test("bucketed ANN only returns same-label neighbors") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = VectorOps.bucketedAnn(spark, sf, nQueries = 20, k = 3).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
+  }
+
+  test("multimodal decode stub: deterministic, shapes correct, no shuffle") {
+    val feats = Multimodal.extractFeatures(Multimodal.blobs(spark, sf))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.features.length == 8)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // histogram normalized
+      assert(f.n_bytes > 0 && f.width >= 16 && f.height >= 16)
+    }
+    // narrow plan: no exchange in the physical plan
+    val plan = feats.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"decode stage must not shuffle:\n$plan")
+  }
+
+  test("streaming hourly agg equals the batch q14 answer") {
+    val stream = graft.streaming.StreamingOps.hourlyAgg(spark, sf)
+      .orderBy("hour_bucket").collect()
+    val batch = SparkEntry.queries("q14_events_hourly")(spark, sf)
+      .orderBy("hour_bucket").collect()
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (s0, b0) =>
+      assert(s0.getLong(0) == b0.getLong(0))
+      assert(s0.getLong(1) == b0.getLong(1))
+      assert(s0.getDecimal(2).compareTo(b0.getDecimal(2)) == 0)
+    }
+  }
+
+  test("langid heuristic emits only known languages and matches text") {
+    val out = SparkEntry.queries("d04_langid")(spark, sf).collect()
+    assert(out.length == 500)
+    val preds = out.map(_.getAs[String]("lang_pred")).toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es", "zh")))
+  }
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Dev-loop replica of the driver's correctness gate (t2): for each query
+output written by graft.Verify, run the declared oracle SQL in DuckDB over
+the same parquet tables, sort columns by name + rows by value, and compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+NOT part of the engine (the engine is Scala/Spark only); this is local
+tooling mirroring the driver-side DuckDB oracle.
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table(con, sql):
+    rel = con.sql(sql)
+    cols = rel.columns
+    rows = rel.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    scols = [cols[i] for i in order]
+    srows = sorted([tuple(norm(r[i]) for i in order) for r in rows],
+                   key=lambda t: tuple("" if x is None else str(x) for x in t))
+    return scols, srows
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        got_cols, got_rows = table(
+            con, f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        if name not in oracles:
+            print(f"  ~ {name}: no oracle, rows={len(got_rows)}")
+            n_noracle += 1
+            continue
+        try:
+            exp_cols, exp_rows = table(con, oracles[name])
+        except Exception as e:
+            print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"  ✗ {name}: column mismatch spark={got_cols} duck={exp_cols}")
+            n_fail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"  ✗ {name}: row count spark={len(got_rows)} duck={len(exp_rows)}")
+            n_fail += 1
+            continue
+        bad = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e]
+        if bad:
+            print(f"  ✗ {name}: {len(bad)}/{len(got_rows)} rows differ; first: spark={bad[0][0]} duck={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"  ✓ {name}: {len(got_rows)} rows match")
+            n_pass += 1
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
