@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (codegen'd — preference order of the build
+  * brief: composition > custom Expression > UDF) + SQL registration.
+  */
+object GraftFunctions {
+
+  /** Static eval helpers referenced from generated code. */
+  def tcpFlagsUtf8(flags: Int): UTF8String =
+    UTF8String.fromString(graft.dissect.PacketDissector.tcpFlagsString(flags))
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // ---- Column API -----------------------------------------------------------
+
+  def tcp_flags_str(c: Column): Column =
+    GraftSqlBridge.column(TcpFlagsStr(GraftSqlBridge.expression(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Register SQL functions: `tcp_flags_str(int)`, `cosine_sim(arr, arr)`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("tcp_flags_str",
+      es => TcpFlagsStr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSim(es.head, es(1)), "built-in")
+  }
+}
+
+/** The reference's TCP flag formatter (reference src/packetstats.rs:114-142)
+  * as a whole-stage-codegen-friendly scalar expression:
+  * `tcp_flags_str(18)` = `"...A..S."`.
+  */
+case class TcpFlagsStr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"tcp_flags_str needs an integral argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    GraftFunctions.tcpFlagsUtf8(v match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+    })
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftFunctions.tcpFlagsUtf8((int) $c)")
+
+  override protected def withNewChildInternal(c: Expression): TcpFlagsStr = copy(c)
+}
+
+/** Cosine similarity of two `array<double>` columns, computed in one fused
+  * loop inside whole-stage codegen — replaces the interpreted
+  * `aggregate(zip_with(...))` chain (~3× fewer passes, no per-element
+  * lambda dispatch).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim needs two array<double> arguments, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftFunctions.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}

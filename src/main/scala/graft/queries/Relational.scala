@@ -247,17 +247,20 @@ object Relational {
              |  COUNT(DISTINCT l_partkey) AS n_part
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
-    // --- q14: event-time bucketing (exact integer nanos) ------------------
+    // --- q14: event-time bucketing ----------------------------------------
+    // all event-time arithmetic runs in the µs domain: Spark keeps full ns
+    // (nanosAsLong) but DuckDB truncates parquet ns-timestamps to µs, so
+    // µs is the highest precision both engines agree on exactly
     Q("q14_events_hourly",
       (s, dir) => {
         Tables.events(s, dir)
-          .select(expr("ts div 3600000000000").as("hour_bucket"),
+          .select(expr("(ts div 1000) div 3600000000").as("hour_bucket"),
             col("value"), col("event_type"))
           .groupBy("hour_bucket")
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast(dec4)).cast(dec4).as("sum_value"))
       },
-      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
              |  COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
              |FROM events GROUP BY 1""".stripMargin),
@@ -266,24 +269,99 @@ object Relational {
     // --- q15: sessionization via lag window -------------------------------
     Q("q15_sessionize",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
         Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_id"))
-          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_id"))
+          .withColumn("prev", lag(col("tsu"), 1).over(w))
           .withColumn("new_s",
-            when(col("prev").isNull || col("ts") - col("prev") > 1800000000000L, 1L)
+            when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L)
               .otherwise(0L))
           .groupBy("user_id")
           .agg(sum(col("new_s")).as("n_sessions"))
       },
       Some("""WITH d AS (
              |  SELECT user_id,
-             |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-             |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
              |              THEN 1 ELSE 0 END AS new_s
              |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
              |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
-             |FROM d GROUP BY user_id""".stripMargin))
+             |FROM d GROUP BY user_id""".stripMargin)),
+
+    // --- q16: cube / grouping sets ----------------------------------------
+    Q("q16_cube",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("((ts div 1000) div 3600000000) % 24").as("hour_of_day"), col("value"))
+          .cube("event_type", "hour_of_day")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec4)).cast(dec4).as("sum_value"))
+      },
+      Some("""SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+             |FROM events GROUP BY CUBE (event_type, (epoch_us(ts) // 3600000000) % 24)""".stripMargin)),
+
+    // --- q17: as-of join (custom operator — Spark has no native ASOF) -----
+    // for every error event: the most recent click of the same user at or
+    // before it
+    Q("q17_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("tsu", expr("ts div 1000"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("tsu"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tsu"))
+        graft.operators.AsOfJoin(errors, clicks, Seq("user_id"), "tsu", "tsu")
+          .select(col("event_id"), col("asof_ts").as("click_ts_us"))
+      },
+      Some("""WITH err AS (SELECT user_id, event_id, epoch_us(ts) tsu FROM events WHERE event_type = 'error'),
+             |     clk AS (SELECT user_id, epoch_us(ts) tsu FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, c.tsu AS click_ts_us
+             |FROM err e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.tsu >= c.tsu""".stripMargin)),
+
+    // --- q18: range (band) join -------------------------------------------
+    // same-user event pairs within 5 minutes; the bucketed band-join
+    // formulation: equijoin on (user, coarse time bucket ± 1) keeps the
+    // candidate stream linear instead of a per-user cross product
+    Q("q18_range_join",
+      (s, dir) => {
+        val width = 300000000L // 5 min in µs
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("tsu"),
+            expr(s"(ts div 1000) div $width").as("bkt"))
+        val probe = ev.select(col("user_id"), col("event_id").as("eb"),
+          col("tsu").as("tsb"),
+          explode(expr(s"array(bkt - 1, bkt, bkt + 1)")).as("bkt"))
+        ev.join(probe, Seq("user_id", "bkt"))
+          .filter(col("event_id") < col("eb") &&
+            abs(col("tsu") - col("tsb")) <= width)
+          .select(col("user_id"), col("event_id").as("event_a"),
+            col("eb").as("event_b"),
+            abs(col("tsu") - col("tsb")).as("gap_us"))
+      },
+      Some("""SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+             |  abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000""".stripMargin)),
+
+    // --- q19: exact quantiles ---------------------------------------------
+    Q("q19_quantiles",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }

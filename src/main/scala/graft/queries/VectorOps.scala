@@ -26,21 +26,24 @@ object VectorOps {
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(e, x -> x * x), 0D, (a, x) -> a + x))"))
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
 
-  private val simExpr =
-    "round(aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x) / (qnrm * nrm), 4)"
+  /** one fused codegen'd loop per pair ([[graft.functions.CosineSim]]);
+    * algebraically identical to dot/(||q||·||c||) computed separately, so
+    * the DuckDB oracle's value is bit-equal after round(_, 4)
+    */
+  private def sim = round(
+    graft.functions.GraftFunctions.cosine_sim(col("qe"), col("e")), 4)
 
   /** Top-k cosine neighbors for each query vector (vec_id < nQueries). */
   def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"), expr(simExpr).as("sim"))
+      .select(col("qid"), col("vec_id").as("cid"), sim.as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "cid", "sim")
@@ -51,10 +54,10 @@ object VectorOps {
     val emb = withNorm(t(s, dir, "embeddings"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("e").as("qe"), col("nrm").as("qnrm"))
+        col("e").as("qe"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
     emb.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"), expr(simExpr).as("sim"))
+      .select(col("qid"), col("vec_id").as("cid"), sim.as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "cid", "sim")
@@ -66,9 +69,9 @@ object VectorOps {
   def cosineNearDups(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
     val b = emb.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-      col("e").as("qe"), col("nrm").as("qnrm"))
+      col("e").as("qe"))
     emb.join(b, col("label") === col("qlabel") && col("vec_id") < col("qid"))
-      .select(col("vec_id").as("vec_a"), col("qid").as("vec_b"), expr(simExpr).as("sim"))
+      .select(col("vec_id").as("vec_a"), col("qid").as("vec_b"), sim.as("sim"))
       .filter(col("sim") >= threshold)
   }
 

@@ -58,7 +58,7 @@ object StreamingOps {
     graft.queries.Q("s01_streaming_hourly", (s, dir) => hourlyAgg(s, dir),
       // identical to the batch hourly rollup — the streaming window must
       // agree with DuckDB's batch answer
-      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
              |  COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
              |FROM events GROUP BY 1""".stripMargin))

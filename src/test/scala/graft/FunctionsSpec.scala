@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkFunSuite {
+
+  test("tcp_flags_str expression: Column API, SQL registration, codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(0x12, 0x01, 0xff, 0x00, 0x18).toDF("f")
+    val viaCol = df.select(GraftFunctions.tcp_flags_str(col("f"))).as[String].collect()
+    assert(viaCol.toSeq == Seq("...A..S.", ".......F", "CEUAPRSF", "........", "...AP..."))
+    df.createOrReplaceTempView("flags")
+    val viaSql = spark.sql("SELECT tcp_flags_str(f) FROM flags").as[String].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // survives whole-stage codegen over a real scan
+    val pkts = spark.range(256).select(col("id").cast("int").as("f"))
+    val all = pkts.select(GraftFunctions.tcp_flags_str(col("f")).as("s")).as[String].collect()
+    assert(all(0x12) == "...A..S." && all.length == 256)
+  }
+
+  test("cosine_sim expression agrees with the interpreted HOF formulation") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+    val joined = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+    val native = joined.select(col("vec_id"),
+      round(GraftFunctions.cosine_sim(col("qe"), col("e")), 10).as("s"))
+    val hof = joined.select(col("vec_id"),
+      round(expr(
+        """aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x) /
+          |(sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + x)) *
+          | sqrt(aggregate(transform(e, x -> x * x), 0D, (a, x) -> a + x)))""".stripMargin), 10).as("s"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(n == h)
+    // type checking rejects non-array args
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(1, 2)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions: the scale properties the code comments
+  * promise must be visible in `explain` output, so a regression that
+  * silently de-optimizes a plan (lost broadcast, lost pushdown, shuffle
+  * where none belongs) fails CI.
+  */
+class PlanQualitySpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter is pushed into the parquet scan") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate.*"), p)
+  }
+
+  test("q01: scan reads only the referenced columns") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    // ReadSchema must not include unused wide columns like l_comment-ish ones
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_quantity") && read.contains("l_returnflag"))
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"), read)
+  }
+
+  test("q04: dimension join is a broadcast hash join, fact side not shuffled") {
+    val p = plan(SparkEntry.queries("q04_brand_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q03: nation dim broadcast; partial aggregation before the shuffle") {
+    val p = plan(SparkEntry.queries("q03_revenue_by_nation")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("defrag: first-fragment side is broadcast (packet table never shuffles)") {
+    import PcapFixtures._
+    val frames = Seq(
+      (1000L, ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17,
+        udp(53, 9, dnsQuery("x.example", 1)), id = 5, mf = true))),
+      (2000L, ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17,
+        Array.fill[Byte](8)(0), id = 5, mf = false, fragOffset = 4))))
+    val dir = java.nio.file.Files.createTempDirectory("plantest")
+    val f = dir.resolve("t.pcap")
+    java.nio.file.Files.write(f, legacyPcap(frames.map { case (ts, b) => (ts, -1, b) }))
+    val pcap = graft.spark.PcapSource.read(spark, f.toString)
+    val p = plan(graft.spark.Defrag.defrag(pcap))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("e01: corpus side streams through a broadcast nested loop (no corpus shuffle)") {
+    val p = plan(graft.queries.VectorOps.cosineTopK(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    // the only exchange below the window should be the broadcast, not a
+    // corpus-wide hash repartition before scoring
+    val beforeWindow = p.substring(0, math.max(p.indexOf("Window"), 0))
+    assert(!beforeWindow.contains("Exchange hashpartitioning(cid"), p)
+  }
+
+  test("q05/q06: semi and anti joins are real join operators, not subquery scans") {
+    assert(plan(SparkEntry.queries("q05_semi_join")(spark, sf)).contains("LeftSemi"))
+    assert(plan(SparkEntry.queries("q06_anti_join")(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the q01 aggregation pipeline") {
+    // AQE's formatted explain omits codegen stages pre-execution: run the
+    // query, then inspect the final executed plan
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    // `*(n)` prefixes in the executed plan are whole-stage-codegen stages
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
+  }
+}
