@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.spark.{Defrag, PcapGen, PcapSource}
+
+/** Reproducible pcap conversion throughput benchmark against the
+  * reference's headline metric (~494k pkt/s for conversion, BASELINE.md):
+  * generates a deterministic 1M-packet DDoS-mix capture split over 8
+  * files, then times parse, defrag, and the full convert pipeline.
+  * Prints one JSON line.
+  */
+object BenchPcap {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_PCAP_PACKETS", "1000000").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PCAP_DIR", "/tmp/graft-pcap-bench")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    Files.createDirectories(Paths.get(dir))
+    val files = 8
+    (0 until files).foreach { f =>
+      val p = s"$dir/cap$f.pcap"
+      if (!Files.exists(Paths.get(p)) || args.contains("--regen"))
+        PcapGen.write(p, n / files, 1700000000000000L + f * 1000000L)
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    PcapSource.read(spark, s"$dir/cap0.pcap").count() // warmup
+    val (tParse, total) = time(PcapSource.read(spark, s"$dir/*.pcap").count())
+    val (tFull, _) = time {
+      val p = PcapSource.read(spark, s"$dir/*.pcap")
+      val out = Defrag(p)
+      PcapSource.write(out, s"$dir/out.parquet")
+    }
+    val parseRate = (total / tParse).toLong
+    val fullRate = (total / tFull).toLong
+    System.err.println(
+      f"[bench-pcap] $total packets: parse $tParse%.2f s ($parseRate pkt/s), " +
+        f"full convert $tFull%.2f s ($fullRate pkt/s)")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"packets":$total}""")
+    spark.stop()
+  }
+}

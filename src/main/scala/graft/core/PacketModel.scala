@@ -55,7 +55,58 @@ final case class PacketRow(
     dhipDevice: Option[String] = None,
     errors: Int = 0) {
 
-  /** Row in the exact 31-column output order of [[PacketSchema.schema]].
+  /** Catalyst-internal row in the exact 31-column output order of
+    * [[PacketSchema.schema]]: timestamps as raw epoch-micros, strings as
+    * `UTF8String` — no boxing detour through `java.sql.Timestamp`/external
+    * `Row`, which measurably dominates the parse stage at millions of
+    * packets/second. col_info and the five http_* columns are always null
+    * (reference declares but never populates them,
+    * src/packetstats.rs:31,37-41).
+    */
+  def toInternalRow(pcapFile: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def utf8(o: Option[String]): AnyRef = o match {
+      case Some(s) => UTF8String.fromString(s)
+      case None => null
+    }
+    def j[T](o: Option[T]): AnyRef = o match {
+      case Some(v) => v.asInstanceOf[AnyRef]
+      case None => null
+    }
+    val src = utf8(ipSrc)
+    val dst = utf8(ipDst)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      frameTime, // TimestampType = micros since epoch
+      j(frameLen),
+      j(ethType),
+      src,
+      dst,
+      ipProto,
+      j(ipTtl),
+      ipFragOffset,
+      ipId,
+      ipMf,
+      j(icmpType),
+      j(udpLength),
+      j(udpSrcport),
+      j(udpDstport),
+      utf8(tcpFlags),
+      j(tcpSrcport),
+      j(tcpDstport),
+      null, // col_info: declared, never populated
+      src, // col_source (reference: src/packetstats.rs:204,248)
+      dst, // col_destination
+      utf8(colProtocol),
+      utf8(dnsQryName),
+      j(dnsQryType),
+      null, null, null, null, null, // http_*: declared, never populated
+      j(ntpPrivReqcode),
+      j(dhipDevice),
+      pcapFile))
+  }
+
+  /** External-Row form of [[toInternalRow]] (kept for API completeness).
     * col_info and the five http_* columns are always null (reference
     * declares but never populates them, src/packetstats.rs:31,37-41).
     */

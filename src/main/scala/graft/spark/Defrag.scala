@@ -35,18 +35,34 @@ object Defrag {
   val fragmentedCond =
     (col("ip_frag_offset") === 0 && col("ip_mf")) || col("ip_frag_offset") > 0
 
-  /** Percentage of fragmented packets, one aggregation job
-    * (reference src/main.rs:274: `round(100*count(frag)/count(*))`).
+  /** One pass over the packet table collects everything the adaptive plan
+    * needs: total count, fragmented count (the reference's % scan,
+    * src/main.rs:274), and the UDP first-fragment count (upper bound on
+    * `ff` rows — decides broadcast vs shuffle join without materializing
+    * ff separately).
     */
-  def fragmentedPct(pcap: DataFrame): Double = {
+  final case class FragStats(total: Long, fragmented: Long, firstFragments: Long) {
+    def pct: Double =
+      if (total == 0) 0.0 else math.round(100.0 * fragmented / total).toDouble
+  }
+
+  def fragStats(pcap: DataFrame): FragStats = {
     val row = pcap
       .agg(
+        count(lit(1)).as("total"),
         sum(when(fragmentedCond, 1L).otherwise(0L)).as("frag"),
-        count(lit(1)).as("total"))
+        sum(when(col("ip_proto") === 17 && col("ip_mf") && col("ip_frag_offset") === 0,
+          1L).otherwise(0L)).as("ffs"))
       .head()
-    if (row.isNullAt(0) || row.getLong(1) == 0L) 0.0
-    else math.round(100.0 * row.getLong(0) / row.getLong(1)).toDouble
+    FragStats(row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) 0L else row.getLong(2))
   }
+
+  /** Percentage of fragmented packets
+    * (reference src/main.rs:274: `round(100*count(frag)/count(*))`).
+    */
+  def fragmentedPct(pcap: DataFrame): Double = fragStats(pcap).pct
 
   /** One row per fragmented UDP datagram: the deterministic "first"
     * fragment's six L7 columns (reference src/main.rs:292, with
@@ -64,28 +80,45 @@ object Defrag {
       .select((JoinKeys ++ Patched).map(col): _*)
   }
 
+  /** Max first-fragment rows we force into a broadcast. Above this (a
+    * heavily fragmented multi-TB capture — the reference's own Booter8 run
+    * was 90% fragmented), the enrichment falls back to a shuffle join that
+    * AQE plans (including skew-split on hot datagram keys).
+    */
+  val MaxBroadcastFirstFragments: Long = 4000000L
+
   /** The enrichment join: every packet inherits its datagram's
     * first-fragment L7 columns where its own are NULL
     * (reference src/main.rs:296: EXCLUDE + coalesce×6). Keeps the
     * reference's defragged column order — the six patched columns move to
     * the end of the schema (SURVEY §2.4).
+    *
+    * `ff` is one row per fragmented UDP datagram: usually tiny → force a
+    * broadcast so the packet table never shuffles; at pathological
+    * fragmentation the adaptive guard switches to a shuffle join instead
+    * of OOMing the driver.
     */
-  def defrag(pcap: DataFrame): DataFrame = {
+  def defrag(pcap: DataFrame, broadcastFF: Boolean = true): DataFrame = {
     val ff = Patched.foldLeft(firstFragments(pcap)) { (d, c) =>
       d.withColumnRenamed(c, "__ff_" + c)
     }
-    val joined = pcap.join(broadcast(ff), JoinKeys, "left")
+    val joined = pcap.join(if (broadcastFF) broadcast(ff) else ff, JoinKeys, "left")
     val keep = pcap.columns.filterNot(Patched.contains).toSeq
     joined.select(
       keep.map(col) ++
         Patched.map(c => coalesce(col(c), col("__ff_" + c)).as(c)): _*)
   }
 
-  /** Full adaptive pipeline (reference src/main.rs:274-301): measure the
-    * fragmentation percentage, run the defrag join only when >= threshold
-    * (default 1%). The caller should `.cache()` `pcap` when it comes from
-    * a pcap parse — both the % scan and the join consume it.
+  /** Full adaptive pipeline (reference src/main.rs:274-301): one stats
+    * pass decides both whether to defrag (>= 1% fragmented) and how to
+    * join (broadcast vs shuffle by first-fragment count). Note the parse
+    * stage is fast enough that re-parsing the capture for each pass beats
+    * caching the wide packet table — callers cache only when memory is
+    * ample.
     */
-  def apply(pcap: DataFrame, thresholdPct: Double = 1.0): DataFrame =
-    if (fragmentedPct(pcap) < thresholdPct) pcap else defrag(pcap)
+  def apply(pcap: DataFrame, thresholdPct: Double = 1.0): DataFrame = {
+    val st = fragStats(pcap)
+    if (st.pct < thresholdPct) pcap
+    else defrag(pcap, broadcastFF = st.firstFragments <= MaxBroadcastFirstFragments)
+  }
 }

@@ -18,7 +18,8 @@ object PcapConvert {
       jobs: Int = 0, // 0 = let Spark decide (per-file tasks)
       verbose: Boolean = false,
       singleFile: Boolean = true,
-      referenceCompat: Boolean = false)
+      referenceCompat: Boolean = false,
+      cache: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     @annotation.tailrec
@@ -31,6 +32,7 @@ object PcapConvert {
       case "-j" :: v :: t            => loop(t, a.copy(jobs = v.toInt))
       case ("-v" | "--verbose") :: t => loop(t, a.copy(verbose = true))
       case "--multi-file" :: t       => loop(t, a.copy(singleFile = false))
+      case "--cache" :: t            => loop(t, a.copy(cache = true))
       case "--reference-compat" :: t => loop(t, a.copy(referenceCompat = true))
       case Nil                       => a
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
@@ -44,9 +46,11 @@ object PcapConvert {
     val mode: PcapFramer.Mode =
       if (a.referenceCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
     val m = PcapSource.metrics(spark)
-    val pcap = PcapSource
+    val parsed = PcapSource
       .read(spark, a.file, mode, decodePartitions = a.jobs, metrics = Some(m))
-      .cache() // both the % scan and the defrag join consume it
+    // the streaming parser is cheap enough that re-parsing per pass beats
+    // caching the wide packet table; --cache opts in when memory is ample
+    val pcap = if (a.cache) parsed.cache() else parsed
     val out =
       if (a.nodefrag) pcap
       else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
@@ -54,7 +58,7 @@ object PcapConvert {
     if (a.verbose)
       System.err.println(
         s"Packets: ${m.packets.value} Errors: ${m.errors.value}")
-    pcap.unpersist()
+    if (a.cache) pcap.unpersist()
   }
 
   def main(argv: Array[String]): Unit = {

@@ -56,14 +56,22 @@ object PcapSource {
       if (decodePartitions > 0) frames.repartition(decodePartitions)
       else frames
     val rows = staged.mapPartitions { it =>
+      // intern the per-file UTF8String once per partition run
+      var lastBase: String = null
+      var lastUtf8: org.apache.spark.unsafe.types.UTF8String = null
       it.map { case (base: String, f: RawFrame) =>
         val r = PacketDissector.dissect(f)
         m.packets.add(1L)
         if (r.errors > 0) m.errors.add(r.errors.toLong)
-        r.toRow(base)
+        if (base ne lastBase) {
+          lastBase = base
+          lastUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(base)
+        }
+        r.toInternalRow(lastUtf8)
       }
     }
-    spark.createDataFrame(rows, PacketSchema.schema)
+    org.apache.spark.sql.GraftSqlBridge
+      .internalCreateDataFrame(spark, rows, PacketSchema.schema)
   }
 
   /** basename of a Hadoop path/URI (reference: src/statscollector.rs:21-27). */

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2.5: an extension beyond the
@@ -54,6 +54,55 @@ object StreamingOps {
     spark.table(name)
   }
 
+  final case class UserEvent(user_id: Long, tsu: Long)
+  final case class SessionState(lastTs: Long, sessions: Long)
+
+  /** Custom streaming state (SURVEY §2.5's `flatMapGroupsWithState` row):
+    * per-user session counting with a 30-minute inactivity gap, state
+    * carried across micro-batches. Each batch's events are processed in
+    * event-time order against the persisted (lastTs, count) state, so the
+    * final emission equals the batch q15 answer regardless of how the
+    * files split into batches (as long as batches arrive time-ordered,
+    * which a replayed landing directory does).
+    */
+  def statefulSessions(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val updateFn: (Long, Iterator[UserEvent], GroupState[SessionState]) => Iterator[(Long, Long)] =
+      (uid, evs, state) => {
+        val sorted = evs.toSeq.sortBy(_.tsu)
+        var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+        sorted.foreach { e =>
+          if (st.lastTs == Long.MinValue || e.tsu - st.lastTs > 1800000000L)
+            st = SessionState(e.tsu, st.sessions + 1)
+          else st = SessionState(e.tsu, st.sessions)
+        }
+        state.update(st)
+        Iterator.single((uid, st.sessions))
+      }
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFn)
+      .toDF("user_id", "n_sessions")
+    val name = "graft_stream_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the last update per user is the final count
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(col("n_sessions")).as("n_sessions"))
+  }
+
   val queries: Seq[graft.queries.Q] = Seq(
     graft.queries.Q("s01_streaming_hourly", (s, dir) => hourlyAgg(s, dir),
       // identical to the batch hourly rollup — the streaming window must
@@ -61,6 +110,17 @@ object StreamingOps {
       Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
              |  COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+    graft.queries.Q("s02_stateful_sessions", (s, dir) => statefulSessions(s, dir),
+      // must agree with the batch sessionization (q15's oracle)
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+             |FROM d GROUP BY user_id""".stripMargin))
   )
 }

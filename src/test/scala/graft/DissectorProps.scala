@@ -1,0 +1,120 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.core.RawFrame
+import graft.dissect.PacketDissector
+import graft.pcapio.PcapFramer
+import PcapFixtures._
+
+/** Property-based invariants over the parser stack (SURVEY §5.2). */
+object DissectorProps extends Properties("dissector") {
+
+  property("tcpFlagsString: char i mirrors bit 7-i; dots elsewhere") =
+    forAll(Gen.chooseNum(0, 255)) { b =>
+      val s = PacketDissector.tcpFlagsString(b)
+      s.length == 8 && (0 until 8).forall { i =>
+        val bitSet = (b & (1 << (7 - i))) != 0
+        if (bitSet) s.charAt(i) == "CEUAPRSF".charAt(i) else s.charAt(i) == '.'
+      }
+    }
+
+  private val genGroups = Gen.containerOfN[Array, Int](8, Gen.chooseNum(0, 0xffff))
+
+  property("ipv6Text: reparses to the same 8 groups (RFC 5952 round-trip)") =
+    forAll(genGroups) { g =>
+      val s = PacketDissector.ipv6Text(g)
+      val expanded: Array[Int] =
+        if (s == "::") Array.fill(8)(0)
+        else {
+          val parts = s.split("::", -1)
+          def side(p: String): Array[Int] =
+            if (p.isEmpty) Array.empty
+            else p.split(':').map(Integer.parseInt(_, 16))
+          if (parts.length == 2) {
+            val l = side(parts(0)); val r = side(parts(1))
+            l ++ Array.fill(8 - l.length - r.length)(0) ++ r
+          } else side(parts(0))
+        }
+      expanded.sameElements(g)
+    }
+
+  property("ipv6Text: never contains ':::' or a leading/trailing lone ':'") =
+    forAll(genGroups) { g =>
+      val s = PacketDissector.ipv6Text(g)
+      !s.contains(":::") &&
+        (!s.startsWith(":") || s.startsWith("::")) &&
+        (!s.endsWith(":") || s.endsWith("::"))
+    }
+
+  private val genPort = Gen.chooseNum(1, 65535)
+  private val genByte = Gen.chooseNum(0, 255)
+
+  property("UDP dissection recovers ports/length for arbitrary payloads") = forAll(
+    genPort, genPort, Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))
+  ) { (sp, dp, payload) =>
+    // avoid the L7 magic ports whose parsers may consume the payload
+    val (s2, d2) = (if (Set(53, 123, 37810)(sp)) sp + 1 else sp,
+      if (Set(53, 123, 37810)(dp)) dp + 1 else dp)
+    val pkt = ethernet(0x0800, ipv4("9.8.7.6", "1.2.3.4", 17, udp(s2, d2, payload)))
+    val r = PacketDissector.dissect(RawFrame(0L, pkt.length.toLong, pkt, 1))
+    r.udpSrcport.contains(s2) && r.udpDstport.contains(d2) &&
+      r.udpLength.contains(8 + payload.length) && r.colProtocol.contains("UDP")
+  }
+
+  property("IPv4 header fields survive dissection for arbitrary ttl/id/proto") = forAll(
+    genByte, Gen.chooseNum(0, 0xffff), Gen.oneOf(Seq(2, 47, 50, 89, 132))
+  ) { (ttl, id, proto) =>
+    val pkt = ethernet(0x0800,
+      ipv4("10.1.2.3", "10.3.2.1", proto, Array.fill[Byte](4)(0), ttl = ttl, id = id))
+    val r = PacketDissector.dissect(RawFrame(0L, pkt.length.toLong, pkt, 1))
+    r.ipTtl.contains(ttl.toShort) && r.ipId == id && r.ipProto == proto.toShort &&
+      r.colProtocol.contains("IPv4")
+  }
+
+  private val genLabel = Gen.chooseNum(1, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  property("DNS qname: labels come back dotted with a trailing dot") = forAll(
+    Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, genLabel))
+  ) { labels =>
+    val name = labels.mkString(".")
+    val pkt = ethernet(0x0800,
+      ipv4("1.1.1.1", "2.2.2.2", 17, udp(1234, 53, dnsQuery(name, 1))))
+    val r = PacketDissector.dissect(RawFrame(0L, pkt.length.toLong, pkt, 1))
+    r.dnsQryName.contains(name + ".")
+  }
+
+  property("framer round-trip: every written frame comes back with its timestamp") = forAll(
+    Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 4000000000000000L), Gen.chooseNum(0, 64))))
+  ) { specs =>
+    val frames = specs.map { case (ts, padLen) =>
+      (ts, -1, ethernet(0x0800,
+        ipv4("1.1.1.1", "2.2.2.2", 17, udp(1, 2, Array.fill[Byte](padLen)(0x7f)))))
+    }
+    val got = PcapFramer.frames(legacyPcap(frames)).toList
+    got.length == specs.length &&
+      got.map(_.timeMicros) == specs.map(_._1) &&
+      got.zip(frames).forall { case (g, (_, _, b)) => g.data.sameElements(b) }
+  }
+
+  property("dissector never throws on arbitrary bytes") = forAll(
+    Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte)),
+    Gen.oneOf(1, 12, 101, 113, 9999)
+  ) { (junk, linktype) =>
+    val r = PacketDissector.dissect(RawFrame(1L, junk.length.toLong, junk, linktype))
+    r.frameTime == 1L // reached the end without throwing
+  }
+
+  property("fragment gate: offset>0 rows never carry transport columns") = forAll(
+    Gen.chooseNum(1, 0x1fff), Gen.oneOf(6, 17, 1)
+  ) { (off, proto) =>
+    val pkt = ethernet(0x0800,
+      ipv4("5.5.5.5", "6.6.6.6", proto, Array.fill[Byte](24)(1), mf = true, fragOffset = off))
+    val r = PacketDissector.dissect(RawFrame(0L, pkt.length.toLong, pkt, 1))
+    r.udpSrcport.isEmpty && r.tcpSrcport.isEmpty && r.icmpType.isEmpty &&
+      r.ipFragOffset == off
+  }
+}
