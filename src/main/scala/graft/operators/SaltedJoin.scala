@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant equi-join: salt the skewed (left) side's key with a
+  * deterministic shard id, replicate the right side once per shard, and
+  * join on (keys, salt). A hot key's rows then spread over `salts`
+  * reducers instead of melting one.
+  *
+  * This is the manual fallback for when AQE's skew-join split can't help
+  * (e.g. the skew is in a broadcast-ineligible dimension, or the engine
+  * runs with AQE off). Results are identical to the plain equi-join: each
+  * left row carries exactly one salt value, and the right side contains
+  * every salt replica.
+  */
+object SaltedJoin {
+
+  /** @param left   the large, possibly skewed side
+    * @param right  the smaller side, replicated `salts` times
+    * @param keys   equi-join key column names (on both sides)
+    * @param salts  shard fan-out for hot keys
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // deterministic per-row shard: hash every left column so identical
+    // rows still spread (monotonically_increasing_id would break
+    // determinism across retries)
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

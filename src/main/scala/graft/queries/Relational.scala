@@ -350,6 +350,38 @@ object Relational {
              |  ON a.user_id = b.user_id AND a.event_id < b.event_id
              |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000""".stripMargin)),
 
+    // --- q20: skew-resistant salted join ----------------------------------
+    // results must equal the plain equi-join (the salt is transparent);
+    // oracled against DuckDB's ordinary join
+    Q("q20_salted_join",
+      (s, dir) => {
+        graft.operators.SaltedJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+            .withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), salts = 8)
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // --- q21: approximate distinct (HLL) ----------------------------------
+    // sketch output is engine-specific → rows-only driver check; the
+    // ScalaTest suite bounds the error against the exact count
+    Q("q21_approx_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      },
+      None),
+
     // --- q19: exact quantiles ---------------------------------------------
     Q("q19_quantiles",
       (s, dir) => {

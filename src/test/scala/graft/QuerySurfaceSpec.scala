@@ -127,6 +127,29 @@ class QuerySurfaceSpec extends SparkFunSuite {
     }
   }
 
+  test("salted join equals the plain join exactly") {
+    import graft.operators.SaltedJoin
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority").withColumnRenamed("o_orderkey", "l_orderkey")
+    val salted = SaltedJoin(li, o, Seq("l_orderkey"), salts = 8)
+      .orderBy("l_orderkey", "l_quantity", "o_orderpriority").collect().toSeq
+    val plain = li.join(o, Seq("l_orderkey"))
+      .orderBy("l_orderkey", "l_quantity", "o_orderpriority").collect().toSeq
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("approx_count_distinct lands within 10% of exact") {
+    val joined = SparkEntry.queries("q21_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(joined(k) - e).toDouble / e <= 0.10, s"$k: ${joined(k)} vs $e")
+    }
+  }
+
   test("langid heuristic emits only known languages and matches text") {
     val out = SparkEntry.queries("d04_langid")(spark, sf).collect()
     assert(out.length == 500)
