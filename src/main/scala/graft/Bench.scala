@@ -16,6 +16,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the 64-column minhash signature aggregate must stay inside
+      // whole-stage codegen (default maxFields=100 silently disables it)
+      .config("spark.sql.codegen.maxFields", "300")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,16 +33,20 @@ object JaccardAllPairs {
     * @param thresholdPermille  keep pairs with jaccard*1000 >= this
     * @return (id_a, id_b, jaccard_permille) with id_a < id_b
     */
-  def apply(sh: DataFrame, thresholdPermille: Int): DataFrame = {
-    val Row2 = sh.columns.length
-    require(Row2 == 2, s"expected (id, h) input, got ${sh.columns.mkString(",")}")
+  def apply(
+      sh: DataFrame,
+      thresholdPermille: Int,
+      maxDenseVocab: Long = MaxDenseVocab,
+      maxDenseMatrixBytes: Long = MaxDenseMatrixBytes): DataFrame = {
+    require(sh.columns.length == 2,
+      s"expected (id, h) input, got ${sh.columns.mkString(",")}")
     val stats = sh.agg(
       countDistinct(col(sh.columns(1))).as("vocab"),
       countDistinct(col(sh.columns(0))).as("docs")).head()
     val vocab = stats.getLong(0)
     val docs = stats.getLong(1)
     val matrixBytes = docs * ((vocab + 63) / 64) * 8
-    if (vocab <= MaxDenseVocab && matrixBytes <= MaxDenseMatrixBytes)
+    if (vocab <= maxDenseVocab && matrixBytes <= maxDenseMatrixBytes)
       dense(sh, thresholdPermille)
     else joinPath(sh, thresholdPermille)
   }

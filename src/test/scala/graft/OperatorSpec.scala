@@ -1,0 +1,81 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, JaccardAllPairs, SaltedJoin}
+
+/** Operator-level equivalence tests: each custom operator against a
+  * brute-force reference implementation on randomized inputs.
+  */
+class OperatorSpec extends SparkFunSuite {
+
+  test("AsOfJoin equals the brute-force per-row search on random data") {
+    import spark.implicits._
+    for (seed <- Seq(1, 42, 7)) {
+      val rnd = new Random(seed)
+      val left = (1 to 200).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val right = (1 to 300).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+      val l = left.toDF("k", "ts", "lid")
+      val r = right.toDF("k", "ts", "rid")
+      val got = AsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("rid"))
+        .select("lid", "asof_ts", "asof_rid")
+        .collect()
+        .map(x => (x.getLong(0),
+          Option(x.get(1)).map(_.asInstanceOf[Long]),
+          Option(x.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      val expected = left.map { case (k, ts, lid) =>
+        val candidates = right.filter(rr => rr._1 == k && rr._2 <= ts)
+        if (candidates.isEmpty) (lid, None, None)
+        else {
+          // max by (ts, rid): mirrors the operator's struct ordering
+          val best = candidates.maxBy(c => (c._2, c._3))
+          (lid, Some(best._2), Some(best._3))
+        }
+      }.toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("JaccardAllPairs: dense and join paths agree exactly") {
+    val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dense = canon(JaccardAllPairs(sh, 500))
+    val joined = canon(JaccardAllPairs(sh, 500, maxDenseVocab = 0)) // force join path
+    assert(dense == joined && dense.nonEmpty)
+  }
+
+  test("SaltedJoin left/outer types preserved") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
+    val r = Seq((1L, "X"), (2L, "Y")).toDF("k", "rv")
+    val inner = SaltedJoin(l, r, Seq("k"), 4).orderBy("k", "lv").collect()
+    assert(inner.length == 3)
+    val leftJoin = SaltedJoin(l, r, Seq("k"), 4, "left").orderBy("k", "lv").collect()
+    assert(leftJoin.length == 4)
+    assert(leftJoin.last.isNullAt(2)) // k=3 has no match
+  }
+
+  test("malformed capture: errors surface via accumulators, job survives") {
+    val dir = java.nio.file.Files.createTempDirectory("badpcap")
+    // valid header + one good frame + garbage record whose frame bytes are junk
+    val good = PcapFixtures.ethernet(0x0800,
+      PcapFixtures.ipv4("1.1.1.1", "2.2.2.2", 17, PcapFixtures.udp(1, 2, Array.empty)))
+    // IPv4 ethertype but a truncated IP header → dissect error, row kept
+    val junkFrame = PcapFixtures.ethernet(0x0800, Array.fill[Byte](5)(0x7f))
+    val bytes = PcapFixtures.legacyPcap(Seq((1L, -1, good), (2L, -1, junkFrame)))
+    java.nio.file.Files.write(dir.resolve("bad.pcap"), bytes)
+    val m = graft.spark.PcapSource.metrics(spark)
+    val df = graft.spark.PcapSource.read(spark, dir.toString + "/bad.pcap", metrics = Some(m))
+    assert(df.count() == 2) // both rows kept
+    assert(m.packets.value == 2L)
+    assert(m.errors.value >= 1L) // junk counted, not thrown
+  }
+}
