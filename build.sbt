@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // keep the embedded catalog's files out of the repo root
+  "-Dderby.system.home=" + (file("target") / "derby").getAbsolutePath,
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

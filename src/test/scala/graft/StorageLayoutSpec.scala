@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout scale levers: bucketed tables for shuffle-free joins,
+  * hive-style partitioned output for partition-pruned scans. These are the
+  * 100 TB layout contracts — asserted on real plans.
+  */
+class StorageLayoutSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("orders_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      // co-located bucketed join: a sort-merge join with NO exchange
+      // between the scans and the join
+      assert(plan.contains("SortMergeJoin"), plan)
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      val belowJoin = plan.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange hashpartitioning(l_orderkey"), plan)
+      assert(!belowJoin.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("hour-partitioned event output gets partition-pruned scans") {
+    val out = java.nio.file.Files.createTempDirectory("evpart").toString + "/events"
+    graft.queries.Tables.events(spark, sf)
+      .withColumn("hour_bucket", expr("(ts div 1000) div 3600000000"))
+      .write.partitionBy("hour_bucket").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("hour_bucket") === 473354L)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*hour_bucket[^\\]]*\\].*"), plan)
+    // the pruned read touches exactly the one partition's rows
+    val all = spark.read.parquet(out)
+      .filter(col("hour_bucket") === 473354L).count()
+    assert(pruned.count() == all && all > 0)
+  }
+
+  test("pcap table partitioned by capture file supports per-file pruning") {
+    import PcapFixtures._
+    val dir = java.nio.file.Files.createTempDirectory("pcappart")
+    val mk = (n: String, id: Int) => java.nio.file.Files.write(dir.resolve(n),
+      legacyPcap(Seq((id.toLong, -1, ethernet(0x0800,
+        ipv4("1.1.1.1", "2.2.2.2", 17, udp(1, 2, Array.empty)))))))
+    mk("x.pcap", 1); mk("y.pcap", 2)
+    val out = dir.resolve("table").toString
+    // pcap_file is a natural partition column for capture-lake layouts
+    graft.spark.PcapSource.read(spark, dir.toString + "/*.pcap")
+      .write.partitionBy("pcap_file").parquet(out)
+    val part = spark.read.parquet(out).filter(col("pcap_file") === "x.pcap")
+    assert(part.count() == 1)
+    val plan = part.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+}
