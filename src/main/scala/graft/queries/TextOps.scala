@@ -119,6 +119,41 @@ object TextOps {
           .select(col("doc_id"), xxhash64(col("sh")).as("h"))
         graft.operators.JaccardAllPairs(sh, 300)
       },
+      dedupOracle,
+      headline = true),
+
+    // --- d09: near-dup cluster formation (connected components) -----------
+    // pairs → clusters: the step a real dedup pipeline runs after d05/d06,
+    // so "keep one canonical doc per cluster" is a min() per component.
+    // Oracled against a DuckDB recursive-CTE transitive closure.
+    Q("d09_dedup_clusters",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(bigramsExpr)).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        val pairs = graft.operators.JaccardAllPairs(sh, 300)
+          .select("doc_a", "doc_b")
+        graft.operators.ConnectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("component"))
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
+             |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+             |e AS (SELECT da, db FROM p JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+             |      WHERE (1000*inter) // (x.n + y.n - inter) >= 300),
+             |sym AS (SELECT da a, db b FROM e UNION SELECT db, da FROM e),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+             |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a""".stripMargin))
+  )
+
+  /** d05's oracle, shared shape with d09's edge definition. */
+  private def dedupOracle: Option[String] =
       Some("""WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
              |sh AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
              |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
@@ -127,7 +162,5 @@ object TextOps {
              |SELECT da AS doc_a, db AS doc_b,
              |       CAST((1000*inter) // (x.n + y.n - inter) AS BIGINT) AS jaccard_permille
              |FROM p JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-             |WHERE (1000*inter) // (x.n + y.n - inter) >= 300""".stripMargin),
-      headline = true)
-  )
+             |WHERE (1000*inter) // (x.n + y.n - inter) >= 300""".stripMargin)
 }

@@ -63,6 +63,29 @@ class OperatorSpec extends SparkFunSuite {
     assert(leftJoin.last.isNullAt(2)) // k=3 has no match
   }
 
+  test("ConnectedComponents equals union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 99)) {
+      val rnd = new Random(seed)
+      val edges = (1 to 150).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+      val got = graft.operators.ConnectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("malformed capture: errors surface via accumulators, job survives") {
     val dir = java.nio.file.Files.createTempDirectory("badpcap")
     // valid header + one good frame + garbage record whose frame bytes are junk
