@@ -149,7 +149,27 @@ object TextOps {
              |  SELECT a, b FROM sym
              |  UNION
              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-             |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a""".stripMargin))
+             |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a""".stripMargin)),
+
+    // --- d10: deterministic per-group sampling ----------------------------
+    // bottom-k by content hash: a reproducible uniform-ish sample per
+    // source bucket — the standard way to cut a stable training subset
+    // (same data → same sample, engine-independent via md5 ordering)
+    Q("d10_sample_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("text")).asc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("source"), col("doc_id"), col("rn").cast("long").as("rank"))
+      },
+      Some("""SELECT source, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+             |  SELECT source, doc_id,
+             |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 3""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */

@@ -60,22 +60,45 @@ final class PcapTable(properties: Map[String, String]) extends Table with Suppor
 }
 
 final class PcapScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = PacketSchema.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Accept the filters [[PcapFilters]] can evaluate on the dissected row,
+    * but report ALL filters as residual (return value) so Spark still
+    * re-evaluates them — the reader-side filter is a row-skipping
+    * optimization (no InternalRow materialization for dropped packets,
+    * e.g. the fragment-gate `ip_frag_offset = 0`), not a correctness
+    * contract.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(PcapFilters.supported)
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan = {
     val paths = Option(options.get("paths"))
       .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
       .getOrElse(Option(options.get("path")).toSeq)
     new PcapScan(paths, required,
-      options.getOrDefault("mode", "sane") == "reference-compat")
+      options.getOrDefault("mode", "sane") == "reference-compat", pushed)
   }
 }
 
-final class PcapScan(paths: Seq[String], required: StructType, refCompat: Boolean)
+final class PcapScan(
+    paths: Seq[String],
+    required: StructType,
+    refCompat: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -83,7 +106,8 @@ final class PcapScan(paths: Seq[String], required: StructType, refCompat: Boolea
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation)
   override def description(): String =
-    s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")})"
+    s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")}" +
+      (if (filters.nonEmpty) s", pushed=${filters.mkString(";")})" else ")")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -105,7 +129,7 @@ final class PcapScan(paths: Seq[String], required: StructType, refCompat: Boolea
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    PcapReaderFactory(conf, required, refCompat)
+    PcapReaderFactory(conf, required, refCompat, filters)
   }
 }
 
@@ -114,25 +138,30 @@ final case class PcapInputPartition(file: String) extends InputPartition
 final case class PcapReaderFactory(
     conf: SerializableConfiguration,
     required: StructType,
-    refCompat: Boolean) extends PartitionReaderFactory {
+    refCompat: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PcapPartitionReader(p.asInstanceOf[PcapInputPartition].file,
-      conf.value, required, refCompat)
+      conf.value, required, refCompat, filters)
 }
 
 final class PcapPartitionReader(
     file: String,
     conf: Configuration,
     required: StructType,
-    refCompat: Boolean) extends PartitionReader[InternalRow] {
+    refCompat: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
   private val in = path.getFileSystem(conf).open(path)
   private val mode: PcapFramer.Mode =
     if (refCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
   private val frames = PcapFramer.frames(in, mode)
-  private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String
-    .fromString(PcapSource.basename(file))
+  private val base = PcapSource.basename(file)
+  private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(base)
+  private val pred = PcapFilters.compile(filters, base)
   // projection map: required ordinal -> full-schema ordinal
   private val ordinals: Array[Int] =
     required.fieldNames.map(PacketSchema.schema.fieldIndex)
@@ -140,24 +169,28 @@ final class PcapPartitionReader(
 
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!frames.hasNext) false
-    else {
-      val full = PacketDissector.dissect(frames.next()).toInternalRow(baseUtf8)
-      current =
-        if (identity) full
-        else {
-          val vals = new Array[Any](ordinals.length)
-          var i = 0
-          while (i < ordinals.length) {
-            vals(i) = full.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
-              .values(ordinals(i))
-            i += 1
+  override def next(): Boolean = {
+    while (frames.hasNext) {
+      val row = PacketDissector.dissect(frames.next())
+      if (pred(row)) {
+        val full = row.toInternalRow(baseUtf8)
+        current =
+          if (identity) full
+          else {
+            val vals = new Array[Any](ordinals.length)
+            var i = 0
+            while (i < ordinals.length) {
+              vals(i) = full.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+                .values(ordinals(i))
+              i += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
           }
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
-        }
-      true
+        return true
+      }
     }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()

@@ -67,6 +67,30 @@ class PcapDataSourceSpec extends SparkFunSuite {
     assert(syn.head.getString(0) == "...A..S.")
   }
 
+  test("filter pushdown: reader-side skip agrees with Spark-side filtering") {
+    val base = spark.read.format("pcap").load(dir)
+    // the fragment-gate shape from SURVEY §7 plus protocol/port slices
+    val cases = Seq(
+      col("col_protocol") === "DNS",
+      col("ip_frag_offset") === 0 && col("ip_mf") === false,
+      col("udp_dstport") === 53 || col("tcp_srcport") === 443,
+      col("dns_qry_name").isNotNull,
+      col("ip_src").isin("10.0.0.1", "10.0.0.3"),
+      col("ip_id") > 1)
+    cases.foreach { c =>
+      val pushed = base.filter(c)
+      val plan = pushed.queryExecution.executedPlan.toString()
+      val viaSource = pushed.count()
+      // reference: same predicate over the unfiltered collected rows
+      val viaSpark = base.collect().length - base.filter(!c).collect().length
+      assert(viaSource == viaSpark, s"cond=$c\n$plan")
+    }
+    // pushed filters visible in the scan description
+    val p = base.filter(col("col_protocol") === "DNS")
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("pushed=") && p.contains("col_protocol"), p)
+  }
+
   test("reference-compat mode option is honored") {
     // pcapng with an origlen quirk: EPB frame_len = caplen in compat mode
     val pkt = ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 6, tcp(1, 2, 0)))
