@@ -382,6 +382,28 @@ object Relational {
       },
       None),
 
+    // --- q22: built-in session_window -------------------------------------
+    // the declarative form of q15's hand-rolled lag sessionization — both
+    // must produce identical per-user session counts (same 30 min gap)
+    Q("q22_session_window",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("event_time"))
+          .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+             |FROM d GROUP BY user_id""".stripMargin)),
+
     // --- q19: exact quantiles ---------------------------------------------
     Q("q19_quantiles",
       (s, dir) => {

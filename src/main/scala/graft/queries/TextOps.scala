@@ -169,7 +169,29 @@ object TextOps {
              |  SELECT source, doc_id,
              |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 3""".stripMargin))
+             |WHERE rn <= 3""".stripMargin)),
+
+    // --- d11: edit-distance string similarity ------------------------------
+    // levenshtein over doc-prefix pairs within a source bucket (blocking
+    // keeps the pair count linear per bucket); edit distance is uniquely
+    // defined, so both engines agree exactly
+    Q("d11_edit_distance",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            substring(col("text"), 1, 40).as("p"))
+        d.as("a")
+          .join(d.as("b"),
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            levenshtein(col("a.p"), col("b.p")).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") <= 15)
+      },
+      Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
+             |FROM documents a JOIN documents b
+             |  ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 15""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */
