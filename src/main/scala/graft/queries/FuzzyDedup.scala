@@ -39,22 +39,17 @@ object FuzzyDedup {
           "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
 
-  /** One row per doc: the 64-slot minhash signature. Each "permutation" is
-    * the shingle hash re-hashed with a distinct seed column (xxhash64 over
-    * (h, i) — overflow-free under ANSI mode, unlike a*h+b). A single
-    * map-side combinable aggregation — 64 `min()` columns collapse into an
-    * array.
+  /** One row per doc: the 64-slot minhash signature, computed by the
+    * custom [[graft.functions.MinHashAgg]] aggregate — the whole signature
+    * is ONE aggregation buffer updated in a tight loop (vs. 64 separate
+    * `min()` columns, which need `codegen.maxFields` headroom and 64
+    * hash-map slots per group). Map-side partial aggregation applies
+    * (elementwise-min merge is commutative/associative).
     */
-  def signatures(docs: DataFrame): DataFrame = {
-    val mins: Seq[Column] = (0 until NumPerms).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i")
-    }
+  def signatures(docs: DataFrame): DataFrame =
     shingleHashes(docs)
       .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
-  }
+      .agg(graft.functions.MinHashAgg.minhash_sig(col("h"), NumPerms).as("sig"))
 
   /** LSH candidate pairs: hash each band's signature slice to a bucket,
     * self-join buckets. The join key (band, bucket) keeps the shuffle

@@ -94,6 +94,14 @@ object VectorOps {
       headline = true),
     Q("e02_ann_bucketed", (s, dir) => bucketedAnn(s, dir),
       Some(oracleCosine("vec_id < 50", "AND c.label = q.label", 3))),
+    // learned-centroid IVF (k-means Lloyd iterations, all DataFrame ops);
+    // approximate by construction → rows-only driver check, recall bound
+    // vs brute force in ScalaTest
+    Q("e04_ann_kmeans_ivf",
+      (s, dir) => graft.operators.KMeansIvf.search(
+        t(s, dir, "embeddings"), k = 8, iterations = 3,
+        nQueries = 20, topK = 5, nprobe = 2),
+      None),
     Q("e03_cosine_neardups", (s, dir) => cosineNearDups(s, dir),
       Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
              |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),

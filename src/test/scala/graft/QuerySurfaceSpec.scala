@@ -91,6 +91,21 @@ class QuerySurfaceSpec extends SparkFunSuite {
     }
   }
 
+  test("k-means IVF: deterministic across runs, recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val r1 = graft.operators.KMeansIvf.search(emb, 8, 2, 10, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = graft.operators.KMeansIvf.search(emb, 8, 2, 10, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 == r2, "IVF must be deterministic")
+    val exact = VectorOps.cosineTopK(spark, sf, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (r1 & exact).size.toDouble / exact.size
+    // nprobe=2 of 8 cells on near-uniform random vectors: recall is modest
+    // by design; the bound catches gross breakage, not tuning
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("bucketed ANN only returns same-label neighbors") {
     val labels = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label").collect()
