@@ -200,7 +200,11 @@ object Relational {
         val base = t(s, dir, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
           when(col("l_linenumber") === 1, col("l_returnflag")).as("flag"))
-        val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc)
+        // tie-break on the emitted value too: (orderkey, linenumber) is NOT
+        // unique in the synthetic data, and an underspecified sort makes
+        // "first" diverge between engines (found at sf0.1: 17k dup groups)
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber").asc, col("flag").asc)
         val ff = base.filter(col("l_linenumber") === 1)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -216,7 +220,7 @@ object Relational {
              |ff AS (
              |  SELECT l_orderkey, flag AS ff_flag FROM (
              |    SELECT l_orderkey, flag,
-             |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+             |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, flag) AS rn
              |    FROM base WHERE l_linenumber = 1)
              |  WHERE rn = 1)
              |SELECT b.l_orderkey, b.l_linenumber, COALESCE(b.flag, f.ff_flag) AS flag
