@@ -103,7 +103,49 @@ object StreamingOps {
       .agg(max(col("n_sessions")).as("n_sessions"))
   }
 
+  /** documents.parquet physical schema for the streaming reader. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup: a document stream deduplicated on content as
+    * it lands (`dropDuplicates` keeps the first arrival per key in the
+    * state store), then summarized per source. Batch-equivalent to
+    * COUNT(DISTINCT text) — which is the oracle.
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .dropDuplicates("text")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unique_docs"))
+  }
+
   val queries: Seq[graft.queries.Q] = Seq(
+    // first-arrival semantics: each distinct text belongs to the source of
+    // its first row (stream order = row order = doc_id order), exactly
+    // what dropDuplicates keeps
+    graft.queries.Q("s03_streaming_dedup", (s, dir) => streamingDedup(s, dir),
+      Some("""SELECT source, COUNT(*) AS n_unique_docs FROM (
+             |  SELECT source FROM (
+             |    SELECT source, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |    FROM documents)
+             |  WHERE rn = 1)
+             |GROUP BY source""".stripMargin)),
     graft.queries.Q("s01_streaming_hourly", (s, dir) => hourlyAgg(s, dir),
       // identical to the batch hourly rollup — the streaming window must
       // agree with DuckDB's batch answer
