@@ -191,7 +191,21 @@ object TextOps {
              |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
              |FROM documents a JOIN documents b
              |  ON a.source = b.source AND a.doc_id < b.doc_id
-             |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 15""".stripMargin))
+             |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 15""".stripMargin)),
+
+    // --- d12: BPE-ish regex tokenization ----------------------------------
+    // subword-style token classes (letter runs / digit runs / single
+    // punctuation) — the regex is ASCII-simple so Java and RE2 agree
+    Q("d12_bpe_tokens",
+      (s, dir) => {
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast(LongType).as("n_bpe_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+             |FROM documents""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */

@@ -57,6 +57,45 @@ class FramerDissectorSpec extends AnyFunSuite {
     assert(f.linktype == 1)              // stale global, not if0's 101
   }
 
+  test("pcapng SimplePacket: frame_time 0, first interface's linktype") {
+    val pkt = ethernet(0x0800, ipv4("1.2.3.4", "5.6.7.8", 17, udp(7, 8, Array.empty)))
+    // hand-build an SPB after the standard SHB+IDB
+    val pre = pcapng(Seq((1, 6)), Nil)
+    val body = java.nio.ByteBuffer.allocate(4 + pkt.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    body.putInt(pkt.length).put(pkt)
+    val pad = (4 - (body.capacity() % 4)) % 4
+    val total = 12 + body.capacity() + pad
+    val spb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    spb.putInt(3).putInt(total).put(body.array())
+    spb.position(total - 4); spb.putInt(total)
+    val fs = PcapFramer.frames(pre ++ spb.array()).toList
+    assert(fs.size == 1)
+    assert(fs.head.timeMicros == 0L && fs.head.linktype == 1)
+  }
+
+  test("unknown pcapng block types are skipped, frames around them kept") {
+    val pkt = ethernet(0x0800, ipv4("1.2.3.4", "5.6.7.8", 17, udp(7, 8, Array.empty)))
+    val pre = pcapng(Seq((1, 6)), Seq((0, 1L, pkt.length, pkt)))
+    // a name-resolution block (type 4) with junk body, then another EPB
+    val nrb = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nrb.putInt(4).putInt(20).putLong(0x5a5a5a5aL).putInt(20)
+    val tail = pcapng(Seq((1, 6)), Seq((0, 2L, pkt.length, pkt)))
+    // tail repeats SHB+IDB (new section) — acceptable; 2 frames total
+    val fs = PcapFramer.frames(pre ++ nrb.array() ++ tail).toList
+    assert(fs.size == 2)
+  }
+
+  test("ReferenceCompat uses last-IDB tsresol globally (main.rs:182 quirk)") {
+    val pkt = ethernet(0x0800, ipv4("1.2.3.4", "5.6.7.8", 17, udp(7, 8, Array.empty)))
+    // if0 µs-resolution, if1 ms-resolution; packet on if0 with ts=1000 units
+    val bytes = pcapng(Seq((1, 6), (1, 3)), Seq((0, 1000L, pkt.length, pkt)))
+    val sane = PcapFramer.frames(bytes).toList.head
+    val compat = PcapFramer.frames(bytes, PcapFramer.ReferenceCompat).toList.head
+    assert(sane.timeMicros == 1000L)      // if0's µs resolution honored
+    assert(compat.timeMicros == 1000000L) // last IDB (ms) wins globally
+  }
+
   // ---- dissector -------------------------------------------------------------
 
   test("IPv4/UDP/DNS chain: the DDoS hot path") {
