@@ -408,6 +408,54 @@ object Relational {
              |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
              |FROM d GROUP BY user_id""".stripMargin)),
 
+    // --- q23: scalar subquery (SQL surface) -------------------------------
+    // exercised through spark.sql over registered views — the engine's SQL
+    // entry point, not just the DataFrame API
+    Q("q23_scalar_subquery",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+                |FROM customer_v
+                |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)),
+
+    // --- q24: pivot --------------------------------------------------------
+    Q("q24_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      },
+      Some("""SELECT user_id,
+             |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // --- q25: unpivot / melt -----------------------------------------------
+    Q("q25_unpivot",
+      (s, dir) => {
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            col("p_retailprice").cast(dec2).cast("double").as("retailprice"),
+            col("p_size").cast("double").as("size"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("retailprice"), col("size")), "attr", "val")
+      },
+      Some("""SELECT p_partkey, 'retailprice' AS attr,
+             |       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS val FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part""".stripMargin)),
+
     // --- q19: exact quantiles ---------------------------------------------
     Q("q19_quantiles",
       (s, dir) => {
