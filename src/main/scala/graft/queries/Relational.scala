@@ -456,6 +456,36 @@ object Relational {
              |UNION ALL
              |SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part""".stripMargin)),
 
+    // --- q26: window frames (running total) --------------------------------
+    Q("q26_running_total",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice").cast(dec2).as("price"))
+          .withColumn("running_total",
+            sum(col("price")).over(w).cast(dec2))
+          .select("o_custkey", "o_orderkey", "running_total")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+             |FROM orders""".stripMargin)),
+
+    // --- q27: semi-structured JSON extraction ------------------------------
+    Q("q27_json_extract",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .filter(col("k") >= 50)
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin)),
+
     // --- q19: exact quantiles ---------------------------------------------
     Q("q19_quantiles",
       (s, dir) => {
