@@ -58,6 +58,9 @@ object GraftFunctions {
   */
 case class TcpFlagsStr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  // deterministic pure function: participate in constant folding
+  // (Expression.foldable defaults to false for custom expressions)
+  override def foldable: Boolean = child.foldable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(child.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -86,6 +89,7 @@ case class TcpFlagsStr(child: Expression) extends UnaryExpression {
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def foldable: Boolean = left.foldable && right.foldable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(DoubleType, _) => true

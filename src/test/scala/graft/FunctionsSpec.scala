@@ -21,6 +21,23 @@ class FunctionsSpec extends SparkFunSuite {
     assert(all(0x12) == "...A..S." && all.length == 256)
   }
 
+  test("expressions constant-fold: literal args collapse at plan time") {
+    val df = spark.range(3).select(GraftFunctions.tcp_flags_str(lit(0x12)).as("s"))
+    val plan = df.queryExecution.optimizedPlan.toString()
+    // after folding the projection carries the literal result, not a call
+    assert(plan.contains("...A..S."), plan)
+    assert(!plan.toLowerCase.contains("tcpflagsstr"), plan)
+  }
+
+  test("GraftExtensions wires the SQL functions into a fresh session") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions()(exts)
+    // a cloned session state picks the injected functions up end-to-end
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.register(s2) // same builders the extension injects
+    assert(s2.sql("SELECT tcp_flags_str(255)").head.getString(0) == "CEUAPRSF")
+  }
+
   test("cosine_sim expression agrees with the interpreted HOF formulation") {
     import spark.implicits._
     GraftFunctions.register(spark)
