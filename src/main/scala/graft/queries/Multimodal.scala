@@ -45,6 +45,55 @@ object Multimodal {
       if (p.length == 0) 0.0 else sum.toDouble / p.length, hist)
   }
 
+  final case class ResizedMedia(
+      media_id: Long, width: Int, height: Int, thumb: Array[Float])
+  final case class FrameSample(
+      media_id: Long, frame_index: Int, frame_bytes: Long, mean_byte: Double)
+
+  /** STUB resize — stands in for an image rescale (no codecs here): the
+    * "image" is the byte histogram; resizing pools adjacent bins down to
+    * `targetBins`. Deterministic; partition-local.
+    */
+  def resizeStub(f: MediaFeatures, targetBins: Int = 4): ResizedMedia = {
+    val pooled = new Array[Float](targetBins)
+    val ratio = f.features.length.toDouble / targetBins
+    var i = 0
+    while (i < f.features.length) {
+      pooled(math.min((i / ratio).toInt, targetBins - 1)) += f.features(i)
+      i += 1
+    }
+    ResizedMedia(f.media_id, f.width / 2, f.height / 2, pooled)
+  }
+
+  /** STUB frame sampling — stands in for video frame extraction: the
+    * payload is treated as fixed-width frames; every `stride`-th frame is
+    * emitted with its summary stats. The Spark-side contract (one blob →
+    * many frame rows, no shuffle) is the real part.
+    */
+  def frameSampleStub(
+      b: MediaBlob, frameSize: Int = 64, stride: Int = 4): Iterator[FrameSample] = {
+    val n = b.payload.length / frameSize
+    (0 until n by stride).iterator.map { fi =>
+      var sum = 0L
+      var i = fi * frameSize
+      val end = i + frameSize
+      while (i < end) { sum += b.payload(i) & 0xff; i += 1 }
+      FrameSample(b.media_id, fi, frameSize.toLong, sum.toDouble / frameSize)
+    }
+  }
+
+  /** Decode → resize, one narrow stage. */
+  def resized(blobs: Dataset[MediaBlob]): Dataset[ResizedMedia] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(b => resizeStub(decodeStub(b))))
+  }
+
+  /** Blob → sampled frames (flatMap: one row in, many out, still narrow). */
+  def sampledFrames(blobs: Dataset[MediaBlob]): Dataset[FrameSample] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap(frameSampleStub(_)))
+  }
+
   /** documents.text re-cast as opaque binary payloads — the testdata's
     * stand-in for an image/audio blob column.
     */
@@ -83,6 +132,33 @@ object Multimodal {
       (s, dir) => extractFeatures(blobs(s, dir)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"), round(col("mean_byte"), 4).as("mean_byte")),
-      None)
+      None),
+
+    // decode → resize chain (stub) — rows-only + ScalaTest
+    Q("m03_resize",
+      (s, dir) => resized(blobs(s, dir)).toDF()
+        .select(col("media_id"), col("width"), col("height")),
+      None),
+
+    // frame sampling (stub): one blob → many frame rows; per-frame byte
+    // sums ARE exactly computable in SQL, so this one gets a real oracle
+    // (mean*64 = the exact integer byte sum — /64 and *64 are lossless in
+    // double, so no rounding games)
+    Q("m04_frame_sample",
+      (s, dir) => sampledFrames(blobs(s, dir)).toDF()
+        .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
+          col("frame_bytes"),
+          expr("CAST(round(mean_byte * 64) AS BIGINT)").as("byte_sum")),
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id, unnest(range(0, length(text) // 64)) AS fi, text
+             |  FROM documents),
+             |fr AS (
+             |  SELECT media_id, fi, substr(text, CAST(fi * 64 + 1 AS INT), 64) AS frame
+             |  FROM f WHERE fi % 4 = 0),
+             |c AS (SELECT media_id, fi, unnest(string_split(frame, '')) AS ch FROM fr)
+             |SELECT media_id, CAST(fi AS BIGINT) AS frame_index,
+             |       CAST(64 AS BIGINT) AS frame_bytes,
+             |       CAST(SUM(ascii(ch)) AS BIGINT) AS byte_sum
+             |FROM c GROUP BY media_id, fi""".stripMargin))
   )
 }

@@ -129,6 +129,24 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(!plan.contains("Exchange"), s"decode stage must not shuffle:\n$plan")
   }
 
+  test("multimodal resize and frame sampling: shapes, determinism, no shuffle") {
+    val b = Multimodal.blobs(spark, sf)
+    val rs = Multimodal.resized(b)
+    val rows = rs.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.thumb.length == 4)
+      assert(math.abs(r.thumb.sum - 1.0f) < 1e-3) // pooled histogram stays normalized
+    }
+    assert(!rs.queryExecution.executedPlan.toString().contains("Exchange"))
+    val fr = Multimodal.sampledFrames(b)
+    val f1 = fr.collect().map(f => (f.media_id, f.frame_index, f.mean_byte)).sorted.toSeq
+    val f2 = Multimodal.sampledFrames(Multimodal.blobs(spark, sf))
+      .collect().map(f => (f.media_id, f.frame_index, f.mean_byte)).sorted.toSeq
+    assert(f1 == f2 && f1.nonEmpty)
+    assert(f1.forall { case (_, fi, m) => fi % 4 == 0 && m >= 0 && m <= 255 })
+  }
+
   test("streaming hourly agg equals the batch q14 answer") {
     val stream = graft.streaming.StreamingOps.hourlyAgg(spark, sf)
       .orderBy("hour_bucket").collect()
