@@ -20,11 +20,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query watchdog: one pathological query must not stall the whole
+    // correctness dump. Each query runs in its own Spark job group; on
+    // timeout only THAT group is cancelled (interrupting its thread), so
+    // an abandoned query can't keep submitting work or kill a successor's
+    // jobs.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        val f = Future {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+        Await.result(f, timeoutSec.seconds)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+          spark.sparkContext.cancelJobGroup(name)
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
     }
