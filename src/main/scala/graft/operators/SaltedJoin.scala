@@ -32,7 +32,7 @@ object SaltedJoin {
     // rows still spread (monotonically_increasing_id would break
     // determinism across retries)
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
