@@ -11,17 +11,27 @@ import org.apache.spark.sql.types._
   * limit, distinct aggregation, scalar functions — expressed Spark-first
   * and oracled against DuckDB.
   *
-  * Determinism rules (oracle hash-compare):
-  *   - doubles from parquet are cast to DECIMAL before SUM (exact, engine
-  *     independent); averages are exact-sum ÷ count in IEEE double;
-  *   - every top-k / first-per-group has a full deterministic sort key;
+  * Determinism rules (oracle hash-compare; round-1 lesson — 13 driver
+  * hash-fails all traced to `CAST(double AS DECIMAL)` output columns):
+  *   - NO double→DECIMAL casts in any output column. Money-like doubles
+  *     are emitted as integer units via `CAST(floor(x * 100 + 0.5) AS
+  *     BIGINT)` — the exact same IEEE expression in Spark and DuckDB, so
+  *     the result is bit-identical regardless of engine version; integer
+  *     SUMs are then exact and associative. DuckDB SUM(BIGINT) returns
+  *     HUGEINT, so every oracle aggregate gets a final CAST AS BIGINT.
+  *   - every top-k / first-per-group has a full deterministic sort key,
+  *     ranked on the integer-unit value (identical in both engines);
   *   - computed integers are cast to BIGINT on both sides.
   */
 object Relational {
   import Tables.t
 
-  private val dec2 = DecimalType(18, 2)
-  private val dec4 = DecimalType(18, 4)
+  /** Integer-unit projection: identical IEEE double arithmetic in Spark
+    * and DuckDB (floor, *, + are bit-deterministic), then an exact
+    * BIGINT. `scale`=100 → cents; 10000 → 1e-4 units.
+    */
+  private def intUnits(sqlExpr: String, scale: Long = 100L) =
+    expr(s"CAST(floor(($sqlExpr) * $scale + 0.5) AS BIGINT)")
 
   val queries: Seq[Q] = Seq(
     // --- q01: filtered hash aggregate (TPC-H Q1 shape) --------------------
@@ -31,16 +41,15 @@ object Relational {
           .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
-            sum(col("l_extendedprice").cast(dec2)).cast(dec2).as("sum_base_price"),
-            sum(col("l_extendedprice").cast(dec2) *
-              (lit(1) - col("l_discount").cast(dec2))).cast(dec4).as("sum_disc_price"),
+            sum(intUnits("l_quantity")).as("sum_qty_c"),
+            sum(intUnits("l_extendedprice")).as("sum_base_price_c"),
+            sum(intUnits("l_extendedprice * (1 - l_discount)")).as("sum_disc_price_c"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+             |  CAST(SUM(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             |  CAST(SUM(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+             |  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
              |  COUNT(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -52,12 +61,12 @@ object Relational {
       (s, dir) => {
         t(s, dir, "orders")
           .select(col("o_orderkey"),
-            col("o_totalprice").cast(dec2).as("total_price"))
-          .orderBy(col("total_price").desc, col("o_orderkey").asc)
+            intUnits("o_totalprice").as("total_price_c"))
+          .orderBy(col("total_price_c").desc, col("o_orderkey").asc)
           .limit(10)
       },
-      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
-             |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin)),
+      Some("""SELECT o_orderkey, CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) AS total_price_c
+             |FROM orders ORDER BY total_price_c DESC, o_orderkey LIMIT 10""".stripMargin)),
 
     // --- q03: 3-way shuffle join + aggregate ------------------------------
     Q("q03_revenue_by_nation",
@@ -70,11 +79,11 @@ object Relational {
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
           .agg(
-            sum(col("o_totalprice").cast(dec2)).cast(dec2).as("revenue"),
+            sum(intUnits("o_totalprice")).as("revenue_c"),
             count(lit(1)).as("n_orders"))
       },
       Some("""SELECT n_name,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+             |  CAST(SUM(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
              |  COUNT(*) AS n_orders
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
@@ -88,11 +97,10 @@ object Relational {
         t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand")
-          .agg(sum(col("l_extendedprice").cast(dec2) *
-            (lit(1) - col("l_discount").cast(dec2))).cast(dec4).as("revenue"))
+          .agg(sum(intUnits("l_extendedprice * (1 - l_discount)")).as("revenue_c"))
       },
       Some("""SELECT p_brand,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+             |  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand""".stripMargin),
       headline = true),
@@ -124,18 +132,18 @@ object Relational {
     Q("q07_top_order_per_customer",
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
-          .orderBy(col("total_price").desc, col("o_orderkey").asc)
+          .orderBy(col("total_price_c").desc, col("o_orderkey").asc)
         t(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
-            col("o_totalprice").cast(dec2).as("total_price"))
+            intUnits("o_totalprice").as("total_price_c"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .select("o_custkey", "o_orderkey", "total_price")
+          .select("o_custkey", "o_orderkey", "total_price_c")
       },
-      Some("""SELECT o_custkey, o_orderkey, total_price FROM (
-             |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+      Some("""SELECT o_custkey, o_orderkey, total_price_c FROM (
+             |  SELECT o_custkey, o_orderkey, CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) AS total_price_c,
              |         ROW_NUMBER() OVER (PARTITION BY o_custkey
-             |                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+             |                            ORDER BY CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn
              |  FROM orders) WHERE rn = 1""".stripMargin)),
 
     // --- q08: rollup ------------------------------------------------------
@@ -144,10 +152,10 @@ object Relational {
         t(s, dir, "lineitem")
           .rollup("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"))
+            sum(intUnits("l_quantity")).as("sum_qty_c"))
       },
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+             |  CAST(SUM(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
     // --- q09: set operations ---------------------------------------------
@@ -179,7 +187,7 @@ object Relational {
             upper(substring(col("o_orderpriority"), 1, 4)).as("pri4"),
             length(col("o_orderpriority")).cast(LongType).as("pri_len"),
             concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
-            abs(col("o_totalprice").cast(dec2)).cast(dec2).as("abs_price"))
+            intUnits("abs(o_totalprice)").as("abs_price_c"))
       },
       Some("""SELECT o_orderkey,
              |  CAST(year(o_orderdate) AS BIGINT) AS yr,
@@ -188,7 +196,7 @@ object Relational {
              |  upper(substr(o_orderpriority, 1, 4)) AS pri4,
              |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
              |  o_orderstatus || '-' || o_orderpriority AS tag,
-             |  CAST(abs(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS abs_price
+             |  CAST(floor((abs(o_totalprice)) * 100 + 0.5) AS BIGINT) AS abs_price_c
              |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)),
 
     // --- q11: the reference defrag pipeline shape over lineitem -----------
@@ -262,11 +270,11 @@ object Relational {
             col("value"), col("event_type"))
           .groupBy("hour_bucket")
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast(dec4)).cast(dec4).as("sum_value"))
+            sum(intUnits("value", 10000L)).as("sum_value_e4"))
       },
       Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
              |  COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
              |FROM events GROUP BY 1""".stripMargin),
       headline = true),
 
@@ -301,11 +309,11 @@ object Relational {
             expr("((ts div 1000) div 3600000000) % 24").as("hour_of_day"), col("value"))
           .cube("event_type", "hour_of_day")
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(dec4)).cast(dec4).as("sum_value"))
+            sum(intUnits("value", 10000L)).as("sum_value_e4"))
       },
       Some("""SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
              |  COUNT(*) AS n,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
              |FROM events GROUP BY CUBE (event_type, (epoch_us(ts) // 3600000000) % 24)""".stripMargin)),
 
     // --- q17: as-of join (custom operator — Spark has no native ASOF) -----
@@ -366,11 +374,11 @@ object Relational {
           Seq("l_orderkey"), salts = 8)
           .groupBy("o_orderpriority")
           .agg(
-            sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
+            sum(intUnits("l_quantity")).as("sum_qty_c"),
             count(lit(1)).as("n"))
       },
       Some("""SELECT o_orderpriority,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             |  CAST(SUM(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
              |  COUNT(*) AS n
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority""".stripMargin)),
@@ -388,7 +396,12 @@ object Relational {
 
     // --- q22: built-in session_window -------------------------------------
     // the declarative form of q15's hand-rolled lag sessionization — both
-    // must produce identical per-user session counts (same 30 min gap)
+    // must produce identical per-user session counts (same 30 min gap).
+    // Boundary semantics: session_window's interval is [start, start+gap),
+    // so an event at EXACTLY lastTs+30min starts a NEW session — the
+    // oracle's lag split is therefore `>=` here (q15's hand-rolled lag
+    // uses `>` on both sides, a deliberately different-but-self-consistent
+    // contract).
     Q("q22_session_window",
       (s, dir) => {
         Tables.events(s, dir)
@@ -401,7 +414,7 @@ object Relational {
       Some("""WITH d AS (
              |  SELECT user_id,
              |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-             |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
              |              THEN 1 ELSE 0 END AS new_s
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
@@ -410,17 +423,21 @@ object Relational {
 
     // --- q23: scalar subquery (SQL surface) -------------------------------
     // exercised through spark.sql over registered views — the engine's SQL
-    // entry point, not just the DataFrame API
+    // entry point, not just the DataFrame API. "above average" is phrased
+    // as the exact integer cross-multiplication cents*n > sum_cents so the
+    // predicate is engine-version-proof (double AVG is order-dependent).
     Q("q23_scalar_subquery",
       (s, dir) => {
         t(s, dir, "customer").createOrReplaceTempView("customer_v")
-        s.sql("""SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        s.sql("""SELECT c_custkey, CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT) AS acctbal_c
                 |FROM customer_v
-                |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)""".stripMargin)
+                |WHERE CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT) * (SELECT COUNT(*) FROM customer_v)
+                |      > (SELECT SUM(CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT)) FROM customer_v)""".stripMargin)
       },
-      Some("""SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      Some("""SELECT c_custkey, CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT) AS acctbal_c
              |FROM customer
-             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)),
+             |WHERE CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT) * (SELECT COUNT(*) FROM customer)
+             |      > (SELECT SUM(CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT)) FROM customer)""".stripMargin)),
 
     // --- q24: pivot --------------------------------------------------------
     Q("q24_pivot",
@@ -433,12 +450,14 @@ object Relational {
         p.select(col("user_id") +:
           types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
       },
+      // CAST AS BIGINT: DuckDB SUM over integers returns HUGEINT, Spark's
+      // pivot-count is BIGINT — the driver's hash is type-sensitive
       Some("""SELECT user_id,
-             |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-             |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
              |FROM events GROUP BY user_id""".stripMargin)),
 
     // --- q25: unpivot / melt -----------------------------------------------
@@ -446,15 +465,15 @@ object Relational {
       (s, dir) => {
         t(s, dir, "part")
           .select(col("p_partkey"),
-            col("p_retailprice").cast(dec2).cast("double").as("retailprice"),
-            col("p_size").cast("double").as("size"))
+            intUnits("p_retailprice").as("retailprice_c"),
+            expr("CAST(p_size AS BIGINT) * 100").as("size_c"))
           .unpivot(Array(col("p_partkey")),
-            Array(col("retailprice"), col("size")), "attr", "val")
+            Array(col("retailprice_c"), col("size_c")), "attr", "val")
       },
-      Some("""SELECT p_partkey, 'retailprice' AS attr,
-             |       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS val FROM part
+      Some("""SELECT p_partkey, 'retailprice_c' AS attr,
+             |       CAST(floor((p_retailprice) * 100 + 0.5) AS BIGINT) AS val FROM part
              |UNION ALL
-             |SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part""".stripMargin)),
+             |SELECT p_partkey, 'size_c' AS attr, CAST(p_size AS BIGINT) * 100 AS val FROM part""".stripMargin)),
 
     // --- q26: window frames (running total) --------------------------------
     Q("q26_running_total",
@@ -464,15 +483,14 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-            col("o_totalprice").cast(dec2).as("price"))
-          .withColumn("running_total",
-            sum(col("price")).over(w).cast(dec2))
-          .select("o_custkey", "o_orderkey", "running_total")
+            intUnits("o_totalprice").as("price_c"))
+          .withColumn("running_total_c", sum(col("price_c")).over(w))
+          .select("o_custkey", "o_orderkey", "running_total_c")
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |  CAST(SUM(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total_c
              |FROM orders""".stripMargin)),
 
     // --- q27: semi-structured JSON extraction ------------------------------

@@ -39,10 +39,12 @@ object StreamingOps {
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_value"))
+        // integer 1e-4 units: same IEEE expression as DuckDB's oracle, so
+        // the sum is exact and engine-version-proof (round-1 lesson)
+        sum(expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)")).as("sum_value_e4"))
       .select(
         (unix_timestamp(col("window.start")) / 3600).cast(LongType).as("hour_bucket"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_e4"))
     val name = "graft_stream_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = stream.writeStream
       .outputMode("complete")
@@ -112,9 +114,16 @@ object StreamingOps {
     StructField("n_chars", LongType)))
 
   /** Streaming exact dedup: a document stream deduplicated on content as
-    * it lands (`dropDuplicates` keeps the first arrival per key in the
-    * state store), then summarized per source. Batch-equivalent to
-    * COUNT(DISTINCT text) — which is the oracle.
+    * it lands, keeping a DETERMINISTIC winner per text — the min-doc_id
+    * row — via a stateful `min_by` aggregation (state store keyed on
+    * text), then summarized per source.
+    *
+    * Round-1 advisor fix: `dropDuplicates("text")` keeps an *arbitrary*
+    * first across parallel partitions/batches, so per-source counts could
+    * flip nondeterministically when a text is duplicated across sources
+    * (sf0.1 has 8 such texts). `min_by(source, doc_id)` is a merge-able
+    * aggregate — the winner is the same no matter how files split into
+    * micro-batches or partitions.
     */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -122,9 +131,10 @@ object StreamingOps {
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-      .dropDuplicates("text")
+      .groupBy("text")
+      .agg(min_by(col("source"), col("doc_id")).as("source"))
       .writeStream
-      .outputMode("append")
+      .outputMode("complete")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
@@ -136,9 +146,8 @@ object StreamingOps {
   }
 
   val queries: Seq[graft.queries.Q] = Seq(
-    // first-arrival semantics: each distinct text belongs to the source of
-    // its first row (stream order = row order = doc_id order), exactly
-    // what dropDuplicates keeps
+    // deterministic winner: each distinct text belongs to the source of
+    // its min-doc_id row — exactly what the min_by state keeps
     graft.queries.Q("s03_streaming_dedup", (s, dir) => streamingDedup(s, dir),
       Some("""SELECT source, COUNT(*) AS n_unique_docs FROM (
              |  SELECT source FROM (
@@ -151,7 +160,7 @@ object StreamingOps {
       // agree with DuckDB's batch answer
       Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
              |  COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
              |FROM events GROUP BY 1""".stripMargin)),
     graft.queries.Q("s02_stateful_sessions", (s, dir) => statefulSessions(s, dir),
       // must agree with the batch sessionization (q15's oracle)

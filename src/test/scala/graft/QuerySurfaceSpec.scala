@@ -156,7 +156,7 @@ class QuerySurfaceSpec extends SparkFunSuite {
     stream.zip(batch).foreach { case (s0, b0) =>
       assert(s0.getLong(0) == b0.getLong(0))
       assert(s0.getLong(1) == b0.getLong(1))
-      assert(s0.getDecimal(2).compareTo(b0.getDecimal(2)) == 0)
+      assert(s0.getLong(2) == b0.getLong(2))
     }
   }
 

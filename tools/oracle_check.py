@@ -3,6 +3,18 @@
 output written by graft.Verify, run the declared oracle SQL in DuckDB over
 the same parquet tables, sort columns by name + rows by value, and compare.
 
+STRICTER than the driver on purpose (round-1 lesson: a lenient local gate
+passed 43/43 while the driver failed 13): the comparison is
+
+  - type-sensitive: the DuckDB logical type of every column must be
+    identical between the Spark parquet output and the oracle result
+    (catches BIGINT vs HUGEINT, DECIMAL(18,2) vs DECIMAL(38,2), ...);
+  - bit-exact on floats (float.hex(), no rounding);
+  - scale-exact on decimals (str(Decimal) keeps trailing zeros).
+
+Local green under this gate implies driver green for any reasonable
+driver-side normalization.
+
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
 NOT part of the engine (the engine is Scala/Spark only); this is local
@@ -12,6 +24,7 @@ import json
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -25,7 +38,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return v.hex()
+    if isinstance(v, Decimal):
+        return "dec:" + str(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -34,12 +49,14 @@ def norm(v):
 def table(con, sql):
     rel = con.sql(sql)
     cols = rel.columns
+    types = [str(t) for t in rel.types]
     rows = rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     scols = [cols[i] for i in order]
+    stypes = [types[i] for i in order]
     srows = sorted([tuple(norm(r[i]) for i in order) for r in rows],
                    key=lambda t: tuple("" if x is None else str(x) for x in t))
-    return scols, srows
+    return scols, stypes, srows
 
 
 def main(sf_dir, out_dir):
@@ -54,20 +71,25 @@ def main(sf_dir, out_dir):
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
     for name in names:
-        got_cols, got_rows = table(
+        got_cols, got_types, got_rows = table(
             con, f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
         if name not in oracles:
             print(f"  ~ {name}: no oracle, rows={len(got_rows)}")
             n_noracle += 1
             continue
         try:
-            exp_cols, exp_rows = table(con, oracles[name])
+            exp_cols, exp_types, exp_rows = table(con, oracles[name])
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
         if got_cols != exp_cols:
             print(f"  ✗ {name}: column mismatch spark={got_cols} duck={exp_cols}")
+            n_fail += 1
+            continue
+        if got_types != exp_types:
+            print(f"  ✗ {name}: TYPE mismatch spark={list(zip(got_cols, got_types))} "
+                  f"duck={list(zip(exp_cols, exp_types))}")
             n_fail += 1
             continue
         if len(got_rows) != len(exp_rows):
