@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `run` inherits the real stdout/stderr instead of being piped
+// through sbt's logger — the driver parses Bench's bare-JSON stdout line,
+// and "[info] " decoration broke that in round 1
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

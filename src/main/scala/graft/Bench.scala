@@ -4,6 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times each headline query end-to-end (plan build +
   * execution to a full materialization) and prints one JSON line.
+  *
+  * Round-2 fixes (VERDICT r1 #3/#4):
+  *   - materialization is a `noop`-sink write, not `.count()` — count()
+  *     lets Catalyst prune every unused aggregate expression, so q01 was
+  *     timing a plan that never computed its three sums;
+  *   - the JSON line is written to `SPARK_GRAFT_BENCH_OUT` (default
+  *     /tmp/bench.json) AND to raw file descriptor 1 — sbt's logger
+  *     decorates println with "[info] ", which made BENCH_r01.json
+  *     unparseable; a direct FileDescriptor.out write bypasses the logger
+  *     so stdout carries the bare JSON.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,23 +42,38 @@ object Bench {
       // (plan compiled, page cache warm) is the meaningful number
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val n =
-          try q.build(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1L
+        val ok =
+          try {
+            // full materialization of every output column; the noop sink
+            // discards rows but cannot be pruned by the optimizer
+            q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); false
           }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // queries may cache; isolate timings
-        (sec, n)
+        (sec, ok)
       }
-      val (sec, n) = times.minBy(_._1)
-      System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s  ($n rows)")
+      val (sec, ok) = times.minBy(_._1)
+      System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s  (ok=$ok)")
       q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // bare JSON on the real stdout, even under sbt's in-process logger
+    val fd1 = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    fd1.write((line + "\n").getBytes("UTF-8"))
+    fd1.flush()
     spark.stop()
   }
 }
