@@ -30,13 +30,21 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.all.foreach { query =>
+      val name = query.name
       try {
         val f = Future {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          finally spark.sparkContext.clearJobGroup()
+          try {
+            query.build(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            // aux exports AFTER the main result (overwrite would wipe the
+            // subdirs); same job group so the watchdog covers them
+            query.aux.foreach { case (auxName, auxFn) =>
+              auxFn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name/$auxName")
+            }
+          } finally spark.sparkContext.clearJobGroup()
         }
         Await.result(f, timeoutSec.seconds)
       } catch {
@@ -60,8 +68,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {OUT} → this run's absolute output dir, so oracles can read the aux
+    // intermediates exported above from wherever the driver pointed us
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

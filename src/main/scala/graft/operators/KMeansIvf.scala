@@ -56,8 +56,21 @@ object KMeansIvf {
   /** ANN search: score queries against the `nprobe` closest cells only. */
   def search(
       emb: DataFrame, k: Int, iterations: Int,
-      nQueries: Int, topK: Int, nprobe: Int): DataFrame = {
-    val (centroids, assigned) = fit(emb, k, iterations)
+      nQueries: Int, topK: Int, nprobe: Int): DataFrame =
+    searchWithIndex(emb, k, iterations, nQueries, topK, nprobe)._1
+
+  /** [[search]] plus the learned index it ran against: the per-vector cell
+    * assignments and the per-query probe cells, both CACHED so exporting
+    * them observes exactly the data the search used. (Centroid learning
+    * averages doubles — merge-order dependent in the last bits — so a
+    * recompute is not guaranteed bit-identical; sharing the cached frames
+    * is what makes the aux export consistent with the result.)
+    */
+  def searchWithIndex(
+      emb: DataFrame, k: Int, iterations: Int,
+      nQueries: Int, topK: Int, nprobe: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (centroids, assignedRaw) = fit(emb, k, iterations)
+    val assigned = assignedRaw.cache()
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     // nprobe candidate cells per query
@@ -68,9 +81,10 @@ object KMeansIvf {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select("qid", "qe", "cell")
+      .cache()
     // score only same-cell candidates
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    assigned
+    val result = assigned
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
@@ -78,5 +92,6 @@ object KMeansIvf {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select("qid", "cid", "sim")
+    (result, assigned.select("vec_id", "cell"), probes.select("qid", "cell"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,8 +13,15 @@ import org.apache.spark.sql.types._
   * Everything is built from codegen'd Spark built-ins (`xxhash64`,
   * higher-order array functions, `bit_count`) — no UDFs, no RDDs — so
   * whole-stage codegen covers the hot path and the shuffles are the only
-  * data movement. No DuckDB oracle (xxhash64 is Spark-specific); these are
-  * validated against the exact-Jaccard baseline in ScalaTest instead.
+  * data movement.
+  *
+  * Oracling (round-2): `xxhash64` itself has no DuckDB equivalent, but
+  * everything DOWNSTREAM of the per-doc hash signatures is plain
+  * integer/list arithmetic both engines share. Verify exports the
+  * signatures as aux parquet and the oracle recomputes banding, the
+  * candidate join, the bucket cap, and the estimate in DuckDB — a full
+  * independent check of the LSH logic. Hash *quality* (recall vs the
+  * exact-Jaccard baseline) stays in ScalaTest.
   */
 object FuzzyDedup {
   import Tables.t
@@ -25,6 +33,13 @@ object FuzzyDedup {
   val NumPerms = 64
   val Bands = 16
   val RowsPerBand: Int = NumPerms / Bands
+
+  /** Bucket-size cap (standard LSH hygiene): a (band, bucket) holding more
+    * than this many docs is skipped entirely, so a degenerate corpus (many
+    * identical documents) cannot make the candidate join quadratic. Real
+    * near-dup clusters far smaller than the cap are unaffected.
+    */
+  val MaxBucketDocs = 64
 
   /** doc_id + word-bigram shingle hashes. Deliberately NOT deduplicated:
     * `min()` is insensitive to duplicates, so minhash signatures are
@@ -51,19 +66,28 @@ object FuzzyDedup {
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash_sig(col("h"), NumPerms).as("sig"))
 
-  /** LSH candidate pairs: hash each band's signature slice to a bucket,
-    * self-join buckets. The join key (band, bucket) keeps the shuffle
-    * linear in corpus size; no cross product ever materializes.
+  /** LSH candidate pairs: the join key is each band's raw signature slice
+    * (4 BIGINTs) — exact bucket equality, no band-hash collisions, and the
+    * same bucketing is reproducible in DuckDB from the exported
+    * signatures. The (band, slice) equijoin keeps the shuffle linear in
+    * corpus size; no cross product ever materializes, and the bucket-size
+    * cap bounds the worst (band, bucket) at [[MaxBucketDocs]] docs.
     */
   def candidatePairs(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
       col("sig"),
       posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))")))
+        s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b * $RowsPerBand + 1, $RowsPerBand))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    banded.as("a")
-      .join(banded.as("b"),
+    // window count on the join's own keys: the exchange on (band, bucket)
+    // is reused by the self-join, so the cap costs no extra shuffle
+    val capped = banded
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bn") <= MaxBucketDocs)
+      .drop("bn")
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -84,18 +108,47 @@ object FuzzyDedup {
     estimate(candidatePairs(signatures(t(s, dir, "documents")).cache()))
       .filter(col("est_jaccard_permille") >= 300)
 
+  /** DuckDB replay of everything downstream of the exported signatures:
+    * banding, bucket cap, candidate join, slot-agreement estimate. */
+  private val d06Oracle =
+    s"""WITH sig AS (SELECT doc_id, sig FROM '{OUT}/d06_minhash_lsh/aux_signatures/*.parquet'),
+       |banded AS (
+       |  SELECT doc_id, sig, r.range AS band,
+       |         list_slice(sig, r.range * $RowsPerBand + 1, r.range * $RowsPerBand + $RowsPerBand) AS bucket
+       |  FROM sig, range(0, $Bands) r),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM banded)
+       |  WHERE bn <= $MaxBucketDocs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard_permille FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(1000 * length(list_filter(range(1, ${NumPerms + 1}), i -> sig_a[i] = sig_b[i])) // $NumPerms AS BIGINT)
+       |      AS est_jaccard_permille
+       |  FROM pairs)
+       |WHERE est_jaccard_permille >= 300""".stripMargin
+
   // --- SimHash ---------------------------------------------------------------
 
-  /** 64-bit SimHash per doc over word-bigram shingles (unigrams are too
+  /** 63-bit SimHash per doc over word-bigram shingles (unigrams are too
     * common across docs to discriminate): per-bit vote of shingle hashes.
     * Bit i of the fingerprint is 1 iff more shingle hashes have bit i set
-    * than not.
+    * than not. 63 bits (not 64) keeps the fingerprint non-negative, so
+    * right-shifts and block extraction behave identically in Spark and
+    * DuckDB (no sign-bit semantics to align).
     */
+  val SimHashBits = 63
+  val SimHashBlocks = 7
+  val BlockBits: Int = SimHashBits / SimHashBlocks // 9
+
   def simhashes(docs: DataFrame): DataFrame = {
-    val votes: Seq[Column] = (0 until 64).map { i =>
+    val votes: Seq[Column] = (0 until SimHashBits).map { i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1L).otherwise(-1L)).as(s"v$i")
     }
-    val fp = (0 until 64)
+    val fp = (0 until SimHashBits)
       .map(i => s"(CASE WHEN v$i > 0 THEN 1 ELSE 0 END) << $i")
       .mkString(" | ")
     docs
@@ -108,44 +161,95 @@ object FuzzyDedup {
       .select(col("doc_id"), expr(s"CAST($fp AS BIGINT)").as("simhash"))
   }
 
-  /** Near-dup pairs by Hamming distance, blocked on a 16-bit prefix so the
-    * join stays linear (near-dups almost always share the prefix; the
-    * standard multi-probe trick — rotate the block — is a trivial
-    * extension).
+  /** Near-dup pairs by Hamming distance. Candidate generation joins on
+    * each of the 7 disjoint 9-bit blocks (multi-probe): by pigeonhole, any
+    * pair with Hamming distance <= 6 differs in at most 6 blocks, so at
+    * least one of the 7 blocks is IDENTICAL → recall is guaranteed 1.0
+    * for maxHamming <= 6, not probabilistic (round-1's single top-16-bit
+    * block missed near-dups whose prefix differed). Each block join is an
+    * equijoin — linear shuffle, never all-pairs.
     */
   def simhashNearDups(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val fp = simhashes(t(s, dir, "documents"))
-      .withColumn("block", expr("simhash >> 48"))
-    fp.as("a")
-      .join(fp.as("b"),
-        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+    require(maxHamming < SimHashBlocks,
+      s"pigeonhole guarantee needs maxHamming < $SimHashBlocks blocks")
+    val fp = simhashes(t(s, dir, "documents")).cache()
+    val blk = fp.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${SimHashBlocks - 1}), i -> shiftright(simhash, $BlockBits * i) & ${(1 << BlockBits) - 1})")))
+      .withColumnsRenamed(Map("pos" -> "blk_i", "col" -> "blk_v"))
+    blk.as("a")
+      .join(blk.as("b"),
+        col("a.blk_i") === col("b.blk_i") && col("a.blk_v") === col("b.blk_v") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
+  private val d07Oracle =
+    s"""WITH fp AS (SELECT doc_id, simhash FROM '{OUT}/d07_simhash/aux_simhashes/*.parquet'),
+       |blk AS (
+       |  SELECT doc_id, simhash, r.range AS blk_i,
+       |         (simhash >> ($BlockBits * r.range)) & ${(1 << BlockBits) - 1} AS blk_v
+       |  FROM fp, range(0, $SimHashBlocks) r),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sa, b.simhash AS sb
+       |  FROM blk a JOIN blk b
+       |    ON a.blk_i = b.blk_i AND a.blk_v = b.blk_v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |  FROM pairs)
+       |WHERE hamming <= 6""".stripMargin
+
   // --- Winnowing fingerprints ------------------------------------------------
 
-  /** Character-8-gram rolling hashes, winnowed: keep each window-of-16
-    * minimum (the standard winnowing scheme) → compact, position-robust
-    * document fingerprints. Emitted exploded: (doc_id, fingerprint).
+  val KGram = 8
+  val WinnowWindow = 16
+
+  /** Character-8-gram rolling hash array per doc — the Spark-only
+    * (xxhash64) part of winnowing, exported as aux so DuckDB can replay
+    * the winnow itself.
     */
-  def fingerprints(docs: DataFrame, k: Int = 8, window: Int = 16): DataFrame =
-    docs
-      .select(col("doc_id"),
-        expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), i -> xxhash64(substring(text, i, $k)))")
-          .as("kh"))
+  def kgramHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"transform(sequence(1, greatest(length(text) - ${KGram - 1}, 1)), i -> xxhash64(substring(text, i, $KGram)))")
+        .as("kh"))
+
+  /** Winnowed: keep each window-of-16 minimum (the standard winnowing
+    * scheme) → compact, position-robust document fingerprints. Emitted
+    * exploded: (doc_id, fingerprint).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    kgramHashes(docs)
       .select(col("doc_id"),
         explode(expr(
-          s"array_distinct(transform(sequence(1, greatest(size(kh) - ${window - 1}, 1)), i -> array_min(slice(kh, i, $window))))"))
+          s"array_distinct(transform(sequence(1, greatest(size(kh) - ${WinnowWindow - 1}, 1)), i -> array_min(slice(kh, i, $WinnowWindow))))"))
           .as("fingerprint"))
 
+  private val d08Oracle =
+    s"""SELECT doc_id,
+       |  CAST(length(list_distinct(list_transform(
+       |    range(1, greatest(length(kh) - ${WinnowWindow - 1}, 1) + 1),
+       |    i -> list_min(list_slice(kh, i, i + ${WinnowWindow - 1}))))) AS BIGINT) AS n_fingerprints
+       |FROM '{OUT}/d08_fingerprints/aux_kgrams/*.parquet'""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("d06_minhash_lsh", (s, dir) => minhashNearDups(s, dir), None, headline = true),
-    Q("d07_simhash", (s, dir) => simhashNearDups(s, dir), None),
+    Q("d06_minhash_lsh", (s, dir) => minhashNearDups(s, dir), Some(d06Oracle),
+      headline = true,
+      aux = Seq("aux_signatures" ->
+        ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),
+    Q("d07_simhash", (s, dir) => simhashNearDups(s, dir), Some(d07Oracle),
+      aux = Seq("aux_simhashes" ->
+        ((s: SparkSession, dir: String) => simhashes(t(s, dir, "documents"))))),
     Q("d08_fingerprints",
       (s, dir) => fingerprints(t(s, dir, "documents"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints")),
-      None)
+      Some(d08Oracle),
+      aux = Seq("aux_kgrams" ->
+        ((s: SparkSession, dir: String) => kgramHashes(t(s, dir, "documents")))))
   )
 }

@@ -12,7 +12,18 @@ final case class Q(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** headline queries are the ones Bench times at sf0.1 */
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** Auxiliary deterministic intermediates exported by Verify into
+      * `<outDir>/<name>/<auxName>/` so the oracle SQL can recompute the
+      * derived logic in DuckDB from them (the `{OUT}` placeholder in the
+      * oracle is substituted with the absolute outDir at dump time).
+      * Used where the full pipeline hinges on a Spark-only primitive
+      * (xxhash64) but everything downstream of the exported intermediate
+      * is plain integer/list arithmetic both engines share. The subdir
+      * does not disturb the driver's result glob, which only matches
+      * parquet files directly under the query's own directory.
+      */
+    aux: Seq[(String, (SparkSession, String) => DataFrame)] = Nil)
 
 /** Table loaders. All testdata tables are one parquet file per table. */
 object Tables {

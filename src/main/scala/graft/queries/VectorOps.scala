@@ -75,6 +75,17 @@ object VectorOps {
       .filter(col("sim") >= threshold)
   }
 
+  /** Memoized per (session, dir): the e04 result and its aux index frames
+    * must come from ONE `searchWithIndex` call (shared cached plans) so
+    * the exported index is bit-identical to the one the result used.
+    */
+  private val e04Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  private def e04Index(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    e04Memo.getOrElseUpdate((s, dir), graft.operators.KMeansIvf.searchWithIndex(
+      t(s, dir, "embeddings"), k = 8, iterations = 3,
+      nQueries = 20, topK = 5, nprobe = 2))
+
   private def oracleCosine(filterA: String, joinCond: String, k: Int): String =
     s"""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
        |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
@@ -94,14 +105,30 @@ object VectorOps {
       headline = true),
     Q("e02_ann_bucketed", (s, dir) => bucketedAnn(s, dir),
       Some(oracleCosine("vec_id < 50", "AND c.label = q.label", 3))),
-    // learned-centroid IVF (k-means Lloyd iterations, all DataFrame ops);
-    // approximate by construction → rows-only driver check, recall bound
-    // vs brute force in ScalaTest
+    // learned-centroid IVF (k-means Lloyd iterations, all DataFrame ops).
+    // Oracled on the deterministic half: Verify exports the learned index
+    // (cell assignments + per-query probes, cached so they're exactly
+    // what the search used) and DuckDB independently rescores candidates
+    // and re-ranks top-k. Index *quality* (recall vs brute force) stays
+    // in ScalaTest.
     Q("e04_ann_kmeans_ivf",
-      (s, dir) => graft.operators.KMeansIvf.search(
-        t(s, dir, "embeddings"), k = 8, iterations = 3,
-        nQueries = 20, topK = 5, nprobe = 2),
-      None),
+      (s, dir) => e04Index(s, dir)._1,
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
+             |a AS (SELECT vec_id, cell FROM '{OUT}/e04_ann_kmeans_ivf/aux_assign/*.parquet'),
+             |p AS (SELECT qid, cell FROM '{OUT}/e04_ann_kmeans_ivf/aux_probes/*.parquet'),
+             |cand AS (SELECT p.qid, a.vec_id AS cid FROM p JOIN a ON a.cell = p.cell WHERE a.vec_id <> p.qid),
+             |d AS (SELECT c.qid, c.cid, SUM(CAST(qf.v AS DOUBLE) * CAST(cf.v AS DOUBLE)) dot
+             |      FROM cand c JOIN f qf ON qf.vec_id = c.qid JOIN f cf ON cf.vec_id = c.cid AND cf.i = qf.i
+             |      GROUP BY 1, 2),
+             |s AS (SELECT qid, cid, round(dot / (x.nrm * y.nrm), 4) sim
+             |      FROM d JOIN n x ON x.vec_id = qid JOIN n y ON y.vec_id = cid)
+             |SELECT qid, cid, sim FROM (
+             |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s)
+             |WHERE rn <= 5""".stripMargin),
+      aux = Seq(
+        "aux_assign" -> ((s: SparkSession, dir: String) => e04Index(s, dir)._2),
+        "aux_probes" -> ((s: SparkSession, dir: String) => e04Index(s, dir)._3))),
     Q("e03_cosine_neardups", (s, dir) => cosineNearDups(s, dir),
       Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
              |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
