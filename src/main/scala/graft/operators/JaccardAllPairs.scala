@@ -25,8 +25,12 @@ object JaccardAllPairs {
 
   /** Max distinct shingles for the dense path (bitset width). */
   val MaxDenseVocab: Long = 1 << 18
-  /** Max total bitset bytes (docs × vocab/8) we are willing to broadcast. */
-  val MaxDenseMatrixBytes: Long = 512L << 20
+  /** Max total bitset bytes (docs × vocab/8) we are willing to broadcast.
+    * 64 MB: a driver collect + broadcast beyond that is a driver-memory
+    * hazard on a shared cluster (round-1 verdict #7); the join path takes
+    * over well before the pull hurts.
+    */
+  val MaxDenseMatrixBytes: Long = 64L << 20
 
   /** @param sh  (id: Long, h: Long) — one row per set element (duplicates
     *            tolerated; sets are deduplicated by construction)
@@ -109,8 +113,12 @@ object JaccardAllPairs {
     */
   private def joinPath(sh: DataFrame, thresholdPermille: Int): DataFrame = {
     val Seq(idCol, hCol) = sh.columns.toSeq
+    // no .cache(): the three consumers (sz + both join sides) contain the
+    // identical distinct subplan, so ReuseExchange computes its shuffle
+    // once and shares it — same work as a cache with no unpersist
+    // lifecycle to leak (round-1 verdict #7)
     val d = sh.select(col(idCol).cast("long").as("doc_id"),
-      col(hCol).cast("long").as("h")).distinct().cache()
+      col(hCol).cast("long").as("h")).distinct()
     val sz = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = d
       .join(d.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))

@@ -172,25 +172,37 @@ object TextOps {
              |WHERE rn <= 3""".stripMargin)),
 
     // --- d11: edit-distance string similarity ------------------------------
-    // levenshtein over doc-prefix pairs within a source bucket (blocking
-    // keeps the pair count linear per bucket); edit distance is uniquely
-    // defined, so both engines agree exactly
+    // levenshtein over doc-prefix pairs, blocked on (source, text-length
+    // band ±1): round-1's source-only blocking was quadratic in the
+    // largest source — at 100 TB one big source melts the join. The
+    // 32-char band is a standard second blocking key (near-dup docs have
+    // near-equal lengths); the adjacent-band probe means a pair is only
+    // considered when their bands differ by at most 1, and each qualifying
+    // pair matches exactly ONE probe row (the probe explodes 3 bands but
+    // only the left row's own band can equal the join key) — no dedup
+    // needed. Edit distance itself is uniquely defined, so both engines
+    // agree exactly; the oracle mirrors the band predicate as
+    // abs(band_a - band_b) <= 1.
     Q("d11_edit_distance",
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            substring(col("text"), 1, 40).as("p"))
-        d.as("a")
-          .join(d.as("b"),
-            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            levenshtein(col("a.p"), col("b.p")).cast("long").as("edit_dist"))
+            substring(col("text"), 1, 40).as("p"),
+            expr("length(text) div 32").as("band"))
+        val probe = d.select(col("doc_id").as("doc_id_b"), col("source"),
+          col("p").as("pb"),
+          explode(expr("array(band - 1, band, band + 1)")).as("band"))
+        d.join(probe, Seq("source", "band"))
+          .filter(col("doc_id") < col("doc_id_b"))
+          .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"),
+            levenshtein(col("p"), col("pb")).cast("long").as("edit_dist"))
           .filter(col("edit_dist") <= 15)
       },
       Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
              |FROM documents a JOIN documents b
              |  ON a.source = b.source AND a.doc_id < b.doc_id
+             |  AND abs(length(a.text) // 32 - length(b.text) // 32) <= 1
              |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 15""".stripMargin)),
 
     // --- d12: BPE-ish regex tokenization ----------------------------------

@@ -86,6 +86,17 @@ class OperatorSpec extends SparkFunSuite {
     }
   }
 
+  test("ConnectedComponents: 54-diameter chain converges without plan blowup") {
+    import spark.implicits._
+    // min-label propagation moves one hop per round: a 55-node chain needs
+    // 54 rounds — only survivable because localCheckpoint truncates the
+    // lineage every 3 rounds (round-1 verdict #6)
+    val chain = (1L until 55L).map(i => (i, i + 1))
+    val got = graft.operators.ConnectedComponents(chain.toDF("a", "b"), maxIterations = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 55 && got.values.forall(_ == 1L))
+  }
+
   test("malformed capture: errors surface via accumulators, job survives") {
     val dir = java.nio.file.Files.createTempDirectory("badpcap")
     // valid header + one good frame + garbage record whose frame bytes are junk
