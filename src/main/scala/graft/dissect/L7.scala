@@ -3,8 +3,9 @@ package graft.dissect
 import graft.core.PacketRow
 
 /** DNS question extraction (reference: src/packetstats.rs:268-291 via the
-  * `domain` crate): first question only, qname in dotted form with a
-  * trailing dot, root name rendered `"<Root>"`, qtype as int. Compression
+  * `domain` crate): first question only, qname in dotted form WITHOUT a
+  * trailing dot (the domain crate 0.10.3 `Display` for names omits the
+  * root dot), root name rendered `"<Root>"`, qtype as int. Compression
   * pointers are followed defensively (bounded jumps). Malformed / too-short
   * messages count one error and set nothing.
   */
@@ -40,7 +41,7 @@ object Dns {
       val len = b(pos) & 0xff
       if (len == 0) {
         val endPos = if (after >= 0) after else pos + 1
-        val name = if (labels == 0) "<Root>" else sb.append('.').toString
+        val name = if (labels == 0) "<Root>" else sb.toString
         return Some((name, endPos))
       } else if ((len & 0xc0) == 0xc0) {
         if (pos + 1 >= end) return None

@@ -28,6 +28,14 @@ object SaltedJoin {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer (and right_semi/anti) would emit each unmatched
+    // RIGHT row once per salt replica — `salts` duplicates. Only join
+    // types where unmatched right rows are dropped are equivalent to the
+    // plain join.
+    val allowed = Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"SaltedJoin: joinType '$joinType' would duplicate unmatched right rows " +
+        s"(one per salt); use the plain join for right/full outer")
     // deterministic per-row shard: hash every left column so identical
     // rows still spread (monotonically_increasing_id would break
     // determinism across retries)

@@ -50,7 +50,7 @@ object DefragProps extends Properties("defrag") {
       chains.forall { case (id, src, nTails, qname) =>
         val rows = byKey((id, src))
         rows.length == nTails + 1 &&
-          rows.forall(_.getAs[String]("dns_qry_name") == qname + ".") &&
+          rows.forall(_.getAs[String]("dns_qry_name") == qname) &&
           rows.forall(_.getAs[Int]("udp_srcport") == 53)
       }
     }

@@ -50,7 +50,7 @@ class PcapDataSourceSpec extends SparkFunSuite {
       !plan.contains("frame_time"), plan)
     val rows = narrow.collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ==
-      Seq("f1.example.com.", "f2.example.com.", "f3.example.com."))
+      Seq("f1.example.com", "f2.example.com", "f3.example.com"))
     assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a.pcap", "b.pcap", "c.pcap"))
   }
 

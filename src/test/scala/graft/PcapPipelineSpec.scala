@@ -49,7 +49,7 @@ class PcapPipelineSpec extends SparkFunSuite {
     val dns = df.filter(col("col_protocol") === "DNS").collect()
     assert(dns.length == 2)
     assert(dns.map(_.getAs[String]("dns_qry_name")).toSet ==
-      Set("a.example.com.", "b.example.org."))
+      Set("a.example.com", "b.example.org"))
   }
 
   test("fragmentedPct matches the reference's % formula (main.rs:274)") {
@@ -68,7 +68,7 @@ class PcapPipelineSpec extends SparkFunSuite {
     // all fragments of datagram id=1 now carry the first fragment's DNS name
     val d1 = out.filter(col("ip_id") === 1).collect()
     assert(d1.length == 3)
-    assert(d1.forall(_.getAs[String]("dns_qry_name") == "a.example.com."))
+    assert(d1.forall(_.getAs[String]("dns_qry_name") == "a.example.com"))
     // col_protocol coalesces, so the non-null "IPv4" on non-first fragments
     // survives — exactly the reference's behavior (main.rs:296)
     assert(d1.map(_.getAs[String]("col_protocol")).sorted.toSeq ==
@@ -104,7 +104,7 @@ class PcapPipelineSpec extends SparkFunSuite {
       PcapConvert.Args(file = p.toString, out = outDir.toString, verbose = true))
     val back = spark.read.parquet(outDir.toString)
     assert(back.count() == 7)
-    assert(back.filter(col("dns_qry_name") === "a.example.com.").count() == 3)
+    assert(back.filter(col("dns_qry_name") === "a.example.com").count() == 3)
   }
 
   test("decodePartitions repartitions raw frames before dissection") {
