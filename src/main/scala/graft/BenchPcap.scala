@@ -20,11 +20,19 @@ object BenchPcap {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     Files.createDirectories(Paths.get(dir))
     val files = 8
+    // a MANIFEST of the generation params detects a stale fixture: reusing
+    // a corpus generated for a different SPARK_GRAFT_PCAP_PACKETS would
+    // silently benchmark the wrong size (round-1 verdict #8)
+    val manifest = Paths.get(dir, "MANIFEST")
+    val want = s"n=$n files=$files"
+    val stale = !Files.exists(manifest) ||
+      new String(Files.readAllBytes(manifest), "UTF-8") != want
     (0 until files).foreach { f =>
       val p = s"$dir/cap$f.pcap"
-      if (!Files.exists(Paths.get(p)) || args.contains("--regen"))
+      if (stale || !Files.exists(Paths.get(p)) || args.contains("--regen"))
         PcapGen.write(p, n / files, 1700000000000000L + f * 1000000L)
     }
+    Files.write(manifest, want.getBytes("UTF-8"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -41,7 +41,11 @@ object SparkEntry {
           sum(col("frame_len")).as("bytes"))
         .filter(col("n_packets") > 1)
     } catch {
-      case _: Throwable => all.head.build(spark, "/root/testdata/sf0.001")
+      case e: Throwable =>
+        // visible fallback: a silently-broken flagship path must not look
+        // like a working one (round-1 verdict #8)
+        System.err.println(s"[entry] pcap flagship failed, falling back to q01: $e")
+        all.head.build(spark, "/root/testdata/sf0.001")
     }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -17,6 +17,7 @@ object PcapConvert {
       nodefrag: Boolean = false,
       jobs: Int = 0, // 0 = let Spark decide (per-file tasks)
       verbose: Boolean = false,
+      debug: Boolean = false,
       singleFile: Boolean = true,
       referenceCompat: Boolean = false,
       cache: Boolean = false)
@@ -31,6 +32,7 @@ object PcapConvert {
       case ("-n" | "--nodefrag") :: t => loop(t, a.copy(nodefrag = true))
       case "-j" :: v :: t            => loop(t, a.copy(jobs = v.toInt))
       case ("-v" | "--verbose") :: t => loop(t, a.copy(verbose = true))
+      case ("-d" | "--debug") :: t   => loop(t, a.copy(debug = true))
       case "--multi-file" :: t       => loop(t, a.copy(singleFile = false))
       case "--cache" :: t            => loop(t, a.copy(cache = true))
       case "--reference-compat" :: t => loop(t, a.copy(referenceCompat = true))
@@ -43,6 +45,7 @@ object PcapConvert {
   }
 
   def run(spark: SparkSession, a: Args): Unit = {
+    if (a.debug) spark.sparkContext.setLogLevel("DEBUG")
     val mode: PcapFramer.Mode =
       if (a.referenceCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
     val m = PcapSource.metrics(spark)
@@ -54,7 +57,27 @@ object PcapConvert {
     val out =
       if (a.nodefrag) pcap
       else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
-    PcapSource.write(out, a.out, a.singleFile)
+    // live progress (reference parity, src/statswriter.rs:64-68): the
+    // accumulators tick as tasks finish, so a long 100 TB conversion shows
+    // a running count instead of one number at the end
+    val progress =
+      if (!a.verbose) None
+      else Some {
+        val th = new Thread(() => {
+          try {
+            while (!Thread.currentThread().isInterrupted) {
+              Thread.sleep(2000)
+              System.err.println(
+                s"Packets: ${m.packets.value} Errors: ${m.errors.value}")
+            }
+          } catch { case _: InterruptedException => () }
+        }, "pcap-progress")
+        th.setDaemon(true)
+        th.start()
+        th
+      }
+    try PcapSource.write(out, a.out, a.singleFile)
+    finally progress.foreach(_.interrupt())
     if (a.verbose)
       System.err.println(
         s"Packets: ${m.packets.value} Errors: ${m.errors.value}")
