@@ -127,18 +127,44 @@ object Multimodal {
              |  upper(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic_hex
              |FROM documents""".stripMargin)),
 
-    // full decode pipeline (stubbed decoder) — rows-only check + ScalaTest
+    // full decode pipeline (stubbed decoder). The stub's outputs are exact
+    // integer functions of the payload bytes (ASCII text here), so DuckDB
+    // can recompute them: width/height from the header bytes, and the
+    // byte sum recovered losslessly from the mean (mean*n is an integer
+    // < 2^53, exact in double)
     Q("m02_decode_features",
       (s, dir) => extractFeatures(blobs(s, dir)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), round(col("mean_byte"), 4).as("mean_byte")),
-      None),
+          col("width"), col("height"),
+          expr("CAST(round(mean_byte * n_bytes) AS BIGINT)").as("byte_sum")),
+      Some("""WITH c AS (
+             |  SELECT doc_id, CAST(SUM(ascii(ch)) AS BIGINT) AS s FROM (
+             |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+             |  GROUP BY doc_id)
+             |SELECT d.doc_id AS media_id, 'image' AS kind,
+             |  CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN octet_length(CAST(d.text AS BLOB)) >= 2
+             |       THEN (ascii(substr(d.text, 1, 1)) << 4 | (ascii(substr(d.text, 2, 1)) & 15)) + 16
+             |       ELSE 16 END AS INT) AS width,
+             |  CAST(CASE WHEN octet_length(CAST(d.text AS BLOB)) >= 4
+             |       THEN (ascii(substr(d.text, 3, 1)) << 4 | (ascii(substr(d.text, 4, 1)) & 15)) + 16
+             |       ELSE 16 END AS INT) AS height,
+             |  COALESCE(c.s, 0) AS byte_sum
+             |FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id""".stripMargin)),
 
-    // decode → resize chain (stub) — rows-only + ScalaTest
+    // decode → resize chain (stub): halved header dimensions, exactly
+    // recomputable (integer floor halving on positive ints)
     Q("m03_resize",
       (s, dir) => resized(blobs(s, dir)).toDF()
         .select(col("media_id"), col("width"), col("height")),
-      None),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST((CASE WHEN octet_length(CAST(text AS BLOB)) >= 2
+             |       THEN (ascii(substr(text, 1, 1)) << 4 | (ascii(substr(text, 2, 1)) & 15)) + 16
+             |       ELSE 16 END) // 2 AS INT) AS width,
+             |  CAST((CASE WHEN octet_length(CAST(text AS BLOB)) >= 4
+             |       THEN (ascii(substr(text, 3, 1)) << 4 | (ascii(substr(text, 4, 1)) & 15)) + 16
+             |       ELSE 16 END) // 2 AS INT) AS height
+             |FROM documents""".stripMargin)),
 
     // frame sampling (stub): one blob → many frame rows; per-frame byte
     // sums ARE exactly computable in SQL, so this one gets a real oracle
