@@ -185,4 +185,13 @@ object PacketSchema {
   val defragPatched: Seq[String] = Seq(
     "udp_srcport", "udp_dstport", "ntp_priv_reqcode",
     "dns_qry_type", "dns_qry_name", "col_protocol")
+
+  /** [[schema]] plus the raw capture: `spark.read.format("pcap")
+    * .option("bytes", "true")` emits these two extra columns so a filtered
+    * packet table can be written BACK to pcap (the write-back sink needs
+    * the original frame bytes — dissection is lossy).
+    */
+  val bytesSchema: StructType = schema
+    .add(StructField("frame_bytes", BinaryType))
+    .add(StructField("linktype", IntegerType))
 }

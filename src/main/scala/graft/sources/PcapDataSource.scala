@@ -39,31 +39,54 @@ class PcapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pcap"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PacketSchema.schema
+    if (options.getBoolean("bytes", false)) PacketSchema.bytesSchema
+    else PacketSchema.schema
+
+  /** Writes carry arbitrary projections of the packet table (the sink only
+    * requires `frame_bytes`); external metadata lets Spark hand us the
+    * incoming DataFrame's schema instead of arity-checking against the
+    * fixed 31-column read schema.
+    */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PcapTable(properties.asScala.toMap)
+    new PcapTable(schema, properties.asScala.toMap)
 }
 
-final class PcapTable(properties: Map[String, String]) extends Table with SupportsRead {
+final class PcapTable(tableSchema: StructType, properties: Map[String, String])
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     "pcap:" + properties.getOrElse("path", properties.getOrElse("paths", "?"))
-  override def schema(): StructType = PacketSchema.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PcapScanBuilder(options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PcapWriteBuilder(
+      properties.getOrElse("path",
+        throw new IllegalArgumentException("pcap write needs a path")),
+      info.schema(),
+      info.options())
 }
 
 final class PcapScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  private var required: StructType = PacketSchema.schema
+  private val withBytes = options.getBoolean("bytes", false)
+  private var required: StructType =
+    if (withBytes) PacketSchema.bytesSchema else PacketSchema.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -90,7 +113,8 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
       .getOrElse(Option(options.get("path")).toSeq)
     new PcapScan(paths, required,
-      options.getOrDefault("mode", "sane") == "reference-compat", pushed)
+      options.getOrDefault("mode", "sane") == "reference-compat", pushed,
+      withBytes)
   }
 }
 
@@ -98,7 +122,8 @@ final class PcapScan(
     paths: Seq[String],
     required: StructType,
     refCompat: Boolean,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    withBytes: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -129,7 +154,7 @@ final class PcapScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    PcapReaderFactory(conf, required, refCompat, filters)
+    PcapReaderFactory(conf, required, refCompat, filters, withBytes)
   }
 }
 
@@ -139,11 +164,12 @@ final case class PcapReaderFactory(
     conf: SerializableConfiguration,
     required: StructType,
     refCompat: Boolean,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    withBytes: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PcapPartitionReader(p.asInstanceOf[PcapInputPartition].file,
-      conf.value, required, refCompat, filters)
+      conf.value, required, refCompat, filters, withBytes)
 }
 
 final class PcapPartitionReader(
@@ -151,7 +177,8 @@ final class PcapPartitionReader(
     conf: Configuration,
     required: StructType,
     refCompat: Boolean,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    withBytes: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -162,26 +189,34 @@ final class PcapPartitionReader(
   private val base = PcapSource.basename(file)
   private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(base)
   private val pred = PcapFilters.compile(filters, base)
-  // projection map: required ordinal -> full-schema ordinal
+  private val sourceSchema =
+    if (withBytes) PacketSchema.bytesSchema else PacketSchema.schema
+  // projection map: required ordinal -> source-schema ordinal
   private val ordinals: Array[Int] =
-    required.fieldNames.map(PacketSchema.schema.fieldIndex)
-  private val identity = ordinals.sameElements(PacketSchema.schema.indices)
+    required.fieldNames.map(sourceSchema.fieldIndex)
+  private val identity = ordinals.sameElements(sourceSchema.indices)
 
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (frames.hasNext) {
-      val row = PacketDissector.dissect(frames.next())
+      val raw = frames.next()
+      val row = PacketDissector.dissect(raw)
       if (pred(row)) {
-        val full = row.toInternalRow(baseUtf8)
+        val dissected = row.toInternalRow(baseUtf8)
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        val fullVals =
+          if (withBytes) dissected.values ++ Array[Any](raw.data, raw.linktype)
+          else dissected.values
         current =
-          if (identity) full
+          if (identity && !withBytes) dissected
+          else if (identity)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fullVals)
           else {
             val vals = new Array[Any](ordinals.length)
             var i = 0
             while (i < ordinals.length) {
-              vals(i) = full.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
-                .values(ordinals(i))
+              vals(i) = fullVals(ordinals(i))
               i += 1
             }
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)

@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{BinaryType, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** pcap write-back sink: `df.write.format("pcap").save(dir)` emits legacy
+  * pcap (µs resolution) from a packet table that carries raw frame bytes
+  * (read with `option("bytes", "true")` — dissection is lossy, so the
+  * original bytes are the only faithful source). Completes the reference's
+  * read→transform→write surface (its write path, src/statswriter.rs:31-69,
+  * is parquet-only; pcap OUT enables the tcpdump-at-scale pattern: read
+  * 100 TB of captures, filter to the interesting flows, hand a small pcap
+  * to any desktop tool).
+  *
+  * Distribution model mirrors the reader: one pcap part-file per task
+  * (pcap has no sync markers, so per-file is the parallelism unit both
+  * ways). Each writer streams records to a temp file and renames on task
+  * commit — rename-visible-or-absent is the same atomicity contract
+  * Hadoop's FileOutputCommitter v2 provides.
+  *
+  * Schema contract: `frame_bytes` (binary, required); `frame_time`
+  * (timestamp, 0 if absent/null); `frame_len` (wire length, defaults to
+  * the captured length). Option `linktype` (default 1 = Ethernet) sets the
+  * global-header linktype; per-row `linktype` values are NOT consulted —
+  * legacy pcap has one linktype per file.
+  */
+final class PcapWriteBuilder(
+    path: String,
+    schema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends WriteBuilder
+    with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    require(schema.fieldNames.contains("frame_bytes") &&
+        schema(schema.fieldIndex("frame_bytes")).dataType == BinaryType,
+      "pcap write needs a binary frame_bytes column — read the source with " +
+        "spark.read.format(\"pcap\").option(\"bytes\", \"true\")")
+    new PcapWrite(path, schema, doTruncate, options.getInt("linktype", 1))
+  }
+}
+
+final class PcapWrite(
+    path: String, schema: StructType, truncate: Boolean, linktype: Int)
+    extends Write {
+  override def toBatch: BatchWrite = new PcapBatchWrite(path, schema, truncate, linktype)
+}
+
+final class PcapBatchWrite(
+    path: String, schema: StructType, truncate: Boolean, linktype: Int)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(hconf)
+    if (truncate && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    PcapWriterFactory(new SerializableConfiguration(hconf), path, schema, linktype)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    messages.collect { case PcapCommitMessage(f) =>
+      val p = new Path(f)
+      p.getFileSystem(hconf).delete(p, false)
+    }
+  }
+}
+
+final case class PcapCommitMessage(file: String) extends WriterCommitMessage
+
+final case class PcapWriterFactory(
+    conf: SerializableConfiguration,
+    dir: String,
+    schema: StructType,
+    linktype: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PcapDataWriter(conf.value, dir, schema, linktype, partitionId, taskId)
+}
+
+final class PcapDataWriter(
+    conf: org.apache.hadoop.conf.Configuration,
+    dir: String,
+    schema: StructType,
+    linktype: Int,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val bytesIdx = schema.fieldIndex("frame_bytes")
+  private val timeIdx =
+    if (schema.fieldNames.contains("frame_time") &&
+        schema(schema.fieldIndex("frame_time")).dataType == TimestampType)
+      schema.fieldIndex("frame_time")
+    else -1
+  private val lenIdx =
+    if (schema.fieldNames.contains("frame_len")) schema.fieldIndex("frame_len")
+    else -1
+
+  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.pcap")
+  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId.pcap.tmp")
+  private val fs = finalPath.getFileSystem(conf)
+  private val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
+  private var wroteHeader = false
+
+  private def le32(v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  private def writeHeader(): Unit = {
+    le32(0xa1b2c3d4) // µs-resolution magic, matching our µs frame_time
+    out.write(Array[Byte](2, 0, 4, 0)) // version 2.4 LE
+    le32(0) // thiszone
+    le32(0) // sigfigs
+    le32(262144) // snaplen
+    le32(linktype)
+    wroteHeader = true
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (!wroteHeader) writeHeader()
+    val bytes = row.getBinary(bytesIdx)
+    val micros =
+      if (timeIdx >= 0 && !row.isNullAt(timeIdx)) row.getLong(timeIdx) else 0L
+    val orig =
+      if (lenIdx >= 0 && !row.isNullAt(lenIdx)) row.getLong(lenIdx).toInt
+      else bytes.length
+    le32(Math.floorDiv(micros, 1000000L).toInt)
+    le32(Math.floorMod(micros, 1000000L).toInt)
+    le32(bytes.length)
+    le32(orig)
+    out.write(bytes)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (!wroteHeader) writeHeader() // an empty partition still yields a valid pcap
+    out.close()
+    if (!fs.rename(tmpPath, finalPath))
+      throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
+    PcapCommitMessage(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -103,4 +103,33 @@ class PcapDataSourceSpec extends SparkFunSuite {
     assert(spark.read.format("pcap").load(d2.toString).count() == 1)
     assert(fl("reference-compat") == fl("sane")) // IPv4 total_len wins either way
   }
+
+  test("bytes=true adds raw frame columns; pcap round-trip preserves packets") {
+    val withBytes = spark.read.format("pcap").option("bytes", "true").load(dir)
+    assert(withBytes.schema == graft.core.PacketSchema.bytesSchema)
+    // filter to DNS only and write BACK to pcap
+    val outDir = Files.createTempDirectory("pcap-roundtrip").toString
+    withBytes.filter(col("col_protocol") === "DNS")
+      .write.format("pcap").mode("overwrite").save(outDir)
+    val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".pcap"))
+    assert(files.nonEmpty)
+    // re-read the written capture: dissected rows must equal the filtered
+    // originals (minus pcap_file, which now names the part files)
+    val back = spark.read.format("pcap").load(outDir)
+      .drop("pcap_file").orderBy("frame_time").collect().toSeq
+    val expected = spark.read.format("pcap").load(dir)
+      .filter(col("col_protocol") === "DNS")
+      .drop("pcap_file").orderBy("frame_time").collect().toSeq
+    assert(back == expected)
+    assert(back.size == 3)
+  }
+
+  test("pcap write without frame_bytes fails fast with a helpful error") {
+    val noBytes = spark.read.format("pcap").load(dir)
+    val outDir = Files.createTempDirectory("pcap-nobytes").toString
+    val e = intercept[Exception] {
+      noBytes.write.format("pcap").mode("overwrite").save(outDir)
+    }
+    assert(e.getMessage.contains("frame_bytes"))
+  }
 }
