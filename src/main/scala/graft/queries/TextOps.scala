@@ -205,6 +205,66 @@ object TextOps {
              |  AND abs(length(a.text) // 32 - length(b.text) // 32) <= 1
              |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 15""".stripMargin)),
 
+    // --- d13: boilerplate detection (shared n-gram doc frequency) ----------
+    // word-5-gram shingles appearing in >= 3 distinct documents — the
+    // standard boilerplate/template detector a pre-training pipeline runs
+    // before near-dup removal (headers, footers, license blurbs). Linear:
+    // explode → one partial-aggregated shuffle on the shingle. At 100 TB
+    // the shingle would be xxhash64'd before the shuffle (8-byte key
+    // instead of a string); the text form is kept here because it is what
+    // downstream scrubbing consumes — and it lets DuckDB oracle the op.
+    Q("d13_boilerplate",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("shingle"))
+          .groupBy("shingle")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 3)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |s AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+             |      FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i))
+             |SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |FROM s GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 3""".stripMargin)),
+
+    // --- d14: text normalization/cleaning ----------------------------------
+    // lowercase, strip non-alphanumerics, collapse whitespace — the
+    // canonical-form stage exact dedup keys on. Narrow (no shuffle); the
+    // canonical md5 doubles as the dedup key downstream.
+    Q("d14_normalize",
+      (s, dir) => {
+        val norm = regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(norm).as("norm_md5"),
+          length(norm).cast(LongType).as("n_norm_chars"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5,
+             |  CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS n_norm_chars
+             |FROM documents""".stripMargin)),
+
+    // --- d15: corpus vocabulary (global top-k frequent tokens) -------------
+    // tokenizer-training's first step. Partial aggregation map-side, one
+    // shuffle on the token, then TakeOrderedAndProject — the top-k never
+    // materializes the full vocabulary on one node.
+    Q("d15_vocab",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(100)
+      },
+      Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
     // --- d12: BPE-ish regex tokenization ----------------------------------
     // subword-style token classes (letter runs / digit runs / single
     // punctuation) — the regex is ASCII-simple so Java and RE2 agree

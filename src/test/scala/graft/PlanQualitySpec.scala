@@ -90,6 +90,24 @@ class PlanQualitySpec extends SparkFunSuite {
       p.contains("TableCacheQueryStage"), p)
   }
 
+  test("d06: bucket-cap window shares the band-join's exchange (no extra shuffle)") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.queries.FuzzyDedup.minhashNearDups(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val stages = finalPlan.collect { case s: ShuffleQueryStageExec => s }
+    val fresh = stages.count(_.plan.isInstanceOf[ShuffleExchangeExec])
+    // real shuffles: the banded (band,bucket) exchange feeding BOTH the
+    // cap window and the self-join sides (ideally shared via reuse), and
+    // the pair distinct. More than 3 fresh shuffles in the final plan
+    // means the cap window repartitioned separately per join side.
+    assert(fresh <= 3, s"$fresh fresh shuffle stages (of ${stages.length}):\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the q01 aggregation pipeline") {
     // AQE's formatted explain omits codegen stages pre-execution: run the
     // query, then inspect the final executed plan
