@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.spark.{Defrag, PcapGen, PcapSource}
+import graft.spark.{PcapGen, PcapSource}
 
 /** Reproducible pcap conversion throughput benchmark against the
   * reference's headline metric (~494k pkt/s for conversion, BASELINE.md):
@@ -49,8 +49,7 @@ object BenchPcap {
     val (tParse, total) = time(PcapSource.read(spark, s"$dir/*.pcap").count())
     val (tFull, _) = time {
       val p = PcapSource.read(spark, s"$dir/*.pcap")
-      val out = Defrag(p)
-      PcapSource.write(out, s"$dir/out.parquet")
+      PcapSource.write(graft.spark.Defrag(p), s"$dir/out.parquet")
     }
     val parseRate = (total / tParse).toLong
     val fullRate = (total / tFull).toLong

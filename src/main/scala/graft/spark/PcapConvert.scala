@@ -52,11 +52,12 @@ object PcapConvert {
     val parsed = PcapSource
       .read(spark, a.file, mode, decodePartitions = a.jobs, metrics = Some(m))
     // the streaming parser is cheap enough that re-parsing per pass beats
-    // caching the wide packet table; --cache opts in when memory is ample
+    // caching the wide packet table; --cache opts in when memory is ample.
+    // (Round-2 measured the alternative — the reference's parquet-first
+    // temp-copy flow, write → stats over parquet → defrag rewrite: at 2M
+    // packets the 31-col parquet WRITE costs ~2.6x a parse, so writing
+    // twice loses to re-parsing; plan-driven stays the default.)
     val pcap = if (a.cache) parsed.cache() else parsed
-    val out =
-      if (a.nodefrag) pcap
-      else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
     // live progress (reference parity, src/statswriter.rs:64-68): the
     // accumulators tick as tasks finish, so a long 100 TB conversion shows
     // a running count instead of one number at the end
@@ -76,8 +77,12 @@ object PcapConvert {
         th.start()
         th
       }
-    try PcapSource.write(out, a.out, a.singleFile)
-    finally progress.foreach(_.interrupt())
+    try {
+      val out =
+        if (a.nodefrag) pcap
+        else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
+      PcapSource.write(out, a.out, a.singleFile)
+    } finally progress.foreach(_.interrupt())
     if (a.verbose)
       System.err.println(
         s"Packets: ${m.packets.value} Errors: ${m.errors.value}")
