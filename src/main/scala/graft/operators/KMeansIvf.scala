@@ -20,14 +20,20 @@ import graft.functions.GraftFunctions.cosine_sim
 object KMeansIvf {
 
   /** embeddings → (vec_id, e: array<double>) with cells assigned.
+    * @param init "first-k" (deterministic trivial seed) or "kmeans||"
+    *             (scalable d²-weighted init, [[initKMeansParallel]])
     * @return (centroids DF (cell, ce), assignments DF (vec_id, e, cell))
     */
-  def fit(emb: DataFrame, k: Int, iterations: Int): (DataFrame, DataFrame) = {
+  def fit(emb: DataFrame, k: Int, iterations: Int,
+      init: String = "first-k"): (DataFrame, DataFrame) = {
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .cache()
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cell"), col("e").as("ce"))
+    var centroids = init match {
+      case "kmeans||" => initKMeansParallel(e, k)
+      case _ => e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"), col("e").as("ce"))
+    }
     for (_ <- 1 to iterations) {
       val assigned = assign(e, centroids)
       centroids = assigned
@@ -40,6 +46,116 @@ object KMeansIvf {
           expr("transform(pm, x -> x.m)").as("ce"))
     }
     (centroids.cache(), assign(e, centroids))
+  }
+
+  /** Scalable k-means|| initialization (Bahmani et al., VLDB 2012),
+    * deterministic end to end — safe for hostile distributions where
+    * first-k seeding collapses (all seeds in one dense region):
+    *
+    *   - each round broadcasts the current candidate set, scores every
+    *     point's distance-to-nearest (1 − cosine, the metric Lloyd uses),
+    *     and samples points with probability `oversample · d² / φ`;
+    *   - "random" draws are `xxhash64(vec_id, round)` uniforms and φ is a
+    *     sum of 1e6-scaled integer d² values, so both the coin and the
+    *     threshold are bit-identical across runs and partitionings (a
+    *     double-sum φ would be merge-order dependent and could flip a
+    *     marginal sample);
+    *   - candidates stay tiny (≤ rounds·oversample + 1), so the final
+    *     weighted reduction to k centroids — weighted kmeans++ with
+    *     index tie-breaks — runs on the driver in O(|cand|²·k).
+    *
+    * Distributed cost per round: one broadcast + one map + one partial
+    * aggregation; the corpus never shuffles.
+    */
+  def initKMeansParallel(
+      e: DataFrame, k: Int, rounds: Int = 4, oversampleFactor: Int = 2): DataFrame = {
+    val spark = e.sparkSession
+    val oversample = math.max(k * oversampleFactor, 2)
+
+    def dist2Col(cands: Array[Array[Double]]) = {
+      // min (1-sim)^2 over candidates; greatest-of-sims keeps ONE codegen
+      // expression per candidate (bounded: |cands| <= rounds*oversample)
+      val sims = cands.map(c => cosine_sim(col("e"), typedlit(c.toSeq)))
+      val best = if (sims.length == 1) sims.head else greatest(sims.toIndexedSeq: _*)
+      pow(lit(1.0) - best, 2)
+    }
+
+    // deterministic seed: the minimum vec_id's vector
+    var cands: Array[Array[Double]] =
+      Array(e.orderBy(col("vec_id").asc).head().getSeq[Double](1).toArray)
+    for (round <- 1 to rounds) {
+      // integer-scaled d² (clamped to the metric's [0,4] range) so φ is an
+      // exact BIGINT sum
+      val withD2 = e.select(col("vec_id"), col("e"), dist2Col(cands).as("d2"))
+        .select(col("vec_id"), col("e"),
+          expr("CAST(floor(1000000 * least(4.0, greatest(0.0, d2)) + 0.5) AS BIGINT)").as("d2i"))
+      val phi = withD2.agg(sum(col("d2i"))).head().getLong(0) max 1L
+      val picked = withD2
+        .filter(
+          (abs(xxhash64(col("vec_id"), lit(round))) % lit(1000000000L)).cast("double") / 1e9 <
+            lit(oversample.toDouble) * col("d2i").cast("double") / lit(phi.toDouble))
+        .select(col("vec_id"), col("e"))
+        .collect()
+      cands = (cands ++ picked.map(_.getSeq[Double](1).toArray)).distinct
+    }
+
+    // weights: points per nearest candidate (index argmin, ties -> lowest)
+    val bc = spark.sparkContext.broadcast(cands)
+    import spark.implicits._
+    val weights = e.select(col("vec_id"), col("e")).as[(Long, Seq[Double])]
+      .map { case (_, v) =>
+        val arr = v.toArray
+        var bi = 0; var bs = -2.0
+        var i = 0
+        while (i < bc.value.length) {
+          val s = cosineSimLocal(arr, bc.value(i))
+          if (s > bs + 1e-15) { bs = s; bi = i }
+          i += 1
+        }
+        bi
+      }
+      .groupByKey(identity).count().collect().toMap
+
+    val centroids = weightedKMeansPlusPlus(cands, cands.indices.map(i => weights.getOrElse(i, 0L).toDouble).toArray, k)
+    spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toIndexedSeq)
+      .toDF("cell", "ce")
+  }
+
+  private def cosineSimLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Driver-side weighted kmeans++ reduction of the candidate set to k
+    * centers. Deterministic: the next center is the weighted-d² argmax
+    * (no RNG), ties broken by lowest index.
+    */
+  private def weightedKMeansPlusPlus(
+      cands: Array[Array[Double]], w: Array[Double], k: Int): Array[Array[Double]] = {
+    if (cands.length <= k) return cands
+    val chosen = scala.collection.mutable.ArrayBuffer(0) // heaviest-first would also work; 0 = deterministic
+    while (chosen.length < k) {
+      var bestIdx = -1; var bestScore = -1.0
+      var i = 0
+      while (i < cands.length) {
+        if (!chosen.contains(i)) {
+          var d2 = Double.MaxValue
+          chosen.foreach { c =>
+            val d = 1.0 - cosineSimLocal(cands(i), cands(c))
+            d2 = math.min(d2, d * d)
+          }
+          val score = w(i) * d2
+          if (score > bestScore + 1e-18) { bestScore = score; bestIdx = i }
+        }
+        i += 1
+      }
+      chosen += (if (bestIdx < 0) chosen.length else bestIdx)
+    }
+    chosen.map(cands).toArray
   }
 
   /** Nearest-centroid assignment via broadcast join + per-vector argmax. */

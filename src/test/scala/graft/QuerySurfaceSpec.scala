@@ -119,6 +119,37 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("k-means|| init: deterministic, and separates a hostile clustered distribution") {
+    import spark.implicits._
+    import graft.operators.KMeansIvf
+    // 4 tight clusters along distinct axes; the first k=4 vec_ids all sit
+    // in cluster 0, so first-k seeding collapses while k-means|| must
+    // place centers in all 4 clusters
+    val vecs = (0L until 400L).map { i =>
+      val cluster = if (i < 4) 0 else (i % 4).toInt
+      val base = Array.fill(8)(0.001f)
+      base(cluster * 2) = 1f
+      base(cluster * 2 + 1) = 0.2f + 0.001f * (i % 7)
+      (i, base.toSeq, cluster)
+    }.toDF("vec_id", "embedding", "label")
+    val (c1, a1) = KMeansIvf.fit(vecs, k = 4, iterations = 2, init = "kmeans||")
+    val (c2, a2) = KMeansIvf.fit(vecs, k = 4, iterations = 2, init = "kmeans||")
+    assert(c1.collect().map(_.toString).sorted.sameElements(
+      c2.collect().map(_.toString).sorted), "kmeans|| init must be deterministic")
+    assert(a1.collect().map(r => (r.getLong(0), r.getInt(2))).toSet ==
+      a2.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    // each true cluster maps to exactly one learned cell (clean separation);
+    // note vec_ids 0-3 all sit in cluster 0 by construction
+    val byCluster = a1.select("vec_id", "cell").collect()
+      .map(r => (if (r.getLong(0) < 4) 0L else r.getLong(0) % 4, r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSet).toMap
+    val cellsUsed = byCluster.values.reduce(_ ++ _)
+    assert(cellsUsed.size == 4, s"expected 4 distinct cells, got $byCluster")
+    byCluster.foreach { case (cl, cells) =>
+      assert(cells.size == 1, s"cluster $cl split across cells $cells")
+    }
+  }
+
   test("bucketed ANN only returns same-label neighbors") {
     val labels = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label").collect()
