@@ -86,6 +86,33 @@ class OperatorSpec extends SparkFunSuite {
     }
   }
 
+  test("two-phase CC equals union-find on random graphs and needs O(log) rounds on chains") {
+    import spark.implicits._
+    for (seed <- Seq(3, 99)) {
+      val rnd = new Random(seed)
+      val edges = (1 to 150).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val got = graft.operators.ConnectedComponents.twoPhase(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+    // 200-node chain: min-label would need 199 rounds; star contraction
+    // must finish inside the default 25-iteration cap
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    val got = graft.operators.ConnectedComponents.twoPhase(chain.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 200 && got.values.forall(_ == 1L))
+  }
+
   test("ConnectedComponents: 54-diameter chain converges without plan blowup") {
     import spark.implicits._
     // min-label propagation moves one hop per round: a 55-node chain needs
