@@ -516,6 +516,104 @@ object Relational {
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // --- q28: correlated EXISTS / NOT EXISTS (SQL surface) -----------------
+    // Catalyst rewrites both into LeftSemi/LeftAnti joins — the plan-level
+    // proof is PlanQualitySpec's job; here the SQL entry point itself is
+    // exercised (subquery decorrelation, not the DataFrame API).
+    Q("q28_exists_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_q28")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q28")
+        s.sql("""SELECT o_orderkey, o_orderpriority
+                |FROM orders_q28 o
+                |WHERE EXISTS (SELECT 1 FROM lineitem_q28 l
+                |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem_q28 l
+                |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""".stripMargin)),
+
+    // --- q29: array-function battery ---------------------------------------
+    // the collection-type surface (sort/distinct/slice/reverse/contains/
+    // position) a semi-structured pipeline leans on. Narrow — no shuffle.
+    // Engine-semantics note: distinct-then-sort (both engines sort
+    // ascending; distinct alone has engine-defined order). Both engines'
+    // position functions are 1-based with 0 for "not found".
+    Q("q29_array_ops",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            size(col("ws")).cast(LongType).as("n"),
+            expr("concat_ws(' ', slice(sort_array(array_distinct(ws)), 1, 5))").as("first5_sorted"),
+            expr("concat_ws(' ', reverse(slice(ws, 1, 3)))").as("rev3"),
+            expr("""CAST((CASE WHEN array_contains(ws, 'the') THEN 1 ELSE 0 END)
+                   |   + (CASE WHEN array_contains(ws, 'a') THEN 1 ELSE 0 END)
+                   |   + (CASE WHEN array_contains(ws, 'data') THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin)
+              .as("n_marker"),
+            expr("array_position(ws, 'data')").as("pos_data"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n,
+             |  array_to_string(list_sort(list_distinct(ws))[1:5], ' ') AS first5_sorted,
+             |  array_to_string(list_reverse(ws[1:3]), ' ') AS rev3,
+             |  CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+             |     + (CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END)
+             |     + (CASE WHEN list_contains(ws, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS n_marker,
+             |  CAST(list_position(ws, 'data') AS BIGINT) AS pos_data
+             |FROM w""".stripMargin)),
+
+    // --- q30: GROUPING SETS + grouping() (SQL surface) ----------------------
+    // the explicit form underlying q08's rollup / q16's cube; grouping()
+    // disambiguates "NULL group key" from "aggregated-over" rows.
+    Q("q30_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q30")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                |  COUNT(*) AS n,
+                |  CAST(SUM(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
+                |FROM lineitem_q30
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)),
+
+    // --- q31: RANGE window frame over event time ----------------------------
+    // trailing 10-minute count/sum per user — a value-based (RANGE) frame,
+    // complementing q26's row-based one. Works in the exact integer µs
+    // domain; ties (equal tsu) are frame-peers in both engines, so the
+    // result is deterministic without a tiebreaker.
+    Q("q31_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("tsu"))
+          .rangeBetween(-600000000L, 0L)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsu"),
+            intUnits("value", 10000L).as("value_e4"))
+          .withColumn("trail_n", count(lit(1)).over(w))
+          .withColumn("trail_sum_e4", sum(col("value_e4")).over(w))
+          .select("user_id", "event_id", "trail_n", "trail_sum_e4")
+      },
+      Some("""SELECT user_id, event_id,
+             |  COUNT(*) OVER w AS trail_n,
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS trail_sum_e4
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+             |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,6 +19,14 @@ object TextOps {
   /** word-bigram shingles of a single-space-tokenized text column */
   private val bigramsExpr =
     "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"
+
+  /** (doc_id, h): xxhash64'd word-bigram shingles — the shared front end of
+    * every Jaccard-based dedup query (d05/d09/d17/d19). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(bigramsExpr)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
 
   val queries: Seq[Q] = Seq(
     // --- d01: exact dedup by content hash ---------------------------------
@@ -113,11 +122,7 @@ object TextOps {
         // shingles hashed to longs (xxhash64 collisions are 2^-64-scale —
         // immaterial); the adaptive all-pairs operator picks the dense
         // bitset path or the shingle-equijoin path by data shape
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .select(col("doc_id"), explode(expr(bigramsExpr)).as("sh"))
-          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-        graft.operators.JaccardAllPairs(sh, 300)
+        graft.operators.JaccardAllPairs(shingleHashes(s, dir), 300)
       },
       dedupOracle,
       headline = true),
@@ -128,11 +133,7 @@ object TextOps {
     // Oracled against a DuckDB recursive-CTE transitive closure.
     Q("d09_dedup_clusters",
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .select(col("doc_id"), explode(expr(bigramsExpr)).as("sh"))
-          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-        val pairs = graft.operators.JaccardAllPairs(sh, 300)
+        val pairs = graft.operators.JaccardAllPairs(shingleHashes(s, dir), 300)
           .select("doc_a", "doc_b")
         graft.operators.ConnectedComponents(pairs)
           .select(col("node").as("doc_id"), col("component"))
@@ -277,7 +278,149 @@ object TextOps {
       },
       Some("""SELECT doc_id,
              |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // --- d16: repetition signals (Gopher-style quality rules) --------------
+    // fraction of the doc covered by its most frequent word-bigram + the
+    // distinct-token ratio — the standard "repetitive document" filters a
+    // pre-training pipeline applies before dedup. Computed entirely with
+    // array higher-order functions: NARROW (zero shuffles), embarrassingly
+    // parallel at 100 TB (per-doc O(n²) with n ≈ doc length in tokens —
+    // bounded and cache-local). Integer permille only.
+    Q("d16_repetition",
+      (s, dir) => {
+        val topBg = "array_max(transform(array_distinct(bgs), x -> size(filter(bgs, y -> y = x))))"
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .withColumn("bgs", expr(bigramsExpr))
+          .select(
+            col("doc_id"),
+            size(col("ws")).cast(LongType).as("n_tokens"),
+            expr(s"CAST($topBg AS BIGINT)").as("top_bigram_n"),
+            expr(s"CAST(1000 * $topBg div size(bgs) AS BIGINT)").as("top_bigram_permille"),
+            expr("CAST(1000 * size(array_distinct(ws)) div size(ws) AS BIGINT)").as("distinct_permille"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |          WHERE len(string_split(text, ' ')) >= 2),
+             |b AS (SELECT doc_id, ws,
+             |             [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bgs FROM w)
+             |SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_tokens,
+             |  CAST(list_max([len(list_filter(bgs, y -> y = x)) for x in list_distinct(bgs)]) AS BIGINT) AS top_bigram_n,
+             |  CAST(1000 * list_max([len(list_filter(bgs, y -> y = x)) for x in list_distinct(bgs)]) // len(bgs) AS BIGINT) AS top_bigram_permille,
+             |  CAST(1000 * len(list_distinct(ws)) // len(ws) AS BIGINT) AS distinct_permille
+             |FROM b""".stripMargin)),
+
+    // --- d17: near-dup provenance (source × source pair matrix) ------------
+    // which sources share near-duplicate content — the curation question a
+    // pipeline asks right after pair generation ("is src X scraping src Y?").
+    // Reuses the d05 pair generator, joins doc→source twice (at 100 TB the
+    // pair set is far smaller than the corpus; the doc→source map joins by
+    // shuffle on doc_id — linear), then a tiny group-by.
+    Q("d17_neardup_sources",
+      (s, dir) => {
+        val pairs = graft.operators.JaccardAllPairs(shingleHashes(s, dir), 300)
+          .select("doc_a", "doc_b")
+        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a"), "doc_a")
+          .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b"), "doc_b")
+          .select(least(col("src_a"), col("src_b")).as("source_a"),
+            greatest(col("src_a"), col("src_b")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
+             |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+             |e AS (SELECT da, db FROM p JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+             |      WHERE (1000*inter) // (x.n + y.n - inter) >= 300)
+             |SELECT least(da.source, db.source) AS source_a,
+             |       greatest(da.source, db.source) AS source_b,
+             |       COUNT(*) AS n_pairs
+             |FROM e JOIN documents da ON da.doc_id = e.da
+             |       JOIN documents db ON db.doc_id = e.db
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // --- d18: benchmark-contamination check --------------------------------
+    // per-doc fraction of word-5-gram shingles that also appear in a
+    // designated benchmark/eval set (here: the 'src0' docs) — the overlap
+    // audit run before training. The benchmark shingle set is DISTINCT and
+    // small relative to the corpus → broadcast left-semi-style mark join;
+    // the corpus side shuffles only for its per-doc aggregation. Linear.
+    Q("d18_contamination",
+      (s, dir) => {
+        val grams5 = "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 5)
+          .select(col("doc_id"), col("source"), explode(expr(grams5)).as("shingle"))
+          .distinct()
+        val bench = sh.filter(col("source") === "src0")
+          .select(col("shingle")).distinct().withColumn("hit", lit(1L))
+        sh.filter(col("source") =!= "src0")
+          .join(broadcast(bench), Seq("shingle"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+          .select(col("doc_id"), col("n_shingles"),
+            col("n_contaminated").cast(LongType).as("n_contaminated"),
+            expr("CAST(1000 * n_contaminated div n_shingles AS BIGINT)").as("contam_permille"))
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+             |          WHERE len(string_split(text, ' ')) >= 5),
+             |s AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+4], ' ') AS shingle
+             |      FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)),
+             |bench AS (SELECT DISTINCT shingle FROM s WHERE source = 'src0')
+             |SELECT s.doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+             |  CAST(1000 * SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             |       // COUNT(*) AS BIGINT) AS contam_permille
+             |FROM s LEFT JOIN bench b USING (shingle)
+             |WHERE s.source <> 'src0'
+             |GROUP BY s.doc_id""".stripMargin)),
+
+    // --- d19: end-to-end dedup keep-list -----------------------------------
+    // the full fuzzy-dedup pipeline a user actually runs: shingle → pairs
+    // (d05) → connected components (d09) → one canonical survivor per
+    // cluster (the min doc_id), every other member dropped, singletons
+    // kept. Output is the per-doc keep/cluster verdict — the thing the
+    // next pipeline stage filters on.
+    Q("d19_dedup_keep",
+      (s, dir) => {
+        val pairs = graft.operators.JaccardAllPairs(shingleHashes(s, dir), 300)
+          .select("doc_a", "doc_b")
+        val cc = graft.operators.ConnectedComponents(pairs)
+          .withColumnRenamed("node", "doc_id")
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"),
+            when(col("component").isNull || col("component") === col("doc_id"), lit(1L))
+              .otherwise(lit(0L)).as("keep"))
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
+             |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+             |p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+             |e AS (SELECT da, db FROM p JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+             |      WHERE (1000*inter) // (x.n + y.n - inter) >= 300),
+             |sym AS (SELECT da a, db b FROM e UNION SELECT db, da FROM e),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+             |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+             |SELECT d.doc_id,
+             |  COALESCE(c.component, d.doc_id) AS cluster_id,
+             |  CAST(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+             |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */

@@ -145,6 +145,70 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_unique_docs"))
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer → market segment), then aggregated. The static
+    * side is broadcast per micro-batch — on a cluster the stream side
+    * never shuffles for the join, only for the final segment rollup.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)")).as("sum_value_e4"))
+    val name = "graft_stream_dim_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stream-stream time-interval join: view → purchase conversion within
+    * 30 minutes for the same user. Both sides carry watermarks (state
+    * cleanup on a real cluster); inner-join matches emit eagerly, so with
+    * `AvailableNow` the emitted SET of pairs equals the batch answer —
+    * the memory sink collects the appended pairs and the per-user rollup
+    * runs as a batch query on top (an aggregation above a stream-stream
+    * join would finalize only up to the watermark, dropping the tail —
+    * the classic drained-stream pitfall).
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tag: String) = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_type").as(s"type_$tag"),
+        col("user_id").as(s"uid_$tag"),
+        timestamp_micros(expr("ts div 1000")).as(s"t_$tag"))
+      .withWatermark(s"t_$tag", "1 hour")
+    val views = side("v").filter(col("type_v") === "view")
+    val purchases = side("p").filter(col("type_p") === "purchase")
+    val joined = views.join(purchases,
+      expr("uid_v = uid_p AND t_p >= t_v AND t_p <= t_v + interval 30 minutes"))
+    val name = "graft_stream_funnel_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("uid_v").as("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
   val queries: Seq[graft.queries.Q] = Seq(
     // deterministic winner: each distinct text belongs to the source of
     // its min-doc_id row — exactly what the min_by state keeps
@@ -172,6 +236,18 @@ object StreamingOps {
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
              |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
-             |FROM d GROUP BY user_id""".stripMargin))
+             |FROM d GROUP BY user_id""".stripMargin)),
+    graft.queries.Q("s04_stream_static_join", (s, dir) => streamStaticJoin(s, dir),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+    graft.queries.Q("s05_stream_stream_join", (s, dir) => streamStreamJoin(s, dir),
+      // inclusive 30-minute window on both bounds, exact µs domain
+      Some("""SELECT v.user_id, COUNT(*) AS n_conversions
+             |FROM (SELECT user_id, epoch_us(ts) AS vt FROM events WHERE event_type = 'view') v
+             |JOIN (SELECT user_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase') p
+             |  ON v.user_id = p.user_id AND p.pt >= v.vt AND p.pt <= v.vt + 1800000000
+             |GROUP BY v.user_id""".stripMargin))
   )
 }

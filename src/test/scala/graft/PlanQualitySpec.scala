@@ -108,6 +108,22 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(fresh <= 3, s"$fresh fresh shuffle stages (of ${stages.length}):\n$finalPlan")
   }
 
+  test("q28: EXISTS/NOT EXISTS decorrelate to semi/anti joins (no subquery per row)") {
+    val p = plan(SparkEntry.queries("q28_exists_subquery")(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("d16: repetition signals are computed without any shuffle") {
+    val p = plan(SparkEntry.queries("d16_repetition")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("d18: benchmark shingle set joins by broadcast (corpus side not shuffled for the join)") {
+    val p = plan(SparkEntry.queries("d18_contamination")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregation pipeline") {
     // AQE's formatted explain omits codegen stages pre-execution: run the
     // query, then inspect the final executed plan

@@ -233,4 +233,59 @@ class QuerySurfaceSpec extends SparkFunSuite {
     val preds = out.map(_.getAs[String]("lang_pred")).toSet
     assert(preds.subsetOf(Set("en", "de", "fr", "es", "zh")))
   }
+
+  test("d19 keep-list: exactly one survivor per cluster, consistent with d09") {
+    val keep = SparkEntry.queries("d19_dedup_keep")(spark, sf).collect()
+    assert(keep.length == 500, "one verdict per document")
+    // each cluster keeps exactly its min doc_id
+    keep.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      val kept = rows.filter(_.getAs[Long]("keep") == 1L).map(_.getAs[Long]("doc_id"))
+      assert(kept.toSeq == Seq(rows.map(_.getAs[Long]("doc_id")).min), s"cluster $cid")
+      assert(cid == rows.map(_.getAs[Long]("doc_id")).min, s"cluster label is min id")
+    }
+    // the multi-doc clusters are exactly d09's components
+    val d09 = SparkEntry.queries("d09_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    keep.filter(r => d09.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Long]("cluster_id") == d09(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("d16 repetition signals: permille bounds and exact value on a planted doc") {
+    val out = SparkEntry.queries("d16_repetition")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("top_bigram_permille") <= 1000L)
+      assert(r.getAs[Long]("distinct_permille") <= 1000L)
+      assert(r.getAs[Long]("top_bigram_n") >= 1L)
+    }
+  }
+
+  test("d18 contamination: src0 is the benchmark, counts are set-consistent") {
+    val out = SparkEntry.queries("d18_contamination")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("contam_permille") <= 1000L)
+    }
+    // no src0 (benchmark) doc may appear in the audited output
+    val src0 = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !src0.contains(r.getAs[Long]("doc_id"))))
+  }
+
+  test("s05 stream-stream join equals the batch interval-join answer") {
+    val streamed = SparkEntry.queries("s05_stream_stream_join")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_conversions")).toMap
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_type"))
+    val batch = e.filter(col("event_type") === "view").select(col("user_id"), col("tsu").as("vt"))
+      .join(e.filter(col("event_type") === "purchase").select(col("user_id"), col("tsu").as("pt")),
+        "user_id")
+      .filter(col("pt") >= col("vt") && col("pt") <= col("vt") + 1800000000L)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(streamed == batch)
+  }
 }
