@@ -2,7 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run CONCURRENTLY (SPARK_GRAFT_VERIFY_PAR worker threads,
+  * default 8, 1 = the old serial behavior) under a FAIR scheduler, each
+  * in its own pool + job group. A single local[32] Spark easily overlaps
+  * several of these queries — most are short and leave the cluster idle
+  * during their planning/oracle-free phases — which cuts the gate's wall
+  * time roughly by the worker count. Safe because every query writes its
+  * own output dir, temp view names are query-unique, streaming sinks are
+  * UUID-named, and all queries are deterministic by construction.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -17,6 +27,10 @@ object Verify {
       // the 64-column minhash signature aggregate must stay inside
       // whole-stage codegen (default maxFields=100 silently disables it)
       .config("spark.sql.codegen.maxFields", "300")
+      // fair sharing across the concurrently-running queries: a long
+      // pair-generation query must not starve the quick scans queued
+      // behind it (pools get equal shares; FIFO within a pool)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,15 +39,24 @@ object Verify {
     // correctness dump. Each query runs in its own Spark job group; on
     // timeout only THAT group is cancelled (interrupting its thread), so
     // an abandoned query can't keep submitting work or kill a successor's
-    // jobs.
+    // jobs. The timeout clock starts when a worker PICKS UP the query,
+    // not when it was queued.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt)
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    SparkEntry.all.foreach { query =>
+    val workers = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val runners = java.util.concurrent.Executors.newCachedThreadPool()
+    val wec = ExecutionContext.fromExecutor(workers)
+    val rec = ExecutionContext.fromExecutor(runners)
+    val futures = SparkEntry.all.map { query =>
       val name = query.name
-      try {
-        val f = Future {
+      Future {
+        val inner = Future {
+          // thread-locals: scope this query's jobs to its own FAIR pool
+          // and cancellable group (runner threads are reused — set both
+          // explicitly every time)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           try {
             query.build(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -45,17 +68,19 @@ object Verify {
                 .parquet(s"$outDir/$name/$auxName")
             }
           } finally spark.sparkContext.clearJobGroup()
+        }(rec)
+        try Await.result(inner, timeoutSec.seconds)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+            spark.sparkContext.cancelJobGroup(name)
+          case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        Await.result(f, timeoutSec.seconds)
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
-          spark.sparkContext.cancelJobGroup(name)
-        case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      spark.catalog.clearCache()
+      }(wec)
     }
+    futures.foreach(f => Await.result(f, Duration.Inf))
+    workers.shutdown(); runners.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
