@@ -24,9 +24,20 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Schema contract: `frame_bytes` (binary, required); `frame_time`
   * (timestamp, 0 if absent/null); `frame_len` (wire length, defaults to
-  * the captured length). Option `linktype` (default 1 = Ethernet) sets the
-  * global-header linktype; per-row `linktype` values are NOT consulted —
-  * legacy pcap has one linktype per file.
+  * the captured length).
+  *
+  * Two output formats (`option("format", ...)`):
+  *   - `"pcap"` (default): legacy pcap. Option `linktype` (default 1 =
+  *     Ethernet) sets the global-header linktype; per-row `linktype`
+  *     values are NOT consulted — legacy pcap has ONE linktype per file.
+  *   - `"pcapng"`: one SHB per part-file, one IDB per DISTINCT linktype
+  *     encountered (per-row `linktype` column when present, else the
+  *     option), EPBs referencing the matching interface. This lifts the
+  *     legacy one-linktype limit — a mixed Ethernet/raw-IP capture
+  *     round-trips through a single file set. IDBs are emitted lazily at
+  *     first sight of a linktype, which pcapng permits (an IDB need only
+  *     precede the first EPB that references it). µs timestamps need no
+  *     if_tsresol option — 1e-6 is the pcapng default resolution.
   */
 final class PcapWriteBuilder(
     path: String,
@@ -43,18 +54,20 @@ final class PcapWriteBuilder(
         schema(schema.fieldIndex("frame_bytes")).dataType == BinaryType,
       "pcap write needs a binary frame_bytes column — read the source with " +
         "spark.read.format(\"pcap\").option(\"bytes\", \"true\")")
-    new PcapWrite(path, schema, doTruncate, options.getInt("linktype", 1))
+    val fmt = Option(options.get("format")).getOrElse("pcap")
+    require(fmt == "pcap" || fmt == "pcapng", s"unknown pcap output format: $fmt")
+    new PcapWrite(path, schema, doTruncate, options.getInt("linktype", 1), fmt == "pcapng")
   }
 }
 
 final class PcapWrite(
-    path: String, schema: StructType, truncate: Boolean, linktype: Int)
+    path: String, schema: StructType, truncate: Boolean, linktype: Int, ng: Boolean)
     extends Write {
-  override def toBatch: BatchWrite = new PcapBatchWrite(path, schema, truncate, linktype)
+  override def toBatch: BatchWrite = new PcapBatchWrite(path, schema, truncate, linktype, ng)
 }
 
 final class PcapBatchWrite(
-    path: String, schema: StructType, truncate: Boolean, linktype: Int)
+    path: String, schema: StructType, truncate: Boolean, linktype: Int, ng: Boolean)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -64,7 +77,7 @@ final class PcapBatchWrite(
     val fs = dir.getFileSystem(hconf)
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    PcapWriterFactory(new SerializableConfiguration(hconf), path, schema, linktype)
+    PcapWriterFactory(new SerializableConfiguration(hconf), path, schema, linktype, ng)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -85,10 +98,12 @@ final case class PcapWriterFactory(
     conf: SerializableConfiguration,
     dir: String,
     schema: StructType,
-    linktype: Int)
+    linktype: Int,
+    ng: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PcapDataWriter(conf.value, dir, schema, linktype, partitionId, taskId)
+    if (ng) new PcapNgDataWriter(conf.value, dir, schema, linktype, partitionId, taskId)
+    else new PcapDataWriter(conf.value, dir, schema, linktype, partitionId, taskId)
 }
 
 final class PcapDataWriter(
@@ -148,6 +163,106 @@ final class PcapDataWriter(
 
   override def commit(): WriterCommitMessage = {
     if (!wroteHeader) writeHeader() // an empty partition still yields a valid pcap
+    out.close()
+    if (!fs.rename(tmpPath, finalPath))
+      throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
+    PcapCommitMessage(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** pcapng part-file writer: SHB, then per-linktype IDBs interleaved with
+  * EPBs. Consults a per-row `linktype` column when the schema has one
+  * (the `bytes`-mode read emits it), so one file carries a mixed-linktype
+  * capture — the thing the legacy writer structurally cannot.
+  */
+final class PcapNgDataWriter(
+    conf: org.apache.hadoop.conf.Configuration,
+    dir: String,
+    schema: StructType,
+    defaultLinktype: Int,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val bytesIdx = schema.fieldIndex("frame_bytes")
+  private val timeIdx =
+    if (schema.fieldNames.contains("frame_time") &&
+        schema(schema.fieldIndex("frame_time")).dataType == TimestampType)
+      schema.fieldIndex("frame_time")
+    else -1
+  private val lenIdx =
+    if (schema.fieldNames.contains("frame_len")) schema.fieldIndex("frame_len")
+    else -1
+  private val ltIdx =
+    if (schema.fieldNames.contains("linktype")) schema.fieldIndex("linktype")
+    else -1
+
+  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.pcapng")
+  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId.pcapng.tmp")
+  private val fs = finalPath.getFileSystem(conf)
+  private val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
+  private var wroteShb = false
+  /** linktype → interface id, in first-seen order (pcapng numbers IDBs
+    * implicitly by appearance). */
+  private val ifaceOf = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+
+  private def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+  private def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+
+  private def writeShb(): Unit = {
+    le32(0x0a0d0d0a) // SHB block type
+    le32(28)         // block total length
+    le32(0x1a2b3c4d) // byte-order magic (we write LE)
+    le16(1); le16(0) // version 1.0
+    le32(-1); le32(-1) // section length: unspecified
+    le32(28)
+    wroteShb = true
+  }
+
+  private def ifaceFor(linktype: Int): Int = ifaceOf.getOrElseUpdate(linktype, {
+    le32(1)  // IDB block type
+    le32(20) // block total length (no options: µs is the default tsresol)
+    le16(linktype); le16(0) // linktype, reserved
+    le32(262144) // snaplen
+    le32(20)
+    ifaceOf.size
+  })
+
+  override def write(row: InternalRow): Unit = {
+    if (!wroteShb) writeShb()
+    val bytes = row.getBinary(bytesIdx)
+    val micros =
+      if (timeIdx >= 0 && !row.isNullAt(timeIdx)) row.getLong(timeIdx) else 0L
+    val orig =
+      if (lenIdx >= 0 && !row.isNullAt(lenIdx)) row.getLong(lenIdx).toInt
+      else bytes.length
+    val lt =
+      if (ltIdx >= 0 && !row.isNullAt(ltIdx)) row.getInt(ltIdx) else defaultLinktype
+    val iface = ifaceFor(lt)
+    val pad = (4 - (bytes.length & 3)) & 3
+    val blockLen = 32 + bytes.length + pad
+    le32(6) // EPB block type
+    le32(blockLen)
+    le32(iface)
+    le32((micros >>> 32).toInt) // timestamp high
+    le32(micros.toInt)          // timestamp low
+    le32(bytes.length)          // captured length
+    le32(orig)                  // original length
+    out.write(bytes)
+    var i = 0
+    while (i < pad) { out.write(0); i += 1 }
+    le32(blockLen)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (!wroteShb) writeShb() // an empty partition still yields a valid pcapng
     out.close()
     if (!fs.rename(tmpPath, finalPath))
       throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")

@@ -124,6 +124,34 @@ class PcapDataSourceSpec extends SparkFunSuite {
     assert(back.size == 3)
   }
 
+  test("pcapng write: mixed linktypes round-trip through per-interface IDBs") {
+    // a capture that legacy pcap cannot represent: Ethernet (linktype 1)
+    // and raw-IP (linktype 101) frames in one file
+    val ethFrame = ethernet(0x0800, ipv4("10.0.0.1", "10.0.0.2", 17,
+      udp(1111, 53, dnsQuery("mixed.example", 1))))
+    val rawFrame = ipv4("10.0.0.3", "10.0.0.4", 17,
+      udp(2222, 53, dnsQuery("raw.example", 1)))
+    val d = Files.createTempDirectory("pcapng-mixed")
+    Files.write(d.resolve("mix.pcapng"), pcapng(
+      Seq((1, 6), (101, 6)),
+      Seq((0, 1000000L, ethFrame.length, ethFrame),
+        (1, 2000000L, rawFrame.length, rawFrame))))
+    val src = spark.read.format("pcap").option("bytes", "true").load(d.toString)
+    assert(src.select("linktype").orderBy("frame_time").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 101))
+    val outDir = Files.createTempDirectory("pcapng-out").toString
+    src.write.format("pcap").option("format", "pcapng").mode("overwrite").save(outDir)
+    val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".pcapng"))
+    assert(files.nonEmpty)
+    // re-read: dissection AND per-row linktypes must survive the round trip
+    val back = spark.read.format("pcap").option("bytes", "true").load(outDir)
+      .drop("pcap_file").orderBy("frame_time").collect().toSeq
+    val expected = src.drop("pcap_file").orderBy("frame_time").collect().toSeq
+    assert(back == expected)
+    assert(back.map(_.getAs[String]("dns_qry_name")).toSet ==
+      Set("mixed.example", "raw.example"))
+  }
+
   test("pcap write without frame_bytes fails fast with a helpful error") {
     val noBytes = spark.read.format("pcap").load(dir)
     val outDir = Files.createTempDirectory("pcap-nobytes").toString
