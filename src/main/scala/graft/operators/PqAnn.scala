@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding search at scale: each vector is
+  * split into `m` subvectors, each subspace learns a tiny k-code codebook
+  * (Lloyd iterations), and every vector compresses to `m` small codes —
+  * 64 float dims (256 B) become 8 codes (8 B), a 32× memory cut, which is
+  * what lets a 100 TB embedding corpus live in executor memory for
+  * asymmetric-distance (ADC) scans. Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011.
+  *
+  * Scale shape: codebooks are m·k rows (tiny, always broadcast); encode
+  * and ADC scoring never shuffle the corpus except for the per-(query,
+  * candidate) score aggregation, which is linear in corpus × queries. In
+  * production the IVF cells (KMeansIvf) restrict candidates first and PQ
+  * compresses what remains — this operator is the compression layer.
+  *
+  * Determinism: every distance is a sum of PER-DIMENSION integer units
+  * (`floor(1e6·diff² + 0.5)` per dim, then integer sums) so no float
+  * summation order can flip an argmin or a rank; ties break on lowest
+  * code / lowest candidate id. Codebook learning averages doubles
+  * (merge-order dependent in the last bits), so consumers needing an
+  * external replay must export the cached codebooks/codes frames this
+  * class returns — the replay is then exact integer arithmetic.
+  */
+object PqAnn {
+
+  /** Per-dim-integerized squared L2 distance between two `dsub`-dim
+    * arrays; `aOff` offsets into `a` (1-based element_at, matching
+    * DuckDB's 1-based list indexing so the oracle SQL is textually
+    * parallel).
+    */
+  private def distExpr(a: String, aOff: String, b: String, dsub: Int): String =
+    s"""aggregate(sequence(1, $dsub), CAST(0 AS BIGINT),
+       | (acc, i) -> acc + CAST(floor(1000000 *
+       |   (element_at($a, $aOff + i) - element_at($b, i)) *
+       |   (element_at($a, $aOff + i) - element_at($b, i)) + 0.5) AS BIGINT))""".stripMargin
+
+  /** Learn codebooks, encode the corpus, ADC-score the first `nQueries`
+    * vectors.
+    * @return (result (qid, cid, dist_e6), codebooks (sub_m, code, ce),
+    *         codes (vec_id, sub_m, code)) — the latter two CACHED so an
+    *         aux export observes exactly what the result used.
+    */
+  def searchWithIndex(emb: DataFrame, m: Int, k: Int, iterations: Int,
+      nQueries: Int, topK: Int): (DataFrame, DataFrame, DataFrame) = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")).cache()
+    // (vec_id, sub_m, sv): the corpus split into m subvectors per vector
+    val sv = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(e, j * $dsub + 1, $dsub))")))
+      .toDF("vec_id", "sub_m", "sv")
+    val svDist = distExpr("sv", "0", "ce", dsub)
+
+    /** nearest-code assignment: broadcast codebooks, integer argmin */
+    def encode(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "sub_m")
+        .orderBy(col("di").asc, col("code").asc)
+      sv.join(broadcast(cb), Seq("sub_m"))
+        .select(col("vec_id"), col("sub_m"), col("sv"), col("code"),
+          expr(svDist).as("di"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "sub_m", "sv", "code")
+    }
+
+    // init: the first k vectors seed every subspace (deterministic)
+    var cb = sv.filter(col("vec_id") < k)
+      .select(col("sub_m"), col("vec_id").cast("int").as("code"), col("sv").as("ce"))
+    for (_ <- 1 to iterations) {
+      val updated = encode(cb)
+        .select(col("sub_m"), col("code"), posexplode(col("sv")))
+        .groupBy("sub_m", "code", "pos")
+        .agg(avg("col").as("mv"))
+        .groupBy("sub_m", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("sub_m"), col("code"), expr("transform(pm, x -> x.mv)").as("nce"))
+      // a code that captured no points keeps its previous centroid
+      cb = cb.join(updated, Seq("sub_m", "code"), "left")
+        .select(col("sub_m"), col("code"), coalesce(col("nce"), col("ce")).as("ce"))
+    }
+    val codebooks = cb.cache()
+    val codes = encode(codebooks).select("vec_id", "sub_m", "code").cache()
+
+    // ADC: per-query distance table over (sub_m, code) — m·k entries per
+    // query, built from the FULL query vector (asymmetric: query is not
+    // quantized), then candidate distance = Σ_m table lookups
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val qtab = q.crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("sub_m"), col("code"),
+        expr(distExpr("qe", s"sub_m * $dsub", "ce", dsub)).as("di"))
+    val wk = Window.partitionBy("qid").orderBy(col("dist_e6").asc, col("cid").asc)
+    val result = codes.join(broadcast(qtab), Seq("sub_m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(sum(col("di")).as("dist_e6"))
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= topK)
+      .select("qid", "cid", "dist_e6")
+    (result, codebooks, codes)
+  }
+}

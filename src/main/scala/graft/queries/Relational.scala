@@ -614,6 +614,76 @@ object Relational {
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS trail_sum_e4
              |FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events)
              |WINDOW w AS (PARTITION BY user_id ORDER BY tsu
-             |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin))
+             |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // --- q32: exact statistical moments ------------------------------------
+    // variance/covariance emitted as their EXACT integer numerators
+    // (n·Σx² − (Σx)², n·Σxy − ΣxΣy) over integer-unit values — the
+    // float stddev/corr aggregates are summation-order-dependent and can
+    // never hash-match across engines, but the integer moments are exact,
+    // associative (map-side partials), and carry the same information
+    // (divide by n² off-engine for the actual variance). Unit choice
+    // bounds the magnitudes: quantity in whole units (≤50), discount in
+    // e2 units (≤10) — n·Σx² stays ≪ 2⁶³ even at 10¹⁰ rows.
+    Q("q32_exact_moments",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            intUnits("l_quantity", 1L).as("q"),
+            intUnits("l_discount", 100L).as("d"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("q")).as("sum_q"),
+            sum(col("q") * col("q")).as("sum_qq"),
+            sum(col("d")).as("sum_d"),
+            sum(col("q") * col("d")).as("sum_qd"))
+          .select(col("l_returnflag"), col("n"), col("sum_q"),
+            (col("n") * col("sum_qq") - col("sum_q") * col("sum_q")).as("var_num_q"),
+            (col("n") * col("sum_qd") - col("sum_q") * col("sum_d")).as("cov_num_qd"))
+      },
+      Some("""WITH u AS (SELECT l_returnflag,
+             |    CAST(floor((l_quantity) * 1 + 0.5) AS BIGINT) AS q,
+             |    CAST(floor((l_discount) * 100 + 0.5) AS BIGINT) AS d
+             |  FROM lineitem),
+             |a AS (SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(q) AS BIGINT) AS sum_q, CAST(SUM(q*q) AS BIGINT) AS sum_qq,
+             |    CAST(SUM(d) AS BIGINT) AS sum_d, CAST(SUM(q*d) AS BIGINT) AS sum_qd
+             |  FROM u GROUP BY l_returnflag)
+             |SELECT l_returnflag, n, sum_q,
+             |  CAST(n * sum_qq - sum_q * sum_q AS BIGINT) AS var_num_q,
+             |  CAST(n * sum_qd - sum_q * sum_d AS BIGINT) AS cov_num_qd
+             |FROM a""".stripMargin)),
+
+    // --- q33: time-series gap-fill ------------------------------------------
+    // per-user daily activity with MISSING days materialized as zero rows
+    // (sequence + explode + left join) — the resample/densify step every
+    // downstream time-series model needs. Scale: the generated rows are
+    // bounded by users × span-days (time-bounded, not data-bounded), and
+    // the join is an equi-join on (user, day).
+    Q("q33_gapfill",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+            intUnits("value", 10000L).as("v"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val span = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        span.select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+          .join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            coalesce(col("sv"), lit(0L)).as("sum_value_e4"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n,
+             |         CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sv
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+             |days AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+             |SELECT days.user_id, days.day,
+             |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+             |  CAST(COALESCE(sv, 0) AS BIGINT) AS sum_value_e4
+             |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.day = daily.day""".stripMargin))
   )
 }

@@ -86,6 +86,19 @@ object VectorOps {
       t(s, dir, "embeddings"), k = 8, iterations = 3,
       nQueries = 20, topK = 5, nprobe = 2))
 
+  /** Same memo contract for e05: result + exported codebooks/codes must
+    * share one cached plan set. */
+  private val e05Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  // m=32 two-dim subspaces × 32 codes: 8× compression at ~0.7 recall@10
+  // on the near-uniform synthetic embeddings (PQ-hostile — no cluster
+  // structure for the codebooks to exploit; real embedding corpora do
+  // far better at coarser m)
+  private def e05Index(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    e05Memo.getOrElseUpdate((s, dir), graft.operators.PqAnn.searchWithIndex(
+      t(s, dir, "embeddings"), m = 32, k = 32, iterations = 5,
+      nQueries = 10, topK = 10))
+
   private def oracleCosine(filterA: String, joinCond: String, k: Int): String =
     s"""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
        |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
@@ -129,6 +142,31 @@ object VectorOps {
       aux = Seq(
         "aux_assign" -> ((s: SparkSession, dir: String) => e04Index(s, dir)._2),
         "aux_probes" -> ((s: SparkSession, dir: String) => e04Index(s, dir)._3))),
+    // product quantization: codebook learning is Spark-side (averaged
+    // doubles — exported), but ADC scoring is pure integer arithmetic
+    // over the exported codebooks/codes, so DuckDB replays the entire
+    // scoring + ranking exactly. PQ quality (recall) stays in ScalaTest.
+    Q("e05_pq_ann",
+      (s, dir) => e05Index(s, dir)._1,
+      Some("""WITH cb AS (SELECT sub_m, code, ce FROM '{OUT}/e05_pq_ann/aux_codebooks/*.parquet'),
+             |cd AS (SELECT vec_id, sub_m, code FROM '{OUT}/e05_pq_ann/aux_codes/*.parquet'),
+             |q AS (SELECT vec_id AS qid, [CAST(x AS DOUBLE) for x in embedding] AS qe
+             |      FROM embeddings WHERE vec_id < 10),
+             |tab AS (SELECT qid, sub_m, code,
+             |  CAST(list_sum([CAST(floor(1000000 *
+             |    (qe[sub_m * 2 + i] - ce[i]) * (qe[sub_m * 2 + i] - ce[i]) + 0.5) AS BIGINT)
+             |    for i in range(1, 3)]) AS BIGINT) AS di
+             |  FROM q CROSS JOIN cb),
+             |sc AS (SELECT qid, vec_id AS cid, CAST(SUM(di) AS BIGINT) AS dist_e6
+             |       FROM cd JOIN tab USING (sub_m, code)
+             |       WHERE vec_id <> qid GROUP BY 1, 2)
+             |SELECT qid, cid, dist_e6 FROM (
+             |  SELECT qid, cid, dist_e6,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_e6, cid) rn FROM sc)
+             |WHERE rn <= 10""".stripMargin),
+      aux = Seq(
+        "aux_codebooks" -> ((s: SparkSession, dir: String) => e05Index(s, dir)._2),
+        "aux_codes" -> ((s: SparkSession, dir: String) => e05Index(s, dir)._3))),
     Q("e03_cosine_neardups", (s, dir) => cosineNearDups(s, dir),
       Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
              |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),

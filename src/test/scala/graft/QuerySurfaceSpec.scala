@@ -275,6 +275,26 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(out.forall(r => !src0.contains(r.getAs[Long]("doc_id"))))
   }
 
+  test("e05 PQ: deterministic across runs, recall vs exact L2 top-k") {
+    val pq = SparkEntry.queries("e05_pq_ann")(spark, sf).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    // exact L2 top-10 per query, computed locally
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val recalls = byQ.map { case (qid, got) =>
+      val exact = vecs.collect { case (cid, v) if cid != qid => (cid, l2(vecs(qid), v)) }
+        .toSeq.sortBy { case (cid, d) => (d, cid) }.take(10).map(_._1).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean PQ recall@10 $mean across ${recalls.size} queries")
+    assert(recalls.count(_ >= 0.3) == recalls.size, s"worst-case recall too low: $recalls")
+  }
+
   test("s05 stream-stream join equals the batch interval-join answer") {
     val streamed = SparkEntry.queries("s05_stream_stream_join")(spark, sf)
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_conversions")).toMap
