@@ -684,6 +684,57 @@ object Relational {
              |SELECT days.user_id, days.day,
              |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
              |  CAST(COALESCE(sv, 0) AS BIGINT) AS sum_value_e4
-             |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.day = daily.day""".stripMargin))
+             |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.day = daily.day""".stripMargin)),
+
+    // --- q34: ranking-function battery --------------------------------------
+    // rank / dense_rank / ntile over a full deterministic sort key. All
+    // integer-valued (percent_rank/cume_dist are rationals — recoverable
+    // off-engine from rank and the partition count, so the integer trio
+    // carries the same information hash-safely).
+    Q("q34_ranking",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("price_c").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            intUnits("o_totalprice").as("price_c"))
+          .withColumn("rnk", rank().over(w).cast(LongType))
+          .withColumn("drnk", dense_rank().over(w).cast(LongType))
+          .withColumn("quartile", ntile(4).over(w).cast(LongType))
+          .filter(col("rnk") <= 50)
+          .select("o_orderpriority", "o_orderkey", "rnk", "drnk", "quartile")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+             |  CAST(quartile AS BIGINT) AS quartile
+             |FROM (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+             |    NTILE(4) OVER w AS quartile
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) DESC, o_orderkey))
+             |WHERE rnk <= 50""".stripMargin)),
+
+    // --- q35: bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) -----------
+    // q09 covers the DISTINCT-semantics family; the ALL variants preserve
+    // multiplicity (a row appearing 3 vs 1 times survives twice) — a
+    // different physical op (counted hash aggregate, not dedup).
+    Q("q35_set_ops_all",
+      (s, dir) => {
+        val hi = t(s, dir, "lineitem").filter(col("l_quantity") >= 25)
+          .select(col("l_partkey"), col("l_returnflag"))
+        val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_partkey"), col("l_returnflag"))
+        hi.exceptAll(ret).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("l_partkey")).as("n_parts"))
+      },
+      Some("""WITH x AS (
+             |  SELECT l_partkey, l_returnflag FROM lineitem WHERE l_quantity >= 25
+             |  EXCEPT ALL
+             |  SELECT l_partkey, l_returnflag FROM lineitem WHERE l_returnflag = 'R')
+             |SELECT l_returnflag, COUNT(*) AS n_rows,
+             |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+             |FROM x GROUP BY l_returnflag""".stripMargin))
   )
 }

@@ -420,7 +420,37 @@ object TextOps {
              |  COALESCE(c.component, d.doc_id) AS cluster_id,
              |  CAST(CASE WHEN c.component IS NULL OR c.component = d.doc_id
              |       THEN 1 ELSE 0 END AS BIGINT) AS keep
-             |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin))
+             |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
+
+    // --- d20: distinctive-term extraction (rarest tokens per doc) ----------
+    // keyword extraction without floats: a doc's most distinctive terms
+    // are its tokens with the LOWEST global document frequency — the
+    // integer-exact stand-in for tf-idf (log-idf is monotone in 1/df, so
+    // the rarest-first ranking is the idf ranking). Two linear shuffles:
+    // the global df aggregation, then a (token → df) join back; the
+    // per-doc top-3 is a bounded window.
+    Q("d20_distinctive_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+        val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)
+        tok.join(df, "token")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk").cast(LongType).as("rnk"),
+            col("token"), col("df"))
+      },
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+             |            FROM documents),
+             |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |       FROM tok GROUP BY token)
+             |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, df FROM (
+             |  SELECT t.doc_id, t.token, df.df,
+             |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.token) AS rnk
+             |  FROM tok t JOIN df USING (token))
+             |WHERE rnk <= 3""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */
