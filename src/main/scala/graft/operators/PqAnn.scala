@@ -39,14 +39,12 @@ object PqAnn {
        |   (element_at($a, $aOff + i) - element_at($b, i)) *
        |   (element_at($a, $aOff + i) - element_at($b, i)) + 0.5) AS BIGINT))""".stripMargin
 
-  /** Learn codebooks, encode the corpus, ADC-score the first `nQueries`
-    * vectors.
-    * @return (result (qid, cid, dist_e6), codebooks (sub_m, code, ce),
-    *         codes (vec_id, sub_m, code)) — the latter two CACHED so an
-    *         aux export observes exactly what the result used.
+  /** Learn per-subspace codebooks and encode the whole corpus.
+    * @return (codebooks (sub_m, code, ce), codes (vec_id, sub_m, code),
+    *         dsub) — frames CACHED so aux exports observe exactly what
+    *         downstream scoring used.
     */
-  def searchWithIndex(emb: DataFrame, m: Int, k: Int, iterations: Int,
-      nQueries: Int, topK: Int): (DataFrame, DataFrame, DataFrame) = {
+  def fitEncode(emb: DataFrame, m: Int, k: Int, iterations: Int): (DataFrame, DataFrame, Int) = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -86,15 +84,34 @@ object PqAnn {
     }
     val codebooks = cb.cache()
     val codes = encode(codebooks).select("vec_id", "sub_m", "code").cache()
+    (codebooks, codes, dsub)
+  }
 
-    // ADC: per-query distance table over (sub_m, code) — m·k entries per
-    // query, built from the FULL query vector (asymmetric: query is not
-    // quantized), then candidate distance = Σ_m table lookups
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val qtab = q.crossJoin(broadcast(codebooks))
+  /** ADC distance tables for the first `nQueries` vectors: one integer
+    * sub-distance per (query, sub_m, code) — m·k entries per query, built
+    * from the FULL query vector (asymmetric: the query is not quantized).
+    */
+  def queryTables(emb: DataFrame, codebooks: DataFrame, dsub: Int,
+      nQueries: Int): DataFrame = {
+    val q = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qe"))
+    q.crossJoin(broadcast(codebooks))
       .select(col("qid"), col("sub_m"), col("code"),
         expr(distExpr("qe", s"sub_m * $dsub", "ce", dsub)).as("di"))
+  }
+
+  /** Learn codebooks, encode the corpus, ADC-score the first `nQueries`
+    * vectors against the WHOLE corpus (brute compressed scan).
+    * @return (result (qid, cid, dist_e6), codebooks (sub_m, code, ce),
+    *         codes (vec_id, sub_m, code)) — the latter two CACHED so an
+    *         aux export observes exactly what the result used.
+    */
+  def searchWithIndex(emb: DataFrame, m: Int, k: Int, iterations: Int,
+      nQueries: Int, topK: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (codebooks, codes, dsub) = fitEncode(emb, m, k, iterations)
+    val qtab = queryTables(emb, codebooks, dsub, nQueries)
     val wk = Window.partitionBy("qid").orderBy(col("dist_e6").asc, col("cid").asc)
     val result = codes.join(broadcast(qtab), Seq("sub_m", "code"))
       .filter(col("vec_id") =!= col("qid"))

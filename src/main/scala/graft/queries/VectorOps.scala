@@ -112,6 +112,14 @@ object VectorOps {
        |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn FROM s)
        |WHERE rn <= $k""".stripMargin
 
+  /** e06 memo: result + the four exported index frames from ONE call. */
+  private val e06Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]
+  private def e06Index(s: SparkSession, dir: String) =
+    e06Memo.getOrElseUpdate((s, dir), graft.operators.IvfPq.searchWithIndex(
+      t(s, dir, "embeddings"), cells = 8, cellIterations = 3, nprobe = 3,
+      m = 32, k = 32, pqIterations = 5, nQueries = 10, topK = 10))
+
   val queries: Seq[Q] = Seq(
     Q("e01_cosine_topk", (s, dir) => cosineTopK(s, dir),
       Some(oracleCosine("vec_id < 10", "", 5)),
@@ -167,6 +175,37 @@ object VectorOps {
       aux = Seq(
         "aux_codebooks" -> ((s: SparkSession, dir: String) => e05Index(s, dir)._2),
         "aux_codes" -> ((s: SparkSession, dir: String) => e05Index(s, dir)._3))),
+    // fused IVF+PQ (the production index): DuckDB replays cell
+    // restriction, integer ADC scoring, and ranking from the four
+    // exported index frames — the full search path, end to end.
+    Q("e06_ivf_pq",
+      (s, dir) => e06Index(s, dir)._1,
+      Some("""WITH a AS (SELECT vec_id, cell FROM '{OUT}/e06_ivf_pq/aux_assign/*.parquet'),
+             |p AS (SELECT qid, cell FROM '{OUT}/e06_ivf_pq/aux_probes/*.parquet'),
+             |cb AS (SELECT sub_m, code, ce FROM '{OUT}/e06_ivf_pq/aux_codebooks/*.parquet'),
+             |cd AS (SELECT vec_id, sub_m, code FROM '{OUT}/e06_ivf_pq/aux_codes/*.parquet'),
+             |q AS (SELECT vec_id AS qid, [CAST(x AS DOUBLE) for x in embedding] AS qe
+             |      FROM embeddings WHERE vec_id < 10),
+             |tab AS (SELECT qid, sub_m, code,
+             |  CAST(list_sum([CAST(floor(1000000 *
+             |    (qe[sub_m * 2 + i] - ce[i]) * (qe[sub_m * 2 + i] - ce[i]) + 0.5) AS BIGINT)
+             |    for i in range(1, 3)]) AS BIGINT) AS di
+             |  FROM q CROSS JOIN cb),
+             |cand AS (SELECT p.qid, a.vec_id FROM p JOIN a USING (cell)
+             |         WHERE a.vec_id <> p.qid),
+             |sc AS (SELECT c.qid, c.vec_id AS cid, CAST(SUM(di) AS BIGINT) AS dist_e6
+             |       FROM cand c JOIN cd ON cd.vec_id = c.vec_id
+             |       JOIN tab ON tab.qid = c.qid AND tab.sub_m = cd.sub_m AND tab.code = cd.code
+             |       GROUP BY 1, 2)
+             |SELECT qid, cid, dist_e6 FROM (
+             |  SELECT qid, cid, dist_e6,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_e6, cid) rn FROM sc)
+             |WHERE rn <= 10""".stripMargin),
+      aux = Seq(
+        "aux_assign" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._2),
+        "aux_probes" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._3),
+        "aux_codebooks" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._4),
+        "aux_codes" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._5))),
     Q("e03_cosine_neardups", (s, dir) => cosineNearDups(s, dir),
       Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
              |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),

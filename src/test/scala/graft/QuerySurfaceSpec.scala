@@ -295,6 +295,36 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(recalls.count(_ >= 0.3) == recalls.size, s"worst-case recall too low: $recalls")
   }
 
+  test("e06 IVF+PQ: candidates honor the probed cells; recall near the full PQ scan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (res, assign, probes, _, _) = graft.operators.IvfPq.searchWithIndex(
+      emb, cells = 8, cellIterations = 3, nprobe = 3,
+      m = 32, k = 32, pqIterations = 5, nQueries = 10, topK = 10)
+    val cellOf = assign.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val probed = probes.collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Int]("cell")).toSet).toMap
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // every returned candidate must live in one of its query's probed cells
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid"); val cid = r.getAs[Long]("cid")
+      assert(probed(qid).contains(cellOf(cid)), s"$cid not in $qid's probed cells")
+    }
+    // probing 3 of 8 cells should stay near the full-scan PQ recall
+    val vecs = emb.selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val recalls = rows.groupBy(_.getAs[Long]("qid")).map { case (qid, rs) =>
+      val got = rs.map(_.getAs[Long]("cid")).toSet
+      val exact = vecs.collect { case (cid, v) if cid != qid => (cid, l2(vecs(qid), v)) }
+        .toSeq.sortBy { case (c, d) => (d, c) }.take(10).map(_._1).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.55, s"mean IVF+PQ recall@10 $mean")
+  }
+
   test("s05 stream-stream join equals the batch interval-join answer") {
     val streamed = SparkEntry.queries("s05_stream_stream_join")(spark, sf)
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_conversions")).toMap
