@@ -450,7 +450,61 @@ object TextOps {
              |  SELECT t.doc_id, t.token, df.df,
              |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.token) AS rnk
              |  FROM tok t JOIN df USING (token))
-             |WHERE rnk <= 3""".stripMargin))
+             |WHERE rnk <= 3""".stripMargin)),
+
+    // --- d21: document chunking (overlapping token windows) ----------------
+    // split every doc into 16-token chunks at stride 8 — the window
+    // sampling that feeds sequence models. Narrow (explode only), so it
+    // scales as a pure map; the chunk md5 doubles as the downstream
+    // chunk-dedup key.
+    Q("d21_chunking",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), col("ws"),
+            explode(expr("sequence(1, size(ws), 8)")).as("start"))
+          .select(col("doc_id"), col("start").cast(LongType).as("start"),
+            expr("CAST(size(slice(ws, start, 16)) AS BIGINT)").as("n_chunk_tokens"),
+            expr("md5(concat_ws(' ', slice(ws, start, 16)))").as("chunk_md5"))
+      },
+      // DuckDB slice ws[a:b] is inclusive → b = start+15 caps at 16 tokens,
+      // truncating at the doc end exactly like Spark's slice(ws, start, 16)
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 8)) AS start FROM w)
+             |SELECT doc_id, CAST(start AS BIGINT) AS start,
+             |  CAST(len(ws[start:start+15]) AS BIGINT) AS n_chunk_tokens,
+             |  md5(array_to_string(ws[start:start+15], ' ')) AS chunk_md5
+             |FROM st""".stripMargin)),
+
+    // --- d22: sequence packing (contiguous fill into token budgets) --------
+    // assign docs (in deterministic doc_id order per source) to fixed
+    // 2000-token training packs by cumulative offset — the standard
+    // streaming packer (one window cumsum; no driver loop, no shuffle
+    // beyond the per-source window partition).
+    Q("d22_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            expr("CAST((cum - n_tokens) div 2000 AS BIGINT)").as("pack_id"),
+            expr("CAST((cum - n_tokens) % 2000 AS BIGINT)").as("pack_offset"))
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+             |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM d)
+             |SELECT source, doc_id, n_tokens,
+             |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS pack_id,
+             |  CAST((cum - n_tokens) % 2000 AS BIGINT) AS pack_offset
+             |FROM c""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */

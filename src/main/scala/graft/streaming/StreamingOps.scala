@@ -209,6 +209,39 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** Continuous-ETL landing: stream → narrow transforms → PARQUET sink
+    * (the production sink, not the verification memory table), then a
+    * batch rollup over the landed files. Transform-only append streams
+    * have no watermark-finalization tail, so the landed rows equal the
+    * batch answer exactly; exactly-once comes from the sink's commit log
+    * (_spark_metadata) + checkpoint.
+    */
+  def streamEtlParquet(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_etl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_etl_ckpt").toString
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"),
+        min(col("tsu")).as("first_tsu"),
+        max(col("tsu")).as("last_tsu"))
+  }
+
   val queries: Seq[graft.queries.Q] = Seq(
     // deterministic winner: each distinct text belongs to the source of
     // its min-doc_id row — exactly what the min_by state keeps
@@ -248,6 +281,12 @@ object StreamingOps {
              |FROM (SELECT user_id, epoch_us(ts) AS vt FROM events WHERE event_type = 'view') v
              |JOIN (SELECT user_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase') p
              |  ON v.user_id = p.user_id AND p.pt >= v.vt AND p.pt <= v.vt + 1800000000
-             |GROUP BY v.user_id""".stripMargin))
+             |GROUP BY v.user_id""".stripMargin)),
+    graft.queries.Q("s06_stream_etl_parquet", (s, dir) => streamEtlParquet(s, dir),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+             |  MIN(epoch_us(ts)) AS first_tsu,
+             |  MAX(epoch_us(ts)) AS last_tsu
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }
