@@ -185,6 +185,57 @@ object Multimodal {
              |SELECT media_id, CAST(fi AS BIGINT) AS frame_index,
              |       CAST(64 AS BIGINT) AS frame_bytes,
              |       CAST(SUM(ascii(ch)) AS BIGINT) AS byte_sum
-             |FROM c GROUP BY media_id, fi""".stripMargin))
+             |FROM c GROUP BY media_id, fi""".stripMargin)),
+
+    // perceptual-hash dedup: a dHash over the decoded blob — bit_i set
+    // when frame_i's byte-sum exceeds frame_{i+1}'s (16-byte frames, ≤16
+    // bits; the gradient structure of a real image dHash, on the stub's
+    // "pixels"). All comparisons are integer byte-sums, so DuckDB replays
+    // the hash bit-for-bit. Scale: hashing is narrow (mapPartitions); the
+    // bucket size is one linear window/groupBy — the standard image-dedup
+    // shape (pHash → bucket → review).
+    Q("m05_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val hashed = blobs(s, dir)
+          .mapPartitions(_.map { b =>
+            val fs = 16
+            val n = math.min(b.payload.length / fs, 17)
+            val sums = Array.tabulate(n) { fi =>
+              var acc = 0L
+              var i = fi * fs
+              val end = i + fs
+              while (i < end) { acc += b.payload(i) & 0xff; i += 1 }
+              acc
+            }
+            var h = 0L
+            var i = 0
+            while (i + 1 < sums.length) {
+              if (sums(i) > sums(i + 1)) h |= (1L << i)
+              i += 1
+            }
+            (b.media_id, h)
+          })
+          .toDF("media_id", "phash")
+        hashed.withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("phash")))
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, least(length(text) // 16, 17))) AS fi, text
+             |          FROM documents),
+             |s AS (SELECT doc_id, fi, CAST(SUM(ascii(ch)) AS BIGINT) AS fsum
+             |      FROM (SELECT doc_id, fi,
+             |              unnest(string_split(substr(text, CAST(fi * 16 + 1 AS INT), 16), '')) AS ch
+             |            FROM f)
+             |      GROUP BY doc_id, fi),
+             |b AS (SELECT a.doc_id, a.fi,
+             |        CASE WHEN a.fsum > nx.fsum THEN 1 ELSE 0 END AS bit
+             |      FROM s a JOIN s nx ON nx.doc_id = a.doc_id AND nx.fi = a.fi + 1),
+             |h AS (SELECT doc_id,
+             |        CAST(COALESCE(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << fi ELSE 0 END), 0) AS BIGINT) AS phash
+             |      FROM b GROUP BY doc_id)
+             |SELECT d.doc_id AS media_id, COALESCE(h.phash, 0) AS phash,
+             |       COUNT(*) OVER (PARTITION BY COALESCE(h.phash, 0)) AS n_same
+             |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin))
   )
 }
