@@ -735,6 +735,35 @@ object Relational {
              |  SELECT l_partkey, l_returnflag FROM lineitem WHERE l_returnflag = 'R')
              |SELECT l_returnflag, COUNT(*) AS n_rows,
              |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
-             |FROM x GROUP BY l_returnflag""".stripMargin))
+             |FROM x GROUP BY l_returnflag""".stripMargin)),
+
+    // --- q36: 6-way star join (TPC-H Q5 analog) -----------------------------
+    // the optimizer showcase: region→nation prune the supplier/customer
+    // sides, every dimension broadcasts, and the lineitem fact never
+    // shuffles before its partial aggregation. Written as one SQL block so
+    // Catalyst does the join ordering itself.
+    Q("q36_star_join",
+      (s, dir) => {
+        Seq("region", "nation", "customer", "orders", "lineitem", "supplier")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_q36"))
+        s.sql("""SELECT n_name,
+                |  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+                |  COUNT(*) AS n_items
+                |FROM customer_q36, orders_q36, lineitem_q36, supplier_q36, nation_q36, region_q36
+                |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                |  AND r_name IN ('ASIA', 'EUROPE')
+                |GROUP BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+             |  COUNT(*) AS n_items
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name IN ('ASIA', 'EUROPE')
+             |GROUP BY n_name""".stripMargin))
   )
 }

@@ -124,6 +124,27 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d21: chunking is narrow (explode only — zero shuffles)") {
+    val p = plan(SparkEntry.queries("d21_chunking")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("e06: probes and ADC tables join by broadcast (tiny sides never shuffle the corpus)") {
+    val p = plan(SparkEntry.queries("e06_ivf_pq")(spark, sf))
+    // probes (nQueries × nprobe) and qtab (nQueries × m × k) broadcast;
+    // the candidate↔codes join on vec_id legitimately shuffles — both
+    // sides are corpus-scale at real query volumes
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q36: the star's dimensions all broadcast (no dim ever shuffles the fact side)") {
+    val p = plan(SparkEntry.queries("q36_star_join")(spark, sf))
+    // region, nation, supplier, customer must all be broadcast joins; at
+    // real scale orders⋈lineitem alone may legitimately shuffle
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"$broadcasts broadcast joins in:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation pipeline") {
     // AQE's formatted explain omits codegen stages pre-execution: run the
     // query, then inspect the final executed plan
