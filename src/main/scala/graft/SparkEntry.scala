@@ -15,7 +15,8 @@ object SparkEntry {
   /** The full declared query surface. */
   def all: Seq[Q] =
     Relational.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
-      VectorOps.queries ++ Multimodal.queries ++ StreamingOps.queries
+      VectorOps.queries ++ Multimodal.queries ++ StreamingOps.queries ++
+      graft.streaming.StreamingDefrag.queries
 
   /** Headline queries timed by Bench at sf0.1. */
   def headline: Seq[Q] = all.filter(_.headline)

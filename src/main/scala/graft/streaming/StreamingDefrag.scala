@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming defrag: continuous capture conversion with the reference's
+  * fragment back-fill (SURVEY §2.4) as CUSTOM STREAMING STATE — something
+  * the reference's one-shot converter structurally cannot do. Packets
+  * stream from a landing directory through the DSv2 pcap source; state is
+  * keyed on the datagram 4-tuple (src, dst, proto, id) and holds the
+  * first fragment's six patch fields, so non-first fragments landing in
+  * LATER micro-batches still back-fill correctly.
+  *
+  * Semantics vs batch `Defrag.defrag`: identical whenever a datagram's
+  * first fragment arrives no later than the batch of its continuation
+  * fragments (fragments of one datagram are adjacent in a capture file —
+  * the landing-zone norm). A continuation arriving in an EARLIER batch
+  * than its first fragment emits unpatched — the same information a
+  * file-at-a-time converter would have had.
+  *
+  * Scale: state is one small record per in-flight fragmented datagram;
+  * on a real deployment a `GroupStateTimeout` eviction bounds it (not set
+  * here — `AvailableNow` drains finite captures).
+  */
+object StreamingDefrag {
+  final case class FragKey(ip_src: String, ip_dst: String, ip_proto: Short, ip_id: Int)
+  final case class FragRow(
+      ip_src: String, ip_dst: String, ip_proto: Short, ip_id: Int,
+      tsu: Long, ip_mf: Boolean, ip_frag_offset: Int,
+      udp_srcport: Option[Int], udp_dstport: Option[Int],
+      ntp_priv_reqcode: Option[Short], dns_qry_type: Option[Int],
+      dns_qry_name: Option[String], col_protocol: Option[String])
+  final case class Patch(
+      udp_srcport: Option[Int], udp_dstport: Option[Int],
+      ntp_priv_reqcode: Option[Short], dns_qry_type: Option[Int],
+      dns_qry_name: Option[String], col_protocol: Option[String])
+  final case class PatchedRow(
+      ip_src: String, ip_dst: String, ip_proto: Short, ip_id: Int, tsu: Long,
+      udp_srcport: Option[Int], udp_dstport: Option[Int],
+      ntp_priv_reqcode: Option[Short], dns_qry_type: Option[Int],
+      dns_qry_name: Option[String], col_protocol: Option[String])
+
+  private def toPatch(r: FragRow) = Patch(r.udp_srcport, r.udp_dstport,
+    r.ntp_priv_reqcode, r.dns_qry_type, r.dns_qry_name, r.col_protocol)
+
+  /** The 13 columns the defrag state machine consumes, from any packet
+    * table (streaming or batch). */
+  def project(df: DataFrame): DataFrame =
+    df.select(col("ip_src"), col("ip_dst"), col("ip_proto"), col("ip_id"),
+      unix_micros(col("frame_time")).as("tsu"), col("ip_mf"), col("ip_frag_offset"),
+      col("udp_srcport"), col("udp_dstport"), col("ntp_priv_reqcode"),
+      col("dns_qry_type"), col("dns_qry_name"), col("col_protocol"))
+
+  /** The stateful back-fill transform over a (streaming) projected packet
+    * frame — exposed so tests can drive multi-batch triggers around it. */
+  def defragStateful(projected: DataFrame): DataFrame = {
+    import projected.sparkSession.implicits._
+    val fn: (FragKey, Iterator[FragRow], GroupState[Patch]) => Iterator[PatchedRow] =
+      (_, rows, state) => {
+        val sorted = rows.toSeq.sortBy(_.tsu)
+        // time-first first-fragment wins; carried state (an earlier batch)
+        // outranks anything in this batch — same order batch defrag's
+        // row_number-over-frame_time picks
+        val ff = state.getOption.orElse(
+          sorted.find(r => r.ip_proto == 17 && r.ip_mf && r.ip_frag_offset == 0)
+            .map(toPatch))
+        ff.foreach(state.update)
+        val p = ff.getOrElse(Patch(None, None, None, None, None, None))
+        sorted.iterator.map { r =>
+          PatchedRow(r.ip_src, r.ip_dst, r.ip_proto, r.ip_id, r.tsu,
+            r.udp_srcport.orElse(p.udp_srcport), r.udp_dstport.orElse(p.udp_dstport),
+            r.ntp_priv_reqcode.orElse(p.ntp_priv_reqcode),
+            r.dns_qry_type.orElse(p.dns_qry_type),
+            r.dns_qry_name.orElse(p.dns_qry_name),
+            r.col_protocol.orElse(p.col_protocol))
+        }
+      }
+    projected.as[FragRow]
+      .groupByKey(r => FragKey(r.ip_src, r.ip_dst, r.ip_proto, r.ip_id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  def defragStream(spark: SparkSession, captureDir: String): DataFrame = {
+    val name = "graft_stream_defrag_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = defragStateful(project(spark.readStream.format("pcap").load(captureDir)))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Deterministic 20k-packet capture fixture for the s07 query (the
+    * driver's tables are parquet-only; defrag needs pcap input). Size-
+    * checked regeneration — a stale fixture from a different generator
+    * version must not survive. */
+  def fixture(): String = synchronized {
+    val dir = java.nio.file.Paths.get("/tmp/graft_s07_capture")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("cap.pcap")
+    // the marker lives OUTSIDE the streamed dir: the pcap landing-zone
+    // contract is "every file here is a capture"
+    val marker = dir.resolveSibling("graft_s07_capture.MANIFEST")
+    val want = "s07 n=20000 ts=1700000000000000"
+    val stale = !java.nio.file.Files.exists(marker) ||
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != want
+    if (stale || !java.nio.file.Files.exists(f)) {
+      graft.spark.PcapGen.write(f.toString, 20000, 1700000000000000L)
+      java.nio.file.Files.write(marker, want.getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+
+  val queries: Seq[graft.queries.Q] = Seq(
+    graft.queries.Q("s07_streaming_defrag",
+      (s, _) => defragStream(s, fixture()),
+      // the oracle replays the SAME back-fill over the aux-exported
+      // nodefrag packet table (DuckDB can't read pcap; the dissection is
+      // deterministic, so the aux export IS the capture)
+      Some("""WITH p AS (SELECT * FROM '{OUT}/s07_streaming_defrag/aux_nodefrag/*.parquet'),
+             |ff AS (SELECT * FROM (
+             |  SELECT ip_src, ip_dst, ip_proto, ip_id,
+             |         udp_srcport, udp_dstport, ntp_priv_reqcode,
+             |         dns_qry_type, dns_qry_name, col_protocol,
+             |         ROW_NUMBER() OVER (PARTITION BY ip_src, ip_dst, ip_proto, ip_id
+             |                            ORDER BY tsu) AS rn
+             |  FROM p WHERE ip_proto = 17 AND ip_mf AND ip_frag_offset = 0)
+             |  WHERE rn = 1)
+             |SELECT p.ip_src, p.ip_dst, p.ip_proto, p.ip_id, p.tsu,
+             |  COALESCE(p.udp_srcport, ff.udp_srcport) AS udp_srcport,
+             |  COALESCE(p.udp_dstport, ff.udp_dstport) AS udp_dstport,
+             |  COALESCE(p.ntp_priv_reqcode, ff.ntp_priv_reqcode) AS ntp_priv_reqcode,
+             |  COALESCE(p.dns_qry_type, ff.dns_qry_type) AS dns_qry_type,
+             |  COALESCE(p.dns_qry_name, ff.dns_qry_name) AS dns_qry_name,
+             |  COALESCE(p.col_protocol, ff.col_protocol) AS col_protocol
+             |FROM p LEFT JOIN ff USING (ip_src, ip_dst, ip_proto, ip_id)""".stripMargin),
+      aux = Seq(
+        "aux_nodefrag" -> ((s: SparkSession, _: String) =>
+          project(graft.spark.PcapSource.read(s, fixture() + "/cap.pcap")))))
+  )
+}
