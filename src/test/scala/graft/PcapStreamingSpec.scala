@@ -75,4 +75,46 @@ class PcapStreamingSpec extends SparkFunSuite {
       assert(late.getAs[String]("col_protocol") == "IPv4", late)
     } finally q.stop()
   }
+
+  test("streaming defrag equals the coalesce model on randomized two-batch interleavings") {
+    import graft.streaming.StreamingDefrag.{FragRow, defragStateful}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    // 50 datagrams: an ff (full fields) + 1-3 continuations (null fields);
+    // ff always in batch 1, continuations split across both batches
+    val rows = (0 until 50).flatMap { d =>
+      val key = (s"10.0.$d.1", s"10.0.$d.2", 17.toShort, d)
+      val ff = FragRow(key._1, key._2, key._3, key._4, 1000L * d, ip_mf = true, 0,
+        Some(53), Some(40000 + d), None, Some(1), Some(s"d$d.example"), Some("DNS"))
+      val conts = (1 to 1 + rnd.nextInt(3)).map { c =>
+        (FragRow(key._1, key._2, key._3, key._4, 1000L * d + c,
+          ip_mf = c == 1, c * 9, None, None, None, None, None, Some("IPv4")),
+          rnd.nextBoolean()) // which batch the continuation lands in
+      }
+      ((ff, false)) +: conts
+    }
+    val mem = MemoryStream[FragRow]
+    val name = "defrag_model_sink"
+    val q = defragStateful(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      mem.addData(rows.collect { case (r, false) => r })
+      q.processAllAvailable()
+      mem.addData(rows.collect { case (r, true) => r })
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("tsu"),
+          r.getAs[String]("dns_qry_name"), r.getAs[String]("col_protocol"))).toSet
+      // local model: every row of a key coalesces from its (unique) ff
+      val expect = rows.map(_._1).map { r =>
+        (r.tsu,
+          r.dns_qry_name.getOrElse(s"d${r.ip_id}.example"),
+          r.col_protocol.getOrElse("DNS"))
+      }.toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
 }
