@@ -764,6 +764,59 @@ object Relational {
              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
              |  AND r_name IN ('ASIA', 'EUROPE')
-             |GROUP BY n_name""".stripMargin))
+             |GROUP BY n_name""".stripMargin)),
+
+    // --- q37: correlated scalar subquery in the SELECT list -----------------
+    // a per-row subquery Catalyst decorrelates into a left outer join +
+    // aggregate (a per-row re-execution would be O(n²) — the plan is the
+    // point). COUNT is BIGINT in both engines; COALESCE covers orders
+    // with no lineitem.
+    Q("q37_select_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_q37")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q37")
+        s.sql("""SELECT o_orderkey, o_orderpriority,
+                |  CAST(COALESCE((SELECT COUNT(*) FROM lineitem_q37 l
+                |                 WHERE l.l_orderkey = o.o_orderkey), 0) AS BIGINT) AS n_items
+                |FROM orders_q37 o
+                |WHERE o_orderkey < 1000""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(COALESCE((SELECT COUNT(*) FROM lineitem l
+             |                 WHERE l.l_orderkey = o.o_orderkey), 0) AS BIGINT) AS n_items
+             |FROM orders o
+             |WHERE o_orderkey < 1000""".stripMargin)),
+
+    // --- q38: temporal-function battery --------------------------------------
+    // calendar extraction + truncation + day arithmetic, all emitted in
+    // integer domains (year/month/day ints; truncated month as epoch µs;
+    // ship-order lag in whole days via epoch-µs floor-division — immune
+    // to the engines' differing datediff boundary conventions).
+    Q("q38_temporal",
+      (s, dir) => {
+        // parquet timestamp[ms] without tz reads as TIMESTAMP_NTZ; cast to
+        // TIMESTAMP under the UTC session so unix_micros applies — the
+        // same instant DuckDB's naive epoch_us sees
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate").cast(TimestampType).as("l_shipdate"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate").cast(TimestampType).as("o_orderdate"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            col("l_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"),
+            month(col("o_orderdate")).cast(LongType).as("o_month"),
+            dayofmonth(col("o_orderdate")).cast(LongType).as("o_day"),
+            unix_micros(date_trunc("month", col("o_orderdate"))).as("o_month_start_us"),
+            expr("unix_micros(l_shipdate) div 86400000000 - unix_micros(o_orderdate) div 86400000000")
+              .as("ship_lag_days"))
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+             |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
+             |  epoch_us(date_trunc('month', o_orderdate)) AS o_month_start_us,
+             |  epoch_us(l_shipdate) // 86400000000 - epoch_us(o_orderdate) // 86400000000 AS ship_lag_days
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin))
   )
 }

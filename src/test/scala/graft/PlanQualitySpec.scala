@@ -145,6 +145,12 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(broadcasts >= 4, s"$broadcasts broadcast joins in:\n$p")
   }
 
+  test("q37: the SELECT-list scalar subquery decorrelates to one outer join + aggregate") {
+    val p = plan(SparkEntry.queries("q37_select_subquery")(spark, sf))
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Subquery"), s"per-row subquery survived:\n$p")
+  }
+
   test("whole-stage codegen covers the q01 aggregation pipeline") {
     // AQE's formatted explain omits codegen stages pre-execution: run the
     // query, then inspect the final executed plan
