@@ -817,6 +817,32 @@ object Relational {
              |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
              |  epoch_us(date_trunc('month', o_orderdate)) AS o_month_start_us,
              |  epoch_us(l_shipdate) // 86400000000 - epoch_us(o_orderdate) // 86400000000 AS ship_lag_days
-             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin))
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)),
+
+    // --- q39: window value functions (first/last/nth over a full frame) -----
+    // the remaining window family: value picking over an UNBOUNDED frame
+    // (default frames stop at CURRENT ROW — last_value would degenerate
+    // to the row itself). Full deterministic sort key as always.
+    Q("q39_window_values",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("price_c").desc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            intUnits("o_totalprice").as("price_c"))
+          .withColumn("top_key", first(col("o_orderkey")).over(w))
+          .withColumn("bottom_key", last(col("o_orderkey")).over(w))
+          .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(w))
+          .select("o_orderpriority", "o_orderkey", "top_key", "bottom_key", "third_key")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  FIRST_VALUE(o_orderkey) OVER w AS top_key,
+             |  LAST_VALUE(o_orderkey) OVER w AS bottom_key,
+             |  NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) DESC, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
   )
 }

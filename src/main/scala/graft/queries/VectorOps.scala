@@ -206,6 +206,36 @@ object VectorOps {
         "aux_probes" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._3),
         "aux_codebooks" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._4),
         "aux_codes" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._5))),
+    // int8 symmetric quantization — the storage/serving prep step a
+    // vector pipeline runs before shipping an index (127·x/max|x|,
+    // half-up). Narrow; the per-vector scale lives alongside the codes so
+    // dequantization is lossless up to the grid. The float division is
+    // the SAME IEEE expression in both engines, and the rounded codes are
+    // integers, so the md5 over the code string hash-matches exactly.
+    Q("e07_int8_quantize",
+      (s, dir) => {
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+          .select(col("vec_id"),
+            expr("array_max(transform(e, x -> abs(x)))").as("mx"),
+            col("e"))
+          .select(col("vec_id"),
+            size(col("e")).cast("long").as("n_dims"),
+            expr("CAST(floor(1000000 * mx + 0.5) AS BIGINT)").as("scale_e6"),
+            expr("""aggregate(transform(e, x -> abs(CAST(floor(127 * x / mx + 0.5) AS BIGINT))),
+                   | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("q_l1"),
+            expr("md5(concat_ws(',', transform(e, x -> CAST(floor(127 * x / mx + 0.5) AS BIGINT))))")
+              .as("q_md5"))
+      },
+      Some("""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+             |m AS (SELECT vec_id, e, list_max([abs(x) for x in e]) AS mx FROM v)
+             |SELECT vec_id,
+             |  CAST(len(e) AS BIGINT) AS n_dims,
+             |  CAST(floor(1000000 * mx + 0.5) AS BIGINT) AS scale_e6,
+             |  CAST(list_sum([abs(CAST(floor(127 * x / mx + 0.5) AS BIGINT)) for x in e]) AS BIGINT) AS q_l1,
+             |  md5(array_to_string([CAST(floor(127 * x / mx + 0.5) AS BIGINT) for x in e], ',')) AS q_md5
+             |FROM m""".stripMargin)),
     Q("e03_cosine_neardups", (s, dir) => cosineNearDups(s, dir),
       Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
              |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
