@@ -476,6 +476,26 @@ object TextOps {
              |  md5(array_to_string(ws[start:start+15], ' ')) AS chunk_md5
              |FROM st""".stripMargin)),
 
+    // --- d23: deterministic dataset split (train/val/test) -----------------
+    // content-hash splitting — the same doc lands in the same split on
+    // every run, on any engine, regardless of row order or partitioning
+    // (the property a random() split lacks). 8/1/1 by the first 32 bits
+    // of md5(text); narrow, no shuffle.
+    Q("d23_dataset_split",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 10").as("bucket"))
+          .select(col("doc_id"), col("source"),
+            expr("CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END")
+              .as("split"))
+      },
+      Some("""SELECT doc_id, source,
+             |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id, source,
+             |        CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10 AS b
+             |      FROM documents)""".stripMargin)),
+
     // --- d22: sequence packing (contiguous fill into token budgets) --------
     // assign docs (in deterministic doc_id order per source) to fixed
     // 2000-token training packs by cumulative offset — the standard
