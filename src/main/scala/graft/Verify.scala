@@ -61,11 +61,14 @@ object Verify {
           try {
             query.build(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
-            // aux exports AFTER the main result (overwrite would wipe the
-            // subdirs); same job group so the watchdog covers them
+            // aux exports live OUTSIDE the compared result dir: the
+            // driver's gate reads $outDir/$name RECURSIVELY, so a subdir
+            // under it would be hashed into the result (round-2 lesson:
+            // 7 aux-bearing queries failed with result+aux row counts).
+            // Oracles reference them via {OUT}/_aux/<name>/<auxName>.
             query.aux.foreach { case (auxName, auxFn) =>
               auxFn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"$outDir/$name/$auxName")
+                .parquet(s"$outDir/_aux/$name/$auxName")
             }
           } finally spark.sparkContext.clearJobGroup()
         }(rec)

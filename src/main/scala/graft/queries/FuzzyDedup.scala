@@ -111,7 +111,7 @@ object FuzzyDedup {
   /** DuckDB replay of everything downstream of the exported signatures:
     * banding, bucket cap, candidate join, slot-agreement estimate. */
   private val d06Oracle =
-    s"""WITH sig AS (SELECT doc_id, sig FROM '{OUT}/d06_minhash_lsh/aux_signatures/*.parquet'),
+    s"""WITH sig AS (SELECT doc_id, sig FROM '{OUT}/_aux/d06_minhash_lsh/aux_signatures/*.parquet'),
        |banded AS (
        |  SELECT doc_id, sig, r.range AS band,
        |         list_slice(sig, r.range * $RowsPerBand + 1, r.range * $RowsPerBand + $RowsPerBand) AS bucket
@@ -190,7 +190,7 @@ object FuzzyDedup {
   }
 
   private val d07Oracle =
-    s"""WITH fp AS (SELECT doc_id, simhash FROM '{OUT}/d07_simhash/aux_simhashes/*.parquet'),
+    s"""WITH fp AS (SELECT doc_id, simhash FROM '{OUT}/_aux/d07_simhash/aux_simhashes/*.parquet'),
        |blk AS (
        |  SELECT doc_id, simhash, r.range AS blk_i,
        |         (simhash >> ($BlockBits * r.range)) & ${(1 << BlockBits) - 1} AS blk_v
@@ -235,7 +235,7 @@ object FuzzyDedup {
        |  CAST(length(list_distinct(list_transform(
        |    range(1, greatest(length(kh) - ${WinnowWindow - 1}, 1) + 1),
        |    i -> list_min(list_slice(kh, i, i + ${WinnowWindow - 1}))))) AS BIGINT) AS n_fingerprints
-       |FROM '{OUT}/d08_fingerprints/aux_kgrams/*.parquet'""".stripMargin
+       |FROM '{OUT}/_aux/d08_fingerprints/aux_kgrams/*.parquet'""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("d06_minhash_lsh", (s, dir) => minhashNearDups(s, dir), Some(d06Oracle),

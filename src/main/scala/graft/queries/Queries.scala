@@ -14,14 +14,16 @@ final case class Q(
     /** headline queries are the ones Bench times at sf0.1 */
     headline: Boolean = false,
     /** Auxiliary deterministic intermediates exported by Verify into
-      * `<outDir>/<name>/<auxName>/` so the oracle SQL can recompute the
-      * derived logic in DuckDB from them (the `{OUT}` placeholder in the
-      * oracle is substituted with the absolute outDir at dump time).
+      * `<outDir>/_aux/<name>/<auxName>/` so the oracle SQL can recompute
+      * the derived logic in DuckDB from them (the `{OUT}` placeholder in
+      * the oracle is substituted with the absolute outDir at dump time).
       * Used where the full pipeline hinges on a Spark-only primitive
       * (xxhash64) but everything downstream of the exported intermediate
-      * is plain integer/list arithmetic both engines share. The subdir
-      * does not disturb the driver's result glob, which only matches
-      * parquet files directly under the query's own directory.
+      * is plain integer/list arithmetic both engines share. Aux frames
+      * MUST live outside the query's own directory: the driver's gate
+      * reads `<outDir>/<name>` RECURSIVELY, so anything under it is
+      * hashed as part of the result (round-2 lesson — 7 aux-bearing
+      * queries failed the driver with result+aux row counts).
       */
     aux: Seq[(String, (SparkSession, String) => DataFrame)] = Nil)
 

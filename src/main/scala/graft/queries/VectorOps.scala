@@ -136,8 +136,8 @@ object VectorOps {
       (s, dir) => e04Index(s, dir)._1,
       Some("""WITH f AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
              |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
-             |a AS (SELECT vec_id, cell FROM '{OUT}/e04_ann_kmeans_ivf/aux_assign/*.parquet'),
-             |p AS (SELECT qid, cell FROM '{OUT}/e04_ann_kmeans_ivf/aux_probes/*.parquet'),
+             |a AS (SELECT vec_id, cell FROM '{OUT}/_aux/e04_ann_kmeans_ivf/aux_assign/*.parquet'),
+             |p AS (SELECT qid, cell FROM '{OUT}/_aux/e04_ann_kmeans_ivf/aux_probes/*.parquet'),
              |cand AS (SELECT p.qid, a.vec_id AS cid FROM p JOIN a ON a.cell = p.cell WHERE a.vec_id <> p.qid),
              |d AS (SELECT c.qid, c.cid, SUM(CAST(qf.v AS DOUBLE) * CAST(cf.v AS DOUBLE)) dot
              |      FROM cand c JOIN f qf ON qf.vec_id = c.qid JOIN f cf ON cf.vec_id = c.cid AND cf.i = qf.i
@@ -156,8 +156,8 @@ object VectorOps {
     // scoring + ranking exactly. PQ quality (recall) stays in ScalaTest.
     Q("e05_pq_ann",
       (s, dir) => e05Index(s, dir)._1,
-      Some("""WITH cb AS (SELECT sub_m, code, ce FROM '{OUT}/e05_pq_ann/aux_codebooks/*.parquet'),
-             |cd AS (SELECT vec_id, sub_m, code FROM '{OUT}/e05_pq_ann/aux_codes/*.parquet'),
+      Some("""WITH cb AS (SELECT sub_m, code, ce FROM '{OUT}/_aux/e05_pq_ann/aux_codebooks/*.parquet'),
+             |cd AS (SELECT vec_id, sub_m, code FROM '{OUT}/_aux/e05_pq_ann/aux_codes/*.parquet'),
              |q AS (SELECT vec_id AS qid, [CAST(x AS DOUBLE) for x in embedding] AS qe
              |      FROM embeddings WHERE vec_id < 10),
              |tab AS (SELECT qid, sub_m, code,
@@ -180,10 +180,10 @@ object VectorOps {
     // exported index frames — the full search path, end to end.
     Q("e06_ivf_pq",
       (s, dir) => e06Index(s, dir)._1,
-      Some("""WITH a AS (SELECT vec_id, cell FROM '{OUT}/e06_ivf_pq/aux_assign/*.parquet'),
-             |p AS (SELECT qid, cell FROM '{OUT}/e06_ivf_pq/aux_probes/*.parquet'),
-             |cb AS (SELECT sub_m, code, ce FROM '{OUT}/e06_ivf_pq/aux_codebooks/*.parquet'),
-             |cd AS (SELECT vec_id, sub_m, code FROM '{OUT}/e06_ivf_pq/aux_codes/*.parquet'),
+      Some("""WITH a AS (SELECT vec_id, cell FROM '{OUT}/_aux/e06_ivf_pq/aux_assign/*.parquet'),
+             |p AS (SELECT qid, cell FROM '{OUT}/_aux/e06_ivf_pq/aux_probes/*.parquet'),
+             |cb AS (SELECT sub_m, code, ce FROM '{OUT}/_aux/e06_ivf_pq/aux_codebooks/*.parquet'),
+             |cd AS (SELECT vec_id, sub_m, code FROM '{OUT}/_aux/e06_ivf_pq/aux_codes/*.parquet'),
              |q AS (SELECT vec_id AS qid, [CAST(x AS DOUBLE) for x in embedding] AS qe
              |      FROM embeddings WHERE vec_id < 10),
              |tab AS (SELECT qid, sub_m, code,
@@ -223,9 +223,14 @@ object VectorOps {
           .select(col("vec_id"),
             size(col("e")).cast("long").as("n_dims"),
             expr("CAST(floor(1000000 * mx + 0.5) AS BIGINT)").as("scale_e6"),
-            expr("""aggregate(transform(e, x -> abs(CAST(floor(127 * x / mx + 0.5) AS BIGINT))),
+            // mx = 0 guard (all-zero vector): Spark's 0/0 is NaN (casts
+            // to 0) but DuckDB's is NULL — emit code 0 explicitly in BOTH
+            // engines so the zero-vector row hash-matches
+            expr("""aggregate(transform(e, x -> abs(CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                   | ELSE CAST(floor(127 * x / mx + 0.5) AS BIGINT) END)),
                    | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("q_l1"),
-            expr("md5(concat_ws(',', transform(e, x -> CAST(floor(127 * x / mx + 0.5) AS BIGINT))))")
+            expr("""md5(concat_ws(',', transform(e, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                   | ELSE CAST(floor(127 * x / mx + 0.5) AS BIGINT) END)))""".stripMargin)
               .as("q_md5"))
       },
       Some("""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
@@ -233,8 +238,8 @@ object VectorOps {
              |SELECT vec_id,
              |  CAST(len(e) AS BIGINT) AS n_dims,
              |  CAST(floor(1000000 * mx + 0.5) AS BIGINT) AS scale_e6,
-             |  CAST(list_sum([abs(CAST(floor(127 * x / mx + 0.5) AS BIGINT)) for x in e]) AS BIGINT) AS q_l1,
-             |  md5(array_to_string([CAST(floor(127 * x / mx + 0.5) AS BIGINT) for x in e], ',')) AS q_md5
+             |  CAST(list_sum([abs(CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(127 * x / mx + 0.5) AS BIGINT) END) for x in e]) AS BIGINT) AS q_l1,
+             |  md5(array_to_string([CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(127 * x / mx + 0.5) AS BIGINT) END for x in e], ',')) AS q_md5
              |FROM m""".stripMargin)),
     Q("e03_cosine_neardups", (s, dir) => cosineNearDups(s, dir),
       Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),

@@ -82,9 +82,12 @@ object StreamingDefrag {
       .toDF()
   }
 
-  def defragStream(spark: SparkSession, captureDir: String): DataFrame = {
+  /** capturePath may be a landing-zone directory or a single capture file
+    * (s07 streams the exact fixture file so its input set provably equals
+    * the aux export's). */
+  def defragStream(spark: SparkSession, capturePath: String): DataFrame = {
     val name = "graft_stream_defrag_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = defragStateful(project(spark.readStream.format("pcap").load(captureDir)))
+    val q = defragStateful(project(spark.readStream.format("pcap").load(capturePath)))
       .writeStream.outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -92,24 +95,35 @@ object StreamingDefrag {
   }
 
   /** Deterministic 20k-packet capture fixture for the s07 query (the
-    * driver's tables are parquet-only; defrag needs pcap input). Size-
-    * checked regeneration — a stale fixture from a different generator
-    * version must not survive. */
+    * driver's tables are parquet-only; defrag needs pcap input).
+    *
+    * The streamed input and the aux export read the SAME single file —
+    * never a directory — so the stream's input set provably equals the
+    * oracle's. The path is content-versioned (the generator params are in
+    * the name), so a fixture from a different generator version can never
+    * be picked up, and the file is written via temp + atomic rename so a
+    * concurrent JVM racing the generation sees either nothing or the
+    * complete capture (the JVM-local synchronized alone can't guarantee
+    * that). */
   def fixture(): String = synchronized {
-    val dir = java.nio.file.Paths.get("/tmp/graft_s07_capture")
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_s07_capture_n20000_ts1700000000000000")
     java.nio.file.Files.createDirectories(dir)
     val f = dir.resolve("cap.pcap")
-    // the marker lives OUTSIDE the streamed dir: the pcap landing-zone
-    // contract is "every file here is a capture"
-    val marker = dir.resolveSibling("graft_s07_capture.MANIFEST")
-    val want = "s07 n=20000 ts=1700000000000000"
-    val stale = !java.nio.file.Files.exists(marker) ||
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != want
-    if (stale || !java.nio.file.Files.exists(f)) {
-      graft.spark.PcapGen.write(f.toString, 20000, 1700000000000000L)
-      java.nio.file.Files.write(marker, want.getBytes("UTF-8"))
+    if (!java.nio.file.Files.exists(f)) {
+      val tmp = dir.resolve(
+        s"cap.pcap.tmp.${java.util.UUID.randomUUID.toString}")
+      graft.spark.PcapGen.write(tmp.toString, 20000, 1700000000000000L)
+      try
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another process won the race with identical bytes
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
-    dir.toString
+    f.toString
   }
 
   val queries: Seq[graft.queries.Q] = Seq(
@@ -118,7 +132,7 @@ object StreamingDefrag {
       // the oracle replays the SAME back-fill over the aux-exported
       // nodefrag packet table (DuckDB can't read pcap; the dissection is
       // deterministic, so the aux export IS the capture)
-      Some("""WITH p AS (SELECT * FROM '{OUT}/s07_streaming_defrag/aux_nodefrag/*.parquet'),
+      Some("""WITH p AS (SELECT * FROM '{OUT}/_aux/s07_streaming_defrag/aux_nodefrag/*.parquet'),
              |ff AS (SELECT * FROM (
              |  SELECT ip_src, ip_dst, ip_proto, ip_id,
              |         udp_srcport, udp_dstport, ntp_priv_reqcode,
@@ -137,6 +151,6 @@ object StreamingDefrag {
              |FROM p LEFT JOIN ff USING (ip_src, ip_dst, ip_proto, ip_id)""".stripMargin),
       aux = Seq(
         "aux_nodefrag" -> ((s: SparkSession, _: String) =>
-          project(graft.spark.PcapSource.read(s, fixture() + "/cap.pcap")))))
+          project(graft.spark.PcapSource.read(s, fixture())))))
   )
 }

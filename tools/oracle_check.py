@@ -67,12 +67,17 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # `_aux` holds oracle-input intermediates, not compared results
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if d != "_aux" and os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
     for name in names:
+        # RECURSIVE glob, mirroring the driver's gate: any stray subdir
+        # under a query dir would be hashed into its result there, so it
+        # must fail here too (round-2 lesson: aux subdirs inside result
+        # dirs passed locally with a flat glob, failed the driver)
         got_cols, got_types, got_rows = table(
-            con, f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+            con, f"SELECT * FROM '{os.path.join(out_dir, name)}/**/*.parquet'")
         if name not in oracles:
             print(f"  ~ {name}: no oracle, rows={len(got_rows)}")
             n_noracle += 1
