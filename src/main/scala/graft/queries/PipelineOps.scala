@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface widening: window distribution functions, two-stage ANN
+  * re-ranking, PII-style redaction, exact substring-span dedup, and
+  * deterministic source-weighted corpus mixing.
+  *
+  * Cross-engine determinism follows the CLAUDE.md rules: every
+  * double-derived output is integerized with the SAME IEEE expression
+  * text in Spark and DuckDB (`floor(1e6*x + 0.5)` per term), ratios use
+  * integer floor-division, full sort keys on every ranking, and integer
+  * aggregates are CAST to BIGINT in the oracle (DuckDB SUMs to HUGEINT).
+  */
+object PipelineOps {
+  import Tables.t
+
+  // --- q40: window distribution functions --------------------------------
+  // percent_rank / cume_dist / ntile over per-customer order-price
+  // rankings. Both engines compute (rank-1)/(n-1) and peers/n with the
+  // same IEEE doubles; outputs are integerized per term before emission.
+  // Full sort key (price_cents, o_orderkey) so ranks are unambiguous.
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("price_cents").asc, col("o_orderkey").asc)
+    o.select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+      floor(lit(1000000) * percent_rank().over(w) + lit(0.5)).cast("long").as("pr_e6"),
+      floor(lit(1000000) * cume_dist().over(w) + lit(0.5)).cast("long").as("cd_e6"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  private val q40Oracle =
+    """SELECT o_orderkey, o_custkey, price_cents,
+      |  CAST(floor(1000000 * percent_rank() OVER w + 0.5) AS BIGINT) AS pr_e6,
+      |  CAST(floor(1000000 * cume_dist() OVER w + 0.5) AS BIGINT) AS cd_e6,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM (SELECT o_orderkey, o_custkey,
+      |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY price_cents ASC, o_orderkey ASC)""".stripMargin
+
+  // --- e08: two-stage ANN re-rank ----------------------------------------
+  // The production serving shape: a cheap coarse score over a PREFIX of
+  // the embedding (first 16 of 64 dims — Matryoshka-style truncation)
+  // prunes the corpus to `coarseK` survivors per query, then the exact
+  // full-dimension score re-ranks only those. The corpus is scanned once,
+  // never shuffled (queries broadcast); only the tiny survivor set moves.
+  // Scores are integer sums of per-term integerized products, so the
+  // cross-engine SUM is exact regardless of merge order.
+  val CoarseDims = 16
+  val CoarseK = 50
+  val FinalK = 10
+
+  private def dotE6(aCol: String, bCol: String, dims: Int): String =
+    s"""aggregate(zip_with(slice($aCol, 1, $dims), slice($bCol, 1, $dims),
+       |  (x, y) -> CAST(floor(1000000 * x * y + 0.5) AS BIGINT)),
+       |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin
+
+  private def e08(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wc = Window.partitionBy("qid").orderBy(col("coarse_e6").desc, col("cid").asc)
+    val wf = Window.partitionBy("qid").orderBy(col("full_e6").desc, col("cid").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("qe"), col("e"),
+        expr(dotE6("qe", "e", CoarseDims)).as("coarse_e6"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= CoarseK)
+      .select(col("qid"), col("cid"), col("coarse_e6"),
+        expr(dotE6("qe", "e", 64)).as("full_e6"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= FinalK)
+      .select("qid", "cid", "coarse_e6", "full_e6", "rank")
+  }
+
+  private val e08Oracle =
+    s"""WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+       |coarse AS (
+       |  SELECT qid, c.vec_id AS cid, qe, c.e AS e,
+       |    CAST(list_sum(list_transform(range(1, ${CoarseDims + 1}),
+       |      i -> CAST(floor(1000000 * qe[i] * e[i] + 0.5) AS BIGINT))) AS BIGINT) AS coarse_e6
+       |  FROM emb c CROSS JOIN q WHERE c.vec_id <> q.qid),
+       |pruned AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY coarse_e6 DESC, cid ASC) AS crn
+       |    FROM coarse) WHERE crn <= $CoarseK),
+       |full_scored AS (
+       |  SELECT qid, cid, coarse_e6,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(floor(1000000 * qe[i] * e[i] + 0.5) AS BIGINT))) AS BIGINT) AS full_e6
+       |  FROM pruned)
+       |SELECT qid, cid, coarse_e6, full_e6, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY full_e6 DESC, cid ASC) AS BIGINT) AS rank
+       |  FROM full_scored) WHERE rank <= $FinalK""".stripMargin
+
+  // --- d24: PII-style redaction battery ----------------------------------
+  // Scrub digit runs from the semi-structured props payload (the synthetic
+  // stand-in for emails/phones/ids). Patterns stay alternation-free simple
+  // character classes so Java regex (Spark) and RE2 (DuckDB) match
+  // identically; both engines count non-overlapping matches left-to-right.
+  private def d24(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      expr("CAST(regexp_count(props, '[0-9]+') AS BIGINT)").as("n_redacted"),
+      md5(regexp_replace(col("props"), "[0-9]+", "<N>")).as("redacted_md5"))
+
+  private val d24Oracle =
+    """SELECT event_id,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted,
+      |  md5(regexp_replace(props, '[0-9]+', '<N>', 'g')) AS redacted_md5
+      |FROM events""".stripMargin
+
+  // --- d25: exact substring-span dedup -----------------------------------
+  // Lee-et-al-style exact duplicate-span detection: 8-token shingles,
+  // md5'd (md5 exists in BOTH engines — no aux export needed), distinct
+  // per doc, then a shingle equijoin counts shared spans per doc pair.
+  // A 64-doc shingle-frequency cap excludes boilerplate spans so no
+  // bucket goes quadratic at scale (same hygiene as d06's LSH cap); the
+  // cap's window count reuses the join's own hash partitioning.
+  val SpanTokens = 8
+  val MaxSpanDocs = 64
+  val MinSharedSpans = 2
+
+  private def docSpans(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ws) >= $SpanTokens
+           | THEN array_distinct(transform(sequence(0, size(ws) - $SpanTokens),
+           |        i -> md5(concat_ws(' ', slice(ws, i + 1, $SpanTokens)))))
+           | ELSE array() END""".stripMargin)).as("sh"))
+
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    val spans = docSpans(s, dir)
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("nd") <= MaxSpanDocs)
+      .drop("nd")
+    spans.as("a").join(spans.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= MinSharedSpans)
+  }
+
+  private val d25Oracle =
+    s"""WITH spans AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $SpanTokens
+       |    THEN list_distinct(list_transform(range(0, len(ws) - ${SpanTokens - 1}),
+       |           i -> md5(array_to_string(ws[i + 1:i + $SpanTokens], ' '))))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |capped AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY sh) AS nd FROM spans)
+       |  WHERE nd <= $MaxSpanDocs)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+       |FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(*) >= $MinSharedSpans""".stripMargin
+
+  // --- d26: deterministic source-weighted corpus mixing -------------------
+  // The standard pre-training mixing step: per-source keep rates applied
+  // via a content-hash bucket (d23's idiom), so the sample is
+  // order/partition-independent and reproducible in any engine. Output is
+  // the per-source audit (kept vs total), the thing a 100 TB mixing job
+  // actually reports.
+  private def d26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 1000").as("bucket"),
+        expr("""CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 700
+               | WHEN 'src2' THEN 400 ELSE 200 END""".stripMargin).as("keep_permille"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("keep_permille"), 1L).otherwise(0L)).as("n_kept"))
+
+  private val d26Oracle =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN bucket < keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM (SELECT source,
+      |        CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 1000 AS bucket,
+      |        CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 700
+      |          WHEN 'src2' THEN 400 ELSE 200 END AS keep_permille
+      |      FROM documents)
+      |GROUP BY source""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q40_window_distribution", q40, Some(q40Oracle)),
+    Q("e08_two_stage_rerank", e08, Some(e08Oracle)),
+    Q("d24_redaction", d24, Some(d24Oracle)),
+    Q("d25_substring_dedup", d25, Some(d25Oracle)),
+    Q("d26_source_mix", d26, Some(d26Oracle))
+  )
+}

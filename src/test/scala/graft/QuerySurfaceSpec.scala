@@ -338,4 +338,65 @@ class QuerySurfaceSpec extends SparkFunSuite {
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
     assert(streamed == batch)
   }
+
+  test("e08 two-stage re-rank: exact scores on survivors, ordered, useful recall") {
+    val rows = SparkEntry.queries("e08_two_stage_rerank")(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def score(q: Seq[Double], c: Seq[Double]): Long =
+      q.zip(c).map { case (x, y) => math.floor(1000000 * x * y + 0.5).toLong }.sum
+    // the full-dim score of every survivor is the EXACT integer score
+    rows.foreach { r =>
+      assert(r.getAs[Long]("full_e6") ==
+        score(emb(r.getAs[Long]("qid")), emb(r.getAs[Long]("cid"))))
+    }
+    // ranks are dense 1..10 ordered by (full_e6 desc, cid)
+    val recalls = rows.groupBy(_.getAs[Long]("qid")).map { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      val keys = byRank.map(r => (-r.getAs[Long]("full_e6"), r.getAs[Long]("cid"))).toSeq
+      assert(keys == keys.sorted, s"qid=$qid not ordered by score")
+      // recall vs the exact full-dim top-10: the 16-dim coarse stage is a
+      // genuine prefilter at this corpus size (500 vecs, coarseK=50), so
+      // agreement is approximate by design — require a useful fraction
+      val exact = emb.collect { case (cid, v) if cid != qid => (cid, score(emb(qid), v)) }
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(10).map(_._1).toSet
+      (byRank.map(_.getAs[Long]("cid")).toSet & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean two-stage recall@10 $mean (coarse 16/64 dims)")
+  }
+
+  test("q40 distribution functions stay in range with exhaustive quartiles") {
+    val rows = SparkEntry.queries("q40_window_distribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, cd, qt) = (r.getAs[Long]("pr_e6"), r.getAs[Long]("cd_e6"), r.getAs[Long]("quartile"))
+      assert(pr >= 0 && pr <= 1000000 && cd > 0 && cd <= 1000000 && qt >= 1 && qt <= 4)
+    }
+  }
+
+  test("d25 shared-span pairs are ordered and meet the threshold; planted dups found") {
+    val rows = SparkEntry.queries("d25_substring_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata plants near-identical docs sharing 8-token spans")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared_spans") >= 2)
+    }
+  }
+
+  test("d24 redaction only rewrites rows that matched; d26 keeps within totals") {
+    val red = SparkEntry.queries("d24_redaction")(spark, sf)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), md5(col("props")).as("orig_md5"))
+    val joined = red.join(ev, "event_id").collect()
+    joined.foreach { r =>
+      val changed = r.getAs[String]("redacted_md5") != r.getAs[String]("orig_md5")
+      assert(changed == (r.getAs[Long]("n_redacted") > 0))
+    }
+    SparkEntry.queries("d26_source_mix")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
