@@ -1,0 +1,116 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bloom-filter build as ONE custom Catalyst aggregate: the buffer is the
+  * whole bitset, each input hash sets `NumProbes` bits in a tight loop.
+  * Commutative and associative (bitwise OR merge), so map-side partial
+  * aggregation applies — at 100 TB each executor ORs its partition's
+  * shingles into a local bitset and only `m/8` bytes per partition cross
+  * the wire, never the shingles themselves.
+  *
+  * The bitset is emitted as 32-bit words stored in BIGINTs (`m/32`
+  * entries, each in `[0, 2^32)`), so every downstream bit probe is plain
+  * non-negative integer arithmetic that DuckDB reproduces exactly — no
+  * sign-bit or shift-semantics differences (the oracle replays membership
+  * from the exported words; see d27 in
+  * [[graft.queries.PipelineOps]]).
+  *
+  * Probe positions use double hashing on the input's xxhash64:
+  * `h1 = h & (m-1)`, `h2 = ((h & 0xFFFFFFFF) / 65536) | 1` (odd, so it
+  * cycles the power-of-two table), `pos_j = (h1 + j*h2) mod m` — all
+  * intermediate values < 2^18, exact in any engine.
+  */
+case class BloomAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  import BloomAgg._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](NumWords)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val h1 = (h & (NumBits - 1L)).toInt
+      val h2 = ((((h & 0xFFFFFFFFL) / 65536L) | 1L)).toInt
+      var j = 0
+      while (j < NumProbes) {
+        val pos = (h1 + j * h2) % NumBits
+        buf(pos >>> 5) |= (1L << (pos & 31))
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < NumWords) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BloomAgg =
+    copy(child = cs.head)
+}
+
+object BloomAgg {
+  /** 2^16 bits / 32-bit words / 4 probes: FPR ≈ (1-e^(-4n/65536))^4 —
+    * ~1.2% at n=6500 inserted keys. Fixed (not parameterized) so the
+    * probe arithmetic is one shared constant set between the Spark
+    * membership expression and the DuckDB oracle replay.
+    */
+  val NumBits = 65536
+  val WordBits = 32
+  val NumWords: Int = NumBits / WordBits
+  val NumProbes = 4
+
+  /** Column API: `bloom_agg(hashCol)` → `array<bigint>` of NumWords
+    * 32-bit words. */
+  def bloom_agg(c: Column): Column =
+    GraftSqlBridge.column(
+      BloomAgg(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** SQL fragment testing membership of hash column `h` against a bloom
+    * words array column `words` — shares the exact probe arithmetic with
+    * `update` above and with the DuckDB oracle replay.
+    */
+  def memberExpr(words: String, h: String): String =
+    s"""forall(sequence(0, ${NumProbes - 1}), j ->
+       |  (element_at($words,
+       |     CAST((((($h & ${NumBits - 1}) + j * ((($h & 4294967295) div 65536) | 1)) % $NumBits) div $WordBits) AS INT) + 1)
+       |   & shiftleft(CAST(1 AS BIGINT),
+       |     CAST(((($h & ${NumBits - 1}) + j * ((($h & 4294967295) div 65536) | 1)) % $NumBits) % $WordBits AS INT))) != 0)""".stripMargin
+}

@@ -194,8 +194,73 @@ object PipelineOps {
       |      FROM documents)
       |GROUP BY source""".stripMargin
 
+  // --- d27: bloom-filter contamination gate ------------------------------
+  // d18's exact benchmark-contamination audit broadcasts the raw eval-set
+  // shingles; at 100 TB the eval set itself can be too big for that, but
+  // its bloom SKETCH is a fixed 8 KiB regardless of corpus size. The
+  // sketch is built by the custom [[graft.functions.BloomAgg]] (bitwise-OR
+  // merge → map-side partials; only m/8 bytes per partition shuffle), and
+  // the probe side is pure codegen'd integer arithmetic over the
+  // broadcast words array. One-sided error: every truly-contaminated
+  // shingle hits (no false negatives vs d18); the FPR is ~1% at this fill.
+  // Oracled by exporting the words + probe hashes and replaying the exact
+  // bit arithmetic in DuckDB.
+  private def shingleHashes5(s: SparkSession, dir: String): DataFrame = {
+    val grams5 = "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), col("source"), explode(expr(grams5)).as("shingle"))
+      .distinct()
+      .select(col("doc_id"), col("source"), xxhash64(col("shingle")).as("h"))
+  }
+
+  private def d27Bloom(s: SparkSession, dir: String): DataFrame =
+    shingleHashes5(s, dir).filter(col("source") === "src0")
+      .select(col("h")).distinct()
+      .agg(graft.functions.BloomAgg.bloom_agg(col("h")).as("words"))
+
+  private def d27Probes(s: SparkSession, dir: String): DataFrame =
+    shingleHashes5(s, dir).filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("h")).distinct()
+
+  private def d27(s: SparkSession, dir: String): DataFrame =
+    d27Probes(s, dir)
+      .crossJoin(broadcast(d27Bloom(s, dir)))
+      .select(col("doc_id"),
+        when(expr(graft.functions.BloomAgg.memberExpr("words", "h")), 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        expr("CAST(1000 * n_hits div n_shingles AS BIGINT)").as("contam_permille"))
+
+  private val d27Oracle = {
+    import graft.functions.BloomAgg.{NumBits, NumProbes, WordBits}
+    s"""WITH wds AS (SELECT idx, word FROM '{OUT}/_aux/d27_bloom_contamination/aux_bloom/*.parquet'),
+       |pr AS (SELECT doc_id, h FROM '{OUT}/_aux/d27_bloom_contamination/aux_probes/*.parquet'),
+       |ph AS (SELECT doc_id, h, h & ${NumBits - 1} AS h1,
+       |              ((h & 4294967295) // 65536) | 1 AS h2 FROM pr),
+       |pos AS (SELECT doc_id, h, (h1 + r.range * h2) % $NumBits AS pos
+       |        FROM ph, range(0, $NumProbes) r),
+       |bit AS (SELECT p.doc_id, p.h,
+       |          CASE WHEN (w.word & (CAST(1 AS BIGINT) << CAST(pos % $WordBits AS INT))) != 0
+       |               THEN 1 ELSE 0 END AS b
+       |        FROM pos p JOIN wds w ON w.idx = p.pos // $WordBits),
+       |mem AS (SELECT doc_id, h, MIN(b) AS is_m FROM bit GROUP BY doc_id, h)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(is_m) AS BIGINT) AS n_hits,
+       |  CAST(1000 * SUM(is_m) // COUNT(*) AS BIGINT) AS contam_permille
+       |FROM mem GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q40_window_distribution", q40, Some(q40Oracle)),
+    Q("d27_bloom_contamination", d27, Some(d27Oracle),
+      aux = Seq(
+        "aux_bloom" -> ((s: SparkSession, dir: String) =>
+          d27Bloom(s, dir).select(posexplode(col("words")).as(Seq("idx", "word")))),
+        "aux_probes" -> ((s: SparkSession, dir: String) => d27Probes(s, dir)))),
     Q("e08_two_stage_rerank", e08, Some(e08Oracle)),
     Q("d24_redaction", d24, Some(d24Oracle)),
     Q("d25_substring_dedup", d25, Some(d25Oracle)),

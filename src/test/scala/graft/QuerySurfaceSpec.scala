@@ -399,4 +399,19 @@ class QuerySurfaceSpec extends SparkFunSuite {
       assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("d27 bloom contamination: no false negatives vs d18's exact audit, bounded FPR") {
+    val exact = SparkEntry.queries("d18_contamination")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated")).toMap
+    val bloom = SparkEntry.queries("d27_bloom_contamination")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_shingles"))).toMap
+    assert(bloom.keySet == exact.keySet)
+    // one-sided error: every exact hit is a bloom hit
+    bloom.foreach { case (id, (hits, _)) => assert(hits >= exact(id), s"doc $id lost hits") }
+    // false-positive rate over the truly-clean probes stays near design (~1%)
+    val fp = bloom.map { case (id, (hits, _)) => hits - exact(id) }.sum.toDouble
+    val clean = bloom.map { case (id, (_, n)) => n - exact(id) }.sum.toDouble
+    assert(fp / clean <= 0.05, s"bloom FPR ${fp / clean}")
+  }
 }
