@@ -74,9 +74,12 @@ object FuzzyDedup {
     * cap bounds the worst (band, bucket) at [[MaxBucketDocs]] docs.
     */
   def candidatePairs(sigs: DataFrame): DataFrame = {
+    // band WITHOUT the signature column: the cap window and the self-join
+    // shuffle only (doc_id, band, 4-slot bucket) — ~10× narrower rows than
+    // carrying the full 64-slot signature through both exchanges. The
+    // signatures rejoin below, but only for the (tiny) distinct pair set.
     val banded = sigs.select(
       col("doc_id"),
-      col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b * $RowsPerBand + 1, $RowsPerBand))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
@@ -86,13 +89,16 @@ object FuzzyDedup {
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bn") <= MaxBucketDocs)
       .drop("bn")
-    capped.as("a")
+    val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
   }
 
   /** Jaccard estimate = fraction of agreeing signature slots. */
