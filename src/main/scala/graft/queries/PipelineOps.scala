@@ -215,12 +215,12 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), xxhash64(col("shingle")).as("h"))
   }
 
-  private def d27Bloom(s: SparkSession, dir: String): DataFrame =
+  private[graft] def d27Bloom(s: SparkSession, dir: String): DataFrame =
     shingleHashes5(s, dir).filter(col("source") === "src0")
       .select(col("h")).distinct()
       .agg(graft.functions.BloomAgg.bloom_agg(col("h")).as("words"))
 
-  private def d27Probes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def d27Probes(s: SparkSession, dir: String): DataFrame =
     shingleHashes5(s, dir).filter(col("source") =!= "src0")
       .select(col("doc_id"), col("h")).distinct()
 

@@ -242,6 +242,53 @@ object StreamingOps {
         max(col("tsu")).as("last_tsu"))
   }
 
+  /** Streaming contamination gate: the d27 bloom sketch (built once from
+    * the static eval set, 8 KiB) is broadcast into every micro-batch of a
+    * document stream; each arriving doc's 5-gram hashes probe the bitset
+    * with pure codegen'd integer arithmetic. This is the production shape
+    * for filtering a live crawl against a benchmark set — per-batch cost
+    * is narrow (no stream-side state beyond the final per-doc counts),
+    * and the emitted answer must equal the batch d27 audit exactly.
+    *
+    * Per-doc shingle dedup happens inside an array (`array_distinct`
+    * before the explode) rather than a stateful stream `distinct`, so no
+    * cross-batch dedup state is needed — a doc's shingles arrive with the
+    * doc.
+    */
+  def streamingContamination(spark: SparkSession, dir: String): DataFrame = {
+    val bloom = graft.queries.PipelineOps.d27Bloom(spark, dir)
+      .withColumn("k", lit(1))
+    val grams5 =
+      "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+    val stream = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(transform($grams5, g -> xxhash64(g)))")).as("h"))
+      .withColumn("k", lit(1))
+      .join(broadcast(bloom), "k")
+      .select(col("doc_id"),
+        when(expr(graft.functions.BloomAgg.memberExpr("words", "h")), 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_hits"))
+    val name = "graft_stream_contam_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        expr("CAST(1000 * n_hits div n_shingles AS BIGINT)").as("contam_permille"))
+  }
+
   val queries: Seq[graft.queries.Q] = Seq(
     // deterministic winner: each distinct text belongs to the source of
     // its min-doc_id row — exactly what the min_by state keeps
@@ -287,6 +334,35 @@ object StreamingOps {
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
              |  MIN(epoch_us(ts)) AS first_tsu,
              |  MAX(epoch_us(ts)) AS last_tsu
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+    // must equal the batch d27 bloom audit: same replay of the exported
+    // bitset + probe hashes (the streamed probe set is identical by
+    // construction — per-doc array_distinct of the same 5-gram hashes)
+    graft.queries.Q("s08_streaming_contamination",
+      (s, dir) => streamingContamination(s, dir),
+      Some {
+        import graft.functions.BloomAgg.{NumBits, NumProbes, WordBits}
+        s"""WITH wds AS (SELECT idx, word FROM '{OUT}/_aux/s08_streaming_contamination/aux_bloom/*.parquet'),
+           |pr AS (SELECT doc_id, h FROM '{OUT}/_aux/s08_streaming_contamination/aux_probes/*.parquet'),
+           |ph AS (SELECT doc_id, h, h & ${NumBits - 1} AS h1,
+           |              ((h & 4294967295) // 65536) | 1 AS h2 FROM pr),
+           |pos AS (SELECT doc_id, h, (h1 + r.range * h2) % $NumBits AS pos
+           |        FROM ph, range(0, $NumProbes) r),
+           |bit AS (SELECT p.doc_id, p.h,
+           |          CASE WHEN (w.word & (CAST(1 AS BIGINT) << CAST(pos % $WordBits AS INT))) != 0
+           |               THEN 1 ELSE 0 END AS b
+           |        FROM pos p JOIN wds w ON w.idx = p.pos // $WordBits),
+           |mem AS (SELECT doc_id, h, MIN(b) AS is_m FROM bit GROUP BY doc_id, h)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           |  CAST(SUM(is_m) AS BIGINT) AS n_hits,
+           |  CAST(1000 * SUM(is_m) // COUNT(*) AS BIGINT) AS contam_permille
+           |FROM mem GROUP BY doc_id""".stripMargin
+      },
+      aux = Seq(
+        "aux_bloom" -> ((s: SparkSession, dir: String) =>
+          graft.queries.PipelineOps.d27Bloom(s, dir)
+            .select(posexplode(col("words")).as(Seq("idx", "word")))),
+        "aux_probes" -> ((s: SparkSession, dir: String) =>
+          graft.queries.PipelineOps.d27Probes(s, dir))))
   )
 }

@@ -414,4 +414,12 @@ class QuerySurfaceSpec extends SparkFunSuite {
     val clean = bloom.map { case (id, (_, n)) => n - exact(id) }.sum.toDouble
     assert(fp / clean <= 0.05, s"bloom FPR ${fp / clean}")
   }
+
+  test("s08 streaming contamination equals the batch d27 audit") {
+    def asMap(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("contam_permille"))).toMap
+    assert(asMap("s08_streaming_contamination") == asMap("d27_bloom_contamination"))
+  }
 }
