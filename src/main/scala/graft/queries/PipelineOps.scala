@@ -254,8 +254,69 @@ object PipelineOps {
        |FROM mem GROUP BY doc_id""".stripMargin
   }
 
+  // --- d28: per-source quantile-threshold filtering ----------------------
+  // The per-source quality gate of a mixing pipeline: each source keeps
+  // only docs at or above its own p25 length. The discrete quantile is
+  // computed with pure integer window arithmetic — row_number with a full
+  // sort key at rank ceil(n/4) — identical in any engine (no
+  // percentile-interpolation or double semantics to align). The threshold
+  // table is one row per source → broadcast; the corpus never shuffles
+  // for the gate itself.
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val thr = d
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") === expr("(n + 3) div 4"))
+      .select(col("source"), col("n_chars").as("thr"))
+    d.join(broadcast(thr), "source")
+      .filter(col("n_chars") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("thr"))
+  }
+
+  private val d28Oracle =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |thr AS (
+      |  SELECT source, n_chars AS thr FROM (
+      |    SELECT source, n_chars,
+      |      row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rn,
+      |      COUNT(*) OVER (PARTITION BY source) AS n
+      |    FROM d)
+      |  WHERE rn = (n + 3) // 4)
+      |SELECT doc_id, d.source, n_chars, thr
+      |FROM d JOIN thr ON d.source = thr.source
+      |WHERE n_chars >= thr""".stripMargin
+
+  // --- e09: cross-modal text/embedding join ------------------------------
+  // Joins the text table to its embedding row (doc_id = vec_id) — the
+  // standard pretraining-filter shape that combines a text-side signal
+  // (length) with an embedding-side signal (norm). The norm is an integer
+  // sum of per-term integerized squares, so the cross-engine SUM is exact
+  // under any merge order. Equi-join on the id: co-partitioned shuffle
+  // join at scale, no broadcast needed on either (both are corpus-sized).
+  private def e09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          expr("""aggregate(transform(embedding, x -> CAST(floor(1000000 * CAST(x AS DOUBLE) * CAST(x AS DOUBLE) + 0.5) AS BIGINT)),
+                 | CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("norm_e6")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("norm_e6"),
+        (col("n_chars").between(100, 400) && col("norm_e6") >= 1000000L).cast("long").as("keep"))
+
+  private val e09Oracle =
+    """SELECT doc_id, lang, n_chars, norm_e6,
+      |  CAST(CASE WHEN n_chars BETWEEN 100 AND 400 AND norm_e6 >= 1000000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM documents d JOIN (
+      |  SELECT vec_id,
+      |    CAST(list_sum([CAST(floor(1000000 * CAST(x AS DOUBLE) * CAST(x AS DOUBLE) + 0.5) AS BIGINT) for x in embedding]) AS BIGINT) AS norm_e6
+      |  FROM embeddings) e ON d.doc_id = e.vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q40_window_distribution", q40, Some(q40Oracle)),
+    Q("d28_quantile_filter", d28, Some(d28Oracle)),
+    Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),
       aux = Seq(
         "aux_bloom" -> ((s: SparkSession, dir: String) =>

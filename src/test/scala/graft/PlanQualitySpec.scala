@@ -160,4 +160,33 @@ class PlanQualitySpec extends SparkFunSuite {
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
   }
+
+  test("d27: the 8 KiB bloom sketch broadcasts; probe side never shuffles for the join") {
+    val p = plan(SparkEntry.queries("d27_bloom_contamination")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the membership probe is built-in integer arithmetic, not a UDF
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("d28: the one-row-per-source threshold table broadcasts") {
+    val p = plan(SparkEntry.queries("d28_quantile_filter")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("e08: queries broadcast into the corpus scan (corpus never shuffles before the coarse stage)") {
+    val p = plan(SparkEntry.queries("e08_two_stage_rerank")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d25: span-cap window shares the span-join's hash partitioning (no extra shuffle)") {
+    val df = SparkEntry.queries("d25_substring_dedup")(spark, sf)
+    df.collect()
+    // the AdaptiveSparkPlan string repeats the plan (final + initial):
+    // count exchanges only inside the final section
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    // one exchange per join input (window + join share it), one for the
+    // pair aggregation; more would mean the cap re-shuffled the span table
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
 }

@@ -415,6 +415,31 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(fp / clean <= 0.05, s"bloom FPR ${fp / clean}")
   }
 
+  test("d28 keeps >= 3/4 of each source, all at or above the p25 threshold") {
+    val rows = SparkEntry.queries("d28_quantile_filter")(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_chars") >= r.getAs[Long]("thr")))
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      // p25 cut keeps at least 3/4 (ties can keep more, never fewer)
+      assert(rs.length >= (3 * total(src)) / 4, s"$src kept ${rs.length}/${total(src)}")
+    }
+  }
+
+  test("e09 joins every doc to its embedding with exact integer norms") {
+    val rows = SparkEntry.queries("e09_text_embedding_join")(spark, sf).collect()
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("norm_e6") >= 0)
+      val expectKeep = {
+        val n = r.getAs[Long]("n_chars")
+        n >= 100 && n <= 400 && r.getAs[Long]("norm_e6") >= 1000000L
+      }
+      assert(r.getAs[Long]("keep") == (if (expectKeep) 1L else 0L))
+    }
+  }
+
   test("s08 streaming contamination equals the batch d27 audit") {
     def asMap(name: String) = SparkEntry.queries(name)(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") ->
