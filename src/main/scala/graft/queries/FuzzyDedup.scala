@@ -137,6 +137,74 @@ object FuzzyDedup {
        |  FROM pairs)
        |WHERE est_jaccard_permille >= 300""".stripMargin
 
+  // --- Incremental (cross-batch) dedup ---------------------------------------
+
+  /** First doc_id of the "newly crawled" batch: ids below are the already-
+    * ingested corpus whose old×old pairs were deduped in earlier runs. */
+  val NewBatchMin = 250L
+
+  /** Continuous-ingest dedup: candidate pairs where at least one side is
+    * NEW — new×old and new×new, never old×old (that work is already
+    * done). Because new ids are strictly larger than old ids, every pair
+    * involving a new doc has its LARGER member new, so restricting the
+    * b-side of the `a.doc_id < b.doc_id` band join to the new batch
+    * yields exactly the wanted pair set. Per-batch cost is
+    * |batch| × bucket-size, independent of the historical corpus size —
+    * the property that makes nightly dedup of a 100 TB corpus feasible.
+    * In production the historical signatures are read back from the
+    * signature store, not recomputed; here both sides derive from the
+    * same table.
+    */
+  def incrementalNearDups(s: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(t(s, dir, "documents")).cache()
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b * $RowsPerBand + 1, $RowsPerBand))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val capped = banded
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bn") <= MaxBucketDocs)
+      .drop("bn")
+    val pairs = capped.as("a")
+      .join(capped.filter(col("doc_id") >= NewBatchMin).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    estimate(pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b"))
+      .filter(col("est_jaccard_permille") >= 300)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_permille"),
+        when(col("doc_a") < NewBatchMin, "vs_corpus").otherwise("within_batch")
+          .as("pair_kind"))
+  }
+
+  private val d29Oracle =
+    s"""WITH sig AS (SELECT doc_id, sig FROM '{OUT}/_aux/d29_incremental_dedup/aux_signatures/*.parquet'),
+       |banded AS (
+       |  SELECT doc_id, sig, r.range AS band,
+       |         list_slice(sig, r.range * $RowsPerBand + 1, r.range * $RowsPerBand + $RowsPerBand) AS bucket
+       |  FROM sig, range(0, $Bands) r),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM banded)
+       |  WHERE bn <= $MaxBucketDocs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id >= $NewBatchMin)
+       |SELECT doc_a, doc_b, est_jaccard_permille,
+       |  CASE WHEN doc_a < $NewBatchMin THEN 'vs_corpus' ELSE 'within_batch' END AS pair_kind
+       |FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(1000 * length(list_filter(range(1, ${NumPerms + 1}), i -> sig_a[i] = sig_b[i])) // $NumPerms AS BIGINT)
+       |      AS est_jaccard_permille
+       |  FROM pairs)
+       |WHERE est_jaccard_permille >= 300""".stripMargin
+
   // --- SimHash ---------------------------------------------------------------
 
   /** 63-bit SimHash per doc over word-bigram shingles (unigrams are too
@@ -246,6 +314,9 @@ object FuzzyDedup {
   val queries: Seq[Q] = Seq(
     Q("d06_minhash_lsh", (s, dir) => minhashNearDups(s, dir), Some(d06Oracle),
       headline = true,
+      aux = Seq("aux_signatures" ->
+        ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),
+    Q("d29_incremental_dedup", (s, dir) => incrementalNearDups(s, dir), Some(d29Oracle),
       aux = Seq("aux_signatures" ->
         ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),
     Q("d07_simhash", (s, dir) => simhashNearDups(s, dir), Some(d07Oracle),

@@ -313,8 +313,36 @@ object PipelineOps {
       |    CAST(list_sum([CAST(floor(1000000 * CAST(x AS DOUBLE) * CAST(x AS DOUBLE) + 0.5) AS BIGINT) for x in embedding]) AS BIGINT) AS norm_e6
       |  FROM embeddings) e ON d.doc_id = e.vec_id""".stripMargin
 
+  // --- q41: correlated LATERAL subquery (SQL entry point) -----------------
+  // Top-2 lineitems per order via a correlated LATERAL with ORDER BY +
+  // LIMIT — Catalyst decorrelates the per-row subquery into a windowed
+  // join (no subquery-per-row execution); the plan proof lives in
+  // PlanQualitySpec. Quantities integerized to cents before ranking,
+  // l_linenumber completes the sort key.
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q41")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q41")
+    s.sql("""SELECT o_orderkey, o_orderpriority, l.l_linenumber, l.qty_c
+            |FROM orders_q41 o,
+            |LATERAL (SELECT l_linenumber,
+            |                CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+            |         FROM lineitem_q41 li
+            |         WHERE li.l_orderkey = o.o_orderkey
+            |         ORDER BY qty_c DESC, l_linenumber ASC LIMIT 2) l""".stripMargin)
+  }
+
+  private val q41Oracle =
+    """SELECT o_orderkey, o_orderpriority, l.l_linenumber, l.qty_c
+      |FROM orders o,
+      |LATERAL (SELECT l_linenumber,
+      |                CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+      |         FROM lineitem li
+      |         WHERE li.l_orderkey = o.o_orderkey
+      |         ORDER BY qty_c DESC, l_linenumber ASC LIMIT 2) l""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q40_window_distribution", q40, Some(q40Oracle)),
+    Q("q41_lateral_topn", q41, Some(q41Oracle)),
     Q("d28_quantile_filter", d28, Some(d28Oracle)),
     Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),

@@ -440,6 +440,30 @@ class QuerySurfaceSpec extends SparkFunSuite {
     }
   }
 
+  test("d29 incremental pairs = d06 pairs whose larger member is in the new batch") {
+    val full = FuzzyDedup.minhashNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = SparkEntry.queries("d29_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (_, b) => b >= FuzzyDedup.NewBatchMin }
+    assert(inc == expected, s"diff: ${(inc diff expected) ++ (expected diff inc)}")
+  }
+
+  test("q41 lateral top-n equals the window-function answer") {
+    val got = SparkEntry.queries("q41_lateral_topn")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Int]("l_linenumber"))).toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").as("qty_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy(col("qty_c").desc, col("l_linenumber").asc)
+    val expected = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(spark.read.parquet(s"$sf/orders.parquet"), col("l_orderkey") === col("o_orderkey"))
+      .select("o_orderkey", "l_linenumber")
+      .collect().map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Int]("l_linenumber"))).toSet
+    assert(got == expected)
+  }
+
   test("s08 streaming contamination equals the batch d27 audit") {
     def asMap(name: String) = SparkEntry.queries(name)(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") ->
