@@ -105,6 +105,44 @@ object Multimodal {
       .as[MediaBlob]
   }
 
+  final case class AudioWindow(
+      media_id: Long, win_index: Int, energy: Long, crossings: Long)
+
+  /** STUB audio feature frames — stands in for STFT-style windowing (no
+    * audio codecs here): overlapping windows (size 32, hop 16 — 50%
+    * overlap, the standard spectrogram shape) over the payload, each
+    * emitting integer energy (byte sum) and DC-removed crossings (count
+    * of adjacent samples straddling the window mean; compared as
+    * `sample*win < energy`, all-integer so any engine agrees). One blob →
+    * many window rows, narrow flatMap — the real 100 TB contract.
+    */
+  def audioWindowStub(
+      b: MediaBlob, win: Int = 32, hop: Int = 16): Iterator[AudioWindow] = {
+    val p = b.payload
+    val n = if (p.length >= win) (p.length - win) / hop + 1 else 0
+    (0 until n).iterator.map { wi =>
+      val st = wi * hop
+      var energy = 0L
+      var i = st
+      while (i < st + win) { energy += p(i) & 0xff; i += 1 }
+      var crossings = 0L
+      i = st
+      while (i < st + win - 1) {
+        val below0 = (p(i) & 0xff).toLong * win < energy
+        val below1 = (p(i + 1) & 0xff).toLong * win < energy
+        if (below0 != below1) crossings += 1
+        i += 1
+      }
+      AudioWindow(b.media_id, wi, energy, crossings)
+    }
+  }
+
+  /** Blob → overlapping audio feature windows (narrow flatMap). */
+  def audioWindows(blobs: Dataset[MediaBlob]): Dataset[AudioWindow] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap(audioWindowStub(_)))
+  }
+
   /** Decode/feature-extract stage: partition-local, no shuffle. */
   def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
@@ -236,6 +274,27 @@ object Multimodal {
              |      FROM b GROUP BY doc_id)
              |SELECT d.doc_id AS media_id, COALESCE(h.phash, 0) AS phash,
              |       COUNT(*) OVER (PARTITION BY COALESCE(h.phash, 0)) AS n_same
-             |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin))
+             |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin)),
+
+    // audio-style overlapping feature windows (stub "samples" = payload
+    // bytes): energy + DC-removed crossings per 50%-overlap window, all
+    // integer arithmetic — DuckDB replays windowing, energy, and the
+    // sample*win < energy crossing comparisons from the raw text bytes
+    Q("m06_audio_windows",
+      (s, dir) => audioWindows(blobs(s, dir)).toDF()
+        .select(col("media_id"), col("win_index").cast("long").as("win_index"),
+          col("energy"), col("crossings")),
+      Some("""WITH f AS (SELECT doc_id AS media_id, text, length(text) AS L FROM documents),
+             |w AS (SELECT media_id, text,
+             |        unnest(range(0, CASE WHEN L >= 32 THEN (L - 32) // 16 + 1 ELSE 0 END)) AS wi
+             |      FROM f),
+             |cs AS (SELECT media_id, wi,
+             |         [ascii(x) for x in string_split(substr(text, CAST(wi * 16 + 1 AS INT), 32), '')] AS c
+             |       FROM w),
+             |e AS (SELECT media_id, wi, c, CAST(list_sum(c) AS BIGINT) AS energy FROM cs)
+             |SELECT media_id, CAST(wi AS BIGINT) AS win_index, energy,
+             |  CAST(length(list_filter(range(1, 32),
+             |    i -> (c[i] * 32 < energy) != (c[i + 1] * 32 < energy))) AS BIGINT) AS crossings
+             |FROM e""".stripMargin))
   )
 }

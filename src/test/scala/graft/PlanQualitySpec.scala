@@ -161,6 +161,11 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
   }
 
+  test("m06: audio windowing is narrow (flatMap only — zero shuffles)") {
+    val p = plan(SparkEntry.queries("m06_audio_windows")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("d27: the 8 KiB bloom sketch broadcasts; probe side never shuffles for the join") {
     val p = plan(SparkEntry.queries("d27_bloom_contamination")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
