@@ -340,9 +340,103 @@ object PipelineOps {
       |         WHERE li.l_orderkey = o.o_orderkey
       |         ORDER BY qty_c DESC, l_linenumber ASC LIMIT 2) l""".stripMargin
 
+  // --- q42: 3-sigma anomaly detection, all-integer -----------------------
+  // Flags events whose value deviates from the user's mean by more than
+  // 3 population standard deviations — WITHOUT ever forming a double mean
+  // or sigma (both order-dependent cross-engine): the test
+  // (n·v − s)² > 9·(n·ss − s²) is the σ-test cross-multiplied into exact
+  // integers. Domain bound: cents ≤ 10^5 and per-user n ≤ 10^4 keep every
+  // product under 2^63. The per-user stats join is a co-partitioned
+  // shuffle join (the stats side is user-cardinality — not broadcastable
+  // at 100 TB).
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      expr("CAST(floor((value) * 100 + 0.5) AS BIGINT)").as("cents"))
+    val stats = e.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s"),
+      sum(col("cents") * col("cents")).as("ss"))
+    e.join(stats, "user_id")
+      .filter(expr("(n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)"))
+      .select(col("event_id"), col("user_id"), col("cents"), col("n"))
+  }
+
+  private val q42Oracle =
+    """WITH e AS (SELECT event_id, user_id,
+      |             CAST(floor((value) * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(cents) AS BIGINT) AS s,
+      |         CAST(SUM(cents * cents) AS BIGINT) AS ss
+      |       FROM e GROUP BY user_id)
+      |SELECT event_id, e.user_id, cents, n
+      |FROM e JOIN st ON e.user_id = st.user_id
+      |WHERE (n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)""".stripMargin
+
+  // --- q43: ordered funnel sequencing ------------------------------------
+  // view → click → purchase strictly in temporal order per user: each
+  // stage's earliest qualifying timestamp is the min over events after
+  // the previous stage's. Exact µs integer domain end to end; stages
+  // compose as aggregations + equi-joins on user_id (every join is
+  // user-co-partitioned — one shuffle key throughout, reused).
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tsu")).as("v1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tsu") > col("v1"))
+      .groupBy("user_id").agg(min(col("tsu")).as("c1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("tsu") > col("c1"))
+      .groupBy("user_id").agg(min(col("tsu")).as("p1"))
+    v.join(c.select(col("user_id"), col("c1")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("p1")), Seq("user_id"), "left")
+      .select(col("user_id"), col("v1"), col("c1"), col("p1"),
+        expr("CAST(CASE WHEN p1 IS NOT NULL THEN 3 WHEN c1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)")
+          .as("stages_reached"))
+  }
+
+  private val q43Oracle =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+      |v AS (SELECT user_id, MIN(tsu) AS v1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(tsu) AS c1 FROM ev JOIN v ON ev.user_id = v.user_id
+      |      WHERE event_type = 'click' AND tsu > v1 GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(tsu) AS p1 FROM ev JOIN c ON ev.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND tsu > c1 GROUP BY ev.user_id)
+      |SELECT v.user_id, v1, c1, p1,
+      |  CAST(CASE WHEN p1 IS NOT NULL THEN 3 WHEN c1 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+      |    AS stages_reached
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  // --- q44: cohort retention matrix --------------------------------------
+  // Users grouped by first-active day (the cohort); for each day offset k
+  // the matrix counts cohort members active k days later. Exact integer
+  // day buckets (µs floor-division); distinct-user counting shuffles on
+  // the (cohort, k) pair once.
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("day")).as("d0"))
+    ud.join(first, "user_id")
+      .groupBy(col("d0").as("cohort_day"), (col("day") - col("d0")).as("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val q44Oracle =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id)
+      |SELECT d0 AS cohort_day, day - d0 AS k,
+      |  CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_users
+      |FROM ud JOIN f ON ud.user_id = f.user_id
+      |GROUP BY d0, day - d0""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q40_window_distribution", q40, Some(q40Oracle)),
     Q("q41_lateral_topn", q41, Some(q41Oracle)),
+    Q("q42_anomaly_3sigma", q42, Some(q42Oracle)),
+    Q("q43_funnel_sequence", q43, Some(q43Oracle)),
+    Q("q44_cohort_retention", q44, Some(q44Oracle)),
     Q("d28_quantile_filter", d28, Some(d28Oracle)),
     Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),

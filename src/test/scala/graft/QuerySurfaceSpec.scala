@@ -464,6 +464,28 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(got == expected)
   }
 
+  test("q42/q43: anomaly flags are per-user extremes; funnel stages strictly ordered") {
+    val flagged = SparkEntry.queries("q42_anomaly_3sigma")(spark, sf).collect()
+    flagged.foreach(r => assert(r.getAs[Long]("n") >= 1))
+    // every flagged event must really sit beyond 3 population sigmas of
+    // its user's distribution (independent double-domain recomputation)
+    val byUser = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), expr("CAST(floor((value) * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cents")))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2.toDouble) }
+    flagged.foreach { r =>
+      val xs = byUser(r.getAs[Long]("user_id"))
+      val mean = xs.sum / xs.size
+      val sigma = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.size)
+      assert(math.abs(r.getAs[Long]("cents") - mean) > 3 * sigma - 1e-6, s"not an outlier: $r")
+    }
+    SparkEntry.queries("q43_funnel_sequence")(spark, sf).collect().foreach { r =>
+      val (v1, c1, p1) = (r.getAs[Long]("v1"), r.getAs[java.lang.Long]("c1"), r.getAs[java.lang.Long]("p1"))
+      if (c1 != null) assert(c1 > v1)
+      if (p1 != null) { assert(c1 != null); assert(p1 > c1) }
+    }
+  }
+
   test("s08 streaming contamination equals the batch d27 audit") {
     def asMap(name: String) = SparkEntry.queries(name)(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") ->
