@@ -431,9 +431,44 @@ object PipelineOps {
       |FROM ud JOIN f ON ud.user_id = f.user_id
       |GROUP BY d0, day - d0""".stripMargin
 
+  // --- q45: full-outer reconciliation ------------------------------------
+  // The audit-join shape: per-entity totals from two independent systems
+  // (order spend keyed by o_custkey vs event spend keyed by user_id)
+  // FULL OUTER joined so entities present in only one side surface with
+  // the other side NULL. Both sides pre-aggregate to entity cardinality
+  // before the join — the full-outer shuffle moves one row per entity,
+  // never raw facts.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("uid"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("order_cents"))
+    val e = Tables.events(s, dir)
+      .groupBy(col("user_id").as("uid"))
+      .agg(sum(expr("CAST(floor((value) * 100 + 0.5) AS BIGINT)")).as("event_cents"))
+    o.join(e, Seq("uid"), "full_outer")
+      .select(col("uid"), col("order_cents"), col("event_cents"),
+        expr("""CAST(CASE WHEN order_cents IS NULL THEN 1
+               | WHEN event_cents IS NULL THEN 2 ELSE 0 END AS BIGINT)""".stripMargin)
+          .as("presence"))
+  }
+
+  private val q45Oracle =
+    """SELECT COALESCE(o.uid, e.uid) AS uid, order_cents, event_cents,
+      |  CAST(CASE WHEN order_cents IS NULL THEN 1
+      |   WHEN event_cents IS NULL THEN 2 ELSE 0 END AS BIGINT) AS presence
+      |FROM (SELECT o_custkey AS uid,
+      |        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS order_cents
+      |      FROM orders GROUP BY o_custkey) o
+      |FULL OUTER JOIN
+      |     (SELECT user_id AS uid,
+      |        CAST(SUM(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS event_cents
+      |      FROM events GROUP BY user_id) e
+      |ON o.uid = e.uid""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q40_window_distribution", q40, Some(q40Oracle)),
     Q("q41_lateral_topn", q41, Some(q41Oracle)),
+    Q("q45_full_outer_reconcile", q45, Some(q45Oracle)),
     Q("q42_anomaly_3sigma", q42, Some(q42Oracle)),
     Q("q43_funnel_sequence", q43, Some(q43Oracle)),
     Q("q44_cohort_retention", q44, Some(q44Oracle)),
