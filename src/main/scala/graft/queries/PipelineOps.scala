@@ -68,12 +68,19 @@ object PipelineOps {
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val wc = Window.partitionBy("qid").orderBy(col("coarse_e6").desc, col("cid").asc)
     val wf = Window.partitionBy("qid").orderBy(col("full_e6").desc, col("cid").asc)
-    emb.crossJoin(broadcast(q))
+    // the coarse stage emits ONLY (qid, cid, score): the top-K window's
+    // shuffle must not carry the full vectors for every (query, corpus)
+    // pair — at 100 TB that shuffle is the whole cost. Vectors re-join
+    // below for just the CoarseK survivors per query.
+    val pruned = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"), col("qe"), col("e"),
+      .select(col("qid"), col("vec_id").as("cid"),
         expr(dotE6("qe", "e", CoarseDims)).as("coarse_e6"))
       .withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= CoarseK)
+    pruned
+      .join(emb.select(col("vec_id").as("cid"), col("e")), "cid")
+      .join(broadcast(q), "qid")
       .select(col("qid"), col("cid"), col("coarse_e6"),
         expr(dotE6("qe", "e", 64)).as("full_e6"))
       .withColumn("rank", row_number().over(wf).cast("long"))
