@@ -86,12 +86,18 @@ object StreamingDefrag {
     * (s07 streams the exact fixture file so its input set provably equals
     * the aux export's). */
   def defragStream(spark: SparkSession, capturePath: String): DataFrame = {
-    val name = "graft_stream_defrag_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // parquet sink, not memory: a memory sink collects the full result on
+    // the driver and any downstream write re-ships it INSIDE the task
+    // binaries (LocalTableScan — the "task of very large size" warning at
+    // 20k rows); the file sink is also the production deployment shape
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_defrag").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_defrag_ckpt").toString
     val q = defragStateful(project(spark.readStream.format("pcap").load(capturePath)))
-      .writeStream.outputMode("append").format("memory").queryName(name)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(outDir)
   }
 
   /** Deterministic 20k-packet capture fixture for the s07 query (the
