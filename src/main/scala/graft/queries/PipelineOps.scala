@@ -472,7 +472,69 @@ object PipelineOps {
       |      FROM events GROUP BY user_id) e
       |ON o.uid = e.uid""".stripMargin
 
+  // --- e10: metadata-filtered hybrid ANN ---------------------------------
+  // Hybrid search: a relational predicate (document language) restricts
+  // the corpus BEFORE any similarity math — the filter join prunes the
+  // scan, then the surviving vectors score against the broadcast query
+  // set. The predicate-first order is the scale-correct plan: at 100 TB
+  // the filter's selectivity multiplies the entire ANN cost.
+  private def e10(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val en = t(s, dir, "documents").filter(col("lang") === "en").select(col("doc_id"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("score_e6").desc, col("cid").asc)
+    emb.join(en, col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        expr(dotE6("qe", "e", 64)).as("score_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "cid", "score_e6", "rank")
+  }
+
+  private val e10Oracle =
+    """WITH emb AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qid, c.vec_id AS cid,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(floor(1000000 * qe[i] * e[i] + 0.5) AS BIGINT))) AS BIGINT) AS score_e6
+      |  FROM emb c JOIN en ON c.vec_id = en.doc_id
+      |  CROSS JOIN q WHERE c.vec_id <> q.qid)
+      |SELECT qid, cid, score_e6, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, cid ASC) AS BIGINT) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  // --- q46: windowed event dedup (data cleaning) --------------------------
+  // Collapses bursts: keep an event only if the user's previous event of
+  // the same type is more than 5 minutes older (or absent). One window
+  // over (user_id, event_type) in the exact µs integer domain; full sort
+  // key (tsu, event_id) so ties dedup identically everywhere.
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+      .withColumn("prev_tsu", lag(col("tsu"), 1).over(w))
+      .filter(col("prev_tsu").isNull || col("tsu") - col("prev_tsu") > 300000000L)
+      .select("event_id", "user_id", "event_type", "tsu")
+  }
+
+  private val q46Oracle =
+    """SELECT event_id, user_id, event_type, tsu FROM (
+      |  SELECT event_id, user_id, event_type, tsu,
+      |    lag(tsu) OVER (PARTITION BY user_id, event_type ORDER BY tsu ASC, event_id ASC) AS prev_tsu
+      |  FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events))
+      |WHERE prev_tsu IS NULL OR tsu - prev_tsu > 300000000""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("e10_filtered_ann", e10, Some(e10Oracle)),
+    Q("q46_event_dedup_window", q46, Some(q46Oracle)),
     Q("q40_window_distribution", q40, Some(q40Oracle)),
     Q("q41_lateral_topn", q41, Some(q41Oracle)),
     Q("q45_full_outer_reconcile", q45, Some(q45Oracle)),
