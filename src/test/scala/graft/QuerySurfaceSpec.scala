@@ -62,6 +62,18 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(pairs.count() == 0)
   }
 
+  test("d25 boilerplate cap: a degenerate corpus (200 identical docs) yields zero pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d25degen")
+    (1L to 200L)
+      .map(i => (i, "one two three four five six seven eight nine ten eleven twelve", "en", "srcX", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // every 8-token span occurs in all 200 docs — far over MaxSpanDocs —
+    // so the cap must drop them all instead of forming 200²/2 pairs
+    assert(SparkEntry.queries("d25_substring_dedup")(spark, dir.toString).count() == 0)
+  }
+
   test("winnowing fingerprints: deterministic, near-dups share fingerprints") {
     val fp1 = FuzzyDedup.fingerprints(
       spark.read.parquet(s"$sf/documents.parquet")).cache()
