@@ -14,7 +14,11 @@ import graft.spark.{PcapGen, PcapSource}
   */
 object BenchPcap {
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_PCAP_PACKETS", "1000000").toInt
+    // default to the steady-state corpus: at 1M packets Spark's ~3 s of
+    // fixed startup dominates and the number misreads as ~4x slower than
+    // the engine's actual throughput (round-1 lesson: 185k pkt/s at 1M vs
+    // 706k at 10M on the same build)
+    val n = sys.env.getOrElse("SPARK_GRAFT_PCAP_PACKETS", "10000000").toInt
     val dir = sys.env.getOrElse("SPARK_GRAFT_PCAP_DIR", "/tmp/graft-pcap-bench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
