@@ -49,7 +49,13 @@ object Verify {
     val runners = java.util.concurrent.Executors.newCachedThreadPool()
     val wec = ExecutionContext.fromExecutor(workers)
     val rec = ExecutionContext.fromExecutor(runners)
-    val futures = SparkEntry.all.map { query =>
+    // iteration aid: SPARK_GRAFT_VERIFY_ONLY=d30_bpe_learn,q01_... dumps
+    // (and lists in oracle_sql.json) just those queries, so a single
+    // operator can be gated in seconds instead of re-running all 100
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.all.filter(q => only.forall(_.contains(q.name)))
+    val futures = selected.map { query =>
       val name = query.name
       Future {
         val inner = Future {
@@ -99,7 +105,9 @@ object Verify {
     // {OUT} → this run's absolute output dir, so oracles can read the aux
     // intermediates exported above from wherever the driver pointed us
     val absOut = new java.io.File(outDir).getAbsolutePath
+    val selectedNames = selected.map(_.name).toSet
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selectedNames.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", absOut))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Round-3 surface widening: window distribution functions, two-stage ANN
   * re-ranking, PII-style redaction, exact substring-span dedup, and
@@ -551,6 +552,59 @@ object PipelineOps {
     Q("e08_two_stage_rerank", e08, Some(e08Oracle)),
     Q("d24_redaction", d24, Some(d24Oracle)),
     Q("d25_substring_dedup", d25, Some(d25Oracle)),
-    Q("d26_source_mix", d26, Some(d26Oracle))
+    Q("d26_source_mix", d26, Some(d26Oracle)),
+    Q("d30_bpe_learn", (s, dir) => d30Learned(s, dir)._1, Some(d30Oracle),
+      aux = Seq(
+        "aux_merges" -> ((s: SparkSession, dir: String) => d30Learned(s, dir)._2)))
   )
+
+  // --- d30: learned BPE merges (SURVEY §9 item 4, the last gap) ----------
+  // Induces a subword merge table from the corpus with operators/BpeLearn
+  // (driver-coordinated rounds over the Heaps'-law-small distinct-word
+  // frequency table — the corpus is never rescanned by the loop), then
+  // re-tokenizes every document with the learned merges. Oracled like
+  // e04/e05: Verify exports the learned merge table (rank, pat, rep) and
+  // DuckDB REPLAYS the full application — a recursive CTE applies each
+  // merge rank's single-pass literal replace to every distinct word, then
+  // joins token counts back to the corpus. All-integer; the exported
+  // patterns carry their own space padding so both engines run the exact
+  // same `replace` calls (see the determinism contract in BpeLearn's doc).
+  private val d30Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def d30Learned(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    d30Memo.getOrElseUpdate((s, dir), {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (merges, applied) = graft.operators.BpeLearn.learn(words, nMerges = 20)
+      val auxMerges = s.createDataFrame(merges).toDF()
+        .select(col("rank"), col("l"), col("r"), col("pat"), col("rep"))
+      val result = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .join(applied.select(col("word"), col("n_tokens")), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_words"),
+          sum("n_tokens").cast(LongType).as("n_bpe_tokens"))
+      (result, auxMerges)
+    })
+
+  private def d30Oracle: String =
+    """WITH RECURSIVE
+      |m AS (SELECT rank, pat, rep FROM '{OUT}/_aux/d30_bpe_learn/aux_merges/*.parquet'),
+      |wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |aw AS (SELECT doc_id, word FROM wd WHERE regexp_full_match(word, '[a-z]+')),
+      |w0 AS (SELECT DISTINCT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq FROM aw),
+      |app AS (
+      |  SELECT word, seq, CAST(0 AS BIGINT) AS rank FROM w0
+      |  UNION ALL
+      |  SELECT a.word, replace(a.seq, m.pat, m.rep) AS seq, a.rank + 1
+      |  FROM app a JOIN m ON m.rank = a.rank + 1),
+      |tok AS (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS nt
+      |        FROM app WHERE rank = (SELECT max(rank) FROM m))
+      |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(t.nt) AS BIGINT) AS n_bpe_tokens
+      |FROM aw a JOIN tok t USING (word) GROUP BY a.doc_id""".stripMargin
 }

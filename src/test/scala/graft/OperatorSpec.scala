@@ -124,6 +124,51 @@ class OperatorSpec extends SparkFunSuite {
     assert(got.size == 55 && got.values.forall(_ == 1L))
   }
 
+  test("BpeLearn equals the naive driver-side learner on random corpora") {
+    import spark.implicits._
+    // naive reference: same deterministic variant (one single-pass
+    // java.lang.String.replace per rank, ties by cnt desc / l asc / r asc)
+    def naive(words: Map[String, Long], nMerges: Int): (List[(String, String)], Map[String, Int]) = {
+      var seqs = words.keys.map(w => w -> (" " + w.toCharArray.mkString("", " ", " "))).toMap
+      var merges = List.empty[(String, String)]
+      var continue = true
+      while (merges.size < nMerges && continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, s) <- seqs) {
+          val ts = s.trim.split(" ")
+          for (i <- 0 until ts.length - 1)
+            counts((ts(i), ts(i + 1))) = counts.getOrElse((ts(i), ts(i + 1)), 0L) + words(w)
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val ((l, r), _) = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+          merges = merges :+ (l, r)
+          seqs = seqs.map { case (w, s) => w -> s.replace(s" $l $r ", s" $l$r ") }
+        }
+      }
+      (merges, seqs.map { case (w, s) => w -> s.trim.split(" ").length })
+    }
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new Random(seed)
+      val alpha = "abc"
+      val corpus = (1 to 40).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        w
+      }.groupBy(identity).map { case (w, ws) => w -> (ws.size.toLong * (1 + rnd.nextInt(5))) }
+      val df = corpus.toSeq.toDF("word", "freq")
+      val (merges, applied) = graft.operators.BpeLearn.learn(df, 10)
+      val (expMerges, expTokens) = naive(corpus, 10)
+      assert(merges.map(m => (m.l, m.r)) == expMerges, s"seed=$seed merges")
+      val gotTokens = applied.collect().map(r => r.getString(0) -> r.getLong(2).toInt).toMap
+      assert(gotTokens == expTokens, s"seed=$seed token counts")
+      // every merge reduces the weighted token count or keeps it equal
+      // only via residual overlaps — total tokens must strictly decrease
+      val total = gotTokens.map { case (w, n) => n * corpus(w) }.sum
+      val chars = corpus.map { case (w, f) => w.length * f }.sum
+      assert(total < chars || merges.isEmpty, s"seed=$seed no reduction")
+    }
+  }
+
   test("malformed capture: errors surface via accumulators, job survives") {
     val dir = java.nio.file.Files.createTempDirectory("badpcap")
     // valid header + one good frame + garbage record whose frame bytes are junk
