@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FuzzyDedup, Multimodal, PipelineOps, Q, Relational, TextOps, VectorOps}
+import graft.queries.{FuzzyDedup, GraphOps, Multimodal, PipelineOps, Q, Relational, TextOps, VectorOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,8 @@ object SparkEntry {
   def all: Seq[Q] =
     Relational.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
       VectorOps.queries ++ Multimodal.queries ++ PipelineOps.queries ++
-      StreamingOps.queries ++ graft.streaming.StreamingDefrag.queries
+      GraphOps.queries ++ StreamingOps.queries ++
+      graft.streaming.StreamingDefrag.queries
 
   /** Headline queries timed by Bench at sf0.1. */
   def headline: Seq[Q] = all.filter(_.headline)

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Iterative graph analytics over the relational testdata — the
+  * join-based message-passing family (d09's connected components is the
+  * other member). PageRank here is the canonical "N rounds of
+  * edge-join-aggregate" Spark workload: each round is one shuffle on the
+  * edge key, partial aggregation is map-side, and the rank frame stays
+  * co-partitioned with the edge list round over round.
+  *
+  * Cross-engine determinism: all rank mass lives in integer micro-units
+  * (1e12 = total initial mass); per-round redistribution uses integer
+  * floor-division in an exactly specified order — `share = pr div outw`,
+  * `contrib = share * w`, `pr' = base + 85 * Σcontrib div 100` — so any
+  * engine that replays the same rounds lands on the same integers (no
+  * doubles anywhere; dangling mass is deliberately dropped, identically,
+  * by both engines). The oracle unrolls the fixed iteration count into a
+  * chained-CTE pipeline (p1..pN), programmatically generated from the
+  * same constants, rather than a recursive CTE — aggregation inside the
+  * recursive term is not portable SQL.
+  *
+  * Scale notes: nodes/edges here are nation-level (tiny), but the shape
+  * is the production one — at a real graph's scale the rank frame would
+  * be checkpointed every few rounds to truncate lineage (see
+  * ConnectedComponents, which does exactly that) and the edge list
+  * bucketed by src so every round's join is shuffle-free.
+  */
+object GraphOps {
+  import Tables.t
+
+  /** total initial rank mass, in integer micro-units */
+  private val Scale = 1000000000000L
+  private val Iters = 10
+
+  // customer-nation → supplier-nation trade graph, weighted by lineitem
+  // count: "which nations' demand funds which nations' supply"
+  private def q47Edges(s: SparkSession, dir: String): DataFrame = {
+    Seq("nation", "customer", "orders", "lineitem", "supplier")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_q47"))
+    s.sql("""SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+            |FROM customer_q47 c
+            |  JOIN orders_q47 o ON o.o_custkey = c.c_custkey
+            |  JOIN lineitem_q47 l ON l.l_orderkey = o.o_orderkey
+            |  JOIN supplier_q47 su ON su.s_suppkey = l.l_suppkey
+            |  JOIN nation_q47 cn ON cn.n_nationkey = c.c_nationkey
+            |  JOIN nation_q47 sn ON sn.n_nationkey = su.s_nationkey
+            |GROUP BY 1, 2""".stripMargin)
+  }
+
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val edges = q47Edges(s, dir).cache()
+    val nodes = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v"))).distinct().cache()
+    val n = nodes.count()
+    val base = Scale * 15L / (100L * n) // floor, positive — same as SQL //
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    var pr = nodes.select(col("v"), lit(Scale / n).as("pr"))
+    for (_ <- 1 to Iters) {
+      val contrib = edges.join(outw, "src")
+        .join(pr.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), expr("(pr div outw) * w").as("c"))
+      val insum = contrib.groupBy("v").agg(sum("c").as("in"))
+      pr = nodes.join(insum, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("85 * coalesce(in, 0L) div 100")).as("pr"))
+    }
+    pr.select(col("v").as("nation"), col("pr").cast(LongType).as("pr_micro"))
+  }
+
+  private def q47Oracle: String = {
+    val edgeSql =
+      """e AS (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM customer c
+        |    JOIN orders o ON o.o_custkey = c.c_custkey
+        |    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |    JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        |    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |    JOIN nation sn ON sn.n_nationkey = su.s_nationkey
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |bs AS (SELECT CAST(15000000000000 // (100 * n) AS BIGINT) AS b FROM nn),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+        |p0 AS (SELECT v, CAST(1000000000000 // n AS BIGINT) AS pr FROM nodes, nn)""".stripMargin
+    val rounds = (1 to Iters).map { i =>
+      s"""p$i AS (SELECT nd.v, CAST(bs.b + 85 * COALESCE(ins.s, 0) // 100 AS BIGINT) AS pr
+         |  FROM nodes nd CROSS JOIN bs
+         |  LEFT JOIN (SELECT e.dst AS v, SUM((p.pr // o.outw) * e.w) AS s
+         |             FROM e JOIN p${i - 1} p ON p.v = e.src
+         |                    JOIN ow o ON o.src = e.src
+         |             GROUP BY e.dst) ins ON ins.v = nd.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeSql,
+       |$rounds
+       |SELECT v AS nation, pr AS pr_micro FROM p$Iters""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q47_pagerank", q47, Some(q47Oracle))
+  )
+}

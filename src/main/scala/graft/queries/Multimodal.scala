@@ -295,6 +295,41 @@ object Multimodal {
              |SELECT media_id, CAST(wi AS BIGINT) AS win_index, energy,
              |  CAST(length(list_filter(range(1, 32),
              |    i -> (c[i] * 32 < energy) != (c[i + 1] * 32 < energy))) AS BIGINT) AS crossings
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // video-style scene-change detection (stub "frames" = 64-byte payload
+    // slices, stride 1): a cut is an adjacent-frame byte-sum jump ≥ 300.
+    // Frame extraction + integer sums are the narrow m04 stage; the only
+    // wide step is the per-media lag window (co-partitioned by media_id —
+    // one shuffle, linear). Byte sums are exact in both engines
+    // (sum/64.0*64 round-trips exactly in IEEE — 64 is a power of two),
+    // so the cut set replays bit-for-bit from the raw bytes.
+    Q("m07_scene_cuts",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val fr = blobs(s, dir)
+          .mapPartitions(_.flatMap(frameSampleStub(_, frameSize = 64, stride = 1)))
+          .toDF()
+          .select(col("media_id"), col("frame_index").cast(LongType).as("frame_index"),
+            expr("CAST(round(mean_byte * 64) AS BIGINT)").as("byte_sum"))
+        val w = Window.partitionBy("media_id").orderBy("frame_index")
+        fr.withColumn("prev", lag("byte_sum", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("delta", abs(col("byte_sum") - col("prev")))
+          .filter(col("delta") >= 300)
+          .select(col("media_id"), col("frame_index"), col("delta"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS media_id, unnest(range(0, length(text) // 64)) AS fi, text
+             |        FROM documents),
+             |c AS (SELECT media_id, fi, CAST(SUM(ascii(ch)) AS BIGINT) AS s
+             |      FROM (SELECT media_id, fi,
+             |              unnest(string_split(substr(text, CAST(fi * 64 + 1 AS INT), 64), '')) AS ch
+             |            FROM f)
+             |      GROUP BY media_id, fi),
+             |d AS (SELECT media_id, fi, abs(s - lag(s) OVER (PARTITION BY media_id ORDER BY fi)) AS delta
+             |      FROM c)
+             |SELECT media_id, CAST(fi AS BIGINT) AS frame_index, CAST(delta AS BIGINT) AS delta
+             |FROM d WHERE delta >= 300""".stripMargin))
   )
 }

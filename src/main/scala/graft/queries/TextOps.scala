@@ -524,7 +524,60 @@ object TextOps {
              |SELECT source, doc_id, n_tokens,
              |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS pack_id,
              |  CAST((cum - n_tokens) % 2000 AS BIGINT) AS pack_offset
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // --- d31: collocation extraction (PMI-ranked word bigrams) -------------
+    // which word pairs co-occur far more than chance — the phrase-mining
+    // step (new_york, machine_learning) a tokenizer-prep pipeline runs
+    // before vocabulary induction. PMI's log is monotonic, so ranking by
+    // the *ratio* n_xy·Tu²/(Tb·n_x·n_y) needs no floating point: it is
+    // integerized with a fixed floor-division ladder — each step divides
+    // before the next multiply, keeping magnitudes ≤ Tu² (safe in BIGINT
+    // up to ~3e9 corpus tokens; beyond that, widen to the log domain).
+    // The ladder order is part of the contract: both engines compute
+    // ((((n_xy·Tu) div n_x)·Tu) div n_y)·1000 div Tb exactly.
+    // Scale: unigram/bigram counting is one map-side-combined shuffle
+    // each; the scalar totals broadcast; the final join is linear on the
+    // (much smaller) surviving-bigram set. Full sort key on the ranking.
+    Q("d31_collocations",
+      (s, dir) => {
+        val ws = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val uni = ws.select(explode(col("ws")).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("n_x"))
+        val bi = ws.filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS x, ws[i+1] AS y))")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(count(lit(1)).as("n_xy"))
+        val totals = uni.agg(sum("n_x").as("tu")).crossJoin(
+          bi.agg(sum("n_xy").as("tb")))
+        bi.filter(col("n_xy") >= 5)
+          .join(uni, "x")
+          .join(uni.select(col("x").as("y"), col("n_x").as("n_y")), "y")
+          .crossJoin(broadcast(totals))
+          .select(col("x"), col("y"), col("n_xy"),
+            expr("CAST(((((n_xy * tu) div n_x) * tu) div n_y) * 1000 div tb AS BIGINT)")
+              .as("pmi_ratio_milli"))
+          .orderBy(col("pmi_ratio_milli").desc, col("x").asc, col("y").asc)
+          .limit(50)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |u AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x
+             |      FROM (SELECT unnest(ws) AS x FROM w) GROUP BY x),
+             |b AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM (
+             |        SELECT unnest([ws[i] for i in range(1, len(ws))]) AS x,
+             |               unnest([ws[i+1] for i in range(1, len(ws))]) AS y
+             |        FROM w WHERE len(ws) >= 2) GROUP BY x, y),
+             |tt AS (SELECT (SELECT CAST(SUM(n_x) AS BIGINT) FROM u) AS tu,
+             |              (SELECT CAST(SUM(n_xy) AS BIGINT) FROM b) AS tb)
+             |SELECT x, y, n_xy,
+             |  CAST(((((n_xy * tu) // n_x) * tu) // uy.n_y) * 1000 // tb AS BIGINT) AS pmi_ratio_milli
+             |FROM b JOIN u USING (x)
+             |  JOIN (SELECT x AS y, n_x AS n_y FROM u) uy USING (y)
+             |  CROSS JOIN tt
+             |WHERE n_xy >= 5
+             |ORDER BY pmi_ratio_milli DESC, x, y LIMIT 50""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */
