@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FuzzyDedup, GraphOps, Multimodal, PipelineOps, Q, Relational, TextOps, VectorOps}
+import graft.queries.{FuzzyDedup, GraphOps, Multimodal, PipelineOps, Q, Relational, SketchOps, TextOps, VectorOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,7 @@ object SparkEntry {
   def all: Seq[Q] =
     Relational.queries ++ TextOps.queries ++ FuzzyDedup.queries ++
       VectorOps.queries ++ Multimodal.queries ++ PipelineOps.queries ++
-      GraphOps.queries ++ StreamingOps.queries ++
+      GraphOps.queries ++ SketchOps.queries ++ StreamingOps.queries ++
       graft.streaming.StreamingDefrag.queries
 
   /** Headline queries timed by Bench at sf0.1. */

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, fully-oracled cardinality sketches. q21's HLL is
+  * engine-specific by nature (rows-only driver check); the KMV
+  * (k-minimum-values) family here is the opposite: built on md5 — which
+  * Spark and DuckDB compute identically — so the sketch *itself* is
+  * cross-engine reproducible and the whole estimate hash-matches.
+  *
+  * KMV in one line: keep the k smallest distinct 32-bit hash values of a
+  * set; the k-th smallest h estimates the cardinality as
+  * (k-1)·2³² / h (uniform order statistics). All arithmetic is integer
+  * floor-division, exactly mirrored in the oracle.
+  *
+  * Scale: a KMV sketch is MERGEABLE — per-partition top-k min-hashes
+  * merge associatively, which is exactly what Spark's sort-limit
+  * (`TakeOrderedAndProject`) computes: partial per-partition top-k, then
+  * a k-sized merge on one reducer. No full shuffle of the hashed column,
+  * no driver-side state; the same shape runs on 1000 executors over
+  * 100 TB with k·partitions rows moved. q49 exercises the mergeability
+  * directly: two region sketches are unioned into a theta-sketch-style
+  * intersection estimate without touching the raw data again.
+  */
+object SketchOps {
+  import Tables.t
+
+  private val K = 256
+  private val Domain = 4294967296L // 2^32
+
+  /** 32-bit md5-prefix hash, identical expression in both engines. */
+  private def h32(colSql: String): String =
+    s"CAST(conv(substr(md5(CAST($colSql AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+
+  private def h32Duck(colSql: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($colSql AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  // --- q48: KMV distinct-count estimate ----------------------------------
+  // distinct l_partkey per l_returnflag — the oracled counterpart of
+  // q21's HLL. Emits the estimate AND the exact count so the error is
+  // visible (ScalaTest bounds it; the driver hashes both).
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_q48")
+    s.sql(s"""WITH h AS (SELECT DISTINCT l_returnflag, ${h32("l_partkey")} AS h
+             |          FROM lineitem_q48),
+             |r AS (SELECT l_returnflag, h,
+             |             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+             |      FROM h),
+             |s AS (SELECT l_returnflag,
+             |             MAX(CASE WHEN rn = $K THEN h END) AS kth,
+             |             CAST(COUNT(*) AS BIGINT) AS n_h
+             |      FROM r WHERE rn <= $K GROUP BY l_returnflag),
+             |x AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+             |      FROM lineitem_q48 GROUP BY l_returnflag)
+             |SELECT s.l_returnflag,
+             |       CAST(CASE WHEN s.kth IS NULL THEN s.n_h
+             |                 ELSE (${K - 1} * CAST($Domain AS BIGINT)) div s.kth END AS BIGINT) AS est_distinct,
+             |       x.exact_distinct
+             |FROM s JOIN x ON x.l_returnflag = s.l_returnflag""".stripMargin)
+  }
+
+  private def q48Oracle: String =
+    s"""WITH h AS (SELECT DISTINCT l_returnflag, ${h32Duck("l_partkey")} AS h
+       |          FROM lineitem),
+       |r AS (SELECT l_returnflag, h,
+       |             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |      FROM h),
+       |s AS (SELECT l_returnflag,
+       |             MAX(CASE WHEN rn = $K THEN h END) AS kth,
+       |             CAST(COUNT(*) AS BIGINT) AS n_h
+       |      FROM r WHERE rn <= $K GROUP BY l_returnflag),
+       |x AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+       |      FROM lineitem GROUP BY l_returnflag)
+       |SELECT s.l_returnflag,
+       |       CAST(CASE WHEN s.kth IS NULL THEN s.n_h
+       |                 ELSE (${K - 1} * CAST($Domain AS BIGINT)) // s.kth END AS BIGINT) AS est_distinct,
+       |       x.exact_distinct
+       |FROM s JOIN x ON x.l_returnflag = s.l_returnflag""".stripMargin
+
+  // --- q49: KMV set-intersection estimate (theta-sketch shape) -----------
+  // |parts ordered from ASIA ∩ parts ordered from EUROPE| without joining
+  // the raw sets: sketch each side (k smallest distinct hashes of the
+  // parts a region's customers ordered), merge to the union's k smallest,
+  // count how many of those appear in both sides, and scale:
+  // est_inter = matches · est_union div k. Pure integer; both engines
+  // replay every step from md5 up.
+  private def sideSql(h: String => String, table: String, region: String): String =
+    s"""SELECT DISTINCT ${h(s"l_partkey")} AS h
+       |FROM $table l
+       |  JOIN ${table.replace("lineitem", "orders")} o ON l.l_orderkey = o.o_orderkey
+       |  JOIN ${table.replace("lineitem", "customer")} c ON o.o_custkey = c.c_custkey
+       |  JOIN ${table.replace("lineitem", "nation")} n ON c.c_nationkey = n.n_nationkey
+       |  JOIN ${table.replace("lineitem", "region")} r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = '$region'""".stripMargin
+
+  private def q49Body(h: String => String, table: String, intDiv: String): String =
+    s"""WITH a AS (SELECT h FROM (${sideSql(h, table, "ASIA")}) ORDER BY h LIMIT $K),
+       |b AS (SELECT h FROM (${sideSql(h, table, "EUROPE")}) ORDER BY h LIMIT $K),
+       |u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT $K),
+       |uk AS (SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS n_u FROM u),
+       |eu AS (SELECT CASE WHEN n_u < $K THEN n_u
+       |                   ELSE (${K - 1} * CAST($Domain AS BIGINT)) $intDiv kth END AS est_union,
+       |              n_u FROM uk),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matches
+       |      FROM u WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+       |SELECT CAST(m.matches AS BIGINT) AS matches,
+       |       CAST(eu.est_union AS BIGINT) AS est_union,
+       |       CAST((m.matches * eu.est_union) $intDiv eu.n_u AS BIGINT) AS est_intersection
+       |FROM m CROSS JOIN eu""".stripMargin
+
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "nation", "region")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_q49"))
+    s.sql(q49Body(h32, "lineitem_q49", "div"))
+  }
+
+  private def q49Oracle: String = q49Body(h32Duck, "lineitem", "//")
+
+  val queries: Seq[Q] = Seq(
+    Q("q48_kmv_distinct", q48, Some(q48Oracle)),
+    Q("q49_kmv_intersect", q49, Some(q49Oracle))
+  )
+}

@@ -239,6 +239,30 @@ class QuerySurfaceSpec extends SparkFunSuite {
     }
   }
 
+  test("KMV sketch estimates land within 20% of exact (k=256)") {
+    // q48 emits estimate AND exact side by side; KMV k=256 has ~1/sqrt(k)
+    // ≈ 6% relative stddev, so 20% is a ~3-sigma bound
+    SparkEntry.queries("q48_kmv_distinct")(spark, sf).collect().foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est_distinct"), r.getAs[Long]("exact_distinct"))
+      assert(math.abs(est - exact).toDouble / exact <= 0.20, s"${r.getString(0)}: $est vs $exact")
+    }
+    // q49's intersection estimate vs the exact region-overlap count
+    val row = SparkEntry.queries("q49_kmv_intersect")(spark, sf).collect().head
+    val est = row.getAs[Long]("est_intersection")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val rg = spark.read.parquet(s"$sf/region.parquet")
+    def parts(region: String) = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(rg, n("n_regionkey") === rg("r_regionkey"))
+      .filter(col("r_name") === region).select("l_partkey").distinct()
+    val exact = parts("ASIA").intersect(parts("EUROPE")).count()
+    assert(math.abs(est - exact).toDouble / exact <= 0.25, s"intersection: $est vs $exact")
+  }
+
   test("langid heuristic emits only known languages and matches text") {
     val out = SparkEntry.queries("d04_langid")(spark, sf).collect()
     assert(out.length == 500)
