@@ -363,6 +363,78 @@ object StreamingOps {
           graft.queries.PipelineOps.d27Bloom(s, dir)
             .select(posexplode(col("words")).as(Seq("idx", "word")))),
         "aux_probes" -> ((s: SparkSession, dir: String) =>
-          graft.queries.PipelineOps.d27Probes(s, dir))))
+          graft.queries.PipelineOps.d27Probes(s, dir)))),
+
+    // streaming KMV distinct sketch: cross-batch mergeable state. The
+    // per-key state is the set of ≤256 smallest distinct md5-prefix
+    // hashes — a commutative, idempotent merge, so the final estimate is
+    // INDEPENDENT of how files split into micro-batches and equals the
+    // batch q48 sketch exactly (same oracle, minus the exact column a
+    // stream can't cheaply carry). n_h grows and the k-th minimum only
+    // falls as batches arrive, so max(n_h)/min(kth) over the update
+    // stream reads the final state.
+    graft.queries.Q("s09_streaming_kmv", (s, dir) => streamingKmv(s, dir),
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag,
+             |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag, h,
+             |             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+             |      FROM h),
+             |s AS (SELECT l_returnflag,
+             |             MAX(CASE WHEN rn = 256 THEN h END) AS kth,
+             |             CAST(COUNT(*) AS BIGINT) AS n_h
+             |      FROM r WHERE rn <= 256 GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |       CAST(CASE WHEN kth IS NULL THEN n_h
+             |                 ELSE (255 * CAST(4294967296 AS BIGINT)) // kth END AS BIGINT) AS est_distinct
+             |FROM s""".stripMargin))
   )
+
+  /** lineitem columns the KMV stream needs (parquet projects by name). */
+  private val lineitemKmvSchema: StructType = StructType(Seq(
+    StructField("l_partkey", LongType),
+    StructField("l_returnflag", StringType)))
+
+  final case class KmvIn(flag: String, h: Long)
+  final case class KmvState(hs: Array[Long])
+
+  /** See s09 doc above. flatMapGroupsWithState keyed on l_returnflag;
+    * the state merge is `(old ∪ batch).distinct.sorted.take(256)`.
+    */
+  def streamingKmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 256
+    val updateFn: (String, Iterator[KmvIn], GroupState[KmvState]) => Iterator[(String, Long, Long)] =
+      (flag, evs, state) => {
+        val old = state.getOption.map(_.hs).getOrElse(Array.empty[Long])
+        val merged = (old ++ evs.map(_.h)).distinct.sorted.take(K)
+        state.update(KmvState(merged))
+        val kth = if (merged.length >= K) merged(K - 1) else -1L
+        Iterator.single((flag, merged.length.toLong, kth))
+      }
+    val stream = spark.readStream
+      .schema(lineitemKmvSchema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .as[KmvIn]
+      .groupByKey(_.flag)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFn)
+      .toDF("l_returnflag", "n_h", "kth")
+    val name = "graft_stream_kmv_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("l_returnflag")
+      .agg(max("n_h").as("n_h"), min(when(col("kth") > 0, col("kth"))).as("kth"))
+      .select(col("l_returnflag"),
+        expr("CAST(CASE WHEN kth IS NULL THEN n_h ELSE (255 * CAST(4294967296 AS BIGINT)) div kth END AS BIGINT)")
+          .as("est_distinct"))
+  }
 }
