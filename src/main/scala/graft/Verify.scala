@@ -35,6 +35,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a pre-round-4 run may have left $outDir/_aux behind; the driver
+    // enumerates $outDir subdirs, so purge any legacy aux tree before
+    // writing (aux now lives in the ${outDir}_aux sibling)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$outDir/_aux"))
     // per-query watchdog: one pathological query must not stall the whole
     // correctness dump. Each query runs in its own Spark job group; on
     // timeout only THAT group is cancelled (interrupting its thread), so
@@ -67,14 +75,17 @@ object Verify {
           try {
             query.build(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
-            // aux exports live OUTSIDE the compared result dir: the
-            // driver's gate reads $outDir/$name RECURSIVELY, so a subdir
-            // under it would be hashed into the result (round-2 lesson:
-            // 7 aux-bearing queries failed with result+aux row counts).
-            // Oracles reference them via {OUT}/_aux/<name>/<auxName>.
+            // aux exports live OUTSIDE $outDir entirely: the driver's
+            // gate reads $outDir/$name RECURSIVELY (round-2 lesson: aux
+            // subdirs inside result dirs broke 7 queries), and round 3
+            // showed the driver also ENUMERATES $outDir subdirs — a
+            // $outDir/_aux dir produced a spurious `err` row in
+            // CORRECTNESS_r03.json. So aux goes to the SIBLING dir
+            // ${outDir}_aux; oracles still write {OUT}/_aux/... and the
+            // substitution below re-roots that prefix.
             query.aux.foreach { case (auxName, auxFn) =>
               auxFn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"$outDir/_aux/$name/$auxName")
+                .parquet(s"${outDir}_aux/$name/$auxName")
             }
           } finally spark.sparkContext.clearJobGroup()
         }(rec)
@@ -103,12 +114,17 @@ object Verify {
       case c => c.toString
     } + "\""
     // {OUT} → this run's absolute output dir, so oracles can read the aux
-    // intermediates exported above from wherever the driver pointed us
+    // intermediates exported above from wherever the driver pointed us.
+    // {OUT}/_aux is re-rooted FIRST to the sibling aux dir (see above) —
+    // query authors keep writing {OUT}/_aux/<name>/<auxName> and never
+    // need to know aux lives outside the compared tree.
     val absOut = new java.io.File(outDir).getAbsolutePath
+    val absAux = new java.io.File(s"${outDir}_aux").getAbsolutePath
     val selectedNames = selected.map(_.name).toSet
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selectedNames.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", absOut))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{OUT}/_aux", absAux).replace("{OUT}", absOut))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -14,16 +14,18 @@ final case class Q(
     /** headline queries are the ones Bench times at sf0.1 */
     headline: Boolean = false,
     /** Auxiliary deterministic intermediates exported by Verify into
-      * `<outDir>/_aux/<name>/<auxName>/` so the oracle SQL can recompute
-      * the derived logic in DuckDB from them (the `{OUT}` placeholder in
-      * the oracle is substituted with the absolute outDir at dump time).
-      * Used where the full pipeline hinges on a Spark-only primitive
-      * (xxhash64) but everything downstream of the exported intermediate
-      * is plain integer/list arithmetic both engines share. Aux frames
-      * MUST live outside the query's own directory: the driver's gate
-      * reads `<outDir>/<name>` RECURSIVELY, so anything under it is
-      * hashed as part of the result (round-2 lesson — 7 aux-bearing
-      * queries failed the driver with result+aux row counts).
+      * the `<outDir>_aux/<name>/<auxName>/` SIBLING tree so the oracle
+      * SQL can recompute the derived logic in DuckDB from them. Oracle
+      * text keeps the stable token path `{OUT}/_aux/<name>/<auxName>`;
+      * Verify re-roots the `{OUT}/_aux` prefix to the sibling before
+      * substituting `{OUT}` itself. Used where the full pipeline hinges
+      * on a Spark-only primitive (xxhash64) but everything downstream of
+      * the exported intermediate is plain integer/list arithmetic both
+      * engines share. Aux frames MUST live entirely outside `<outDir>`:
+      * the driver's gate reads `<outDir>/<name>` RECURSIVELY (round-2
+      * lesson — 7 aux-bearing queries failed with result+aux row counts)
+      * and ENUMERATES `<outDir>` subdirs (round-3 lesson — a
+      * `<outDir>/_aux` dir became a spurious `err` row in the gate).
       */
     aux: Seq[(String, (SparkSession, String) => DataFrame)] = Nil)
 

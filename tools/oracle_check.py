@@ -67,9 +67,17 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
-    # `_aux` holds oracle-input intermediates, not compared results
+    # The driver enumerates EVERY subdir of out_dir (round-3 evidence: a
+    # legacy $outDir/_aux produced a spurious `err` row in
+    # CORRECTNESS_r03.json). Aux intermediates now live in the sibling
+    # `${out_dir}_aux`; mirror the driver exactly — any dir found here IS
+    # a compared result, and a stray `_aux` must fail loudly.
     names = sorted(d for d in os.listdir(out_dir)
-                   if d != "_aux" and os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    if "_aux" in names:
+        print("  ✗ _aux: aux exports leaked into the compared out_dir "
+              "(must live in the ${out_dir}_aux sibling)")
+        return 1
     n_pass = n_fail = n_noracle = 0
     for name in names:
         # RECURSIVE glob, mirroring the driver's gate: any stray subdir
