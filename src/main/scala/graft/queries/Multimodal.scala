@@ -1,152 +1,237 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+/** Multimodal-column pipeline: opaque `binary` payloads + typed metadata,
   * with decode/feature-extraction as a partition-local stage.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * deterministic fake decoder (clearly marked); everything around it — the
-  * schema, the `Dataset[MediaBlob]` encoder, the mapPartitions batch
-  * shape, the partition sizing — is the real 100 TB plumbing: blobs never
-  * pass through a shuffle (decode is a narrow map stage), and features
-  * come out as fixed-width columns ready for columnar storage.
+  * Decode is REAL (round 4): images are genuine PNGs decoded with the
+  * JDK's `javax.imageio.ImageIO`, audio is genuine 8-bit PCM WAV decoded
+  * with `javax.sound.sampled.AudioSystem` — no external codec libs
+  * needed. The fixture generator renders each document's bytes into a
+  * grayscale PNG (pixel i = byte i, width 32, zero-padded final row) or a
+  * WAV (sample i = byte i). Both codecs are LOSSLESS, so every decoded
+  * feature is an exact integer function of the original text bytes —
+  * which is what lets DuckDB replay the features straight from
+  * `documents.text`: a hash-match across engines proves the encode →
+  * real-decode round trip bit-for-bit.
+  *
+  * Scale shape (the 100 TB contract): blobs never cross a shuffle —
+  * encode, decode, and feature extraction are narrow mapPartitions
+  * stages; features come out as fixed-width columns; the only wide steps
+  * are the final per-media windows/aggregations over the (tiny) feature
+  * rows, never over payloads.
   */
 object Multimodal {
   import Tables.t
 
-  final case class MediaBlob(media_id: Long, kind: String, payload: Array[Byte])
+  /** One media blob: opaque encoded payload + typed metadata. `orig_len`
+    * records the content length before codec padding (the PNG raster pads
+    * the last row to full width with zero pixels).
+    */
+  final case class MediaBlob(
+      media_id: Long, kind: String, payload: Array[Byte], orig_len: Int)
+  final case class DecodedImage(width: Int, height: Int, pixels: Array[Byte])
   final case class MediaFeatures(
-      media_id: Long, kind: String, n_bytes: Long,
-      width: Int, height: Int, mean_byte: Double, features: Array[Float])
-
-  /** STUB — stands in for a real image/audio decoder (libs absent here).
-    * Deterministic: "dimensions" from the first payload bytes, an 8-bin
-    * byte histogram as the "feature vector". A real deployment swaps only
-    * this function; the surrounding pipeline is unchanged.
-    */
-  def decodeStub(b: MediaBlob): MediaFeatures = {
-    val p = b.payload
-    val w = if (p.length >= 2) ((p(0) & 0xff) << 4 | (p(1) & 0x0f)) + 16 else 16
-    val h = if (p.length >= 4) ((p(2) & 0xff) << 4 | (p(3) & 0x0f)) + 16 else 16
-    val hist = new Array[Float](8)
-    var sum = 0L
-    var i = 0
-    while (i < p.length) {
-      val v = p(i) & 0xff
-      hist(v >> 5) += 1f
-      sum += v
-      i += 1
-    }
-    if (p.length > 0) { var j = 0; while (j < 8) { hist(j) /= p.length; j += 1 } }
-    MediaFeatures(b.media_id, b.kind, p.length.toLong, w, h,
-      if (p.length == 0) 0.0 else sum.toDouble / p.length, hist)
-  }
-
+      media_id: Long, kind: String, width: Int, height: Int, byte_sum: Long)
   final case class ResizedMedia(
-      media_id: Long, width: Int, height: Int, thumb: Array[Float])
+      media_id: Long, width: Int, height: Int, pooled_sum: Long)
   final case class FrameSample(
-      media_id: Long, frame_index: Int, frame_bytes: Long, mean_byte: Double)
-
-  /** STUB resize — stands in for an image rescale (no codecs here): the
-    * "image" is the byte histogram; resizing pools adjacent bins down to
-    * `targetBins`. Deterministic; partition-local.
-    */
-  def resizeStub(f: MediaFeatures, targetBins: Int = 4): ResizedMedia = {
-    val pooled = new Array[Float](targetBins)
-    val ratio = f.features.length.toDouble / targetBins
-    var i = 0
-    while (i < f.features.length) {
-      pooled(math.min((i / ratio).toInt, targetBins - 1)) += f.features(i)
-      i += 1
-    }
-    ResizedMedia(f.media_id, f.width / 2, f.height / 2, pooled)
-  }
-
-  /** STUB frame sampling — stands in for video frame extraction: the
-    * payload is treated as fixed-width frames; every `stride`-th frame is
-    * emitted with its summary stats. The Spark-side contract (one blob →
-    * many frame rows, no shuffle) is the real part.
-    */
-  def frameSampleStub(
-      b: MediaBlob, frameSize: Int = 64, stride: Int = 4): Iterator[FrameSample] = {
-    val n = b.payload.length / frameSize
-    (0 until n by stride).iterator.map { fi =>
-      var sum = 0L
-      var i = fi * frameSize
-      val end = i + frameSize
-      while (i < end) { sum += b.payload(i) & 0xff; i += 1 }
-      FrameSample(b.media_id, fi, frameSize.toLong, sum.toDouble / frameSize)
-    }
-  }
-
-  /** Decode → resize, one narrow stage. */
-  def resized(blobs: Dataset[MediaBlob]): Dataset[ResizedMedia] = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.map(b => resizeStub(decodeStub(b))))
-  }
-
-  /** Blob → sampled frames (flatMap: one row in, many out, still narrow). */
-  def sampledFrames(blobs: Dataset[MediaBlob]): Dataset[FrameSample] = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.flatMap(frameSampleStub(_)))
-  }
-
-  /** documents.text re-cast as opaque binary payloads — the testdata's
-    * stand-in for an image/audio blob column.
-    */
-  def blobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
-    import s.implicits._
-    t(s, dir, "documents")
-      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
-        col("text").cast(BinaryType).as("payload"))
-      .as[MediaBlob]
-  }
-
+      media_id: Long, frame_index: Int, frame_bytes: Long, byte_sum: Long)
   final case class AudioWindow(
       media_id: Long, win_index: Int, energy: Long, crossings: Long)
 
-  /** STUB audio feature frames — stands in for STFT-style windowing (no
-    * audio codecs here): overlapping windows (size 32, hop 16 — 50%
-    * overlap, the standard spectrogram shape) over the payload, each
-    * emitting integer energy (byte sum) and DC-removed crossings (count
-    * of adjacent samples straddling the window mean; compared as
-    * `sample*win < energy`, all-integer so any engine agrees). One blob →
-    * many window rows, narrow flatMap — the real 100 TB contract.
+  // ImageIO's default scratch is a temp FILE per operation — disk I/O per
+  // task. In-memory cache only (runs once per executor JVM).
+  ImageIO.setUseCache(false)
+
+  private val ImgWidth = 32
+
+  /** bytes → real grayscale PNG: pixel i = byte i, row-major, width 32,
+    * final row zero-padded. Empty input → a 32×1 all-zero image.
     */
-  def audioWindowStub(
-      b: MediaBlob, win: Int = 32, hop: Int = 16): Iterator[AudioWindow] = {
-    val p = b.payload
-    val n = if (p.length >= win) (p.length - win) / hop + 1 else 0
-    (0 until n).iterator.map { wi =>
-      val st = wi * hop
-      var energy = 0L
-      var i = st
-      while (i < st + win) { energy += p(i) & 0xff; i += 1 }
-      var crossings = 0L
-      i = st
-      while (i < st + win - 1) {
-        val below0 = (p(i) & 0xff).toLong * win < energy
-        val below1 = (p(i + 1) & 0xff).toLong * win < energy
-        if (below0 != below1) crossings += 1
-        i += 1
-      }
-      AudioWindow(b.media_id, wi, energy, crossings)
+  def encodePng(bytes: Array[Byte], width: Int = ImgWidth): Array[Byte] = {
+    val h = math.max(1, (bytes.length + width - 1) / width)
+    val img = new BufferedImage(width, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      raster.setSample(i % width, i / width, 0, bytes(i) & 0xff)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real PNG decode via ImageIO; returns the gray raster row-major. */
+  def decodePng(payload: Array[Byte]): DecodedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+      y += 1
+    }
+    DecodedImage(w, h, px)
+  }
+
+  /** bytes → real WAV: 8-bit unsigned PCM mono 8 kHz, sample i = byte i. */
+  def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val out = new ByteArrayOutputStream(bytes.length + 64)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real WAV decode via AudioSystem; 8-bit unsigned PCM samples. */
+  def decodeWav(payload: Array[Byte]): Array[Byte] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try ais.readAllBytes()
+    finally ais.close()
+  }
+
+  /** documents rendered as real PNG blobs — the testdata's stand-in for
+    * an image column (encode is itself a narrow partition-local stage; a
+    * deployment reads pre-encoded blobs).
+    */
+  def imageBlobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val b = text.getBytes(StandardCharsets.UTF_8)
+        MediaBlob(id, "image/png", encodePng(b), b.length)
+      })
+  }
+
+  /** documents rendered as real WAV blobs (8-bit PCM, sample = byte). */
+  def audioBlobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val b = text.getBytes(StandardCharsets.UTF_8)
+        MediaBlob(id, "audio/wav", encodeWav(b), b.length)
+      })
+  }
+
+  /** Per-frame byte sums over the first `n` decoded values (trims the
+    * codec's raster padding): frames of `frameSize`, every `stride`-th.
+    */
+  def frameSums(
+      pixels: Array[Byte], n: Int, frameSize: Int,
+      stride: Int): Iterator[(Int, Long)] = {
+    val nf = n / frameSize
+    (0 until nf by stride).iterator.map { fi =>
+      var sum = 0L
+      var i = fi * frameSize
+      val end = i + frameSize
+      while (i < end) { sum += pixels(i) & 0xff; i += 1 }
+      (fi, sum)
     }
   }
 
-  /** Blob → overlapping audio feature windows (narrow flatMap). */
-  def audioWindows(blobs: Dataset[MediaBlob]): Dataset[AudioWindow] = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.flatMap(audioWindowStub(_)))
-  }
-
-  /** Decode/feature-extract stage: partition-local, no shuffle. */
+  /** Decode → features, one narrow stage: real dims + whole-raster pixel
+    * sum (padding pixels are zero, so the sum equals the content sum).
+    */
   def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
+    blobs.mapPartitions(_.map { b =>
+      val d = decodePng(b.payload)
+      var sum = 0L
+      var i = 0
+      while (i < d.pixels.length) { sum += d.pixels(i) & 0xff; i += 1 }
+      MediaFeatures(b.media_id, b.kind, d.width, d.height, sum)
+    })
+  }
+
+  /** Decode → REAL 2× downscale (average-pool each 2×2 pixel block,
+    * integer floor), one narrow stage. Emits the pooled-pixel sum as the
+    * cross-engine checksum of the resampled raster.
+    */
+  def resized(blobs: Dataset[MediaBlob]): Dataset[ResizedMedia] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val d = decodePng(b.payload)
+      val rw = d.width / 2
+      val rh = d.height / 2
+      var sum = 0L
+      var r = 0
+      while (r < rh) {
+        var c = 0
+        while (c < rw) {
+          val tl = 2 * r * d.width + 2 * c
+          val p = (d.pixels(tl) & 0xff) + (d.pixels(tl + 1) & 0xff) +
+            (d.pixels(tl + d.width) & 0xff) + (d.pixels(tl + d.width + 1) & 0xff)
+          sum += p / 4
+          c += 1
+        }
+        r += 1
+      }
+      ResizedMedia(b.media_id, rw, rh, sum)
+    })
+  }
+
+  /** Blob → sampled frames over the decoded raster (flatMap: one row in,
+    * many out, still narrow).
+    */
+  def sampledFrames(
+      blobs: Dataset[MediaBlob], frameSize: Int = 64,
+      stride: Int = 4): Dataset[FrameSample] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      val d = decodePng(b.payload)
+      frameSums(d.pixels, b.orig_len, frameSize, stride).map { case (fi, sum) =>
+        FrameSample(b.media_id, fi, frameSize.toLong, sum)
+      }
+    })
+  }
+
+  /** Decoded WAV samples → overlapping feature windows (size 32, hop 16 —
+    * 50% overlap, the standard spectrogram shape), each emitting integer
+    * energy (sample sum) and DC-removed crossings (adjacent samples
+    * straddling the window mean, compared as `sample*win < energy` — all
+    * integer, so any engine agrees). Narrow flatMap.
+    */
+  def audioWindows(
+      blobs: Dataset[MediaBlob], win: Int = 32,
+      hop: Int = 16): Dataset[AudioWindow] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      val p = decodeWav(b.payload)
+      val n = if (p.length >= win) (p.length - win) / hop + 1 else 0
+      (0 until n).iterator.map { wi =>
+        val st = wi * hop
+        var energy = 0L
+        var i = st
+        while (i < st + win) { energy += p(i) & 0xff; i += 1 }
+        var crossings = 0L
+        i = st
+        while (i < st + win - 1) {
+          val below0 = (p(i) & 0xff).toLong * win < energy
+          val below1 = (p(i + 1) & 0xff).toLong * win < energy
+          if (below0 != below1) crossings += 1
+          i += 1
+        }
+        AudioWindow(b.media_id, wi, energy, crossings)
+      }
+    })
   }
 
   val queries: Seq[Q] = Seq(
@@ -165,54 +250,62 @@ object Multimodal {
              |  upper(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic_hex
              |FROM documents""".stripMargin)),
 
-    // full decode pipeline (stubbed decoder). The stub's outputs are exact
-    // integer functions of the payload bytes (ASCII text here), so DuckDB
-    // can recompute them: width/height from the header bytes, and the
-    // byte sum recovered losslessly from the mean (mean*n is an integer
-    // < 2^53, exact in double)
+    // REAL decode pipeline: render text bytes → PNG, decode with ImageIO,
+    // emit the decoded dims + whole-raster pixel sum. PNG is lossless and
+    // the render is pixel i = byte i (width 32, zero-padded last row), so
+    // DuckDB recomputes every output from the raw text: width is the
+    // constant raster width, height = ceil(len/32) (min 1), and the pixel
+    // sum = the text byte sum (padding is zero). Matching hashes prove
+    // the real encode→decode round trip.
     Q("m02_decode_features",
-      (s, dir) => extractFeatures(blobs(s, dir)).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"),
-          expr("CAST(round(mean_byte * n_bytes) AS BIGINT)").as("byte_sum")),
+      (s, dir) => extractFeatures(imageBlobs(s, dir)).toDF(),
       Some("""WITH c AS (
              |  SELECT doc_id, CAST(SUM(ascii(ch)) AS BIGINT) AS s FROM (
              |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
              |  GROUP BY doc_id)
-             |SELECT d.doc_id AS media_id, 'image' AS kind,
-             |  CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes,
-             |  CAST(CASE WHEN octet_length(CAST(d.text AS BLOB)) >= 2
-             |       THEN (ascii(substr(d.text, 1, 1)) << 4 | (ascii(substr(d.text, 2, 1)) & 15)) + 16
-             |       ELSE 16 END AS INT) AS width,
-             |  CAST(CASE WHEN octet_length(CAST(d.text AS BLOB)) >= 4
-             |       THEN (ascii(substr(d.text, 3, 1)) << 4 | (ascii(substr(d.text, 4, 1)) & 15)) + 16
-             |       ELSE 16 END AS INT) AS height,
+             |SELECT d.doc_id AS media_id, 'image/png' AS kind,
+             |  CAST(32 AS INT) AS width,
+             |  CAST(greatest((length(text) + 31) // 32, 1) AS INT) AS height,
              |  COALESCE(c.s, 0) AS byte_sum
              |FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id""".stripMargin)),
 
-    // decode → resize chain (stub): halved header dimensions, exactly
-    // recomputable (integer floor halving on positive ints)
+    // REAL resize: decode the PNG, average-pool each 2×2 block (integer
+    // floor — the standard box-filter downscale), emit halved dims + the
+    // pooled-pixel sum. DuckDB replays the pooling from text bytes by
+    // direct index lookups: block (pi//16, pi%16) pools flat indices
+    // {base, base+1, base+32, base+33}, base = (pi//16)*64 + (pi%16)*2,
+    // out-of-content indices are the PNG's zero padding.
     Q("m03_resize",
-      (s, dir) => resized(blobs(s, dir)).toDF()
-        .select(col("media_id"), col("width"), col("height")),
-      Some("""SELECT doc_id AS media_id,
-             |  CAST((CASE WHEN octet_length(CAST(text AS BLOB)) >= 2
-             |       THEN (ascii(substr(text, 1, 1)) << 4 | (ascii(substr(text, 2, 1)) & 15)) + 16
-             |       ELSE 16 END) // 2 AS INT) AS width,
-             |  CAST((CASE WHEN octet_length(CAST(text AS BLOB)) >= 4
-             |       THEN (ascii(substr(text, 3, 1)) << 4 | (ascii(substr(text, 4, 1)) & 15)) + 16
-             |       ELSE 16 END) // 2 AS INT) AS height
-             |FROM documents""".stripMargin)),
+      (s, dir) => resized(imageBlobs(s, dir)).toDF(),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n,
+             |            CAST(greatest((length(text) + 31) // 32, 1) AS INT) AS h
+             |          FROM documents),
+             |g AS (SELECT doc_id, text, n, unnest(range(0, (h // 2) * 16)) AS pi FROM d),
+             |v AS (SELECT doc_id,
+             |        ((CASE WHEN (pi // 16) * 64 + (pi % 16) * 2 < n
+             |           THEN ascii(substr(text, CAST((pi // 16) * 64 + (pi % 16) * 2 + 1 AS INT), 1)) ELSE 0 END)
+             |       + (CASE WHEN (pi // 16) * 64 + (pi % 16) * 2 + 1 < n
+             |           THEN ascii(substr(text, CAST((pi // 16) * 64 + (pi % 16) * 2 + 2 AS INT), 1)) ELSE 0 END)
+             |       + (CASE WHEN (pi // 16) * 64 + (pi % 16) * 2 + 32 < n
+             |           THEN ascii(substr(text, CAST((pi // 16) * 64 + (pi % 16) * 2 + 33 AS INT), 1)) ELSE 0 END)
+             |       + (CASE WHEN (pi // 16) * 64 + (pi % 16) * 2 + 33 < n
+             |           THEN ascii(substr(text, CAST((pi // 16) * 64 + (pi % 16) * 2 + 34 AS INT), 1)) ELSE 0 END)) // 4 AS pooled
+             |      FROM g),
+             |ps AS (SELECT doc_id, CAST(SUM(pooled) AS BIGINT) AS pooled_sum FROM v GROUP BY doc_id)
+             |SELECT d.doc_id AS media_id, CAST(16 AS INT) AS width,
+             |       CAST(d.h // 2 AS INT) AS height,
+             |       COALESCE(ps.pooled_sum, 0) AS pooled_sum
+             |FROM d LEFT JOIN ps ON ps.doc_id = d.doc_id""".stripMargin)),
 
-    // frame sampling (stub): one blob → many frame rows; per-frame byte
-    // sums ARE exactly computable in SQL, so this one gets a real oracle
-    // (mean*64 = the exact integer byte sum — /64 and *64 are lossless in
-    // double, so no rounding games)
+    // frame sampling over the REAL decoded raster: one blob → many frame
+    // rows (frames of 64 pixels, every 4th), per-frame integer pixel
+    // sums. Frames cover the first orig_len pixels (the typed-metadata
+    // column trims the raster padding), so DuckDB slices the same frames
+    // straight out of the text.
     Q("m04_frame_sample",
-      (s, dir) => sampledFrames(blobs(s, dir)).toDF()
+      (s, dir) => sampledFrames(imageBlobs(s, dir)).toDF()
         .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
-          col("frame_bytes"),
-          expr("CAST(round(mean_byte * 64) AS BIGINT)").as("byte_sum")),
+          col("frame_bytes"), col("byte_sum")),
       Some("""WITH f AS (
              |  SELECT doc_id AS media_id, unnest(range(0, length(text) // 64)) AS fi, text
              |  FROM documents),
@@ -225,28 +318,22 @@ object Multimodal {
              |       CAST(SUM(ascii(ch)) AS BIGINT) AS byte_sum
              |FROM c GROUP BY media_id, fi""".stripMargin)),
 
-    // perceptual-hash dedup: a dHash over the decoded blob — bit_i set
-    // when frame_i's byte-sum exceeds frame_{i+1}'s (16-byte frames, ≤16
-    // bits; the gradient structure of a real image dHash, on the stub's
-    // "pixels"). All comparisons are integer byte-sums, so DuckDB replays
-    // the hash bit-for-bit. Scale: hashing is narrow (mapPartitions); the
-    // bucket size is one linear window/groupBy — the standard image-dedup
-    // shape (pHash → bucket → review).
+    // perceptual-hash dedup: a dHash over the REAL decoded raster — bit_i
+    // set when frame_i's pixel-sum exceeds frame_{i+1}'s (16-pixel
+    // frames, ≤16 bits; the gradient structure of a real image dHash).
+    // All comparisons are integer pixel-sums == text byte-sums, so DuckDB
+    // replays the hash bit-for-bit. Scale: hashing is narrow
+    // (mapPartitions); the bucket size is one linear window — the
+    // standard image-dedup shape (pHash → bucket → review).
     Q("m05_phash_dedup",
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val hashed = blobs(s, dir)
+        val hashed = imageBlobs(s, dir)
           .mapPartitions(_.map { b =>
-            val fs = 16
-            val n = math.min(b.payload.length / fs, 17)
-            val sums = Array.tabulate(n) { fi =>
-              var acc = 0L
-              var i = fi * fs
-              val end = i + fs
-              while (i < end) { acc += b.payload(i) & 0xff; i += 1 }
-              acc
-            }
+            val d = decodePng(b.payload)
+            val sums = frameSums(d.pixels, math.min(b.orig_len, 17 * 16), 16, 1)
+              .map(_._2).toArray
             var h = 0L
             var i = 0
             while (i + 1 < sums.length) {
@@ -276,12 +363,13 @@ object Multimodal {
              |       COUNT(*) OVER (PARTITION BY COALESCE(h.phash, 0)) AS n_same
              |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin)),
 
-    // audio-style overlapping feature windows (stub "samples" = payload
-    // bytes): energy + DC-removed crossings per 50%-overlap window, all
-    // integer arithmetic — DuckDB replays windowing, energy, and the
-    // sample*win < energy crossing comparisons from the raw text bytes
+    // audio feature windows over REAL decoded WAV samples (8-bit PCM —
+    // decode recovers sample i = byte i exactly): energy + DC-removed
+    // crossings per 50%-overlap window, all integer arithmetic — DuckDB
+    // replays windowing, energy, and the sample*win < energy crossing
+    // comparisons from the raw text bytes.
     Q("m06_audio_windows",
-      (s, dir) => audioWindows(blobs(s, dir)).toDF()
+      (s, dir) => audioWindows(audioBlobs(s, dir)).toDF()
         .select(col("media_id"), col("win_index").cast("long").as("win_index"),
           col("energy"), col("crossings")),
       Some("""WITH f AS (SELECT doc_id AS media_id, text, length(text) AS L FROM documents),
@@ -297,22 +385,19 @@ object Multimodal {
              |    i -> (c[i] * 32 < energy) != (c[i + 1] * 32 < energy))) AS BIGINT) AS crossings
              |FROM e""".stripMargin)),
 
-    // video-style scene-change detection (stub "frames" = 64-byte payload
-    // slices, stride 1): a cut is an adjacent-frame byte-sum jump ≥ 300.
-    // Frame extraction + integer sums are the narrow m04 stage; the only
-    // wide step is the per-media lag window (co-partitioned by media_id —
-    // one shuffle, linear). Byte sums are exact in both engines
-    // (sum/64.0*64 round-trips exactly in IEEE — 64 is a power of two),
-    // so the cut set replays bit-for-bit from the raw bytes.
+    // video-style scene-change detection over REAL decoded frames
+    // (64-pixel slices, stride 1): a cut is an adjacent-frame pixel-sum
+    // jump ≥ 300. Frame extraction + integer sums are the narrow m04
+    // stage; the only wide step is the per-media lag window
+    // (co-partitioned by media_id — one shuffle, linear).
     Q("m07_scene_cuts",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        import s.implicits._
-        val fr = blobs(s, dir)
-          .mapPartitions(_.flatMap(frameSampleStub(_, frameSize = 64, stride = 1)))
+        val fr = sampledFrames(imageBlobs(s, dir), frameSize = 64, stride = 1)
           .toDF()
-          .select(col("media_id"), col("frame_index").cast(LongType).as("frame_index"),
-            expr("CAST(round(mean_byte * 64) AS BIGINT)").as("byte_sum"))
+          .select(col("media_id"),
+            col("frame_index").cast(LongType).as("frame_index"),
+            col("byte_sum"))
         val w = Window.partitionBy("media_id").orderBy("frame_index")
         fr.withColumn("prev", lag("byte_sum", 1).over(w))
           .filter(col("prev").isNotNull)

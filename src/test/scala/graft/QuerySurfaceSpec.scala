@@ -171,14 +171,44 @@ class QuerySurfaceSpec extends SparkFunSuite {
     got.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
   }
 
-  test("multimodal decode stub: deterministic, shapes correct, no shuffle") {
-    val feats = Multimodal.extractFeatures(Multimodal.blobs(spark, sf))
+  test("PNG codec round trip: exact dimensions and pixels through ImageIO") {
+    // a known 70-byte ramp: 32×3 raster, last row zero-padded after 6 px
+    val bytes = Array.tabulate(70)(i => ((i * 3 + 7) % 256).toByte)
+    val png = Multimodal.encodePng(bytes)
+    // real PNG magic
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+    val d = Multimodal.decodePng(png)
+    assert(d.width == 32 && d.height == 3)
+    assert(d.pixels.take(70).sameElements(bytes), "decoded pixels != source bytes")
+    assert(d.pixels.drop(70).forall(_ == 0), "raster padding must be zero")
+    // empty payload → 32×1 all-zero image
+    val e = Multimodal.decodePng(Multimodal.encodePng(Array.emptyByteArray))
+    assert(e.width == 32 && e.height == 1 && e.pixels.forall(_ == 0))
+  }
+
+  test("WAV codec round trip: exact 8-bit PCM samples through AudioSystem") {
+    val bytes = Array.tabulate(333)(i => ((i * 7 + 11) % 256).toByte)
+    val wav = Multimodal.encodeWav(bytes)
+    assert(wav(0) == 'R'.toByte && wav(1) == 'I'.toByte &&
+      wav(2) == 'F'.toByte && wav(3) == 'F'.toByte)
+    val samples = Multimodal.decodeWav(wav)
+    assert(samples.sameElements(bytes), "decoded samples != source bytes")
+    assert(Multimodal.decodeWav(Multimodal.encodeWav(Array.emptyByteArray)).isEmpty)
+  }
+
+  test("multimodal real decode: dims/sums match raw text, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val feats = Multimodal.extractFeatures(Multimodal.imageBlobs(spark, sf))
     val rows = feats.collect()
     assert(rows.length == 500)
+    // the ImageIO-decoded features must equal the direct byte math
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     rows.foreach { f =>
-      assert(f.features.length == 8)
-      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // histogram normalized
-      assert(f.n_bytes > 0 && f.width >= 16 && f.height >= 16)
+      assert(f.width == 32)
+      assert(f.height == math.max(1, (expected(f.media_id) + 31) / 32))
     }
     // narrow plan: no exchange in the physical plan
     val plan = feats.queryExecution.executedPlan.toString()
@@ -186,21 +216,20 @@ class QuerySurfaceSpec extends SparkFunSuite {
   }
 
   test("multimodal resize and frame sampling: shapes, determinism, no shuffle") {
-    val b = Multimodal.blobs(spark, sf)
+    val b = Multimodal.imageBlobs(spark, sf)
     val rs = Multimodal.resized(b)
     val rows = rs.collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      assert(r.thumb.length == 4)
-      assert(math.abs(r.thumb.sum - 1.0f) < 1e-3) // pooled histogram stays normalized
+      assert(r.width == 16 && r.height >= 0 && r.pooled_sum >= 0)
     }
     assert(!rs.queryExecution.executedPlan.toString().contains("Exchange"))
     val fr = Multimodal.sampledFrames(b)
-    val f1 = fr.collect().map(f => (f.media_id, f.frame_index, f.mean_byte)).sorted.toSeq
-    val f2 = Multimodal.sampledFrames(Multimodal.blobs(spark, sf))
-      .collect().map(f => (f.media_id, f.frame_index, f.mean_byte)).sorted.toSeq
+    val f1 = fr.collect().map(f => (f.media_id, f.frame_index, f.byte_sum)).sorted.toSeq
+    val f2 = Multimodal.sampledFrames(Multimodal.imageBlobs(spark, sf))
+      .collect().map(f => (f.media_id, f.frame_index, f.byte_sum)).sorted.toSeq
     assert(f1 == f2 && f1.nonEmpty)
-    assert(f1.forall { case (_, fi, m) => fi % 4 == 0 && m >= 0 && m <= 255 })
+    assert(f1.forall { case (_, fi, s) => fi % 4 == 0 && s >= 0 && s <= 64L * 255 })
   }
 
   test("streaming hourly agg equals the batch q14 answer") {
