@@ -603,7 +603,7 @@ object PipelineOps {
       |  SELECT a.word, replace(a.seq, m.pat, m.rep) AS seq, a.rank + 1
       |  FROM app a JOIN m ON m.rank = a.rank + 1),
       |tok AS (SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS nt
-      |        FROM app WHERE rank = (SELECT max(rank) FROM m))
+      |        FROM app WHERE rank = COALESCE((SELECT max(rank) FROM m), 0))
       |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
       |       CAST(SUM(t.nt) AS BIGINT) AS n_bpe_tokens
       |FROM aw a JOIN tok t USING (word) GROUP BY a.doc_id""".stripMargin

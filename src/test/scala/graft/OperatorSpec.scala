@@ -169,6 +169,43 @@ class OperatorSpec extends SparkFunSuite {
     }
   }
 
+  test("BpeLearn batched: production merge counts, capped expression depth") {
+    import spark.implicits._
+    // a corpus rich enough for several hundred merges
+    val rnd = new Random(7)
+    val alpha = "abcdef"
+    val corpus = (1 to 400).map { _ =>
+      (1 to (4 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val df = corpus.toSeq.toDF("word", "freq")
+    val matEvery = 64
+    val (merges, applied) =
+      graft.operators.BpeLearn.learn(df, 512, batchK = 16, materializeEvery = matEvery)
+    assert(merges.size > 200, s"expected deep merge table, got ${merges.size}")
+    // ranks contiguous from 1, patterns well-formed
+    assert(merges.map(_.rank) == (1L to merges.size))
+    merges.foreach(m => assert(m.pat == s" ${m.l} ${m.r} " && m.rep == s" ${m.l}${m.r} "))
+    // expression-depth cap: the applied plan carries at most one
+    // re-materialization window of nested replaces, not the full rank count
+    val planStr = applied.queryExecution.analyzed.toString()
+    val nReplaces = "(?<![_a-z])replace\\(".r.findAllIn(planStr).size
+    assert(nReplaces <= matEvery,
+      s"nested replaces $nReplaces exceed materializeEvery=$matEvery")
+    // replay contract survives batching: applying the exported merge table
+    // rank-by-rank on the driver reproduces the learned tokenization
+    val replayed = corpus.keys.map { w =>
+      var s = " " + w.toCharArray.mkString("", " ", " ")
+      merges.foreach(m => s = s.replace(m.pat, m.rep))
+      w -> s.trim.split(" ").length.toLong
+    }.toMap
+    val got = applied.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == replayed, "batched learner diverged from driver replay")
+    // weighted token total must shrink materially vs raw characters
+    val total = got.map { case (w, n) => n * corpus(w) }.sum
+    val chars = corpus.map { case (w, f) => w.length * f }.sum
+    assert(total < chars / 2, s"merges barely compressed: $total vs $chars")
+  }
+
   test("malformed capture: errors surface via accumulators, job survives") {
     val dir = java.nio.file.Files.createTempDirectory("badpcap")
     // valid header + one good frame + garbage record whose frame bytes are junk
