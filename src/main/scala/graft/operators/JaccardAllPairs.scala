@@ -107,29 +107,68 @@ object JaccardAllPairs {
       .toDF("doc_a", "doc_b", "jaccard_permille")
   }
 
-  /** General shingle-equijoin path. The probe side is broadcast when small
-    * (Catalyst decides); pair counts partially aggregate before the one
-    * wide shuffle.
+  /** General path, PPJoin-style (round-3 verdict #3): a raw shingle
+    * self-equijoin streams O(Σ per-shingle df²) pairs — one stop-word
+    * shingle shared by 1% of a 100 TB corpus is ~10¹⁴ pairs. Prefix
+    * filtering bounds it while staying EXACT:
+    *
+    *   1. canonical global order = (document frequency ASC, h ASC) —
+    *      rarest shingles first;
+    *   2. a set of size n keeps only its first `n - ⌈t·n⌉ + 1` shingles
+    *      in that order as its *prefix*; two sets with Jaccard ≥ t must
+    *      share a prefix element (else the intersection fits inside the
+    *      ⌈t·n⌉ − 1 non-prefix tail — too small), so the candidate
+    *      equijoin runs over prefixes only and a high-df shingle lands in
+    *      almost no prefix;
+    *   3. a length filter (t·max(na,nb) ≤ min(na,nb)) prunes candidates
+    *      whose sizes alone cap Jaccard below t;
+    *   4. survivors are verified EXACTLY: the full sets rejoin only for
+    *      the (tiny) candidate pair set, as in d06's band rejoin.
     */
   private def joinPath(sh: DataFrame, thresholdPermille: Int): DataFrame = {
+    val cand = candidates(sh, thresholdPermille)
     val Seq(idCol, hCol) = sh.columns.toSeq
-    // no .cache(): the three consumers (sz + both join sides) contain the
-    // identical distinct subplan, so ReuseExchange computes its shuffle
-    // once and shares it — same work as a cache with no unpersist
-    // lifecycle to leak (round-1 verdict #7)
     val d = sh.select(col(idCol).cast("long").as("doc_id"),
       col(hCol).cast("long").as("h")).distinct()
     val sz = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = d
-      .join(d.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_id") < col("doc_b"))
-      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+    val inter = cand
+      .join(d.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    pairs
+    inter
       .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
       .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST((1000 * inter) div (na + nb - inter) AS BIGINT)").as("jaccard_permille"))
       .filter(col("jaccard_permille") >= thresholdPermille)
+  }
+
+  /** Candidate pairs from the prefix equijoin + length filter (exposed for
+    * the skew test, which asserts the pair stream stays bounded when a
+    * stop-word shingle is planted across the corpus).
+    */
+  private[graft] def candidates(sh: DataFrame, thresholdPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Seq(idCol, hCol) = sh.columns.toSeq
+    // no .cache(): consumers contain the identical distinct subplan, so
+    // ReuseExchange computes its shuffle once and shares it (round-1 #7)
+    val d = sh.select(col(idCol).cast("long").as("doc_id"),
+      col(hCol).cast("long").as("h")).distinct()
+    val freq = d.groupBy("h").agg(count(lit(1)).as("df"))
+    // prefix membership: first n - ceil(t*n) + 1 shingles in (df, h) order
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
+    val prefix = d.join(freq, Seq("h"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <=
+        col("n") - expr(s"(($thresholdPermille * n + 999) div 1000)") + 1)
+    prefix.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(thresholdPermille.toLong) * col("na") <= lit(1000L) * col("nb") &&
+        lit(thresholdPermille.toLong) * col("nb") <= lit(1000L) * col("na"))
+      .select("doc_a", "doc_b").distinct()
   }
 }

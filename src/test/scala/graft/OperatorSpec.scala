@@ -50,6 +50,40 @@ class OperatorSpec extends SparkFunSuite {
     val dense = canon(JaccardAllPairs(sh, 500))
     val joined = canon(JaccardAllPairs(sh, 500, maxDenseVocab = 0)) // force join path
     assert(dense == joined && dense.nonEmpty)
+    // prefix filtering must stay exact at other thresholds too
+    for (t <- Seq(100, 800)) {
+      assert(canon(JaccardAllPairs(sh, t)) ==
+        canon(JaccardAllPairs(sh, t, maxDenseVocab = 0)), s"t=$t")
+    }
+  }
+
+  test("JaccardAllPairs prefix filter: planted stop-word shingle stays bounded") {
+    import spark.implicits._
+    // 120 docs, each carrying the same 3 stop shingles (df≥120) plus 20
+    // unique ones; docs 200..204 are exact clones of docs 0..4. A raw
+    // shingle self-equijoin streams 3·C(125,2) ≈ 23k pairs from the stop
+    // shingles alone; with the (df ASC, h ASC) canonical order the stop
+    // shingles sort LAST inside every doc, so at t=0.5 (prefix = 12 of 23
+    // shingles) they never enter a prefix and the candidate stream is
+    // just the clone pairs found via their unique shingles.
+    val rows = (0 until 120).flatMap { d0 =>
+      (Seq(-1L, -2L, -3L) ++ (0 until 20).map(i => (d0 * 100 + i).toLong))
+        .map(h => (d0.toLong, h))
+    } ++ (0 until 5).flatMap { d0 =>
+      (Seq(-1L, -2L, -3L) ++ (0 until 20).map(i => (d0 * 100 + i).toLong))
+        .map(h => (200L + d0, h))
+    }
+    val sh = rows.toDF("doc_id", "h")
+    val cand = JaccardAllPairs.candidates(sh, 500)
+    val nCand = cand.count()
+    assert(nCand <= 10, s"stop-word shingles leaked into prefixes: $nCand candidates")
+    // exactness: the bounded path still finds exactly the clone pairs
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = canon(JaccardAllPairs(sh, 500, maxDenseVocab = 0))
+    val expected = (0 until 5).map(d0 => (d0.toLong, 200L + d0, 1000L)).toSet
+    assert(got == expected, s"got=$got")
+    assert(got == canon(JaccardAllPairs(sh, 500)))
   }
 
   test("SaltedJoin left/outer types preserved") {
