@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.LongType
   * recursive term is not portable SQL.
   *
   * Scale notes: nodes/edges here are nation-level (tiny), but the shape
-  * is the production one — at a real graph's scale the rank frame would
-  * be checkpointed every few rounds to truncate lineage (see
-  * ConnectedComponents, which does exactly that) and the edge list
-  * bucketed by src so every round's join is shuffle-free.
+  * is the production one — the rank frame is localCheckpoint'ed every 3
+  * rounds (ConnectedComponents' cadence) so lineage never grows with the
+  * iteration count, and an optional integer convergence stop (L1 rank
+  * delta ≤ tol) ends the loop early when ranks have settled. At a real
+  * graph's scale the edge list would additionally be bucketed by src so
+  * every round's join is shuffle-free.
   */
 object GraphOps {
   import Tables.t
@@ -50,25 +52,52 @@ object GraphOps {
             |GROUP BY 1, 2""".stripMargin)
   }
 
-  private def q47(s: SparkSession, dir: String): DataFrame = {
-    val edges = q47Edges(s, dir).cache()
-    val nodes = edges.select(col("src").as("v"))
-      .union(edges.select(col("dst").as("v"))).distinct().cache()
+  /** The reusable PageRank loop over a weighted edge list (src, dst, w).
+    *
+    * @param iters    max rounds
+    * @param tolMicro when > 0, stop once the L1 rank delta (integer
+    *                 micro-units) drops to ≤ tolMicro — costs one extra
+    *                 small aggregate per round, so the oracled fixed-round
+    *                 q47 leaves it off to replay exactly
+    * @return (rank frame (v, pr), rounds actually run)
+    */
+  def pageRank(
+      edges: DataFrame, iters: Int, tolMicro: Long = 0L): (DataFrame, Int) = {
+    val e = edges.cache()
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().cache()
     val n = nodes.count()
     val base = Scale * 15L / (100L * n) // floor, positive — same as SQL //
-    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
     var pr = nodes.select(col("v"), lit(Scale / n).as("pr"))
-    for (_ <- 1 to Iters) {
-      val contrib = edges.join(outw, "src")
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      round += 1
+      val contrib = e.join(outw, "src")
         .join(pr.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), expr("(pr div outw) * w").as("c"))
       val insum = contrib.groupBy("v").agg(sum("c").as("in"))
-      pr = nodes.join(insum, Seq("v"), "left")
+      var next = nodes.join(insum, Seq("v"), "left")
         .select(col("v"),
           (lit(base) + expr("85 * coalesce(in, 0L) div 100")).as("pr"))
+      // each round nests two joins over the previous round's plan —
+      // truncate lineage every 3 rounds or a deep run breaks codegen
+      if (round % 3 == 0) next = next.localCheckpoint()
+      if (tolMicro > 0L) {
+        val delta = next.join(pr.withColumnRenamed("pr", "prev"), "v")
+          .agg(coalesce(sum(abs(col("pr") - col("prev"))), lit(0L)))
+          .head().getLong(0)
+        converged = delta <= tolMicro
+      }
+      pr = next
     }
-    pr.select(col("v").as("nation"), col("pr").cast(LongType).as("pr_micro"))
+    (pr, round)
   }
+
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    pageRank(q47Edges(s, dir), Iters)._1
+      .select(col("v").as("nation"), col("pr").cast(LongType).as("pr_micro"))
 
   private def q47Oracle: String = {
     val edgeSql =

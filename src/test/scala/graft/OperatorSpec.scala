@@ -203,6 +203,27 @@ class OperatorSpec extends SparkFunSuite {
     }
   }
 
+  test("PageRank: 60-round run survives (checkpointed lineage) and converges") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    val edges = (1 to 300)
+      .map(_ => (s"n${rnd.nextInt(50)}", s"n${rnd.nextInt(50)}", 1L + rnd.nextInt(5)))
+      .toDF("src", "dst", "w")
+    // 60 fixed rounds: only survivable because localCheckpoint truncates
+    // the two-joins-per-round lineage every 3 rounds
+    val (pr, rounds) = graft.queries.GraphOps.pageRank(edges, 60)
+    assert(rounds == 60)
+    val ranks = pr.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.nonEmpty && ranks.values.forall(_ > 0))
+    // determinism across reruns (checkpointing must not perturb values)
+    val (pr2, _) = graft.queries.GraphOps.pageRank(edges, 60)
+    assert(pr2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == ranks)
+    // convergence stop: integer ranks settle well before 60 rounds
+    val (prTol, rTol) = graft.queries.GraphOps.pageRank(edges, 60, tolMicro = 1000000000L)
+    assert(rTol < 60, s"convergence stop never fired (ran $rTol rounds)")
+    assert(prTol.collect().length == ranks.size)
+  }
+
   test("BpeLearn batched: production merge counts, capped expression depth") {
     import spark.implicits._
     // a corpus rich enough for several hundred merges
