@@ -12,6 +12,14 @@ import org.apache.spark.sql.types._
   * over a landing directory; here `Trigger.AvailableNow` drains the
   * existing files and stops, which makes the result comparable to the
   * batch oracle.
+  *
+  * Each query is split into a STREAM BUILDER (`xxxStream` — the
+  * unterminated streaming DataFrame) and a runner that drains it. The
+  * oracle gate drains to a memory sink (cheap to read back); the
+  * production deployment path drains the SAME builders through
+  * [[ParquetLand]]'s durable parquet sinks — native append + commit log
+  * for append-mode streams, foreachBatch snapshot/journal for
+  * complete/update-mode ones — exercised per stream in StreamingSinkSpec.
   */
 object StreamingOps {
 
@@ -24,14 +32,38 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Hourly tumbling-window counts/sums over a stream of event files.
-    * Returns the completed result as a batch DataFrame (memory sink).
+  /** documents.parquet physical schema for the streaming reader. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Drain a finite stream into a uniquely-named memory sink and return
+    * the sink table (the oracle-gate read path).
     */
-  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+  private def drainToMemory(
+      stream: DataFrame, prefix: String, mode: String): DataFrame = {
+    val name = prefix + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(name)
+  }
+
+  /** Hourly tumbling-window counts/sums over a stream of event files
+    * (complete-mode aggregate).
+    */
+  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source needs a directory: stream the sf dir, filtered to
     // the events table's file(s)
-    val stream = spark.readStream
+    spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -45,16 +77,10 @@ object StreamingOps {
       .select(
         (unix_timestamp(col("window.start")) / 3600).cast(LongType).as("hour_bucket"),
         col("n_events"), col("sum_value_e4"))
-    val name = "graft_stream_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
   }
+
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(hourlyAggStream(spark, dir), "graft_stream_hourly_", "complete")
 
   final case class UserEvent(user_id: Long, tsu: Long)
   final case class SessionState(lastTs: Long, sessions: Long)
@@ -67,7 +93,7 @@ object StreamingOps {
     * files split into batches (as long as batches arrive time-ordered,
     * which a replayed landing directory does).
     */
-  def statefulSessions(spark: SparkSession, dir: String): DataFrame = {
+  def statefulSessionsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val updateFn: (Long, Iterator[UserEvent], GroupState[SessionState]) => Iterator[(Long, Long)] =
@@ -82,7 +108,7 @@ object StreamingOps {
         state.update(st)
         Iterator.single((uid, st.sessions))
       }
-    val stream = spark.readStream
+    spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -91,27 +117,13 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFn)
       .toDF("user_id", "n_sessions")
-    val name = "graft_stream_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the last update per user is the final count
-    spark.table(name)
-      .groupBy("user_id")
-      .agg(max(col("n_sessions")).as("n_sessions"))
   }
 
-  /** documents.parquet physical schema for the streaming reader. */
-  val documentsSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
+  def statefulSessions(spark: SparkSession, dir: String): DataFrame =
+    // the last update per user is the final count
+    drainToMemory(statefulSessionsStream(spark, dir), "graft_stream_sessions_", "update")
+      .groupBy("user_id")
+      .agg(max(col("n_sessions")).as("n_sessions"))
 
   /** Streaming exact dedup: a document stream deduplicated on content as
     * it lands, keeping a DETERMINISTIC winner per text — the min-doc_id
@@ -125,36 +137,29 @@ object StreamingOps {
     * aggregate — the winner is the same no matter how files split into
     * micro-batches or partitions.
     */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = spark.readStream
+  def streamingDedupStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .groupBy("text")
       .agg(min_by(col("source"), col("doc_id")).as("source"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(streamingDedupStream(spark, dir), "graft_stream_dedup_", "complete")
       .groupBy("source")
       .agg(count(lit(1)).as("n_unique_docs"))
-  }
 
   /** Stream-static join: the event stream enriched against a static
     * dimension (customer → market segment), then aggregated. The static
     * side is broadcast per micro-batch — on a cluster the stream side
     * never shuffles for the join, only for the final segment rollup.
     */
-  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStaticJoinStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val stream = spark.readStream
+    spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -162,27 +167,21 @@ object StreamingOps {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)")).as("sum_value_e4"))
-    val name = "graft_stream_dim_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
   }
+
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(streamStaticJoinStream(spark, dir), "graft_stream_dim_", "complete")
 
   /** Stream-stream time-interval join: view → purchase conversion within
     * 30 minutes for the same user. Both sides carry watermarks (state
     * cleanup on a real cluster); inner-join matches emit eagerly, so with
     * `AvailableNow` the emitted SET of pairs equals the batch answer —
-    * the memory sink collects the appended pairs and the per-user rollup
-    * runs as a batch query on top (an aggregation above a stream-stream
-    * join would finalize only up to the watermark, dropping the tail —
-    * the classic drained-stream pitfall).
+    * the sink collects the appended pairs and the per-user rollup runs as
+    * a batch query on top (an aggregation above a stream-stream join
+    * would finalize only up to the watermark, dropping the tail — the
+    * classic drained-stream pitfall).
     */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoinStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tag: String) = spark.readStream
       .schema(eventsSchema)
@@ -194,20 +193,14 @@ object StreamingOps {
       .withWatermark(s"t_$tag", "1 hour")
     val views = side("v").filter(col("type_v") === "view")
     val purchases = side("p").filter(col("type_p") === "purchase")
-    val joined = views.join(purchases,
+    views.join(purchases,
       expr("uid_v = uid_p AND t_p >= t_v AND t_p <= t_v + interval 30 minutes"))
-    val name = "graft_stream_funnel_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  }
+
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(streamStreamJoinStream(spark, dir), "graft_stream_funnel_", "append")
       .groupBy(col("uid_v").as("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
-  }
 
   /** Continuous-ETL landing: stream → narrow transforms → PARQUET sink
     * (the production sink, not the verification memory table), then a
@@ -216,24 +209,21 @@ object StreamingOps {
     * batch answer exactly; exactly-once comes from the sink's commit log
     * (_spark_metadata) + checkpoint.
     */
-  def streamEtlParquet(spark: SparkSession, dir: String): DataFrame = {
+  def streamEtlStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_etl").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_etl_ckpt").toString
-    val q = spark.readStream
+    spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("tsu"),
         expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
-      .writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+  }
+
+  def streamEtlParquet(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_etl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_etl_ckpt").toString
+    ParquetLand.append(streamEtlStream(spark, dir), outDir, ckpt)
     spark.read.parquet(outDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -255,12 +245,12 @@ object StreamingOps {
     * cross-batch dedup state is needed — a doc's shingles arrive with the
     * doc.
     */
-  def streamingContamination(spark: SparkSession, dir: String): DataFrame = {
+  def streamingContaminationStream(spark: SparkSession, dir: String): DataFrame = {
     val bloom = graft.queries.PipelineOps.d27Bloom(spark, dir)
       .withColumn("k", lit(1))
     val grams5 =
       "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
-    val stream = spark.readStream
+    spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -276,18 +266,12 @@ object StreamingOps {
           .otherwise(0L).as("hit"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_hits"))
-    val name = "graft_stream_contam_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  }
+
+  def streamingContamination(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(streamingContaminationStream(spark, dir), "graft_stream_contam_", "complete")
       .select(col("doc_id"), col("n_shingles"), col("n_hits"),
         expr("CAST(1000 * n_hits div n_shingles AS BIGINT)").as("contam_permille"))
-  }
 
   val queries: Seq[graft.queries.Q] = Seq(
     // deterministic winner: each distinct text belongs to the source of
@@ -400,19 +384,22 @@ object StreamingOps {
 
   /** See s09 doc above. flatMapGroupsWithState keyed on l_returnflag;
     * the state merge is `(old ∪ batch).distinct.sorted.take(256)`.
+    * "No k-th minimum yet" is a NULL kth, NOT a numeric sentinel
+    * (round-3 advisor: a sentinel in the hash domain could collide with
+    * a legitimate hash value and silently skew the min over updates).
     */
-  def streamingKmv(spark: SparkSession, dir: String): DataFrame = {
+  def streamingKmvStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val K = 256
-    val updateFn: (String, Iterator[KmvIn], GroupState[KmvState]) => Iterator[(String, Long, Long)] =
+    val updateFn: (String, Iterator[KmvIn], GroupState[KmvState]) => Iterator[(String, Long, Option[Long])] =
       (flag, evs, state) => {
         val old = state.getOption.map(_.hs).getOrElse(Array.empty[Long])
         val merged = (old ++ evs.map(_.h)).distinct.sorted.take(K)
         state.update(KmvState(merged))
-        val kth = if (merged.length >= K) merged(K - 1) else -1L
+        val kth = if (merged.length >= K) Some(merged(K - 1)) else Option.empty[Long]
         Iterator.single((flag, merged.length.toLong, kth))
       }
-    val stream = spark.readStream
+    spark.readStream
       .schema(lineitemKmvSchema)
       .option("pathGlobFilter", "lineitem.parquet")
       .parquet(dir)
@@ -422,19 +409,15 @@ object StreamingOps {
       .groupByKey(_.flag)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFn)
       .toDF("l_returnflag", "n_h", "kth")
-    val name = "graft_stream_kmv_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  }
+
+  def streamingKmv(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(streamingKmvStream(spark, dir), "graft_stream_kmv_", "update")
       .groupBy("l_returnflag")
-      .agg(max("n_h").as("n_h"), min(when(col("kth") > 0, col("kth"))).as("kth"))
+      // min skips NULLs: the k-th minimum only falls over updates, so the
+      // smallest non-null kth is the final one
+      .agg(max("n_h").as("n_h"), min(col("kth")).as("kth"))
       .select(col("l_returnflag"),
         expr("CAST(CASE WHEN kth IS NULL THEN n_h ELSE (255 * CAST(4294967296 AS BIGINT)) div kth END AS BIGINT)")
           .as("est_distinct"))
-  }
 }
