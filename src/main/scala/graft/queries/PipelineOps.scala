@@ -353,10 +353,14 @@ object PipelineOps {
   // 3 population standard deviations — WITHOUT ever forming a double mean
   // or sigma (both order-dependent cross-engine): the test
   // (n·v − s)² > 9·(n·ss − s²) is the σ-test cross-multiplied into exact
-  // integers. Domain bound: cents ≤ 10^5 and per-user n ≤ 10^4 keep every
-  // product under 2^63. The per-user stats join is a co-partitioned
-  // shuffle join (the stats side is user-cardinality — not broadcastable
-  // at 100 TB).
+  // integers. The comparison runs in 128-bit (Spark DECIMAL(38,0), DuckDB
+  // HUGEINT — both exact integer domains) because int64 only barely holds
+  // it at the current data bounds: 9·(n·ss − s²) reaches ~9·10^18 at
+  // cents ≤ 10^5, n ≤ 10^4 (round-3 advisor — any domain growth would
+  // silently wrap in one engine and promote in the other). Only the
+  // boolean leaves the predicate, so output columns stay BIGINT. The
+  // per-user stats join is a co-partitioned shuffle join (the stats side
+  // is user-cardinality — not broadcastable at 100 TB).
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
       expr("CAST(floor((value) * 100 + 0.5) AS BIGINT)").as("cents"))
@@ -364,7 +368,9 @@ object PipelineOps {
       count(lit(1)).as("n"), sum(col("cents")).as("s"),
       sum(col("cents") * col("cents")).as("ss"))
     e.join(stats, "user_id")
-      .filter(expr("(n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)"))
+      .filter(expr(
+        """(CAST(n AS DECIMAL(38,0)) * cents - s) * (CAST(n AS DECIMAL(38,0)) * cents - s)
+          | > 9 * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)""".stripMargin))
       .select(col("event_id"), col("user_id"), col("cents"), col("n"))
   }
 
@@ -377,7 +383,8 @@ object PipelineOps {
       |       FROM e GROUP BY user_id)
       |SELECT event_id, e.user_id, cents, n
       |FROM e JOIN st ON e.user_id = st.user_id
-      |WHERE (n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)""".stripMargin
+      |WHERE (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
+      |      > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)""".stripMargin
 
   // --- q43: ordered funnel sequencing ------------------------------------
   // view → click → purchase strictly in temporal order per user: each

@@ -171,6 +171,34 @@ class QuerySurfaceSpec extends SparkFunSuite {
     got.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
   }
 
+  test("q42 sigma predicate survives the int64-overflow domain (128-bit compare)") {
+    import spark.implicits._
+    // one user, 10500 events at ±1e5 cents: n·ss = 1.05e18, so the old
+    // int64 form 9·(n·ss − s²) = 9.45e18 exceeds Long.MaxValue — under
+    // Spark 4's default ANSI mode the whole query THROWS (and with ANSI
+    // off it would wrap and flag every row); every value is exactly 1σ
+    // from the mean, so the true anomaly set is EMPTY
+    val rows = (1 to 5250).flatMap(i =>
+      Seq((i.toLong * 2, 1L, 100000L), (i.toLong * 2 + 1, 1L, -100000L)))
+    val e = rows.toDF("event_id", "user_id", "cents")
+    val stats = e.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s"),
+      sum(col("cents") * col("cents")).as("ss"))
+    val joined = e.join(stats, "user_id")
+    val wide = joined.filter(expr(
+      """(CAST(n AS DECIMAL(38,0)) * cents - s) * (CAST(n AS DECIMAL(38,0)) * cents - s)
+        | > 9 * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)""".stripMargin))
+    assert(wide.count() == 0, "128-bit sigma test must flag nothing at 1 sigma")
+    // the old int64 predicate demonstrably overflows on this domain
+    val narrow = joined.filter(expr(
+      "(n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)"))
+    val thrown = intercept[Exception] { narrow.count() }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(thrown).exists(_.toLowerCase.contains("overflow")),
+      s"expected int64 overflow, got: $thrown")
+  }
+
   test("PNG codec round trip: exact dimensions and pixels through ImageIO") {
     // a known 70-byte ramp: 32×3 raster, last row zero-padded after 6 px
     val bytes = Array.tabulate(70)(i => ((i * 3 + 7) % 256).toByte)
