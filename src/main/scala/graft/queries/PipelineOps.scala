@@ -138,8 +138,8 @@ object PipelineOps {
   val MaxSpanDocs = 64
   val MinSharedSpans = 2
 
-  private def docSpans(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  private def docSpans(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(ws) >= $SpanTokens
@@ -147,8 +147,11 @@ object PipelineOps {
            |        i -> md5(concat_ws(' ', slice(ws, i + 1, $SpanTokens)))))
            | ELSE array() END""".stripMargin)).as("sh"))
 
-  private def d25(s: SparkSession, dir: String): DataFrame = {
-    val spans = docSpans(s, dir)
+  /** The d25 span-join core over any (doc_id, text) frame — exposed so
+    * the skew soak can plant corpus-wide boilerplate against the cap.
+    */
+  private[graft] def spanPairs(docs: DataFrame): DataFrame = {
+    val spans = docSpans(docs)
       .withColumn("nd", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("nd") <= MaxSpanDocs)
       .drop("nd")
@@ -158,6 +161,9 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_shared_spans"))
       .filter(col("n_shared_spans") >= MinSharedSpans)
   }
+
+  private def d25(s: SparkSession, dir: String): DataFrame =
+    spanPairs(t(s, dir, "documents"))
 
   private val d25Oracle =
     s"""WITH spans AS (
