@@ -385,6 +385,28 @@ object Multimodal {
              |    i -> (c[i] * 32 < energy) != (c[i + 1] * 32 < energy))) AS BIGINT) AS crossings
              |FROM e""".stripMargin)),
 
+    // metadata-only blob scan: parse the PNG IHDR straight out of the
+    // binary column with codegen'd byte arithmetic — NO decode. The cheap
+    // first pass a 100 TB media pipeline runs (dimensions/type audit at
+    // scan speed, one narrow stage). The render contract fixes what the
+    // real encoder must have written (32-wide 8-bit grayscale, height
+    // ceil(len/32)), so DuckDB replays the expected header from the raw
+    // text and a hash-match proves both the encoder's output and the
+    // binary-column parsing.
+    Q("m08_png_metadata",
+      (s, dir) => imageBlobs(s, dir).toDF()
+        .select(col("media_id"),
+          // PNG layout: 8-byte signature, IHDR chunk (4 len + 4 type),
+          // then width/height as 4-byte big-endian + bit depth + color type
+          expr("CAST(conv(hex(substring(payload, 17, 4)), 16, 10) AS INT)").as("width"),
+          expr("CAST(conv(hex(substring(payload, 21, 4)), 16, 10) AS INT)").as("height"),
+          expr("CAST(conv(hex(substring(payload, 25, 1)), 16, 10) AS INT)").as("bit_depth"),
+          expr("CAST(conv(hex(substring(payload, 26, 1)), 16, 10) AS INT)").as("color_type")),
+      Some("""SELECT doc_id AS media_id, CAST(32 AS INT) AS width,
+             |  CAST(greatest((length(text) + 31) // 32, 1) AS INT) AS height,
+             |  CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type
+             |FROM documents""".stripMargin)),
+
     // video-style scene-change detection over REAL decoded frames
     // (64-pixel slices, stride 1): a cut is an adjacent-frame pixel-sum
     // jump ≥ 300. Frame extraction + integer sums are the narrow m04

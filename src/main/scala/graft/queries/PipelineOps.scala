@@ -452,6 +452,41 @@ object PipelineOps {
       |FROM ud JOIN f ON ud.user_id = f.user_id
       |GROUP BY d0, day - d0""".stripMargin
 
+  // --- q50: event-type Markov transition matrix --------------------------
+  // Sequence modeling over the event log: for each user's time-ordered
+  // event stream, count (type → next type) transitions and derive the
+  // integer-permille transition probability. One window over
+  // (user_id, time) — co-partitioned with the events' natural key — then
+  // a transition-cardinality aggregation (≤ |types|² rows); the
+  // probability join moves one row per (from_type), broadcast-small.
+  // Ordering is total (tsu, event_id) so both engines pair identically.
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val trans = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("from_type").agg(sum("n").as("tot"))
+    trans.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST(1000 * n div tot AS BIGINT)").as("p_permille"))
+  }
+
+  private val q50Oracle =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type FROM events),
+      |p AS (SELECT event_type AS from_type,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS to_type
+      |      FROM e),
+      |t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY from_type)
+      |SELECT t.from_type, t.to_type, t.n, CAST(1000 * t.n // tt.tot AS BIGINT) AS p_permille
+      |FROM t JOIN tt USING (from_type)""".stripMargin
+
   // --- q45: full-outer reconciliation ------------------------------------
   // The audit-join shape: per-entity totals from two independent systems
   // (order spend keyed by o_custkey vs event spend keyed by user_id)
@@ -555,6 +590,7 @@ object PipelineOps {
     Q("q42_anomaly_3sigma", q42, Some(q42Oracle)),
     Q("q43_funnel_sequence", q43, Some(q43Oracle)),
     Q("q44_cohort_retention", q44, Some(q44Oracle)),
+    Q("q50_markov_transitions", q50, Some(q50Oracle)),
     Q("d28_quantile_filter", d28, Some(d28Oracle)),
     Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),

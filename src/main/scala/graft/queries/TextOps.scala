@@ -577,7 +577,46 @@ object TextOps {
              |  JOIN (SELECT x AS y, n_x AS n_y FROM u) uy USING (y)
              |  CROSS JOIN tt
              |WHERE n_xy >= 5
-             |ORDER BY pmi_ratio_milli DESC, x, y LIMIT 50""".stripMargin))
+             |ORDER BY pmi_ratio_milli DESC, x, y LIMIT 50""".stripMargin)),
+
+    // --- d32: corpus bigram-LM quality scoring ------------------------------
+    // A perplexity proxy with no floats: per-bigram conditional likelihood
+    // P(w2|w1) ≈ 1000·c(w1,w2) div c(w1·) in integer permille (c(w1·) is
+    // the FIRST-position bigram count, so probabilities per w1 sum to
+    // ~1000), averaged per document — fluent text reuses common corpus
+    // transitions and scores high, gibberish scores low. The standard
+    // LM-based quality gate a pre-training pipeline runs after d03's
+    // surface heuristics. Plan: one bigram-count shuffle reused by both
+    // the numerator join and (pre-aggregated, broadcast-sized) from-word
+    // totals; the per-doc mean is a doc_id aggregation — all linear.
+    Q("d32_bigram_lm_score",
+      (s, dir) => {
+        val bg = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+        bg.join(cb, Seq("w1", "w2"))
+          .join(cu, Seq("w1"))
+          .select(col("doc_id"), expr("CAST(1000 * cb div cu AS BIGINT)").as("p"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("CAST(sum(p) div count(1) AS BIGINT)").as("lm_score_permille"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id,
+             |        unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+             |        unnest([ws[i+1] for i in range(1, len(ws))]) AS w2
+             |      FROM w WHERE len(ws) >= 2),
+             |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM g GROUP BY w1, w2),
+             |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY w1)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(1000 * cb.cb // cu.cu) // COUNT(*) AS BIGINT) AS lm_score_permille
+             |FROM g JOIN cb USING (w1, w2) JOIN cu USING (w1)
+             |GROUP BY doc_id""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */

@@ -349,6 +349,25 @@ object StreamingOps {
         "aux_probes" -> ((s: SparkSession, dir: String) =>
           graft.queries.PipelineOps.d27Probes(s, dir)))),
 
+    // engine-native session windows must agree with DuckDB's gap-island
+    // sessionization (>= boundary: exclusive session end — see the
+    // sessionWindowStream doc)
+    graft.queries.Q("s10_session_window", (s, dir) => sessionWindows(s, dir),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             |         CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS v4 FROM events),
+             |m AS (SELECT user_id, tsu, v4,
+             |        CASE WHEN lag(tsu) OVER w IS NULL
+             |               OR tsu - lag(tsu) OVER w >= 1800000000
+             |             THEN 1 ELSE 0 END AS new_s
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+             |i AS (SELECT user_id, tsu, v4,
+             |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, CAST(MIN(tsu) AS BIGINT) AS session_start_us,
+             |       COUNT(*) AS n_events, CAST(SUM(v4) AS BIGINT) AS sum_value_e4
+             |FROM i GROUP BY user_id, sid""".stripMargin)),
+
     // streaming KMV distinct sketch: cross-batch mergeable state. The
     // per-key state is the set of ≤256 smallest distinct md5-prefix
     // hashes — a commutative, idempotent merge, so the final estimate is
@@ -373,6 +392,33 @@ object StreamingOps {
              |                 ELSE (255 * CAST(4294967296 AS BIGINT)) // kth END AS BIGINT) AS est_distinct
              |FROM s""".stripMargin))
   )
+
+  /** Native session-window streaming aggregation (s10): Spark's
+    * `session_window` merges events into per-user sessions with a
+    * 30-minute inactivity gap INSIDE the state store — the engine-level
+    * counterpart of s02's hand-rolled flatMapGroupsWithState. Boundary
+    * semantics: a session's range is [event, event+gap) with an exclusive
+    * end, so an event landing exactly gap after its predecessor starts a
+    * NEW session (`>=` in the oracle, vs s02's `>`).
+    */
+  def sessionWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)")).as("sum_value_e4"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value_e4"))
+  }
+
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(sessionWindowStream(spark, dir), "graft_stream_sesswin_", "complete")
 
   /** lineitem columns the KMV stream needs (parquet projects by name). */
   private val lineitemKmvSchema: StructType = StructType(Seq(

@@ -76,6 +76,13 @@ class StreamingSinkSpec extends SparkFunSuite {
     assert(canon(finalized) == canon(StreamingOps.streamingContamination(spark, sf)))
   }
 
+  test("s10 session windows land as a complete-mode parquet snapshot") {
+    val (out, ckpt) = tmp("s10")
+    ParquetLand.completeSnapshot(StreamingOps.sessionWindowStream(spark, sf), out, ckpt)
+    assert(canon(spark.read.parquet(out)) ==
+      canon(StreamingOps.sessionWindows(spark, sf)))
+  }
+
   test("s09 streaming KMV lands as an update-mode journal") {
     val (out, ckpt) = tmp("s09")
     ParquetLand.updateJournal(StreamingOps.streamingKmvStream(spark, sf), out, ckpt)
