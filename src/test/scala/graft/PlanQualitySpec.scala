@@ -161,6 +161,27 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
   }
 
+  test("m08: metadata scan is narrow (byte arithmetic only — zero shuffles, no decode)") {
+    val p = plan(SparkEntry.queries("m08_png_metadata")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q50: the from-type totals broadcast into the probability join") {
+    val p = plan(SparkEntry.queries("q50_markov_transitions")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d32: one bigram exchange is reused between the count and the rejoin") {
+    val df = SparkEntry.queries("d32_bigram_lm_score")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    // the (w1, w2) bigram stream shuffles once for the count and once for
+    // the probe-side rejoin, the (w1) totals once; more would mean the
+    // count subplan stopped being reused
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
   test("m06: audio windowing is narrow (flatMap only — zero shuffles)") {
     val p = plan(SparkEntry.queries("m06_audio_windows")(spark, sf))
     assert(!p.contains("Exchange"), p)
