@@ -843,6 +843,23 @@ object Relational {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) DESC, o_orderkey
-             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
+    // --- q51: semi-structured JSON extraction -------------------------------
+    // events.props is a JSON document; the typed field comes out with a
+    // path expression evaluated at scan time (codegen'd `get_json_object`,
+    // no UDF) and rolls up per event type — the standard semi-structured
+    // ingestion shape (extract early, aggregate typed). DuckDB's JSON
+    // extension replays the same path.
+    Q("q51_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }

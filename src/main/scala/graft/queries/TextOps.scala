@@ -616,7 +616,38 @@ object TextOps {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              |  CAST(SUM(1000 * cb.cb // cu.cu) // COUNT(*) AS BIGINT) AS lm_score_permille
              |FROM g JOIN cb USING (w1, w2) JOIN cu USING (w1)
-             |GROUP BY doc_id""".stripMargin))
+             |GROUP BY doc_id""".stripMargin)),
+
+    // --- d33: Zipf rank-frequency audit -------------------------------------
+    // Corpus-health check: rank the vocabulary by frequency (total order:
+    // count DESC, word ASC) and report word count + occurrence mass per
+    // log2-rank bucket — a healthy natural corpus shows the Zipf slope,
+    // machine-generated spam flattens it. `length(bin(rank))` is
+    // floor(log2)+1 in BOTH engines: an integer logarithm, no floats.
+    // The global rank window runs on the DISTINCT-WORD table, which is
+    // Heaps'-law-small (same argument as d30's learner), so the single
+    // unpartitioned window is one executor's work over <1% of corpus rows.
+    Q("d33_zipf_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        counts
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+          .withColumn("bucket", expr("CAST(length(bin(rank)) AS BIGINT)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_words"), sum("cnt").as("occurrences"))
+      },
+      Some("""WITH c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+             |          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |          GROUP BY word),
+             |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rank FROM c)
+             |SELECT CAST(length(bin(rank)) AS BIGINT) AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n_words,
+             |       CAST(SUM(cnt) AS BIGINT) AS occurrences
+             |FROM r GROUP BY bucket""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */
