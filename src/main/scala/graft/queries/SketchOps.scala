@@ -118,8 +118,60 @@ object SketchOps {
 
   private def q49Oracle: String = q49Body(h32Duck, "lineitem", "//")
 
+  // --- q52: cross-engine HyperLogLog -------------------------------------
+  // The md5-deterministic counterpart of q21's engine-specific built-in:
+  // a real HLL (m=256 registers, 60-bit md5-prefix hash — register =
+  // h%256, rho = leading-zero rank of the remaining 52 bits via
+  // `length(bin(w))`, an integer log2 both engines share) whose RAW
+  // estimator runs entirely in integers: the harmonic sum is
+  // Σ 2^(53−M[j]) ≤ 2^61 (BIGINT-exact; empty registers contribute 2^53),
+  // and the estimate is one 128-bit floor division
+  // N0 div (hsum·10^6), N0 = alpha_e6·m²·2^53 with the fixed-point
+  // constant alpha_e6 = 718273 ≈ 0.7213/(1+1.079/256)·10^6. No small- or
+  // large-range correction branch (those need ln) — this is the
+  // documented RAW-sketch contract, mergeable by register-max like any
+  // HLL. DuckDB replays every bit, so unlike q21 the whole estimate
+  // hash-matches.
+  private val HllRegisters = 256
+  private val HllN0 = "423993542593778584572133376" // 718273 * 256^2 * 2^53
+
+  private def h60(colSql: String): String =
+    s"CAST(conv(substr(md5(CAST($colSql AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+  private def h60Duck(colSql: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($colSql AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  private def q52Body(
+      h: String => String, table: String, intDiv: String,
+      shift: (String, String) => String, wide: String): String =
+    s"""WITH k AS (SELECT DISTINCT l_returnflag, l_partkey FROM $table),
+       |h AS (SELECT l_returnflag, ${h("l_partkey")} AS h FROM k),
+       |r AS (SELECT l_returnflag, h % $HllRegisters AS j,
+       |        CASE WHEN h $intDiv $HllRegisters = 0 THEN 53
+       |             ELSE 53 - length(bin(h $intDiv $HllRegisters)) END AS rho
+       |      FROM h),
+       |m AS (SELECT l_returnflag, j, MAX(rho) AS mj FROM r GROUP BY l_returnflag, j),
+       |s AS (SELECT l_returnflag,
+       |        CAST(SUM(${shift("CAST(1 AS BIGINT)", "CAST(53 - mj AS INT)")})
+       |             + ($HllRegisters - COUNT(*)) * ${shift("CAST(1 AS BIGINT)", "53")} AS BIGINT) AS hsum,
+       |        CAST(COUNT(*) AS BIGINT) AS n_registers_used
+       |      FROM m GROUP BY l_returnflag)
+       |SELECT l_returnflag, n_registers_used,
+       |  CAST(CAST('$HllN0' AS $wide) $intDiv (CAST(hsum AS $wide) * 1000000) AS BIGINT) AS est_distinct
+       |FROM s""".stripMargin
+
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q52")
+    s.sql(q52Body(h60, "lineitem_q52", "div",
+      (x, n) => s"shiftleft($x, $n)", "DECIMAL(38,0)"))
+  }
+
+  private def q52Oracle: String =
+    q52Body(h60Duck, "lineitem", "//", (x, n) => s"($x << $n)", "HUGEINT")
+
   val queries: Seq[Q] = Seq(
     Q("q48_kmv_distinct", q48, Some(q48Oracle)),
-    Q("q49_kmv_intersect", q49, Some(q49Oracle))
+    Q("q49_kmv_intersect", q49, Some(q49Oracle)),
+    Q("q52_hll_cross_engine", q52, Some(q52Oracle))
   )
 }

@@ -171,6 +171,25 @@ class QuerySurfaceSpec extends SparkFunSuite {
     got.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
   }
 
+  test("q52 cross-engine HLL estimates within raw-sketch error of the exact count") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: ~2000 distinct partkeys per flag ≈ 8·m, where the RAW
+    // estimator (no small-range correction) is in its accurate regime
+    // (theoretical sigma ≈ 1.04/sqrt(256) ≈ 6.5%)
+    val dir = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("q52_hll_cross_engine")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    est.foreach { case (flag, e) =>
+      val n = exact(flag).toDouble
+      assert(e > n * 0.75 && e < n * 1.25,
+        s"flag=$flag est=$e exact=$n outside 25% raw-HLL bound")
+    }
+  }
+
   test("q42 sigma predicate survives the int64-overflow domain (128-bit compare)") {
     import spark.implicits._
     // one user, 10500 events at ±1e5 cents: n·ss = 1.05e18, so the old
