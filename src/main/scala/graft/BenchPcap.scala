@@ -19,7 +19,16 @@ object BenchPcap {
     // the engine's actual throughput (round-1 lesson: 185k pkt/s at 1M vs
     // 706k at 10M on the same build)
     val n = sys.env.getOrElse("SPARK_GRAFT_PCAP_PACKETS", "10000000").toInt
-    val dir = sys.env.getOrElse("SPARK_GRAFT_PCAP_DIR", "/tmp/graft-pcap-bench")
+    // corpus + output live on tmpfs when available: round-4 lesson — the
+    // host's page cache can be effectively disabled (2 GiB cache on a
+    // 125 GiB box), at which point a /tmp corpus benchmarks the virtio
+    // disk (~376 MB/s), not the engine (same build measured 181k vs 790k
+    // pkt/s across two such windows). The reference's number is a
+    // warm-cache CPU figure; tmpfs measures the same thing.
+    val defaultDir =
+      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-pcap-bench"
+      else "/tmp/graft-pcap-bench"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PCAP_DIR", defaultDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     Files.createDirectories(Paths.get(dir))
