@@ -91,9 +91,15 @@ object StreamingOps {
     * event-time order against the persisted (lastTs, count) state, so the
     * final emission equals the batch q15 answer regardless of how the
     * files split into batches (as long as batches arrive time-ordered,
-    * which a replayed landing directory does).
+    * which a replayed landing directory does — StreamingSinkSpec proves
+    * the invariance with a 3-file, one-file-per-trigger split).
+    *
+    * @param maxFilesPerTrigger bound files per micro-batch (the
+    *        multi-batch test path; None = drain everything in one batch)
     */
-  def statefulSessionsStream(spark: SparkSession, dir: String): DataFrame = {
+  def statefulSessionsStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
     val updateFn: (Long, Iterator[UserEvent], GroupState[SessionState]) => Iterator[(Long, Long)] =
@@ -108,9 +114,11 @@ object StreamingOps {
         state.update(st)
         Iterator.single((uid, st.sessions))
       }
-    spark.readStream
+    val reader = spark.readStream
       .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", "events*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(dir)
       .select(col("user_id"), expr("ts div 1000").as("tsu"))
       .as[UserEvent]
@@ -429,12 +437,16 @@ object StreamingOps {
   final case class KmvState(hs: Array[Long])
 
   /** See s09 doc above. flatMapGroupsWithState keyed on l_returnflag;
-    * the state merge is `(old ∪ batch).distinct.sorted.take(256)`.
+    * the state merge is `(old ∪ batch).distinct.sorted.take(256)` — a
+    * commutative, idempotent merge, so unlike s02 the answer is batch-
+    * split invariant in ANY file order (proved in StreamingSinkSpec).
     * "No k-th minimum yet" is a NULL kth, NOT a numeric sentinel
     * (round-3 advisor: a sentinel in the hash domain could collide with
     * a legitimate hash value and silently skew the min over updates).
     */
-  def streamingKmvStream(spark: SparkSession, dir: String): DataFrame = {
+  def streamingKmvStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val K = 256
     val updateFn: (String, Iterator[KmvIn], GroupState[KmvState]) => Iterator[(String, Long, Option[Long])] =
@@ -445,9 +457,11 @@ object StreamingOps {
         val kth = if (merged.length >= K) Some(merged(K - 1)) else Option.empty[Long]
         Iterator.single((flag, merged.length.toLong, kth))
       }
-    spark.readStream
+    val reader = spark.readStream
       .schema(lineitemKmvSchema)
-      .option("pathGlobFilter", "lineitem.parquet")
+      .option("pathGlobFilter", "lineitem*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(dir)
       .select(col("l_returnflag").as("flag"),
         expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"))

@@ -22,6 +22,18 @@ class StreamingSinkSpec extends SparkFunSuite {
   private def canon(df: DataFrame): Set[Seq[String]] =
     df.collect().map(_.toSeq.map(String.valueOf)).toSet
 
+  /** Write `df` as ONE parquet file named `$dir/$name`, with strictly
+    * increasing mod times so the file stream replays oldest-first.
+    */
+  private def land(df: DataFrame, dir: String, name: String): Unit = {
+    val stage = Files.createTempDirectory("graft_split_part").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/$name"))
+    Thread.sleep(20)
+  }
+
   test("s01 hourly agg lands as a complete-mode parquet snapshot") {
     val (out, ckpt) = tmp("s01")
     ParquetLand.completeSnapshot(StreamingOps.hourlyAggStream(spark, sf), out, ckpt)
@@ -74,6 +86,52 @@ class StreamingSinkSpec extends SparkFunSuite {
       .select(col("doc_id"), col("n_shingles"), col("n_hits"),
         expr("CAST(1000 * n_hits div n_shingles AS BIGINT)").as("contam_permille"))
     assert(canon(finalized) == canon(StreamingOps.streamingContamination(spark, sf)))
+  }
+
+  test("s02 sessions: 3-file one-per-trigger split equals the single batch") {
+    import org.apache.spark.sql.functions._
+    // time-ordered 3-way split (sessions document time-ordered arrival,
+    // the replayed-landing-directory contract)
+    val dir = Files.createTempDirectory("graft_split_ev").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ts = ev.select("ts").orderBy("ts").collect().map(_.getLong(0))
+    val (t1, t2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+    land(ev.filter(col("ts") <= t1), dir, "events0.parquet")
+    land(ev.filter(col("ts") > t1 && col("ts") <= t2), dir, "events1.parquet")
+    land(ev.filter(col("ts") > t2), dir, "events2.parquet")
+    val (out, ckpt) = tmp("s02split")
+    ParquetLand.updateJournal(
+      StreamingOps.statefulSessionsStream(spark, dir, maxFilesPerTrigger = Some(1)),
+      out, ckpt)
+    val journal = spark.read.parquet(out)
+    assert(journal.select("_batch_id").distinct().count() >= 3,
+      "expected at least 3 micro-batches")
+    assert(canon(ParquetLand.journalState(journal, Seq("user_id"))) ==
+      canon(StreamingOps.statefulSessions(spark, sf)),
+      "session state diverged across micro-batch boundaries")
+  }
+
+  test("s09 KMV: arbitrary 3-file split equals the single batch (mergeable state)") {
+    import org.apache.spark.sql.functions._
+    // ARBITRARY split (not time-ordered): the KMV merge is commutative
+    // and idempotent, so any batch assignment must yield the same sketch
+    val dir = Files.createTempDirectory("graft_split_li").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    (0 until 3).foreach { i =>
+      land(li.filter(pmod(col("l_orderkey"), lit(3)) === i), dir, s"lineitem$i.parquet")
+    }
+    val (out, ckpt) = tmp("s09split")
+    ParquetLand.updateJournal(
+      StreamingOps.streamingKmvStream(spark, dir, maxFilesPerTrigger = Some(1)),
+      out, ckpt)
+    val journal = spark.read.parquet(out)
+    assert(journal.select("_batch_id").distinct().count() >= 3)
+    val est = ParquetLand.journalState(journal, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        expr("CAST(CASE WHEN kth IS NULL THEN n_h ELSE (255 * CAST(4294967296 AS BIGINT)) div kth END AS BIGINT)")
+          .as("est_distinct"))
+    assert(canon(est) == canon(StreamingOps.streamingKmv(spark, sf)),
+      "KMV sketch state diverged across micro-batch boundaries")
   }
 
   test("s10 session windows land as a complete-mode parquet snapshot") {
