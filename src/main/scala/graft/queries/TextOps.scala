@@ -28,6 +28,24 @@ object TextOps {
       .select(col("doc_id"), explode(expr(bigramsExpr)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
 
+  /** d04/d34's shared n-gram-heuristic classifier: occurrence counts of
+    * language marker tokens on the space-padded text, argmax with fixed
+    * precedence (en > de > fr > es > zh). `intDiv` is the engine's
+    * integer-division token (`div` Spark, `//` DuckDB) — otherwise the
+    * expression text is identical in both.
+    */
+  private def langPredExpr(intDiv: String): String = {
+    def cnt(m: String) =
+      s"((length(p) - length(replace(p, ' $m ', ''))) $intDiv ${m.length + 2})"
+    val all = Seq("the", "der", "le", "el", "shi").map(cnt).mkString(",")
+    s"""CASE
+       | WHEN ${cnt("the")} >= greatest($all) THEN 'en'
+       | WHEN ${cnt("der")} >= greatest($all) THEN 'de'
+       | WHEN ${cnt("le")} >= greatest($all) THEN 'fr'
+       | WHEN ${cnt("el")} >= greatest($all) THEN 'es'
+       | ELSE 'zh' END""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     // --- d01: exact dedup by content hash ---------------------------------
     Q("d01_exact_dedup",
@@ -81,37 +99,14 @@ object TextOps {
     // --- d04: language identification (marker-token heuristic) ------------
     Q("d04_langid",
       (s, dir) => {
-        // occurrence counts of language marker tokens on the padded text,
-        // then argmax with a fixed precedence (en > de > fr > es > zh)
-        def cnt(m: String) =
-          s"((length(p) - length(replace(p, ' $m ', ''))) div ${m.length + 2})"
-        val markers = Map(
-          "en" -> cnt("the"), "de" -> cnt("der"),
-          "fr" -> cnt("le"), "es" -> cnt("el"), "zh" -> cnt("shi"))
         t(s, dir, "documents")
           .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
-          .select(
-            col("doc_id"), col("lang").as("lang_declared"),
-            expr(s"""CASE
-                    | WHEN ${markers("en")} >= greatest(${markers.values.mkString(",")}) THEN 'en'
-                    | WHEN ${markers("de")} >= greatest(${markers.values.mkString(",")}) THEN 'de'
-                    | WHEN ${markers("fr")} >= greatest(${markers.values.mkString(",")}) THEN 'fr'
-                    | WHEN ${markers("es")} >= greatest(${markers.values.mkString(",")}) THEN 'es'
-                    | ELSE 'zh' END""".stripMargin).as("lang_pred"))
+          .select(col("doc_id"), col("lang").as("lang_declared"),
+            expr(langPredExpr("div")).as("lang_pred"))
       },
-      Some {
-        def cnt(m: String) =
-          s"((length(p) - length(replace(p, ' $m ', ''))) // ${m.length + 2})"
-        val all = Seq("the", "der", "le", "el", "shi").map(cnt).mkString(",")
-        s"""SELECT doc_id, lang AS lang_declared,
-           |  CASE
-           |   WHEN ${cnt("the")} >= greatest($all) THEN 'en'
-           |   WHEN ${cnt("der")} >= greatest($all) THEN 'de'
-           |   WHEN ${cnt("le")} >= greatest($all) THEN 'fr'
-           |   WHEN ${cnt("el")} >= greatest($all) THEN 'es'
-           |   ELSE 'zh' END AS lang_pred
-           |FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, lang AS lang_declared,
+              |  ${langPredExpr("//")} AS lang_pred
+              |FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)""".stripMargin)),
 
     // --- d05: n-gram Jaccard near-dup detection ---------------------------
     // word-bigram shingle sets; candidate pairs via shingle-equijoin;
@@ -647,7 +642,38 @@ object TextOps {
              |SELECT CAST(length(bin(rank)) AS BIGINT) AS bucket,
              |       CAST(COUNT(*) AS BIGINT) AS n_words,
              |       CAST(SUM(cnt) AS BIGINT) AS occurrences
-             |FROM r GROUP BY bucket""".stripMargin))
+             |FROM r GROUP BY bucket""".stripMargin)),
+
+    // --- d34: langid confusion matrix ---------------------------------------
+    // Classifier-evaluation-as-a-query: d04's n-gram language prediction
+    // against the declared lang column, one cell per (declared, predicted)
+    // pair with the integer-permille row share — the accuracy audit a
+    // pipeline runs before trusting a filter. Plan: the classifier is the
+    // same narrow scan as d04; the matrix is one ≤|langs|² aggregation
+    // and the row-share window runs on that tiny frame.
+    Q("d34_langid_confusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = t(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
+          .select(col("lang").as("lang_declared"),
+            expr(langPredExpr("div")).as("lang_pred"))
+          .groupBy("lang_declared", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+        cells
+          .withColumn("tot",
+            sum("n").over(Window.partitionBy("lang_declared")))
+          .select(col("lang_declared"), col("lang_pred"), col("n"),
+            expr("CAST(1000 * n div tot AS BIGINT)").as("share_permille"))
+      },
+      Some(s"""WITH pr AS (SELECT lang AS lang_declared,
+              |             ${langPredExpr("//")} AS lang_pred
+              |           FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents)),
+              |c AS (SELECT lang_declared, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+              |      FROM pr GROUP BY lang_declared, lang_pred)
+              |SELECT lang_declared, lang_pred, n,
+              |  CAST(1000 * n // CAST(SUM(n) OVER (PARTITION BY lang_declared) AS BIGINT) AS BIGINT) AS share_permille
+              |FROM c""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */
