@@ -35,6 +35,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // normalize BEFORE deriving the aux sibling: a trailing-slash outDir
+    // ("/tmp/vout/") would otherwise turn s"${outDir}_aux" into
+    // "/tmp/vout/_aux" — aux back INSIDE the compared tree (File strips
+    // the trailing separator)
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    val auxAbs = s"${outAbs}_aux"
     // a pre-round-4 run may have left $outDir/_aux behind; the driver
     // enumerates $outDir subdirs, so purge any legacy aux tree before
     // writing (aux now lives in the ${outDir}_aux sibling)
@@ -85,7 +91,7 @@ object Verify {
             // substitution below re-roots that prefix.
             query.aux.foreach { case (auxName, auxFn) =>
               auxFn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"${outDir}_aux/$name/$auxName")
+                .parquet(s"$auxAbs/$name/$auxName")
             }
           } finally spark.sparkContext.clearJobGroup()
         }(rec)
@@ -118,13 +124,11 @@ object Verify {
     // {OUT}/_aux is re-rooted FIRST to the sibling aux dir (see above) —
     // query authors keep writing {OUT}/_aux/<name>/<auxName> and never
     // need to know aux lives outside the compared tree.
-    val absOut = new java.io.File(outDir).getAbsolutePath
-    val absAux = new java.io.File(s"${outDir}_aux").getAbsolutePath
     val selectedNames = selected.map(_.name).toSet
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selectedNames.contains(k) }
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("{OUT}/_aux", absAux).replace("{OUT}", absOut))}" }
+        s"${q(k)}: ${q(v.replace("{OUT}/_aux", auxAbs).replace("{OUT}", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -109,7 +109,11 @@ object BpeLearn {
       if (top.isEmpty) done = true
       else {
         // greedy symbol-disjoint acceptance: a candidate whose symbols are
-        // untouched by this batch's earlier merges has an exact count
+        // untouched by this batch's earlier merges keeps an exact-or-
+        // understated count (a batch merge can only CREATE adjacencies
+        // involving its new symbol, which may coincide with an existing
+        // one — so a disjoint candidate's count is a lower bound, never
+        // stale-high; any understated pair is recounted next round)
         val used = scala.collection.mutable.Set.empty[String]
         var taken = 0
         val it = top.iterator

@@ -106,6 +106,20 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** The fixture render contract is byte == codepoint: the oracles count
+    * characters (`ascii`, `length`) while the render encodes bytes, which
+    * agree exactly on ASCII and diverge on nothing else — DuckDB's
+    * `CAST(text AS BLOB)` (m01) THROWS on non-ASCII, and this guard makes
+    * the Spark side fail just as loudly instead of silently hash-
+    * diverging (round-4 review finding).
+    */
+  private def asciiBytes(id: Long, text: String): Array[Byte] = {
+    val b = text.getBytes(StandardCharsets.UTF_8)
+    require(b.length == text.length,
+      s"media render contract is ASCII (byte==codepoint); doc $id has ${b.length} bytes for ${text.length} chars")
+    b
+  }
+
   /** documents rendered as real PNG blobs — the testdata's stand-in for
     * an image column (encode is itself a narrow partition-local stage; a
     * deployment reads pre-encoded blobs).
@@ -115,7 +129,7 @@ object Multimodal {
     t(s, dir, "documents").select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val b = text.getBytes(StandardCharsets.UTF_8)
+        val b = asciiBytes(id, text)
         MediaBlob(id, "image/png", encodePng(b), b.length)
       })
   }
@@ -126,7 +140,7 @@ object Multimodal {
     t(s, dir, "documents").select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val b = text.getBytes(StandardCharsets.UTF_8)
+        val b = asciiBytes(id, text)
         MediaBlob(id, "audio/wav", encodeWav(b), b.length)
       })
   }

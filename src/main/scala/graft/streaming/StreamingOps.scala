@@ -363,13 +363,13 @@ object StreamingOps {
     graft.queries.Q("s10_session_window", (s, dir) => sessionWindows(s, dir),
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
              |         CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS v4 FROM events),
-             |m AS (SELECT user_id, tsu, v4,
+             |m AS (SELECT user_id, event_id, tsu, v4,
              |        CASE WHEN lag(tsu) OVER w IS NULL
              |               OR tsu - lag(tsu) OVER w >= 1800000000
              |             THEN 1 ELSE 0 END AS new_s
              |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
              |i AS (SELECT user_id, tsu, v4,
-             |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+             |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
              |                         ROWS UNBOUNDED PRECEDING) AS sid
              |      FROM m)
              |SELECT user_id, CAST(MIN(tsu) AS BIGINT) AS session_start_us,
