@@ -421,6 +421,28 @@ object Multimodal {
              |  CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type
              |FROM documents""".stripMargin)),
 
+    // metadata-only WAV scan (m08's audio sibling): decode the canonical
+    // 44-byte RIFF/WAVE header from the binary column with little-endian
+    // byte arithmetic — no audio decode. The render contract (8 kHz mono
+    // 8-bit PCM, data bytes = text bytes) fixes what the real
+    // javax.sound encoder must have written.
+    Q("m09_wav_metadata",
+      (s, dir) => {
+        def b(pos: Int) = s"CAST(conv(hex(substring(payload, $pos, 1)), 16, 10) AS BIGINT)"
+        audioBlobs(s, dir).toDF()
+          .select(col("media_id"),
+            expr(s"CAST(${b(25)} + 256*${b(26)} + 65536*${b(27)} + 16777216*${b(28)} AS BIGINT)")
+              .as("sample_rate"),
+            expr(s"CAST(${b(23)} + 256*${b(24)} AS INT)").as("channels"),
+            expr(s"CAST(${b(35)} + 256*${b(36)} AS INT)").as("bits_per_sample"),
+            expr(s"CAST(${b(41)} + 256*${b(42)} + 65536*${b(43)} + 16777216*${b(44)} AS BIGINT)")
+              .as("data_bytes"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bits_per_sample,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS data_bytes
+             |FROM documents""".stripMargin)),
+
     // video-style scene-change detection over REAL decoded frames
     // (64-pixel slices, stride 1): a cut is an adjacent-frame pixel-sum
     // jump ≥ 300. Frame extraction + integer sums are the narrow m04

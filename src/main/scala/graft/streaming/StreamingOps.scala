@@ -376,6 +376,19 @@ object StreamingOps {
              |       COUNT(*) AS n_events, CAST(SUM(v4) AS BIGINT) AS sum_value_e4
              |FROM i GROUP BY user_id, sid""".stripMargin)),
 
+    // top-2 event types per hour from the streamed counts — must equal
+    // the batch rank over the same counts
+    graft.queries.Q("s11_streaming_topk", (s, dir) => hourlyTopTypes(s, dir),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM events GROUP BY hour_bucket, event_type),
+             |r AS (SELECT hour_bucket, event_type, n,
+             |        ROW_NUMBER() OVER (PARTITION BY hour_bucket
+             |                           ORDER BY n DESC, event_type ASC) AS rnk
+             |      FROM c)
+             |SELECT hour_bucket, event_type, n, CAST(rnk AS BIGINT) AS rnk
+             |FROM r WHERE rnk <= 2""".stripMargin)),
+
     // streaming KMV distinct sketch: cross-batch mergeable state. The
     // per-key state is the set of ≤256 smallest distinct md5-prefix
     // hashes — a commutative, idempotent merge, so the final estimate is
@@ -427,6 +440,36 @@ object StreamingOps {
 
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     drainToMemory(sessionWindowStream(spark, dir), "graft_stream_sesswin_", "complete")
+
+  /** Streaming windowed top-k (s11): the hourly (bucket, type) counts
+    * accumulate in the stream (complete-mode state); the per-bucket
+    * top-2 rank runs as a batch query over the drained sink — ranking
+    * above a streaming aggregation inside the stream would re-rank every
+    * bucket on every batch for no benefit. Full sort key (n DESC,
+    * event_type ASC) as always.
+    */
+  def hourlyTopTypesStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(expr("(ts div 1000) div 3600000000").as("hour_bucket"),
+        col("event_type"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def hourlyTopTypes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("hour_bucket")
+      .orderBy(col("n").desc, col("event_type").asc)
+    drainToMemory(hourlyTopTypesStream(spark, dir), "graft_stream_topk_", "complete")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("hour_bucket"), col("event_type"), col("n"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
 
   /** lineitem columns the KMV stream needs (parquet projects by name). */
   private val lineitemKmvSchema: StructType = StructType(Seq(

@@ -141,6 +141,20 @@ class StreamingSinkSpec extends SparkFunSuite {
       canon(StreamingOps.sessionWindows(spark, sf)))
   }
 
+  test("s11 streaming top-k counts land as a complete-mode parquet snapshot") {
+    val (out, ckpt) = tmp("s11")
+    ParquetLand.completeSnapshot(StreamingOps.hourlyTopTypesStream(spark, sf), out, ckpt)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("hour_bucket")
+      .orderBy(col("n").desc, col("event_type").asc)
+    val ranked = spark.read.parquet(out)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("hour_bucket"), col("event_type"), col("n"),
+        col("rnk").cast("long").as("rnk"))
+    assert(canon(ranked) == canon(StreamingOps.hourlyTopTypes(spark, sf)))
+  }
+
   test("s09 streaming KMV lands as an update-mode journal") {
     val (out, ckpt) = tmp("s09")
     ParquetLand.updateJournal(StreamingOps.streamingKmvStream(spark, sf), out, ckpt)
