@@ -57,6 +57,27 @@ class OperatorSpec extends SparkFunSuite {
     }
   }
 
+  test("JaccardAllPairs: prefix-filtered join equals dense on random corpora") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (seed <- Seq(7, 31)) {
+      val rnd = new Random(seed)
+      // Zipf-ish shingle popularity: low hash values are shared widely,
+      // so prefixes and high-df shingles both occur
+      val rows = (0 until 80).flatMap { d0 =>
+        val n = 3 + rnd.nextInt(12)
+        (0 until n).map(_ => (d0.toLong, (rnd.nextInt(40) * rnd.nextInt(40)).toLong))
+      }
+      val sh = rows.toDF("doc_id", "h")
+      for (t <- Seq(150, 500, 900)) {
+        assert(canon(JaccardAllPairs(sh, t)) ==
+          canon(JaccardAllPairs(sh, t, maxDenseVocab = 0)),
+          s"seed=$seed t=$t")
+      }
+    }
+  }
+
   test("JaccardAllPairs prefix filter: planted stop-word shingle stays bounded") {
     import spark.implicits._
     // 120 docs, each carrying the same 3 stop shingles (df≥120) plus 20
