@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Round-3 surface widening: window distribution functions, two-stage ANN
   * re-ranking, PII-style redaction, exact substring-span dedup, and
@@ -487,6 +487,51 @@ object PipelineOps {
       |SELECT t.from_type, t.to_type, t.n, CAST(1000 * t.n // tt.tot AS BIGINT) AS p_permille
       |FROM t JOIN tt USING (from_type)""".stripMargin
 
+  // --- q53: SCD2 versioned-dimension temporal join ------------------------
+  // The slowly-changing-dimension shape: a user's NON-purchase events
+  // version a profile attribute (props.k) into [valid_from, valid_to)
+  // intervals built by one lead window (full sort key tsu, event_id —
+  // same-instant versions collapse to empty intervals
+  // deterministically); each purchase event then joins the ONE version
+  // valid at its instant — the point-in-time-correct feature lookup a
+  // training pipeline needs to avoid label leakage. Intervals partition
+  // the timeline, so the join is equi on the user key plus a range
+  // predicate: co-partitioned, exactly one row out per matched purchase.
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+    val w = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    val versions = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("tsu").as("valid_from"), col("k"))
+      .withColumn("valid_to", lead("valid_from", 1).over(
+        Window.partitionBy("user_id").orderBy(col("valid_from").asc, col("event_id").asc)))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("tsu"))
+      .join(versions.withColumnRenamed("event_id", "version_id"),
+        Seq("user_id"))
+      .filter(col("tsu") >= col("valid_from") &&
+        (col("valid_to").isNull || col("tsu") < col("valid_to")))
+      .select(col("purchase_id"), col("user_id"),
+        col("k").as("k_at_purchase"), col("valid_from"))
+  }
+
+  private val q53Oracle =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+      |        CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+      |v AS (SELECT user_id, tsu AS valid_from,
+      |        lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to,
+      |        k
+      |      FROM e WHERE event_type <> 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, v.k AS k_at_purchase,
+      |       CAST(v.valid_from AS BIGINT) AS valid_from
+      |FROM e p JOIN v ON p.user_id = v.user_id
+      |  AND p.tsu >= v.valid_from
+      |  AND (v.valid_to IS NULL OR p.tsu < v.valid_to)
+      |WHERE p.event_type = 'purchase'""".stripMargin
+
   // --- q45: full-outer reconciliation ------------------------------------
   // The audit-join shape: per-entity totals from two independent systems
   // (order spend keyed by o_custkey vs event spend keyed by user_id)
@@ -591,6 +636,7 @@ object PipelineOps {
     Q("q43_funnel_sequence", q43, Some(q43Oracle)),
     Q("q44_cohort_retention", q44, Some(q44Oracle)),
     Q("q50_markov_transitions", q50, Some(q50Oracle)),
+    Q("q53_scd2_temporal_join", q53, Some(q53Oracle)),
     Q("d28_quantile_filter", d28, Some(d28Oracle)),
     Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),
