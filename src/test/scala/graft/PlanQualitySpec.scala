@@ -182,6 +182,17 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(exchanges <= 4, s"unexpected extra shuffles ($exchanges):\n$p")
   }
 
+  test("q54: bucketed layout makes the fact-fact merge join shuffle-free") {
+    val df = SparkEntry.queries("q54_bucketed_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), p)
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange hashpartitioning(l_orderkey") &&
+      !below.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffled:\n$p")
+  }
+
   test("m06: audio windowing is narrow (flatMap only — zero shuffles)") {
     val p = plan(SparkEntry.queries("m06_audio_windows")(spark, sf))
     assert(!p.contains("Exchange"), p)
