@@ -567,6 +567,32 @@ object PipelineOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  // --- q55: partitioned landing + pruned readback --------------------------
+  // The second storage-layout lever as a declared query: events land
+  // hive-partitioned by event_type (the low-cardinality audit key), and
+  // the readback filters on the partition column — the scan must touch
+  // ONLY the matching directories (PartitionFilters, plan-asserted in
+  // PlanQualitySpec), which is what turns a 100 TB full scan into a
+  // one-partition read. The day rollup then runs over the pruned rows.
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_evpart").toString + "/events"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_purchases"), sum("value_e4").as("sum_value_e4"))
+  }
+
+  private val q55Oracle =
+    """SELECT epoch_us(ts) // 86400000000 AS day,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY day""".stripMargin
+
   // --- q45: full-outer reconciliation ------------------------------------
   // The audit-join shape: per-entity totals from two independent systems
   // (order spend keyed by o_custkey vs event spend keyed by user_id)
@@ -673,6 +699,7 @@ object PipelineOps {
     Q("q50_markov_transitions", q50, Some(q50Oracle)),
     Q("q53_scd2_temporal_join", q53, Some(q53Oracle)),
     Q("q54_bucketed_join", q54, Some(q54Oracle)),
+    Q("q55_partition_pruning", q55, Some(q55Oracle)),
     Q("d28_quantile_filter", d28, Some(d28Oracle)),
     Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),

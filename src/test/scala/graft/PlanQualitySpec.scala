@@ -193,6 +193,13 @@ class PlanQualitySpec extends SparkFunSuite {
       s"bucketed join still shuffled:\n$p")
   }
 
+  test("q55: the partition-column filter prunes the landed scan") {
+    val df = SparkEntry.queries("q55_partition_pruning")(spark, sf)
+    val p = plan(df)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"partition filter not pushed:\n$p")
+  }
+
   test("m06: audio windowing is narrow (flatMap only — zero shuffles)") {
     val p = plan(SparkEntry.queries("m06_audio_windows")(spark, sf))
     assert(!p.contains("Exchange"), p)
