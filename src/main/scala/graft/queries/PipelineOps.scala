@@ -165,6 +165,70 @@ object PipelineOps {
   private def d25(s: SparkSession, dir: String): DataFrame =
     spanPairs(t(s, dir, "documents"))
 
+  // --- d35: train/eval memorization audit ---------------------------------
+  // For every val/test document of d23's content-hash split, the share of
+  // its 8-token spans that also occur in ANY train document — the
+  // memorization-risk audit run before reporting eval numbers. Shape:
+  // the distinct train span set (linear shuffle on the span hash)
+  // LEFT-SEMI-style marks each eval span; eval docs with zero overlap
+  // stay in the output via the left join. Same md5 spans as d25, so one
+  // more consumer of the same narrow extraction.
+  private def d35(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("split", expr(
+        """CASE WHEN CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 10 < 8
+          | THEN 'train' WHEN CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 10 = 8
+          | THEN 'val' ELSE 'test' END""".stripMargin))
+    val spans = docSpans(docs.select(col("doc_id"), col("text")))
+    val splitOf = docs.select(col("doc_id"), col("split"))
+    val withSplit = spans.join(splitOf, "doc_id")
+    val trainSpans = withSplit.filter(col("split") === "train")
+      .select(col("sh")).distinct()
+    val evalSpans = withSplit.filter(col("split") =!= "train")
+    val marked = evalSpans
+      .join(trainSpans.withColumn("memorized", lit(1L)), Seq("sh"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("memorized"), lit(0L))).as("n_memorized"))
+    // eval docs with NO spans (<8 tokens) must still appear, at 0/0
+    docs.filter(col("split") =!= "train").select(col("doc_id"), col("split"))
+      .join(marked, Seq("doc_id", "split"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_memorized"), lit(0L)).as("n_memorized"),
+        expr("CAST(CASE WHEN coalesce(n_spans, 0L) = 0 THEN 0 " +
+          "ELSE 1000 * coalesce(n_memorized, 0L) div n_spans END AS BIGINT)")
+          .as("memorized_permille"))
+  }
+
+  private val d35Oracle =
+    s"""WITH d AS (SELECT doc_id, text,
+       |        CASE WHEN CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10 < 8
+       |             THEN 'train'
+       |             WHEN CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10 = 8
+       |             THEN 'val' ELSE 'test' END AS split
+       |      FROM documents),
+       |spans AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $SpanTokens
+       |    THEN list_distinct(list_transform(range(0, len(ws) - ${SpanTokens - 1}),
+       |           i -> md5(array_to_string(ws[i + 1:i + $SpanTokens], ' '))))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d)),
+       |ws AS (SELECT s.doc_id, d.split, s.sh FROM spans s JOIN d USING (doc_id)),
+       |tr AS (SELECT DISTINCT sh FROM ws WHERE split = 'train'),
+       |mk AS (SELECT w.doc_id, w.split, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |         CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized
+       |       FROM ws w LEFT JOIN tr ON tr.sh = w.sh
+       |       WHERE w.split <> 'train' GROUP BY w.doc_id, w.split)
+       |SELECT d.doc_id, d.split,
+       |  COALESCE(mk.n_spans, 0) AS n_spans,
+       |  COALESCE(mk.n_memorized, 0) AS n_memorized,
+       |  CAST(CASE WHEN COALESCE(mk.n_spans, 0) = 0 THEN 0
+       |            ELSE 1000 * COALESCE(mk.n_memorized, 0) // mk.n_spans END AS BIGINT)
+       |    AS memorized_permille
+       |FROM d LEFT JOIN mk ON mk.doc_id = d.doc_id AND mk.split = d.split
+       |WHERE d.split <> 'train'""".stripMargin
+
   private val d25Oracle =
     s"""WITH spans AS (
        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $SpanTokens
@@ -710,6 +774,7 @@ object PipelineOps {
     Q("e08_two_stage_rerank", e08, Some(e08Oracle)),
     Q("d24_redaction", d24, Some(d24Oracle)),
     Q("d25_substring_dedup", d25, Some(d25Oracle)),
+    Q("d35_memorization_audit", d35, Some(d35Oracle)),
     Q("d26_source_mix", d26, Some(d26Oracle)),
     Q("d30_bpe_learn", (s, dir) => d30Learned(s, dir)._1, Some(d30Oracle),
       aux = Seq(
