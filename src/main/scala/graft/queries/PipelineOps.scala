@@ -657,6 +657,77 @@ object PipelineOps {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY day""".stripMargin
 
+  // --- p01: the end-to-end training-data prep pipeline ---------------------
+  // The engine's capstone as ONE declared query — the stages a real
+  // pre-training corpus goes through, chained into a single DAG:
+  //   1. exact dedup (min-doc_id winner per distinct text — d01/d19);
+  //   2. quality gate (whitespace token count ≥ 20 — d02's counter);
+  //   3. decontamination (drop docs sharing any 5-gram with the src0
+  //      eval set — d18's exact audit as an anti-join);
+  //   4. train split (md5 content-hash bucket < 8 — d23);
+  //   5. sequence packing (2000-token packs per source via one window
+  //      cumsum — d22), reported per pack.
+  // Every stage is linear (one groupBy for winners, one distinct-gram
+  // equijoin for contamination, one window for packing) and every
+  // number is exact integers, so DuckDB replays the whole pipeline in a
+  // single WITH chain and the hash-match covers stage COMPOSITION — the
+  // thing the per-stage queries can't test.
+  private def p01(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val winners = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val uniq = docs.join(winners.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("source"), col("text"))
+    val gated = uniq.withColumn("n_tokens",
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+      .filter(col("n_tokens") >= 20)
+    val g5 = "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(s"array_distinct($g5)")).as("g"))
+    val evalGrams = grams(docs.filter(col("source") === "src0"))
+      .select(col("g")).distinct()
+    val corpus = gated.filter(col("source") =!= "src0")
+    val contaminated = grams(corpus).join(evalGrams, "g")
+      .select(col("doc_id")).distinct()
+    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val train = clean.filter(
+      expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 10 < 8"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    train.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr("CAST((cum - n_tokens) div 2000 AS BIGINT)"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+  }
+
+  private val p01Oracle =
+    """WITH w AS (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      |d0 AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN w ON w.doc_id = d.doc_id),
+      |d1 AS (SELECT doc_id, source, text,
+      |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+      |       FROM d0 WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 20),
+      |eg AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS g
+      |       FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
+      |            unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)),
+      |corpus AS (SELECT * FROM d1 WHERE source <> 'src0'),
+      |cg AS (SELECT DISTINCT doc_id FROM (
+      |         SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+      |         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      |              unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)) x
+      |       JOIN eg USING (g)),
+      |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM cg)),
+      |tr AS (SELECT * FROM clean
+      |       WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10 < 8),
+      |c2 AS (SELECT source, doc_id, n_tokens,
+      |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |       FROM tr)
+      |SELECT source, CAST((cum - n_tokens) // 2000 AS BIGINT) AS pack_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM c2 GROUP BY source, pack_id""".stripMargin
+
   // --- q45: full-outer reconciliation ------------------------------------
   // The audit-join shape: per-entity totals from two independent systems
   // (order spend keyed by o_custkey vs event spend keyed by user_id)
@@ -764,6 +835,7 @@ object PipelineOps {
     Q("q53_scd2_temporal_join", q53, Some(q53Oracle)),
     Q("q54_bucketed_join", q54, Some(q54Oracle)),
     Q("q55_partition_pruning", q55, Some(q55Oracle)),
+    Q("p01_prep_pipeline", p01, Some(p01Oracle)),
     Q("d28_quantile_filter", d28, Some(d28Oracle)),
     Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),
