@@ -282,6 +282,74 @@ class OperatorSpec extends SparkFunSuite {
     assert(total < chars / 2, s"merges barely compressed: $total vs $chars")
   }
 
+  test("GlobalRank equals the unpartitioned row_number window on random frames") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    for (seed <- Seq(3, 17)) {
+      val rnd = new Random(seed)
+      // duplicate cnt values force the word tiebreak to matter
+      val df = (1 to 500).map(i => (s"w$i", rnd.nextInt(40).toLong)).toDF("word", "cnt")
+      val want = df.withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+        .select("word", "rank").as[(String, Int)].collect()
+        .map { case (w, r) => (w, r.toLong) }.toSet
+      val got = graft.operators.GlobalRank
+        .withRowNumber(df, Seq(col("cnt").desc, col("word").asc), "rank", numPartitions = 7)
+        .select("word", "rank").as[(String, Long)].collect().toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("GlobalRank soak: 10^7 distinct tokens rank with bounded per-task rows") {
+    // the round-4 verdict's named scale-killer: an unpartitioned
+    // row_number over a 100-TB corpus vocabulary. The two-phase ranker
+    // must (a) stay exact (a permutation of 1..N ordered by the key) and
+    // (b) never concentrate the vocabulary in one task.
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 10_000_000L
+    val parts = 16
+    val vocab = spark.range(n).select(
+      format_string("w%08d", col("id")).as("word"),
+      (col("id") % 997L + 1L).as("cnt"))
+    val maxRead = new AtomicLong
+    val lsn = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          maxRead.updateAndGet(c => math.max(c, m.shuffleReadMetrics.recordsRead)); ()
+        }
+      }
+    }
+    // measure ONLY the ranking stages (checkpoint materialization + the
+    // offset/join pass) — the verification aggregates below shuffle at the
+    // session's 4 partitions and would dominate maxRead otherwise
+    spark.sparkContext.addSparkListener(lsn)
+    val ranked = try {
+      val r = graft.operators.GlobalRank
+        .withRowNumber(vocab, Seq(col("cnt").desc, col("word").asc), "rank", parts)
+      assert(r.count() == n)
+      Thread.sleep(1000) // listener bus is async
+      r
+    } finally spark.sparkContext.removeSparkListener(lsn)
+    val share = n / parts
+    assert(maxRead.get() > 0L)
+    assert(maxRead.get() < share * 2,
+      s"one task read ${maxRead.get()} rows — vocabulary concentrated (even share $share)")
+    val row = ranked.agg(
+      count(lit(1)).as("n"),
+      sum("rank").as("s"),
+      countDistinct("rank").as("d"),
+      min("rank").as("lo"),
+      max("rank").as("hi")).head()
+    assert(row.getLong(0) == n && row.getLong(2) == n)
+    assert(row.getLong(3) == 1L && row.getLong(4) == n)
+    assert(row.getLong(1) == n * (n + 1) / 2)
+    // rank 1 = max cnt (997), word-asc tiebreak → the smallest such word
+    val top = ranked.filter(col("rank") === 1L).select("word", "cnt").head()
+    assert(top.getLong(1) == 997L, top.toString)
+  }
+
   test("malformed capture: errors surface via accumulators, job survives") {
     val dir = java.nio.file.Files.createTempDirectory("badpcap")
     // valid header + one good frame + garbage record whose frame bytes are junk

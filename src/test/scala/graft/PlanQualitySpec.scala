@@ -222,6 +222,16 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d33: no unpartitioned row_number window over the vocabulary") {
+    // round-4 verdict's named scale-killer: the vocab rank must come from
+    // GlobalRank's two-phase plan. The only Window allowed in the final
+    // plan is the per-partition offset cumulation, whose input is the
+    // ≤numPartitions-row count aggregate (keyed __pid), never the vocab.
+    val p = plan(SparkEntry.queries("d33_zipf_audit")(spark, sf))
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("__pid"), p)
+  }
+
   test("d25: span-cap window shares the span-join's hash partitioning (no extra shuffle)") {
     val df = SparkEntry.queries("d25_substring_dedup")(spark, sf)
     df.collect()
