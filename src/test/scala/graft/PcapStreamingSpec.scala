@@ -44,12 +44,21 @@ class PcapStreamingSpec extends SparkFunSuite {
   }
 
   test("streaming defrag: a continuation fragment in a LATER batch is patched from state") {
+    lateBatchDefrag("pcap_stream_defrag_sink")
+  }
+
+  test("streaming defrag late-batch patch holds under the RocksDB state store") {
+    graft.streaming.StateStores.withRocksDb(spark) {
+      lateBatchDefrag("pcap_stream_defrag_rocks_sink")
+    }
+  }
+
+  private def lateBatchDefrag(name: String): Unit = {
     val dir = Files.createTempDirectory("pcapstreamdefrag")
     // batch 1: the first fragment only (full DNS header)
     Files.write(dir.resolve("c1.pcap"), legacyPcap(Seq(
       (1000L, -1, ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17,
         udp(53, 9999, dnsQuery("late.example.net", 1)), id = 77, mf = true))))))
-    val name = "pcap_stream_defrag_sink"
     val q = graft.streaming.StreamingDefrag.defragStateful(
         graft.streaming.StreamingDefrag.project(
           spark.readStream.format("pcap").load(dir.toString)))

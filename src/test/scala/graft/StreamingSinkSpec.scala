@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -153,6 +155,86 @@ class StreamingSinkSpec extends SparkFunSuite {
       .select(col("hour_bucket"), col("event_type"), col("n"),
         col("rnk").cast("long").as("rnk"))
     assert(canon(ranked) == canon(StreamingOps.hourlyTopTypes(spark, sf)))
+  }
+
+  /** All files under `dir`, recursively. */
+  private def filesUnder(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+  }
+
+  test("s02 sessions under the RocksDB state store equal the batch result") {
+    val (out, ckpt) = tmp("s02rocks")
+    graft.streaming.StateStores.withRocksDb(spark) {
+      ParquetLand.updateJournal(StreamingOps.statefulSessionsStream(spark, sf), out, ckpt)
+    }
+    val state = ParquetLand.journalState(spark.read.parquet(out), Seq("user_id"))
+    assert(canon(state) == canon(StreamingOps.statefulSessions(spark, sf)))
+    // the checkpoint must actually carry RocksDB artifacts (changelog /
+    // snapshot zip), not the HDFS provider's .delta files
+    val stateFiles = filesUnder(s"$ckpt/state").map(_.getName)
+    assert(stateFiles.exists(n => n.endsWith(".changelog") || n.endsWith(".zip")),
+      s"no RocksDB artifacts in checkpoint: $stateFiles")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      s"HDFS-provider delta files present — RocksDB conf not honored: $stateFiles")
+  }
+
+  test("s03 streaming dedup under the RocksDB state store equals the batch result") {
+    val (out, ckpt) = tmp("s03rocks")
+    graft.streaming.StateStores.withRocksDb(spark) {
+      ParquetLand.completeSnapshot(StreamingOps.streamingDedupStream(spark, sf), out, ckpt)
+    }
+    val rollup = spark.read.parquet(out)
+      .groupBy("source").agg(count(lit(1)).as("n_unique_docs"))
+    assert(canon(rollup) == canon(StreamingOps.streamingDedup(spark, sf)))
+  }
+
+  test("RocksDB state soak: 10^6 dedup keys live in RocksDB, not executor heap") {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.sql.streaming.Trigger
+    // 2M rows over 1M distinct keys, landed as 4 files consumed one per
+    // trigger — dedup state grows to 10^6 keys ACROSS micro-batches
+    val n = 1000000L
+    val dir = Files.createTempDirectory("graft_rocks_soak").toString
+    val src = spark.range(2 * n)
+    (0 until 4).foreach { i =>
+      land(src.filter(col("id") % 4 === i)
+        .select((col("id") % n).as("key"), (col("id") % 97).as("payload")),
+        dir, s"part$i.parquet")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.LongType)))
+    val kept = new AtomicLong
+    val ckpt = Files.createTempDirectory("graft_rocks_soak_ckpt").toString
+    val progress = graft.streaming.StateStores.withRocksDb(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .dropDuplicates("key")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) => kept.addAndGet(b.count()); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+    }
+    assert(kept.get() == n, s"dedup kept ${kept.get()} of $n distinct keys")
+    val stateOps = progress.flatMap(_.stateOperators).filter(_.numRowsTotal > 0)
+    assert(stateOps.nonEmpty, "no state operator progress recorded")
+    val last = stateOps.last
+    assert(last.numRowsTotal == n, s"state rows ${last.numRowsTotal} != $n")
+    // provider proof + heap story: RocksDB reports its own memory metrics
+    val cm = last.customMetrics
+    assert(cm.keySet.asScala.exists(_.startsWith("rocksdb")),
+      s"state operator reports no rocksdb metrics: ${cm.keySet}")
+    val memStats = cm.asScala.collect {
+      case (k, v) if k.startsWith("rocksdb") &&
+        (k.toLowerCase.contains("memory") || k.toLowerCase.contains("sstfile")) =>
+        s"$k=$v"
+    }
+    info(s"rocksdb soak: ${last.numRowsTotal} keys, ${memStats.mkString(" ")}")
   }
 
   test("s09 streaming KMV lands as an update-mode journal") {
