@@ -40,6 +40,27 @@ object StreamingOps {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** File-stream source for one testdata table, handling BOTH physical
+    * layouts: the driver's monolithic `$dir/$name.parquet` file (streamed
+    * via a glob filter over the sf dir — `$name*.parquet` also matches the
+    * split-file landing tests' `events0.parquet`...) and a SHARDED
+    * `$dir/$name.parquet/` directory of part files
+    * (tools/shard_testdata.py) — the engine's real many-splits read path
+    * at 100 TB, which the sharded gate run exercises end to end.
+    */
+  private def streamSource(
+      spark: SparkSession, dir: String, name: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tablePath = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    if (fs.exists(tablePath) && fs.getFileStatus(tablePath).isDirectory)
+      reader.parquet(tablePath.toString)
+    else
+      reader.option("pathGlobFilter", s"$name*.parquet").parquet(dir)
+  }
+
   /** Drain a finite stream into a uniquely-named memory sink and return
     * the sink table (the oracle-gate read path).
     */
@@ -61,12 +82,7 @@ object StreamingOps {
     */
   def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file source needs a directory: stream the sf dir, filtered to
-    // the events table's file(s)
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    streamSource(spark, dir, "events", eventsSchema)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"))
@@ -114,12 +130,7 @@ object StreamingOps {
         state.update(st)
         Iterator.single((uid, st.sessions))
       }
-    val reader = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(dir)
+    streamSource(spark, dir, "events", eventsSchema, maxFilesPerTrigger)
       .select(col("user_id"), expr("ts div 1000").as("tsu"))
       .as[UserEvent]
       .groupByKey(_.user_id)
@@ -146,10 +157,7 @@ object StreamingOps {
     * micro-batches or partitions.
     */
   def streamingDedupStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    streamSource(spark, dir, "documents", documentsSchema)
       .groupBy("text")
       .agg(min_by(col("source"), col("doc_id")).as("source"))
 
@@ -167,10 +175,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    streamSource(spark, dir, "events", eventsSchema)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
@@ -191,10 +196,7 @@ object StreamingOps {
     */
   def streamStreamJoinStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(tag: String) = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def side(tag: String) = streamSource(spark, dir, "events", eventsSchema)
       .select(col("event_type").as(s"type_$tag"),
         col("user_id").as(s"uid_$tag"),
         timestamp_micros(expr("ts div 1000")).as(s"t_$tag"))
@@ -219,10 +221,7 @@ object StreamingOps {
     */
   def streamEtlStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    streamSource(spark, dir, "events", eventsSchema)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("tsu"),
         expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
@@ -258,10 +257,7 @@ object StreamingOps {
       .withColumn("k", lit(1))
     val grams5 =
       "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
-    spark.readStream
-      .schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    streamSource(spark, dir, "documents", documentsSchema)
       .filter(col("source") =!= "src0")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 5)
@@ -424,10 +420,7 @@ object StreamingOps {
     */
   def sessionWindowStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    streamSource(spark, dir, "events", eventsSchema)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
@@ -450,10 +443,7 @@ object StreamingOps {
     */
   def hourlyTopTypesStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    streamSource(spark, dir, "events", eventsSchema)
       .select(expr("(ts div 1000) div 3600000000").as("hour_bucket"),
         col("event_type"))
       .groupBy("hour_bucket", "event_type")
@@ -500,12 +490,7 @@ object StreamingOps {
         val kth = if (merged.length >= K) Some(merged(K - 1)) else Option.empty[Long]
         Iterator.single((flag, merged.length.toLong, kth))
       }
-    val reader = spark.readStream
-      .schema(lineitemKmvSchema)
-      .option("pathGlobFilter", "lineitem*.parquet")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(dir)
+    streamSource(spark, dir, "lineitem", lineitemKmvSchema, maxFilesPerTrigger)
       .select(col("l_returnflag").as("flag"),
         expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"))
       .as[KmvIn]
