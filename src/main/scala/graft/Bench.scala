@@ -59,7 +59,39 @@ object Bench {
       System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s  (ok=$ok)")
       q.name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // as-of join A/B: the custom physical operator (what q17 ships) vs the
+    // composed union+window formulation, same inputs — the regression
+    // guard for the round-5 SparkPlan/Strategy extension
+    val asofAb = {
+      import org.apache.spark.sql.functions._
+      def inputs() = {
+        val ev = queries.Tables.events(spark, sfDir)
+          .withColumn("tsu", expr("ts div 1000"))
+        (ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("tsu")),
+          ev.filter(col("event_type") === "click").select(col("user_id"), col("tsu")))
+      }
+      def time(build: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          build().write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          sec
+        }.min
+      val phys = time { () =>
+        val (l, r) = inputs()
+        graft.plans.PhysicalAsOfJoin(l, r, Seq("user_id"), "tsu", "tsu")
+      }
+      val comp = time { () =>
+        val (l, r) = inputs()
+        graft.operators.AsOfJoin(l, r, Seq("user_id"), "tsu", "tsu")
+      }
+      System.err.println(f"[bench] x_asof_physical        $phys%8.3f s")
+      System.err.println(f"[bench] x_asof_composed        $comp%8.3f s")
+      Seq("x_asof_physical" -> phys, "x_asof_composed" -> comp)
+    }
+    val qs = (results ++ asofAb).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
+    // whole-operator extension: the physical as-of join's planner strategy
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

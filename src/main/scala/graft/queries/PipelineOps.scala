@@ -835,10 +835,11 @@ object PipelineOps {
     Q("q53_scd2_temporal_join", q53, Some(q53Oracle)),
     Q("q54_bucketed_join", q54, Some(q54Oracle)),
     Q("q55_partition_pruning", q55, Some(q55Oracle)),
-    Q("p01_prep_pipeline", p01, Some(p01Oracle)),
+    Q("p01_prep_pipeline", p01, Some(p01Oracle), headline = true),
     Q("d28_quantile_filter", d28, Some(d28Oracle)),
     Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),
+      headline = true,
       aux = Seq(
         "aux_bloom" -> ((s: SparkSession, dir: String) =>
           d27Bloom(s, dir).select(posexplode(col("words")).as(Seq("idx", "word")))),

@@ -318,7 +318,10 @@ object Relational {
 
     // --- q17: as-of join (custom operator — Spark has no native ASOF) -----
     // for every error event: the most recent click of the same user at or
-    // before it
+    // before it. Runs through the PHYSICAL as-of join (custom LogicalPlan
+    // + Strategy + SparkPlan range-merge) — the composed window
+    // formulation stays in graft.operators.AsOfJoin, equivalence pinned
+    // by OperatorSpec and benched side by side in Bench.
     Q("q17_asof_join",
       (s, dir) => {
         val ev = Tables.events(s, dir)
@@ -327,7 +330,7 @@ object Relational {
           .select(col("user_id"), col("event_id"), col("tsu"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("tsu"))
-        graft.operators.AsOfJoin(errors, clicks, Seq("user_id"), "tsu", "tsu")
+        graft.plans.PhysicalAsOfJoin(errors, clicks, Seq("user_id"), "tsu", "tsu")
           .select(col("event_id"), col("asof_ts").as("click_ts_us"))
       },
       Some("""WITH err AS (SELECT user_id, event_id, epoch_us(ts) tsu FROM events WHERE event_type = 'error'),

@@ -611,7 +611,8 @@ object TextOps {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              |  CAST(SUM(1000 * cb.cb // cu.cu) // COUNT(*) AS BIGINT) AS lm_score_permille
              |FROM g JOIN cb USING (w1, w2) JOIN cu USING (w1)
-             |GROUP BY doc_id""".stripMargin)),
+             |GROUP BY doc_id""".stripMargin),
+      headline = true),
 
     // --- d33: Zipf rank-frequency audit -------------------------------------
     // Corpus-health check: rank the vocabulary by frequency (total order:

@@ -201,6 +201,7 @@ object VectorOps {
              |  SELECT qid, cid, dist_e6,
              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_e6, cid) rn FROM sc)
              |WHERE rn <= 10""".stripMargin),
+      headline = true,
       aux = Seq(
         "aux_assign" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._2),
         "aux_probes" -> ((s: SparkSession, dir: String) => e06Index(s, dir)._3),

@@ -20,4 +20,30 @@ object GraftSqlBridge {
       spark: SparkSession, rows: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = false)
+
+  /** A DataFrame over a hand-built logical plan (graft's custom plan
+    * nodes, e.g. AsOfJoinNode).
+    */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (custom-plan children). */
+  def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Test-visible accessor for the strategies an extensions object built
+    * (`buildPlannerStrategies` is `private[sql]`).
+    */
+  def plannerStrategies(
+      e: SparkSessionExtensions, spark: SparkSession): Seq[execution.SparkStrategy] =
+    e.buildPlannerStrategies(spark)
+
+  /** Idempotently append a planner strategy to a LIVE session (the
+    * `spark.sql.extensions` path only applies at session build time).
+    */
+  def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }

@@ -36,6 +36,9 @@ class FunctionsSpec extends SparkFunSuite {
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.register(s2) // same builders the extension injects
     assert(s2.sql("SELECT tcp_flags_str(255)").head.getString(0) == "CEUAPRSF")
+    // the extension also carries the as-of planner strategy
+    assert(org.apache.spark.sql.GraftSqlBridge.plannerStrategies(exts, s2)
+      .contains(graft.plans.AsOfJoinStrategy))
   }
 
   test("cosine_sim expression agrees with the interpreted HOF formulation") {

@@ -41,6 +41,61 @@ class OperatorSpec extends SparkFunSuite {
     }
   }
 
+  test("PhysicalAsOfJoin (custom SparkPlan) equals brute force and the composed operator") {
+    import spark.implicits._
+    for (seed <- Seq(1, 42, 7)) {
+      val rnd = new Random(seed)
+      val left = (1 to 200).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val right = (1 to 300).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+      val l = left.toDF("k", "ts", "lid")
+      val r = right.toDF("k", "ts", "rid")
+      val phys = graft.plans.PhysicalAsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("rid"))
+      // the strategy must actually plan the custom node
+      // the strategy plans the custom exec (nodeName renders as "AsOfJoin",
+      // with no "!" invalid-plan marker)
+      val planStr = phys.queryExecution.executedPlan.toString
+      assert(planStr.contains("AsOfJoin") && !planStr.contains("!AsOfJoin"), planStr)
+      val got = phys.select("lid", "asof_ts", "asof_rid").collect()
+        .map(x => (x.getLong(0),
+          Option(x.get(1)).map(_.asInstanceOf[Long]),
+          Option(x.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      val expected = left.map { case (k, ts, lid) =>
+        val candidates = right.filter(rr => rr._1 == k && rr._2 <= ts)
+        if (candidates.isEmpty) (lid, None, None)
+        else {
+          // ties on ts: the sorted merge keeps the LAST right row at that
+          // ts, which under the (ts, rid) sort is max rid — same rule as
+          // the composed operator's struct ordering
+          val best = candidates.maxBy(c => (c._2, c._3))
+          (lid, Some(best._2), Some(best._3))
+        }
+      }.toSet
+      assert(got == expected, s"seed=$seed")
+      val composed = AsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("rid"))
+        .select("lid", "asof_ts", "asof_rid").collect()
+        .map(x => (x.getLong(0),
+          Option(x.get(1)).map(_.asInstanceOf[Long]),
+          Option(x.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(got == composed, s"seed=$seed: physical != composed")
+    }
+  }
+
+  test("PhysicalAsOfJoin: null timestamps never match") {
+    import spark.implicits._
+    val l = Seq((1L, Some(10L), 1L), (1L, Option.empty[Long], 2L), (2L, Some(5L), 3L))
+      .toDF("k", "ts", "lid")
+    val r = Seq((1L, Some(8L), 100L), (1L, Option.empty[Long], 101L), (3L, Some(1L), 102L))
+      .toDF("k", "ts", "rid")
+    val got = graft.plans.PhysicalAsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("rid"))
+      .select("lid", "asof_rid").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> None), got.toString)
+  }
+
   test("JaccardAllPairs: dense and join paths agree exactly") {
     val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -222,6 +222,18 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q17: the physical as-of join plans one exchange per side, no window") {
+    val df = SparkEntry.queries("q17_asof_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin") && !p.contains("!AsOfJoin"), p)
+    // the composed formulation needed a union + window over both inputs;
+    // the physical operator is exactly two shuffles (one per side) and no
+    // Window operator at all
+    assert(!p.contains("Window"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected one exchange per side:\n$p")
+  }
+
   test("d33: no unpartitioned row_number window over the vocabulary") {
     // round-4 verdict's named scale-killer: the vocab rank must come from
     // GlobalRank's two-phase plan. The only Window allowed in the final
