@@ -106,6 +106,9 @@ object Bench {
     val fd1 = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     fd1.write((line + "\n").getBytes("UTF-8"))
     fd1.flush()
+    // delete the scratch CTAS/landing copies the layout queries registered
+    // (each timed run registers fresh uniquely-named artifacts)
+    TempCleanup.purge(spark)
     spark.stop()
   }
 }

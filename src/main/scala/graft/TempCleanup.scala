@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Registry for per-query scratch artifacts: the bucketed CTAS dirs +
+  * session-catalog tables q54 creates and the partitioned landing q55
+  * writes. Without cleanup, repeated Verify/Bench runs accumulate full
+  * fact-table copies on disk (material at sf0.1 bench scale — ADVICE r4).
+  *
+  * Queries register at build time; the harness mains (Verify, Bench,
+  * DumpPlans) and the test base purge once results are fully
+  * materialized — the DataFrames returned by the registering queries read
+  * these paths lazily, so purging must happen strictly after execution.
+  */
+object TempCleanup {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val tables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  // test suites share one session with no global teardown — sweep any
+  // dirs still registered when the JVM exits (catalog tables die with
+  // the session, so only the on-disk copies need the hook)
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var d = dirs.poll()
+    while (d != null) { rmrf(new java.io.File(d)); d = dirs.poll() }
+  }))
+
+  def registerDir(path: String): Unit = { dirs.add(path); () }
+  def registerTable(name: String): Unit = { tables.add(name); () }
+
+  /** Drop registered catalog tables (external — DROP leaves files), then
+    * delete registered scratch dirs. Only purges what was registered
+    * since the last call; safe to call repeatedly and concurrently.
+    */
+  def purge(spark: SparkSession): Unit = {
+    var t = tables.poll()
+    while (t != null) {
+      try spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      catch { case _: Throwable => () }
+      t = tables.poll()
+    }
+    var d = dirs.poll()
+    while (d != null) { rmrf(new java.io.File(d)); d = dirs.poll() }
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+    f.delete(); ()
+  }
+}

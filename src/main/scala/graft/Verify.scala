@@ -107,6 +107,9 @@ object Verify {
     }
     futures.foreach(f => Await.result(f, Duration.Inf))
     workers.shutdown(); runners.shutdown()
+    // all results are on disk — drop the scratch CTAS tables and delete
+    // the bucketed/partitioned scratch copies q54/q55 registered
+    TempCleanup.purge(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -129,13 +129,18 @@ object BpeLearn {
             pending += 1
             used += l
             used += r
+            // re-materialize INSIDE the acceptance loop so nested-replace
+            // depth is capped at exactly materializeEvery even when batchK
+            // does not divide it (post-batch checking let depth reach
+            // materializeEvery + batchK - 1 — ADVICE r4); mid-batch is
+            // safe: subsequent replaces chain on the fresh `seq` column
+            if (pending >= materializeEvery) {
+              base = base.select(col("word"), col("freq"), seqCol.as("seq"))
+                .localCheckpoint()
+              seqCol = col("seq")
+              pending = 0
+            }
           }
-        }
-        if (pending >= materializeEvery) {
-          base = base.select(col("word"), col("freq"), seqCol.as("seq"))
-            .localCheckpoint()
-          seqCol = col("seq")
-          pending = 0
         }
       }
     }

@@ -140,17 +140,25 @@ private final class PcapFramer(in: InputStream, mode: PcapFramer.Mode)
 
   /** Scale a pcapng 64-bit timestamp to microseconds given if_tsresol.
     * Decimal resolutions follow the reference's `*10^(9-r)/1000` formula
-    * (src/main.rs:186-190); r > 9 and power-of-2 (MSB set) resolutions are
-    * handled sanely (the reference would panic on them).
+    * (src/main.rs:186-190). Power-of-2 (MSB-set) resolutions diverge by
+    * mode: the reference has no power-of-2 branch — `10^(9-r)` underflows
+    * for r≥0x80, so it panics/mis-scales — therefore Sane scales the
+    * spec-correct `ts / 2^bits`, while ReferenceCompat applies the same
+    * decimal-only formula to the raw byte the reference would (which for
+    * any MSB-set value collapses to 0 µs under saturating integer
+    * arithmetic, the closest non-panicking equivalent). Pinned by the
+    * FramerDissectorSpec power-of-2 divergence test.
     */
   private def toMicros(ts: Long, tsresol: Int): Long =
-    if ((tsresol & 0x80) != 0) {
+    if ((tsresol & 0x80) != 0 && mode == Sane) {
       val bits = tsresol & 0x7f
       // ts / 2^bits seconds → µs, without overflow for sane inputs
       (BigInt(ts) * 1000000 >> bits).toLong
     } else if (tsresol <= 6) {
       ts * math.pow(10, 6 - tsresol).toLong
     } else {
+      // r > 6 (incl. ReferenceCompat's raw MSB-set byte): divide; the
+      // divisor saturates at Long.MaxValue for huge r, giving 0 µs
       ts / math.pow(10, tsresol - 6).toLong
     }
 

@@ -612,6 +612,11 @@ object PipelineOps {
     val uniq = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
     val liT = s"li_bkt_$uniq"
     val oT = s"o_bkt_$uniq"
+    // scratch CTAS copies: registered so the harness deletes them (and
+    // drops the catalog tables) after the result materializes (ADVICE r4)
+    graft.TempCleanup.registerDir(base)
+    graft.TempCleanup.registerTable(liT)
+    graft.TempCleanup.registerTable(oT)
     t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$base/$liT").mode("overwrite").saveAsTable(liT)
@@ -639,7 +644,9 @@ object PipelineOps {
   // PlanQualitySpec), which is what turns a 100 TB full scan into a
   // one-partition read. The day rollup then runs over the pruned rows.
   private def q55(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_evpart").toString + "/events"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evpart").toString
+    graft.TempCleanup.registerDir(tmp) // full events copy — purge after run
+    val out = tmp + "/events"
     Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))

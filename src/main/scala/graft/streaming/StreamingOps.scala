@@ -74,7 +74,17 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    stream.sparkSession.table(name)
+    // copy the sink contents into a local relation and DROP the memory
+    // sink — otherwise each uniquely-named drain leaves its rows pinned
+    // in driver memory for the session lifetime, accumulating across the
+    // 9 streaming queries + sink-spec reruns per session (ADVICE r4).
+    // Results are small by construction (≤20k rows), so a driver-local
+    // copy is the right trade.
+    val spark = stream.sparkSession
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Hourly tumbling-window counts/sums over a stream of event files

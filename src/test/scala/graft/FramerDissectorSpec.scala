@@ -96,6 +96,21 @@ class FramerDissectorSpec extends AnyFunSuite {
     assert(compat.timeMicros == 1000000L) // last IDB (ms) wins globally
   }
 
+  test("power-of-2 tsresol: Sane scales 2^-bits, ReferenceCompat stays decimal-only") {
+    // The documented divergence (SURVEY §9 #1): the reference's scaling
+    // has no power-of-2 branch — `10^(9-r)` underflows for an MSB-set
+    // tsresol (main.rs:186-190), so a faithful ReferenceCompat applies
+    // the same decimal-only formula to the raw byte (→ 0 µs under
+    // saturating arithmetic), while Sane honors the pcapng spec:
+    // tsresol 0x83 = 2^-3 s units, so ts=16 → 2 s.
+    val pkt = ethernet(0x0800, ipv4("1.2.3.4", "5.6.7.8", 17, udp(7, 8, Array.empty)))
+    val bytes = pcapng(Seq((1, 0x83)), Seq((0, 16L, pkt.length, pkt)))
+    val sane = PcapFramer.frames(bytes).toList.head
+    val compat = PcapFramer.frames(bytes, PcapFramer.ReferenceCompat).toList.head
+    assert(sane.timeMicros == 2000000L)
+    assert(compat.timeMicros == 0L)
+  }
+
   // ---- dissector -------------------------------------------------------------
 
   test("IPv4/UDP/DNS chain: the DDoS hot path") {
