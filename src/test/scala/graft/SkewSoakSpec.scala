@@ -78,6 +78,90 @@ class SkewSoakSpec extends SparkFunSuite {
     assert(shuffleB < (256L << 20), s"shuffle blow-up: $shuffleB bytes")
   }
 
+  /** Like [[measured]] but also collects every task duration so tail
+    * latency (p99) is observable, not just the single max.
+    */
+  private def measuredP99[T](body: => T): (T, Long, Long, Long) = {
+    val bytes = new AtomicLong
+    val times = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val lsn = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          times.add(m.executorRunTime)
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(lsn)
+    try {
+      val r = body
+      Thread.sleep(1000)
+      val sorted = times.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      val p99 = if (sorted.isEmpty) 0L else sorted((sorted.length * 99 / 100).min(sorted.length - 1))
+      val p50 = if (sorted.isEmpty) 0L else sorted(sorted.length / 2)
+      (r, bytes.get(), p99, p50)
+    } finally spark.sparkContext.removeSparkListener(lsn)
+  }
+
+  test("d06 LSH at 10x sf0.1: cap + AQE keep shuffle and task p99 bounded",
+      org.scalatest.tagobjects.Slow) {
+    // The round-5 scale soak (VERDICT r4 #5): a 50,000-doc corpus — 10×
+    // the sf0.1 documents table — with realistic structure: a planted
+    // 500-identical hot cluster (far over the 64-doc bucket cap, must
+    // contribute ZERO pairs), 1000 five-doc near-dup clusters (the
+    // signal the cap must NOT suppress), and a random-text tail.
+    import spark.implicits._
+    val rnd = new scala.util.Random(25)
+    def randTokens(n: Int): String =
+      (1 to n).map(_ => s"w${rnd.nextInt(20000)}").mkString(" ")
+    val hot = randTokens(45)
+    val templates = Array.fill(1000)(randTokens(45))
+    val docs = (0 until 50000).map { i =>
+      val text =
+        if (i < 500) hot // hot cluster: 500 identical docs
+        else if (i < 5500) {
+          // cluster c = docs 500+5c .. 504+5c: template with one token
+          // mutated per member — pairwise shingle Jaccard stays high
+          val c = (i - 500) / 5
+          val ws = templates(c).split(" ").clone()
+          ws((i - 500) % 5 * 7 % ws.length) = s"mut$i"
+          ws.mkString(" ")
+        } else randTokens(45)
+      (i.toLong, text)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs, 16)).toDF("doc_id", "text")
+    val ((nPairs, hotPairs, maxPerDoc), shuffleB, p99Ms, p50Ms) = measuredP99 {
+      val sigs = FuzzyDedup.signatures(df).cache()
+      val pairs = FuzzyDedup.candidatePairs(sigs).cache()
+      val n = pairs.count()
+      val hp = pairs.filter(col("doc_a") < 500 && col("doc_b") < 500).count()
+      val mx = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy("d").count().agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+      pairs.unpersist(); sigs.unpersist()
+      (n, hp, mx)
+    }
+    info(s"d06 10x soak: pairs=$nPairs hotPairs=$hotPairs maxPerDoc=$maxPerDoc " +
+      s"shuffle=${shuffleB / 1024 / 1024}MiB taskP50=${p50Ms}ms taskP99=${p99Ms}ms")
+    // the 500-identical cluster over-fills every (band, bucket) → dropped
+    assert(hotPairs == 0L, s"bucket cap leaked the hot cluster: $hotPairs pairs")
+    // the five-doc clusters survive: ≥ half the 1000 clusters yield pairs
+    assert(nPairs >= 1000L, s"cap suppressed real near-dups: $nPairs pairs")
+    // no doc can pair beyond band-count × cap even in the worst bucket mix
+    assert(maxPerDoc <= (FuzzyDedup.Bands.toLong * FuzzyDedup.MaxBucketDocs),
+      s"per-doc pair fan-out unbounded: $maxPerDoc")
+    // linear-shuffle contract at 10×: banded rows are (doc_id, band,
+    // 4-slot bucket) — tens of MB, not the GB a sig-carrying or
+    // quadratic plan would write
+    assert(shuffleB < (1L << 30), s"shuffle blow-up at 10x: $shuffleB bytes")
+    // tail boundedness: no single task absorbs the corpus (the ±2×
+    // machine variance makes absolute numbers loose; 30 s is an order
+    // of magnitude above the observed p99)
+    assert(p99Ms < 30000L, s"task-time p99 unbounded: ${p99Ms}ms")
+  }
+
   test("e06 IVF+PQ: one hot cell (80% duplicate vectors) completes bounded") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
