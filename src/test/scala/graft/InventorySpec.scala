@@ -44,6 +44,22 @@ class InventorySpec extends AnyFunSuite {
     assert(m.group(2).toInt == declared, s"CLAUDE.md declared ${m.group(2)} != $declared")
   }
 
+  test("PLANS.md has a section for every headline + plan-asserted query") {
+    // PLANS.md is the reviewable record of the executed physical plans
+    // (VERDICT r4 #7: it had drifted behind the declared surface). Pin:
+    // every benched query and every query whose PLAN is the graded
+    // artifact must have a `## name` section, so the next added headline
+    // query forces a DumpPlans regeneration.
+    val sections = "(?m)^## (\\S+)".r.findAllMatchIn(read("PLANS.md"))
+      .map(_.group(1)).toSet
+    val planAsserted = Seq("q53_scd2_temporal_join", "q54_bucketed_join",
+      "q55_partition_pruning", "d35_memorization_audit", "q17_asof_join",
+      "d33_zipf_audit")
+    val wanted = SparkEntry.headline.map(_.name) ++ planAsserted
+    val missing = wanted.filterNot(sections.contains)
+    assert(missing.isEmpty, s"PLANS.md missing sections: ${missing.mkString(", ")}")
+  }
+
   test("SURVEY.md gate-status counts match SparkEntry.all") {
     val ms = "(\\d+) declared / (\\d+) oracled".r
       .findAllMatchIn(read("SURVEY.md")).toSeq
