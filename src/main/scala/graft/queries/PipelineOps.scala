@@ -829,8 +829,132 @@ object PipelineOps {
       |  FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events))
       |WHERE prev_tsu IS NULL OR tsu - prev_tsu > 300000000""".stripMargin
 
+  // --- q56: peak session concurrency (two-phase sweep line) ---------------
+  // "How many sessions were live at once, per hour?" — the classic
+  // interval-overlap sweep: sessions (q15's 30-minute-gap semantics)
+  // become ±1 deltas at [start, end+1), and running-sum order gives live
+  // concurrency. The textbook formulation is ONE global ordered cumsum —
+  // an unpartitioned window, the d33 scale-killer. Here the cumsum is
+  // two-phase: a per-HOUR local window (hour is a prefix of the global
+  // (tsu, delta DESC) order, so locals are exact), plus per-hour offsets
+  // from a window over the hour-totals frame — ≤ calendar-hours rows,
+  // bounded by time span, not data volume. Tie policy: same-µs starts
+  // count before ends (delta DESC), so touching sessions overlap; the
+  // per-hour MAX is order-invariant among identical (tsu, delta) rows.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_id"))
+      .withColumn("prev", lag(col("tsu"), 1).over(wu))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(wu))
+      .groupBy("user_id", "sid")
+      .agg(min("tsu").as("st"), max("tsu").as("en"))
+    val deltas = sess.select(col("st").as("tsu"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("en") + 1).as("tsu"), lit(-1L).as("delta")))
+      .withColumn("hour", expr("tsu div 3600000000"))
+    val wloc = Window.partitionBy("hour")
+      .orderBy(col("tsu").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("lc", sum("delta").over(wloc))
+    // phase 2: offsets over the tiny hour-totals frame
+    val offs = deltas.groupBy("hour").agg(sum("delta").as("ht"))
+      .withColumn("off", coalesce(
+        sum("ht").over(Window.orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("hour"), col("off"))
+    local.join(broadcast(offs), "hour")
+      .withColumn("conc", col("off") + col("lc"))
+      .groupBy("hour")
+      .agg(max("conc").as("max_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_session_starts"))
+  }
+
+  // oracle: the SAME sweep as one global cumsum — DuckDB's single-node
+  // window is exactly what the two-phase plan must reproduce
+  private val q56Oracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+      |x AS (SELECT user_id, tsu, event_id,
+      |        CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |y AS (SELECT user_id, tsu,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM x),
+      |s AS (SELECT user_id, sid, MIN(tsu) AS st, MAX(tsu) AS en FROM y GROUP BY 1, 2),
+      |d AS (SELECT st AS tsu, 1 AS delta FROM s
+      |      UNION ALL SELECT en + 1, -1 FROM s),
+      |c AS (SELECT tsu // 3600000000 AS hour, delta,
+      |        SUM(delta) OVER (ORDER BY tsu, delta DESC
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |      FROM d)
+      |SELECT hour, CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+      |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_session_starts
+      |FROM c GROUP BY hour""".stripMargin
+
+  // --- q57: revenue concentration (exact integer Gini per nation) ---------
+  // Inequality audit over customer revenue: Gini = (2W - (n+1)S) / (nS)
+  // with x ascending, i its 1-based rank, W = Σ i·x, S = Σ x. Everything
+  // integer-exact: revenue in cents, the rank from GlobalRank's two-phase
+  // row number over (nation, cents, custkey) — per-nation ranks derived
+  // by subtracting each nation's broadcast min — so NO per-nation window
+  // (25 nations would mean 25 tasks each sorting 1/25th of a 100-TB
+  // customer table), and the final division runs 128-bit (Spark
+  // DECIMAL(38,0) `div` ↔ DuckDB HUGEINT `//`; numerator is provably
+  // ≥ 0 by Chebyshev's sum inequality, so trunc ≡ floor).
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val custRev = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val perNation = t(s, dir, "customer")
+      .join(custRev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("cents"))
+    val ranked = graft.operators.GlobalRank.withRowNumber(
+      perNation,
+      Seq(col("n_name").asc, col("cents").asc, col("c_custkey").asc), "grank")
+    val base = ranked.groupBy("n_name").agg(min("grank").as("goff"))
+    ranked.join(broadcast(base), "n_name")
+      .withColumn("i", col("grank") - col("goff") + lit(1L))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum("cents").as("sum_cents"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("w128"))
+      .select(col("n_name"), col("n_cust"), col("sum_cents"),
+        expr("""CAST(CAST(1000 AS DECIMAL(38,0))
+               |  * (2 * w128 - CAST(n_cust + 1 AS DECIMAL(38,0)) * sum_cents)
+               |  div (CAST(n_cust AS DECIMAL(38,0)) * sum_cents) AS BIGINT)""".stripMargin)
+          .as("gini_permille"))
+  }
+
+  private val q57Oracle =
+    """WITH cr AS (SELECT o_custkey,
+      |        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |      FROM orders GROUP BY o_custkey),
+      |p AS (SELECT n_name, c_custkey, cents
+      |      FROM customer JOIN cr ON c_custkey = o_custkey
+      |      JOIN nation ON c_nationkey = n_nationkey),
+      |r AS (SELECT n_name, cents,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cents, c_custkey) AS BIGINT) AS i
+      |      FROM p),
+      |a AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |        CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |        SUM(CAST(i AS HUGEINT) * cents) AS w128
+      |      FROM r GROUP BY n_name)
+      |SELECT n_name, n_cust, sum_cents,
+      |  CAST(CAST(1000 AS HUGEINT) * (2 * w128 - CAST(n_cust + 1 AS HUGEINT) * sum_cents)
+      |    // (CAST(n_cust AS HUGEINT) * sum_cents) AS BIGINT) AS gini_permille
+      |FROM a""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("e10_filtered_ann", e10, Some(e10Oracle)),
+    Q("q56_peak_concurrency", q56, Some(q56Oracle)),
+    Q("q57_gini_concentration", q57, Some(q57Oracle)),
     Q("q46_event_dedup_window", q46, Some(q46Oracle)),
     Q("q40_window_distribution", q40, Some(q40Oracle)),
     Q("q41_lateral_topn", q41, Some(q41Oracle)),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -676,7 +677,51 @@ object TextOps {
               |      FROM pr GROUP BY lang_declared, lang_pred)
               |SELECT lang_declared, lang_pred, n,
               |  CAST(1000 * n // CAST(SUM(n) OVER (PARTITION BY lang_declared) AS BIGINT) AS BIGINT) AS share_permille
-              |FROM c""".stripMargin))
+              |FROM c""".stripMargin)),
+
+    // --- d36: Heaps'-law vocabulary growth audit ----------------------------
+    // How fast does the vocabulary grow as the corpus is consumed in
+    // doc_id order? A natural corpus follows Heaps' law (V ∝ T^β,
+    // β ≈ 0.5-0.7); template/machine spam saturates early, OCR noise
+    // never flattens. Exact and linear at any scale: each word's FIRST
+    // document is one min() aggregation (no ordered scan), docs are
+    // assigned to 10 equal id-range buckets via the broadcast max-id
+    // scalar, and the only windows run on the ≤10-row bucket frame.
+    Q("d36_vocab_growth",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mx = docs.agg(max("doc_id").as("mx")) // 1-row scalar
+        val newWords = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(min("doc_id").as("first_doc"))
+          .crossJoin(broadcast(mx))
+          .withColumn("bucket", expr("CAST(first_doc * 10 div (mx + 1) AS BIGINT)"))
+          .groupBy("bucket").agg(count(lit(1)).as("new_words"))
+        val tokens = docs.crossJoin(broadcast(mx))
+          .withColumn("bucket", expr("CAST(doc_id * 10 div (mx + 1) AS BIGINT)"))
+          .select(col("bucket"), size(split(col("text"), " ")).cast(LongType).as("ntok"))
+          .groupBy("bucket").agg(sum("ntok").as("n_tokens"))
+        tokens.join(newWords, Seq("bucket"), "left")
+          .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+          // cumulative over ≤10 rows — bounded by the bucket constant
+          .withColumn("vocab_size", sum("new_words").over(Window.orderBy("bucket")))
+          .withColumn("tokens_cum", sum("n_tokens").over(Window.orderBy("bucket")))
+          .select("bucket", "n_tokens", "new_words", "vocab_size", "tokens_cum")
+      },
+      Some("""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |fo AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+             |nw AS (SELECT CAST(first_doc * 10 // (mx + 1) AS BIGINT) AS bucket,
+             |         CAST(COUNT(*) AS BIGINT) AS new_words
+             |       FROM fo, mx GROUP BY 1),
+             |tk AS (SELECT CAST(doc_id * 10 // (mx + 1) AS BIGINT) AS bucket,
+             |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |       FROM documents, mx GROUP BY 1)
+             |SELECT tk.bucket, tk.n_tokens,
+             |  COALESCE(nw.new_words, 0) AS new_words,
+             |  CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY tk.bucket) AS BIGINT) AS vocab_size,
+             |  CAST(SUM(tk.n_tokens) OVER (ORDER BY tk.bucket) AS BIGINT) AS tokens_cum
+             |FROM tk LEFT JOIN nw USING (bucket)""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */

@@ -242,6 +242,51 @@ object VectorOps {
              |  CAST(list_sum([abs(CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(127 * x / mx + 0.5) AS BIGINT) END) for x in e]) AS BIGINT) AS q_l1,
              |  md5(array_to_string([CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(127 * x / mx + 0.5) AS BIGINT) END for x in e], ',')) AS q_md5
              |FROM m""".stripMargin)),
+    // --- e11: ANN recall audit (evaluation-as-a-query) ---------------------
+    // The acceptance gate a real vector pipeline runs before trusting an
+    // approximate index: per query point, how much of the EXACT cosine
+    // top-10 does the bucketed ANN recover? Both arms reuse the oracled
+    // e01/e02 operators (broadcast queries, corpus never shuffled); the
+    // recall join runs over two ≤(nQueries·k)-row top-k sets, so the
+    // audit costs two linear scans regardless of corpus size. Integer
+    // permille via floor-division — no float recall.
+    Q("e11_ann_recall",
+      (s, dir) => {
+        val exact = cosineTopK(s, dir, nQueries = 20, k = 10)
+          .select(col("qid"), col("cid"))
+        val approx = bucketedAnn(s, dir, nQueries = 20, k = 10)
+          .select(col("qid"), col("cid"), lit(1L).as("hit"))
+        exact.join(approx, Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("qid"), col("n_exact"), col("n_hits"),
+            expr("CAST(1000 * n_hits div n_exact AS BIGINT)").as("recall_permille"))
+      },
+      Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
+             |q AS (SELECT * FROM f WHERE vec_id < 20),
+             |dx AS (SELECT q.vec_id qid, c.vec_id cid, SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) dot
+             |       FROM q JOIN f c ON q.i = c.i AND c.vec_id <> q.vec_id
+             |       GROUP BY 1, 2),
+             |sx AS (SELECT qid, cid, round(dot / (x.nrm * y.nrm), 4) sim
+             |       FROM dx JOIN n x ON x.vec_id = qid JOIN n y ON y.vec_id = cid),
+             |ex AS (SELECT qid, cid FROM (
+             |         SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn FROM sx)
+             |       WHERE rn <= 10),
+             |db AS (SELECT q.vec_id qid, c.vec_id cid, SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) dot
+             |       FROM q JOIN f c ON q.i = c.i AND c.vec_id <> q.vec_id AND c.label = q.label
+             |       GROUP BY 1, 2),
+             |sb AS (SELECT qid, cid, round(dot / (x.nrm * y.nrm), 4) sim
+             |       FROM db JOIN n x ON x.vec_id = qid JOIN n y ON y.vec_id = cid),
+             |ab AS (SELECT qid, cid FROM (
+             |         SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn FROM sb)
+             |       WHERE rn <= 10)
+             |SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             |  CAST(COUNT(ab.cid) AS BIGINT) AS n_hits,
+             |  CAST(1000 * COUNT(ab.cid) // COUNT(*) AS BIGINT) AS recall_permille
+             |FROM ex LEFT JOIN ab ON ab.qid = ex.qid AND ab.cid = ex.cid
+             |GROUP BY ex.qid""".stripMargin)),
     Q("e03_cosine_neardups", (s, dir) => cosineNearDups(s, dir),
       Some("""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
              |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),

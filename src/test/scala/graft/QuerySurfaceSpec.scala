@@ -605,4 +605,93 @@ class QuerySurfaceSpec extends SparkFunSuite {
           r.getAs[Long]("contam_permille"))).toMap
     assert(asMap("s08_streaming_contamination") == asMap("d27_bloom_contamination"))
   }
+
+  test("q56 two-phase sweep equals the single-window concurrency answer") {
+    import org.apache.spark.sql.expressions.Window
+    // naive formulation: ONE global cumsum window (fine at test scale) —
+    // the two-phase plan must reproduce it exactly, hour for hour
+    val wu = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    val sess = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_id"))
+      .withColumn("prev", lag(col("tsu"), 1).over(wu))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(wu))
+      .groupBy("user_id", "sid").agg(min("tsu").as("st"), max("tsu").as("en"))
+    val deltas = sess.select(col("st").as("tsu"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("en") + 1).as("tsu"), lit(-1L).as("delta")))
+    val naive = deltas
+      .withColumn("conc", sum("delta").over(
+        Window.orderBy(col("tsu").asc, col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(expr("tsu div 3600000000").as("hour"))
+      .agg(max("conc").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q56_peak_concurrency")(spark, sf)
+      .collect().map(r => r.getAs[Long]("hour") -> r.getAs[Long]("max_concurrency")).toMap
+    assert(got == naive, "two-phase sweep diverged from the global window")
+    assert(got.values.max >= 2, "test data should have overlapping sessions")
+  }
+
+  test("q57 gini matches a direct per-nation window computation and stays in range") {
+    import org.apache.spark.sql.expressions.Window
+    val direct = {
+      val cr = graft.queries.Tables.t(spark, sf, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("cents"))
+      graft.queries.Tables.t(spark, sf, "customer")
+        .join(cr, col("c_custkey") === col("o_custkey"))
+        .join(graft.queries.Tables.t(spark, sf, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("n_name").orderBy(col("cents").asc, col("c_custkey").asc))
+          .cast("long"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          sum(expr("i * cents")).as("w"))
+        .select(col("n_name"),
+          expr("CAST(1000 * (2 * w - (n + 1) * s) div (n * s) AS BIGINT)").as("g"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val got = SparkEntry.queries("q57_gini_concentration")(spark, sf)
+      .collect().map(r => r.getAs[String]("n_name") -> r.getAs[Long]("gini_permille")).toMap
+    assert(got == direct, "GlobalRank-derived gini diverged from the window formulation")
+    got.values.foreach(g => assert(g >= 0 && g < 1000, s"gini out of range: $g"))
+  }
+
+  test("d36 vocab growth: cumulative columns reconcile with corpus totals") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+    val totalWords = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct("w")).head().getLong(0)
+    val totalTokens = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val rows = SparkEntry.queries("d36_vocab_growth")(spark, sf)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Long]("new_words")).sum == totalWords)
+    assert(rows.last.getAs[Long]("vocab_size") == totalWords)
+    assert(rows.last.getAs[Long]("tokens_cum") == totalTokens)
+    // vocab_size is a cumsum: strictly the running total of new_words
+    val cum = rows.map(_.getAs[Long]("new_words")).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_.getAs[Long]("vocab_size")).sameElements(cum))
+  }
+
+  test("e11 recall audit: hits are the true exact∩approx intersection per query") {
+    val exact = VectorOps.cosineTopK(spark, sf, nQueries = 20, k = 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = VectorOps.bucketedAnn(spark, sf, nQueries = 20, k = 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = SparkEntry.queries("e11_ann_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, nExact, nHits, rec) = (r.getAs[Long]("qid"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_permille"))
+      val want = (exact(qid) & approx.getOrElse(qid, Set.empty)).size.toLong
+      assert(nExact == exact(qid).size.toLong)
+      assert(nHits == want, s"qid=$qid hits $nHits != $want")
+      assert(rec == 1000L * nHits / nExact)
+    }
+  }
 }
