@@ -44,6 +44,10 @@ object KMeansIvf {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"),
           expr("transform(pm, x -> x.m)").as("ce"))
+        // EAGER materialization of the k-row centroid frame: without it
+        // the Lloyd chain stays lazy and iteration i re-runs iterations
+        // 1..i-1 (quadratic recompute — round-5 bench finding on e06)
+        .localCheckpoint()
     }
     (centroids.cache(), assign(e, centroids))
   }

@@ -54,6 +54,7 @@ object PqAnn {
     val sv = e.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), j -> slice(e, j * $dsub + 1, $dsub))")))
       .toDF("vec_id", "sub_m", "sv")
+      .cache() // probed by every encode round — keep the explode off the loop
     val svDist = distExpr("sv", "0", "ce", dsub)
 
     /** nearest-code assignment: broadcast codebooks, integer argmin */
@@ -78,9 +79,13 @@ object PqAnn {
         .groupBy("sub_m", "code")
         .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
         .select(col("sub_m"), col("code"), expr("transform(pm, x -> x.mv)").as("nce"))
-      // a code that captured no points keeps its previous centroid
+      // a code that captured no points keeps its previous centroid.
+      // EAGER materialization of the m·k-row codebook: a lazy chain makes
+      // iteration i re-run iterations 1..i-1 (quadratic recompute —
+      // round-5 bench finding on e06)
       cb = cb.join(updated, Seq("sub_m", "code"), "left")
         .select(col("sub_m"), col("code"), coalesce(col("nce"), col("ce")).as("ce"))
+        .localCheckpoint()
     }
     val codebooks = cb.cache()
     val codes = encode(codebooks).select("vec_id", "sub_m", "code").cache()
