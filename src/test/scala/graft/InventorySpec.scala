@@ -54,7 +54,8 @@ class InventorySpec extends AnyFunSuite {
       .map(_.group(1)).toSet
     val planAsserted = Seq("q53_scd2_temporal_join", "q54_bucketed_join",
       "q55_partition_pruning", "d35_memorization_audit", "q17_asof_join",
-      "d33_zipf_audit")
+      "d33_zipf_audit", "q56_peak_concurrency", "q57_gini_concentration",
+      "d36_vocab_growth", "e11_ann_recall")
     val wanted = SparkEntry.headline.map(_.name) ++ planAsserted
     val missing = wanted.filterNot(sections.contains)
     assert(missing.isEmpty, s"PLANS.md missing sections: ${missing.mkString(", ")}")

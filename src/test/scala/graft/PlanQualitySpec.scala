@@ -244,6 +244,38 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("__pid"), p)
   }
 
+  test("q56: the sweep cumsum windows are hour-partitioned; only the tiny offset frame is global") {
+    // the delta-stream cumsum must be Window [partitionBy hour]; the one
+    // unpartitioned window allowed is the per-hour offset cumulation over
+    // the calendar-bounded hour-totals aggregate
+    val p = plan(SparkEntry.queries("q56_peak_concurrency")(spark, sf))
+    // formatted mode: each Window node's spec is an "Arguments:" line
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(winSpecs.nonEmpty, p)
+    // every window over the session/delta stream carries a partition key
+    // (user_id for sessionization, hour for the local cumsum); the
+    // offset window's spec orders by hour with no data-sized input
+    val unpartitioned = winSpecs.filterNot(w =>
+      w.contains("user_id") || w.contains("hour#"))
+    assert(unpartitioned.isEmpty, s"unexpected window specs:\n${winSpecs.mkString("\n")}")
+  }
+
+  test("q57: ranks come from GlobalRank (no per-nation row_number window)") {
+    val p = plan(SparkEntry.queries("q57_gini_concentration")(spark, sf))
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("__pid"), p) // the two-phase offset machinery
+  }
+
+  test("e11: both recall arms broadcast the query side; the corpus is never shuffled") {
+    val p = plan(SparkEntry.queries("e11_ann_recall")(spark, sf))
+    // exact arm: broadcast nested loop over the corpus; bucketed arm:
+    // broadcast hash join on label — no Exchange before either join's
+    // corpus-side scan
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("d25: span-cap window shares the span-join's hash partitioning (no extra shuffle)") {
     val df = SparkEntry.queries("d25_substring_dedup")(spark, sf)
     df.collect()
