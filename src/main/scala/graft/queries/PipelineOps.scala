@@ -951,10 +951,40 @@ object PipelineOps {
       |    // (CAST(n_cust AS HUGEINT) * sum_cents) AS BIGINT) AS gini_permille
       |FROM a""".stripMargin
 
+  // --- q58: top-k-per-group via the bounded-heap aggregate -----------------
+  // The same answer q07/q41 get from a window, produced the way a 100-TB
+  // engine should: [[graft.functions.TopKAgg]] is a commutative custom
+  // aggregate, so map-side partial aggregation trims every partition's
+  // contribution to k rows per group BEFORE the shuffle — k·|groups|
+  // rows cross the wire instead of the whole fact table (the window
+  // formulation shuffles and sorts every row). Total order
+  // (price DESC, orderkey ASC) keeps the result merge-order-proof;
+  // DuckDB replays it as the plain window it replaces.
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKAgg.topk_by(
+        col("price_cents"), col("o_orderkey"), 3).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.ord").as("price_cents"), col("col.id").as("o_orderkey"))
+
+  private val q58Oracle =
+    """SELECT o_custkey, CAST(rn AS BIGINT) AS rank, price_cents, o_orderkey FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("e10_filtered_ann", e10, Some(e10Oracle)),
     Q("q56_peak_concurrency", q56, Some(q56Oracle)),
     Q("q57_gini_concentration", q57, Some(q57Oracle)),
+    Q("q58_topk_aggregate", q58, Some(q58Oracle)),
     Q("q46_event_dedup_window", q46, Some(q46Oracle)),
     Q("q40_window_distribution", q40, Some(q40Oracle)),
     Q("q41_lateral_topn", q41, Some(q41Oracle)),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TopKAgg}
 
 class FunctionsSpec extends SparkFunSuite {
 
@@ -65,5 +65,34 @@ class FunctionsSpec extends SparkFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("array") ||
       err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("topk_by equals the window top-k under adversarial partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // 20 groups × 250 rows across 13 uneven partitions: the partial
+    // buffers trim (4k overflow) and merge in arbitrary order; ord
+    // collisions exercise the id tiebreak. Must equal the window answer
+    // pair for pair, rank for rank.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 13)).toDF("g", "ord", "id")
+    val got = df.groupBy("g")
+      .agg(TopKAgg.topk_by(col("ord"), col("id"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("pos"), col("col.ord"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("ord").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("g"), (col("rn") - 1).cast("int").as("pos"), col("ord"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // a group smaller than k returns all its rows, ranked
+    val small = spark.createDataFrame(Seq((1L, 10L, 1L), (1L, 20L, 2L)))
+      .toDF("g", "ord", "id")
+      .groupBy("g").agg(TopKAgg.topk_by(col("ord"), col("id"), 5).as("tk"))
+      .select(size(col("tk"))).head().getInt(0)
+    assert(small == 2)
   }
 }

@@ -276,6 +276,16 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q58: top-k-per-group is a partial object aggregate, not a window sort") {
+    // the TopKAgg scale contract: map-side partial trims to k per group
+    // before the exchange — the plan must show the two-stage
+    // ObjectHashAggregate and NO row_number window over the fact table
+    val p = plan(SparkEntry.queries("q58_topk_aggregate")(spark, sf))
+    assert(!p.contains("row_number"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate stages:\n$p")
+  }
+
   test("d25: span-cap window shares the span-join's hash partitioning (no extra shuffle)") {
     val df = SparkEntry.queries("d25_substring_dedup")(spark, sf)
     df.collect()
