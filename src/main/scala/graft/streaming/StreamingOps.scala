@@ -222,6 +222,82 @@ object StreamingOps {
       .groupBy(col("uid_v").as("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
 
+  /** s12: watermarked LEFT-OUTER stream-stream join — the abandonment
+    * audit: every view row joins its ≤30-minute purchases, OR emits with
+    * a NULL purchase time once the watermark PROVES no conversion can
+    * still arrive. Outer state only flushes when a later batch advances
+    * the watermark, so the source is re-landed as two time-ordered files
+    * consumed one per trigger: (1) all real events; (2) a single
+    * far-future sentinel row (type "zz_sentinel" — it passes both
+    * watermark nodes, which sit BEFORE the type filters, but never
+    * enters either join input) whose only job is to push the watermark
+    * past every real view's join window so the final no-data batch
+    * evicts and emits the unmatched state. This is the production
+    * "close the books on period N once the stream reaches N+1" pattern;
+    * the batch oracle is a plain LEFT JOIN.
+    */
+  def leftOuterFunnelStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val land = java.nio.file.Files.createTempDirectory("graft_s12_land").toString
+    graft.TempCleanup.registerDir(land)
+    def landOne(df: DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_s12_stage").toString
+      graft.TempCleanup.registerDir(stage)
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$land/$name"))
+      Thread.sleep(30) // distinct mtimes → deterministic trigger order
+    }
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    landOne(ev, "000_events.parquet")
+    val maxTs = ev.agg(max("ts")).head().getLong(0)
+    // TWO sentinel files, each holding a far-future VIEW and PURCHASE for
+    // the nonexistent user -1 (excluded from the rollup). Two subtleties,
+    // both observed on the gate:
+    //  - Catalyst pushes the event_type filters BELOW the watermark
+    //    operators into the parquet scan, so a neutral "zz_sentinel" row
+    //    never reaches either watermark node and the watermark freezes —
+    //    the sentinel must survive BOTH pushed filters, hence one row per
+    //    join side (the purchase 2 h after the view, outside the 30-min
+    //    window, so the sentinels never match each other);
+    //  - the watermark computed from batch N only takes effect in batch
+    //    N+1 and AvailableNow stops at the last file, so sentinel #1
+    //    raises the watermark and sentinel #2's batch APPLIES it,
+    //    evicting (and emitting) every real view's unmatched state.
+    def sentinel(name: String, offsetDays: Long): Unit = {
+      val t0 = maxTs + offsetDays * 86400L * 1000000000L
+      landOne(spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, t0, -1L, "view", 0.0, "{}"),
+          org.apache.spark.sql.Row(-1L, t0 + 7200L * 1000000000L, -1L,
+            "purchase", 0.0, "{}")),
+        eventsSchema), name)
+    }
+    sentinel("001_sentinel.parquet", 1L)
+    sentinel("002_sentinel.parquet", 2L)
+    def side(tag: String) = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+      .select(col("event_type").as(s"type_$tag"),
+        col("user_id").as(s"uid_$tag"),
+        timestamp_micros(expr("ts div 1000")).as(s"t_$tag"))
+      .withWatermark(s"t_$tag", "1 hour")
+    val views = side("v").filter(col("type_v") === "view")
+    val purchases = side("p").filter(col("type_p") === "purchase")
+    views.join(purchases,
+      expr("uid_v = uid_p AND t_p >= t_v AND t_p <= t_v + interval 30 minutes"),
+      "left_outer")
+  }
+
+  def leftOuterFunnel(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(leftOuterFunnelStream(spark, dir), "graft_stream_abandon_", "append")
+      .filter(col("uid_v") >= 0) // drop the watermark-sentinel user
+      .groupBy(col("uid_v").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("t_p")).as("n_converted"))
+
   /** Continuous-ETL landing: stream → narrow transforms → PARQUET sink
     * (the production sink, not the verification memory table), then a
     * batch rollup over the landed files. Transform-only append streams
@@ -327,6 +403,17 @@ object StreamingOps {
              |JOIN (SELECT user_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase') p
              |  ON v.user_id = p.user_id AND p.pt >= v.vt AND p.pt <= v.vt + 1800000000
              |GROUP BY v.user_id""".stripMargin)),
+    graft.queries.Q("s12_stream_left_outer_join", (s, dir) => leftOuterFunnel(s, dir),
+      // the batch LEFT JOIN the watermark-evicted stream must reproduce:
+      // one row per (view, matching purchase) plus one NULL row per
+      // never-converted view; COUNT(pt) skips the NULLs in both engines
+      Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS vt FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id AS pu, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT v.user_id, v.vt, p.pt FROM v LEFT JOIN p
+             |      ON p.pu = v.user_id AND p.pt >= v.vt AND p.pt <= v.vt + 1800000000)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(pt) AS BIGINT) AS n_converted
+             |FROM j GROUP BY user_id""".stripMargin)),
     graft.queries.Q("s06_stream_etl_parquet", (s, dir) => streamEtlParquet(s, dir),
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,

@@ -80,6 +80,20 @@ class StreamingSinkSpec extends SparkFunSuite {
     assert(canon(rollup) == canon(StreamingOps.streamStreamJoin(spark, sf)))
   }
 
+  test("s12 left-outer join pairs land via the native append sink, outer rows included") {
+    val (out, ckpt) = tmp("s12")
+    ParquetLand.append(StreamingOps.leftOuterFunnelStream(spark, sf), out, ckpt)
+    val landed = spark.read.parquet(out)
+    // the watermark sentinels must have flushed real outer (NULL-purchase)
+    // rows into the durable sink, not just the inner matches
+    assert(landed.filter(col("t_p").isNull && col("uid_v") >= 0).count() > 0,
+      "no outer rows landed — watermark finalization failed")
+    val rollup = landed.filter(col("uid_v") >= 0)
+      .groupBy(col("uid_v").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("t_p")).as("n_converted"))
+    assert(canon(rollup) == canon(StreamingOps.leftOuterFunnel(spark, sf)))
+  }
+
   test("s08 streaming contamination lands as a complete-mode parquet snapshot") {
     val (out, ckpt) = tmp("s08")
     ParquetLand.completeSnapshot(
