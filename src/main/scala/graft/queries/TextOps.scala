@@ -721,7 +721,45 @@ object TextOps {
              |  COALESCE(nw.new_words, 0) AS new_words,
              |  CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY tk.bucket) AS BIGINT) AS vocab_size,
              |  CAST(SUM(tk.n_tokens) OVER (ORDER BY tk.bucket) AS BIGINT) AS tokens_cum
-             |FROM tk LEFT JOIN nw USING (bucket)""".stripMargin))
+             |FROM tk LEFT JOIN nw USING (bucket)""".stripMargin)),
+
+    // --- d37: n-gram novelty audit (temporal-leakage shape) -----------------
+    // "How much of each document is NEW relative to everything ingested
+    // before it?" — score the fraction of each doc's distinct 5-grams
+    // whose FIRST corpus occurrence (by doc_id order) is this doc. The
+    // dedup/contamination dual: low novelty flags recombined boilerplate
+    // even when no single source document matches (d18 needs a named
+    // benchmark set; this needs none). Exact and linear at any scale:
+    // "first occurrence" is one min() aggregation over the distinct
+    // (gram, doc) table — no ordered scan, no window, same 5-gram
+    // expressions as d18.
+    Q("d37_ngram_novelty",
+      (s, dir) => {
+        val grams5 = "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 5)
+          .select(col("doc_id"), explode(expr(grams5)).as("g"))
+          .distinct()
+        val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+        sh.join(first, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            expr("CAST(1000 * n_novel div n_grams AS BIGINT)").as("novelty_permille"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |          WHERE len(string_split(text, ' ')) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+             |      FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)),
+             |f AS (SELECT g, MIN(doc_id) AS first_doc FROM s GROUP BY g)
+             |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(1000 * SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             |       // COUNT(*) AS BIGINT) AS novelty_permille
+             |FROM s JOIN f USING (g)
+             |GROUP BY s.doc_id""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */

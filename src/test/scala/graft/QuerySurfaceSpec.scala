@@ -676,6 +676,23 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(rows.map(_.getAs[Long]("vocab_size")).sameElements(cum))
   }
 
+  test("d37 novelty: first doc fully novel; novel counts sum to the distinct gram total") {
+    val rows = SparkEntry.queries("d37_ngram_novelty")(spark, sf).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toMap
+    val firstDoc = byDoc.keys.min
+    assert(byDoc(firstDoc)._1 == byDoc(firstDoc)._2, "earliest doc must be 100% novel")
+    byDoc.values.foreach { case (g, n) => assert(n <= g) }
+    // each distinct 5-gram is novel in exactly one doc (its first)
+    val distinctGrams = graft.queries.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+      .agg(countDistinct("g")).head().getLong(0)
+    assert(byDoc.values.map(_._2).sum == distinctGrams)
+  }
+
   test("e11 recall audit: hits are the true exact∩approx intersection per query") {
     val exact = VectorOps.cosineTopK(spark, sf, nQueries = 20, k = 10)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
