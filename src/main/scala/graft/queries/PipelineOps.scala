@@ -980,11 +980,48 @@ object PipelineOps {
       |  FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  // --- q59: exact equi-depth histogram ------------------------------------
+  // The optimizer-statistics primitive as a declared query: split the
+  // price distribution into 8 equal-POPULATION buckets and report each
+  // bucket's range and mass. Equi-depth needs every row's exact rank —
+  // the textbook plan is one global ordered window (the d33 killer);
+  // here the rank is GlobalRank's two-phase row number and the bucket is
+  // plain integer arithmetic over the broadcast total, so every
+  // data-sized stage stays partitioned. Full sort key (cents, orderkey,
+  // linenumber) so tied prices split between buckets identically in
+  // both engines.
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val n = x.agg(count(lit(1)).as("n")) // 1-row scalar, broadcast
+    graft.operators.GlobalRank.withRowNumber(
+        x, Seq(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc), "rk")
+      .crossJoin(broadcast(n))
+      .withColumn("bucket", expr("CAST((rk - 1) * 8 div n AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+  }
+
+  private val q59Oracle =
+    """WITH x AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |        l_orderkey, l_linenumber FROM lineitem),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+      |r AS (SELECT cents,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) AS rk
+      |      FROM x)
+      |SELECT CAST((rk - 1) * 8 // n AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+      |FROM r, n GROUP BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("e10_filtered_ann", e10, Some(e10Oracle)),
     Q("q56_peak_concurrency", q56, Some(q56Oracle)),
     Q("q57_gini_concentration", q57, Some(q57Oracle)),
     Q("q58_topk_aggregate", q58, Some(q58Oracle)),
+    Q("q59_equidepth_histogram", q59, Some(q59Oracle)),
     Q("q46_event_dedup_window", q46, Some(q46Oracle)),
     Q("q40_window_distribution", q40, Some(q40Oracle)),
     Q("q41_lateral_topn", q41, Some(q41Oracle)),

@@ -55,7 +55,8 @@ class InventorySpec extends AnyFunSuite {
     val planAsserted = Seq("q53_scd2_temporal_join", "q54_bucketed_join",
       "q55_partition_pruning", "d35_memorization_audit", "q17_asof_join",
       "d33_zipf_audit", "q56_peak_concurrency", "q57_gini_concentration",
-      "d36_vocab_growth", "e11_ann_recall", "q58_topk_aggregate")
+      "d36_vocab_growth", "e11_ann_recall", "q58_topk_aggregate",
+      "q59_equidepth_histogram")
     val wanted = SparkEntry.headline.map(_.name) ++ planAsserted
     val missing = wanted.filterNot(sections.contains)
     assert(missing.isEmpty, s"PLANS.md missing sections: ${missing.mkString(", ")}")

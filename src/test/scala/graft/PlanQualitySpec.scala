@@ -276,6 +276,12 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q59: equi-depth ranks come from GlobalRank (no global ordered window)") {
+    val p = plan(SparkEntry.queries("q59_equidepth_histogram")(spark, sf))
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("__pid"), p)
+  }
+
   test("q58: top-k-per-group is a partial object aggregate, not a window sort") {
     // the TopKAgg scale contract: map-side partial trims to k per group
     // before the exchange — the plan must show the two-stage
