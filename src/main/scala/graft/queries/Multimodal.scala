@@ -205,6 +205,36 @@ object Multimodal {
   /** Blob → sampled frames over the decoded raster (flatMap: one row in,
     * many out, still narrow).
     */
+  final case class PatchRow(
+      media_id: Long, patch_row: Int, patch_col: Int, pixel_sum: Long)
+
+  /** 8×8 patch tiling of the decoded raster (complete patch rows only):
+    * one row per patch with its integer pixel sum. */
+  def imagePatches(blobs: Dataset[MediaBlob], patch: Int = 8): Dataset[PatchRow] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      val d = decodePng(b.payload)
+      val rows = d.height / patch
+      val cols = d.width / patch
+      for {
+        pr <- (0 until rows).iterator
+        pc <- 0 until cols
+      } yield {
+        var sum = 0L
+        var dr = 0
+        while (dr < patch) {
+          var dc = 0
+          while (dc < patch) {
+            sum += (d.pixels((pr * patch + dr) * d.width + pc * patch + dc) & 0xff)
+            dc += 1
+          }
+          dr += 1
+        }
+        PatchRow(b.media_id, pr, pc, sum)
+      }
+    })
+  }
+
   def sampledFrames(
       blobs: Dataset[MediaBlob], frameSize: Int = 64,
       stride: Int = 4): Dataset[FrameSample] = {
@@ -473,6 +503,32 @@ object Multimodal {
              |d AS (SELECT media_id, fi, abs(s - lag(s) OVER (PARTITION BY media_id ORDER BY fi)) AS delta
              |      FROM c)
              |SELECT media_id, CAST(fi AS BIGINT) AS frame_index, CAST(delta AS BIGINT) AS delta
-             |FROM d WHERE delta >= 300""".stripMargin))
+             |FROM d WHERE delta >= 300""".stripMargin)),
+
+    // --- m10: ViT-style patch grid over the REAL decoded raster ------------
+    // The vision-transformer prep op: decode the PNG and tile the 32-wide
+    // raster into 8×8 patches (complete patch rows only), one row per
+    // patch with its integer pixel sum — the thing a patch-embedding
+    // stage consumes. Same narrow shape as m02/m04 (decode inside
+    // mapPartitions, no shuffle before the per-patch emission); the
+    // lossless render contract lets DuckDB recompute every patch sum
+    // straight from the text bytes (flat index (pr·8+dr)·32 + pc·8+dc,
+    // zero beyond the content — the PNG's padding).
+    Q("m10_image_patches",
+      (s, dir) => imagePatches(imageBlobs(s, dir)).toDF()
+        .select(col("media_id"), col("patch_row").cast(LongType).as("patch_row"),
+          col("patch_col").cast(LongType).as("patch_col"), col("pixel_sum")),
+      Some("""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n,
+             |            CAST(greatest((length(text) + 31) // 32, 1) AS INT) AS h
+             |          FROM documents),
+             |g AS (SELECT media_id, text, n, unnest(range(0, (h // 8) * 4)) AS pi FROM d),
+             |p AS (SELECT media_id, pi // 4 AS pr, pi % 4 AS pc,
+             |        CAST(list_sum([CASE WHEN ((pi // 4) * 8 + k // 8) * 32 + (pi % 4) * 8 + k % 8 < n
+             |          THEN ascii(substr(text, CAST(((pi // 4) * 8 + k // 8) * 32 + (pi % 4) * 8 + k % 8 + 1 AS INT), 1))
+             |          ELSE 0 END for k in range(0, 64)]) AS BIGINT) AS pixel_sum
+             |      FROM g)
+             |SELECT media_id, CAST(pr AS BIGINT) AS patch_row,
+             |       CAST(pc AS BIGINT) AS patch_col, pixel_sum
+             |FROM p""".stripMargin))
   )
 }

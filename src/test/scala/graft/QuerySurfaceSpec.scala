@@ -693,6 +693,21 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(byDoc.values.map(_._2).sum == distinctGrams)
   }
 
+  test("m10 patches: grid size follows the raster height; sums bounded by 8-bit depth") {
+    val byDoc = SparkEntry.queries("m10_image_patches")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    assert(byDoc.nonEmpty)
+    val lens = graft.queries.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, rows) =>
+      val h = math.max((lens(id) + 31) / 32, 1)
+      assert(rows.length == (h / 8) * 4,
+        s"doc $id: ${rows.length} patches for raster height $h")
+      rows.foreach(r => assert(r.getAs[Long]("pixel_sum") <= 255L * 64))
+    }
+  }
+
   test("e11 recall audit: hits are the true exact∩approx intersection per query") {
     val exact = VectorOps.cosineTopK(spark, sf, nQueries = 20, k = 10)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
