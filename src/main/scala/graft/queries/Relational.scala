@@ -338,6 +338,33 @@ object Relational {
              |SELECT e.event_id, c.tsu AS click_ts_us
              |FROM err e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.tsu >= c.tsu""".stripMargin)),
 
+    // --- q60: FORWARD as-of join (the same physical operator, mirrored) ---
+    // for every error event: the EARLIEST click of the same user at or
+    // after it (time-to-recovery analysis). No second operator needed —
+    // forward as-of is backward as-of on NEGATED timestamps ("latest
+    // -click_ts ≤ -error_ts" ⇔ "earliest click_ts ≥ error_ts", ties
+    // match in both readings), so the one physical range-merge answers
+    // both directions. Null asof_ts negates to null: unrecovered errors
+    // keep their NULL.
+    Q("q60_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("tsu", expr("ts div 1000"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("tsu"),
+            (-col("tsu")).as("nts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), (-expr("ts div 1000")).as("nts"))
+        graft.plans.PhysicalAsOfJoin(errors, clicks, Seq("user_id"), "nts", "nts")
+          .select(col("event_id"), col("user_id"), col("tsu"),
+            (-col("asof_ts")).as("next_click_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error'),
+             |c AS (SELECT user_id AS cu, epoch_us(ts) AS ct FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id, e.tsu, MIN(c.ct) AS next_click_us
+             |FROM e LEFT JOIN c ON c.cu = e.user_id AND c.ct >= e.tsu
+             |GROUP BY e.event_id, e.user_id, e.tsu""".stripMargin)),
+
     // --- q18: range (band) join -------------------------------------------
     // same-user event pairs within 5 minutes; the bucketed band-join
     // formulation: equijoin on (user, coarse time bucket ± 1) keeps the
