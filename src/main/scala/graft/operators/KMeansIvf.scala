@@ -162,16 +162,20 @@ object KMeansIvf {
     chosen.map(cands).toArray
   }
 
-  /** Nearest-centroid assignment via broadcast join + per-vector argmax. */
-  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
+  /** Nearest-centroid assignment via broadcast join + per-vector argmax.
+    * One hash aggregate: `min(struct(-sim, cell, e))` is the (sim DESC,
+    * cell ASC) argmax with lexicographic tie-breaks — same answer as the
+    * old sort+row_number window, but with map-side partials and no
+    * per-group sort (IEEE negation is exact, so the ordering is
+    * identical).
+    */
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("e"), col("cell"),
-        cosine_sim(col("e"), col("ce")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "e", "cell")
-  }
+        negate(cosine_sim(col("e"), col("ce"))).as("nsim"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("nsim"), col("cell"), col("e"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("e"), col("m.cell").as("cell"))
 
   /** ANN search: score queries against the `nprobe` closest cells only. */
   def search(

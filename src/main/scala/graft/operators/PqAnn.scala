@@ -57,16 +57,20 @@ object PqAnn {
       .cache() // probed by every encode round — keep the explode off the loop
     val svDist = distExpr("sv", "0", "ce", dsub)
 
-    /** nearest-code assignment: broadcast codebooks, integer argmin */
-    def encode(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id", "sub_m")
-        .orderBy(col("di").asc, col("code").asc)
+    /** nearest-code assignment: broadcast codebooks, integer argmin.
+      * The argmin is ONE hash aggregate — `min(struct(di, code, sv))`
+      * compares lexicographically, so ties break on the lowest code
+      * exactly like the old sort+row_number window but with map-side
+      * partial aggregation and no per-group sort (round-5 bench win).
+      */
+    def encode(cb: DataFrame): DataFrame =
       sv.join(broadcast(cb), Seq("sub_m"))
         .select(col("vec_id"), col("sub_m"), col("sv"), col("code"),
           expr(svDist).as("di"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("vec_id", "sub_m", "sv", "code")
-    }
+        .groupBy("vec_id", "sub_m")
+        .agg(min(struct(col("di"), col("code"), col("sv"))).as("m"))
+        .select(col("vec_id"), col("sub_m"),
+          col("m.sv").as("sv"), col("m.code").as("code"))
 
     // init: the first k vectors seed every subspace (deterministic)
     var cb = sv.filter(col("vec_id") < k)
