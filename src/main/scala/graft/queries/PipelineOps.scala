@@ -1016,8 +1016,54 @@ object PipelineOps {
       |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
       |FROM r, n GROUP BY 1""".stripMargin
 
+  // --- p02: streaming-landing compaction ----------------------------------
+  // The small-files problem as a declared operator: a streaming append
+  // sink leaves one file per micro-batch (simulated here by a 32-way
+  // round-robin landing), and at 100 TB the resulting millions of tiny
+  // files throttle every downstream scan on file-open overhead and
+  // listing cost. Compaction = read the landing, REWRITE to a bounded
+  // file count sized from the actual landed bytes (targeting ~64 MiB
+  // files in production; a floor of 4 here so the test corpus still
+  // exercises a multi-file rewrite), then serve reads from the compacted
+  // copy. The oracle hash proves the rewrite is content-lossless —
+  // CompactionSpec additionally pins the file-count collapse.
+  private[graft] def p02Landing(s: SparkSession, dir: String): (String, String) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    graft.TempCleanup.registerDir(tmp)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+    ev.repartition(32).write.parquet(s"$tmp/landing")
+    val landed = s.read.parquet(s"$tmp/landing")
+    val landedBytes = new java.io.File(s"$tmp/landing").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val targetFiles = math.max(4, (landedBytes / (64L << 20)).toInt)
+    landed.repartition(targetFiles).write.parquet(s"$tmp/compacted")
+    (s"$tmp/landing", s"$tmp/compacted")
+  }
+
+  private def p02(s: SparkSession, dir: String): DataFrame = {
+    val (_, compacted) = p02Landing(s, dir)
+    s.read.parquet(compacted)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("value_e4").as("sum_value_e4"),
+        expr("CAST(SUM(event_id) AS BIGINT)").as("id_sum"),
+        min(expr("ts div 1000")).as("first_tsu"),
+        max(expr("ts div 1000")).as("last_tsu"))
+  }
+
+  private val p02Oracle =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  MIN(epoch_us(ts)) AS first_tsu,
+      |  MAX(epoch_us(ts)) AS last_tsu
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("e10_filtered_ann", e10, Some(e10Oracle)),
+    Q("p02_landing_compaction", p02, Some(p02Oracle)),
     Q("q56_peak_concurrency", q56, Some(q56Oracle)),
     Q("q57_gini_concentration", q57, Some(q57Oracle)),
     Q("q58_topk_aggregate", q58, Some(q58Oracle)),

@@ -10,6 +10,20 @@ class StorageLayoutSpec extends SparkFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("p02 compaction collapses the small-file landing without losing content") {
+    val (landing, compacted) = graft.queries.PipelineOps.p02Landing(spark, sf)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(landing) == 32, s"landing should be 32 small files, got ${parts(landing)}")
+    assert(parts(compacted) <= 4, s"compaction left ${parts(compacted)} files")
+    // content-lossless: identical row multiset, not just identical counts
+    val a = spark.read.parquet(landing).collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    val b = spark.read.parquet(compacted).collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    assert(a.sameElements(b))
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")
