@@ -1061,9 +1061,41 @@ object PipelineOps {
       |  MAX(epoch_us(ts)) AS last_tsu
       |FROM events GROUP BY event_type""".stripMargin
 
+  // --- q61: z-order (Morton) clustering key -------------------------------
+  // The third storage-layout lever (after q54's buckets and q55's
+  // partitions): interleave the bits of two scan dimensions so sorting
+  // by ONE key gives row-group locality in BOTH — a range filter on
+  // either dimension then prunes most row groups of a z-ordered landing
+  // (StorageLayoutSpec measures the bounding-box collapse vs an
+  // unclustered layout). The key is pure integer bit arithmetic —
+  // identical `& >> <<` expressions in both engines — and the top-k by
+  // (zkey, event_id) is TakeOrderedAndProject, not a sort.
+  private[graft] def zkeyExpr(userCol: String, hourCol: String): String =
+    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+       | acc + shiftleft(($userCol >> b) & 1, 2 * b + 1)
+       |     + shiftleft(($hourCol >> b) & 1, 2 * b))""".stripMargin
+
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        expr("user_id & 65535").as("u16"),
+        expr("(ts div 1000) div 3600000000 & 65535").as("h16"))
+      .withColumn("zkey", expr(zkeyExpr("u16", "h16")))
+      .orderBy(col("zkey").asc, col("event_id").asc)
+      .limit(100)
+
+  private val q61Oracle =
+    """SELECT event_id, u16, h16,
+      |  CAST(list_sum([(((u16 >> b) & 1) << (2 * b + 1))
+      |               + (((h16 >> b) & 1) << (2 * b)) for b in range(0, 16)]) AS BIGINT) AS zkey
+      |FROM (SELECT event_id, user_id & 65535 AS u16,
+      |        (epoch_us(ts) // 3600000000) & 65535 AS h16 FROM events)
+      |ORDER BY zkey, event_id LIMIT 100""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("e10_filtered_ann", e10, Some(e10Oracle)),
     Q("p02_landing_compaction", p02, Some(p02Oracle)),
+    Q("q61_zorder_key", q61, Some(q61Oracle)),
     Q("q56_peak_concurrency", q56, Some(q56Oracle)),
     Q("q57_gini_concentration", q57, Some(q57Oracle)),
     Q("q58_topk_aggregate", q58, Some(q58Oracle)),

@@ -24,6 +24,33 @@ class StorageLayoutSpec extends SparkFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("z-ordered landing clusters the non-time dimension (bounded per-file boxes)") {
+    // the q61 layout claim, measured: a time-ordered landing clusters
+    // h16 for free but every file spans the whole user range; sorting by
+    // the interleaved zkey shrinks the per-file user bounding box so a
+    // user-range filter can prune row groups/files too
+    val sf01 = "/root/testdata/sf0.01"
+    val ev = graft.queries.Tables.events(spark, sf01)
+      .select(col("ts"),
+        expr("user_id & 65535").as("u16"),
+        expr("(ts div 1000) div 3600000000 & 65535").as("h16"))
+      .withColumn("zkey", expr(graft.queries.PipelineOps.zkeyExpr("u16", "h16")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    graft.TempCleanup.registerDir(dir)
+    ev.orderBy("zkey").write
+      .option("maxRecordsPerFile", 250).parquet(s"$dir/z")
+    ev.orderBy("ts").write
+      .option("maxRecordsPerFile", 250).parquet(s"$dir/time")
+    def avgUserSpan(path: String): Double =
+      spark.read.parquet(path).withColumn("f", input_file_name())
+        .groupBy("f").agg((max("u16") - min("u16")).as("du"))
+        .agg(avg("du")).head().getDouble(0)
+    val (zSpan, tSpan) = (avgUserSpan(s"$dir/z"), avgUserSpan(s"$dir/time"))
+    info(f"per-file u16 span: z-ordered $zSpan%.1f vs time-ordered $tSpan%.1f")
+    assert(zSpan < tSpan / 2,
+      f"z-order failed to cluster users: $zSpan%.1f vs $tSpan%.1f")
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")
