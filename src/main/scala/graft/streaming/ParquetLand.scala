@@ -65,6 +65,47 @@ object ParquetLand {
     q.awaitTermination()
   }
 
+  /** Append-mode stream → foreachBatch landing with CONTINUOUS
+    * compaction (SURVEY §9 round-6 #2): each micro-batch appends its
+    * files, and whenever the landing exceeds `maxFiles` parquet parts
+    * the whole directory is rewritten to a bounded count and atomically
+    * swapped in — so the landing never accumulates the per-batch small
+    * files that throttle downstream scans at 100 TB (p02 is the one-shot
+    * form; this keeps the invariant while the stream runs). Local-FS
+    * rename swap; on an object store the swap would be a manifest flip.
+    */
+  def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
+      maxFiles: Int = 8, targetFiles: Int = 2): Unit = {
+    def nParts(d: String): Int = {
+      val fs = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      fs.count(_.getName.endsWith(".parquet"))
+    }
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        if (nParts(outDir) > maxFiles) {
+          val spark = batch.sparkSession
+          val tmp = s"$outDir.compact$batchId"
+          spark.read.parquet(outDir).repartition(targetFiles)
+            .write.parquet(tmp)
+          val old = new java.io.File(s"$outDir.old$batchId")
+          require(new java.io.File(outDir).renameTo(old), s"swap-out failed: $outDir")
+          require(new java.io.File(tmp).renameTo(new java.io.File(outDir)),
+            s"swap-in failed: $tmp")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(old)
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Read an update journal back to current state: the highest-batch-id
     * row per key (`keyCols`), `_batch_id` dropped.
     */

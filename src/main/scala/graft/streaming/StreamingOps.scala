@@ -222,6 +222,21 @@ object StreamingOps {
       .groupBy(col("uid_v").as("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
 
+  /** Write `df` as ONE parquet file at `$landDir/$name`, with strictly
+    * increasing mod times so a file-stream source replays the landed
+    * files oldest-first (the multi-batch harness used by s12/s13).
+    */
+  private def landFile(df: DataFrame, landDir: String, name: String): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_land_stage").toString
+    graft.TempCleanup.registerDir(stage)
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$landDir/$name"))
+    Thread.sleep(30) // distinct mtimes → deterministic trigger order
+  }
+
   /** s12: watermarked LEFT-OUTER stream-stream join — the abandonment
     * audit: every view row joins its ≤30-minute purchases, OR emits with
     * a NULL purchase time once the watermark PROVES no conversion can
@@ -240,16 +255,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val land = java.nio.file.Files.createTempDirectory("graft_s12_land").toString
     graft.TempCleanup.registerDir(land)
-    def landOne(df: DataFrame, name: String): Unit = {
-      val stage = java.nio.file.Files.createTempDirectory("graft_s12_stage").toString
-      graft.TempCleanup.registerDir(stage)
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$land/$name"))
-      Thread.sleep(30) // distinct mtimes → deterministic trigger order
-    }
+    def landOne(df: DataFrame, name: String): Unit = landFile(df, land, name)
     val ev = graft.queries.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
@@ -297,6 +303,52 @@ object StreamingOps {
       .filter(col("uid_v") >= 0) // drop the watermark-sentinel user
       .groupBy(col("uid_v").as("user_id"))
       .agg(count(lit(1)).as("n_rows"), count(col("t_p")).as("n_converted"))
+
+  /** s13: continuous-ETL landing with IN-LOOP compaction — s06's shape
+    * plus the maintenance a production landing needs: each micro-batch
+    * appends its files and [[ParquetLand.appendCompacting]] rewrites the
+    * directory to a bounded file count whenever it exceeds the cap, so
+    * the landing never accumulates per-batch small files no matter how
+    * long the stream runs. The gate's single-file input is re-landed as
+    * four time-range files consumed one per trigger, so the compactor
+    * actually fires mid-stream (StreamingSinkSpec pins the file-count
+    * invariant); the rollup over the final compacted landing must equal
+    * the batch answer — content survives every rewrite.
+    *
+    * @return (rollup over the compacted landing, landing dir)
+    */
+  def streamEtlCompactedWithDir(spark: SparkSession, dir: String): (DataFrame, String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val land = java.nio.file.Files.createTempDirectory("graft_s13_land").toString
+    graft.TempCleanup.registerDir(land)
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val Seq(mn, mx) = ev.agg(min("ts"), max("ts")).head().toSeq.map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 4 + 1
+    for (k <- 0 until 4)
+      landFile(ev.filter(col("ts") >= mn + k * step && col("ts") < mn + (k + 1) * step),
+        land, f"00${k}%d_events.parquet")
+    val src = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s13_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s13_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    ParquetLand.appendCompacting(src, out, ckpt, maxFiles = 2, targetFiles = 2)
+    val rollup = spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"),
+        countDistinct(col("user_id")).as("n_users"))
+    (rollup, out)
+  }
+
+  def streamEtlCompacted(spark: SparkSession, dir: String): DataFrame =
+    streamEtlCompactedWithDir(spark, dir)._1
 
   /** Continuous-ETL landing: stream → narrow transforms → PARQUET sink
     * (the production sink, not the verification memory table), then a
@@ -414,6 +466,11 @@ object StreamingOps {
              |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
              |  CAST(COUNT(pt) AS BIGINT) AS n_converted
              |FROM j GROUP BY user_id""".stripMargin)),
+    graft.queries.Q("s13_stream_etl_compacted", (s, dir) => streamEtlCompacted(s, dir),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY event_type""".stripMargin)),
     graft.queries.Q("s06_stream_etl_parquet", (s, dir) => streamEtlParquet(s, dir),
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,

@@ -94,6 +94,28 @@ class StreamingSinkSpec extends SparkFunSuite {
     assert(canon(rollup) == canon(StreamingOps.leftOuterFunnel(spark, sf)))
   }
 
+  test("s13 compacting landing keeps the file count bounded across batches") {
+    val (rollup, out) = StreamingOps.streamEtlCompactedWithDir(spark, sf)
+    val n = rollup.count() // materialize: drives the 4-batch stream + compactions
+    assert(n > 0)
+    val parts = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // 4 appended batches would leave >= 4 files; the in-loop compactor
+    // must hold the landing at or under its 2-file target + one append
+    assert(parts <= 3, s"compactor failed to bound the landing: $parts files")
+    // content survives every rewrite: equals the direct batch rollup
+    val batch = graft.queries.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)")).as("sum_value_e4"),
+        countDistinct(col("user_id")).as("n_users"))
+    assert(canon(spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"),
+        countDistinct(col("user_id")).as("n_users"))) == canon(batch))
+  }
+
   test("s08 streaming contamination lands as a complete-mode parquet snapshot") {
     val (out, ckpt) = tmp("s08")
     ParquetLand.completeSnapshot(
