@@ -1096,10 +1096,10 @@ object PipelineOps {
     Q("e10_filtered_ann", e10, Some(e10Oracle)),
     Q("p02_landing_compaction", p02, Some(p02Oracle)),
     Q("q61_zorder_key", q61, Some(q61Oracle)),
-    Q("q56_peak_concurrency", q56, Some(q56Oracle)),
+    Q("q56_peak_concurrency", q56, Some(q56Oracle), headline = true),
     Q("q57_gini_concentration", q57, Some(q57Oracle)),
-    Q("q58_topk_aggregate", q58, Some(q58Oracle)),
-    Q("q59_equidepth_histogram", q59, Some(q59Oracle)),
+    Q("q58_topk_aggregate", q58, Some(q58Oracle), headline = true),
+    Q("q59_equidepth_histogram", q59, Some(q59Oracle), headline = true),
     Q("q46_event_dedup_window", q46, Some(q46Oracle)),
     Q("q40_window_distribution", q40, Some(q40Oracle)),
     Q("q41_lateral_topn", q41, Some(q41Oracle)),
