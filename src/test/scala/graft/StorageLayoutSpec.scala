@@ -30,11 +30,19 @@ class StorageLayoutSpec extends SparkFunSuite {
     // the interleaved zkey shrinks the per-file user bounding box so a
     // user-range filter can prune row groups/files too
     val sf01 = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.expressions.Window
+    // rank-normalize both dimensions to 8-bit quantile buckets before
+    // interleaving (what production z-ordering does): raw values are
+    // imbalanced — 8-bit user ids vs 14-bit epoch hours — so the hour's
+    // high bits would dominate the key and halve the clustering win
     val ev = graft.queries.Tables.events(spark, sf01)
       .select(col("ts"),
         expr("user_id & 65535").as("u16"),
         expr("(ts div 1000) div 3600000000 & 65535").as("h16"))
-      .withColumn("zkey", expr(graft.queries.PipelineOps.zkeyExpr("u16", "h16")))
+      .withColumn("ub", (ntile(256).over(Window.orderBy("u16")) - 1).cast("long"))
+      .withColumn("hb", (ntile(256).over(Window.orderBy("h16")) - 1).cast("long"))
+      .withColumn("zkey", expr(graft.queries.PipelineOps.zkeyExpr("ub", "hb")))
+      .drop("ub", "hb")
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     graft.TempCleanup.registerDir(dir)
     ev.orderBy("zkey").write
@@ -49,6 +57,22 @@ class StorageLayoutSpec extends SparkFunSuite {
     info(f"per-file u16 span: z-ordered $zSpan%.1f vs time-ordered $tSpan%.1f")
     assert(zSpan < tSpan / 2,
       f"z-order failed to cluster users: $zSpan%.1f vs $tSpan%.1f")
+    // the payoff, measured at the reader: a user-range filter is pushed
+    // into the parquet scan, and row-group min/max stats let the reader
+    // SKIP groups outside the range — the scan's numOutputRows counts
+    // rows of surviving groups only. Z-ordered files have tight u16
+    // boxes, so most groups are skipped; the time-ordered layout spans
+    // all users per file and reads nearly everything.
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("u16") >= 10 && col("u16") <= 20)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val (zRead, tRead) = (scannedRows(s"$dir/z"), scannedRows(s"$dir/time"))
+    info(s"rows surviving row-group pruning: z-ordered $zRead vs time-ordered $tRead")
+    assert(zRead * 2 < tRead,
+      s"z-order row-group pruning ineffective: $zRead vs $tRead")
   }
 
   test("bucketed tables join without a shuffle") {
