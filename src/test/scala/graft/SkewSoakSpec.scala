@@ -162,6 +162,51 @@ class SkewSoakSpec extends SparkFunSuite {
     assert(p99Ms < 30000L, s"task-time p99 unbounded: ${p99Ms}ms")
   }
 
+  test("d06 LSH at 100x sf0.1: linearity soak (set GRAFT_SOAK_100X=1 to run)") {
+    // On-demand (skipped in the default suite — ~5 min on local[4]):
+    // 500,000 docs = 100× the sf0.1 documents table, same structure as
+    // the 10× soak scaled 10×. The claim under test is LINEARITY: the
+    // band-join shuffle and pair counts must grow ~10× from the 10× run
+    // (90 MiB / 10,000 pairs), not quadratically. Recorded numbers live
+    // in SURVEY §9 round-6 outlook #5.
+    assume(sys.env.get("GRAFT_SOAK_100X").contains("1"),
+      "on-demand soak; run with GRAFT_SOAK_100X=1")
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def randTokens(n: Int): String =
+      (1 to n).map(_ => s"w${rnd.nextInt(20000)}").mkString(" ")
+    val hot = randTokens(45)
+    val templates = Array.fill(10000)(randTokens(45))
+    val docs = (0 until 500000).map { i =>
+      val text =
+        if (i < 5000) hot
+        else if (i < 55000) {
+          val c = (i - 5000) / 5
+          val ws = templates(c).split(" ").clone()
+          ws((i - 5000) % 5 * 7 % ws.length) = s"mut$i"
+          ws.mkString(" ")
+        } else randTokens(45)
+      (i.toLong, text)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs, 64)).toDF("doc_id", "text")
+    val ((nPairs, hotPairs), shuffleB, p99Ms, p50Ms) = measuredP99 {
+      val sigs = FuzzyDedup.signatures(df).cache()
+      val pairs = FuzzyDedup.candidatePairs(sigs).cache()
+      val n = pairs.count()
+      val hp = pairs.filter(col("doc_a") < 5000 && col("doc_b") < 5000).count()
+      pairs.unpersist(); sigs.unpersist()
+      (n, hp)
+    }
+    info(s"d06 100x soak: pairs=$nPairs hotPairs=$hotPairs " +
+      s"shuffle=${shuffleB / 1024 / 1024}MiB taskP50=${p50Ms}ms taskP99=${p99Ms}ms")
+    assert(hotPairs == 0L, s"bucket cap leaked the hot cluster: $hotPairs")
+    assert(nPairs >= 10000L && nPairs < 1000000L, s"pair count off: $nPairs")
+    // linearity: ≤ ~20× the 10× run's 90 MiB (10× data, 2× headroom)
+    assert(shuffleB < (2L << 30), s"shuffle super-linear at 100x: $shuffleB bytes")
+    assert(p99Ms < 120000L, s"task-time p99 unbounded: ${p99Ms}ms")
+  }
+
   test("e06 IVF+PQ: one hot cell (80% duplicate vectors) completes bounded") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
