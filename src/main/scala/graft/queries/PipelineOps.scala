@@ -1092,10 +1092,43 @@ object PipelineOps {
       |        (epoch_us(ts) // 3600000000) & 65535 AS h16 FROM events)
       |ORDER BY zkey, event_id LIMIT 100""".stripMargin
 
+  // --- q62: top-k-per-group with a carried payload -------------------------
+  // q58's bounded-heap aggregate generalized (TopKPayloadAgg): the
+  // payload — here a struct of customer + status — rides along with
+  // each kept entry without participating in the order, shuffled
+  // between partial and final aggregation as UnsafeRow bytes, so ANY
+  // projectable type works. Same scale win as q58: k rows per group
+  // per partition cross the wire, never the order table.
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.TopKPayloadAgg.topk_by_payload(
+        col("price_cents"), col("o_orderkey"),
+        struct(col("o_custkey"), col("o_orderstatus")), 2).as("tk"))
+      .select(col("o_orderpriority"), posexplode(col("tk")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.ord").as("price_cents"), col("col.id").as("o_orderkey"),
+        col("col.payload.o_custkey").as("o_custkey"),
+        col("col.payload.o_orderstatus").as("o_orderstatus"))
+
+  private val q62Oracle =
+    """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, price_cents,
+      |  o_orderkey, o_custkey, o_orderstatus FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("e10_filtered_ann", e10, Some(e10Oracle)),
     Q("p02_landing_compaction", p02, Some(p02Oracle)),
     Q("q61_zorder_key", q61, Some(q61Oracle)),
+    Q("q62_topk_payload", q62, Some(q62Oracle)),
     Q("q56_peak_concurrency", q56, Some(q56Oracle), headline = true),
     Q("q57_gini_concentration", q57, Some(q57Oracle)),
     Q("q58_topk_aggregate", q58, Some(q58Oracle), headline = true),

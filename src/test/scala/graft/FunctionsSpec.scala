@@ -95,4 +95,29 @@ class FunctionsSpec extends SparkFunSuite {
       .select(size(col("tk"))).head().getInt(0)
     assert(small == 2)
   }
+
+  test("topk_by_payload carries string payloads intact across partial merges") {
+    import org.apache.spark.sql.expressions.Window
+    // buffer-backed UTF8Strings must be COPIED on update and survive the
+    // UnsafeRow serialize/deserialize between partial and final
+    // aggregation — a reuse bug would surface as scrambled payloads
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, i.toLong, s"payload-$i-${rnd.nextInt(1000)}"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 11)).toDF("g", "ord", "id", "s")
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKPayloadAgg.topk_by_payload(
+        col("ord"), col("id"), col("s"), 4).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("pos"), col("col.ord"), col("col.id"), col("col.payload"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val w = Window.partitionBy("g").orderBy(col("ord").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("g"), (col("rn") - 1).cast("int").as("pos"), col("ord"), col("id"), col("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(got == want)
+  }
 }
