@@ -42,8 +42,16 @@ object TempCleanup {
     while (d != null) { rmrf(new java.io.File(d)); d = dirs.poll() }
   }
 
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+  /** Recursive delete that does NOT follow directory symlinks (the
+    * sharded gate fixtures are symlink trees into read-only testdata —
+    * recursing through a link would delete the target's contents; the
+    * link itself is just unlinked). Shared by every scratch-dir purge
+    * in the repo.
+    */
+  def rmrf(f: java.io.File): Unit = {
+    val isRealDir = java.nio.file.Files.isDirectory(
+      f.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+    if (isRealDir) Option(f.listFiles()).foreach(_.foreach(rmrf))
     f.delete(); ()
   }
 }

@@ -73,6 +73,16 @@ object ParquetLand {
     * files that throttle downstream scans at 100 TB (p02 is the one-shot
     * form; this keeps the invariant while the stream runs). Local-FS
     * rename swap; on an object store the swap would be a manifest flip.
+    *
+    * Crash-safe: the swap is two renames (outDir → .old, .compact →
+    * outDir), and a crash between them leaves the landing only in the
+    * `.compact` dir — `recoverSwap` (run before the stream starts)
+    * finishes that half-swap and sweeps stale `.old`/`.compact`
+    * leftovers, and the `.compact` write is `overwrite`-mode so a
+    * checkpoint-replayed batch never collides with its own debris.
+    * (Replay can still re-APPEND a batch's rows — at-least-once, the
+    * standard foreachBatch contract; exactly-once needs the native sink
+    * or a batchId manifest, both demonstrated elsewhere in this file.)
     */
   def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
       maxFiles: Int = 8, targetFiles: Int = 2): Unit = {
@@ -80,6 +90,7 @@ object ParquetLand {
       val fs = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
       fs.count(_.getName.endsWith(".parquet"))
     }
+    recoverSwap(outDir)
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -88,22 +99,47 @@ object ParquetLand {
           val spark = batch.sparkSession
           val tmp = s"$outDir.compact$batchId"
           spark.read.parquet(outDir).repartition(targetFiles)
-            .write.parquet(tmp)
+            .write.mode("overwrite").parquet(tmp)
           val old = new java.io.File(s"$outDir.old$batchId")
           require(new java.io.File(outDir).renameTo(old), s"swap-out failed: $outDir")
           require(new java.io.File(tmp).renameTo(new java.io.File(outDir)),
             s"swap-in failed: $tmp")
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          rm(old)
+          graft.TempCleanup.rmrf(old)
         }
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Finish a compaction swap interrupted mid-rename and sweep stale
+    * swap debris. Invariants of the swap sequence: the `.compact` dir is
+    * only ever a COMPLETE rewrite of the landing (written before any
+    * rename), and outDir is only missing in the window between the two
+    * renames — so if outDir is gone, the newest `.compact` IS the
+    * landing (promote it); any remaining `.old`/`.compact` dirs are
+    * superseded copies (delete them).
+    */
+  private[streaming] def recoverSwap(outDir: String): Unit = {
+    val out = new java.io.File(outDir)
+    val parent = Option(out.getParentFile).getOrElse(new java.io.File("."))
+    val base = out.getName
+    val debris = Option(parent.listFiles()).getOrElse(Array.empty).filter { f =>
+      f.getName.startsWith(base + ".compact") || f.getName.startsWith(base + ".old")
+    }
+    if (!out.exists()) {
+      val compacts = debris.filter(_.getName.startsWith(base + ".compact"))
+      if (compacts.nonEmpty) {
+        // batchId suffix orders the copies; the newest completed rewrite wins
+        val newest = compacts.maxBy(f =>
+          f.getName.stripPrefix(base + ".compact").toLongOption.getOrElse(-1L))
+        require(newest.renameTo(out), s"swap recovery failed: $newest")
+      }
+    }
+    Option(parent.listFiles()).getOrElse(Array.empty).filter { f =>
+      f.getName.startsWith(base + ".compact") || f.getName.startsWith(base + ".old")
+    }.foreach(graft.TempCleanup.rmrf)
   }
 
   /** Read an update journal back to current state: the highest-batch-id

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkFunSuite
+
+/** Crash-recovery contract of the s13 compaction swap
+  * ([[ParquetLand.recoverSwap]]): a process death between the two swap
+  * renames must not lose the landing, and swap debris must not
+  * accumulate. Also pins TempCleanup.rmrf's no-follow-symlink rule —
+  * the sharded gate fixtures are symlink trees into read-only testdata,
+  * so a deleter that recursed THROUGH links would destroy source data.
+  */
+class RecoverSwapSpec extends SparkFunSuite {
+
+  test("half-swap crash (outDir renamed away, swap-in not run) is recovered") {
+    val spark = this.spark
+    import spark.implicits._
+    val parent = Files.createTempDirectory("graft_swap").toString
+    val out = s"$parent/landing"
+    // Simulate the crash window: the compacted rewrite sits in
+    // .compact7, the original was renamed to .old7, outDir is GONE.
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(s"$out.compact7")
+    Seq(9L).toDF("v").write.parquet(s"$out.old7")
+    // A stale earlier rewrite that a previous run already superseded:
+    Seq(8L).toDF("v").write.parquet(s"$out.compact3")
+
+    ParquetLand.recoverSwap(out)
+
+    assert(new java.io.File(out).isDirectory, "landing not restored")
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "recovered landing must be the NEWEST completed rewrite")
+    val leftovers = new java.io.File(parent).listFiles().map(_.getName).toSet
+    assert(leftovers == Set("landing"), s"debris not swept: $leftovers")
+  }
+
+  test("healthy landing is untouched; stale debris is swept") {
+    val spark = this.spark
+    import spark.implicits._
+    val parent = Files.createTempDirectory("graft_swap2").toString
+    val out = s"$parent/landing"
+    Seq(1L, 2L).toDF("v").write.parquet(out)
+    Seq(9L).toDF("v").write.parquet(s"$out.old4")
+    Seq(8L).toDF("v").write.parquet(s"$out.compact4")
+
+    ParquetLand.recoverSwap(out)
+
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "healthy landing must not change")
+    val leftovers = new java.io.File(parent).listFiles().map(_.getName).toSet
+    assert(leftovers == Set("landing"), s"debris not swept: $leftovers")
+  }
+
+  test("rmrf unlinks directory symlinks without deleting their targets") {
+    val target = Files.createTempDirectory("graft_rmrf_target")
+    val kept = target.resolve("keep.txt")
+    Files.writeString(kept, "survives")
+    val scratch = Files.createTempDirectory("graft_rmrf_scratch")
+    Files.createSymbolicLink(scratch.resolve("link"), target)
+    Files.writeString(scratch.resolve("own.txt"), "goes")
+
+    graft.TempCleanup.rmrf(scratch.toFile)
+
+    assert(!Files.exists(scratch), "scratch dir must be fully removed")
+    assert(Files.exists(kept), "rmrf must NOT follow the symlink into the target")
+  }
+}
