@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -38,6 +39,16 @@ case class TopKAgg(
   private type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]
 
   override def children: Seq[Expression] = Seq(ord, id)
+  // The buffer stores raw longs; STRICT BIGINT check so a mistyped ord is
+  // an ANALYSIS error, not a per-task ClassCastException mid-job. Strict
+  // rather than ImplicitCastInputTypes: implicit numeric casting would
+  // silently truncate a double ord — reordering the top-k — instead of
+  // surfacing the bug.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ord.dataType == LongType && id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT ord and id (cast explicitly); " +
+        s"got ${ord.dataType.sql}, ${id.dataType.sql}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

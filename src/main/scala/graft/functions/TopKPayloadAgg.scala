@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -40,6 +41,14 @@ case class TopKPayloadAgg(
   private type Buf = scala.collection.mutable.ArrayBuffer[UnsafeRow]
 
   override def children: Seq[Expression] = Seq(ord, id, payload)
+  // ord/id are stored as raw longs — strict BIGINT check (see TopKAgg for
+  // why not ImplicitCastInputTypes); the payload is projected generically
+  // and accepts any Catalyst type.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ord.dataType == LongType && id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT ord and id (cast explicitly); " +
+        s"got ${ord.dataType.sql}, ${id.dataType.sql}")
   override def nullable: Boolean = false
 
   private lazy val entryType = StructType(Seq(

@@ -93,6 +93,13 @@ object PqAnn {
     }
     val codebooks = cb.cache()
     val codes = encode(codebooks).select("vec_id", "sub_m", "code").cache()
+    // codebooks/codes stay cached for aux exports; the loop-scoped
+    // frames do not — sv is m× the corpus (the operator's largest frame)
+    // and would otherwise pin executor storage for the session lifetime.
+    // Materialize codes first so the unpersist can't force a re-explode.
+    codes.count()
+    sv.unpersist()
+    e.unpersist()
     (codebooks, codes, dsub)
   }
 

@@ -58,6 +58,17 @@ object PhysicalAsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
     val lTs = attr(lPlan, leftTs)
+    val rTs = attr(rPlan, rightTs)
+    // The merge compares and the output projection reads raw ts/key
+    // values at fixed widths — a type mismatch would silently corrupt
+    // instead of failing analysis, so reject it loudly here.
+    require(lTs.dataType == rTs.dataType,
+      s"as-of ts type mismatch: $leftTs is ${lTs.dataType}, $rightTs is ${rTs.dataType}")
+    keys.foreach { kName =>
+      val (lk, rk) = (attr(lPlan, kName), attr(rPlan, kName))
+      require(lk.dataType == rk.dataType,
+        s"as-of key type mismatch on $kName: ${lk.dataType} vs ${rk.dataType}")
+    }
     val asofOut =
       AttributeReference("asof_ts", lTs.dataType, nullable = true)() +:
         rightPayload.map(p =>
@@ -65,7 +76,7 @@ object PhysicalAsOfJoin {
     val node = AsOfJoinNode(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      lTs, attr(rPlan, rightTs),
+      lTs, rTs,
       rightPayload.map(attr(rPlan, _)), asofOut)
     GraftSqlBridge.ofRows(spark, node)
   }

@@ -852,9 +852,14 @@ object PipelineOps {
       .withColumn("sid", sum("new_s").over(wu))
       .groupBy("user_id", "sid")
       .agg(min("tsu").as("st"), max("tsu").as("en"))
+    // materialized once (CLAUDE.md iterative-state rule): both the local
+    // cumsum and the hour-offset aggregate consume deltas, and a lazy
+    // frame would re-run the whole per-user sessionization subtree
+    // (two window stages over all events) for each consumer
     val deltas = sess.select(col("st").as("tsu"), lit(1L).as("delta"))
       .unionAll(sess.select((col("en") + 1).as("tsu"), lit(-1L).as("delta")))
       .withColumn("hour", expr("tsu div 3600000000"))
+      .localCheckpoint()
     val wloc = Window.partitionBy("hour")
       .orderBy(col("tsu").asc, col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

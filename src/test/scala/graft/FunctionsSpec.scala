@@ -120,4 +120,31 @@ class FunctionsSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
     assert(got == want)
   }
+
+  test("topk aggregates type-check at analysis instead of failing per-task") {
+    import spark.implicits._
+    val df = Seq((1, 10, 5L), (1, 20, 6L)).toDF("g", "ord_i", "id")
+    // an explicit cast to BIGINT is the supported path
+    val casted = df.groupBy("g")
+      .agg(TopKAgg.topk_by(col("ord_i").cast("long"), col("id"), 2).as("tk"))
+      .select(posexplode(col("tk"))).select(col("col.ord"))
+      .collect().map(_.getLong(0)).toSet
+    assert(casted == Set(10L, 20L))
+    // any non-BIGINT ord (INT here, DOUBLE below) is rejected at ANALYSIS
+    // — pre-fix: every executor task died with ClassCastException
+    // mid-job; and an implicit double→long cast would silently truncate
+    // and reorder the top-k, so strict is the only safe contract
+    val errInt = intercept[Exception] {
+      df.groupBy("g").agg(TopKAgg.topk_by(col("ord_i"), col("id"), 2)).collect()
+    }
+    assert(errInt.getMessage.contains("DATATYPE_MISMATCH") ||
+      errInt.getMessage.toUpperCase.contains("BIGINT"), errInt.getMessage)
+    val errDouble = intercept[Exception] {
+      df.withColumn("d", col("ord_i") * 0.5).groupBy("g")
+        .agg(graft.functions.TopKPayloadAgg.topk_by_payload(
+          col("d"), col("id"), col("g"), 2)).collect()
+    }
+    assert(errDouble.getMessage.contains("DATATYPE_MISMATCH") ||
+      errDouble.getMessage.toUpperCase.contains("BIGINT"), errDouble.getMessage)
+  }
 }

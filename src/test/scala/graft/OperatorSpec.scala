@@ -96,6 +96,23 @@ class OperatorSpec extends SparkFunSuite {
     assert(got == Map(1L -> Some(100L), 2L -> None, 3L -> None), got.toString)
   }
 
+  test("PhysicalAsOfJoin rejects mismatched ts/key types loudly") {
+    import spark.implicits._
+    // the merge reads ts/keys at fixed widths — an INT right ts against a
+    // BIGINT left ts would silently corrupt asof_ts if it ever planned
+    val l = Seq((1L, 10L, 1L)).toDF("k", "ts", "lid")
+    val rIntTs = Seq((1L, 8, 100L)).toDF("k", "ts", "rid")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.PhysicalAsOfJoin(l, rIntTs, Seq("k"), "ts", "ts", Seq("rid"))
+    }
+    assert(e1.getMessage.contains("ts type mismatch"), e1.getMessage)
+    val rIntKey = Seq((1, 8L, 100L)).toDF("k", "ts", "rid")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.PhysicalAsOfJoin(l, rIntKey, Seq("k"), "ts", "ts", Seq("rid"))
+    }
+    assert(e2.getMessage.contains("key type mismatch"), e2.getMessage)
+  }
+
   test("JaccardAllPairs: dense and join paths agree exactly") {
     val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

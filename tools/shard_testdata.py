@@ -29,7 +29,9 @@ def main(src, dst, shards=SHARDED):
         if not fn.endswith(".parquet"):
             continue
         name = fn[: -len(".parquet")]
-        s, d = os.path.join(src, fn), os.path.join(dst, fn)
+        # abspath: a relative src would make the symlinks below resolve
+        # relative to dst and dangle
+        s, d = os.path.abspath(os.path.join(src, fn)), os.path.join(dst, fn)
         if name not in shards:
             if os.path.lexists(d):
                 os.remove(d)
