@@ -99,7 +99,9 @@ object VectorOps {
       t(s, dir, "embeddings"), m = 32, k = 32, iterations = 5,
       nQueries = 10, topK = 10))
 
-  private def oracleCosine(filterA: String, joinCond: String, k: Int): String =
+  // private[graft]: s14 (streaming ANN) replays e01's exact scoring per
+  // micro-batch and shares the same oracle
+  private[graft] def oracleCosine(filterA: String, joinCond: String, k: Int): String =
     s"""WITH f AS (SELECT vec_id, label, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
        |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
        |q AS (SELECT * FROM f WHERE $filterA),

@@ -36,6 +36,15 @@ class StreamingSinkSpec extends SparkFunSuite {
     Thread.sleep(20)
   }
 
+  test("s14 streaming ANN equals the batch e01 answer across micro-batches") {
+    // 3 query files consumed one per trigger: the per-batch broadcast
+    // scoring must compose to exactly the batch top-k (landed through
+    // the production parquet append inside the builder itself)
+    val got = canon(StreamingOps.streamingAnn(spark, sf))
+    val want = canon(graft.queries.VectorOps.cosineTopK(spark, sf))
+    assert(got == want)
+  }
+
   test("s01 hourly agg lands as a complete-mode parquet snapshot") {
     val (out, ckpt) = tmp("s01")
     ParquetLand.completeSnapshot(StreamingOps.hourlyAggStream(spark, sf), out, ckpt)
