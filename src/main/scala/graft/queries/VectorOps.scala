@@ -35,18 +35,29 @@ object VectorOps {
   private def sim = round(
     graft.functions.GraftFunctions.cosine_sim(col("qe"), col("e")), 4)
 
-  /** Top-k cosine neighbors for each query vector (vec_id < nQueries). */
-  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val emb = withNorm(t(s, dir, "embeddings"))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+  /** THE brute-force scoring pipeline — shared by the batch e01 and the
+    * streaming s14 (whose correctness contract is exact equality with
+    * e01 under one oracle, so the scoring must be one piece of code):
+    * broadcast `queries` (qid, qe) into a codegen'd cosine scan of
+    * `corpus` (vec_id, e), self-exclude, round to 4 decimals BEFORE
+    * ranking, top-k under the full (sim DESC, cid ASC) sort key.
+    */
+  private[graft] def scoreTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    emb.crossJoin(broadcast(q))
+    corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"), sim.as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "cid", "sim")
+  }
+
+  /** Top-k cosine neighbors for each query vector (vec_id < nQueries). */
+  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    scoreTopK(emb, q, k)
   }
 
   /** IVF-style bucketed ANN: only same-bucket candidates are scored. */

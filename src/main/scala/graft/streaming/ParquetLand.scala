@@ -125,11 +125,14 @@ object ParquetLand {
     val out = new java.io.File(outDir)
     val parent = Option(out.getParentFile).getOrElse(new java.io.File("."))
     val base = out.getName
-    val debris = Option(parent.listFiles()).getOrElse(Array.empty).filter { f =>
-      f.getName.startsWith(base + ".compact") || f.getName.startsWith(base + ".old")
-    }
+    // one predicate for both promotion and sweeping (re-listed after the
+    // promotion rename so the promoted dir is no longer debris)
+    def debris(): Array[java.io.File] =
+      Option(parent.listFiles()).getOrElse(Array.empty).filter { f =>
+        f.getName.startsWith(base + ".compact") || f.getName.startsWith(base + ".old")
+      }
     if (!out.exists()) {
-      val compacts = debris.filter(_.getName.startsWith(base + ".compact"))
+      val compacts = debris().filter(_.getName.startsWith(base + ".compact"))
       if (compacts.nonEmpty) {
         // batchId suffix orders the copies; the newest completed rewrite wins
         val newest = compacts.maxBy(f =>
@@ -137,9 +140,7 @@ object ParquetLand {
         require(newest.renameTo(out), s"swap recovery failed: $newest")
       }
     }
-    Option(parent.listFiles()).getOrElse(Array.empty).filter { f =>
-      f.getName.startsWith(base + ".compact") || f.getName.startsWith(base + ".old")
-    }.foreach(graft.TempCleanup.rmrf)
+    debris().foreach(graft.TempCleanup.rmrf)
   }
 
   /** Read an update journal back to current state: the highest-batch-id

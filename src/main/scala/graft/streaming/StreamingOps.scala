@@ -350,61 +350,57 @@ object StreamingOps {
   def streamEtlCompacted(spark: SparkSession, dir: String): DataFrame =
     streamEtlCompactedWithDir(spark, dir)._1
 
-  /** embeddings.parquet physical schema (for the s14 query stream). */
-  val embeddingsSchema: StructType = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(FloatType)),
-    StructField("label", IntegerType)))
-
   /** s14: STREAMING ANN retrieval — arriving query vectors are scored
     * against the static corpus per micro-batch. This is the
     * online-retrieval shape at 100 TB: the corpus is the big side and
-    * NEVER moves (no shuffle, no state store); each trigger's handful of
-    * queries is broadcast into the same codegen'd cosine scan as the
-    * batch e01, applied incrementally, and each batch appends its
-    * finished top-k rows to the landing. The 10 query vectors land as 3
-    * files consumed one per trigger so the scoring demonstrably runs
-    * across micro-batch boundaries; per-query top-k is batch-independent,
-    * so the appended landing must equal the batch e01 answer exactly —
-    * which is the oracle.
+    * NEVER moves (no shuffle, no state store; cached across triggers
+    * here — on a cluster it would be a cached table or a storage-local
+    * scan); each trigger's handful of queries is broadcast into the SAME
+    * scoring pipeline as the batch e01 ([[graft.queries.VectorOps
+    * .scoreTopK]] — one piece of code, so the two can never diverge
+    * under their shared oracle), and each batch appends its finished
+    * top-k rows to the landing (at-least-once, the standard foreachBatch
+    * contract). The 10 query vectors land as 3 files consumed one per
+    * trigger so the scoring demonstrably runs across micro-batch
+    * boundaries; per-query top-k is batch-independent, so the appended
+    * landing must equal the batch e01 answer exactly — which is the
+    * oracle.
     */
   def streamingAnn(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.queries.Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .cache() // scanned once, probed by every trigger
     val land = java.nio.file.Files.createTempDirectory("graft_s14_land").toString
     graft.TempCleanup.registerDir(land)
     val q = graft.queries.Tables.t(spark, dir, "embeddings")
       .filter(col("vec_id") < 10).select("vec_id", "embedding", "label")
+      .cache() // one embeddings scan feeds all three landed files
     for ((lo, hi) <- Seq((0, 4), (4, 8), (8, 10)))
       landFile(q.filter(col("vec_id") >= lo && col("vec_id") < hi),
         land, f"00${lo}%d_queries.parquet")
+    q.unpersist()
     val out = java.nio.file.Files.createTempDirectory("graft_s14_out").toString + "/landing"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_s14_ckpt").toString
     graft.TempCleanup.registerDir(new java.io.File(out).getParent)
     graft.TempCleanup.registerDir(ckpt)
-    val src = spark.readStream.schema(embeddingsSchema)
+    // schema from the just-landed files (written from the same table) —
+    // a hand-copied StructType would silently drift from the fixtures
+    val src = spark.readStream.schema(spark.read.parquet(land).schema)
       .option("maxFilesPerTrigger", 1).parquet(land)
     val query = src.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val qb = batch.select(col("vec_id").as("qid"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        corpus.crossJoin(broadcast(qb))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("cid"),
-            round(graft.functions.GraftFunctions.cosine_sim(col("qe"), col("e")), 4)
-              .as("sim"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select("qid", "cid", "sim")
+        graft.queries.VectorOps.scoreTopK(corpus, qb, 5)
           .write.mode("append").parquet(out)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    corpus.unpersist()
     spark.read.parquet(out)
   }
 

@@ -39,9 +39,14 @@ class StreamingSinkSpec extends SparkFunSuite {
   test("s14 streaming ANN equals the batch e01 answer across micro-batches") {
     // 3 query files consumed one per trigger: the per-batch broadcast
     // scoring must compose to exactly the batch top-k (landed through
-    // the production parquet append inside the builder itself)
-    val got = canon(StreamingOps.streamingAnn(spark, sf))
-    val want = canon(graft.queries.VectorOps.cosineTopK(spark, sf))
+    // the production parquet append inside the builder itself).
+    // MULTISET comparison (sorted rows, not a Set): a replayed batch's
+    // duplicate appends must fail here the same way they would fail the
+    // driver's hash gate.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    val got = rows(StreamingOps.streamingAnn(spark, sf))
+    val want = rows(graft.queries.VectorOps.cosineTopK(spark, sf))
     assert(got == want)
   }
 
