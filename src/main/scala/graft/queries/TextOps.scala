@@ -759,7 +759,37 @@ object TextOps {
              |  CAST(1000 * SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
              |       // COUNT(*) AS BIGINT) AS novelty_permille
              |FROM s JOIN f USING (g)
-             |GROUP BY s.doc_id""".stripMargin))
+             |GROUP BY s.doc_id""".stripMargin)),
+
+    // --- d38: deterministic stratified sample (data-mixing primitive) -------
+    // "Sample k docs per source, reproducibly, in one pass" — the
+    // training-mix sampling shape: rank every doc by a multiplicative
+    // hash (Knuth 2654435761 — pure integer arithmetic, identical in
+    // both engines, so the sample is seed-stable across reruns and
+    // engines) and keep the k hash-largest per source through the
+    // TopKAgg bounded-heap aggregate. Map-side partial trim means
+    // k·|sources| rows cross the shuffle, never the corpus — the window
+    // formulation this replaces shuffles and sorts every doc of every
+    // source. Ties (hash collisions) break on doc_id ASC in both
+    // engines (TopKAgg's total order / the oracle's full sort key).
+    Q("d38_stratified_sample",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            expr("CAST((doc_id * 2654435761) % 4294967296 AS BIGINT)").as("h"))
+          .groupBy("source")
+          .agg(graft.functions.TopKAgg.topk_by(col("h"), col("doc_id"), 20).as("tk"))
+          .select(col("source"), explode(col("tk")).as("e"))
+          .select(col("source"), col("e.id").as("doc_id"), col("e.ord").as("h"))
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+             |         CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+             |       FROM documents)
+             |SELECT source, doc_id, h FROM (
+             |  SELECT source, doc_id, h,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS rn
+             |  FROM d)
+             |WHERE rn <= 20""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */
