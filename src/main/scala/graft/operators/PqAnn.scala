@@ -118,6 +118,21 @@ object PqAnn {
         expr(distExpr("qe", s"sub_m * $dsub", "ce", dsub)).as("di"))
   }
 
+  /** ADC scan: per-(query, candidate) integer sub-distance sum over the
+    * codes, top-k under the full (dist ASC, cid ASC) sort key. Pure
+    * function of (codes, qtab), so a RELOADED index (IndexStore) scores
+    * identically to the just-learned one.
+    */
+  def adcScore(codes: DataFrame, qtab: DataFrame, topK: Int): DataFrame = {
+    val wk = Window.partitionBy("qid").orderBy(col("dist_e6").asc, col("cid").asc)
+    codes.join(broadcast(qtab), Seq("sub_m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(sum(col("di")).as("dist_e6"))
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= topK)
+      .select("qid", "cid", "dist_e6")
+  }
+
   /** Learn codebooks, encode the corpus, ADC-score the first `nQueries`
     * vectors against the WHOLE corpus (brute compressed scan).
     * @return (result (qid, cid, dist_e6), codebooks (sub_m, code, ce),
@@ -127,14 +142,7 @@ object PqAnn {
   def searchWithIndex(emb: DataFrame, m: Int, k: Int, iterations: Int,
       nQueries: Int, topK: Int): (DataFrame, DataFrame, DataFrame) = {
     val (codebooks, codes, dsub) = fitEncode(emb, m, k, iterations)
-    val qtab = queryTables(emb, codebooks, dsub, nQueries)
-    val wk = Window.partitionBy("qid").orderBy(col("dist_e6").asc, col("cid").asc)
-    val result = codes.join(broadcast(qtab), Seq("sub_m", "code"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id").as("cid"))
-      .agg(sum(col("di")).as("dist_e6"))
-      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= topK)
-      .select("qid", "cid", "dist_e6")
+    val result = adcScore(codes, queryTables(emb, codebooks, dsub, nQueries), topK)
     (result, codebooks, codes)
   }
 }

@@ -113,6 +113,28 @@ class OperatorSpec extends SparkFunSuite {
     assert(e2.getMessage.contains("key type mismatch"), e2.getMessage)
   }
 
+  test("IndexStore: a reloaded PQ index scores identically to the just-learned one") {
+    // the restartable-vector-store property (SURVEY §9 round-6 #4):
+    // learning is the expensive half; a later session reloads the saved
+    // codebooks/codes and ADC-scores bit-identically, no Lloyd re-run
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (res, cbs, codes) = graft.operators.PqAnn.searchWithIndex(
+      emb, m = 8, k = 8, iterations = 2, nQueries = 5, topK = 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    val want = canon(res)
+    assert(want.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_index_store").toString
+    graft.operators.IndexStore.save(dir, "codebooks" -> cbs, "codes" -> codes)
+    cbs.unpersist(); codes.unpersist()
+    val cb2 = graft.operators.IndexStore.load(spark, dir, "codebooks")
+    val codes2 = graft.operators.IndexStore.load(spark, dir, "codes")
+    val dsub = graft.operators.IndexStore.dsubOf(cb2)
+    val got = canon(graft.operators.PqAnn.adcScore(
+      codes2, graft.operators.PqAnn.queryTables(emb, cb2, dsub, 5), 5))
+    assert(got == want)
+  }
+
   test("JaccardAllPairs: dense and join paths agree exactly") {
     val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
