@@ -240,6 +240,39 @@ class StreamingSinkSpec extends SparkFunSuite {
     assert(canon(rollup) == canon(StreamingOps.streamingDedup(spark, sf)))
   }
 
+  test("stateful aggregation resumes from the RocksDB changelog checkpoint across a restart") {
+    // the recovery half of the RocksDB story (SURVEY §9 round-6 #3):
+    // phase 1 aggregates half the events and STOPS; phase 2 is a fresh
+    // query on the SAME checkpoint over new files only. If the per-user
+    // counts weren't recovered from the changelog checkpoint, returning
+    // users' phase-2 journal rows would restart from zero and the final
+    // journal state could not equal the all-events batch answer.
+    val landDir = Files.createTempDirectory("graft_restart_land").toString
+    val (out, ckpt) = tmp("restart_rocks")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    def agg() = spark.readStream.schema(StreamingOps.eventsSchema).parquet(landDir)
+      .select(col("user_id"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value_e4").as("sum_value_e4"))
+    graft.streaming.StateStores.withRocksDb(spark) {
+      land(ev.filter(col("event_id") % 4 <= 1), landDir, "000_a.parquet")
+      ParquetLand.updateJournal(agg(), out, ckpt) // drains, then the query STOPS
+      land(ev.filter(col("event_id") % 4 > 1), landDir, "001_b.parquet")
+      ParquetLand.updateJournal(agg(), out, ckpt) // fresh query, same checkpoint
+    }
+    val state = ParquetLand.journalState(spark.read.parquet(out), Seq("user_id"))
+    val want = ev.select(col("user_id"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value_e4").as("sum_value_e4"))
+    assert(canon(state) == canon(want))
+    // recovery must have gone through RocksDB changelog artifacts
+    val stateFiles = filesUnder(s"$ckpt/state").map(_.getName)
+    assert(stateFiles.exists(_.endsWith(".changelog")),
+      s"no changelog artifacts in checkpoint: $stateFiles")
+  }
+
   test("RocksDB state soak: 10^6 dedup keys live in RocksDB, not executor heap") {
     import java.util.concurrent.atomic.AtomicLong
     import org.apache.spark.sql.streaming.Trigger
