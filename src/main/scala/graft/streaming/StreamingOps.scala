@@ -390,18 +390,21 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1).parquet(land)
     val query = src.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val qb = batch.select(col("vec_id").as("qid"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
+        // EXACTLY-ONCE landing (SURVEY §9 round-6 #1): each batch owns
+        // the dir b<batchId> and overwrites it — a checkpoint-replayed
+        // batch rewrites its own output instead of appending duplicates
         graft.queries.VectorOps.scoreTopK(corpus, qb, 5)
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(s"$out/b$batchId")
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
     corpus.unpersist()
-    spark.read.parquet(out)
+    spark.read.option("recursiveFileLookup", "true").parquet(out)
   }
 
   /** Continuous-ETL landing: stream → narrow transforms → PARQUET sink
