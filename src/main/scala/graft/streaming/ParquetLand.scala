@@ -74,15 +74,18 @@ object ParquetLand {
     * form; this keeps the invariant while the stream runs). Local-FS
     * rename swap; on an object store the swap would be a manifest flip.
     *
-    * Crash-safe: the swap is two renames (outDir → .old, .compact →
-    * outDir), and a crash between them leaves the landing only in the
-    * `.compact` dir — `recoverSwap` (run before the stream starts)
-    * finishes that half-swap and sweeps stale `.old`/`.compact`
-    * leftovers, and the `.compact` write is `overwrite`-mode so a
-    * checkpoint-replayed batch never collides with its own debris.
-    * (Replay can still re-APPEND a batch's rows — at-least-once, the
-    * standard foreachBatch contract; exactly-once needs the native sink
-    * or a batchId manifest, both demonstrated elsewhere in this file.)
+    * Crash-safe AND exactly-once: the swap is two renames (outDir →
+    * .old, .compact → outDir), and a crash between them leaves the
+    * landing only in the `.compact` dir — `recoverSwap` (run before the
+    * stream starts) finishes that half-swap and sweeps stale
+    * `.old`/`.compact` leftovers. Batch application ([[applyBatch]]) is
+    * idempotent under checkpoint replay: a per-batch marker in the
+    * `$outDir._applied` SIBLING dir (outside the swapped landing, so
+    * compaction cannot erase it) is the single commit point — a replayed
+    * batch whose marker exists is skipped even though its rows may since
+    * have been folded into a compacted rewrite, and a batch that crashed
+    * BEFORE its marker re-applies onto deterministic file names with
+    * REPLACE_EXISTING, leaving no duplicates.
     */
   def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
       maxFiles: Int = 8, targetFiles: Int = 2): Unit = {
@@ -94,7 +97,7 @@ object ParquetLand {
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        applyBatch(batch, batchId, outDir)
         if (nParts(outDir) > maxFiles) {
           val spark = batch.sparkSession
           val tmp = s"$outDir.compact$batchId"
@@ -111,6 +114,44 @@ object ParquetLand {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Apply one micro-batch to the landing EXACTLY ONCE. The marker file
+    * `$outDir._applied/b<id>` is the single commit point:
+    *
+    *  - marker exists → the batch fully landed in a previous attempt
+    *    (its rows may since have been compacted into rewritten files) —
+    *    skip entirely;
+    *  - no marker → any `b<id>_*` files are debris of a crashed attempt:
+    *    stage the batch, move the staged parts onto DETERMINISTIC names
+    *    (`b<id>_<j>.parquet`, REPLACE_EXISTING) after deleting leftover
+    *    `b<id>_*` files (a replay may repartition into fewer parts than
+    *    the crashed attempt left), then create the marker.
+    *
+    * Every crash window therefore replays into the identical end state:
+    * before the marker the batch's files are fully reconstructible, and
+    * after it the batch is never touched again.
+    */
+  private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long, outDir: String): Unit = {
+    val markers = new java.io.File(s"$outDir._applied")
+    val marker = new java.io.File(markers, s"b$batchId")
+    if (marker.exists()) return
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_stage_b$batchId").toString
+    batch.write.mode("overwrite").parquet(stage)
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"b${batchId}_")).foreach(_.delete())
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (p, j) =>
+      java.nio.file.Files.move(p.toPath,
+        java.nio.file.Paths.get(outDir, f"b${batchId}_$j%05d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    markers.mkdirs()
+    java.nio.file.Files.createFile(marker.toPath) // commit point
+    graft.TempCleanup.rmrf(new java.io.File(stage))
   }
 
   /** Finish a compaction swap interrupted mid-rename and sweep stale

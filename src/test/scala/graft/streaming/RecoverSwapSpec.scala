@@ -51,6 +51,37 @@ class RecoverSwapSpec extends SparkFunSuite {
     assert(leftovers == Set("landing"), s"debris not swept: $leftovers")
   }
 
+  test("applyBatch is exactly-once under replay, including crashed half-applies") {
+    val spark = this.spark
+    import spark.implicits._
+    val parent = Files.createTempDirectory("graft_apply").toString
+    val out = s"$parent/landing"
+    val df = Seq(1L, 2L, 3L, 4L).toDF("v")
+    def landed(): Seq[Long] =
+      spark.read.parquet(out).as[Long].collect().sorted.toSeq
+
+    ParquetLand.applyBatch(df, 7, out)
+    assert(landed() == Seq(1L, 2L, 3L, 4L))
+    // full replay after commit: the marker short-circuits — even a
+    // DIFFERENT frame for the same batchId must not land
+    ParquetLand.applyBatch(df.unionAll(df), 7, out)
+    assert(landed() == Seq(1L, 2L, 3L, 4L), "post-marker replay must be a no-op")
+    // crashed half-apply: files moved but the marker never written
+    // (simulated by deleting it) plus a stale extra part the crashed
+    // attempt left behind; the replay must rebuild the batch exactly
+    assert(new java.io.File(s"$out._applied/b7").delete())
+    Seq(99L).toDF("v").coalesce(1).write.parquet(s"$parent/stale")
+    val stalePart = new java.io.File(s"$parent/stale").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(stalePart.toPath, Paths.get(out, "b7_99999.parquet"))
+    ParquetLand.applyBatch(df, 7, out)
+    assert(landed() == Seq(1L, 2L, 3L, 4L),
+      "pre-marker replay must replace ALL of the crashed attempt's files")
+    // a different batch id appends rather than replaces
+    ParquetLand.applyBatch(Seq(9L).toDF("v"), 8, out)
+    assert(landed() == Seq(1L, 2L, 3L, 4L, 9L))
+  }
+
   test("rmrf unlinks directory symlinks without deleting their targets") {
     val target = Files.createTempDirectory("graft_rmrf_target")
     val kept = target.resolve("keep.txt")
