@@ -317,9 +317,13 @@ object StreamingOps {
     *
     * @return (rollup over the compacted landing, landing dir)
     */
-  def streamEtlCompactedWithDir(spark: SparkSession, dir: String): (DataFrame, String) = {
+  /** The 4-file ETL source stream shared by s13/s15: events re-landed as
+    * four time-range files consumed one per trigger, so the in-loop
+    * compactor demonstrably fires mid-stream.
+    */
+  private def etlSource(spark: SparkSession, dir: String, tag: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val land = java.nio.file.Files.createTempDirectory("graft_s13_land").toString
+    val land = java.nio.file.Files.createTempDirectory(s"graft_${tag}_land").toString
     graft.TempCleanup.registerDir(land)
     val ev = graft.queries.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -329,26 +333,49 @@ object StreamingOps {
     for (k <- 0 until 4)
       landFile(ev.filter(col("ts") >= mn + k * step && col("ts") < mn + (k + 1) * step),
         land, f"00${k}%d_events.parquet")
-    val src = spark.readStream.schema(eventsSchema)
+    spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(land)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("tsu"),
         expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+  }
+
+  private def etlRollup(landed: DataFrame): DataFrame =
+    landed.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  def streamEtlCompactedWithDir(spark: SparkSession, dir: String): (DataFrame, String) = {
+    val src = etlSource(spark, dir, "s13")
     val out = java.nio.file.Files.createTempDirectory("graft_s13_out").toString + "/landing"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_s13_ckpt").toString
     graft.TempCleanup.registerDir(new java.io.File(out).getParent)
     graft.TempCleanup.registerDir(ckpt)
     ParquetLand.appendCompacting(src, out, ckpt, maxFiles = 2, targetFiles = 2)
-    val rollup = spark.read.parquet(out)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value_e4")).as("sum_value_e4"),
-        countDistinct(col("user_id")).as("n_users"))
-    (rollup, out)
+    (etlRollup(spark.read.parquet(out)), out)
   }
 
   def streamEtlCompacted(spark: SparkSession, dir: String): DataFrame =
     streamEtlCompactedWithDir(spark, dir)._1
+
+  /** s15: s13's continuous-ETL + in-loop-compaction shape committed
+    * through the OBJECT-STORE protocol ([[ManifestLand]]): visibility is
+    * one atomic manifest-file flip per commit — no directory renames, so
+    * the same landing logic deploys against an S3-class store where
+    * rename is not atomic (the rename-swap s13 uses is local/HDFS-only).
+    * Same rollup, same oracle: the two commit protocols must be
+    * observationally identical.
+    */
+  def streamEtlManifest(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s15")
+    val out = java.nio.file.Files.createTempDirectory("graft_s15_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s15_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 2, targetFiles = 2)
+    etlRollup(ManifestLand.read(spark, out))
+  }
 
   /** s14: STREAMING ANN retrieval — arriving query vectors are scored
     * against the static corpus per micro-batch. This is the
@@ -528,6 +555,13 @@ object StreamingOps {
     graft.queries.Q("s14_streaming_ann", (s, dir) => streamingAnn(s, dir),
       Some(graft.queries.VectorOps.oracleCosine("vec_id < 10", "", 5))),
     graft.queries.Q("s13_stream_etl_compacted", (s, dir) => streamEtlCompacted(s, dir),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY event_type""".stripMargin)),
+    // same rollup, same oracle as s13: the manifest-flip commit protocol
+    // must be observationally identical to the rename-swap one
+    graft.queries.Q("s15_stream_etl_manifest", (s, dir) => streamEtlManifest(s, dir),
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
