@@ -9,40 +9,58 @@ import org.apache.spark.sql.streaming.Trigger
   * #2): where [[ParquetLand.appendCompacting]] swaps the landing
   * directory with two renames — atomic on a local/HDFS filesystem,
   * unavailable on S3-class stores — this landing's single atomic
-  * primitive is REPLACING ONE SMALL MANIFEST FILE (`_manifest`, the list
-  * of live parquet files; locally an ATOMIC_MOVE rename, on S3 a PUT).
-  * Data files are immutable once written and INVISIBLE until a manifest
-  * flip references them, which gives exactly-once and crash-safety
-  * without any marker scheme:
+  * primitive is REPLACING ONE SMALL MANIFEST FILE (`_manifest`; locally
+  * an ATOMIC_MOVE rename, on S3 a PUT). The manifest carries BOTH the
+  * live file list and the applied-batch high-water mark, so one flip
+  * commits a batch's visibility and its exactly-once bookkeeping
+  * together. Data files are immutable and INVISIBLE until a flip
+  * references them:
   *
   *  - batch append = stage parts onto deterministic `b<id>_<j>` names,
-  *    then flip the manifest to `live ++ staged` — a crash before the
-  *    flip leaves invisible orphans (vacuumed on restart) and the
-  *    replayed batch re-stages onto the same names; a replay AFTER the
-  *    flip is detected by its `b<id>_` prefix already being live;
-  *  - compaction = write `c<id>_<j>` rewrite files, flip the manifest to
-  *    ONLY those, then delete the superseded files — readers never see a
-  *    half-compacted state because visibility IS the manifest.
+  *    then flip to (applied=id, live ++ staged) — a crash before the
+  *    flip leaves invisible orphans (vacuumed on restart) and the replay
+  *    re-stages onto the same names; a replay AFTER the flip sees
+  *    `batchId <= applied` and skips, which stays correct even after a
+  *    compaction has renamed the batch's rows away (the high-water mark,
+  *    unlike a filename check, survives rewrites);
+  *  - compaction (checked OUTSIDE the skip path, so a crash between the
+  *    append flip and the compaction flip is retried on replay) = write
+  *    uniquely-named `c*` rewrite files, flip to only those, then delete
+  *    the superseded files — readers never see a half-compacted state
+  *    because visibility IS the manifest.
   *
   * This is the Iceberg/Delta commit idea reduced to its kernel: one
-  * mutable pointer, immutable everything else.
+  * mutable pointer, immutable everything else. Operational contract
+  * (same as ParquetLand.applyBatch): resetting the CHECKPOINT requires
+  * removing the landing too, or the stale high-water mark silently
+  * skips replayed batches.
   */
 object ManifestLand {
 
+  private[streaming] case class Manifest(applied: Long, files: Seq[String])
+
   private def manifestFile(dir: String) = new java.io.File(dir, "_manifest")
 
-  /** The landing's live parquet files (names, not paths). */
-  def liveFiles(dir: String): Seq[String] = {
+  private[streaming] def readManifest(dir: String): Manifest = {
     val mf = manifestFile(dir)
-    if (!mf.exists()) Seq.empty
-    else new String(Files.readAllBytes(mf.toPath), "UTF-8")
-      .split("\n").iterator.filter(_.nonEmpty).toSeq
+    if (!mf.exists()) Manifest(-1L, Seq.empty)
+    else {
+      val lines = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+        .split("\n").iterator.filter(_.nonEmpty).toSeq
+      val applied = lines.headOption.filter(_.startsWith("applied="))
+        .flatMap(_.stripPrefix("applied=").toLongOption).getOrElse(-1L)
+      Manifest(applied, lines.drop(1))
+    }
   }
 
+  /** The landing's live parquet files (names, not paths). */
+  def liveFiles(dir: String): Seq[String] = readManifest(dir).files
+
   /** Atomically replace the manifest — THE commit primitive. */
-  private def flip(dir: String, files: Seq[String]): Unit = {
+  private def flip(dir: String, m: Manifest): Unit = {
     val tmp = new java.io.File(dir, "_manifest.tmp")
-    Files.write(tmp.toPath, files.mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp.toPath,
+      (s"applied=${m.applied}" +: m.files).mkString("\n").getBytes("UTF-8"))
     Files.move(tmp.toPath, manifestFile(dir).toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -59,50 +77,48 @@ object ManifestLand {
   }
 
   /** Read the landing through the manifest — the only correct read. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(liveFiles(dir).map(n => s"$dir/$n"): _*)
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = liveFiles(dir)
+    require(files.nonEmpty,
+      s"ManifestLand.read on an empty landing (no committed batches): $dir")
+    spark.read.parquet(files.map(n => s"$dir/$n"): _*)
+  }
 
-  /** Stage `batch` onto deterministic `b<id>_<j>` names and commit it
-    * with one manifest flip, compacting in the same loop whenever the
-    * live file count exceeds `maxFiles`. Idempotent under checkpoint
-    * replay (see object doc). Exposed for direct crash-window testing.
+  /** Stage one micro-batch and commit it with one manifest flip —
+    * exactly-once via the manifest's applied high-water mark (see object
+    * doc). Exposed for direct crash-window testing.
     */
-  private[streaming] def applyAndCommit(batch: Dataset[Row], batchId: Long,
-      outDir: String, maxFiles: Int, targetFiles: Int): Unit = {
-    val live = liveFiles(outDir)
-    if (live.exists(_.startsWith(s"b${batchId}_"))) return // replayed, committed
-    val stage = Files.createTempDirectory(s"graft_mstage_b$batchId").toString
-    batch.write.mode("overwrite").parquet(stage)
-    val staged = new java.io.File(stage).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.map { case (p, j) =>
-        val name = f"b${batchId}_$j%05d.parquet"
-        Files.move(p.toPath, Paths.get(outDir, name),
-          StandardCopyOption.REPLACE_EXISTING)
-        name
-      }.toSeq
-    graft.TempCleanup.rmrf(new java.io.File(stage))
-    flip(outDir, live ++ staged) // commit point: the batch becomes visible
-    val afterAppend = live ++ staged
-    if (afterAppend.length > maxFiles) {
-      val spark = batch.sparkSession
-      val compacted = spark.read
-        .parquet(afterAppend.map(n => s"$outDir/$n"): _*)
-        .repartition(targetFiles)
-      val cstage = Files.createTempDirectory(s"graft_mcompact_b$batchId").toString
-      compacted.write.mode("overwrite").parquet(cstage)
-      val cnames = new java.io.File(cstage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.map { case (p, j) =>
-          val name = f"c${batchId}_$j%05d.parquet"
-          Files.move(p.toPath, Paths.get(outDir, name),
-            StandardCopyOption.REPLACE_EXISTING)
-          name
-        }.toSeq
-      graft.TempCleanup.rmrf(new java.io.File(cstage))
-      flip(outDir, cnames) // compaction commit: old files now orphans
-      afterAppend.foreach(n => new java.io.File(outDir, n).delete())
-    }
+  private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long,
+      outDir: String): Unit = {
+    val m = readManifest(outDir)
+    if (batchId <= m.applied) return // replayed, already committed
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    // debris of a crashed attempt: a replay may repartition into fewer
+    // parts; anything not re-staged below stays invisible, but delete
+    // proactively so vacuum-on-restart is not load-bearing for tidiness
+    Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"b${batchId}_")).foreach(_.delete())
+    val staged = ParquetLand.stageParts(batch, outDir, s"b${batchId}_")
+    flip(outDir, Manifest(batchId, m.files ++ staged)) // commit point
+  }
+
+  /** Rewrite the landing to `targetFiles` parts when it exceeds
+    * `maxFiles`, committing with one flip. The rewrite files carry a
+    * unique attempt suffix, so a retried compaction can never REPLACE a
+    * file the current manifest references, and the post-flip delete of
+    * superseded files can never touch the new ones.
+    */
+  private[streaming] def compactIfNeeded(spark: SparkSession, outDir: String,
+      maxFiles: Int, targetFiles: Int): Unit = {
+    val m = readManifest(outDir)
+    if (m.files.length <= maxFiles) return
+    val data = spark.read.parquet(m.files.map(n => s"$outDir/$n"): _*)
+      .repartition(targetFiles)
+    val cnames = ParquetLand.stageParts(data, outDir,
+      s"c${m.applied}_${System.nanoTime()}_")
+    flip(outDir, Manifest(m.applied, cnames))
+    m.files.foreach(n => new java.io.File(outDir, n).delete())
   }
 
   /** Append-mode stream → manifest-committed landing with continuous
@@ -116,7 +132,10 @@ object ManifestLand {
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyAndCommit(batch, batchId, outDir, maxFiles, targetFiles)
+        applyBatch(batch, batchId, outDir)
+        // outside the skip path: a crash between the two flips is
+        // repaired here on replay even though the batch itself skips
+        compactIfNeeded(batch.sparkSession, outDir, maxFiles, targetFiles)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

@@ -116,42 +116,77 @@ object ParquetLand {
     q.awaitTermination()
   }
 
-  /** Apply one micro-batch to the landing EXACTLY ONCE. The marker file
-    * `$outDir._applied/b<id>` is the single commit point:
+  /** Write `df` to a temp stage dir, move the parts onto DETERMINISTIC
+    * `<prefix><j>.parquet` names under `outDir` (REPLACE_EXISTING — a
+    * crashed attempt's files are overwritten, never duplicated), return
+    * the names. Shared by the exactly-once appliers here and in
+    * [[ManifestLand]].
+    */
+  private[streaming] def stageParts(df: Dataset[Row], outDir: String,
+      prefix: String): Seq[String] = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    df.write.mode("overwrite").parquet(stage)
+    new java.io.File(outDir).mkdirs()
+    val names = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.map { case (p, j) =>
+        val name = f"$prefix$j%05d.parquet"
+        java.nio.file.Files.move(p.toPath,
+          java.nio.file.Paths.get(outDir, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        name
+      }.toSeq
+    graft.TempCleanup.rmrf(new java.io.File(stage))
+    names
+  }
+
+  /** The high-water mark of applied batch ids (from the sibling
+    * `$outDir._applied` file), -1 when none.
+    */
+  private[streaming] def appliedThrough(outDir: String): Long = {
+    val f = new java.io.File(s"$outDir._applied")
+    if (!f.exists()) -1L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .trim.toLongOption.getOrElse(-1L)
+  }
+
+  private def commitApplied(outDir: String, batchId: Long): Unit = {
+    val tmp = new java.io.File(s"$outDir._applied.tmp")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      java.nio.file.Paths.get(s"$outDir._applied"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Apply one micro-batch to the landing EXACTLY ONCE. The sibling
+    * `$outDir._applied` file (one number: the highest applied batch id —
+    * O(1) forever, batch ids are monotonic under a single writer, and it
+    * lives OUTSIDE the swapped landing so compaction cannot erase it) is
+    * the single commit point:
     *
-    *  - marker exists → the batch fully landed in a previous attempt
-    *    (its rows may since have been compacted into rewritten files) —
-    *    skip entirely;
-    *  - no marker → any `b<id>_*` files are debris of a crashed attempt:
-    *    stage the batch, move the staged parts onto DETERMINISTIC names
-    *    (`b<id>_<j>.parquet`, REPLACE_EXISTING) after deleting leftover
-    *    `b<id>_*` files (a replay may repartition into fewer parts than
-    *    the crashed attempt left), then create the marker.
+    *  - `batchId <= appliedThrough` → the batch fully landed in a
+    *    previous attempt (its rows may since have been compacted into
+    *    rewritten files) — skip entirely;
+    *  - else: any `b<id>_*` files are debris of a crashed attempt —
+    *    stage the batch onto deterministic `b<id>_<j>` names
+    *    (REPLACE_EXISTING) after deleting leftovers (a replay may
+    *    repartition into fewer parts than the crashed attempt left),
+    *    then atomically advance `_applied`.
     *
-    * Every crash window therefore replays into the identical end state:
-    * before the marker the batch's files are fully reconstructible, and
-    * after it the batch is never touched again.
+    * Every crash window therefore replays into the identical end state.
+    * Operational contract: resetting the CHECKPOINT (batch ids restart
+    * at 0) requires removing the landing and its `_applied` sibling too,
+    * or the stale high-water mark silently skips the replayed batches.
     */
   private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long, outDir: String): Unit = {
-    val markers = new java.io.File(s"$outDir._applied")
-    val marker = new java.io.File(markers, s"b$batchId")
-    if (marker.exists()) return
-    val stage = java.nio.file.Files.createTempDirectory(s"graft_stage_b$batchId").toString
-    batch.write.mode("overwrite").parquet(stage)
+    if (batchId <= appliedThrough(outDir)) return
     val out = new java.io.File(outDir)
     out.mkdirs()
     Option(out.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(s"b${batchId}_")).foreach(_.delete())
-    val parts = new java.io.File(stage).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (p, j) =>
-      java.nio.file.Files.move(p.toPath,
-        java.nio.file.Paths.get(outDir, f"b${batchId}_$j%05d.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    markers.mkdirs()
-    java.nio.file.Files.createFile(marker.toPath) // commit point
-    graft.TempCleanup.rmrf(new java.io.File(stage))
+    stageParts(batch, outDir, s"b${batchId}_")
+    commitApplied(outDir, batchId) // commit point
   }
 
   /** Finish a compaction swap interrupted mid-rename and sweep stale

@@ -304,19 +304,6 @@ object StreamingOps {
       .groupBy(col("uid_v").as("user_id"))
       .agg(count(lit(1)).as("n_rows"), count(col("t_p")).as("n_converted"))
 
-  /** s13: continuous-ETL landing with IN-LOOP compaction — s06's shape
-    * plus the maintenance a production landing needs: each micro-batch
-    * appends its files and [[ParquetLand.appendCompacting]] rewrites the
-    * directory to a bounded file count whenever it exceeds the cap, so
-    * the landing never accumulates per-batch small files no matter how
-    * long the stream runs. The gate's single-file input is re-landed as
-    * four time-range files consumed one per trigger, so the compactor
-    * actually fires mid-stream (StreamingSinkSpec pins the file-count
-    * invariant); the rollup over the final compacted landing must equal
-    * the batch answer — content survives every rewrite.
-    *
-    * @return (rollup over the compacted landing, landing dir)
-    */
   /** The 4-file ETL source stream shared by s13/s15: events re-landed as
     * four time-range files consumed one per trigger, so the in-loop
     * compactor demonstrably fires mid-stream.
@@ -346,6 +333,18 @@ object StreamingOps {
         sum(col("value_e4")).as("sum_value_e4"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** s13: continuous-ETL landing with IN-LOOP compaction — s06's shape
+    * plus the maintenance a production landing needs:
+    * [[ParquetLand.appendCompacting]] applies each micro-batch exactly
+    * once and rewrites the directory to a bounded file count whenever it
+    * exceeds the cap, so the landing never accumulates per-batch small
+    * files no matter how long the stream runs (StreamingSinkSpec pins
+    * the file-count invariant); the rollup over the final compacted
+    * landing must equal the batch answer — content survives every
+    * rewrite.
+    *
+    * @return (rollup over the compacted landing, landing dir)
+    */
   def streamEtlCompactedWithDir(spark: SparkSession, dir: String): (DataFrame, String) = {
     val src = etlSource(spark, dir, "s13")
     val out = java.nio.file.Files.createTempDirectory("graft_s13_out").toString + "/landing"

@@ -52,7 +52,7 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(diskParquet(out) == live.toSet)
   }
 
-  test("applyAndCommit is exactly-once under replay; vacuum sweeps crash orphans") {
+  test("applyBatch is exactly-once under replay; vacuum sweeps crash orphans") {
     val spark = this.spark
     import spark.implicits._
     val out = Files.createTempDirectory("graft_mland_apply").toString + "/landing"
@@ -61,11 +61,11 @@ class ManifestLandSpec extends SparkFunSuite {
     def landed(): Seq[Long] =
       ManifestLand.read(spark, out).as[Long].collect().sorted.toSeq
 
-    ManifestLand.applyAndCommit(df, 5, out, maxFiles = 100, targetFiles = 1)
+    ManifestLand.applyBatch(df, 5, out)
     assert(landed() == Seq(1L, 2L, 3L))
-    // post-commit replay: detected via the live b5_ prefix — a no-op
-    // even for a different frame carrying the same batch id
-    ManifestLand.applyAndCommit(df.unionAll(df), 5, out, maxFiles = 100, targetFiles = 1)
+    // post-commit replay: detected via the manifest's applied high-water
+    // mark — a no-op even for a different frame with the same batch id
+    ManifestLand.applyBatch(df.unionAll(df), 5, out)
     assert(landed() == Seq(1L, 2L, 3L), "post-commit replay must be a no-op")
     // pre-commit crash: a staged-but-never-committed orphan is invisible
     // to readers and removed by the restart vacuum
@@ -77,7 +77,50 @@ class ManifestLandSpec extends SparkFunSuite {
     ManifestLand.vacuum(out)
     assert(!diskParquet(out).contains("b9_00000.parquet"), "vacuum missed the orphan")
     // the replayed batch then lands cleanly on the same names
-    ManifestLand.applyAndCommit(Seq(99L).toDF("v"), 9, out, maxFiles = 100, targetFiles = 1)
+    ManifestLand.applyBatch(Seq(99L).toDF("v"), 9, out)
     assert(landed() == Seq(1L, 2L, 3L, 99L))
+  }
+
+  test("a batch replayed AFTER its own compaction neither duplicates nor breaks the landing") {
+    // the hard replay window: batch 3 appended AND compacted (its rows
+    // now live only in c* files), then the checkpoint commit was lost.
+    // The high-water mark must skip the re-apply (a b3_ filename check
+    // would not — compaction renamed the files away), and the re-run
+    // compaction check must be a no-op, leaving content single-counted.
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_creplay").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    ManifestLand.applyBatch(Seq(1L, 2L).toDF("v"), 2, out)
+    ManifestLand.applyBatch(Seq(3L, 4L).toDF("v"), 3, out)
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    assert(ManifestLand.liveFiles(out).forall(_.startsWith("c")), "compaction must have fired")
+    // replay of batch 3 (same id, same data) + the compaction re-check
+    ManifestLand.applyBatch(Seq(3L, 4L).toDF("v"), 3, out)
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    val got = ManifestLand.read(spark, out).as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), s"replay corrupted the landing: $got")
+    // every manifest-referenced file must exist on disk
+    ManifestLand.liveFiles(out).foreach(n =>
+      assert(new java.io.File(out, n).exists(), s"manifest references a deleted file: $n"))
+  }
+
+  test("a crash between the append flip and the compaction flip is repaired on replay") {
+    // append committed 4 live files (> maxFiles) but the compaction
+    // never ran (crash): the replayed batch skips via the high-water
+    // mark, but the compaction check outside the skip path must still
+    // bound the landing.
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_crash").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    (0 until 4).foreach(i => ManifestLand.applyBatch(Seq(i.toLong).toDF("v"), i, out))
+    assert(ManifestLand.liveFiles(out).size == 4)
+    // restart: replayed last batch is skipped, compaction still repairs
+    ManifestLand.applyBatch(Seq(3L).toDF("v"), 3, out)
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 2, targetFiles = 2)
+    assert(ManifestLand.liveFiles(out).size <= 2, "compaction repair did not run")
+    assert(ManifestLand.read(spark, out).as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
   }
 }

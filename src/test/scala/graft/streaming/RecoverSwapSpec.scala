@@ -66,10 +66,10 @@ class RecoverSwapSpec extends SparkFunSuite {
     // DIFFERENT frame for the same batchId must not land
     ParquetLand.applyBatch(df.unionAll(df), 7, out)
     assert(landed() == Seq(1L, 2L, 3L, 4L), "post-marker replay must be a no-op")
-    // crashed half-apply: files moved but the marker never written
-    // (simulated by deleting it) plus a stale extra part the crashed
-    // attempt left behind; the replay must rebuild the batch exactly
-    assert(new java.io.File(s"$out._applied/b7").delete())
+    // crashed half-apply: files moved but the high-water commit never
+    // written (simulated by deleting the _applied file) plus a stale
+    // extra part the crashed attempt left; replay must rebuild exactly
+    assert(new java.io.File(s"$out._applied").delete())
     Seq(99L).toDF("v").coalesce(1).write.parquet(s"$parent/stale")
     val stalePart = new java.io.File(s"$parent/stale").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
