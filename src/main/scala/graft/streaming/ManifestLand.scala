@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
@@ -47,23 +47,32 @@ object ManifestLand {
     else {
       val lines = new String(Files.readAllBytes(mf.toPath), "UTF-8")
         .split("\n").iterator.filter(_.nonEmpty).toSeq
-      val applied = lines.headOption.filter(_.startsWith("applied="))
-        .flatMap(_.stripPrefix("applied=").toLongOption).getOrElse(-1L)
-      Manifest(applied, lines.drop(1))
+      lines match {
+        case head +: rest if head.startsWith("applied=") =>
+          Manifest(head.stripPrefix("applied=").toLongOption.getOrElse(
+            throw new IllegalStateException(s"unreadable manifest header in $mf: $head")),
+            rest)
+        case Seq() => Manifest(-1L, Seq.empty)
+        case other =>
+          // refuse rather than guess: silently consuming a data line as
+          // a header would orphan its file, and the startup vacuum would
+          // then DELETE it — a parse quirk must not become data loss
+          throw new IllegalStateException(
+            s"unrecognized manifest header in $mf: ${other.head}")
+      }
     }
   }
 
   /** The landing's live parquet files (names, not paths). */
   def liveFiles(dir: String): Seq[String] = readManifest(dir).files
 
-  /** Atomically replace the manifest — THE commit primitive. */
-  private def flip(dir: String, m: Manifest): Unit = {
-    val tmp = new java.io.File(dir, "_manifest.tmp")
-    Files.write(tmp.toPath,
+  /** Atomically replace the manifest — THE commit primitive (shared
+    * write-tmp-then-ATOMIC_MOVE implementation with ParquetLand's
+    * `_applied` commit).
+    */
+  private def flip(dir: String, m: Manifest): Unit =
+    ParquetLand.atomicReplace(manifestFile(dir),
       (s"applied=${m.applied}" +: m.files).mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp.toPath, manifestFile(dir).toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
 
   /** Delete parquet files the manifest does not reference — orphans of
     * crashed stages/compactions. Single-writer contract: run only while
@@ -92,13 +101,9 @@ object ManifestLand {
       outDir: String): Unit = {
     val m = readManifest(outDir)
     if (batchId <= m.applied) return // replayed, already committed
-    val out = new java.io.File(outDir)
-    out.mkdirs()
-    // debris of a crashed attempt: a replay may repartition into fewer
-    // parts; anything not re-staged below stays invisible, but delete
-    // proactively so vacuum-on-restart is not load-bearing for tidiness
-    Option(out.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(s"b${batchId}_")).foreach(_.delete())
+    // stageParts sweeps crashed-attempt leftovers for this prefix (live
+    // b-files always belong to ids <= applied, so the sweep can never
+    // touch a manifest-referenced file)
     val staged = ParquetLand.stageParts(batch, outDir, s"b${batchId}_")
     flip(outDir, Manifest(batchId, m.files ++ staged)) // commit point
   }

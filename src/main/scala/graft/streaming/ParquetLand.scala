@@ -116,9 +116,22 @@ object ParquetLand {
     q.awaitTermination()
   }
 
-  /** Write `df` to a temp stage dir, move the parts onto DETERMINISTIC
-    * `<prefix><j>.parquet` names under `outDir` (REPLACE_EXISTING — a
-    * crashed attempt's files are overwritten, never duplicated), return
+  /** Atomically replace `target`'s content (write a tmp sibling, then
+    * ATOMIC_MOVE over it) — THE commit primitive shared by the
+    * `_applied` high-water file here and [[ManifestLand]]'s `_manifest`.
+    */
+  private[streaming] def atomicReplace(target: java.io.File, bytes: Array[Byte]): Unit = {
+    val tmp = new java.io.File(target.getParentFile, target.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, bytes)
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Write `df` to a temp stage dir, delete any `<prefix>*` leftovers of
+    * a crashed attempt (a replay may repartition into fewer parts), and
+    * move the staged parts onto DETERMINISTIC `<prefix><j>.parquet`
+    * names under `outDir` (REPLACE_EXISTING — never duplicated), return
     * the names. Shared by the exactly-once appliers here and in
     * [[ManifestLand]].
     */
@@ -126,7 +139,10 @@ object ParquetLand {
       prefix: String): Seq[String] = {
     val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
     df.write.mode("overwrite").parquet(stage)
-    new java.io.File(outDir).mkdirs()
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix)).foreach(_.delete())
     val names = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .zipWithIndex.map { case (p, j) =>
@@ -146,18 +162,21 @@ object ParquetLand {
   private[streaming] def appliedThrough(outDir: String): Long = {
     val f = new java.io.File(s"$outDir._applied")
     if (!f.exists()) -1L
+    else if (f.isDirectory)
+      // the pre-round-5 scheme kept per-batch marker FILES in a
+      // directory at this path; the high-water mark cannot be
+      // reconstructed from it, and silently re-applying (or skipping)
+      // batches would corrupt the landing — refuse loudly
+      throw new IllegalStateException(
+        s"$f is a legacy marker directory; remove the landing and it together before restarting")
     else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .trim.toLongOption.getOrElse(-1L)
+      .trim.toLongOption.getOrElse(throw new IllegalStateException(
+        s"unreadable applied high-water mark in $f"))
   }
 
-  private def commitApplied(outDir: String, batchId: Long): Unit = {
-    val tmp = new java.io.File(s"$outDir._applied.tmp")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath,
-      java.nio.file.Paths.get(s"$outDir._applied"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def commitApplied(outDir: String, batchId: Long): Unit =
+    atomicReplace(new java.io.File(s"$outDir._applied"),
+      batchId.toString.getBytes("UTF-8"))
 
   /** Apply one micro-batch to the landing EXACTLY ONCE. The sibling
     * `$outDir._applied` file (one number: the highest applied batch id —
@@ -181,11 +200,7 @@ object ParquetLand {
     */
   private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long, outDir: String): Unit = {
     if (batchId <= appliedThrough(outDir)) return
-    val out = new java.io.File(outDir)
-    out.mkdirs()
-    Option(out.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(s"b${batchId}_")).foreach(_.delete())
-    stageParts(batch, outDir, s"b${batchId}_")
+    stageParts(batch, outDir, s"b${batchId}_") // sweeps crashed-attempt leftovers
     commitApplied(outDir, batchId) // commit point
   }
 
