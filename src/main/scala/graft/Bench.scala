@@ -32,6 +32,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.spark.LogHygiene.quietKnownBoundedWindowWarning()
     // JVM/codegen warmup so the first timed query doesn't absorb startup
     spark.range(1000).selectExpr("sum(id)").collect()
     // heavy pair-generation queries last so their GC pressure can't bleed

@@ -34,8 +34,11 @@ object TempCleanup {
   def purge(spark: SparkSession): Unit = {
     var t = tables.poll()
     while (t != null) {
+      // NonFatal only (ADVICE r5): swallowing InterruptedException or a
+      // VM error here would eat interrupts in the 8-way concurrent
+      // Verify harness and mask real failures
       try spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       t = tables.poll()
     }
     var d = dirs.poll()

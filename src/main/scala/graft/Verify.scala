@@ -34,6 +34,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.spark.LogHygiene.quietKnownBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
     // normalize BEFORE deriving the aux sibling: a trailing-slash outDir
     // ("/tmp/vout/") would otherwise turn s"${outDir}_aux" into

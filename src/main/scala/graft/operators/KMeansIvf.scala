@@ -164,10 +164,15 @@ object KMeansIvf {
 
   /** Nearest-centroid assignment via broadcast join + per-vector argmax.
     * One hash aggregate: `min(struct(-sim, cell, e))` is the (sim DESC,
-    * cell ASC) argmax with lexicographic tie-breaks — same answer as the
-    * old sort+row_number window, but with map-side partials and no
-    * per-group sort (IEEE negation is exact, so the ordering is
-    * identical).
+    * cell ASC) argmax with lexicographic tie-breaks — with map-side
+    * partials and no per-group sort (IEEE negation is exact, so the
+    * ordering over FINITE sims is identical to the old sort+row_number
+    * window). One deliberate divergence (ADVICE r5): a NaN similarity
+    * (zero-norm vector or centroid) sorted FIRST under the window's
+    * sim-DESC (NaN ranks greatest) but sorts LAST here as `-sim` — a NaN
+    * candidate now loses to any finite one, which is the saner policy;
+    * the synthetic corpus has no zero-norm vectors, so the gate sees no
+    * difference.
     */
   private def assign(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))

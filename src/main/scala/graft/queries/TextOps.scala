@@ -704,6 +704,9 @@ object TextOps {
         tokens.join(newWords, Seq("bucket"), "left")
           .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
           // cumulative over ≤10 rows — bounded by the bucket constant
+          // (PlanQualitySpec pins the full allowlist of these intentional
+          // single-task windows; the harness mains silence WindowExec's
+          // indiscriminate warning, which cannot see the bound)
           .withColumn("vocab_size", sum("new_words").over(Window.orderBy("bucket")))
           .withColumn("tokens_cum", sum("n_tokens").over(Window.orderBy("bucket")))
           .select("bucket", "n_tokens", "new_words", "vocab_size", "tokens_cum")
@@ -776,14 +779,19 @@ object TextOps {
       (s, dir) => {
         t(s, dir, "documents")
           .select(col("source"), col("doc_id"),
-            expr("CAST((doc_id * 2654435761) % 4294967296 AS BIGINT)").as("h"))
+            // mask to 31 bits BEFORE the multiply (ADVICE r5): the raw
+            // product overflows BIGINT for doc_id ≳ 3.47e9, where Spark
+            // wraps silently but DuckDB errors; (2^31-1)·2654435761 ≈
+            // 5.7e18 stays in 64 bits in both engines, and ids < 2^31
+            // hash identically to the unmasked form
+            expr("CAST(((doc_id & 2147483647) * 2654435761) % 4294967296 AS BIGINT)").as("h"))
           .groupBy("source")
           .agg(graft.functions.TopKAgg.topk_by(col("h"), col("doc_id"), 20).as("tk"))
           .select(col("source"), explode(col("tk")).as("e"))
           .select(col("source"), col("e.id").as("doc_id"), col("e.ord").as("h"))
       },
       Some("""WITH d AS (SELECT source, doc_id,
-             |         CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+             |         CAST(((doc_id & 2147483647) * 2654435761) % 4294967296 AS BIGINT) AS h
              |       FROM documents)
              |SELECT source, doc_id, h FROM (
              |  SELECT source, doc_id, h,

@@ -81,16 +81,34 @@ object ManifestLand {
   def vacuum(dir: String): Unit = {
     val live = liveFiles(dir).toSet
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") && !live.contains(f.getName))
+      .filter(f => (f.getName.endsWith(".parquet") && !live.contains(f.getName)) ||
+        // a crash between atomicReplace's write and its ATOMIC_MOVE
+        // leaves a stale `_manifest.tmp`/`_schema.tmp` (ADVICE r5) —
+        // harmless to readers (never consulted) but swept like any orphan
+        f.getName == "_manifest.tmp" || f.getName == "_schema.tmp")
       .foreach { f => f.delete(); () }
   }
 
-  /** Read the landing through the manifest — the only correct read. */
+  /** Read the landing through the manifest — the only correct read. A
+    * COMMITTED-but-empty landing (applied ≥ 0, zero live files — an
+    * all-empty-batch stream legitimately produces one) reads as an empty
+    * frame with the schema persisted at first commit; only a landing
+    * with NO committed batches at all is refused.
+    */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = liveFiles(dir)
-    require(files.nonEmpty,
-      s"ManifestLand.read on an empty landing (no committed batches): $dir")
-    spark.read.parquet(files.map(n => s"$dir/$n"): _*)
+    val m = readManifest(dir)
+    if (m.files.nonEmpty) spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
+    else {
+      require(m.applied >= 0L,
+        s"ManifestLand.read on an empty landing (no committed batches): $dir")
+      val sf = new java.io.File(dir, "_schema")
+      require(sf.exists(),
+        s"ManifestLand.read: committed-empty landing with no _schema file: $dir")
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(sf.toPath), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
   }
 
   /** Stage one micro-batch and commit it with one manifest flip —
@@ -101,6 +119,12 @@ object ManifestLand {
       outDir: String): Unit = {
     val m = readManifest(outDir)
     if (batchId <= m.applied) return // replayed, already committed
+    // persist the schema once (write-then-ATOMIC_MOVE like the manifest)
+    // so `read` can serve a committed-but-empty landing; written BEFORE
+    // the flip so any committed state has it
+    val sf = new java.io.File(outDir, "_schema")
+    if (!sf.exists())
+      ParquetLand.atomicReplace(sf, batch.schema.json.getBytes("UTF-8"))
     // stageParts sweeps crashed-attempt leftovers for this prefix (live
     // b-files always belong to ids <= applied, so the sweep can never
     // touch a manifest-referenced file)

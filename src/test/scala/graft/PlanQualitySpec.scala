@@ -292,6 +292,34 @@ class PlanQualitySpec extends SparkFunSuite {
       s"expected partial+final ObjectHashAggregate stages:\n$p")
   }
 
+  test("single-task windows: the source-wide allowlist of unpartitioned Window.orderBy") {
+    // Three single-task windows are INTENTIONAL: each runs over a frame
+    // already aggregated to a size bounded by construction, not by data
+    // volume — GlobalRank's per-partition offsets (≤ numPartitions rows),
+    // q56's hour totals (≤ calendar hours), d36's decile buckets (≤ 10).
+    // WindowExec's runtime warning for them is noise (silenced in the
+    // harness mains via LogHygiene); THIS is the real guard: any new
+    // `Window.orderBy` in main code fails here until its input bound is
+    // audited and the allowlist updated. (Occurrence counts include doc
+    // comments deliberately — the audit covers prose claims too.)
+    val allowed = Map(
+      "operators/GlobalRank.scala" -> 2, // 1 offsets window + 1 scaladoc mention
+      "queries/TextOps.scala" -> 2,      // d36 vocab_size + tokens_cum cumsum
+      "queries/PipelineOps.scala" -> 1)  // q56 hour-offset cumsum
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val n = "Window\\.orderBy".r
+          .findAllIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).size
+        if (n > 0) found(root.relativize(p).toString) = n
+      }
+    }
+    assert(found.toMap == allowed,
+      s"unpartitioned-window call sites changed: found=$found allowed=$allowed — " +
+        "audit the new window's input bound (or partition it) and update the allowlist")
+  }
+
   test("d25: span-cap window shares the span-join's hash partitioning (no extra shuffle)") {
     val df = SparkEntry.queries("d25_substring_dedup")(spark, sf)
     df.collect()

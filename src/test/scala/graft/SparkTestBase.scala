@@ -21,6 +21,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.spark.LogHygiene.quietKnownBoundedWindowWarning()
     s
   }
 }

@@ -105,6 +105,27 @@ class ManifestLandSpec extends SparkFunSuite {
       assert(new java.io.File(out, n).exists(), s"manifest references a deleted file: $n"))
   }
 
+  test("committed-but-empty landing reads as an empty frame; vacuum sweeps _manifest.tmp") {
+    // an all-empty-batch stream legitimately commits applied >= 0 with
+    // zero live files (ADVICE r5); read must serve the persisted schema,
+    // not throw — while a landing with NO commits at all is still refused
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_empty").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    intercept[IllegalArgumentException](ManifestLand.read(spark, out))
+    ManifestLand.applyBatch(Seq.empty[Long].toDF("v"), 0, out)
+    val empty = ManifestLand.read(spark, out)
+    assert(empty.schema.fieldNames.toSeq == Seq("v") && empty.count() == 0L)
+    // a crash between atomicReplace's write and move leaves _manifest.tmp
+    Files.write(Paths.get(out, "_manifest.tmp"), "applied=99".getBytes("UTF-8"))
+    ManifestLand.vacuum(out)
+    assert(!new java.io.File(out, "_manifest.tmp").exists(), "vacuum missed _manifest.tmp")
+    // later non-empty batches land normally on the same landing
+    ManifestLand.applyBatch(Seq(7L).toDF("v"), 1, out)
+    assert(ManifestLand.read(spark, out).as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("a crash between the append flip and the compaction flip is repaired on replay") {
     // append committed 4 live files (> maxFiles) but the compaction
     // never ran (crash): the replayed batch skips via the high-water
