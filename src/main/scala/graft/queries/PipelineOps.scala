@@ -1129,7 +1129,92 @@ object PipelineOps {
       |  FROM orders)
       |WHERE rn <= 2""".stripMargin
 
+  // --- q64: MERGE INTO (SCD1 upsert) ---------------------------------------
+  // The table-maintenance shape Delta/Iceberg call MERGE, as one
+  // declarative plan (operators/MergeInto): base snapshot = the lowest
+  // two thirds of customers by key; changeset = the LATEST order per customer
+  // (latest under the unique integer key day·10^10 + o_orderkey, picked
+  // by max_by — a map-side-combinable argmax, no per-key window sort),
+  // mapped to UPDATE (open/pending order → new balance) or DELETE
+  // (finalized order). Changeset customers above the base cut INSERT. One
+  // full-outer equi-join; the per-case logic is a single codegen'd
+  // projection. s16 replays this exact contract as a STREAMING CDC
+  // apply and shares this oracle.
+  //
+  // `latestChanges` is private[graft]: the streaming s16 feed must be
+  // the same change rows, split into time-ordered micro-batches.
+  private[graft] def changeFeed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      // customers ≡ 3 (mod 4) never appear in the feed, so the KEEP
+      // branch (base row untouched by the merge) is exercised too —
+      // every synthetic customer has orders, so an unfiltered feed
+      // would touch all of them
+      .filter(col("o_custkey") % 4 =!= 3)
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"),
+        (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          * lit(10000000000L) + col("o_orderkey")).as("ord"),
+        expr("CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)").as("bal_cents"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"))
+
+  private[graft] def latestChanges(feed: DataFrame): DataFrame =
+    feed.groupBy("custkey")
+      .agg(max_by(struct(col("c_name"), col("bal_cents"), col("op")), col("ord")).as("m"))
+      .select(col("custkey"), col("m.c_name").as("c_name"),
+        col("m.bal_cents").as("bal_cents"), col("m.op").as("op"))
+
+  // scale-relative base cut (lowest two thirds of the key space) so the
+  // INSERT branch exists at every SF — an absolute constant would cover
+  // all keys at sf0.001 and none of the semantics would be exercised
+  private[graft] def mergeBase(s: SparkSession, dir: String): DataFrame = {
+    val thr = t(s, dir, "customer")
+      .agg(expr("CAST((max(c_custkey) + 1) * 2 div 3 AS BIGINT)").as("thr"))
+    t(s, dir, "customer").crossJoin(broadcast(thr))
+      .filter(col("c_custkey") < col("thr"))
+      .select(col("c_custkey").as("custkey"), col("c_name"),
+        expr("CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT)").as("bal_cents"))
+  }
+
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    graft.operators.MergeInto(
+      mergeBase(s, dir), latestChanges(changeFeed(s, dir)), "custkey",
+      deleteWhen = col("s.op") === "D",
+      outCols = Seq(
+        "c_custkey" -> ((col("s.custkey"), col("b.custkey"), col("s.custkey"))),
+        "c_name" -> ((col("b.c_name"), col("b.c_name"), col("s.c_name"))),
+        "bal_cents" -> ((col("s.bal_cents"), col("b.bal_cents"), col("s.bal_cents"))),
+        "row_status" -> ((lit("updated"), lit("kept"), lit("inserted")))))
+
+  // shared verbatim by s16 (the streaming CDC apply must land the exact
+  // state this one-shot MERGE computes)
+  private[graft] val q64Oracle =
+    """WITH ch AS (SELECT o_custkey AS custkey,
+      |         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) * 10000000000
+      |           + o_orderkey AS ord,
+      |         CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) AS bal_cents,
+      |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+      |       FROM orders WHERE o_custkey % 4 <> 3),
+      |l AS (SELECT custkey, max_by(bal_cents, ord) AS bal_cents,
+      |        max_by(op, ord) AS op FROM ch GROUP BY 1),
+      |s AS (SELECT l.custkey, c.c_name, l.bal_cents, l.op
+      |      FROM l JOIN customer c ON c.c_custkey = l.custkey),
+      |b AS (SELECT c_custkey AS custkey, c_name,
+      |        CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT) AS bal_cents
+      |      FROM customer
+      |      WHERE c_custkey < (SELECT CAST((MAX(c_custkey) + 1) * 2 // 3 AS BIGINT)
+      |                         FROM customer))
+      |SELECT COALESCE(b.custkey, s.custkey) AS c_custkey,
+      |  CASE WHEN s.custkey IS NULL THEN b.c_name
+      |       WHEN b.custkey IS NOT NULL THEN b.c_name ELSE s.c_name END AS c_name,
+      |  CASE WHEN s.custkey IS NULL THEN b.bal_cents ELSE s.bal_cents END AS bal_cents,
+      |  CASE WHEN s.custkey IS NULL THEN 'kept'
+      |       WHEN b.custkey IS NOT NULL THEN 'updated' ELSE 'inserted' END AS row_status
+      |FROM b FULL OUTER JOIN s ON b.custkey = s.custkey
+      |WHERE NOT (s.custkey IS NOT NULL AND s.op = 'D')""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q64_merge_upsert", q64, Some(q64Oracle)),
     Q("e10_filtered_ann", e10, Some(e10Oracle)),
     Q("p02_landing_compaction", p02, Some(p02Oracle)),
     Q("q61_zorder_key", q61, Some(q61Oracle)),

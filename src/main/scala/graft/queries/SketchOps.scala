@@ -169,9 +169,53 @@ object SketchOps {
   private def q52Oracle: String =
     q52Body(h60Duck, "lineitem", "//", (x, n) => s"($x << $n)", "HUGEINT")
 
+  // --- q63: Count-Min Sketch heavy hitters --------------------------------
+  // The third classic mergeable sketch (after HLL and KMV): a fixed
+  // D×W integer counter matrix — counter[j][h_j(key)] += 1 per event —
+  // whose point estimate min_j counter[j][h_j(key)] upper-bounds the true
+  // count (collisions only ever inflate). Like q48/q52 the hashes are
+  // md5-prefix integers, so the ENTIRE sketch and every estimate is
+  // bit-identical cross-engine and the driver hash-matches it.
+  //
+  // Scale shape: building the sketch is one groupBy over D·W = 192 keys —
+  // map-side partial counters mean each partition ships ≤192 rows no
+  // matter how many events it scanned (the whole point of a CMS at
+  // 100 TB: bounded state, bounded shuffle, associative merge by cell-wise
+  // sum). The probe joins the tiny counter table back by (j, bucket);
+  // true counts appear alongside so the overestimate is visible (and
+  // bounded in QuerySurfaceSpec: est >= true always).
+  private val CmsDepth = 3
+  private val CmsWidth = 64
+
+  private def q63Body(h: String => String, str: String, js: String,
+      table: String): String = {
+    def bucket(keyCol: String) =
+      s"${h(s"CAST($keyCol AS $str) || '#' || CAST(j AS $str)")} % $CmsWidth"
+    s"""WITH ev AS (SELECT user_id FROM $table),
+       |js AS (SELECT $js AS j),
+       |c AS (SELECT j, ${bucket("user_id")} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM ev CROSS JOIN js GROUP BY 1, 2),
+       |t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM ev GROUP BY 1),
+       |k AS (SELECT user_id, true_cnt, j, ${bucket("user_id")} AS b
+       |      FROM t CROSS JOIN js),
+       |e AS (SELECT k.user_id, k.true_cnt, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+       |      FROM k JOIN c ON c.j = k.j AND c.b = k.b GROUP BY 1, 2)
+       |SELECT user_id, true_cnt, cms_est
+       |FROM e ORDER BY true_cnt DESC, user_id LIMIT 10""".stripMargin
+  }
+
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_q63")
+    s.sql(q63Body(h32, "STRING", "explode(array(0, 1, 2))", "events_q63"))
+  }
+
+  private def q63Oracle: String =
+    q63Body(h32Duck, "VARCHAR", "unnest([0, 1, 2])", "events")
+
   val queries: Seq[Q] = Seq(
     Q("q48_kmv_distinct", q48, Some(q48Oracle)),
     Q("q49_kmv_intersect", q49, Some(q49Oracle)),
-    Q("q52_hll_cross_engine", q52, Some(q52Oracle))
+    Q("q52_hll_cross_engine", q52, Some(q52Oracle)),
+    Q("q63_cms_heavy_hitters", q63, Some(q63Oracle))
   )
 }

@@ -309,6 +309,70 @@ object VectorOps {
              |SELECT va AS vec_a, vb AS vec_b, sim FROM (
              |  SELECT va, vb, round(dot / (x.nrm * y.nrm), 4) sim
              |  FROM d JOIN n x ON x.vec_id = va JOIN n y ON y.vec_id = vb)
-             |WHERE sim >= 0.3""".stripMargin))
+             |WHERE sim >= 0.3""".stripMargin)),
+
+    // --- d39: semantic dedup (SemDeDup) -------------------------------------
+    // Embedding-space near-duplicate REMOVAL, the SemDeDup recipe (Abbas
+    // et al. 2023, arXiv:2303.09540): k-means-cluster the corpus, compare
+    // pairs only WITHIN a cluster, and drop every vector whose cosine to
+    // a lower-id cluster-mate exceeds the threshold (keep-first, like
+    // d01/d19). e03 finds near-dup pairs by a metadata bucket; d39 makes
+    // the bucket LEARNED, which is what lets the recipe scale: k grows
+    // with the corpus so the per-cluster pair join stays bounded at
+    // ~(N/k)² per cell — the corpus is never all-pairs compared, and
+    // the only global stages are the (broadcast-centroid) assignment
+    // scan and a hash groupBy.
+    //
+    // Oracled like e04: the learned assignment is exported (CACHED, so
+    // the export observes exactly the frames the result used — centroid
+    // learning averages doubles, not re-runnable bit-identically) and
+    // DuckDB independently recomputes every within-cluster cosine and
+    // the keep/drop verdicts from it.
+    Q("d39_semdedup",
+      (s, dir) => d39Parts(s, dir)._1,
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
+             |a AS (SELECT vec_id, cell FROM '{OUT}/_aux/d39_semdedup/aux_assign/*.parquet'),
+             |p AS (SELECT x.vec_id AS va, y.vec_id AS vb FROM a x
+             |      JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+             |d AS (SELECT p.va, p.vb, SUM(CAST(af.v AS DOUBLE) * CAST(bf.v AS DOUBLE)) dot
+             |      FROM p JOIN f af ON af.vec_id = p.va
+             |             JOIN f bf ON bf.vec_id = p.vb AND bf.i = af.i
+             |      GROUP BY 1, 2),
+             |dr AS (SELECT DISTINCT vb AS vec_id FROM d
+             |       JOIN n x ON x.vec_id = va JOIN n y ON y.vec_id = vb
+             |       WHERE round(dot / (x.nrm * y.nrm), 4) >= 0.3)
+             |SELECT a.vec_id, a.cell,
+             |  CASE WHEN dr.vec_id IS NULL THEN CAST(1 AS BIGINT)
+             |       ELSE CAST(0 AS BIGINT) END AS kept
+             |FROM a LEFT JOIN dr ON dr.vec_id = a.vec_id""".stripMargin),
+      aux = Seq(
+        "aux_assign" -> ((s: SparkSession, dir: String) => d39Parts(s, dir)._2)))
   )
+
+  /** d39 memo: result + exported assignment from ONE fit (same contract
+    * as e04's memo — the aux must be the exact frames the result used).
+    */
+  private val d39Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def d39Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    d39Memo.getOrElseUpdate((s, dir), {
+      val (_, assignedRaw) = graft.operators.KMeansIvf.fit(
+        t(s, dir, "embeddings"), k = 8, iterations = 3)
+      val assigned = assignedRaw.cache() // (vec_id, e, cell)
+      val mates = assigned.select(col("vec_id").as("qid"), col("cell"),
+        col("e").as("qe"))
+      // within-cluster keep-first: vec dropped iff some LOWER-id
+      // cluster-mate is within the cosine threshold
+      val dropped = assigned.join(mates, "cell")
+        .filter(col("qid") < col("vec_id"))
+        .select(col("vec_id"), sim.as("sim"))
+        .filter(col("sim") >= 0.3)
+        .select("vec_id").distinct()
+      val result = assigned.select("vec_id", "cell")
+        .join(dropped.withColumn("dr", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("dr").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      (result, assigned.select("vec_id", "cell"))
+    })
 }

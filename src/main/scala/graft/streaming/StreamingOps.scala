@@ -366,6 +366,69 @@ object StreamingOps {
     * Same rollup, same oracle: the two commit protocols must be
     * observationally identical.
     */
+  /** s16: STREAMING CDC apply — q64's MERGE INTO contract run as a
+    * stream. The same change feed (one row per order, mapped to
+    * upsert/delete) is split into four TIME-ORDERED micro-batches
+    * (disjoint `ord` quartiles, so each batch's latest-per-key is the
+    * global latest among the batches seen so far) and each batch is
+    * full-outer-merged into the keyed snapshot through [[CdcLand]]'s
+    * swap-committed rewrite.
+    *
+    * Last-writer-wins composes: a key's final state is decided by the
+    * latest change in the LAST batch that touches it, which is its
+    * globally-latest change — so the drained snapshot must equal the
+    * one-shot batch MERGE, and s16 shares q64's oracle verbatim.
+    * Deletes are TOMBSTONES inside the snapshot (deleted flag, dropped
+    * on read): that is what lets a deleted base customer resurrected by
+    * a later update report `updated` (base membership survives the
+    * delete), exactly as the batch MERGE classifies it.
+    */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.PipelineOps
+    val land = java.nio.file.Files.createTempDirectory("graft_s16_land").toString
+    graft.TempCleanup.registerDir(land)
+    val feed = PipelineOps.changeFeed(spark, dir)
+    val Seq(mn, mx) = feed.agg(min("ord"), max("ord")).head().toSeq.map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 4 + 1
+    for (k <- 0 until 4)
+      landFile(feed.filter(col("ord") >= mn + k * step && col("ord") < mn + (k + 1) * step),
+        land, f"00${k}%d_changes.parquet")
+    val changesSchema = StructType(Seq(
+      StructField("custkey", LongType), StructField("c_name", StringType),
+      StructField("ord", LongType), StructField("bal_cents", LongType),
+      StructField("op", StringType)))
+    val stream = spark.readStream.schema(changesSchema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+    val out = java.nio.file.Files.createTempDirectory("graft_s16_out").toString + "/snapshot"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s16_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    CdcLand.upsert(stream, out, ckpt,
+      init = () => PipelineOps.mergeBase(spark, dir)
+        .withColumn("row_status", lit("kept"))
+        .withColumn("in_base", lit(true))
+        .withColumn("deleted", lit(false))) { (snap, batch) =>
+      graft.operators.MergeInto(
+        snap, PipelineOps.latestChanges(batch.toDF()), "custkey",
+        // no physical delete: tombstone instead (deleted flag below)
+        deleteWhen = lit(false),
+        outCols = Seq(
+          "custkey" -> ((col("s.custkey"), col("b.custkey"), col("s.custkey"))),
+          "c_name" -> ((col("b.c_name"), col("b.c_name"), col("s.c_name"))),
+          "bal_cents" -> ((when(col("s.op") === "U", col("s.bal_cents"))
+            .otherwise(col("b.bal_cents")), col("b.bal_cents"), col("s.bal_cents"))),
+          "row_status" -> ((when(col("b.in_base"), lit("updated"))
+            .otherwise(lit("inserted")), col("b.row_status"), lit("inserted"))),
+          "in_base" -> ((col("b.in_base"), col("b.in_base"), lit(false))),
+          "deleted" -> ((col("s.op") === "D", col("b.deleted"),
+            col("s.op") === "D"))))
+    }
+    spark.read.parquet(out)
+      .filter(!col("deleted"))
+      .select(col("custkey").as("c_custkey"), col("c_name"),
+        col("bal_cents"), col("row_status"))
+  }
+
   def streamEtlManifest(spark: SparkSession, dir: String): DataFrame = {
     val src = etlSource(spark, dir, "s15")
     val out = java.nio.file.Files.createTempDirectory("graft_s15_out").toString + "/landing"
@@ -558,6 +621,10 @@ object StreamingOps {
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY event_type""".stripMargin)),
+    // shares q64's oracle verbatim: the streaming CDC apply must land the
+    // exact snapshot the one-shot batch MERGE computes
+    graft.queries.Q("s16_stream_cdc_apply", (s, dir) => streamCdcApply(s, dir),
+      Some(graft.queries.PipelineOps.q64Oracle)),
     // same rollup, same oracle as s13: the manifest-flip commit protocol
     // must be observationally identical to the rename-swap one
     graft.queries.Q("s15_stream_etl_manifest", (s, dir) => streamEtlManifest(s, dir),

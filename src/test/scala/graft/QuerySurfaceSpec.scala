@@ -726,4 +726,69 @@ class QuerySurfaceSpec extends SparkFunSuite {
       assert(rec == 1000L * nHits / nExact)
     }
   }
+
+  test("q63 CMS: every estimate upper-bounds the true count and is bounded by N") {
+    val rows = SparkEntry.queries("q63_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 10)
+    val total = graft.queries.Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      val (t, e) = (r.getAs[Long]("true_cnt"), r.getAs[Long]("cms_est"))
+      // the CMS one-sided error guarantee: collisions only inflate
+      assert(e >= t, s"CMS underestimated: est=$e true=$t")
+      assert(e <= total, s"estimate above the event total: $e > $total")
+    }
+  }
+
+  test("q64 merge: statuses partition keys correctly, deleted keys are absent") {
+    import graft.queries.PipelineOps
+    val rows = SparkEntry.queries("q64_merge_upsert")(spark, sf).collect()
+    val latest = PipelineOps.latestChanges(PipelineOps.changeFeed(spark, sf))
+      .collect().map(r => r.getAs[Long]("custkey") ->
+        (r.getAs[String]("op"), r.getAs[Long]("bal_cents"))).toMap
+    val thr = PipelineOps.mergeBase(spark, sf)
+      .agg(max("custkey")).head().getLong(0) + 1
+    assert(Set("kept", "updated", "inserted").subsetOf(
+      rows.map(_.getAs[String]("row_status")).toSet),
+      "all three merge outcomes must be exercised by the fixture")
+    rows.foreach { r =>
+      val (k, st, bal) = (r.getAs[Long]("c_custkey"),
+        r.getAs[String]("row_status"), r.getAs[Long]("bal_cents"))
+      st match {
+        case "kept" => assert(!latest.contains(k) && k < thr)
+        case "updated" =>
+          assert(k < thr && latest(k)._1 == "U" && bal == latest(k)._2)
+        case "inserted" =>
+          assert(k >= thr && latest(k)._1 == "U" && bal == latest(k)._2)
+      }
+    }
+    // a matched delete removes the row; an unmatched delete inserts nothing
+    val present = rows.map(_.getAs[Long]("c_custkey")).toSet
+    latest.collect { case (k, ("D", _)) => k }
+      .foreach(k => assert(!present.contains(k), s"deleted key $k still present"))
+  }
+
+  test("s16 streaming CDC apply lands exactly the batch MERGE snapshot") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("c_custkey"), r.getAs[String]("c_name"),
+        r.getAs[Long]("bal_cents"), r.getAs[String]("row_status"))
+    val batch = SparkEntry.queries("q64_merge_upsert")(spark, sf).collect().map(key).sorted
+    val streamed = SparkEntry.queries("s16_stream_cdc_apply")(spark, sf).collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"streaming CDC diverged from batch MERGE: ${streamed.length} vs ${batch.length} rows")
+  }
+
+  test("d39 semdedup: keep-first per cluster, drops exist and verdicts are exhaustive") {
+    val rows = SparkEntry.queries("d39_semdedup")(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => Set(0L, 1L).contains(r.getAs[Long]("kept"))))
+    assert(rows.exists(_.getAs[Long]("kept") == 0L),
+      "synthetic corpus has planted near-dups; some must be dropped")
+    // keep-first: the lowest vec_id of every cluster has no lower-id mate,
+    // so it can never be dropped
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (cell, members) =>
+      val first = members.minBy(_.getAs[Long]("vec_id"))
+      assert(first.getAs[Long]("kept") == 1L,
+        s"cell $cell: lowest-id member ${first.getAs[Long]("vec_id")} was dropped")
+    }
+  }
 }
