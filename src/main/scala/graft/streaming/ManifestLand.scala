@@ -29,6 +29,19 @@ import org.apache.spark.sql.streaming.Trigger
   *    the superseded files — readers never see a half-compacted state
   *    because visibility IS the manifest.
   *
+  * TIME TRAVEL (round 6): every commit also snapshots its manifest as
+  * immutable `_manifest.v<applied>` — written BEFORE the `_manifest`
+  * flip, so a retained version can never dangle on uncommitted staged
+  * files (a crash between the two writes leaves a PROVISIONAL v-file
+  * above the high-water mark; it pins the staged files through the
+  * restart vacuum and is overwritten verbatim by the deterministic
+  * replay). `readVersion` reads the landing AS OF any retained commit;
+  * data files stay on disk while ANY retained version references them
+  * (compaction's post-flip delete and the vacuum both check the union),
+  * and `expireVersions` bounds the history like Delta/Iceberg snapshot
+  * retention — the default `keepVersions = 1` keeps only the current
+  * state, i.e. exactly the pre-time-travel disk footprint.
+  *
   * This is the Iceberg/Delta commit idea reduced to its kernel: one
   * mutable pointer, immutable everything else. Operational contract
   * (same as ParquetLand.applyBatch): resetting the CHECKPOINT requires
@@ -40,9 +53,10 @@ object ManifestLand {
   private[streaming] case class Manifest(applied: Long, files: Seq[String])
 
   private def manifestFile(dir: String) = new java.io.File(dir, "_manifest")
+  private def versionFile(dir: String, v: Long) =
+    new java.io.File(dir, s"_manifest.v$v")
 
-  private[streaming] def readManifest(dir: String): Manifest = {
-    val mf = manifestFile(dir)
+  private def parseManifest(mf: java.io.File): Manifest = {
     if (!mf.exists()) Manifest(-1L, Seq.empty)
     else {
       val lines = new String(Files.readAllBytes(mf.toPath), "UTF-8")
@@ -63,30 +77,90 @@ object ManifestLand {
     }
   }
 
+  private[streaming] def readManifest(dir: String): Manifest =
+    parseManifest(manifestFile(dir))
+
   /** The landing's live parquet files (names, not paths). */
   def liveFiles(dir: String): Seq[String] = readManifest(dir).files
 
+  /** All manifest version files present on disk, including a provisional
+    * one above the high-water mark (its referenced files must be pinned).
+    */
+  private def versionFilesOnDisk(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("_manifest.v") &&
+        f.getName.stripPrefix("_manifest.v").toLongOption.isDefined)
+      .sortBy(_.getName.stripPrefix("_manifest.v").toLong).toSeq
+
+  /** COMMITTED version ids available for [[readVersion]], ascending. */
+  def versions(dir: String): Seq[Long] = {
+    val applied = readManifest(dir).applied
+    versionFilesOnDisk(dir).map(_.getName.stripPrefix("_manifest.v").toLong)
+      .filter(_ <= applied)
+  }
+
+  /** Every file name referenced by the live manifest or ANY version file
+    * (committed or provisional) — the retention root set.
+    */
+  private def referenced(dir: String): Set[String] =
+    (readManifest(dir).files ++
+      versionFilesOnDisk(dir).flatMap(parseManifest(_).files)).toSet
+
   /** Atomically replace the manifest — THE commit primitive (shared
     * write-tmp-then-ATOMIC_MOVE implementation with ParquetLand's
-    * `_applied` commit).
+    * `_applied` commit). The immutable version snapshot is written
+    * FIRST so retained history never references uncommitted state the
+    * vacuum could sweep.
     */
-  private def flip(dir: String, m: Manifest): Unit =
-    ParquetLand.atomicReplace(manifestFile(dir),
-      (s"applied=${m.applied}" +: m.files).mkString("\n").getBytes("UTF-8"))
+  private def flip(dir: String, m: Manifest): Unit = {
+    val body = (s"applied=${m.applied}" +: m.files).mkString("\n").getBytes("UTF-8")
+    ParquetLand.atomicReplace(versionFile(dir, m.applied), body)
+    ParquetLand.atomicReplace(manifestFile(dir), body)
+  }
 
-  /** Delete parquet files the manifest does not reference — orphans of
-    * crashed stages/compactions. Single-writer contract: run only while
-    * no stream is writing (appendCompacting runs it before starting).
+  /** Delete parquet files that NO retained manifest (live or version)
+    * references — orphans of crashed stages/compactions. Single-writer
+    * contract: run only while no stream is writing (appendCompacting
+    * runs it before starting).
     */
   def vacuum(dir: String): Unit = {
-    val live = liveFiles(dir).toSet
+    val keep = referenced(dir)
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => (f.getName.endsWith(".parquet") && !live.contains(f.getName)) ||
+      .filter(f => (f.getName.endsWith(".parquet") && !keep.contains(f.getName)) ||
         // a crash between atomicReplace's write and its ATOMIC_MOVE
-        // leaves a stale `_manifest.tmp`/`_schema.tmp` (ADVICE r5) —
-        // harmless to readers (never consulted) but swept like any orphan
-        f.getName == "_manifest.tmp" || f.getName == "_schema.tmp")
+        // leaves a stale `*.tmp` sibling (ADVICE r5) — harmless to
+        // readers (never consulted) but swept like any orphan
+        (f.getName.startsWith("_") && f.getName.endsWith(".tmp")))
       .foreach { f => f.delete(); () }
+  }
+
+  /** Drop all but the newest `keep` COMMITTED version snapshots, then
+    * sweep data files nothing references anymore — Delta/Iceberg-style
+    * retention. `keep = 1` pins only the current state. A provisional
+    * (above-high-water) version file is never expired here; the replay
+    * that commits it will overwrite it.
+    */
+  def expireVersions(dir: String, keep: Int): Unit = {
+    require(keep >= 1, "expireVersions: must retain at least the current version")
+    val committed = versions(dir)
+    committed.dropRight(keep).foreach { v => versionFile(dir, v).delete(); () }
+    vacuum(dir)
+  }
+
+  private def readFiles(spark: SparkSession, dir: String, m: Manifest,
+      what: String): DataFrame = {
+    if (m.files.nonEmpty) spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
+    else {
+      require(m.applied >= 0L,
+        s"ManifestLand.read on an empty landing (no committed batches): $dir")
+      val sf = new java.io.File(dir, "_schema")
+      require(sf.exists(),
+        s"ManifestLand.$what: committed-empty landing with no _schema file: $dir")
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(sf.toPath), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
   }
 
   /** Read the landing through the manifest — the only correct read. A
@@ -95,20 +169,21 @@ object ManifestLand {
     * frame with the schema persisted at first commit; only a landing
     * with NO committed batches at all is refused.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val m = readManifest(dir)
-    if (m.files.nonEmpty) spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
-    else {
-      require(m.applied >= 0L,
-        s"ManifestLand.read on an empty landing (no committed batches): $dir")
-      val sf = new java.io.File(dir, "_schema")
-      require(sf.exists(),
-        s"ManifestLand.read: committed-empty landing with no _schema file: $dir")
-      val schema = org.apache.spark.sql.types.DataType.fromJson(
-        new String(Files.readAllBytes(sf.toPath), "UTF-8"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    }
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readFiles(spark, dir, readManifest(dir), "read")
+
+  /** Read the landing AS OF committed version `v` (the state after
+    * batch `v` was applied) — time travel over the retained snapshots.
+    * Physical layout may differ from the original commit (a compaction
+    * re-flips the same version id with its rewrite files), but content
+    * is identical; data files are retained while any version references
+    * them.
+    */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    require(versions(dir).contains(v),
+      s"ManifestLand.readVersion: version $v not retained in $dir " +
+        s"(have: ${versions(dir).mkString(", ")})")
+    readFiles(spark, dir, parseManifest(versionFile(dir, v)), "readVersion")
   }
 
   /** Stage one micro-batch and commit it with one manifest flip —
@@ -136,7 +211,8 @@ object ManifestLand {
     * `maxFiles`, committing with one flip. The rewrite files carry a
     * unique attempt suffix, so a retried compaction can never REPLACE a
     * file the current manifest references, and the post-flip delete of
-    * superseded files can never touch the new ones.
+    * superseded files skips anything a RETAINED VERSION still references
+    * (time travel keeps old files alive until expiry).
     */
   private[streaming] def compactIfNeeded(spark: SparkSession, outDir: String,
       maxFiles: Int, targetFiles: Int): Unit = {
@@ -147,21 +223,25 @@ object ManifestLand {
     val cnames = ParquetLand.stageParts(data, outDir,
       s"c${m.applied}_${System.nanoTime()}_")
     flip(outDir, Manifest(m.applied, cnames))
-    m.files.foreach(n => new java.io.File(outDir, n).delete())
+    val keep = referenced(outDir)
+    m.files.filterNot(keep.contains)
+      .foreach { n => new java.io.File(outDir, n).delete(); () }
   }
 
   /** Append-mode stream → manifest-committed landing with continuous
     * compaction; same contract as [[ParquetLand.appendCompacting]], no
-    * directory renames anywhere.
+    * directory renames anywhere. `keepVersions` bounds the time-travel
+    * history (1 = current state only, the pre-round-6 footprint).
     */
   def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
-      maxFiles: Int = 8, targetFiles: Int = 2): Unit = {
+      maxFiles: Int = 8, targetFiles: Int = 2, keepVersions: Int = 1): Unit = {
     new java.io.File(outDir).mkdirs()
     vacuum(outDir) // sweep orphans of any crashed stage/compaction
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(batch, batchId, outDir)
+        expireVersions(outDir, keepVersions)
         // outside the skip path: a crash between the two flips is
         // repaired here on replay even though the batch itself skips
         compactIfNeeded(batch.sparkSession, outDir, maxFiles, targetFiles)

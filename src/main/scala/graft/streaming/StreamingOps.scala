@@ -315,10 +315,16 @@ object StreamingOps {
     val ev = graft.queries.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
-    val Seq(mn, mx) = ev.agg(min("ts"), max("ts")).head().toSeq.map(_.asInstanceOf[Long])
+    // quartile boundaries in µs, not ns: DuckDB sees parquet ns
+    // timestamps truncated to µs, so an oracle that must reproduce a
+    // PREFIX of the batch sequence (s17's time travel) can only express
+    // µs-exact cuts — `ts div 1000` here ↔ `epoch_us(ts)` there
+    val Seq(mn, mx) = ev.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
+      .head().toSeq.map(_.asInstanceOf[Long])
     val step = (mx - mn) / 4 + 1
     for (k <- 0 until 4)
-      landFile(ev.filter(col("ts") >= mn + k * step && col("ts") < mn + (k + 1) * step),
+      landFile(ev.filter(expr("ts div 1000") >= mn + k * step &&
+          expr("ts div 1000") < mn + (k + 1) * step),
         land, f"00${k}%d_events.parquet")
     spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(land)
@@ -427,6 +433,25 @@ object StreamingOps {
       .filter(!col("deleted"))
       .select(col("custkey").as("c_custkey"), col("c_name"),
         col("bal_cents"), col("row_status"))
+  }
+
+  /** s17: TIME TRAVEL over the manifest landing — s15's exact ETL with
+    * version retention on, read back AS OF version 2 (the state after
+    * the first three of four micro-batches). Compaction fires mid-run
+    * (maxFiles = 2), so the versioned read proves retention keeps the
+    * superseded files alive: the rollup must equal the batch answer over
+    * the first three µs-quartiles of the event stream, which is exactly
+    * what the oracle computes independently.
+    */
+  def streamEtlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s17")
+    val out = java.nio.file.Files.createTempDirectory("graft_s17_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s17_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 2, targetFiles = 2,
+      keepVersions = 8)
+    etlRollup(ManifestLand.readVersion(spark, out, 2))
   }
 
   def streamEtlManifest(spark: SparkSession, dir: String): DataFrame = {
@@ -625,6 +650,18 @@ object StreamingOps {
     // exact snapshot the one-shot batch MERGE computes
     graft.queries.Q("s16_stream_cdc_apply", (s, dir) => streamCdcApply(s, dir),
       Some(graft.queries.PipelineOps.q64Oracle)),
+    // the versioned read is a PREFIX of the batch sequence: the oracle
+    // recomputes the first three µs-quartiles of the stream directly
+    graft.queries.Q("s17_time_travel", (s, dir) => streamEtlTimeTravel(s, dir),
+      Some("""WITH b AS (SELECT MIN(epoch_us(ts)) AS mnu,
+             |         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 4 + 1 AS step
+             |       FROM events),
+             |e AS (SELECT event_type, value, user_id FROM events, b
+             |      WHERE epoch_us(ts) < b.mnu + 3 * b.step)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM e GROUP BY event_type""".stripMargin)),
     // same rollup, same oracle as s13: the manifest-flip commit protocol
     // must be observationally identical to the rename-swap one
     graft.queries.Q("s15_stream_etl_manifest", (s, dir) => streamEtlManifest(s, dir),

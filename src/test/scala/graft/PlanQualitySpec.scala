@@ -320,6 +320,33 @@ class PlanQualitySpec extends SparkFunSuite {
         "audit the new window's input bound (or partition it) and update the allowlist")
   }
 
+  test("q64: MERGE is one full-outer join + one projection (no union, no window, no rescan)") {
+    // the MergeInto contract: all four WHEN-cases fold into a single
+    // Project over one full-outer equi-join — a union-of-three-joins
+    // formulation would scan base and source twice each
+    val p = plan(SparkEntry.queries("q64_merge_upsert")(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("q63: CMS counters aggregate with map-side partials (bounded shuffle)") {
+    // the sketch's scale contract: each partition ships <= depth*width
+    // partial counter rows, never the event stream — visible as the
+    // partial+final HashAggregate pair over the (j, bucket) keys
+    val p = plan(SparkEntry.queries("q63_cms_heavy_hitters")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d39: within-cluster pair generation is an equi-join on the learned cell") {
+    // SemDeDup's scale contract: pairs come from a cell equijoin (each
+    // cluster joins only with itself), never a corpus cross product
+    val p = plan(SparkEntry.queries("d39_semdedup")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.matches("(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cell.*"), p)
+  }
+
   test("d25: span-cap window shares the span-join's hash partitioning (no extra shuffle)") {
     val df = SparkEntry.queries("d25_substring_dedup")(spark, sf)
     df.collect()

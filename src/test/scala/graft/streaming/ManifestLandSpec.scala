@@ -126,6 +126,43 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(ManifestLand.read(spark, out).as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("time travel: versioned reads survive compaction; expiry reclaims the history") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_tt").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // four commits; compact after the third so version 0-2's b-files are
+    // superseded in the LIVE manifest but pinned by retained versions
+    (0 until 3).foreach(i =>
+      ManifestLand.applyBatch(Seq(i.toLong, i + 100L).toDF("v"), i, out))
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    ManifestLand.applyBatch(Seq(3L, 103L).toDF("v"), 3, out)
+    assert(ManifestLand.versions(out) == Seq(0L, 1L, 2L, 3L))
+    // each version reads the exact prefix, including the compacted ones
+    (0 until 4).foreach { v =>
+      val got = ManifestLand.readVersion(spark, out, v).as[Long].collect().sorted.toSeq
+      val want = (0 to v).flatMap(i => Seq(i.toLong, i + 100L)).sorted
+      assert(got == want, s"version $v read $got, wanted $want")
+    }
+    // version 2 was re-flipped by the compaction: its content is the
+    // same but served from c* rewrite files that the live manifest (post
+    // batch 3) no longer lists — retention is what keeps them on disk
+    assert(ManifestLand.liveFiles(out).exists(_.startsWith("c")))
+    // vacuum must not reclaim version-pinned files
+    ManifestLand.vacuum(out)
+    assert(ManifestLand.readVersion(spark, out, 1).count() == 4L)
+    // expiry to the current version only: old snapshots gone, their
+    // files reclaimed, the live read intact
+    ManifestLand.expireVersions(out, keep = 1)
+    assert(ManifestLand.versions(out) == Seq(3L))
+    intercept[IllegalArgumentException](ManifestLand.readVersion(spark, out, 1))
+    val disk = diskParquet(out)
+    assert(disk == ManifestLand.liveFiles(out).toSet,
+      s"expiry left unreferenced files: $disk")
+    assert(ManifestLand.read(spark, out).as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 100L, 101L, 102L, 103L))
+  }
+
   test("a crash between the append flip and the compaction flip is repaired on replay") {
     // append committed 4 live files (> maxFiles) but the compaction
     // never ran (crash): the replayed batch skips via the high-water
