@@ -92,7 +92,58 @@ object Bench {
       System.err.println(f"[bench] x_asof_composed        $comp%8.3f s")
       Seq("x_asof_physical" -> phys, "x_asof_composed" -> comp)
     }
-    val qs = (results ++ asofAb).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // MERGE A/B: the single full-outer join + one projection (what q64
+    // ships, operators/MergeInto) vs the naive union-of-three-joins
+    // formulation (inner join for updates + two anti joins) — same
+    // inputs, same output; the union plan scans and shuffles each side
+    // THREE times vs once, which is the design MergeInto exists to
+    // avoid. At bench SF both arms are bound by building the change
+    // feed, so expect parity here — the scan-multiplicity argument
+    // lives in PlanQualitySpec's q64 plan pin (no Union, one join) and
+    // only separates at real scale; the A/B guards against the single-
+    // join plan ever REGRESSING behind the naive one.
+    val mergeAb = {
+      import org.apache.spark.sql.functions._
+      import graft.queries.PipelineOps
+      def inputs() = (PipelineOps.mergeBase(spark, sfDir),
+        PipelineOps.latestChanges(PipelineOps.changeFeed(spark, sfDir)))
+      def time(build: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          build().write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          sec
+        }.min
+      val single = time { () =>
+        val (b, s) = inputs()
+        graft.operators.MergeInto(b, s, "custkey",
+          deleteWhen = col("s.op") === "D",
+          outCols = Seq(
+            "c_custkey" -> ((col("s.custkey"), col("b.custkey"), col("s.custkey"))),
+            "c_name" -> ((col("b.c_name"), col("b.c_name"), col("s.c_name"))),
+            "bal_cents" -> ((col("s.bal_cents"), col("b.bal_cents"), col("s.bal_cents"))),
+            "row_status" -> ((lit("updated"), lit("kept"), lit("inserted")))))
+      }
+      val union = time { () =>
+        val (b, s) = inputs()
+        val upd = b.as("b").join(s.as("s"), col("b.custkey") === col("s.custkey"))
+          .filter(col("s.op") =!= "D")
+          .select(col("b.custkey").as("c_custkey"), col("b.c_name"),
+            col("s.bal_cents"), lit("updated").as("row_status"))
+        val kept = b.join(s, Seq("custkey"), "left_anti")
+          .select(col("custkey").as("c_custkey"), col("c_name"),
+            col("bal_cents"), lit("kept").as("row_status"))
+        val ins = s.filter(col("op") =!= "D").join(b, Seq("custkey"), "left_anti")
+          .select(col("custkey").as("c_custkey"), col("c_name"),
+            col("bal_cents"), lit("inserted").as("row_status"))
+        upd.unionAll(kept).unionAll(ins)
+      }
+      System.err.println(f"[bench] x_merge_single_join    $single%8.3f s")
+      System.err.println(f"[bench] x_merge_union3         $union%8.3f s")
+      Seq("x_merge_single_join" -> single, "x_merge_union3" -> union)
+    }
+    val qs = (results ++ asofAb ++ mergeAb).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
