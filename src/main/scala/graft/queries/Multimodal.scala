@@ -278,6 +278,35 @@ object Multimodal {
     })
   }
 
+  final case class AugMedia(
+      media_id: Long, aug_width: Int, aug_height: Int, flip_crop_wsum: Long)
+
+  /** m11: augmentation over the REAL decoded raster — horizontal flip of
+    * a center crop (columns 8..23 of the 32-wide raster, mirrored), the
+    * canonical vision-training prep transform. The emitted checksum is
+    * POSITION-WEIGHTED (`Σ (c'+1)·pixel`) so a wrong mirror order or a
+    * shifted crop window changes the value — a plain pixel sum would be
+    * flip-invariant and prove nothing. Narrow mapPartitions, no shuffle.
+    */
+  def augmented(blobs: Dataset[MediaBlob]): Dataset[AugMedia] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val d = decodePng(b.payload)
+      var sum = 0L
+      var r = 0
+      while (r < d.height) {
+        var c = 0
+        while (c < 16) {
+          // output column c' reads source column 23-c' (flip of 8..23)
+          sum += (c + 1).toLong * (d.pixels(r * d.width + 23 - c) & 0xff)
+          c += 1
+        }
+        r += 1
+      }
+      AugMedia(b.media_id, 16, d.height, sum)
+    })
+  }
+
   val queries: Seq[Q] = Seq(
     // binary-column basics, oracled: byte length, content hash, magic bytes
     Q("m01_blob_stats",
@@ -529,6 +558,27 @@ object Multimodal {
              |      FROM g)
              |SELECT media_id, CAST(pr AS BIGINT) AS patch_row,
              |       CAST(pc AS BIGINT) AS patch_col, pixel_sum
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // flip + center-crop augmentation over the real decoded raster; the
+    // position-weighted checksum makes the mirror ORDER observable, so
+    // DuckDB's index replay (source column 23-c' for output column c',
+    // zero beyond the content length — the codec's raster padding)
+    // verifies the actual geometry, not just the pixel multiset
+    Q("m11_augment",
+      (s, dir) => augmented(imageBlobs(s, dir)).toDF(),
+      Some("""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n,
+             |            CAST(greatest((length(text) + 31) // 32, 1) AS INT) AS h
+             |          FROM documents),
+             |g AS (SELECT media_id, text, n, unnest(range(0, h * 16)) AS pi FROM d),
+             |v AS (SELECT media_id,
+             |        (pi % 16 + 1) * (CASE WHEN (pi // 16) * 32 + 23 - (pi % 16) < n
+             |          THEN ascii(substr(text, CAST((pi // 16) * 32 + 23 - (pi % 16) + 1 AS INT), 1))
+             |          ELSE 0 END) AS wv
+             |      FROM g)
+             |SELECT d.media_id, CAST(16 AS INT) AS aug_width, d.h AS aug_height,
+             |       CAST(SUM(v.wv) AS BIGINT) AS flip_crop_wsum
+             |FROM d JOIN v ON v.media_id = d.media_id
+             |GROUP BY d.media_id, d.h""".stripMargin))
   )
 }
