@@ -43,12 +43,43 @@ object GraftFunctions {
       CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Register SQL functions: `tcp_flags_str(int)`, `cosine_sim(arr, arr)`. */
+  /** Integer literal parameter of a SQL call (e.g. `graft_topk(h, id, 3)`'s
+    * k): must be foldable — the aggregates size their buffers at plan
+    * time, so a data-dependent k cannot work.
+    */
+  private[graft] def litInt(e: Expression, fn: String, what: String): Int = {
+    require(e.foldable,
+      s"$fn: $what must be an integer literal, got non-foldable $e")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+  }
+
+  /** SQL builders — ONE list shared by [[register]] (temp functions on a
+    * session) and [[graft.GraftExtensions]] (injected at session build),
+    * so the two surfaces can never drift. Scalars first, then the custom
+    * aggregates (the analyzer wraps a bare AggregateFunction returned
+    * from a registry builder).
+    */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "tcp_flags_str" -> (es => TcpFlagsStr(es.head)),
+    "cosine_sim" -> (es => CosineSim(es.head, es(1))),
+    "graft_topk" -> (es =>
+      TopKAgg(es(0), es(1), litInt(es(2), "graft_topk", "k"))),
+    "graft_topk_payload" -> (es =>
+      TopKPayloadAgg(es(0), es(1), es(2),
+        litInt(es(3), "graft_topk_payload", "k"))),
+    "graft_minhash" -> (es =>
+      MinHashAgg(es.head, litInt(es(1), "graft_minhash", "numPerms"))),
+    "graft_bloom" -> (es => BloomAgg(es.head)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("tcp_flags_str",
-      es => TcpFlagsStr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSim(es.head, es(1)), "built-in")
+    sqlBuilders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }
 

@@ -39,6 +39,20 @@ class FunctionsSpec extends SparkFunSuite {
     // the extension also carries the as-of planner strategy
     assert(org.apache.spark.sql.GraftSqlBridge.plannerStrategies(exts, s2)
       .contains(graft.plans.AsOfJoinStrategy))
+    // the custom AGGREGATES ride the same shared builder list: a plain
+    // SQL user gets the bounded-heap top-k end to end
+    s2.range(10).selectExpr("id % 2 AS g", "id AS v")
+      .createOrReplaceTempView("graft_fn_probe") // s2's temp catalog
+    val tk = s2.sql(
+      "SELECT g, graft_topk(v, v, 2) AS tk FROM graft_fn_probe GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)))
+    assert(tk.toSeq == Seq(0L -> Seq(8L, 6L), 1L -> Seq(9L, 7L)), tk.mkString(","))
+    // literal-k contract: a non-literal k is refused at analysis, not
+    // mis-sized at runtime
+    val err = intercept[Exception](
+      s2.sql("SELECT graft_topk(v, v, CAST(v AS INT)) FROM graft_fn_probe").collect())
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
   test("cosine_sim expression agrees with the interpreted HOF formulation") {
