@@ -32,12 +32,21 @@ object PqAnn {
     * arrays; `aOff` offsets into `a` (1-based element_at, matching
     * DuckDB's 1-based list indexing so the oracle SQL is textually
     * parallel).
+    *
+    * STATICALLY UNROLLED over the plan-time-literal `dsub` (round-6
+    * bench win): the previous `aggregate(sequence(1, dsub), ...)` HOF
+    * evaluated an interpreted lambda AND allocated a fresh sequence
+    * array for every scored row — ~2M rows per Lloyd pass in e05/e06's
+    * learning loop. The unrolled sum is plain arithmetic over
+    * element_at, fully inside whole-stage codegen; integer addition is
+    * associative, so the value is bit-identical to the folded form.
     */
   private def distExpr(a: String, aOff: String, b: String, dsub: Int): String =
-    s"""aggregate(sequence(1, $dsub), CAST(0 AS BIGINT),
-       | (acc, i) -> acc + CAST(floor(1000000 *
-       |   (element_at($a, $aOff + i) - element_at($b, i)) *
-       |   (element_at($a, $aOff + i) - element_at($b, i)) + 0.5) AS BIGINT))""".stripMargin
+    (1 to dsub).map(i =>
+      s"""CAST(floor(1000000 *
+         |  (element_at($a, $aOff + $i) - element_at($b, $i)) *
+         |  (element_at($a, $aOff + $i) - element_at($b, $i)) + 0.5) AS BIGINT)""".stripMargin)
+      .mkString("(", " + ", ")")
 
   /** Learn per-subspace codebooks and encode the whole corpus.
     * @return (codebooks (sub_m, code, ce), codes (vec_id, sub_m, code),
