@@ -101,12 +101,17 @@ object FuzzyDedup {
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
   }
 
-  /** Jaccard estimate = fraction of agreeing signature slots. */
+  /** Jaccard estimate = fraction of agreeing signature slots. Statically
+    * unrolled over the literal slot count (round-6: the zip_with HOF ran
+    * an interpreted lambda per candidate pair; the unrolled CASE sum is
+    * codegen'd and bit-identical).
+    */
   def estimate(pairs: DataFrame): DataFrame =
     pairs.select(
       col("doc_a"), col("doc_b"),
-      expr(s"""CAST(1000 * aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-              | 0, (acc, v) -> acc + v) div $NumPerms AS BIGINT)""".stripMargin)
+      expr((1 to NumPerms).map(i =>
+        s"(CASE WHEN element_at(sig_a, $i) = element_at(sig_b, $i) THEN 1 ELSE 0 END)")
+        .mkString(s"CAST(1000 * (", " + ", s") div $NumPerms AS BIGINT)"))
         .as("est_jaccard_permille"))
 
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =

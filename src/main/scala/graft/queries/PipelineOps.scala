@@ -57,10 +57,14 @@ object PipelineOps {
   val CoarseK = 50
   val FinalK = 10
 
+  // statically unrolled over the literal dims (same round-6 bench win as
+  // PqAnn.distExpr: the aggregate/zip_with HOF ran interpreted lambdas
+  // and allocated per-row arrays; plain element_at arithmetic stays in
+  // whole-stage codegen, and the integer sum is bit-identical)
   private def dotE6(aCol: String, bCol: String, dims: Int): String =
-    s"""aggregate(zip_with(slice($aCol, 1, $dims), slice($bCol, 1, $dims),
-       |  (x, y) -> CAST(floor(1000000 * x * y + 0.5) AS BIGINT)),
-       |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin
+    (1 to dims).map(i =>
+      s"CAST(floor(1000000 * element_at($aCol, $i) * element_at($bCol, $i) + 0.5) AS BIGINT)")
+      .mkString("(", " + ", ")")
 
   private def e08(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -1075,10 +1079,15 @@ object PipelineOps {
   // unclustered layout). The key is pure integer bit arithmetic —
   // identical `& >> <<` expressions in both engines — and the top-k by
   // (zkey, event_id) is TakeOrderedAndProject, not a sort.
+  // statically unrolled over the 16 literal bit positions (disjoint bits,
+  // so the addition order is immaterial); the folded HOF form paid an
+  // interpreted lambda + sequence allocation PER ROW — material when the
+  // z-key is computed for every row of a 100 TB landing rewrite
   private[graft] def zkeyExpr(userCol: String, hourCol: String): String =
-    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
-       | acc + shiftleft(($userCol >> b) & 1, 2 * b + 1)
-       |     + shiftleft(($hourCol >> b) & 1, 2 * b))""".stripMargin
+    (0 until 16).map(b =>
+      s"shiftleft(($userCol >> $b) & 1, ${2 * b + 1}) + " +
+        s"shiftleft(($hourCol >> $b) & 1, ${2 * b})")
+      .mkString("CAST((", " + ", ")AS BIGINT)")
 
   private def q61(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
