@@ -143,7 +143,40 @@ object Bench {
       System.err.println(f"[bench] x_merge_union3         $union%8.3f s")
       Seq("x_merge_single_join" -> single, "x_merge_union3" -> union)
     }
-    val qs = (results ++ asofAb ++ mergeAb).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // top-k A/B: the SAME window-formulation source (row_number + rn<=3
+    // per user over the event table), once planned as Spark's window +
+    // WindowGroupLimit, once through graft.rules.TopKWindowRewrite into
+    // the TopKPayloadAgg bounded-heap plan — the regression guard for the
+    // round-6 injectOptimizerRule extension
+    val topkAb = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      def formulation(s: SparkSession) =
+        queries.Tables.events(s, sfDir)
+          .select(col("user_id"),
+            expr("coalesce(ts, CAST(0 AS BIGINT))").as("tsn"),
+            expr("coalesce(event_id, CAST(-1 AS BIGINT))").as("eid"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("tsn").desc, col("eid").asc)))
+          .filter(col("rn") <= 3)
+      def time(build: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          build().write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          sec
+        }.min
+      val ruled = spark.newSession()
+      ruled.conf.set(graft.rules.TopKWindowRewrite.ConfKey, "true")
+      ruled.experimental.extraOptimizations = Seq(graft.rules.TopKWindowRewrite)
+      val win = time(() => formulation(spark))
+      val agg = time(() => formulation(ruled))
+      System.err.println(f"[bench] x_topk_window          $win%8.3f s")
+      System.err.println(f"[bench] x_topk_rewritten       $agg%8.3f s")
+      Seq("x_topk_window" -> win, "x_topk_rewritten" -> agg)
+    }
+    val qs = (results ++ asofAb ++ mergeAb ++ topkAb).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

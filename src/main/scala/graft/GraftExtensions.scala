@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: the physical as-of join's planner strategy
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer extension: window top-k → bounded-heap aggregate (gated by
+    // spark.graft.optimizer.windowTopKRewrite, default off)
+    e.injectOptimizerRule(_ => graft.rules.TopKWindowRewrite)
   }
 }

@@ -1138,6 +1138,52 @@ object PipelineOps {
       |  FROM orders)
       |WHERE rn <= 2""".stripMargin
 
+  // --- q65: the window formulation REWRITTEN by the optimizer --------------
+  // q62's plan, reached from q07-style window SQL: the query is written as
+  // row_number-over-partition + rn <= 2 — the formulation every analyst
+  // writes — and graft.rules.TopKWindowRewrite (the injectOptimizerRule
+  // extension point) rewrites it into the TopKPayloadAgg bounded-heap
+  // plan at optimization time. Hash-matching the ROW_NUMBER oracle proves
+  // the rewrite is semantics-preserving end-to-end; PlanQualitySpec
+  // asserts this exact build plans with NO Window node. Runs in its own
+  // child session: the rewrite flag is session-scoped state and Verify
+  // executes queries 8-way concurrently on the shared session (q07/q41,
+  // the declared window rows, must keep their window plans).
+  // coalesce() makes the rule's non-null contract explicit — nullable
+  // sort keys keep the window plan (null ranks differ from heap drops).
+  // The OUTER coalesce is load-bearing: Spark's floor() is statically
+  // nullable (UnaryMathExpression hard-codes nullable=true) even over a
+  // non-null input, so without it the ord key reads as nullable and the
+  // rule correctly refuses to fire.
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set(graft.rules.TopKWindowRewrite.ConfKey, "true")
+    s2.experimental.extraOptimizations = Seq(graft.rules.TopKWindowRewrite)
+    val p = t(s2, dir, "part").select(
+      col("p_brand"),
+      expr("coalesce(p_partkey, CAST(-1 AS BIGINT))").as("pk"),
+      expr("coalesce(CAST(floor(coalesce(p_retailprice, 0) * 100 + 0.5) AS BIGINT), CAST(0 AS BIGINT))")
+        .as("price_cents"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("price_cents").desc, col("pk").asc)
+    p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("p_brand"), col("rn").cast(LongType).as("rank"),
+        col("price_cents"), col("pk").as("p_partkey"))
+  }
+
+  private val q65Oracle =
+    """SELECT p_brand, CAST(rn AS BIGINT) AS rank, price_cents, p_partkey
+      |FROM (
+      |  SELECT p_brand,
+      |    coalesce(p_partkey, CAST(-1 AS BIGINT)) AS p_partkey,
+      |    coalesce(CAST(floor(coalesce(p_retailprice, 0) * 100 + 0.5) AS BIGINT), CAST(0 AS BIGINT)) AS price_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY coalesce(CAST(floor(coalesce(p_retailprice, 0) * 100 + 0.5) AS BIGINT), CAST(0 AS BIGINT)) DESC,
+      |               coalesce(p_partkey, CAST(-1 AS BIGINT)) ASC) AS rn
+      |  FROM part)
+      |WHERE rn <= 2""".stripMargin
+
   // --- q64: MERGE INTO (SCD1 upsert) ---------------------------------------
   // The table-maintenance shape Delta/Iceberg call MERGE, as one
   // declarative plan (operators/MergeInto): base snapshot = the lowest
@@ -1228,6 +1274,7 @@ object PipelineOps {
     Q("p02_landing_compaction", p02, Some(p02Oracle)),
     Q("q61_zorder_key", q61, Some(q61Oracle)),
     Q("q62_topk_payload", q62, Some(q62Oracle)),
+    Q("q65_topk_rewrite", q65, Some(q65Oracle)),
     Q("q56_peak_concurrency", q56, Some(q56Oracle), headline = true),
     Q("q57_gini_concentration", q57, Some(q57Oracle)),
     Q("q58_topk_aggregate", q58, Some(q58Oracle), headline = true),

@@ -56,7 +56,7 @@ class InventorySpec extends AnyFunSuite {
       "q55_partition_pruning", "d35_memorization_audit", "q17_asof_join",
       "d33_zipf_audit", "q56_peak_concurrency", "q57_gini_concentration",
       "d36_vocab_growth", "e11_ann_recall", "q58_topk_aggregate",
-      "q59_equidepth_histogram")
+      "q59_equidepth_histogram", "q65_topk_rewrite")
     val wanted = SparkEntry.headline.map(_.name) ++ planAsserted
     val missing = wanted.filterNot(sections.contains)
     assert(missing.isEmpty, s"PLANS.md missing sections: ${missing.mkString(", ")}")

@@ -292,6 +292,17 @@ class PlanQualitySpec extends SparkFunSuite {
       s"expected partial+final ObjectHashAggregate stages:\n$p")
   }
 
+  test("q65: the optimizer rewrote the window formulation into the heap aggregate") {
+    // the query is WRITTEN as row_number + rn <= 2; TopKWindowRewrite
+    // (injectOptimizerRule) must have replaced the window (and Spark's
+    // own WindowGroupLimit) with the two-stage ObjectHashAggregate +
+    // posexplode reconstruction
+    val p = plan(SparkEntry.queries("q65_topk_rewrite")(spark, sf))
+    assert(!p.contains("row_number") && !p.contains("WindowGroupLimit"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("single-task windows: the source-wide allowlist of unpartitioned Window.orderBy") {
     // Three single-task windows are INTENTIONAL: each runs over a frame
     // already aggregated to a size bounded by construction, not by data
