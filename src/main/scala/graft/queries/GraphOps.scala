@@ -127,7 +127,91 @@ object GraphOps {
        |SELECT v AS nation, pr AS pr_micro FROM p$Iters""".stripMargin
   }
 
+  // --- q66: single-source shortest paths (Bellman-Ford rounds) ----------
+  // The third member of the join-based message-passing family (q47
+  // PageRank redistributes mass, d09 connected components propagates min
+  // labels, q66 relaxes min distances). Edge cost is the inverse of trade
+  // volume (`1 + 1_000_000 div w` — busy lanes are cheap), the source is
+  // the lexicographically smallest nation, both derived in-plan so the
+  // oracle recomputes them rather than trusting a driver-side constant.
+  //
+  // Each round is ONE shuffle on dst (min-relaxation is map-side
+  // combinable), the distance frame stays keyed by node round over round,
+  // and lineage is truncated on ConnectedComponents' cadence. Fixed
+  // SsspRounds = 6 ≥ the trade graph's hop diameter, and — like q47 — a
+  // fixed round count is what makes the chained-CTE oracle an exact
+  // replay; unreachable nodes hold the integer sentinel and surface as
+  // NULL. At production graph scale the edge list would be bucketed by
+  // src so every relaxation join is shuffle-free (same note as pageRank).
+  private val SsspRounds = 6
+  private val SsspInf = 1000000000000000L // > any real path: ≤ 25 hops × ~1e6
+
+  /** Bellman-Ford over a weighted edge list (src, dst, cost): one
+    * min-relaxation shuffle per round, `rounds` fixed for replayability.
+    */
+  def shortestPaths(
+      edges: DataFrame, sourceSel: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.cache()
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().cache()
+    val src0 = sourceSel.select(col("s0"))
+    var dist = nodes.crossJoin(src0)
+      .select(col("v"),
+        when(col("v") === col("s0"), lit(0L)).otherwise(lit(SsspInf)).as("dist"))
+    for (round <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("v", "src").withColumnRenamed("dist", "dsrc"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("dsrc") + col("cost")).as("cand"))
+      var next = dist.join(relaxed, Seq("v"), "left")
+        .select(col("v"),
+          least(col("dist"), coalesce(col("cand"), lit(SsspInf))).as("dist"))
+      if (round % 3 == 0) next = next.localCheckpoint()
+      dist = next
+    }
+    dist
+  }
+
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val e = q47Edges(s, dir)
+      .select(col("src"), col("dst"), (lit(1L) + expr("1000000 div w")).as("cost"))
+    val source = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .agg(min("v").as("s0"))
+    shortestPaths(e, source, SsspRounds)
+      .select(col("v").as("nation"),
+        nullif(col("dist"), lit(SsspInf)).cast(LongType).as("dist_cost"))
+  }
+
+  private def q66Oracle: String = {
+    val base =
+      s"""e AS (SELECT src, dst, CAST(1 + 1000000 // w AS BIGINT) AS cost FROM (
+         |  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM customer c
+         |    JOIN orders o ON o.o_custkey = c.c_custkey
+         |    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |    JOIN supplier su ON su.s_suppkey = l.l_suppkey
+         |    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+         |    JOIN nation sn ON sn.n_nationkey = su.s_nationkey
+         |  GROUP BY 1, 2)),
+         |nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |s0 AS (SELECT min(v) AS s FROM nodes),
+         |d0 AS (SELECT v, CASE WHEN v = (SELECT s FROM s0) THEN CAST(0 AS BIGINT)
+         |                      ELSE CAST($SsspInf AS BIGINT) END AS dist FROM nodes)""".stripMargin
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""d$i AS (SELECT p.v, CAST(LEAST(p.dist, COALESCE(m.c, $SsspInf)) AS BIGINT) AS dist
+         |  FROM d${i - 1} p
+         |  LEFT JOIN (SELECT e.dst AS v, MIN(p2.dist + e.cost) AS c
+         |             FROM e JOIN d${i - 1} p2 ON p2.v = e.src
+         |             GROUP BY e.dst) m ON m.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$rounds
+       |SELECT v AS nation, NULLIF(dist, $SsspInf) AS dist_cost FROM d$SsspRounds""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
-    Q("q47_pagerank", q47, Some(q47Oracle))
+    Q("q47_pagerank", q47, Some(q47Oracle)),
+    Q("q66_shortest_paths", q66, Some(q66Oracle))
   )
 }
