@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events.parquet physical schema (ts as bigint nanos via nanosAsLong). */
+  /** events landing schema with the engine's canonical BIGINT-ns `ts`
+    * (what engine-written event landings carry on disk).
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -31,6 +33,13 @@ object StreamingOps {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** events schema as the driver's round-6+ fixtures encode it on disk
+    * (`ts` TIMESTAMP(MICROS) → TIMESTAMP_NTZ under a UTC session).
+    */
+  private val eventsSchemaMicros: StructType = StructType(
+    eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
 
   /** documents.parquet physical schema for the streaming reader. */
   val documentsSchema: StructType = StructType(Seq(
@@ -59,6 +68,39 @@ object StreamingOps {
       reader.parquet(tablePath.toString)
     else
       reader.option("pathGlobFilter", s"$name*.parquet").parquet(dir)
+  }
+
+  /** Streaming events source normalized to the canonical BIGINT-ns `ts`
+    * (the streaming counterpart of [[graft.queries.Tables.events]]).
+    *
+    * A file stream needs its schema declared up front, and the landing's
+    * physical `ts` encoding varies: driver fixtures carry TIMESTAMP
+    * (MICROS since round 6; NANOS before), engine-written landings carry
+    * the canonical BIGINT. One cheap batch footer read (driver-side, once
+    * per stream build — not per batch) sniffs which, then the stream
+    * declares the matching schema and rescales to exact integer nanos so
+    * every downstream watermark/join/window expression is encoding-
+    * agnostic. The sniff honours the same glob the stream uses, so
+    * landing dirs holding `events0.parquet`-style split fixtures sniff
+    * their own files, not the sf table.
+    */
+  private def eventsSource(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tablePath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val physical =
+      if (fs.exists(tablePath) && fs.getFileStatus(tablePath).isDirectory)
+        spark.read.parquet(tablePath.toString).schema
+      else
+        spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir).schema
+    val micros = physical("ts").dataType != LongType
+    val src = streamSource(spark, dir, "events",
+      if (micros) eventsSchemaMicros else eventsSchema, maxFilesPerTrigger)
+    if (micros)
+      src.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    else src
   }
 
   /** Drain a finite stream into a uniquely-named memory sink and return
@@ -92,7 +134,7 @@ object StreamingOps {
     */
   def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamSource(spark, dir, "events", eventsSchema)
+    eventsSource(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"))
@@ -140,7 +182,7 @@ object StreamingOps {
         state.update(st)
         Iterator.single((uid, st.sessions))
       }
-    streamSource(spark, dir, "events", eventsSchema, maxFilesPerTrigger)
+    eventsSource(spark, dir, maxFilesPerTrigger)
       .select(col("user_id"), expr("ts div 1000").as("tsu"))
       .as[UserEvent]
       .groupByKey(_.user_id)
@@ -185,7 +227,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    streamSource(spark, dir, "events", eventsSchema)
+    eventsSource(spark, dir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
@@ -206,7 +248,7 @@ object StreamingOps {
     */
   def streamStreamJoinStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(tag: String) = streamSource(spark, dir, "events", eventsSchema)
+    def side(tag: String) = eventsSource(spark, dir)
       .select(col("event_type").as(s"type_$tag"),
         col("user_id").as(s"uid_$tag"),
         timestamp_micros(expr("ts div 1000")).as(s"t_$tag"))
@@ -530,7 +572,7 @@ object StreamingOps {
     */
   def streamEtlStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamSource(spark, dir, "events", eventsSchema)
+    eventsSource(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("tsu"),
         expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
@@ -772,7 +814,7 @@ object StreamingOps {
     */
   def sessionWindowStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamSource(spark, dir, "events", eventsSchema)
+    eventsSource(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
@@ -795,7 +837,7 @@ object StreamingOps {
     */
   def hourlyTopTypesStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamSource(spark, dir, "events", eventsSchema)
+    eventsSource(spark, dir)
       .select(expr("(ts div 1000) div 3600000000").as("hour_bucket"),
         col("event_type"))
       .groupBy("hour_bucket", "event_type")

@@ -440,7 +440,7 @@ class QuerySurfaceSpec extends SparkFunSuite {
   test("s05 stream-stream join equals the batch interval-join answer") {
     val streamed = SparkEntry.queries("s05_stream_stream_join")(spark, sf)
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_conversions")).toMap
-    val e = spark.read.parquet(s"$sf/events.parquet")
+    val e = graft.queries.Tables.events(spark, sf)
       .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_type"))
     val batch = e.filter(col("event_type") === "view").select(col("user_id"), col("tsu").as("vt"))
       .join(e.filter(col("event_type") === "purchase").select(col("user_id"), col("tsu").as("pt")),
@@ -500,7 +500,7 @@ class QuerySurfaceSpec extends SparkFunSuite {
 
   test("d24 redaction only rewrites rows that matched; d26 keeps within totals") {
     val red = SparkEntry.queries("d24_redaction")(spark, sf)
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.queries.Tables.events(spark, sf)
       .select(col("event_id"), md5(col("props")).as("orig_md5"))
     val joined = red.join(ev, "event_id").collect()
     joined.foreach { r =>
@@ -581,7 +581,7 @@ class QuerySurfaceSpec extends SparkFunSuite {
     flagged.foreach(r => assert(r.getAs[Long]("n") >= 1))
     // every flagged event must really sit beyond 3 population sigmas of
     // its user's distribution (independent double-domain recomputation)
-    val byUser = spark.read.parquet(s"$sf/events.parquet")
+    val byUser = graft.queries.Tables.events(spark, sf)
       .select(col("user_id"), expr("CAST(floor((value) * 100 + 0.5) AS BIGINT)").as("cents"))
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cents")))
       .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2.toDouble) }

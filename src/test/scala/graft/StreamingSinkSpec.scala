@@ -145,7 +145,7 @@ class StreamingSinkSpec extends SparkFunSuite {
     // time-ordered 3-way split (sessions document time-ordered arrival,
     // the replayed-landing-directory contract)
     val dir = Files.createTempDirectory("graft_split_ev").toString
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.queries.Tables.events(spark, sf)
     val ts = ev.select("ts").orderBy("ts").collect().map(_.getLong(0))
     val (t1, t2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
     land(ev.filter(col("ts") <= t1), dir, "events0.parquet")
@@ -249,7 +249,7 @@ class StreamingSinkSpec extends SparkFunSuite {
     // journal state could not equal the all-events batch answer.
     val landDir = Files.createTempDirectory("graft_restart_land").toString
     val (out, ckpt) = tmp("restart_rocks")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.queries.Tables.events(spark, sf)
     def agg() = spark.readStream.schema(StreamingOps.eventsSchema).parquet(landDir)
       .select(col("user_id"),
         expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
