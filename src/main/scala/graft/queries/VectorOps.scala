@@ -347,12 +347,108 @@ object VectorOps {
              |       ELSE CAST(0 AS BIGINT) END AS kept
              |FROM a LEFT JOIN dr ON dr.vec_id = a.vec_id""".stripMargin),
       aux = Seq(
-        "aux_assign" -> ((s: SparkSession, dir: String) => d39Parts(s, dir)._2)))
+        "aux_assign" -> ((s: SparkSession, dir: String) => d39Parts(s, dir)._2))),
+
+    // --- e12: signed-random-projection LSH (cosine LSH) --------------------
+    // The INDEX-FREE ANN family member (Charikar 2002 SimHash for real
+    // vectors): e04/e05/e06 need a training pass (Lloyd iterations) before
+    // they can search; SRP needs none — 8 fixed hyperplanes whose sign
+    // bits form an 8-bit bucket code, computed in ONE embarrassingly-
+    // parallel scan. Candidates = bucket equality under Hamming≤1
+    // multiprobe (9 probe codes per query), then an exact cosine re-rank
+    // of the tiny candidate set. At 100 TB you'd widen the code (24+
+    // bits), persist the coded corpus bucketed by code, and the probe
+    // join becomes a shuffle-free bucket lookup; here the 9-probe query
+    // side is broadcast so the corpus is scanned once and never shuffled.
+    //
+    // Cross-engine exactness: hyperplane weights are md5-derived integers
+    // (same 32-bit-prefix idiom as q48/q52) in [-1000, 1000]; each
+    // coordinate is integerized PER TERM (floor(1e6·x + 0.5)) before the
+    // signed projection, so the sign test is exact integer arithmetic and
+    // codes are bit-identical in both engines. The re-rank reuses e01's
+    // oracled round-before-rank cosine.
+    Q("e12_srp_lsh",
+      (s, dir) => srpAnn(s, dir),
+      Some("""WITH pl AS (SELECT p, i, CAST(concat('0x', substr(md5('srp:' || p || ':' || i), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+             |            FROM range(8) t(p), range(64) u(i)),
+             |f AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, i FROM (
+             |        SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM embeddings)),
+             |n AS (SELECT vec_id, sqrt(SUM(v * v)) nrm FROM f GROUP BY vec_id),
+             |qv AS (SELECT vec_id, i, CAST(floor(1000000 * v + 0.5) AS BIGINT) AS q FROM f),
+             |bits AS (SELECT qv.vec_id, pl.p, CASE WHEN SUM(pl.w * qv.q) > 0 THEN 1 ELSE 0 END AS b
+             |         FROM qv JOIN pl ON pl.i = qv.i - 1 GROUP BY 1, 2),
+             |cds AS (SELECT vec_id, CAST(SUM(b * (CAST(1 AS BIGINT) << p)) AS BIGINT) AS code FROM bits GROUP BY 1),
+             |pr AS (SELECT c.vec_id AS qid, xor(c.code, m.m) AS pc
+             |       FROM cds c CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS BIGINT) AS m) m
+             |       WHERE c.vec_id < 30),
+             |cand AS (SELECT p.qid, c.vec_id AS cid FROM pr p JOIN cds c ON c.code = p.pc AND c.vec_id <> p.qid),
+             |d AS (SELECT cand.qid, cand.cid, SUM(a.v * b.v) AS dot
+             |      FROM cand JOIN f a ON a.vec_id = cand.qid JOIN f b ON b.vec_id = cand.cid AND b.i = a.i
+             |      GROUP BY 1, 2),
+             |sc AS (SELECT qid, cid, round(dot / (x.nrm * y.nrm), 4) AS sim
+             |       FROM d JOIN n x ON x.vec_id = qid JOIN n y ON y.vec_id = cid)
+             |SELECT qid, cid, sim FROM (
+             |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn FROM sc)
+             |WHERE rn <= 5""".stripMargin))
   )
 
   /** d39 memo: result + exported assignment from ONE fit (same contract
     * as e04's memo — the aux must be the exact frames the result used).
     */
+  // --- e12 implementation -------------------------------------------------
+  private val SrpPlanes = 8
+  private val SrpDims = 64
+
+  /** Deterministic hyperplane weights: 32-bit md5 prefix of "srp:p:i"
+    * mod-centered into [-1000, 1000] — the exact integers the oracle
+    * derives from the same md5 text (q48's cross-engine hash idiom), so
+    * bucket codes are bit-identical in both engines with no shipped
+    * weight table.
+    */
+  private lazy val srpW: Array[Array[Long]] =
+    Array.tabulate(SrpPlanes, SrpDims) { (p, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"srp:$p:$i".getBytes("UTF-8"))
+      val h = d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      h % 2001L - 1000L
+    }
+
+  /** (vec_id, e, code): the 8-bit SRP bucket code per vector. Two-step
+    * projection — integerize each coordinate ONCE into qv0..qv63, then
+    * 8 flat codegen'd signed sums over plan-time-literal weights (the
+    * unrolled-HOF discipline of the late-round-6 perf pass).
+    */
+  private def srpCoded(emb: DataFrame): DataFrame = {
+    val qv = (0 until SrpDims).map(i =>
+      expr(s"CAST(floor(1000000 * element_at(e, ${i + 1}) + 0.5) AS BIGINT)")
+        .as(s"qv$i"))
+    val code = (0 until SrpPlanes).map { p =>
+      val dot = (0 until SrpDims).map(i => s"(${srpW(p)(i)}L * qv$i)").mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1L << p}L ELSE 0L END)"
+    }.mkString(" + ")
+    emb.select(col("vec_id") +: col("e") +: qv: _*)
+      .select(col("vec_id"), col("e"), expr(code).as("code"))
+  }
+
+  /** SRP-LSH ANN: code the corpus, multiprobe each query's bucket under
+    * Hamming≤1 (exact + 8 one-bit flips), exact-cosine re-rank.
+    */
+  def srpAnn(s: SparkSession, dir: String, nQueries: Int = 30, k: Int = 5): DataFrame = {
+    val coded = srpCoded(withNorm(t(s, dir, "embeddings")))
+    val masks = (0L +: (0 until SrpPlanes).map(p => 1L << p)).map(lit(_))
+    val probes = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("code").as("qcode"))
+      .withColumn("m", explode(array(masks: _*)))
+      .select(col("qid"), col("qe"), expr("qcode ^ m").as("pc"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    coded.join(broadcast(probes),
+        col("code") === col("pc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "sim")
+  }
+
   private val d39Memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def d39Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) =

@@ -387,6 +387,38 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(out.forall(r => !src0.contains(r.getAs[Long]("doc_id"))))
   }
 
+  test("e12 SRP-LSH: every candidate shares a bucket within Hamming≤1; sims exact") {
+    val res = SparkEntry.queries("e12_srp_lsh")(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q returned ${rs.length} > k")
+    }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def w(p: Int, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"srp:$p:$i".getBytes("UTF-8"))
+      val h = d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      h % 2001L - 1000L
+    }
+    def code(v: Array[Double]): Long =
+      (0 until 8).map { p =>
+        val s = v.indices.map(i => w(p, i) * math.floor(1e6 * v(i) + 0.5).toLong).sum
+        if (s > 0) 1L << p else 0L
+      }.sum
+    val codes = vecs.map { case (id, v) => id -> code(v) }
+    res.foreach { r =>
+      val (q, c) = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      assert(java.lang.Long.bitCount(codes(q) ^ codes(c)) <= 1,
+        s"candidate ($q,$c) outside the Hamming≤1 probe ring")
+      val (a, b) = (vecs(q), vecs(c))
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val exact = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(r.getAs[Double]("sim") - exact) < 1e-3, s"($q,$c)")
+    }
+  }
+
   test("e05 PQ: deterministic across runs, recall vs exact L2 top-k") {
     val pq = SparkEntry.queries("e05_pq_ann")(spark, sf).collect()
     val byQ = pq.groupBy(_.getAs[Long]("qid"))
