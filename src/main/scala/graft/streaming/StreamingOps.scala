@@ -196,6 +196,80 @@ object StreamingOps {
       .groupBy("user_id")
       .agg(max(col("n_sessions")).as("n_sessions"))
 
+  final case class SessionStats(lastTs: Long, sessions: Long, events: Long)
+  final case class UserSessionStats(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** s02's session fold re-expressed through Spark 4's `transformWithState`
+    * — the arbitrary-state API that REPLACES flatMapGroupsWithState: typed
+    * named state slots on a [[StatefulProcessorHandle]] (value/list/map,
+    * each independently TTL-able), timers decoupled from output mode, and
+    * a RocksDB-only runtime (state off-heap, changelog-checkpointed). The
+    * per-key fold is the same event-time-ordered session merge as s02, so
+    * the two APIs are gate-verified observationally identical; the extra
+    * `events` counter rides in the SAME state row to exercise composite
+    * state (one slot, multi-field product encoder).
+    */
+  private class SessionStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserSessionStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SessionStats] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionStats](
+        "sessionStats",
+        org.apache.spark.sql.Encoders.product[SessionStats],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSessionStats] = {
+      val sorted = rows.toSeq.sortBy(_.tsu)
+      var st =
+        if (state.exists()) state.get()
+        else SessionStats(Long.MinValue, 0L, 0L)
+      sorted.foreach { e =>
+        val newSession =
+          st.lastTs == Long.MinValue || e.tsu - st.lastTs > 1800000000L
+        st = SessionStats(e.tsu,
+          if (newSession) st.sessions + 1 else st.sessions,
+          st.events + 1)
+      }
+      state.update(st)
+      Iterator.single(UserSessionStats(uid, st.sessions, st.events))
+    }
+  }
+
+  /** Per-user session/event counters via [[SessionStatsProcessor]].
+    * Requires the RocksDB state store (the API refuses the HDFS
+    * provider) — the runner scopes it via [[StateStores.withRocksDb]].
+    */
+  def transformWithStateStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    eventsSource(spark, dir, maxFilesPerTrigger)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+
+  def transformWithStateSessions(spark: SparkSession, dir: String): DataFrame =
+    StateStores.withRocksDb(spark) {
+      // both counters are monotone per user, so the final state is the
+      // max over the per-batch update emissions whatever the batching
+      drainToMemory(
+        transformWithStateStream(spark, dir), "graft_stream_tws_", "update")
+        .groupBy("user_id")
+        .agg(max(col("n_sessions")).as("n_sessions"),
+          max(col("n_events")).as("n_events"))
+    }
+
   /** Streaming exact dedup: a document stream deduplicated on content as
     * it lands, keeping a DETERMINISTIC winner per text — the min-doc_id
     * row — via a stateful `min_by` aggregation (state store keyed on
@@ -655,6 +729,19 @@ object StreamingOps {
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
              |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+             |FROM d GROUP BY user_id""".stripMargin)),
+    graft.queries.Q("s18_transform_with_state",
+      (s, dir) => transformWithStateSessions(s, dir),
+      // s02's session islands + the per-user event count, one state row
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events
              |FROM d GROUP BY user_id""".stripMargin)),
     graft.queries.Q("s04_stream_static_join", (s, dir) => streamStaticJoin(s, dir),
       Some("""SELECT c_mktsegment, COUNT(*) AS n_events,

@@ -163,6 +163,31 @@ class StreamingSinkSpec extends SparkFunSuite {
       "session state diverged across micro-batch boundaries")
   }
 
+  test("s18 transformWithState: 3-file split equals the single batch (RocksDB state)") {
+    import org.apache.spark.sql.functions._
+    // same time-ordered split contract as s02 — the point is that the
+    // NEW API's ValueState survives micro-batch boundaries identically
+    val dir = Files.createTempDirectory("graft_split_tws").toString
+    val ev = graft.queries.Tables.events(spark, sf)
+    val ts = ev.select("ts").orderBy("ts").collect().map(_.getLong(0))
+    val (t1, t2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+    land(ev.filter(col("ts") <= t1), dir, "events0.parquet")
+    land(ev.filter(col("ts") > t1 && col("ts") <= t2), dir, "events1.parquet")
+    land(ev.filter(col("ts") > t2), dir, "events2.parquet")
+    val (out, ckpt) = tmp("s18split")
+    graft.streaming.StateStores.withRocksDb(spark) {
+      ParquetLand.updateJournal(
+        StreamingOps.transformWithStateStream(spark, dir, maxFilesPerTrigger = Some(1)),
+        out, ckpt)
+    }
+    val journal = spark.read.parquet(out)
+    assert(journal.select("_batch_id").distinct().count() >= 3,
+      "expected at least 3 micro-batches")
+    assert(canon(ParquetLand.journalState(journal, Seq("user_id"))) ==
+      canon(StreamingOps.transformWithStateSessions(spark, sf)),
+      "transformWithState state diverged across micro-batch boundaries")
+  }
+
   test("s09 KMV: arbitrary 3-file split equals the single batch (mergeable state)") {
     import org.apache.spark.sql.functions._
     // ARBITRARY split (not time-ordered): the KMV merge is commutative
