@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
 import org.apache.spark.sql.streaming.Trigger
 
 /** The OBJECT-STORE form of the compacting landing (SURVEY §9 round-6
@@ -42,20 +43,60 @@ import org.apache.spark.sql.streaming.Trigger
   * retention — the default `keepVersions = 1` keeps only the current
   * state, i.e. exactly the pre-time-travel disk footprint.
   *
+  * ZONE MAPS (round 6, the manifest-level scan optimization): a landing
+  * may declare ONE stats column; each commit then records every data
+  * file's [min,max] of that column in its manifest line, and
+  * [[readPruned]] serves a range predicate from ONLY the overlapping
+  * files — the Iceberg manifest-stats / Delta data-skipping idea. The
+  * payoff requires the writer to CLUSTER by the stats dimension
+  * (StorageLayoutSpec's q61 lesson), so [[appendCompacting]] can
+  * range-partition each batch and each compaction rewrite by it; stats
+  * are re-derived from the staged files themselves, never trusted from
+  * the incoming frame.
+  *
+  * DELETION VECTORS (round 6, merge-on-read DELETE): [[deleteWhere]]
+  * removes rows WITHOUT rewriting any data file — it stages a small
+  * sidecar parquet of (file_name, row_index) tombstones (positions from
+  * the scan's `_metadata` struct) and commits it with the usual flip;
+  * every read then anti-joins the tombstones back out. Erasure follows
+  * the Delta/Iceberg retention contract: the CURRENT version snapshot
+  * is rewritten post-delete (so `readVersion(applied)` always equals
+  * `read`), OLDER retained versions still serve the pre-delete rows
+  * until `expireVersions` drops them, and the next compaction folds the
+  * vectors into clean rewrite files (tombstones never accumulate past a
+  * rewrite cycle).
+  *
   * This is the Iceberg/Delta commit idea reduced to its kernel: one
   * mutable pointer, immutable everything else. Operational contract
   * (same as ParquetLand.applyBatch): resetting the CHECKPOINT requires
   * removing the landing too, or the stale high-water mark silently
-  * skips replayed batches.
+  * skips replayed batches. All maintenance entry points (vacuum,
+  * deleteWhere, expireVersions, compaction) share the single-writer
+  * contract.
   */
 object ManifestLand {
 
-  private[streaming] case class Manifest(applied: Long, files: Seq[String])
+  private[streaming] case class FileEntry(
+      name: String, lo: Option[Long] = None, hi: Option[Long] = None)
+
+  private[streaming] case class Manifest(
+      applied: Long,
+      entries: Seq[FileEntry],
+      statsCol: Option[String] = None,
+      dvs: Seq[String] = Seq.empty) {
+    def files: Seq[String] = entries.map(_.name)
+  }
 
   private def manifestFile(dir: String) = new java.io.File(dir, "_manifest")
   private def versionFile(dir: String, v: Long) =
     new java.io.File(dir, s"_manifest.v$v")
 
+  /** Manifest line grammar, backward compatible with the round-5 format
+    * (plain file-name lines): tab-separated fields, `dv\t<name>` for a
+    * deletion-vector sidecar, `name\t<lo>\t<hi>` for a data file with
+    * zone-map stats, bare `name` otherwise; one optional `stats=<col>`
+    * header line after `applied=`.
+    */
   private def parseManifest(mf: java.io.File): Manifest = {
     if (!mf.exists()) Manifest(-1L, Seq.empty)
     else {
@@ -63,9 +104,28 @@ object ManifestLand {
         .split("\n").iterator.filter(_.nonEmpty).toSeq
       lines match {
         case head +: rest if head.startsWith("applied=") =>
-          Manifest(head.stripPrefix("applied=").toLongOption.getOrElse(
-            throw new IllegalStateException(s"unreadable manifest header in $mf: $head")),
-            rest)
+          val applied = head.stripPrefix("applied=").toLongOption.getOrElse(
+            throw new IllegalStateException(s"unreadable manifest header in $mf: $head"))
+          val (statsCol, body) = rest match {
+            case s +: tail if s.startsWith("stats=") =>
+              (Some(s.stripPrefix("stats=")), tail)
+            case other => (None, other)
+          }
+          val (dvLines, dataLines) = body.partition(_.startsWith("dv\t"))
+          val entries = dataLines.map { l =>
+            l.split("\t", -1) match {
+              case Array(n) => FileEntry(n)
+              case Array(n, lo, hi) =>
+                FileEntry(n,
+                  Some(lo.toLongOption.getOrElse(throw new IllegalStateException(
+                    s"unreadable zone-map line in $mf: $l"))),
+                  Some(hi.toLongOption.getOrElse(throw new IllegalStateException(
+                    s"unreadable zone-map line in $mf: $l"))))
+              case _ => throw new IllegalStateException(
+                s"unrecognized manifest line in $mf: $l")
+            }
+          }
+          Manifest(applied, entries, statsCol, dvLines.map(_.stripPrefix("dv\t")))
         case Seq() => Manifest(-1L, Seq.empty)
         case other =>
           // refuse rather than guess: silently consuming a data line as
@@ -75,6 +135,15 @@ object ManifestLand {
             s"unrecognized manifest header in $mf: ${other.head}")
       }
     }
+  }
+
+  private def render(m: Manifest): Array[Byte] = {
+    val header = s"applied=${m.applied}" +: m.statsCol.map(c => s"stats=$c").toSeq
+    val data = m.entries.map {
+      case FileEntry(n, Some(lo), Some(hi)) => s"$n\t$lo\t$hi"
+      case FileEntry(n, _, _) => n
+    }
+    (header ++ data ++ m.dvs.map(n => s"dv\t$n")).mkString("\n").getBytes("UTF-8")
   }
 
   private[streaming] def readManifest(dir: String): Manifest =
@@ -100,11 +169,14 @@ object ManifestLand {
   }
 
   /** Every file name referenced by the live manifest or ANY version file
-    * (committed or provisional) — the retention root set.
+    * (committed or provisional) — the retention root set. Deletion-vector
+    * sidecars are roots like data files: a retained version's read path
+    * needs its vectors.
     */
-  private def referenced(dir: String): Set[String] =
-    (readManifest(dir).files ++
-      versionFilesOnDisk(dir).flatMap(parseManifest(_).files)).toSet
+  private def referenced(dir: String): Set[String] = {
+    val ms = readManifest(dir) +: versionFilesOnDisk(dir).map(parseManifest)
+    ms.flatMap(m => m.files ++ m.dvs).toSet
+  }
 
   /** Atomically replace the manifest — THE commit primitive (shared
     * write-tmp-then-ATOMIC_MOVE implementation with ParquetLand's
@@ -113,15 +185,15 @@ object ManifestLand {
     * vacuum could sweep.
     */
   private def flip(dir: String, m: Manifest): Unit = {
-    val body = (s"applied=${m.applied}" +: m.files).mkString("\n").getBytes("UTF-8")
+    val body = render(m)
     ParquetLand.atomicReplace(versionFile(dir, m.applied), body)
     ParquetLand.atomicReplace(manifestFile(dir), body)
   }
 
   /** Delete parquet files that NO retained manifest (live or version)
-    * references — orphans of crashed stages/compactions. Single-writer
-    * contract: run only while no stream is writing (appendCompacting
-    * runs it before starting).
+    * references — orphans of crashed stages/compactions/deletes.
+    * Single-writer contract: run only while no stream is writing
+    * (appendCompacting runs it before starting).
     */
   def vacuum(dir: String): Unit = {
     val keep = referenced(dir)
@@ -138,7 +210,9 @@ object ManifestLand {
     * sweep data files nothing references anymore — Delta/Iceberg-style
     * retention. `keep = 1` pins only the current state. A provisional
     * (above-high-water) version file is never expired here; the replay
-    * that commits it will overwrite it.
+    * that commits it will overwrite it. After a [[deleteWhere]], this is
+    * also the erasure bound: dropping the pre-delete versions is what
+    * makes the deleted rows unreachable from EVERY read path.
     */
   def expireVersions(dir: String, keep: Int): Unit = {
     require(keep >= 1, "expireVersions: must retain at least the current version")
@@ -149,8 +223,25 @@ object ManifestLand {
 
   private def readFiles(spark: SparkSession, dir: String, m: Manifest,
       what: String): DataFrame = {
-    if (m.files.nonEmpty) spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
-    else {
+    if (m.files.nonEmpty) {
+      val data = spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
+      if (m.dvs.isEmpty) data
+      else {
+        // merge-on-read: anti-join the (file, position) tombstones back
+        // out. The vector side is tiny by construction (it only ever
+        // holds tombstones written since the last compaction), so it
+        // broadcasts and the data side is never shuffled.
+        val dv = spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
+          .select(col("file_name").as("__dv_file"), col("row_index").as("__dv_pos"))
+        data
+          .withColumn("__file", expr("_metadata.file_name"))
+          .withColumn("__pos", expr("_metadata.row_index"))
+          .join(broadcast(dv),
+            col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+            "left_anti")
+          .drop("__file", "__pos")
+      }
+    } else {
       require(m.applied >= 0L,
         s"ManifestLand.read on an empty landing (no committed batches): $dir")
       val sf = new java.io.File(dir, "_schema")
@@ -175,9 +266,10 @@ object ManifestLand {
   /** Read the landing AS OF committed version `v` (the state after
     * batch `v` was applied) — time travel over the retained snapshots.
     * Physical layout may differ from the original commit (a compaction
-    * re-flips the same version id with its rewrite files), but content
-    * is identical; data files are retained while any version references
-    * them.
+    * re-flips the same version id with its rewrite files, a delete
+    * re-flips it with its vectors), but `readVersion(applied)` always
+    * equals `read`; versions BELOW a delete still serve the pre-delete
+    * rows until expired.
     */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     require(versions(dir).contains(v),
@@ -186,12 +278,45 @@ object ManifestLand {
     readFiles(spark, dir, parseManifest(versionFile(dir, v)), "readVersion")
   }
 
+  /** Live data files whose zone map MAY contain a `statsCol` value in
+    * [lo, hi] — files with no recorded stats are conservatively kept.
+    * Exposed so tests can assert the skip actually skips.
+    */
+  def prunedLiveFiles(dir: String, lo: Long, hi: Long): Seq[String] = {
+    val m = readManifest(dir)
+    require(m.statsCol.nonEmpty,
+      s"ManifestLand.prunedLiveFiles: landing $dir has no stats column")
+    m.entries.filter {
+      case FileEntry(_, Some(flo), Some(fhi)) => fhi >= lo && flo <= hi
+      case _ => true
+    }.map(_.name)
+  }
+
+  /** Range scan through the zone maps: read ONLY the live files whose
+    * [min,max] overlaps [lo, hi], tombstones still applied. The result
+    * is a SUPERSET of the exact range (files are pruned, not rows) — the
+    * caller applies its own predicate on top, exactly like a parquet
+    * reader applies the residual filter after row-group pruning.
+    */
+  def readPruned(spark: SparkSession, dir: String, lo: Long, hi: Long): DataFrame = {
+    val m = readManifest(dir)
+    val keep = prunedLiveFiles(dir, lo, hi).toSet
+    readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
+      "readPruned")
+  }
+
   /** Stage one micro-batch and commit it with one manifest flip —
     * exactly-once via the manifest's applied high-water mark (see object
-    * doc). Exposed for direct crash-window testing.
+    * doc). When `statsCol` is set the batch is range-partitioned by it
+    * into `rangeParts` clustered files and each staged file's [min,max]
+    * is recorded in the manifest (derived by re-reading the staged files
+    * grouped on `_metadata.file_name` — one small job, and the stats can
+    * never disagree with the bytes on disk). Exposed for direct
+    * crash-window testing.
     */
   private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long,
-      outDir: String): Unit = {
+      outDir: String, statsCol: Option[String] = None,
+      rangeParts: Int = 2): Unit = {
     val m = readManifest(outDir)
     if (batchId <= m.applied) return // replayed, already committed
     // persist the schema once (write-then-ATOMIC_MOVE like the manifest)
@@ -200,47 +325,131 @@ object ManifestLand {
     val sf = new java.io.File(outDir, "_schema")
     if (!sf.exists())
       ParquetLand.atomicReplace(sf, batch.schema.json.getBytes("UTF-8"))
+    val clustered = statsCol.fold(batch)(c =>
+      batch.repartitionByRange(rangeParts, col(c)))
     // stageParts sweeps crashed-attempt leftovers for this prefix (live
     // b-files always belong to ids <= applied, so the sweep can never
     // touch a manifest-referenced file)
-    val staged = ParquetLand.stageParts(batch, outDir, s"b${batchId}_")
-    flip(outDir, Manifest(batchId, m.files ++ staged)) // commit point
+    val staged = ParquetLand.stageParts(clustered, outDir, s"b${batchId}_")
+    val entries = statsCol match {
+      case None => staged.map(FileEntry(_))
+      case Some(c) => fileStats(batch.sparkSession, outDir, staged, c)
+    }
+    flip(outDir, Manifest(batchId, m.entries ++ entries, statsCol.orElse(m.statsCol),
+      m.dvs)) // commit point
+  }
+
+  /** Per-file [min,max] of `statsCol`, read back from the staged bytes. */
+  private def fileStats(spark: SparkSession, dir: String, names: Seq[String],
+      statsCol: String): Seq[FileEntry] = {
+    if (names.isEmpty) return Seq.empty
+    val stats = spark.read.parquet(names.map(n => s"$dir/$n"): _*)
+      .groupBy(expr("_metadata.file_name").as("__f"))
+      .agg(min(col(statsCol).cast("long")).as("__lo"),
+        max(col(statsCol).cast("long")).as("__hi"))
+      .collect().map(r => r.getAs[String]("__f") ->
+        (r.getAs[Long]("__lo"), r.getAs[Long]("__hi"))).toMap
+    // a range partition can legitimately be empty (skewed batch): its
+    // file holds zero rows and gets no stats row — record an impossible
+    // [0, -1] zone so every range prunes it
+    names.map(n => stats.get(n) match {
+      case Some((lo, hi)) => FileEntry(n, Some(lo), Some(hi))
+      case None => FileEntry(n, Some(0L), Some(-1L))
+    })
+  }
+
+  /** Merge-on-read DELETE: tombstone every live row matching `cond`
+    * WITHOUT touching any data file, committed with one flip. The new
+    * vector sidecar carries the union of all existing tombstones plus
+    * the new ones (so the live manifest always references exactly ONE
+    * vector file and reads join one small table); the superseded sidecar
+    * stays on disk while any retained version references it. Returns the
+    * number of newly tombstoned rows; zero matches still commit (an
+    * idempotent re-run is a no-op flip). Single-writer contract: do not
+    * run while a stream is appending.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
+    val m = readManifest(dir)
+    require(m.applied >= 0L, s"ManifestLand.deleteWhere on an uncommitted landing: $dir")
+    if (m.files.isEmpty) return 0L
+    val existing: DataFrame =
+      if (m.dvs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("row_index",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
+        .select(col("file_name"), col("row_index"))
+    // positions of the matching rows in the CURRENT merge-on-read view:
+    // rows already tombstoned must not be re-counted, so anti-join first
+    val fresh = spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
+      .withColumn("file_name", expr("_metadata.file_name"))
+      .withColumn("row_index", expr("_metadata.row_index"))
+      .join(broadcast(existing.withColumnRenamed("file_name", "__ef")
+        .withColumnRenamed("row_index", "__ep")),
+        col("file_name") === col("__ef") && col("row_index") === col("__ep"),
+        "left_anti")
+      .filter(cond)
+      .select(col("file_name"), col("row_index"))
+    val merged = existing.union(fresh).coalesce(1)
+    val nFresh = fresh.count()
+    val staged = ParquetLand.stageParts(merged, dir,
+      s"dv${m.applied}_${System.nanoTime()}_")
+    flip(dir, m.copy(dvs = staged)) // commit point; rewrites v<applied> too
+    vacuum(dir) // sweep the superseded sidecar unless a version pins it
+    nFresh
   }
 
   /** Rewrite the landing to `targetFiles` parts when it exceeds
-    * `maxFiles`, committing with one flip. The rewrite files carry a
-    * unique attempt suffix, so a retried compaction can never REPLACE a
-    * file the current manifest references, and the post-flip delete of
-    * superseded files skips anything a RETAINED VERSION still references
-    * (time travel keeps old files alive until expiry).
+    * `maxFiles`, committing with one flip. The rewrite READS THROUGH the
+    * deletion vectors (tombstoned rows fold away — vectors never survive
+    * a compaction cycle) and re-clusters by the stats column when the
+    * landing declares one, re-deriving fresh zone maps. The rewrite
+    * files carry a unique attempt suffix, so a retried compaction can
+    * never REPLACE a file the current manifest references, and the
+    * post-flip delete of superseded files skips anything a RETAINED
+    * VERSION still references (time travel keeps old files alive until
+    * expiry).
     */
   private[streaming] def compactIfNeeded(spark: SparkSession, outDir: String,
       maxFiles: Int, targetFiles: Int): Unit = {
     val m = readManifest(outDir)
     if (m.files.length <= maxFiles) return
-    val data = spark.read.parquet(m.files.map(n => s"$outDir/$n"): _*)
-      .repartition(targetFiles)
+    val merged = readFiles(spark, outDir, m, "compact")
+    val data = m.statsCol match {
+      case Some(c) => merged.repartitionByRange(targetFiles, col(c))
+      case None => merged.repartition(targetFiles)
+    }
     val cnames = ParquetLand.stageParts(data, outDir,
       s"c${m.applied}_${System.nanoTime()}_")
-    flip(outDir, Manifest(m.applied, cnames))
+    val entries = m.statsCol match {
+      case None => cnames.map(FileEntry(_))
+      case Some(c) => fileStats(spark, outDir, cnames, c)
+    }
+    flip(outDir, Manifest(m.applied, entries, m.statsCol, Seq.empty))
     val keep = referenced(outDir)
-    m.files.filterNot(keep.contains)
+    (m.files ++ m.dvs).filterNot(keep.contains)
       .foreach { n => new java.io.File(outDir, n).delete(); () }
   }
 
   /** Append-mode stream → manifest-committed landing with continuous
     * compaction; same contract as [[ParquetLand.appendCompacting]], no
     * directory renames anywhere. `keepVersions` bounds the time-travel
-    * history (1 = current state only, the pre-round-6 footprint).
+    * history (1 = current state only, the pre-round-6 footprint);
+    * `statsCol` opts into zone-map stats + range clustering on that
+    * column (`rangeParts` files per batch).
     */
   def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
-      maxFiles: Int = 8, targetFiles: Int = 2, keepVersions: Int = 1): Unit = {
+      maxFiles: Int = 8, targetFiles: Int = 2, keepVersions: Int = 1,
+      statsCol: Option[String] = None, rangeParts: Int = 2): Unit = {
     new java.io.File(outDir).mkdirs()
     vacuum(outDir) // sweep orphans of any crashed stage/compaction
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch, batchId, outDir)
+        applyBatch(batch, batchId, outDir, statsCol, rangeParts)
         expireVersions(outDir, keepVersions)
         // outside the skip path: a crash between the two flips is
         // repaired here on replay even though the batch itself skips

@@ -570,6 +570,54 @@ object StreamingOps {
     etlRollup(ManifestLand.readVersion(spark, out, 2))
   }
 
+  /** s19: MANIFEST ZONE MAPS — s15's ETL landed with per-file [min,max]
+    * stats on `tsu` and each batch range-clustered by it, then a
+    * middle-half range rollup served through [[ManifestLand.readPruned]]:
+    * the manifest prunes non-overlapping files BEFORE any parquet footer
+    * is opened (the Iceberg manifest-stats / Delta data-skipping scan
+    * path; ManifestLandSpec asserts files are really skipped — here the
+    * gate proves the pruned read computes the exact answer). At 100 TB
+    * this is the difference between listing a prefix and reading it.
+    */
+  def streamEtlZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s19")
+    val out = java.nio.file.Files.createTempDirectory("graft_s19_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s19_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      statsCol = Some("tsu"), rangeParts = 2)
+    val Seq(mn, mx) = ManifestLand.read(spark, out)
+      .agg(min("tsu"), max("tsu")).head().toSeq.map(_.asInstanceOf[Long])
+    val (lo, hi) = (mn + (mx - mn) / 4, mn + 3 * ((mx - mn) / 4))
+    ManifestLand.readPruned(spark, out, lo, hi)
+      .filter(col("tsu") >= lo && col("tsu") <= hi) // residual, like a reader
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"))
+  }
+
+  /** s20: DELETION VECTORS — s15's ETL landed with history retention,
+    * then a merge-on-read DELETE (cheap clicks tombstoned positionally,
+    * no data file rewritten) and the rollup over the tombstone-filtered
+    * read. ManifestLandSpec pins the mechanics (files untouched, history
+    * pre-delete, compaction folds the vectors); the gate proves the
+    * merged view computes exactly the batch answer with the deleted rows
+    * gone.
+    */
+  def streamDeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s20")
+    val out = java.nio.file.Files.createTempDirectory("graft_s20_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s20_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      keepVersions = 4)
+    ManifestLand.deleteWhere(spark, out,
+      col("event_type") === "click" && col("value_e4") < 1000000L)
+    etlRollup(ManifestLand.read(spark, out))
+  }
+
   def streamEtlManifest(spark: SparkSession, dir: String): DataFrame = {
     val src = etlSource(spark, dir, "s15")
     val out = java.nio.file.Files.createTempDirectory("graft_s15_out").toString + "/landing"
@@ -791,6 +839,30 @@ object StreamingOps {
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM e GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s19_manifest_zonemap", (s, dir) => streamEtlZoneMap(s, dir),
+      // the pruned+residual read must equal the plain range rollup
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS tsu,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |b AS (SELECT MIN(tsu) AS mn, MAX(tsu) AS mx FROM e),
+             |r AS (SELECT e.* FROM e, b
+             |      WHERE tsu >= mn + (mx - mn) // 4
+             |        AND tsu <= mn + 3 * ((mx - mn) // 4))
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM r GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s20_deletion_vectors", (s, dir) => streamDeletionVectors(s, dir),
+      // the merge-on-read view must equal the batch answer minus the
+      // tombstoned rows
+      Some("""WITH e AS (SELECT event_type, user_id,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM e
+             |WHERE NOT (event_type = 'click' AND value_e4 < 1000000)
+             |GROUP BY event_type""".stripMargin)),
     // same rollup, same oracle as s13: the manifest-flip commit protocol
     // must be observationally identical to the rename-swap one
     graft.queries.Q("s15_stream_etl_manifest", (s, dir) => streamEtlManifest(s, dir),

@@ -181,4 +181,79 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(ManifestLand.read(spark, out).as[Long].collect().sorted.toSeq ==
       Seq(0L, 1L, 2L, 3L))
   }
+
+  test("zone maps: range reads skip non-overlapping files, answers stay exact") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_zm").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // 4 batches × 2 range-clustered files over k = 0..399: zone widths ~50
+    (0 until 4).foreach { i =>
+      val b = spark.range(i * 100L, (i + 1) * 100L)
+        .select(col("id").as("k"), (col("id") * 3).as("payload"))
+      ManifestLand.applyBatch(b.toDF(), i, out, statsCol = Some("k"), rangeParts = 2)
+    }
+    assert(ManifestLand.liveFiles(out).size == 8)
+    // a one-zone range must prune at least 6 of the 8 files
+    val pruned = ManifestLand.prunedLiveFiles(out, 120L, 170L)
+    assert(pruned.size <= 2, s"zone maps failed to skip: $pruned")
+    // pruned + residual == full scan + filter, on several ranges
+    for ((lo, hi) <- Seq((120L, 170L), (0L, 399L), (395L, 10000L), (-5L, 3L))) {
+      val viaZones = ManifestLand.readPruned(spark, out, lo, hi)
+        .filter(col("k") >= lo && col("k") <= hi)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val full = ManifestLand.read(spark, out)
+        .filter(col("k") >= lo && col("k") <= hi)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(viaZones == full, s"range [$lo,$hi] diverged through the zone maps")
+    }
+    // an out-of-domain range prunes everything
+    assert(ManifestLand.prunedLiveFiles(out, 1000L, 2000L).isEmpty)
+  }
+
+  test("deletion vectors: no data file rewritten; history retained; compaction folds") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_dv").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    (0 until 3).foreach { i =>
+      val b = spark.range(i * 10L, (i + 1) * 10L).select(col("id").as("k"))
+      ManifestLand.applyBatch(b.toDF(), i, out)
+    }
+    val filesBefore = ManifestLand.liveFiles(out).toSet
+    val bytesBefore = filesBefore.map(n =>
+      n -> new java.io.File(out, n).length()).toMap
+    // merge-on-read delete: every k in [5, 14]
+    val n = ManifestLand.deleteWhere(spark, out, col("k") >= 5L && col("k") <= 14L)
+    assert(n == 10L, s"tombstoned $n rows")
+    // no data file touched — same names, same bytes; only a dv sidecar
+    assert(ManifestLand.liveFiles(out).toSet == filesBefore)
+    filesBefore.foreach(f =>
+      assert(new java.io.File(out, f).length() == bytesBefore(f), s"$f rewritten"))
+    val expect = (0L to 4L) ++ (15L to 29L)
+    assert(ManifestLand.read(spark, out).as[Long].collect().sorted.toSeq == expect)
+    // current version == current read (erasure includes the live snapshot)
+    assert(ManifestLand.readVersion(spark, out, 2).as[Long].collect().sorted.toSeq
+      == expect)
+    // re-running the same delete tombstones nothing new
+    assert(ManifestLand.deleteWhere(spark, out, col("k") >= 5L && col("k") <= 14L) == 0L)
+    // pre-delete history is still served until expiry (retention-bounded
+    // erasure): version 1 = batches 0..1, tombstones not yet written
+    assert(ManifestLand.readVersion(spark, out, 1).as[Long].collect().sorted.toSeq
+      == (0L to 19L))
+    // a second, overlapping delete merges into ONE live vector sidecar
+    assert(ManifestLand.deleteWhere(spark, out, col("k") === 20L) == 1L)
+    assert(ManifestLand.readManifest(out).dvs.size == 1)
+    assert(ManifestLand.read(spark, out).as[Long].collect().sorted.toSeq ==
+      ((0L to 4L) ++ (15L to 19L) ++ (21L to 29L)))
+    // compaction folds the vectors into clean files: rows stay gone, no
+    // dv line survives, and expiry + vacuum drop the superseded bytes
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    assert(ManifestLand.readManifest(out).dvs.isEmpty)
+    assert(ManifestLand.read(spark, out).as[Long].collect().sorted.toSeq ==
+      ((0L to 4L) ++ (15L to 19L) ++ (21L to 29L)))
+    ManifestLand.expireVersions(out, keep = 1)
+    assert(diskParquet(out) == ManifestLand.liveFiles(out).toSet,
+      "expiry + vacuum must leave disk == manifest")
+  }
 }
