@@ -287,24 +287,31 @@ object PipelineOps {
   // shingle hits (no false negatives vs d18); the FPR is ~1% at this fill.
   // Oracled by exporting the words + probe hashes and replaying the exact
   // bit arithmetic in DuckDB.
+  // Per-doc DISTINCT 5-gram hashes as one narrow array column — shingle
+  // dedup is per-document by construction, so `array_distinct` inside the
+  // row replaces what was a corpus-wide shuffle-distinct over full shingle
+  // STRINGS (round-6 perf pass: the old shape shuffled every 5-gram text
+  // twice and then re-distincted on the hash anyway; this one never
+  // shuffles anything wider than the final rollup keys).
   private def shingleHashes5(s: SparkSession, dir: String): DataFrame = {
-    val grams5 = "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+    val hs5 = "array_distinct(transform(sequence(1, size(ws) - 4), " +
+      "i -> xxhash64(concat_ws(' ', slice(ws, i, 5)))))"
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 5)
-      .select(col("doc_id"), col("source"), explode(expr(grams5)).as("shingle"))
-      .distinct()
-      .select(col("doc_id"), col("source"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), col("source"), explode(expr(hs5)).as("h"))
   }
 
   private[graft] def d27Bloom(s: SparkSession, dir: String): DataFrame =
+    // no distinct at all: the sketch is a bitwise OR, duplicate hashes
+    // are idempotent — the only shuffle is m/8 bytes of partial sketch
+    // per partition
     shingleHashes5(s, dir).filter(col("source") === "src0")
-      .select(col("h")).distinct()
       .agg(graft.functions.BloomAgg.bloom_agg(col("h")).as("words"))
 
   private[graft] def d27Probes(s: SparkSession, dir: String): DataFrame =
     shingleHashes5(s, dir).filter(col("source") =!= "src0")
-      .select(col("doc_id"), col("h")).distinct()
+      .select(col("doc_id"), col("h"))
 
   private def d27(s: SparkSession, dir: String): DataFrame =
     d27Probes(s, dir)
