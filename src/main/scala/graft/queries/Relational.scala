@@ -890,6 +890,33 @@ object Relational {
       Some("""SELECT event_type, COUNT(*) AS n,
              |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // --- q67: typed Dataset Aggregator (API-family completeness) ----------
+    // The same rollup as a slice of q01, but through the TYPED aggregation
+    // surface: groupByKey + an `expressions.Aggregator` with a case-class
+    // buffer (see operators/TypedStatsAgg for the codegen trade-off note).
+    // Map-side partials and an associative merge keep the plan shape
+    // identical to the hash aggregate; integer fields keep it oracled.
+    Q("q67_typed_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            intUnits("l_extendedprice").as("cents"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(graft.operators.PriceStatsAgg.toColumn.name("stats"))
+          .select(col("key").as("l_returnflag"),
+            col("stats.sum_cents").as("sum_cents"),
+            col("stats.n").as("n"),
+            col("stats.max_cents").as("max_cents"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MAX(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }
