@@ -369,4 +369,30 @@ class PlanQualitySpec extends SparkFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
   }
+
+  test("runtime bloom-filter join: the dim's selectivity reaches the fact scan as might_contain") {
+    // The 100-TB shuffle-join configuration: when the dim side is too big
+    // to broadcast but carries a selective filter, Spark's
+    // InjectRuntimeFilter can build a bloom sketch of the dim's join keys
+    // and semi-filter the FACT side before the shuffle — rows that cannot
+    // match never leave the map side. The thresholds default to
+    // cluster-scale sizes (10 GB application-side scan), so the engine's
+    // bench/verify fixtures never trip it implicitly; this pins the
+    // conf recipe and the resulting plan shape on a fresh session.
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+    val li = s2.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = s2.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val p = plan(j)
+    assert(p.contains("might_contain"),
+      s"runtime bloom filter was not injected:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
 }
