@@ -270,6 +270,131 @@ object StreamingOps {
           max(col("n_events")).as("n_events"))
     }
 
+  final case class TimerEvent(user_id: Long, tsu: Long,
+      event_time: java.sql.Timestamp)
+  final case class OpenSession(startTs: Long, lastTs: Long, events: Long)
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  private val SessionGapUs = 1800000000L // 30 min in µs
+
+  /** s21: EVENT-TIME TIMERS — the `transformWithState` API corner s18
+    * leaves out. Sessions are emitted EXACTLY ONCE each, when they CLOSE:
+    * either a later event opens the next session (emitted from
+    * `handleInputRows`), or the watermark passes lastTs + gap and the
+    * registered event-time timer fires (`handleExpiredTimer` — the only
+    * way a user's FINAL session ever emits on an unbounded stream). One
+    * live timer per key, re-armed to the open session's expiry each
+    * batch. Emission TIMING depends on batching, but the SET of closed
+    * sessions is the gap-island decomposition of the input — batch-
+    * invariant under the time-ordered landing contract, which is what
+    * the oracle replays.
+    *
+    * Under AvailableNow the stream would end with every user's last
+    * session still open (no event after it, watermark never passes it),
+    * so the landing appends the s12 watermark-sentinel trick: a far-
+    * future reserved-key event raises the watermark past every live
+    * timer, and because a watermark raised in batch N only APPLIES in
+    * batch N+1, TWO sentinel files are landed (the second batch is where
+    * every timer actually fires). The processor ignores the reserved key
+    * entirely — sentinel rows exist only to move the clock.
+    */
+  private class TimerSessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimerEvent, ClosedSession] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[OpenSession](
+        "openSession",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[TimerEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSession] = {
+      if (uid < 0L) return Iterator.empty // watermark sentinel key
+      val sorted = rows.toSeq.sortBy(_.tsu)
+      if (sorted.isEmpty) return Iterator.empty
+      var closed = List.empty[ClosedSession]
+      var st = if (state.exists()) Some(state.get()) else None
+      sorted.foreach { e =>
+        st match {
+          case Some(s) if e.tsu - s.lastTs > SessionGapUs =>
+            closed ::= ClosedSession(uid, s.startTs, s.lastTs, s.events)
+            st = Some(OpenSession(e.tsu, e.tsu, 1L))
+          case Some(s) =>
+            st = Some(OpenSession(s.startTs, e.tsu, s.events + 1L))
+          case None =>
+            st = Some(OpenSession(e.tsu, e.tsu, 1L))
+        }
+      }
+      state.update(st.get)
+      // one live timer per key: re-arm to the open session's expiry
+      // (timer clock is WALL-MS; our domain is µs)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer((st.get.lastTs + SessionGapUs) / 1000L + 1L)
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val s = state.get()
+        state.clear()
+        Iterator.single(ClosedSession(uid, s.startTs, s.lastTs, s.events))
+      }
+    }
+  }
+
+  def timerSessionsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val land = java.nio.file.Files.createTempDirectory("graft_s21_land").toString
+    graft.TempCleanup.registerDir(land)
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val Seq(mn, mx) = ev.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 4 + 1
+    for (k <- 0 until 4)
+      landFile(ev.filter(expr("ts div 1000") >= mn + k * step &&
+          expr("ts div 1000") < mn + (k + 1) * step),
+        land, f"00${k}%d_events.parquet")
+    // two watermark-raising sentinel batches (see the processor doc)
+    for (k <- 4 to 5)
+      landFile(
+        spark.range(1).select(
+          lit(-1L - k).as("event_id"),
+          lit((mx + 10L * SessionGapUs + k) * 1000L).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props")),
+        land, f"00${k}%d_events.parquet")
+    spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .withWatermark("event_time", "1 second")
+      .as[TimerEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TimerSessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  def timerSessions(spark: SparkSession, dir: String): DataFrame =
+    StateStores.withRocksDb(spark) {
+      drainToMemory(timerSessionsStream(spark, dir), "graft_stream_timer_", "append")
+    }
+
   /** Streaming exact dedup: a document stream deduplicated on content as
     * it lands, keeping a DETERMINISTIC winner per text — the min-doc_id
     * row — via a stateful `min_by` aggregation (state store keyed on
@@ -791,6 +916,24 @@ object StreamingOps {
              |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
              |       CAST(COUNT(*) AS BIGINT) AS n_events
              |FROM d GROUP BY user_id""".stripMargin)),
+    graft.queries.Q("s21_timer_sessions", (s, dir) => timerSessions(s, dir),
+      // every gap-island session, emitted exactly once at close time —
+      // the full session LIST (s02 reports per-user counts; s10's
+      // session_window uses >=, this API's fold uses s02's >)
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+             |m AS (SELECT user_id, event_id, tsu,
+             |        CASE WHEN lag(tsu) OVER w IS NULL
+             |               OR tsu - lag(tsu) OVER w > 1800000000
+             |             THEN 1 ELSE 0 END AS new_s
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+             |i AS (SELECT user_id, tsu,
+             |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, CAST(MIN(tsu) AS BIGINT) AS session_start_us,
+             |       CAST(MAX(tsu) AS BIGINT) AS session_end_us,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM i GROUP BY user_id, sid""".stripMargin)),
     graft.queries.Q("s04_stream_static_join", (s, dir) => streamStaticJoin(s, dir),
       Some("""SELECT c_mktsegment, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
