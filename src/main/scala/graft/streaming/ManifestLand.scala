@@ -44,15 +44,17 @@ import org.apache.spark.sql.streaming.Trigger
   * state, i.e. exactly the pre-time-travel disk footprint.
   *
   * ZONE MAPS (round 6, the manifest-level scan optimization): a landing
-  * may declare ONE stats column; each commit then records every data
-  * file's [min,max] of that column in its manifest line, and
-  * [[readPruned]] serves a range predicate from ONLY the overlapping
-  * files — the Iceberg manifest-stats / Delta data-skipping idea. The
+  * may declare stats columns; each commit then records every data
+  * file's [min,max] per column in its manifest line, and [[readPruned]]
+  * serves range predicates from ONLY the files whose boxes overlap all
+  * of them — the Iceberg manifest-stats / Delta data-skipping idea. The
   * payoff requires the writer to CLUSTER by the stats dimension
-  * (StorageLayoutSpec's q61 lesson), so [[appendCompacting]] can
-  * range-partition each batch and each compaction rewrite by it; stats
-  * are re-derived from the staged files themselves, never trusted from
-  * the incoming frame.
+  * (StorageLayoutSpec's q61 lesson), so [[appendCompacting]] range-
+  * partitions each batch and each compaction rewrite — by the first
+  * stats column, or by an explicit `clusterBy` expression (a Morton key
+  * over the stats columns z-orders the landing so EVERY dimension's
+  * ranges prune at once); stats are re-derived from the staged files
+  * themselves, never trusted from the incoming frame.
   *
   * DELETION VECTORS (round 6, merge-on-read DELETE): [[deleteWhere]]
   * removes rows WITHOUT rewriting any data file — it stages a small
@@ -76,13 +78,14 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ManifestLand {
 
+  /** `bounds(i)` = [min,max] of `Manifest.statsCols(i)` in this file. */
   private[streaming] case class FileEntry(
-      name: String, lo: Option[Long] = None, hi: Option[Long] = None)
+      name: String, bounds: Seq[(Long, Long)] = Seq.empty)
 
   private[streaming] case class Manifest(
       applied: Long,
       entries: Seq[FileEntry],
-      statsCol: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty,
       dvs: Seq[String] = Seq.empty) {
     def files: Seq[String] = entries.map(_.name)
   }
@@ -93,9 +96,9 @@ object ManifestLand {
 
   /** Manifest line grammar, backward compatible with the round-5 format
     * (plain file-name lines): tab-separated fields, `dv\t<name>` for a
-    * deletion-vector sidecar, `name\t<lo>\t<hi>` for a data file with
-    * zone-map stats, bare `name` otherwise; one optional `stats=<col>`
-    * header line after `applied=`.
+    * deletion-vector sidecar, `name\t<lo1>\t<hi1>[\t<lo2>\t<hi2>...]` for
+    * a data file with one [min,max] pair per declared stats column; one
+    * optional `stats=<col1>[,<col2>...]` header line after `applied=`.
     */
   private def parseManifest(mf: java.io.File): Manifest = {
     if (!mf.exists()) Manifest(-1L, Seq.empty)
@@ -106,26 +109,23 @@ object ManifestLand {
         case head +: rest if head.startsWith("applied=") =>
           val applied = head.stripPrefix("applied=").toLongOption.getOrElse(
             throw new IllegalStateException(s"unreadable manifest header in $mf: $head"))
-          val (statsCol, body) = rest match {
+          val (statsCols, body) = rest match {
             case s +: tail if s.startsWith("stats=") =>
-              (Some(s.stripPrefix("stats=")), tail)
-            case other => (None, other)
+              (s.stripPrefix("stats=").split(",").map(_.trim).filter(_.nonEmpty).toSeq, tail)
+            case other => (Seq.empty[String], other)
           }
           val (dvLines, dataLines) = body.partition(_.startsWith("dv\t"))
           val entries = dataLines.map { l =>
-            l.split("\t", -1) match {
-              case Array(n) => FileEntry(n)
-              case Array(n, lo, hi) =>
-                FileEntry(n,
-                  Some(lo.toLongOption.getOrElse(throw new IllegalStateException(
-                    s"unreadable zone-map line in $mf: $l"))),
-                  Some(hi.toLongOption.getOrElse(throw new IllegalStateException(
-                    s"unreadable zone-map line in $mf: $l"))))
-              case _ => throw new IllegalStateException(
-                s"unrecognized manifest line in $mf: $l")
-            }
+            val fields = l.split("\t", -1)
+            if (fields.length == 1) FileEntry(fields(0))
+            else if (fields.length == 1 + 2 * statsCols.length) {
+              val bounds = fields.tail.map(f => f.toLongOption.getOrElse(
+                throw new IllegalStateException(s"unreadable zone-map line in $mf: $l")))
+              FileEntry(fields(0), bounds.grouped(2).map(p => (p(0), p(1))).toSeq)
+            } else throw new IllegalStateException(
+              s"unrecognized manifest line in $mf (${statsCols.length} stats cols): $l")
           }
-          Manifest(applied, entries, statsCol, dvLines.map(_.stripPrefix("dv\t")))
+          Manifest(applied, entries, statsCols, dvLines.map(_.stripPrefix("dv\t")))
         case Seq() => Manifest(-1L, Seq.empty)
         case other =>
           // refuse rather than guess: silently consuming a data line as
@@ -138,10 +138,11 @@ object ManifestLand {
   }
 
   private def render(m: Manifest): Array[Byte] = {
-    val header = s"applied=${m.applied}" +: m.statsCol.map(c => s"stats=$c").toSeq
-    val data = m.entries.map {
-      case FileEntry(n, Some(lo), Some(hi)) => s"$n\t$lo\t$hi"
-      case FileEntry(n, _, _) => n
+    val header = s"applied=${m.applied}" +:
+      (if (m.statsCols.nonEmpty) Seq(s"stats=${m.statsCols.mkString(",")}") else Seq.empty)
+    val data = m.entries.map { e =>
+      if (e.bounds.isEmpty) e.name
+      else (e.name +: e.bounds.flatMap(b => Seq(b._1.toString, b._2.toString))).mkString("\t")
     }
     (header ++ data ++ m.dvs.map(n => s"dv\t$n")).mkString("\n").getBytes("UTF-8")
   }
@@ -278,31 +279,58 @@ object ManifestLand {
     readFiles(spark, dir, parseManifest(versionFile(dir, v)), "readVersion")
   }
 
-  /** Live data files whose zone map MAY contain a `statsCol` value in
-    * [lo, hi] — files with no recorded stats are conservatively kept.
-    * Exposed so tests can assert the skip actually skips.
+  /** Live data files whose zone maps MAY contain a value in [lo, hi] for
+    * EVERY predicate column — files with no recorded stats are
+    * conservatively kept. Exposed so tests can assert the skip actually
+    * skips. A z-ordered landing (cluster by the Morton key of the stats
+    * columns) gives tight boxes in all dimensions at once, so any
+    * single-dimension range prunes too.
     */
-  def prunedLiveFiles(dir: String, lo: Long, hi: Long): Seq[String] = {
+  def prunedLiveFiles(dir: String, preds: Seq[(String, Long, Long)]): Seq[String] = {
     val m = readManifest(dir)
-    require(m.statsCol.nonEmpty,
-      s"ManifestLand.prunedLiveFiles: landing $dir has no stats column")
-    m.entries.filter {
-      case FileEntry(_, Some(flo), Some(fhi)) => fhi >= lo && flo <= hi
-      case _ => true
+    require(m.statsCols.nonEmpty,
+      s"ManifestLand.prunedLiveFiles: landing $dir has no stats columns")
+    val idx = preds.map { case (c, lo, hi) =>
+      val i = m.statsCols.indexOf(c)
+      require(i >= 0, s"ManifestLand.prunedLiveFiles: no zone map for column $c " +
+        s"in $dir (have: ${m.statsCols.mkString(", ")})")
+      (i, lo, hi)
+    }
+    m.entries.filter { e =>
+      e.bounds.isEmpty || idx.forall { case (i, lo, hi) =>
+        val (flo, fhi) = e.bounds(i); fhi >= lo && flo <= hi
+      }
     }.map(_.name)
   }
 
-  /** Range scan through the zone maps: read ONLY the live files whose
-    * [min,max] overlaps [lo, hi], tombstones still applied. The result
-    * is a SUPERSET of the exact range (files are pruned, not rows) — the
-    * caller applies its own predicate on top, exactly like a parquet
-    * reader applies the residual filter after row-group pruning.
-    */
-  def readPruned(spark: SparkSession, dir: String, lo: Long, hi: Long): DataFrame = {
+  /** Single-column convenience: prune on the FIRST declared stats column. */
+  def prunedLiveFiles(dir: String, lo: Long, hi: Long): Seq[String] = {
     val m = readManifest(dir)
-    val keep = prunedLiveFiles(dir, lo, hi).toSet
+    require(m.statsCols.nonEmpty,
+      s"ManifestLand.prunedLiveFiles: landing $dir has no stats columns")
+    prunedLiveFiles(dir, Seq((m.statsCols.head, lo, hi)))
+  }
+
+  /** Range scan through the zone maps: read ONLY the live files whose
+    * boxes overlap every predicate's [lo, hi], tombstones still applied.
+    * The result is a SUPERSET of the exact range (files are pruned, not
+    * rows) — the caller applies its own predicate on top, exactly like a
+    * parquet reader applies the residual filter after row-group pruning.
+    */
+  def readPruned(spark: SparkSession, dir: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    val m = readManifest(dir)
+    val keep = prunedLiveFiles(dir, preds).toSet
     readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
       "readPruned")
+  }
+
+  /** Single-range convenience on the FIRST declared stats column. */
+  def readPruned(spark: SparkSession, dir: String, lo: Long, hi: Long): DataFrame = {
+    val m = readManifest(dir)
+    require(m.statsCols.nonEmpty,
+      s"ManifestLand.readPruned: landing $dir has no stats columns")
+    readPruned(spark, dir, Seq((m.statsCols.head, lo, hi)))
   }
 
   /** Stage one micro-batch and commit it with one manifest flip —
@@ -315,8 +343,8 @@ object ManifestLand {
     * crash-window testing.
     */
   private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long,
-      outDir: String, statsCol: Option[String] = None,
-      rangeParts: Int = 2): Unit = {
+      outDir: String, statsCols: Seq[String] = Seq.empty,
+      rangeParts: Int = 2, clusterBy: Option[Column] = None): Unit = {
     val m = readManifest(outDir)
     if (batchId <= m.applied) return // replayed, already committed
     // persist the schema once (write-then-ATOMIC_MOVE like the manifest)
@@ -325,36 +353,43 @@ object ManifestLand {
     val sf = new java.io.File(outDir, "_schema")
     if (!sf.exists())
       ParquetLand.atomicReplace(sf, batch.schema.json.getBytes("UTF-8"))
-    val clustered = statsCol.fold(batch)(c =>
-      batch.repartitionByRange(rangeParts, col(c)))
+    // cluster by the explicit expression (a Morton key composes several
+    // stats dimensions into one range-clustered order) or, by default,
+    // by the first stats column
+    val clustered = clusterBy.orElse(statsCols.headOption.map(col)) match {
+      case Some(c) => batch.repartitionByRange(rangeParts, c)
+      case None => batch
+    }
     // stageParts sweeps crashed-attempt leftovers for this prefix (live
     // b-files always belong to ids <= applied, so the sweep can never
     // touch a manifest-referenced file)
     val staged = ParquetLand.stageParts(clustered, outDir, s"b${batchId}_")
-    val entries = statsCol match {
-      case None => staged.map(FileEntry(_))
-      case Some(c) => fileStats(batch.sparkSession, outDir, staged, c)
-    }
-    flip(outDir, Manifest(batchId, m.entries ++ entries, statsCol.orElse(m.statsCol),
-      m.dvs)) // commit point
+    val entries =
+      if (statsCols.isEmpty) staged.map(FileEntry(_))
+      else fileStats(batch.sparkSession, outDir, staged, statsCols)
+    flip(outDir, Manifest(batchId, m.entries ++ entries,
+      if (statsCols.nonEmpty) statsCols else m.statsCols, m.dvs)) // commit point
   }
 
-  /** Per-file [min,max] of `statsCol`, read back from the staged bytes. */
+  /** Per-file [min,max] of every stats column, read back from the staged
+    * bytes (one small job; the stats can never disagree with the disk).
+    */
   private def fileStats(spark: SparkSession, dir: String, names: Seq[String],
-      statsCol: String): Seq[FileEntry] = {
+      statsCols: Seq[String]): Seq[FileEntry] = {
     if (names.isEmpty) return Seq.empty
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__lo_$c"), max(col(c).cast("long")).as(s"__hi_$c")))
     val stats = spark.read.parquet(names.map(n => s"$dir/$n"): _*)
       .groupBy(expr("_metadata.file_name").as("__f"))
-      .agg(min(col(statsCol).cast("long")).as("__lo"),
-        max(col(statsCol).cast("long")).as("__hi"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect().map(r => r.getAs[String]("__f") ->
-        (r.getAs[Long]("__lo"), r.getAs[Long]("__hi"))).toMap
+        statsCols.map(c => (r.getAs[Long](s"__lo_$c"), r.getAs[Long](s"__hi_$c")))).toMap
     // a range partition can legitimately be empty (skewed batch): its
     // file holds zero rows and gets no stats row — record an impossible
     // [0, -1] zone so every range prunes it
     names.map(n => stats.get(n) match {
-      case Some((lo, hi)) => FileEntry(n, Some(lo), Some(hi))
-      case None => FileEntry(n, Some(0L), Some(-1L))
+      case Some(bounds) => FileEntry(n, bounds)
+      case None => FileEntry(n, statsCols.map(_ => (0L, -1L)))
     })
   }
 
@@ -414,21 +449,20 @@ object ManifestLand {
     * expiry).
     */
   private[streaming] def compactIfNeeded(spark: SparkSession, outDir: String,
-      maxFiles: Int, targetFiles: Int): Unit = {
+      maxFiles: Int, targetFiles: Int, clusterBy: Option[Column] = None): Unit = {
     val m = readManifest(outDir)
     if (m.files.length <= maxFiles) return
     val merged = readFiles(spark, outDir, m, "compact")
-    val data = m.statsCol match {
-      case Some(c) => merged.repartitionByRange(targetFiles, col(c))
+    val data = clusterBy.orElse(m.statsCols.headOption.map(col)) match {
+      case Some(c) => merged.repartitionByRange(targetFiles, c)
       case None => merged.repartition(targetFiles)
     }
     val cnames = ParquetLand.stageParts(data, outDir,
       s"c${m.applied}_${System.nanoTime()}_")
-    val entries = m.statsCol match {
-      case None => cnames.map(FileEntry(_))
-      case Some(c) => fileStats(spark, outDir, cnames, c)
-    }
-    flip(outDir, Manifest(m.applied, entries, m.statsCol, Seq.empty))
+    val entries =
+      if (m.statsCols.isEmpty) cnames.map(FileEntry(_))
+      else fileStats(spark, outDir, cnames, m.statsCols)
+    flip(outDir, Manifest(m.applied, entries, m.statsCols, Seq.empty))
     val keep = referenced(outDir)
     (m.files ++ m.dvs).filterNot(keep.contains)
       .foreach { n => new java.io.File(outDir, n).delete(); () }
@@ -443,17 +477,18 @@ object ManifestLand {
     */
   def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
       maxFiles: Int = 8, targetFiles: Int = 2, keepVersions: Int = 1,
-      statsCol: Option[String] = None, rangeParts: Int = 2): Unit = {
+      statsCols: Seq[String] = Seq.empty, rangeParts: Int = 2,
+      clusterBy: Option[Column] = None): Unit = {
     new java.io.File(outDir).mkdirs()
     vacuum(outDir) // sweep orphans of any crashed stage/compaction
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch, batchId, outDir, statsCol, rangeParts)
+        applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy)
         expireVersions(outDir, keepVersions)
         // outside the skip path: a crash between the two flips is
         // repaired here on replay even though the batch itself skips
-        compactIfNeeded(batch.sparkSession, outDir, maxFiles, targetFiles)
+        compactIfNeeded(batch.sparkSession, outDir, maxFiles, targetFiles, clusterBy)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

@@ -711,12 +711,47 @@ object StreamingOps {
     graft.TempCleanup.registerDir(new java.io.File(out).getParent)
     graft.TempCleanup.registerDir(ckpt)
     ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
-      statsCol = Some("tsu"), rangeParts = 2)
+      statsCols = Seq("tsu"), rangeParts = 2)
     val Seq(mn, mx) = ManifestLand.read(spark, out)
       .agg(min("tsu"), max("tsu")).head().toSeq.map(_.asInstanceOf[Long])
     val (lo, hi) = (mn + (mx - mn) / 4, mn + 3 * ((mx - mn) / 4))
     ManifestLand.readPruned(spark, out, lo, hi)
       .filter(col("tsu") >= lo && col("tsu") <= hi) // residual, like a reader
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"))
+  }
+
+  /** s22: Z-ORDER × ZONE MAPS — the two storage levers composed: the
+    * landing declares TWO stats columns (user_id, tsu) and clusters every
+    * batch and compaction rewrite by the MORTON KEY of their bucketed
+    * forms (q61's bit-interleave, statically unrolled), so each file's
+    * box is tight in BOTH dimensions at once and a rectangle predicate
+    * (user range × time range) prunes files on both axes — rank this
+    * over one-dimension clustering, where the second dimension's spans
+    * stay full-width (StorageLayoutSpec measured exactly that on the
+    * plain landing). The rollup reads through `readPruned` with both
+    * predicates and applies the residual filter like any reader.
+    */
+  def streamZorderZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s22")
+    val out = java.nio.file.Files.createTempDirectory("graft_s22_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s22_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    val zkey = expr(graft.queries.PipelineOps.zkeyExpr(
+      "(user_id & 65535)", "((tsu div 3600000000) & 65535)"))
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      statsCols = Seq("user_id", "tsu"), rangeParts = 4, clusterBy = Some(zkey))
+    val Seq(umn, umx, tmn, tmx) = ManifestLand.read(spark, out)
+      .agg(min("user_id"), max("user_id"), min("tsu"), max("tsu"))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val (ulo, uhi) = (umn + (umx - umn) / 4, umn + 3 * ((umx - umn) / 4))
+    val (tlo, thi) = (tmn + (tmx - tmn) / 4, tmn + 3 * ((tmx - tmn) / 4))
+    ManifestLand.readPruned(spark, out,
+        Seq(("user_id", ulo, uhi), ("tsu", tlo, thi)))
+      .filter(col("user_id") >= ulo && col("user_id") <= uhi &&
+        col("tsu") >= tlo && col("tsu") <= thi)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value_e4")).as("sum_value_e4"))
@@ -991,6 +1026,21 @@ object StreamingOps {
              |r AS (SELECT e.* FROM e, b
              |      WHERE tsu >= mn + (mx - mn) // 4
              |        AND tsu <= mn + 3 * ((mx - mn) // 4))
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM r GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s22_zorder_zonemap", (s, dir) => streamZorderZoneMap(s, dir),
+      // the two-axis pruned read must equal the plain rectangle rollup
+      Some("""WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tsu,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |b AS (SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+             |             MIN(tsu) AS tmn, MAX(tsu) AS tmx FROM e),
+             |r AS (SELECT e.* FROM e, b
+             |      WHERE user_id >= umn + (umx - umn) // 4
+             |        AND user_id <= umn + 3 * ((umx - umn) // 4)
+             |        AND tsu >= tmn + (tmx - tmn) // 4
+             |        AND tsu <= tmn + 3 * ((tmx - tmn) // 4))
              |SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
              |FROM r GROUP BY event_type""".stripMargin)),

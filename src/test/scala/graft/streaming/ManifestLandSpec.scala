@@ -191,7 +191,7 @@ class ManifestLandSpec extends SparkFunSuite {
     (0 until 4).foreach { i =>
       val b = spark.range(i * 100L, (i + 1) * 100L)
         .select(col("id").as("k"), (col("id") * 3).as("payload"))
-      ManifestLand.applyBatch(b.toDF(), i, out, statsCol = Some("k"), rangeParts = 2)
+      ManifestLand.applyBatch(b.toDF(), i, out, statsCols = Seq("k"), rangeParts = 2)
     }
     assert(ManifestLand.liveFiles(out).size == 8)
     // a one-zone range must prune at least 6 of the 8 files
@@ -209,6 +209,41 @@ class ManifestLandSpec extends SparkFunSuite {
     }
     // an out-of-domain range prunes everything
     assert(ManifestLand.prunedLiveFiles(out, 1000L, 2000L).isEmpty)
+  }
+
+  test("z-order + multi-column zone maps: either dimension prunes alone, both prune harder") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_zz").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // two independent 8-bit dims: batch i carries x ∈ [i·64, (i+1)·64),
+    // all y — 4 batches × 4 files clustered by the Morton key of (x, y)
+    val zkey = expr(graft.queries.PipelineOps.zkeyExpr("x", "y"))
+    (0 until 4).foreach { i =>
+      val b = spark.range(i * 16384L, (i + 1) * 16384L)
+        .select(((col("id") / 256L).cast("long") % 256L).as("x"),
+          (col("id") % 256L).as("y"))
+      ManifestLand.applyBatch(b.toDF(), i, out,
+        statsCols = Seq("x", "y"), rangeParts = 4, clusterBy = Some(zkey))
+    }
+    assert(ManifestLand.liveFiles(out).size == 16)
+    // x alone: one batch's worth of files
+    assert(ManifestLand.prunedLiveFiles(out, Seq(("x", 0L, 63L))).size <= 4)
+    // y alone: the z-order means each batch's files carry tight y-boxes
+    // too — a quarter-range of y must skip at least half of ALL files
+    val yOnly = ManifestLand.prunedLiveFiles(out, Seq(("y", 0L, 40L)))
+    assert(yOnly.size <= 8, s"y-range failed to prune the z-ordered landing: $yOnly")
+    // both axes: the rectangle keeps at most a couple of files
+    val both = ManifestLand.prunedLiveFiles(out, Seq(("x", 0L, 40L), ("y", 0L, 40L)))
+    assert(both.size <= 2, s"rectangle kept too many files: $both")
+    // exactness: pruned + residual == full + filter on the rectangle
+    val viaZones = ManifestLand.readPruned(spark, out, Seq(("x", 10L, 50L), ("y", 100L, 140L)))
+      .filter(col("x").between(10L, 50L) && col("y").between(100L, 140L))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val full = ManifestLand.read(spark, out)
+      .filter(col("x").between(10L, 50L) && col("y").between(100L, 140L))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(viaZones == full && full.nonEmpty, "rectangle diverged through the zone maps")
   }
 
   test("deletion vectors: no data file rewritten; history retained; compaction folds") {
