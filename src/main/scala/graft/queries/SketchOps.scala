@@ -212,10 +212,54 @@ object SketchOps {
   private def q63Oracle: String =
     q63Body(h32Duck, "VARCHAR", "unnest([0, 1, 2])", "events")
 
+  // --- q68: CMS join-size estimation ---------------------------------------
+  // The optimizer-statistics use of the q63 sketch: |A ⋈ B on k| equals
+  // the inner product of the two sides' key-frequency vectors, and the
+  // CMS row-wise inner product min_j Σ_b cA[j][b]·cB[j][b] upper-bounds
+  // it (AMS/CMS estimate — collisions only inflate). This is how an
+  // engine prices a join WITHOUT scanning either side twice: each side's
+  // sketch is one bounded-state map-side-combinable pass (≤ D·W rows per
+  // partition cross the wire), the estimate is a 192-row join. The true
+  // size rides alongside (computed from per-key counts, never the
+  // materialized join) so the overestimate is visible; QuerySurfaceSpec
+  // bounds it. All md5-integer arithmetic — bit-identical cross-engine.
+  private def q68Body(h: String => String, str: String, js: String,
+      tblA: String, tblB: String): String = {
+    def bucket(keyCol: String) =
+      s"${h(s"CAST($keyCol AS $str) || '#' || CAST(j AS $str)")} % $CmsWidth"
+    s"""WITH a AS (SELECT user_id AS k FROM $tblA),
+       |b2 AS (SELECT o_custkey AS k FROM $tblB),
+       |js AS (SELECT $js AS j),
+       |ca AS (SELECT j, ${bucket("k")} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM a CROSS JOIN js GROUP BY 1, 2),
+       |cb AS (SELECT j, ${bucket("k")} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM b2 CROSS JOIN js GROUP BY 1, 2),
+       |ip AS (SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS prod
+       |       FROM ca JOIN cb ON cb.j = ca.j AND cb.b = ca.b GROUP BY ca.j),
+       |tj AS (SELECT CAST(COALESCE(SUM(x.n * y.n), 0) AS BIGINT) AS true_rows
+       |       FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1) x
+       |       JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM b2 GROUP BY 1) y
+       |         ON x.k = y.k)
+       |SELECT tj.true_rows AS true_join_rows,
+       |  CAST((SELECT MIN(prod) FROM ip) AS BIGINT) AS cms_estimate
+       |FROM tj""".stripMargin
+  }
+
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_q68")
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_q68")
+    s.sql(q68Body(h32, "STRING", "explode(array(0, 1, 2))",
+      "events_q68", "orders_q68"))
+  }
+
+  private def q68Oracle: String =
+    q68Body(h32Duck, "VARCHAR", "unnest([0, 1, 2])", "events", "orders")
+
   val queries: Seq[Q] = Seq(
     Q("q48_kmv_distinct", q48, Some(q48Oracle)),
     Q("q49_kmv_intersect", q49, Some(q49Oracle)),
     Q("q52_hll_cross_engine", q52, Some(q52Oracle)),
-    Q("q63_cms_heavy_hitters", q63, Some(q63Oracle))
+    Q("q63_cms_heavy_hitters", q63, Some(q63Oracle)),
+    Q("q68_cms_join_estimate", q68, Some(q68Oracle))
   )
 }

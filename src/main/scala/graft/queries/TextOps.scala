@@ -797,7 +797,55 @@ object TextOps {
              |  SELECT source, doc_id, h,
              |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS rn
              |  FROM d)
-             |WHERE rn <= 20""".stripMargin))
+             |WHERE rn <= 20""".stripMargin)),
+
+    // --- d40: inverted index + conjunctive postings lookup ----------------
+    // The secondary-index shape: token → sorted postings list of doc ids
+    // (one map-side-combinable groupBy — per-doc `array_distinct` keeps
+    // the explode narrow, the d27 lesson, so nothing wider than (token,
+    // doc_id) ever shuffles), then a conjunctive AND query answered by
+    // intersecting two postings arrays instead of rescanning the corpus.
+    // The query terms are the two highest-df tokens (df DESC, token ASC —
+    // total order), i.e. the worst-case widest postings; the lookup side
+    // is a 2-row broadcast. At 100 TB the postings table IS the index
+    // you'd bucket by token and range-split long postings; the corpus is
+    // touched once, at build.
+    Q("d40_inverted_index",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          explode(expr(
+            "array_distinct(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))"))
+            .as("tok"))
+        val postings = toks.groupBy("tok")
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
+            count(lit(1)).as("df"))
+        // the heavy top-2 selection is a distributed TakeOrdered over
+        // the postings table; the rank window then runs over TWO rows
+        // (bounded by construction — see the Window.orderBy allowlist)
+        val top2 = postings.orderBy(col("df").desc, col("tok").asc).limit(2)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("df").desc, col("tok").asc)))
+        val a = top2.filter(col("rn") === 1)
+          .select(col("tok").as("tok_a"), col("df").as("df_a"),
+            col("docs").as("docs_a"))
+        val b = top2.filter(col("rn") === 2)
+          .select(col("tok").as("tok_b"), col("df").as("df_b"),
+            col("docs").as("docs_b"))
+        a.crossJoin(b)
+          .select(col("tok_a"), col("df_a"), col("tok_b"), col("df_b"),
+            explode(expr("array_intersect(docs_a, docs_b)")).as("doc_id"))
+      },
+      Some("""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tk AS (SELECT DISTINCT doc_id, tok FROM wd WHERE regexp_full_match(tok, '[a-z]+')),
+             |p AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             |             list_sort(list(doc_id)) AS docs
+             |      FROM tk GROUP BY tok),
+             |r AS (SELECT tok, df, docs, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rn FROM p),
+             |a AS (SELECT tok AS tok_a, df AS df_a, docs AS docs_a FROM r WHERE rn = 1),
+             |b AS (SELECT tok AS tok_b, df AS df_b, docs AS docs_b FROM r WHERE rn = 2)
+             |SELECT tok_a, df_a, tok_b, df_b,
+             |       unnest(list_intersect(docs_a, docs_b)) AS doc_id
+             |FROM a, b""".stripMargin))
   )
 
   /** d05's oracle, shared shape with d09's edge definition. */

@@ -315,7 +315,7 @@ class PlanQualitySpec extends SparkFunSuite {
     // comments deliberately — the audit covers prose claims too.)
     val allowed = Map(
       "operators/GlobalRank.scala" -> 2, // 1 offsets window + 1 scaladoc mention
-      "queries/TextOps.scala" -> 2,      // d36 vocab_size + tokens_cum cumsum
+      "queries/TextOps.scala" -> 4,      // d36 vocab_size + tokens_cum cumsum; d40 rank over the LIMIT-2 top-df frame (+ its doc mention)
       "queries/PipelineOps.scala" -> 1)  // q56 hour-offset cumsum
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val found = scala.collection.mutable.Map.empty[String, Int]

@@ -759,6 +759,17 @@ class QuerySurfaceSpec extends SparkFunSuite {
     }
   }
 
+  test("q68 CMS join estimate: upper-bounds the true join size, below the full cross product") {
+    val r = SparkEntry.queries("q68_cms_join_estimate")(spark, sf).collect().head
+    val (t, e) = (r.getAs[Long]("true_join_rows"), r.getAs[Long]("cms_estimate"))
+    // AMS/CMS inner-product guarantee: hash collisions only inflate
+    assert(e >= t, s"join-size estimate underestimated: est=$e true=$t")
+    val na = graft.queries.Tables.events(spark, sf).count()
+    val nb = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(e <= na * nb, s"estimate above the cross product: $e > ${na * nb}")
+    assert(t > 0, "fixture join is non-empty by construction")
+  }
+
   test("q63 CMS: every estimate upper-bounds the true count and is bounded by N") {
     val rows = SparkEntry.queries("q63_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 10)
