@@ -235,6 +235,34 @@ class OperatorSpec extends SparkFunSuite {
     }
   }
 
+  test("shortestPaths equals Floyd-Warshall on random weighted digraphs") {
+    import spark.implicits._
+    for (seed <- Seq(7, 42)) {
+      val rnd = new Random(seed)
+      val n = 10
+      val edges = (1 to 40).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(100)))
+        .filter(e => e._1 != e._2).distinct
+      val src = edges.flatMap(e => Seq(e._1, e._2)).min
+      // rounds = node count bounds any shortest path's hop length
+      val dist = graft.queries.GraphOps.shortestPaths(
+          edges.toDF("src", "dst", "cost"),
+          Seq(src).toDF("s0"), rounds = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Floyd-Warshall reference over the observed node set
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val inf = 1000000000000000L
+      val d = scala.collection.mutable.Map[(Long, Long), Long]()
+        .withDefaultValue(inf)
+      nodes.foreach(v => d((v, v)) = 0L)
+      edges.foreach { case (a, b, c) => d((a, b)) = math.min(d((a, b)), c) }
+      for (k <- nodes; i <- nodes; j <- nodes)
+        if (d((i, k)) + d((k, j)) < d((i, j))) d((i, j)) = d((i, k)) + d((k, j))
+      val expected = nodes.map(v => v -> d((src, v))).toMap
+      assert(dist == expected, s"seed=$seed src=$src")
+    }
+  }
+
   test("two-phase CC equals union-find on random graphs and needs O(log) rounds on chains") {
     import spark.implicits._
     for (seed <- Seq(3, 99)) {
