@@ -176,7 +176,45 @@ object Bench {
       System.err.println(f"[bench] x_topk_rewritten       $agg%8.3f s")
       Seq("x_topk_window" -> win, "x_topk_rewritten" -> agg)
     }
-    val qs = (results ++ asofAb ++ mergeAb ++ topkAb).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // zone-map A/B: the SAME µs-range rollup over a manifest landing with
+    // per-file tsu stats (8 time-clustered batch commits), once through
+    // the full manifest read, once through readPruned's file skipping —
+    // the round-6 data-skipping payoff, tracked round over round
+    val zonemapAb = {
+      import org.apache.spark.sql.functions._
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_zm").toString + "/landing"
+      graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+      new java.io.File(out).mkdirs()
+      val ev = queries.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tsu"),
+          expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      val Seq(mn, mx) = ev.agg(min("tsu"), max("tsu")).head().toSeq.map(_.asInstanceOf[Long])
+      val step = (mx - mn) / 8 + 1
+      (0 until 8).foreach { k =>
+        graft.streaming.ManifestLand.commitBatch(
+          ev.filter(col("tsu") >= mn + k * step && col("tsu") < mn + (k + 1) * step),
+          k.toLong, out, statsCols = Seq("tsu"), rangeParts = 2)
+      }
+      val (lo, hi) = (mn + (mx - mn) / 8, mn + 2 * ((mx - mn) / 8)) // one-eighth slice
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("tsu") >= lo && col("tsu") <= hi)
+          .groupBy("event_type").agg(count(lit(1)), sum("value_e4"))
+      def time(build: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          build().write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          sec
+        }.min
+      val full = time(() => rollup(graft.streaming.ManifestLand.read(spark, out)))
+      val pruned = time(() => rollup(graft.streaming.ManifestLand.readPruned(spark, out, lo, hi)))
+      System.err.println(f"[bench] x_zonemap_full         $full%8.3f s")
+      System.err.println(f"[bench] x_zonemap_pruned       $pruned%8.3f s")
+      Seq("x_zonemap_full" -> full, "x_zonemap_pruned" -> pruned)
+    }
+    val qs = (results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -437,6 +437,18 @@ object ManifestLand {
     nFresh
   }
 
+  /** Batch-side commit of one frame as batch `batchId` — the same
+    * exactly-once applyBatch the streaming loop uses, exposed for
+    * non-streaming writers (backfills, bench fixtures) that want the
+    * manifest's visibility/stats/retention semantics without a query.
+    */
+  def commitBatch(batch: Dataset[Row], batchId: Long, outDir: String,
+      statsCols: Seq[String] = Seq.empty, rangeParts: Int = 2,
+      clusterBy: Option[Column] = None): Unit = {
+    new java.io.File(outDir).mkdirs()
+    applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy)
+  }
+
   /** Rewrite the landing to `targetFiles` parts when it exceeds
     * `maxFiles`, committing with one flip. The rewrite READS THROUGH the
     * deletion vectors (tombstoned rows fold away — vectors never survive
