@@ -917,6 +917,49 @@ object Relational {
              |  CAST(SUM(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
              |  CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(MAX(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // --- q69: typed Dataset cogroup (API-family completeness) -------------
+    // The two-sided grouped merge: orders and events co-grouped on the
+    // customer key, the per-key closure seeing BOTH sides' rows at once —
+    // Spark plans ONE co-partitioned shuffle per side, no join node. The
+    // logic (orders placed after the customer's last event — keys missing
+    // a side still emit) is deliberately expressible relationally too, so
+    // the oracle IS the codegen'd formulation the engine would otherwise
+    // choose: cogroup costs deserialized row closures and earns its keep
+    // only when the per-key merge is genuinely imperative (sequence
+    // alignment, custom sweep) — same trade note as q67's Aggregator.
+    Q("q69_cogroup_reconcile",
+      (s, dir) => {
+        import s.implicits._
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey").as("k"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("ou"))
+          .as[(Long, Long)]
+        val events = Tables.events(s, dir)
+          .select(col("user_id").as("k"), expr("ts div 1000").as("tsu"))
+          .as[(Long, Long)]
+        orders.groupByKey(_._1).cogroup(events.groupByKey(_._1)) { (k, os, es) =>
+          val ou = os.map(_._2).toArray
+          val ev = es.map(_._2).toArray
+          val nAfter =
+            if (ev.isEmpty) 0L
+            else { val last = ev.max; ou.count(_ > last).toLong }
+          Iterator.single((k, ou.length.toLong, ev.length.toLong, nAfter))
+        }.toDF("custkey", "n_orders", "n_events", "n_orders_after_last_event")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS ou FROM orders),
+             |e AS (SELECT user_id AS k, epoch_us(ts) AS tsu FROM events),
+             |oc AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders FROM o GROUP BY k),
+             |ec AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(tsu) AS last_tsu
+             |       FROM e GROUP BY k),
+             |af AS (SELECT o.k, CAST(COUNT(*) AS BIGINT) AS n_after
+             |       FROM o JOIN ec ON ec.k = o.k AND o.ou > ec.last_tsu GROUP BY o.k)
+             |SELECT COALESCE(oc.k, ec.k) AS custkey,
+             |  CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders,
+             |  CAST(COALESCE(ec.n_events, 0) AS BIGINT) AS n_events,
+             |  CAST(COALESCE(af.n_after, 0) AS BIGINT) AS n_orders_after_last_event
+             |FROM oc FULL OUTER JOIN ec ON ec.k = oc.k
+             |LEFT JOIN af ON af.k = COALESCE(oc.k, ec.k)""".stripMargin))
   )
 }
