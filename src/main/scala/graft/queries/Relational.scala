@@ -919,6 +919,32 @@ object Relational {
              |  CAST(MAX(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // --- q70: VARIANT semi-structured ingestion (Spark 4 datatype) --------
+    // The open-format answer to schema-on-read JSON: `parse_json` ingests
+    // props into a VARIANT column ONCE (binary-encoded, shredded access —
+    // no per-query re-parse like q51's get_json_object on the raw
+    // string), then `variant_get` extracts typed paths at codegen speed.
+    // The rollup output is plain BIGINT so the oracle (DuckDB's JSON
+    // extension — its JSON type is the same idea) hash-matches; the
+    // VARIANT column itself stays internal, exactly how a 100 TB bronze
+    // table would store it.
+    Q("q70_variant_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("parse_json(props)").as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+             |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // --- q69: typed Dataset cogroup (API-family completeness) -------------
     // The two-sided grouped merge: orders and events co-grouped on the
     // customer key, the per-key closure seeing BOTH sides' rows at once —
