@@ -291,4 +291,43 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(diskParquet(out) == ManifestLand.liveFiles(out).toSet,
       "expiry + vacuum must leave disk == manifest")
   }
+
+  test("randomized landing soak: zone maps, deletes, compaction interleave exactly") {
+    val spark = this.spark
+    import spark.implicits._
+    for (seed <- Seq(5, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val out = Files.createTempDirectory(s"graft_mland_soak$seed").toString + "/landing"
+      new java.io.File(out).mkdirs()
+      // model: the rows the landing must serve (id -> x)
+      val model = scala.collection.mutable.Map.empty[Long, Long]
+      var nextId = 0L
+      def check(tag: String): Unit = {
+        val got = ManifestLand.read(spark, out)
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(got == model.toSeq.sorted, s"seed=$seed $tag: landing != model")
+        val (lo, hi) = { val a = rnd.nextInt(1000).toLong; (a, a + rnd.nextInt(300)) }
+        val viaZones = ManifestLand.readPruned(spark, out, lo, hi)
+          .filter(col("x").between(lo, hi)).as[(Long, Long)].collect().sorted.toSeq
+        val want = model.toSeq.filter(kv => kv._2 >= lo && kv._2 <= hi).sorted
+        assert(viaZones == want, s"seed=$seed $tag: pruned range [$lo,$hi] diverged")
+      }
+      for (b <- 0 until 6) {
+        val rows = (0 until 50 + rnd.nextInt(100)).map { _ =>
+          val r = (nextId, rnd.nextInt(1000).toLong); nextId += 1; r
+        }
+        ManifestLand.commitBatch(rows.toDF("id", "x"), b.toLong, out,
+          statsCols = Seq("x"), rangeParts = 2)
+        rows.foreach(r => model(r._1) = r._2)
+        if (rnd.nextBoolean()) {
+          val (dlo, dhi) = { val a = rnd.nextInt(1000).toLong; (a, a + rnd.nextInt(200)) }
+          ManifestLand.deleteWhere(spark, out, col("x").between(dlo, dhi))
+          model.filterInPlace((_, x) => x < dlo || x > dhi)
+        }
+        if (rnd.nextInt(3) == 0)
+          ManifestLand.compactIfNeeded(spark, out, maxFiles = 3, targetFiles = 2)
+        check(s"after batch $b")
+      }
+    }
+  }
 }
