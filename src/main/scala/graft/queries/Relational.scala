@@ -919,6 +919,36 @@ object Relational {
              |  CAST(MAX(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // --- q71: IGNORE NULLS window (LOCF forward fill) ---------------------
+    // The time-series last-observation-carried-forward repair: 'error'
+    // rows carry no valid measurement (modeled as NULL), and each user's
+    // series forward-fills from the last non-null reading — `last(...,
+    // ignoreNulls)` over a running frame, the IGNORE NULLS corner of the
+    // window surface (q39 covers the plain value functions). Rows before
+    // a user's first valid reading stay NULL in both engines. Partitioned
+    // by user, so the window scales like any keyed window.
+    Q("q71_locf_fill",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsu").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tsu"),
+            expr("""CASE WHEN event_type = 'error' THEN CAST(NULL AS BIGINT)
+                   | ELSE CAST(floor((value) * 10000 + 0.5) AS BIGINT) END""".stripMargin)
+              .as("v4"))
+          .withColumn("filled_e4", last(col("v4"), ignoreNulls = true).over(w))
+          .select("event_id", "user_id", "tsu", "filled_e4")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS tsu,
+             |  LAST_VALUE(CASE WHEN event_type = 'error' THEN CAST(NULL AS BIGINT)
+             |                  ELSE CAST(floor((value) * 10000 + 0.5) AS BIGINT) END
+             |             IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_e4
+             |FROM events""".stripMargin)),
+
     // --- q70: VARIANT semi-structured ingestion (Spark 4 datatype) --------
     // The open-format answer to schema-on-read JSON: `parse_json` ingests
     // props into a VARIANT column ONCE (binary-encoded, shredded access —
