@@ -919,6 +919,22 @@ object Relational {
              |  CAST(MAX(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // --- q72: GROUP BY ALL dialect (SQL entry point) ----------------------
+    // The analyst-SQL sugar Spark 4 and DuckDB share: every non-aggregate
+    // select item becomes a grouping key — same plan as an explicit
+    // GROUP BY (Catalyst resolves it at analysis), pinned here as a
+    // dialect-coverage row with the oracle using the IDENTICAL text.
+    Q("q72_group_by_all",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_q72")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                |  CAST(SUM(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+                |FROM orders_q72 GROUP BY ALL""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders GROUP BY ALL""".stripMargin)),
+
     // --- q71: IGNORE NULLS window (LOCF forward fill) ---------------------
     // The time-series last-observation-carried-forward repair: 'error'
     // rows carry no valid measurement (modeled as NULL), and each user's

@@ -799,6 +799,25 @@ object TextOps {
              |  FROM d)
              |WHERE rn <= 20""".stripMargin)),
 
+    // --- d41: text normalization battery ----------------------------------
+    // The cleaning pass a prep pipeline runs BEFORE dedup/tokenization
+    // (d01's md5 identity is only as good as its canonicalization):
+    // lowercase, trim, collapse whitespace runs — each a codegen'd
+    // built-in, all narrow. Emits the canonical hash plus the shrinkage
+    // so the effect is observable; DuckDB's regexp_replace needs the
+    // explicit 'g' flag where Spark's replaces all matches by default.
+    Q("d41_normalize",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), " +", " "))).as("norm"))
+        .select(col("doc_id"),
+          md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast(LongType).as("norm_len")),
+      Some("""SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS norm_md5,
+             |  CAST(length(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS BIGINT) AS norm_len
+             |FROM documents""".stripMargin)),
+
     // --- d40: inverted index + conjunctive postings lookup ----------------
     // The secondary-index shape: token → sorted postings list of doc ids
     // (one map-side-combinable groupBy — per-doc `array_distinct` keeps
