@@ -919,6 +919,33 @@ object Relational {
              |  CAST(MAX(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // --- q73: unionByName (schema-evolution union) ------------------------
+    // Two feeds of the same facts with DIFFERENT column order and one
+    // missing column — the everyday schema-drift merge. `unionByName`
+    // with allowMissingColumns aligns by NAME (positional union would
+    // silently cross-wire columns) and nulls the gap; DuckDB's
+    // `UNION ALL BY NAME` is the same contract.
+    Q("q73_union_by_name",
+      (s, dir) => {
+        val a = t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            intUnits("o_totalprice").as("cents"))
+        val b = t(s, dir, "orders").filter(col("o_orderkey") % 2 === 1)
+          .select(intUnits("o_totalprice").as("cents"), col("o_orderkey"))
+        a.unionByName(b, allowMissingColumns = true)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, o_orderstatus, CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL BY NAME
+             |  SELECT CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) AS cents, o_orderkey
+             |  FROM orders WHERE o_orderkey % 2 = 1)
+             |SELECT o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM u GROUP BY o_orderstatus""".stripMargin)),
+
     // --- q72: GROUP BY ALL dialect (SQL entry point) ----------------------
     // The analyst-SQL sugar Spark 4 and DuckDB share: every non-aggregate
     // select item becomes a grouping key — same plan as an explicit
