@@ -819,38 +819,46 @@ object TextOps {
              |FROM documents""".stripMargin)),
 
     // --- d40: inverted index + conjunctive postings lookup ----------------
-    // The secondary-index shape: token → sorted postings list of doc ids
-    // (one map-side-combinable groupBy — per-doc `array_distinct` keeps
-    // the explode narrow, the d27 lesson, so nothing wider than (token,
-    // doc_id) ever shuffles), then a conjunctive AND query answered by
-    // intersecting two postings arrays instead of rescanning the corpus.
-    // The query terms are the two highest-df tokens (df DESC, token ASC —
-    // total order), i.e. the worst-case widest postings; the lookup side
-    // is a 2-row broadcast. At 100 TB the postings table IS the index
-    // you'd bucket by token and range-split long postings; the corpus is
-    // touched once, at build.
+    // The secondary-index shape, sharded (operators/InvertedIndex): token
+    // → bounded (tok, bucket) postings rows of ≤ 64 doc ids each (bucket
+    // = doc_id div 64 — derived from the id, so the build is ONE
+    // map-side-combinable groupBy with no per-token window; per-doc
+    // `array_distinct` keeps the explode narrow, the d27 lesson). The
+    // hottest token never materializes one O(corpus) array row — it owns
+    // many capped shards, which is what survives 100 TB. df is a map-side
+    // SUM over shard counts. The conjunctive AND query joins the two
+    // tokens' shard sets on bucket and intersects within the bucket
+    // (union over buckets = exact global intersection). Query terms are
+    // the two highest-df tokens (df DESC, token ASC — total order), the
+    // worst-case widest postings. The token regex uses whole-input
+    // anchors \A..\z: Java's `$` also matches before a trailing newline,
+    // DuckDB's regexp_full_match does not (ADVICE r6).
     Q("d40_inverted_index",
       (s, dir) => {
         val toks = t(s, dir, "documents").select(col("doc_id"),
           explode(expr(
-            "array_distinct(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))"))
+            "array_distinct(filter(split(text, ' '), w -> w rlike '\\\\A[a-z]+\\\\z'))"))
             .as("tok"))
-        val postings = toks.groupBy("tok")
-          .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
-            count(lit(1)).as("df"))
+        val shards = graft.operators.InvertedIndex.shards(toks, cap = 64)
         // the heavy top-2 selection is a distributed TakeOrdered over
-        // the postings table; the rank window then runs over TWO rows
-        // (bounded by construction — see the Window.orderBy allowlist)
-        val top2 = postings.orderBy(col("df").desc, col("tok").asc).limit(2)
+        // the per-token df table; the rank window then runs over TWO
+        // rows (bounded by construction — see the Window.orderBy
+        // allowlist)
+        val top2 = graft.operators.InvertedIndex.docFreq(shards)
+          .orderBy(col("df").desc, col("tok").asc).limit(2)
           .withColumn("rn", row_number().over(
             Window.orderBy(col("df").desc, col("tok").asc)))
         val a = top2.filter(col("rn") === 1)
-          .select(col("tok").as("tok_a"), col("df").as("df_a"),
-            col("docs").as("docs_a"))
+          .select(col("tok").as("tok_a"), col("df").as("df_a"))
         val b = top2.filter(col("rn") === 2)
-          .select(col("tok").as("tok_b"), col("df").as("df_b"),
+          .select(col("tok").as("tok_b"), col("df").as("df_b"))
+        val sa = shards.join(broadcast(a), col("tok") === col("tok_a"))
+          .select(col("tok_a"), col("df_a"), col("bucket"),
+            col("docs").as("docs_a"))
+        val sb = shards.join(broadcast(b), col("tok") === col("tok_b"))
+          .select(col("tok_b"), col("df_b"), col("bucket").as("bucket_b"),
             col("docs").as("docs_b"))
-        a.crossJoin(b)
+        sa.join(sb, col("bucket") === col("bucket_b"))
           .select(col("tok_a"), col("df_a"), col("tok_b"), col("df_b"),
             explode(expr("array_intersect(docs_a, docs_b)")).as("doc_id"))
       },

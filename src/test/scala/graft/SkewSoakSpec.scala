@@ -207,6 +207,45 @@ class SkewSoakSpec extends SparkFunSuite {
     assert(p99Ms < 120000L, s"task-time p99 unbounded: ${p99Ms}ms")
   }
 
+  test("d40 inverted index: a token in 60% of 20k docs never exceeds the 64-id shard cap") {
+    // The round-6 verdict's one scale-killer: the naive build held the
+    // hottest token's postings as ONE collect_list row — O(corpus) in a
+    // single aggregation buffer. The sharded build (bucket = doc_id div
+    // 64) must keep EVERY row ≤ 64 ids no matter how hot the token is,
+    // and the bucket-join conjunctive lookup must still return the exact
+    // intersection.
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 20000).map { i =>
+      val hot = if (i % 10 < 6) "everywhere " else "" // 60% of docs
+      val hot2 = if (i % 10 < 3) "alsohot " else ""   // 30%, overlaps 0-2
+      (i.toLong, hot + hot2 + (1 to 20).map(_ => s"w${rnd.nextInt(30000)}").mkString(" "))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs, 16)).toDF("doc_id", "text")
+    val toks = df.select(col("doc_id"),
+      explode(expr("array_distinct(filter(split(text, ' '), w -> w rlike '\\\\A[a-z]+\\\\z'))")).as("tok"))
+    val (maxShard, shuffleB, taskMs) = measured {
+      val sh = graft.operators.InvertedIndex.shards(toks, cap = 64).cache()
+      val mx = sh.agg(max(size(col("docs")))).head().getInt(0)
+      // conjunctive lookup over the two planted hot tokens: bucket-join
+      // intersection must equal the brute-force doc set (docs 0-2 mod 10)
+      val a = sh.filter(col("tok") === "everywhere")
+        .select(col("bucket"), col("docs").as("docs_a"))
+      val b = sh.filter(col("tok") === "alsohot")
+        .select(col("bucket").as("bucket_b"), col("docs").as("docs_b"))
+      val inter = a.join(b, col("bucket") === col("bucket_b"))
+        .select(explode(expr("array_intersect(docs_a, docs_b)")).as("doc_id"))
+      assert(inter.count() == 3L * 2000, "bucket-join intersection wrong")
+      assert(inter.agg(min("doc_id")).head().getLong(0) == 0L)
+      sh.unpersist()
+      mx
+    }
+    info(s"d40 soak: maxShardDocs=$maxShard shuffle=${shuffleB / 1024}KiB maxTask=${taskMs}ms")
+    assert(maxShard <= 64, s"shard cap violated: a postings row holds $maxShard ids")
+    assert(shuffleB < (256L << 20), s"shuffle blow-up: $shuffleB bytes")
+  }
+
   test("e06 IVF+PQ: one hot cell (80% duplicate vectors) completes bounded") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
