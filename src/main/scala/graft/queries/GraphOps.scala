@@ -92,7 +92,13 @@ object GraphOps {
       }
       pr = next
     }
-    (pr, round)
+    // materialize before releasing the cached inputs (ADVICE r6: the
+    // cached e/nodes otherwise leak into the shared session for its
+    // lifetime — Verify, TimeQuery loops, tests)
+    val out = pr.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    (out, round)
   }
 
   private def q47(s: SparkSession, dir: String): DataFrame =
@@ -169,7 +175,11 @@ object GraphOps {
       if (round % 3 == 0) next = next.localCheckpoint()
       dist = next
     }
-    dist
+    // materialize, then release the cached inputs (same leak as pageRank)
+    val out = dist.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 
   private def q66(s: SparkSession, dir: String): DataFrame = {

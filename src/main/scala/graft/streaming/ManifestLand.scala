@@ -298,7 +298,11 @@ object ManifestLand {
     }
     m.entries.filter { e =>
       e.bounds.isEmpty || idx.forall { case (i, lo, hi) =>
-        val (flo, fhi) = e.bounds(i); fhi >= lo && flo <= hi
+        // flo > fhi is the impossible zone recorded for empty / all-NULL
+        // files: definitionally overlap-free for EVERY query range (the
+        // naive fhi >= lo && flo <= hi test would keep [0,-1] whenever
+        // the range spans the -1/0 boundary)
+        val (flo, fhi) = e.bounds(i); flo <= fhi && fhi >= lo && flo <= hi
       }
     }.map(_.name)
   }
@@ -347,6 +351,12 @@ object ManifestLand {
       rangeParts: Int = 2, clusterBy: Option[Column] = None): Unit = {
     val m = readManifest(outDir)
     if (batchId <= m.applied) return // replayed, already committed
+    // a statsCols change mid-landing would render old entry lines whose
+    // bounds arity no longer matches the new stats= header, making every
+    // subsequent parseManifest throw (ADVICE r6) — refuse up front
+    require(m.statsCols.isEmpty || statsCols.isEmpty || statsCols == m.statsCols,
+      s"statsCols change mid-landing: manifest declares ${m.statsCols.mkString(",")}, " +
+        s"batch $batchId declares ${statsCols.mkString(",")}")
     // persist the schema once (write-then-ATOMIC_MOVE like the manifest)
     // so `read` can serve a committed-but-empty landing; written BEFORE
     // the flip so any committed state has it
@@ -383,7 +393,15 @@ object ManifestLand {
       .groupBy(expr("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map(r => r.getAs[String]("__f") ->
-        statsCols.map(c => (r.getAs[Long](s"__lo_$c"), r.getAs[Long](s"__hi_$c")))).toMap
+        statsCols.map { c =>
+          val (li, hi) = (r.fieldIndex(s"__lo_$c"), r.fieldIndex(s"__hi_$c"))
+          // an all-NULL stats column must not unbox to a [0,0] zone that
+          // wrongly claims the file may contain 0 (ADVICE r6): record the
+          // impossible [0,-1] zone so every range prunes it (NULL rows
+          // never satisfy a range residual, so pruning stays correct)
+          if (r.isNullAt(li) || r.isNullAt(hi)) (0L, -1L)
+          else (r.getLong(li), r.getLong(hi))
+        }).toMap
     // a range partition can legitimately be empty (skewed batch): its
     // file holds zero rows and gets no stats row — record an impossible
     // [0, -1] zone so every range prunes it
@@ -428,6 +446,11 @@ object ManifestLand {
         "left_anti")
       .filter(cond)
       .select(col("file_name"), col("row_index"))
+      // one scan, one predicate evaluation (ADVICE r6): the count and the
+      // staged tombstones must come from the SAME materialization, or a
+      // nondeterministic cond could commit tombstones that differ from
+      // the reported count (and the landing was scanned twice regardless)
+      .localCheckpoint()
     val merged = existing.union(fresh).coalesce(1)
     val nFresh = fresh.count()
     val staged = ParquetLand.stageParts(merged, dir,

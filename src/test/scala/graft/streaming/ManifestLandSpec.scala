@@ -292,6 +292,34 @@ class ManifestLandSpec extends SparkFunSuite {
       "expiry + vacuum must leave disk == manifest")
   }
 
+  test("statsCols cannot change mid-landing; all-NULL stats record an impossible zone") {
+    // ADVICE r6 pair: (1) a statsCols change mid-landing would render old
+    // entry lines whose bounds arity no longer matches the new stats=
+    // header — every later parseManifest would throw, so applyBatch must
+    // refuse up front; (2) an all-NULL stats file must not unbox to a
+    // [0,0] zone that wrongly claims it may contain value 0.
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_scols").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    ManifestLand.applyBatch(
+      Seq((0L, 10L), (1L, 20L)).toDF("id", "x"), 0, out, statsCols = Seq("x"))
+    intercept[IllegalArgumentException](ManifestLand.applyBatch(
+      Seq((2L, 30L)).toDF("id", "x"), 1, out, statsCols = Seq("id")))
+    // the landing is still readable and parseable after the refusal
+    assert(ManifestLand.read(spark, out).count() == 2L)
+    // batch of all-NULL stats values: its files must prune on EVERY range
+    ManifestLand.applyBatch(
+      Seq((2L, Option.empty[Long]), (3L, Option.empty[Long])).toDF("id", "x"),
+      1, out, statsCols = Seq("x"))
+    val kept = ManifestLand.prunedLiveFiles(out, Long.MinValue + 1, Long.MaxValue)
+    assert(kept.forall(_.startsWith("b0_")),
+      s"an all-NULL stats file survived pruning: $kept")
+    // the full read still serves the NULL rows (pruning only applies to
+    // range residuals, which NULL never satisfies)
+    assert(ManifestLand.read(spark, out).count() == 4L)
+  }
+
   test("randomized landing soak: zone maps, deletes, compaction interleave exactly") {
     val spark = this.spark
     import spark.implicits._
