@@ -31,7 +31,13 @@ object GraftFunctions {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm vectors are defined as orthogonal to everything (0.0, the
+    // same convention as KMeansIvf.cosineSimLocal) — 0/0 = NaN would
+    // otherwise rank differently under window sim-DESC (NaN greatest)
+    // vs min(struct(-sim,...)) (NaN loses), the round-5 divergence; with
+    // this guard the NaN branch is unreachable from any vector input
+    if (na == 0 || nb == 0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   // ---- Column API -----------------------------------------------------------

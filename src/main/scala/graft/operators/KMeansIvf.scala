@@ -167,12 +167,11 @@ object KMeansIvf {
     * cell ASC) argmax with lexicographic tie-breaks — with map-side
     * partials and no per-group sort (IEEE negation is exact, so the
     * ordering over FINITE sims is identical to the old sort+row_number
-    * window). One deliberate divergence (ADVICE r5): a NaN similarity
-    * (zero-norm vector or centroid) sorted FIRST under the window's
-    * sim-DESC (NaN ranks greatest) but sorts LAST here as `-sim` — a NaN
-    * candidate now loses to any finite one, which is the saner policy;
-    * the synthetic corpus has no zero-norm vectors, so the gate sees no
-    * difference.
+    * window). The round-5 NaN-ordering divergence (window sim-DESC ranks
+    * NaN greatest; min(struct(-sim,...)) ranks it last) is UNREACHABLE
+    * since cosine_sim defines zero-norm similarity as 0.0
+    * (GraftFunctions.cosine) — every sim is finite, both orderings agree;
+    * KMeansSpec pins it with planted zero vectors.
     */
   private def assign(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))

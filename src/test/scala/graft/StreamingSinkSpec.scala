@@ -255,6 +255,39 @@ class StreamingSinkSpec extends SparkFunSuite {
       s"HDFS-provider delta files present — RocksDB conf not honored: $stateFiles")
   }
 
+  test("two overlapping withRocksDb scopes: the first exit must not restore the provider early") {
+    // Pins the round-6 concurrency fix (StateStores refcounted scopes),
+    // found by the 8-way gate, not a test: scope A exiting while scope B
+    // is live must NOT flip the session provider back to HDFS — a
+    // transformWithState query starting in B right then would refuse the
+    // provider (the original s21 failure under 8-way Verify).
+    val sp = this.spark
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = sp.conf.getOption(providerKey)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aMayExit = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => graft.streaming.StateStores.withRocksDb(sp) {
+      aEntered.countDown()
+      aMayExit.await()
+    })
+    t.start(); aEntered.await()
+    graft.streaming.StateStores.withRocksDb(sp) {
+      assert(sp.conf.get(providerKey) == graft.streaming.StateStores.RocksDbProvider)
+      aMayExit.countDown(); t.join()
+      // scope A is gone, this scope is still live: still RocksDB
+      assert(sp.conf.get(providerKey) == graft.streaming.StateStores.RocksDbProvider,
+        "first scope's exit restored the provider under a live scope")
+      // the real failure mode: a transformWithState query STARTING now
+      // reads the session conf and refuses anything but RocksDB
+      val (out, ckpt) = tmp("twoscope")
+      ParquetLand.updateJournal(
+        StreamingOps.transformWithStateStream(sp, sf), out, ckpt)
+      assert(spark.read.parquet(out).count() > 0)
+    }
+    assert(sp.conf.getOption(providerKey) == before,
+      "last scope out must restore the original provider")
+  }
+
   test("s03 streaming dedup under the RocksDB state store equals the batch result") {
     val (out, ckpt) = tmp("s03rocks")
     graft.streaming.StateStores.withRocksDb(spark) {
