@@ -114,7 +114,8 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       .getOrElse(Option(options.get("path")).toSeq)
     new PcapScan(paths, required,
       options.getOrDefault("mode", "sane") == "reference-compat", pushed,
-      withBytes)
+      withBytes,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -123,13 +124,15 @@ final class PcapScan(
     required: StructType,
     refCompat: Boolean,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    withBytes: Boolean = false)
+    withBytes: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation)
+    new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation,
+      maxFilesPerTrigger)
   override def description(): String =
     s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")}" +
       (if (filters.nonEmpty) s", pushed=${filters.mkString(";")})" else ")")
