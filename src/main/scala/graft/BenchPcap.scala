@@ -63,16 +63,28 @@ object BenchPcap {
     // the production path (PcapConvert.run with auto cache: at bench sizes
     // the parsed table fits, so defrag's extra passes hit the cache);
     // best-of-2 — this machine's run-to-run variance is ±2×
-    val tFull = (1 to 2).map { i =>
+    def timeFull(cache: Option[Boolean]): Double = (1 to 2).map { _ =>
       time(graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
-        file = s"$dir/*.pcap", out = s"$dir/out.parquet", singleFile = false)))._1
+        file = s"$dir/*.pcap", out = s"$dir/out.parquet", singleFile = false,
+        cache = cache)))._1
     }.min
+    val tFull = timeFull(cache = None)
+    // pass-strategy A/B (VERDICT r6 #6): the auto-cache heuristic picks
+    // between these two, so MEASURE both each round — cached (1 parse +
+    // cheap cached defrag passes; the small-capture win) vs plan-driven
+    // re-parse (the 100 TB-safe path a big capture must take)
+    val tCached = timeFull(cache = Some(true))
+    val tReplan = timeFull(cache = Some(false))
     val parseRate = (total / tParse).toLong
     val fullRate = (total / tFull).toLong
+    val cachedRate = (total / tCached).toLong
+    val replanRate = (total / tReplan).toLong
     System.err.println(
       f"[bench-pcap] $total packets: parse $tParse%.2f s ($parseRate pkt/s), " +
-        f"full convert $tFull%.2f s ($fullRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"packets":$total}""")
+        f"full convert $tFull%.2f s ($fullRate pkt/s), " +
+        f"cached $tCached%.2f s ($cachedRate pkt/s), " +
+        f"replan $tReplan%.2f s ($replanRate pkt/s)")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"packets":$total}""")
     spark.stop()
   }
 }
