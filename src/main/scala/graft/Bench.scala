@@ -190,10 +190,19 @@ object Bench {
       def rollup(df: org.apache.spark.sql.DataFrame) =
         df.filter(col("tsu") >= lo && col("tsu") <= hi)
           .groupBy("event_type").agg(count(lit(1)), sum("value_e4"))
-      Seq(
+      val plain = Seq(
         ab("x_zonemap_full")(() =>
           rollup(graft.streaming.ManifestLand.read(spark, out))),
         ab("x_zonemap_pruned")(() =>
+          rollup(graft.streaming.ManifestLand.readPruned(spark, out, lo, hi))))
+      // same pair with a LIVE deletion-vector sidecar (uncompacted): the
+      // merge-on-read anti-join must not erase the file-skipping payoff
+      // (round-7, the StorageLayoutSpec 200-file soak's timed twin)
+      graft.streaming.ManifestLand.deleteWhere(spark, out, col("event_id") % 13 === 0)
+      plain ++ Seq(
+        ab("x_zonemap_dv_full")(() =>
+          rollup(graft.streaming.ManifestLand.read(spark, out))),
+        ab("x_zonemap_dv_pruned")(() =>
           rollup(graft.streaming.ManifestLand.readPruned(spark, out, lo, hi))))
     }
     val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb

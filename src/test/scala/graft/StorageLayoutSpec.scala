@@ -75,6 +75,57 @@ class StorageLayoutSpec extends SparkFunSuite {
       s"z-order row-group pruning ineffective: $zRead vs $tRead")
   }
 
+  test("200-file landing: zone-map pruning x live deletion vectors reads <=2% of files and bytes") {
+    // The round-6 outlook #3 soak: pruning and DVs COMPOSE correctly at a
+    // 100x file count (200 files vs s19's 2-per-batch fixture), and the
+    // pruned scan's footprint is measured, not asserted — a one-zone
+    // range over a time-clustered landing with a live (uncompacted)
+    // tombstone sidecar must read <= 2% of the files and bytes of the
+    // full scan, and still return exactly the full scan's filtered rows.
+    import graft.streaming.ManifestLand
+    val spark = this.spark
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dvzm_soak").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // 25 batches x 8 range parts = 200 zone-mapped files over k = 0..199999
+    (0 until 25).foreach { b =>
+      val lo = b * 8000L
+      ManifestLand.commitBatch(
+        spark.range(lo, lo + 8000L).select(col("id").as("k"), (col("id") * 7).as("v")),
+        b.toLong, out, statsCols = Seq("k"), rangeParts = 8)
+    }
+    assert(ManifestLand.liveFiles(out).size == 200)
+    // live deletion vectors: tombstone a scattered 1% (k % 97 == 0),
+    // deliberately NOT compacted away — the merge-on-read path must hold
+    val nDel = ManifestLand.deleteWhere(spark, out, col("k") % 97 === 0)
+    assert(nDel == (0L until 200000L).count(_ % 97 == 0))
+    assert(new java.io.File(out).listFiles().exists(f =>
+      f.getName.startsWith("dv") && f.getName.endsWith(".parquet")),
+      "DV sidecar must be live on disk (not compacted away)")
+    // one-zone range: ~1/200 of the domain
+    val (qlo, qhi) = (100000L, 100999L)
+    val prunedFiles = ManifestLand.prunedLiveFiles(out, qlo, qhi)
+    val allFiles = ManifestLand.liveFiles(out)
+    def bytes(names: Seq[String]): Long =
+      names.map(n => new java.io.File(out, n).length()).sum
+    val (bPruned, bFull) = (bytes(prunedFiles), bytes(allFiles))
+    info(s"dv-zonemap soak: files ${prunedFiles.size}/${allFiles.size}, " +
+      s"bytes ${bPruned / 1024}KiB/${bFull / 1024}KiB")
+    assert(prunedFiles.size <= 4,
+      s"pruning kept ${prunedFiles.size} of 200 files for a one-zone range")
+    assert(bPruned * 50 <= bFull, s"pruned scan reads >2% of bytes: $bPruned/$bFull")
+    // exactness through the composition: pruned + residual == full +
+    // filter, tombstones applied on BOTH sides, and no tombstoned row
+    val viaZones = ManifestLand.readPruned(spark, out, qlo, qhi)
+      .filter(col("k").between(qlo, qhi)).as[(Long, Long)].collect().sorted.toSeq
+    val full = ManifestLand.read(spark, out)
+      .filter(col("k").between(qlo, qhi)).as[(Long, Long)].collect().sorted.toSeq
+    assert(viaZones == full, "pruned read diverged from the full scan")
+    assert(viaZones.nonEmpty && viaZones.forall(_._1 % 97 != 0),
+      "a tombstoned row survived the pruned read")
+    assert(viaZones.size == (qlo to qhi).count(_ % 97 != 0))
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")
