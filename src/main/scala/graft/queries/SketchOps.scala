@@ -255,11 +255,68 @@ object SketchOps {
   private def q68Oracle: String =
     q68Body(h32Duck, "VARCHAR", "unnest([0, 1, 2])", "events", "orders")
 
+  // --- q74: HDR-histogram quantile sketch --------------------------------
+  // The fourth mergeable sketch family: approximate percentiles in FIXED
+  // memory per group. Each value maps to a log-bucketed bin with 16
+  // sub-buckets per octave (HdrHistogram's scheme at 4 significant bits,
+  // ≤ 6.25% relative error): for v ≥ 1 in integer cents,
+  //   m     = length(bin(v))            -- floor(log2 v)+1, both engines
+  //   shift = max(m-5, 0)
+  //   bin   = 16·shift + (v >> shift)   -- monotone in v
+  // The sketch is the (event_type, bin) count table — a pure map-side-
+  // combinable groupBy, merge-order independent by construction (the
+  // property q19's exact sort-based quantiles lack at 100 TB: this
+  // shuffles ≤ ~860 counter rows per group, never the data). Quantiles
+  // read back as the LOWER BOUND of the first bin whose cumulative count
+  // reaches ceil(p·n/100); the cumsum window is partitioned per group
+  // over the bounded bin table. All integer arithmetic; `length(bin())`
+  // and the shifts are exact in both engines.
+  private def q74Body(intDiv: String, shr: (String, String) => String,
+      shl: (String, String) => String): String = {
+    val binExpr = {
+      val v = s"greatest(CAST(floor(value * 100 + 0.5) AS BIGINT), 1)"
+      s"""(SELECT event_type, 16 * greatest(length(bin($v)) - 5, 0)
+         |   + ${shr(v, s"greatest(length(bin($v)) - 5, 0)")} AS b
+         | FROM EVSRC)""".stripMargin.replace("\n", " ")
+    }
+    // bin → bucket lower bound: sub = bin - 16·shift, lo = sub << shift
+    val loExpr = shl(s"(b - 16 * greatest(b $intDiv 16 - 1, 0))",
+      s"greatest(b $intDiv 16 - 1, 0)")
+    def thr(p: Int) = s"(n * $p + 99) $intDiv 100"
+    s"""WITH bins AS $binExpr,
+       |hist AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |         FROM bins GROUP BY 1, 2),
+       |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+       |        FROM hist GROUP BY 1),
+       |cum AS (SELECT event_type, b, cnt,
+       |          CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS c
+       |        FROM hist)
+       |SELECT cum.event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       |  CAST(MIN(CASE WHEN c >= ${thr(50)} THEN $loExpr END) AS BIGINT) AS p50_lo_c,
+       |  CAST(MIN(CASE WHEN c >= ${thr(90)} THEN $loExpr END) AS BIGINT) AS p90_lo_c,
+       |  CAST(MIN(CASE WHEN c >= ${thr(99)} THEN $loExpr END) AS BIGINT) AS p99_lo_c
+       |FROM cum JOIN tot ON tot.event_type = cum.event_type
+       |GROUP BY cum.event_type""".stripMargin
+  }
+
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_q74")
+    s.sql(q74Body("div",
+      (x, n) => s"shiftright($x, CAST($n AS INT))",
+      (x, n) => s"shiftleft($x, CAST($n AS INT))")
+      .replace("EVSRC", "events_q74"))
+  }
+
+  private def q74Oracle: String =
+    q74Body("//", (x, n) => s"($x >> ($n))", (x, n) => s"($x << ($n))")
+      .replace("EVSRC", "events")
+
   val queries: Seq[Q] = Seq(
     Q("q48_kmv_distinct", q48, Some(q48Oracle)),
     Q("q49_kmv_intersect", q49, Some(q49Oracle)),
     Q("q52_hll_cross_engine", q52, Some(q52Oracle)),
     Q("q63_cms_heavy_hitters", q63, Some(q63Oracle)),
-    Q("q68_cms_join_estimate", q68, Some(q68Oracle))
+    Q("q68_cms_join_estimate", q68, Some(q68Oracle)),
+    Q("q74_hdr_quantiles", q74, Some(q74Oracle))
   )
 }

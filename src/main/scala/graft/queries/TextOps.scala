@@ -872,8 +872,78 @@ object TextOps {
              |b AS (SELECT tok AS tok_b, df AS df_b, docs AS docs_b FROM r WHERE rn = 2)
              |SELECT tok_a, df_a, tok_b, df_b,
              |       unnest(list_intersect(docs_a, docs_b)) AS doc_id
-             |FROM a, b""".stripMargin))
+             |FROM a, b""".stripMargin)),
+
+    // --- d42: BM25 ranking — integer-exact rational variant ---------------
+    // The retrieval-scoring counterpart of d40's index build: score every
+    // document against the corpus's 3 widest terms (df DESC, tok ASC — a
+    // TakeOrdered, no window) with BM25 at k1=1.2, b=0.75. Both factors
+    // are EXACT RATIONALS so the whole score is merge-order-independent
+    // 128-bit integer arithmetic, never a cross-engine float:
+    //   idf surrogate  (N-df+0.5)/(df+0.5)      = (2N-2df+1)/(2df+1)
+    //   tf norm  tf·(k1+1)/(tf+k1(1-b+b·dl/avgdl)), avgdl = L/N, scaled
+    //   by 20L:                                  44·tf·L /
+    //                                            (20L·tf + 6L + 18·dl·N)
+    // (ln-idf is monotone in its argument, so ranking by the rational
+    // itself is the standard integer-only-IR substitution — the same
+    // trade d20 documents for tf-idf.) Each per-(doc,term) score is
+    // floored to integer micro-units BEFORE the per-doc sum (the PqAnn
+    // rule: integerize PER TERM, then integer-sum), in Spark
+    // DECIMAL(38,0) `div` ↔ DuckDB HUGEINT `//`. At 100 TB: tf/dl/df are
+    // map-side-combinable aggregates, the 3-term query table and the 1×1
+    // (N, L) scalar frame broadcast, so the corpus shuffles once for tf.
+    Q("d42_bm25",
+      (s, dir) => {
+        val words = t(s, dir, "documents").select(col("doc_id"),
+          explode(expr(
+            "filter(split(text, ' '), w -> w rlike '\\\\A[a-z]+\\\\z')"))
+            .as("tok"))
+        val tf = words.groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
+        val scal = dl.agg(count(lit(1)).as("n_docs"),
+          sum("dl").cast(LongType).as("corpus_len"))
+        val terms = dfreq.orderBy(col("df").desc, col("tok").asc).limit(3)
+        tf.join(broadcast(terms), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(scal))
+          .withColumn("term_micro", expr(bm25TermExpr("div", "DECIMAL(38,0)")))
+          .groupBy("doc_id")
+          .agg(sum("term_micro").as("score_micro"),
+            count(lit(1)).cast(LongType).as("n_terms"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |f AS (SELECT doc_id, tok FROM w WHERE regexp_full_match(tok, '[a-z]+')),
+             |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM f GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM f GROUP BY 1),
+             |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+             |scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |                CAST(SUM(dl) AS BIGINT) AS corpus_len FROM dl),
+             |terms AS (SELECT tok, df FROM dfq ORDER BY df DESC, tok LIMIT 3),
+             |sc AS (SELECT t.doc_id, ${bm25TermExpr("//", "HUGEINT")} AS term_micro
+             |       FROM tf t JOIN terms USING (tok) JOIN dl USING (doc_id) CROSS JOIN scal)
+             |SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro,
+             |       CAST(COUNT(*) AS BIGINT) AS n_terms
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
+      headline = true)
   )
+
+  /** d42's per-(doc,term) BM25 micro-score: identical integer arithmetic
+    * in both engines; only the floor-division token and the 128-bit type
+    * name differ. All products run in the 128-bit type (a BIGINT
+    * intermediate would overflow at real corpus_len).
+    */
+  private def bm25TermExpr(intDiv: String, big: String): String =
+    s"""CAST(CAST(1000000 AS $big) * (2 * n_docs - 2 * df + 1) * tf * 44 * corpus_len
+       | $intDiv (CAST(2 * df + 1 AS $big)
+       |   * (CAST(20 AS $big) * corpus_len * tf
+       |      + CAST(6 AS $big) * corpus_len
+       |      + CAST(18 AS $big) * dl * n_docs)) AS BIGINT)""".stripMargin
+      .replace("\n", " ")
 
   /** d05's oracle, shared shape with d09's edge definition. */
   private def dedupOracle: Option[String] =

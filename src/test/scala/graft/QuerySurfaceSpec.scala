@@ -834,4 +834,49 @@ class QuerySurfaceSpec extends SparkFunSuite {
         s"cell $cell: lowest-id member ${first.getAs[Long]("vec_id")} was dropped")
     }
   }
+
+  test("q74 HDR sketch: percentile bounds hold the ≤1/16 relative-error envelope") {
+    val rows = SparkEntry.queries("q74_hdr_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact per-type cents (clamped ≥ 1 exactly as the sketch does)
+    val cents = graft.queries.Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "greatest(CAST(floor(value * 100 + 0.5) AS BIGINT), 1L) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val xs = cents(et)
+      assert(r.getAs[Long]("n_events") == xs.length.toLong)
+      val ps = Seq(50 -> r.getAs[Long]("p50_lo_c"),
+        90 -> r.getAs[Long]("p90_lo_c"), 99 -> r.getAs[Long]("p99_lo_c"))
+      // quantiles are monotone
+      assert(ps.map(_._2) == ps.map(_._2).sorted, s"$et: ${ps.map(_._2)}")
+      ps.foreach { case (p, lo) =>
+        // the exact rank-r value lives inside the reported bucket:
+        // [lo, lo + width) with width = 1 below 32 and ≤ lo/16 above
+        val exact = xs((xs.length * p + 99) / 100 - 1)
+        val width = math.max(1L, lo / 16)
+        assert(lo <= exact && exact < lo + width,
+          s"$et p$p: lo=$lo exact=$exact width=$width")
+      }
+    }
+  }
+
+  test("d42 BM25: top-10 is ordered, every hit matches a query term, scores positive") {
+    val rows = SparkEntry.queries("d42_bm25")(spark, sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Long]("score_micro"))
+    assert(scores.sameElements(scores.sorted.reverse), "not score-descending")
+    assert(scores.forall(_ > 0L))
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_terms")
+      assert(t >= 1L && t <= 3L, s"n_terms $t out of [1,3]")
+    }
+    // a doc that matches more of the query's terms at equal length should
+    // be findable: the top hit must match at least 2 of the 3 widest terms
+    // (the widest terms cover most docs — a 1-term top hit would mean the
+    // tf normalization collapsed)
+    assert(rows.head.getAs[Long]("n_terms") >= 2L)
+  }
 }
