@@ -900,7 +900,13 @@ object TextOps {
             .as("tok"))
         val tf = words.groupBy("doc_id", "tok")
           .agg(count(lit(1)).as("tf"))
-        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // dl derives from tf (Σtf per doc ≡ the doc's token count) with
+        // the IDENTICAL child plan, so AQE's ReuseExchange runs the
+        // tokenize + (doc_id, tok) shuffle once for both; df's keys-only
+        // aggregate canonicalizes differently (column pruning drops the
+        // tf count) and keeps its own narrower scan — 2 corpus passes,
+        // not 3
+        val dl = tf.groupBy("doc_id").agg(sum("tf").cast(LongType).as("dl"))
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
         val scal = dl.agg(count(lit(1)).as("n_docs"),
           sum("dl").cast(LongType).as("corpus_len"))
@@ -918,7 +924,7 @@ object TextOps {
       Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
              |f AS (SELECT doc_id, tok FROM w WHERE regexp_full_match(tok, '[a-z]+')),
              |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM f GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM f GROUP BY 1),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
              |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
              |scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              |                CAST(SUM(dl) AS BIGINT) AS corpus_len FROM dl),

@@ -56,6 +56,18 @@ import org.apache.spark.sql.streaming.Trigger
   * ranges prune at once); stats are re-derived from the staged files
   * themselves, never trusted from the incoming frame.
   *
+  * BLOOM FILTERS (round 7, the point-lookup complement of the zone
+  * maps): a landing may declare ONE bloom column; each commit then
+  * stores a per-file bloom filter over it in the manifest (`bf` lines —
+  * BloomAgg's 64 Kibit/4-probe bitset, built from the staged bytes by a
+  * map-side-OR aggregation), and [[readPrunedEq]] serves `col = value`
+  * lookups from only the files whose filter may contain the key. Zone
+  * maps answer RANGE predicates on clustered dimensions; blooms answer
+  * EQUALITY on high-cardinality keys that clustering can't help — the
+  * Iceberg-puffin idea inlined so visibility and stats still flip in
+  * one atomic pointer. Compaction re-derives filters for its rewrite
+  * files, folding tombstoned keys away with the deletion vectors.
+  *
   * DELETION VECTORS (round 6, merge-on-read DELETE): [[deleteWhere]]
   * removes rows WITHOUT rewriting any data file — it stages a small
   * sidecar parquet of (file_name, row_index) tombstones (positions from
@@ -78,15 +90,20 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ManifestLand {
 
-  /** `bounds(i)` = [min,max] of `Manifest.statsCols(i)` in this file. */
+  /** `bounds(i)` = [min,max] of `Manifest.statsCols(i)` in this file;
+    * `bloom` = the file's membership filter over `Manifest.bloomCol`
+    * (BloomAgg's 32-bit-word layout), when the landing declares one.
+    */
   private[streaming] case class FileEntry(
-      name: String, bounds: Seq[(Long, Long)] = Seq.empty)
+      name: String, bounds: Seq[(Long, Long)] = Seq.empty,
+      bloom: Option[Array[Long]] = None)
 
   private[streaming] case class Manifest(
       applied: Long,
       entries: Seq[FileEntry],
       statsCols: Seq[String] = Seq.empty,
-      dvs: Seq[String] = Seq.empty) {
+      dvs: Seq[String] = Seq.empty,
+      bloomCol: Option[String] = None) {
     def files: Seq[String] = entries.map(_.name)
   }
 
@@ -97,8 +114,10 @@ object ManifestLand {
   /** Manifest line grammar, backward compatible with the round-5 format
     * (plain file-name lines): tab-separated fields, `dv\t<name>` for a
     * deletion-vector sidecar, `name\t<lo1>\t<hi1>[\t<lo2>\t<hi2>...]` for
-    * a data file with one [min,max] pair per declared stats column; one
-    * optional `stats=<col1>[,<col2>...]` header line after `applied=`.
+    * a data file with one [min,max] pair per declared stats column,
+    * `bf\t<name>\t<base64>` for a data file's bloom filter (big-endian
+    * longs of BloomAgg's word array); optional `stats=<col1>[,...]` and
+    * `bloom=<col>` header lines after `applied=`, in that order.
     */
   private def parseManifest(mf: java.io.File): Manifest = {
     if (!mf.exists()) Manifest(-1L, Seq.empty)
@@ -109,23 +128,38 @@ object ManifestLand {
         case head +: rest if head.startsWith("applied=") =>
           val applied = head.stripPrefix("applied=").toLongOption.getOrElse(
             throw new IllegalStateException(s"unreadable manifest header in $mf: $head"))
-          val (statsCols, body) = rest match {
+          val (statsCols, afterStats) = rest match {
             case s +: tail if s.startsWith("stats=") =>
               (s.stripPrefix("stats=").split(",").map(_.trim).filter(_.nonEmpty).toSeq, tail)
             case other => (Seq.empty[String], other)
           }
-          val (dvLines, dataLines) = body.partition(_.startsWith("dv\t"))
+          val (bloomCol, body) = afterStats match {
+            case b +: tail if b.startsWith("bloom=") =>
+              (Some(b.stripPrefix("bloom=").trim).filter(_.nonEmpty), tail)
+            case other => (None, other)
+          }
+          val (dvLines, rest2) = body.partition(_.startsWith("dv\t"))
+          val (bfLines, dataLines) = rest2.partition(_.startsWith("bf\t"))
+          val blooms: Map[String, Array[Long]] = bfLines.map { l =>
+            l.split("\t", -1) match {
+              case Array(_, name, b64) => name -> decodeBloom(b64)
+              case _ => throw new IllegalStateException(
+                s"unreadable bloom line in $mf: ${l.take(80)}")
+            }
+          }.toMap
           val entries = dataLines.map { l =>
             val fields = l.split("\t", -1)
-            if (fields.length == 1) FileEntry(fields(0))
+            if (fields.length == 1) FileEntry(fields(0), bloom = blooms.get(fields(0)))
             else if (fields.length == 1 + 2 * statsCols.length) {
               val bounds = fields.tail.map(f => f.toLongOption.getOrElse(
                 throw new IllegalStateException(s"unreadable zone-map line in $mf: $l")))
-              FileEntry(fields(0), bounds.grouped(2).map(p => (p(0), p(1))).toSeq)
+              FileEntry(fields(0), bounds.grouped(2).map(p => (p(0), p(1))).toSeq,
+                blooms.get(fields(0)))
             } else throw new IllegalStateException(
               s"unrecognized manifest line in $mf (${statsCols.length} stats cols): $l")
           }
-          Manifest(applied, entries, statsCols, dvLines.map(_.stripPrefix("dv\t")))
+          Manifest(applied, entries, statsCols,
+            dvLines.map(_.stripPrefix("dv\t")), bloomCol)
         case Seq() => Manifest(-1L, Seq.empty)
         case other =>
           // refuse rather than guess: silently consuming a data line as
@@ -139,12 +173,27 @@ object ManifestLand {
 
   private def render(m: Manifest): Array[Byte] = {
     val header = s"applied=${m.applied}" +:
-      (if (m.statsCols.nonEmpty) Seq(s"stats=${m.statsCols.mkString(",")}") else Seq.empty)
+      ((if (m.statsCols.nonEmpty) Seq(s"stats=${m.statsCols.mkString(",")}") else Seq.empty) ++
+        m.bloomCol.map(c => s"bloom=$c").toSeq)
     val data = m.entries.map { e =>
       if (e.bounds.isEmpty) e.name
       else (e.name +: e.bounds.flatMap(b => Seq(b._1.toString, b._2.toString))).mkString("\t")
     }
-    (header ++ data ++ m.dvs.map(n => s"dv\t$n")).mkString("\n").getBytes("UTF-8")
+    val bf = m.entries.flatMap(e =>
+      e.bloom.map(w => s"bf\t${e.name}\t${encodeBloom(w)}"))
+    (header ++ data ++ bf ++ m.dvs.map(n => s"dv\t$n")).mkString("\n").getBytes("UTF-8")
+  }
+
+  private def encodeBloom(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def decodeBloom(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
   }
 
   private[streaming] def readManifest(dir: String): Manifest =
@@ -348,7 +397,8 @@ object ManifestLand {
     */
   private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long,
       outDir: String, statsCols: Seq[String] = Seq.empty,
-      rangeParts: Int = 2, clusterBy: Option[Column] = None): Unit = {
+      rangeParts: Int = 2, clusterBy: Option[Column] = None,
+      bloomCol: Option[String] = None): Unit = {
     val m = readManifest(outDir)
     if (batchId <= m.applied) return // replayed, already committed
     // a statsCols change mid-landing would render old entry lines whose
@@ -357,6 +407,11 @@ object ManifestLand {
     require(m.statsCols.isEmpty || statsCols.isEmpty || statsCols == m.statsCols,
       s"statsCols change mid-landing: manifest declares ${m.statsCols.mkString(",")}, " +
         s"batch $batchId declares ${statsCols.mkString(",")}")
+    // same hazard for the bloom column: old bf lines would claim a
+    // different column's membership than the new header declares
+    require(m.bloomCol.isEmpty || bloomCol.isEmpty || bloomCol == m.bloomCol,
+      s"bloomCol change mid-landing: manifest declares ${m.bloomCol.getOrElse("")}, " +
+        s"batch $batchId declares ${bloomCol.getOrElse("")}")
     // persist the schema once (write-then-ATOMIC_MOVE like the manifest)
     // so `read` can serve a committed-but-empty landing; written BEFORE
     // the flip so any committed state has it
@@ -374,11 +429,90 @@ object ManifestLand {
     // b-files always belong to ids <= applied, so the sweep can never
     // touch a manifest-referenced file)
     val staged = ParquetLand.stageParts(clustered, outDir, s"b${batchId}_")
-    val entries =
+    val base =
       if (statsCols.isEmpty) staged.map(FileEntry(_))
       else fileStats(batch.sparkSession, outDir, staged, statsCols)
+    val effBloom = bloomCol.orElse(m.bloomCol)
+    val entries = effBloom match {
+      case Some(c) => attachBlooms(batch.sparkSession, outDir, base, c)
+      case None => base
+    }
     flip(outDir, Manifest(batchId, m.entries ++ entries,
-      if (statsCols.nonEmpty) statsCols else m.statsCols, m.dvs)) // commit point
+      if (statsCols.nonEmpty) statsCols else m.statsCols, m.dvs,
+      effBloom)) // commit point
+  }
+
+  /** Per-file bloom filter over `bloomCol`, built from the staged bytes
+    * (derive-from-disk, like [[fileStats]]) with ONE BloomAgg aggregation
+    * grouped on `_metadata.file_name` — map-side OR-merge, so only the
+    * m/8-byte bitsets cross the wire, never the keys. A staged file that
+    * range-partitioning left EMPTY gets the all-zero bloom ("contains
+    * nothing"), which every point lookup correctly prunes. The filter is
+    * stored INLINE in the manifest (Iceberg keeps the same stats in
+    * puffin sidecars; inline keeps this landing's one-atomic-pointer
+    * kernel — ~21 KiB of base64 per file at BloomAgg's fixed 64 Kibit).
+    */
+  private def attachBlooms(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], bloomCol: String): Seq[FileEntry] = {
+    if (entries.isEmpty) return entries
+    val byFile = spark.read.parquet(entries.map(e => s"$dir/${e.name}"): _*)
+      .groupBy(expr("_metadata.file_name").as("__f"))
+      .agg(graft.functions.BloomAgg.bloom_agg(
+        org.apache.spark.sql.functions.xxhash64(col(bloomCol))).as("__bf"))
+      .collect()
+      .map(r => r.getAs[String]("__f") -> r.getSeq[Long](1).toArray).toMap
+    entries.map(e => e.copy(bloom = Some(byFile.getOrElse(e.name,
+      new Array[Long](graft.functions.BloomAgg.NumWords)))))
+  }
+
+  /** Driver-side membership probe sharing BloomAgg's exact arithmetic:
+    * `h` is Spark's `xxhash64` of the key (seed 42). */
+  private def bloomContains(words: Array[Long], h: Long): Boolean = {
+    import graft.functions.BloomAgg.{NumBits, NumProbes}
+    val h1 = (h & (NumBits - 1L)).toInt
+    val h2 = (((h & 0xFFFFFFFFL) / 65536L) | 1L).toInt
+    var j = 0
+    while (j < NumProbes) {
+      val pos = (h1 + j * h2) % NumBits
+      if ((words(pos >>> 5) & (1L << (pos & 31))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Spark's `xxhash64(CAST(v AS BIGINT))`, evaluated driver-side — the
+    * same bits the staged-file blooms were built from. */
+  private def sparkHash(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+
+  /** Live data files whose bloom filter MAY contain `bloomCol = value` —
+    * the POINT-LOOKUP pruning path, complementing the zone maps' range
+    * path (a high-cardinality key is exactly where [min,max] boxes stop
+    * helping: every file's range spans the whole key domain, but its
+    * bloom still rejects ~99% of foreign keys at BloomAgg's sizing).
+    * Files without a recorded bloom are conservatively kept.
+    */
+  def prunedLiveFilesEq(dir: String, value: Long): Seq[String] = {
+    val m = readManifest(dir)
+    require(m.bloomCol.nonEmpty,
+      s"ManifestLand.prunedLiveFilesEq: landing $dir has no bloom column")
+    val h = sparkHash(value)
+    m.entries.filter(e => e.bloom.forall(bloomContains(_, h))).map(_.name)
+  }
+
+  /** Point lookup through the per-file blooms: read ONLY the live files
+    * that may contain `bloomCol = value`, tombstones still applied. Like
+    * [[readPruned]], the result is a SUPERSET of the exact match — the
+    * caller applies the equality residual on top.
+    */
+  def readPrunedEq(spark: SparkSession, dir: String, value: Long): DataFrame = {
+    val m = readManifest(dir)
+    val keep = prunedLiveFilesEq(dir, value).toSet
+    readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
+      "readPrunedEq")
   }
 
   /** Per-file [min,max] of every stats column, read back from the staged
@@ -467,9 +601,9 @@ object ManifestLand {
     */
   def commitBatch(batch: Dataset[Row], batchId: Long, outDir: String,
       statsCols: Seq[String] = Seq.empty, rangeParts: Int = 2,
-      clusterBy: Option[Column] = None): Unit = {
+      clusterBy: Option[Column] = None, bloomCol: Option[String] = None): Unit = {
     new java.io.File(outDir).mkdirs()
-    applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy)
+    applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy, bloomCol)
   }
 
   /** Rewrite the landing to `targetFiles` parts when it exceeds
@@ -494,10 +628,16 @@ object ManifestLand {
     }
     val cnames = ParquetLand.stageParts(data, outDir,
       s"c${m.applied}_${System.nanoTime()}_")
-    val entries =
+    val base =
       if (m.statsCols.isEmpty) cnames.map(FileEntry(_))
       else fileStats(spark, outDir, cnames, m.statsCols)
-    flip(outDir, Manifest(m.applied, entries, m.statsCols, Seq.empty))
+    // fresh blooms for the rewrite files: tombstoned keys fold away here
+    // exactly like the deletion vectors themselves
+    val entries = m.bloomCol match {
+      case Some(c) => attachBlooms(spark, outDir, base, c)
+      case None => base
+    }
+    flip(outDir, Manifest(m.applied, entries, m.statsCols, Seq.empty, m.bloomCol))
     val keep = referenced(outDir)
     (m.files ++ m.dvs).filterNot(keep.contains)
       .foreach { n => new java.io.File(outDir, n).delete(); () }
@@ -513,13 +653,13 @@ object ManifestLand {
   def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
       maxFiles: Int = 8, targetFiles: Int = 2, keepVersions: Int = 1,
       statsCols: Seq[String] = Seq.empty, rangeParts: Int = 2,
-      clusterBy: Option[Column] = None): Unit = {
+      clusterBy: Option[Column] = None, bloomCol: Option[String] = None): Unit = {
     new java.io.File(outDir).mkdirs()
     vacuum(outDir) // sweep orphans of any crashed stage/compaction
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy)
+        applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy, bloomCol)
         expireVersions(outDir, keepVersions)
         // outside the skip path: a crash between the two flips is
         // repaired here on replay even though the batch itself skips

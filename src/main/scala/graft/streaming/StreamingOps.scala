@@ -757,6 +757,35 @@ object StreamingOps {
         sum(col("value_e4")).as("sum_value_e4"))
   }
 
+  /** s23: MANIFEST BLOOM FILTERS — the POINT-LOOKUP pruning lever, where
+    * zone maps stop helping: a high-cardinality key (user_id) is spread
+    * across every file, so every file's [min,max] box covers every probe
+    * and a range scan reads the whole landing. Each committed file
+    * instead records a bloom filter over the key in its manifest line
+    * (built from the staged bytes by one map-side-OR BloomAgg pass, the
+    * Iceberg-puffin idea folded into the one-pointer manifest kernel),
+    * and [[ManifestLand.readPrunedEq]] opens ONLY the files whose bloom
+    * may contain the probed key — at 100 TB, ~99% of a needle lookup's
+    * files are rejected from the manifest alone, no footer reads. The
+    * gate proves the pruned read computes the exact per-type rollup for
+    * the probed user; ManifestLandSpec asserts files are really skipped.
+    */
+  def streamManifestBloom(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s23")
+    val out = java.nio.file.Files.createTempDirectory("graft_s23_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s23_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      bloomCol = Some("user_id"))
+    val probe = ManifestLand.read(spark, out).agg(min("user_id")).head().getLong(0)
+    ManifestLand.readPrunedEq(spark, out, probe)
+      .filter(col("user_id") === probe) // residual, like a reader
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"))
+  }
+
   /** s20: DELETION VECTORS — s15's ETL landed with history retention,
     * then a merge-on-read DELETE (cheap clicks tombstoned positionally,
     * no data file rewritten) and the rollup over the tombstone-filtered
@@ -1044,6 +1073,15 @@ object StreamingOps {
              |SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
              |FROM r GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s23_manifest_bloom", (s, dir) => streamManifestBloom(s, dir),
+      // the bloom-pruned point lookup must equal the plain equality rollup
+      Some("""WITH e AS (SELECT event_type, user_id,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |p AS (SELECT MIN(user_id) AS u FROM e)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM e, p WHERE user_id = u GROUP BY event_type""".stripMargin)),
     graft.queries.Q("s20_deletion_vectors", (s, dir) => streamDeletionVectors(s, dir),
       // the merge-on-read view must equal the batch answer minus the
       // tombstoned rows

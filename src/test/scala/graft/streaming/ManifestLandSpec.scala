@@ -211,6 +211,56 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(ManifestLand.prunedLiveFiles(out, 1000L, 2000L).isEmpty)
   }
 
+  test("bloom filters: point lookups skip files, survive compaction and deletes") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_bf").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // 4 single-file batches with DISJOINT sparse keys (i*10000 + j): a
+    // high-cardinality domain where every file's [min,max] zone would
+    // span ~everything a zone map could ask — the bloom must carry the
+    // pruning alone
+    (0 until 4).foreach { i =>
+      val b = spark.range(100L)
+        .select((col("id") + i * 10000L).as("k"), (col("id") * 3 + i).as("payload"))
+      ManifestLand.applyBatch(b.toDF().coalesce(1), i, out, bloomCol = Some("k"))
+    }
+    assert(ManifestLand.liveFiles(out).size == 4)
+    // a key that lives only in batch 2 keeps exactly its file (64 Kibit
+    // bloom at 100 keys: false-positive odds are ~1e-10 per file)
+    assert(ManifestLand.prunedLiveFilesEq(out, 20042L).size == 1)
+    // an absent key prunes the whole landing from the manifest alone
+    assert(ManifestLand.prunedLiveFilesEq(out, 5042L).isEmpty)
+    // pruned + residual == full + filter, present and absent probes
+    for (probe <- Seq(42L, 10099L, 30000L, 5042L, -7L)) {
+      val viaBloom = ManifestLand.readPrunedEq(spark, out, probe)
+        .filter(col("k") === probe).as[(Long, Long)].collect().sorted.toSeq
+      val full = ManifestLand.read(spark, out)
+        .filter(col("k") === probe).as[(Long, Long)].collect().sorted.toSeq
+      assert(viaBloom == full, s"probe $probe diverged through the blooms")
+    }
+    // the bloom column cannot change mid-landing
+    val clash = spark.range(5L).select(col("id").as("k"), col("id").as("payload"))
+    intercept[IllegalArgumentException] {
+      ManifestLand.applyBatch(clash.toDF(), 9L, out, bloomCol = Some("payload"))
+    }
+    // a delete tombstones through the pruned read path too
+    ManifestLand.deleteWhere(spark, out, col("k") === 20042L)
+    assert(ManifestLand.readPrunedEq(spark, out, 20042L)
+      .filter(col("k") === 20042L).count() == 0L)
+    // compaction re-derives blooms for the rewrite files: lookups stay
+    // exact and absent keys still prune everything
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 2, targetFiles = 2)
+    assert(ManifestLand.liveFiles(out).size <= 2)
+    assert(ManifestLand.prunedLiveFilesEq(out, 5042L).isEmpty)
+    val after = ManifestLand.readPrunedEq(spark, out, 30000L)
+      .filter(col("k") === 30000L).as[(Long, Long)].collect().toSeq
+    assert(after == Seq((30000L, 3L)))
+    // the folded-away tombstone stays gone
+    assert(ManifestLand.readPrunedEq(spark, out, 20042L)
+      .filter(col("k") === 20042L).count() == 0L)
+  }
+
   test("z-order + multi-column zone maps: either dimension prunes alone, both prune harder") {
     val spark = this.spark
     import spark.implicits._
