@@ -395,10 +395,22 @@ object ManifestLand {
     * never disagree with the bytes on disk). Exposed for direct
     * crash-window testing.
     */
-  private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long,
+  /** Name of the batch-lineage column [[changeFeed]] reads. Stamped by
+    * opt-in (`trackChanges`) because it changes the landing's visible
+    * schema. A PHYSICAL column — not file-name lineage — so compaction
+    * rewrites carry it unchanged and the feed stays sound after folds.
+    */
+  val CommitVersionCol = "_commit_version"
+
+  private[streaming] def applyBatch(batch0: Dataset[Row], batchId: Long,
       outDir: String, statsCols: Seq[String] = Seq.empty,
       rangeParts: Int = 2, clusterBy: Option[Column] = None,
-      bloomCol: Option[String] = None): Unit = {
+      bloomCol: Option[String] = None, trackChanges: Boolean = false): Unit = {
+    val batch =
+      if (trackChanges)
+        batch0.withColumn(CommitVersionCol,
+          org.apache.spark.sql.functions.lit(batchId))
+      else batch0
     val m = readManifest(outDir)
     if (batchId <= m.applied) return // replayed, already committed
     // a statsCols change mid-landing would render old entry lines whose
@@ -515,6 +527,55 @@ object ManifestLand {
       "readPrunedEq")
   }
 
+  /** CHANGE DATA FEED between two retained versions — the incremental-
+    * consumption read (Delta CDF / Iceberg incremental scan): every row
+    * whose NET effect changed in `(fromV, toV]`, tagged `_change_type`
+    * `insert` or `delete`. Requires a change-tracked landing
+    * (`trackChanges = true` stamps [[CommitVersionCol]] at commit).
+    *
+    *  - inserts = rows of `readVersion(toV)` with commit version in the
+    *    window — METADATA-CHEAP: when the landing declares
+    *    [[CommitVersionCol]] among its statsCols and `toV` is current,
+    *    the zone maps cut the scan to only the window's files before any
+    *    footer is opened (at 100 TB, an incremental sync reads the new
+    *    files, not the table); the version filter stays as residual.
+    *  - deletes = rows of `readVersion(fromV)` whose `keyCols` no longer
+    *    exist in `toV` — a key anti-join of the two retained snapshots.
+    *    Sound across compaction (which folds deletion vectors away and
+    *    would blind any tombstone-diff approach); costs a shuffle of the
+    *    two versions, the same price Delta pays materializing change
+    *    files it didn't write at delete time.
+    *
+    * NET-effect semantics: a row inserted and deleted inside the window
+    * appears as neither (what an incremental MERGE consumer wants).
+    * Retention contract: both versions must still be retained
+    * (`keepVersions` spans the window) — the same bound Delta/Iceberg
+    * place on CDF reads.
+    */
+  def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV < toV, s"changeFeed: empty window ($fromV, $toV]")
+    require(keyCols.nonEmpty, "changeFeed: key columns required for deletes")
+    val m = readManifest(dir)
+    val newer =
+      if (toV == m.applied && m.statsCols.contains(CommitVersionCol))
+        readPruned(spark, dir, Seq((CommitVersionCol, fromV + 1, toV)))
+      else readVersion(spark, dir, toV)
+    require(newer.columns.contains(CommitVersionCol),
+      s"ManifestLand.changeFeed: landing $dir is not change-tracked " +
+        s"(commit with trackChanges = true)")
+    val older = readVersion(spark, dir, fromV)
+    val inserts = newer
+      .filter(col(CommitVersionCol) > fromV && col(CommitVersionCol) <= toV)
+      .withColumn("_change_type", lit("insert"))
+    val deletes = older
+      .join(readVersion(spark, dir, toV).select(keyCols.map(col): _*),
+        keyCols, "left_anti")
+      .withColumn("_change_type", lit("delete"))
+    inserts.unionByName(deletes)
+  }
+
   /** Per-file [min,max] of every stats column, read back from the staged
     * bytes (one small job; the stats can never disagree with the disk).
     */
@@ -601,9 +662,11 @@ object ManifestLand {
     */
   def commitBatch(batch: Dataset[Row], batchId: Long, outDir: String,
       statsCols: Seq[String] = Seq.empty, rangeParts: Int = 2,
-      clusterBy: Option[Column] = None, bloomCol: Option[String] = None): Unit = {
+      clusterBy: Option[Column] = None, bloomCol: Option[String] = None,
+      trackChanges: Boolean = false): Unit = {
     new java.io.File(outDir).mkdirs()
-    applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy, bloomCol)
+    applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy,
+      bloomCol, trackChanges)
   }
 
   /** Rewrite the landing to `targetFiles` parts when it exceeds
@@ -653,13 +716,15 @@ object ManifestLand {
   def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
       maxFiles: Int = 8, targetFiles: Int = 2, keepVersions: Int = 1,
       statsCols: Seq[String] = Seq.empty, rangeParts: Int = 2,
-      clusterBy: Option[Column] = None, bloomCol: Option[String] = None): Unit = {
+      clusterBy: Option[Column] = None, bloomCol: Option[String] = None,
+      trackChanges: Boolean = false): Unit = {
     new java.io.File(outDir).mkdirs()
     vacuum(outDir) // sweep orphans of any crashed stage/compaction
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy, bloomCol)
+        applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy,
+          bloomCol, trackChanges)
         expireVersions(outDir, keepVersions)
         // outside the skip path: a crash between the two flips is
         // repaired here on replay even though the batch itself skips

@@ -786,6 +786,36 @@ object StreamingOps {
         sum(col("value_e4")).as("sum_value_e4"))
   }
 
+  /** s24: CHANGE DATA FEED — the incremental-consumption read over the
+    * manifest landing (Delta CDF / Iceberg incremental scan): s15's ETL
+    * landed change-tracked with [[ManifestLand.CommitVersionCol]] among
+    * its zone-map stats, a merge-on-read DELETE applied after the
+    * stream, then `changeFeed(v1 → current)` emits the NET row changes
+    * of the window — inserts served INCREMENTALLY (the version zone maps
+    * cut the scan to the window's files; at 100 TB a sync reads the new
+    * files, not the table) and deletes recovered by key anti-join of the
+    * two retained snapshots, which stays sound after compaction folds
+    * the deletion vectors away. The gate proves the feed equals the
+    * from-scratch batch diff the oracle computes from the quartile cuts.
+    */
+  def streamChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s24")
+    val out = java.nio.file.Files.createTempDirectory("graft_s24_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s24_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      keepVersions = 8, statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"),
+      rangeParts = 2, clusterBy = Some(col("tsu")), trackChanges = true)
+    ManifestLand.deleteWhere(spark, out,
+      col("event_type") === "click" && col("value_e4") < 1000000L)
+    ManifestLand.changeFeed(spark, out, fromV = 1L, toV = 3L,
+        keyCols = Seq("event_id"))
+      .groupBy(col("_change_type").as("change_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"))
+  }
+
   /** s20: DELETION VECTORS — s15's ETL landed with history retention,
     * then a merge-on-read DELETE (cheap clicks tombstoned positionally,
     * no data file rewritten) and the rollup over the tombstone-filtered
@@ -1082,6 +1112,24 @@ object StreamingOps {
              |SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
              |FROM e, p WHERE user_id = u GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s24_change_feed", (s, dir) => streamChangeFeed(s, dir),
+      // the incremental feed must equal the from-scratch batch diff:
+      // inserts = the window's quartiles minus the deleted rows, deletes
+      // = pre-window rows hit by the post-stream DELETE
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS tsu,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |b AS (SELECT MIN(tsu) AS mnu,
+             |             (MAX(tsu) - MIN(tsu)) // 4 + 1 AS step FROM e),
+             |k AS (SELECT e.*, (tsu - mnu) // step AS batch FROM e, b),
+             |c AS (SELECT 'insert' AS change_type, event_type, value_e4 FROM k
+             |      WHERE batch >= 2 AND NOT (event_type = 'click' AND value_e4 < 1000000)
+             |      UNION ALL
+             |      SELECT 'delete' AS change_type, event_type, value_e4 FROM k
+             |      WHERE batch <= 1 AND (event_type = 'click' AND value_e4 < 1000000))
+             |SELECT change_type, event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM c GROUP BY 1, 2""".stripMargin)),
     graft.queries.Q("s20_deletion_vectors", (s, dir) => streamDeletionVectors(s, dir),
       // the merge-on-read view must equal the batch answer minus the
       // tombstoned rows

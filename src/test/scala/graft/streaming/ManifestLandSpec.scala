@@ -261,6 +261,50 @@ class ManifestLandSpec extends SparkFunSuite {
       .filter(col("k") === 20042L).count() == 0L)
   }
 
+  test("change feed: incremental inserts prune by version zones, deletes survive compaction") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_cdf").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // 4 tracked batches, _commit_version declared as a zone-map column
+    (0 until 4).foreach { i =>
+      val b = spark.range(i * 100L, (i + 1) * 100L)
+        .select(col("id").as("k"), (col("id") * 2).as("payload"))
+      ManifestLand.applyBatch(b.toDF(), i, out,
+        statsCols = Seq(ManifestLand.CommitVersionCol), rangeParts = 1,
+        trackChanges = true)
+    }
+    // the insert path's file cut is visible through the zone maps alone
+    assert(ManifestLand.prunedLiveFiles(out,
+      Seq((ManifestLand.CommitVersionCol, 2L, 3L))).size == 2)
+    // delete a window row (inserted v2) and a pre-window row (inserted v0)
+    ManifestLand.deleteWhere(spark, out, col("k") === 250L || col("k") === 50L)
+    def feed(): Map[(String, Long), Long] =
+      ManifestLand.changeFeed(spark, out, 1L, 3L, Seq("k"))
+        .select(col("_change_type"), col("k"), col("payload"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val f1 = feed()
+    // net effect: k=250 was inserted AND deleted inside the window → absent
+    assert(!f1.contains(("insert", 250L)) && !f1.contains(("delete", 250L)))
+    // k=50 existed at v1, gone at v3 → a delete
+    assert(f1(("delete", 50L)) == 100L)
+    // inserts are exactly the window's surviving rows
+    assert(f1.count(_._1._1 == "insert") == 199)
+    assert(f1(("insert", 399L)) == 798L)
+    // compaction folds the vectors and rewrites every file; the feed is
+    // unchanged because lineage is a COLUMN, not a file name
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 2, targetFiles = 2)
+    assert(feed() == f1)
+    // an untracked landing is refused
+    val plain = Files.createTempDirectory("graft_mland_cdf2").toString + "/landing"
+    new java.io.File(plain).mkdirs()
+    ManifestLand.applyBatch(Seq(1L).toDF("k"), 0L, plain)
+    ManifestLand.applyBatch(Seq(2L).toDF("k"), 1L, plain)
+    intercept[IllegalArgumentException] {
+      ManifestLand.changeFeed(spark, plain, 0L, 1L, Seq("k")).collect()
+    }
+  }
+
   test("z-order + multi-column zone maps: either dimension prunes alone, both prune harder") {
     val spark = this.spark
     import spark.implicits._
