@@ -786,6 +786,52 @@ object StreamingOps {
         sum(col("value_e4")).as("sum_value_e4"))
   }
 
+  /** s25: AT-LEAST-ONCE DEDUP via `dropDuplicatesWithinWatermark` — the
+    * bounded-state production dedup API (Spark 3.5+), distinct from
+    * s03's stateful min_by: here the upstream REDELIVERS data (every
+    * quartile file lands twice — the at-least-once delivery model of any
+    * queue/file relay) and the operator drops the re-arrivals while
+    * holding each key only until the watermark passes it — state is
+    * bounded by the delay window, not the corpus, which is what lets the
+    * same query run forever at 100 TB (plain dropDuplicates state grows
+    * monotonically). The delay is sized to one quartile step + 1 s, so
+    * every duplicate provably arrives while its original is still in
+    * state (the re-delivered batch advances the watermark by NOTHING —
+    * same max event time — and the originals' times all sit inside one
+    * step of it); the emitted set is then exactly the distinct corpus
+    * and the rollup hash-matches the batch oracle.
+    */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val land = java.nio.file.Files.createTempDirectory("graft_s25_land").toString
+    graft.TempCleanup.registerDir(land)
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val Seq(mn, mx) = ev.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 4 + 1
+    for (k <- 0 until 4; r <- 0 until 2) // each quartile delivered TWICE
+      landFile(ev.filter(expr("ts div 1000") >= mn + k * step &&
+          expr("ts div 1000") < mn + (k + 1) * step),
+        land, f"0$k%d$r%d_events.parquet")
+    val delayMs = step / 1000L + 1000L
+    // engine-written landing: canonical BIGINT-ns ts, read directly (the
+    // etlSource pattern) — the encoding sniff is for driver fixtures
+    val deduped = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("t"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      .withWatermark("t", s"$delayMs milliseconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    drainToMemory(deduped, "graft_s25_", "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"),
+        countDistinct(col("event_id")).as("n_ids"))
+  }
+
   /** s24: CHANGE DATA FEED — the incremental-consumption read over the
     * manifest landing (Delta CDF / Iceberg incremental scan): s15's ETL
     * landed change-tracked with [[ManifestLand.CommitVersionCol]] among
@@ -1112,6 +1158,16 @@ object StreamingOps {
              |SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
              |FROM e, p WHERE user_id = u GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s25_dedup_within_watermark", (s, dir) => streamDedupWatermark(s, dir),
+      // the doubly-delivered stream deduped within the watermark must
+      // equal the plain distinct-corpus rollup
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
+             |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+             |FROM e GROUP BY event_type""".stripMargin)),
     graft.queries.Q("s24_change_feed", (s, dir) => streamChangeFeed(s, dir),
       // the incremental feed must equal the from-scratch batch diff:
       // inserts = the window's quartiles minus the deleted rows, deletes
