@@ -39,7 +39,7 @@ object GraphOps {
 
   // customer-nation → supplier-nation trade graph, weighted by lineitem
   // count: "which nations' demand funds which nations' supply"
-  private def q47Edges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q47Edges(s: SparkSession, dir: String): DataFrame = {
     Seq("nation", "customer", "orders", "lineitem", "supplier")
       .foreach(n => t(s, dir, n).createOrReplaceTempView(s"${n}_q47"))
     s.sql("""SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
@@ -220,8 +220,100 @@ object GraphOps {
        |SELECT v AS nation, NULLIF(dist, $SsspInf) AS dist_cost FROM d$SsspRounds""".stripMargin
   }
 
+  // --- q75: triangle counting via degree-ordered orientation ------------
+  // The fourth join-based graph member, and the one whose NAIVE form dies
+  // first at scale: counting each triangle once by joining the raw edge
+  // list three ways puts every hub node's full neighborhood on one side
+  // of a join (a celebrity's 10⁷ neighbors → 10¹⁴ candidate wedges).
+  // The compact-forward fix is pure relational algebra: orient every
+  // undirected edge from the (degree, id)-SMALLER endpoint to the larger
+  // — a total order, so each triangle survives in exactly one
+  // orientation (u→v→w with u<v<w in the order) — and every node's
+  // OUT-degree is then bounded by ~√(2·|E|) regardless of its real
+  // degree, which caps the wedge join's skew. Two hash joins + a count;
+  // no iteration, no state. Emits the triangle count and the integer
+  // global clustering coefficient (3·closed / open wedges, permille).
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    // undirected simple edges from the trade graph: canonical a < b pair
+    val und = q47Edges(s, dir).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient by (deg, name): src = the smaller endpoint in the total order
+    val dA = deg.select(col("v").as("a"), col("deg").as("da"))
+    val dB = deg.select(col("v").as("b"), col("deg").as("db"))
+    val oriented = und.join(broadcast(dA), "a").join(broadcast(dB), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    // wedges: both (u,v) and (u,w) are OUT-edges of u; keep each
+    // unordered pair once by requiring v before w in the SAME (deg, id)
+    // total order used to orient, then close with the oriented edge v→w
+    // — which exists iff the triangle's third pair is oriented v→w,
+    // guaranteed because v precedes w in the order. Each triangle is
+    // counted exactly once, from its order-minimal vertex.
+    val e1 = oriented.select(col("u"), col("v"))
+    val e2 = oriented.select(col("u"), col("v").as("w"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val dV = deg.select(col("v"), col("deg").as("dv"))
+    val dW = deg.select(col("v").as("w"), col("deg").as("dw"))
+    val wedges = e1.join(e2, "u").filter(col("v") =!= col("w"))
+      .join(broadcast(dV), "v").join(broadcast(dW), "w")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(closing, Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    val openW = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).cast(LongType).as("n_wedges"))
+    edges.crossJoin(broadcast(openW)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("""CASE WHEN n_wedges = 0 THEN 0L
+               |     ELSE (3000 * n_triangles) div n_wedges END""".stripMargin)
+          .cast(LongType).as("clustering_permille"))
+  }
+
+  private def q75Oracle: String =
+    """WITH te AS (SELECT cn.n_name AS src, sn.n_name AS dst
+      |  FROM customer c
+      |    JOIN orders o ON o.o_custkey = c.c_custkey
+      |    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |    JOIN supplier su ON su.s_suppkey = l.l_suppkey
+      |    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      |    JOIN nation sn ON sn.n_nationkey = su.s_nationkey
+      |  GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |        FROM te WHERE src <> dst),
+      |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+      |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |                  THEN a ELSE b END AS u,
+      |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |                  THEN b ELSE a END AS v
+      |      FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+      |w AS (SELECT e1.u, e1.v, e2.v AS w
+      |      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.v <> e2.v
+      |      JOIN deg dv ON dv.v = e1.v JOIN deg dw ON dw.v = e2.v
+      |      WHERE dv.deg < dw.deg OR (dv.deg = dw.deg AND e1.v < e2.v)),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |      FROM w JOIN o c ON c.u = w.v AND c.v = w.w),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und),
+      |wg AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT m.n_edges, wg.n_wedges, t.n_triangles,
+      |       CAST(CASE WHEN wg.n_wedges = 0 THEN 0
+      |                 ELSE (3000 * t.n_triangles) // wg.n_wedges END AS BIGINT)
+      |         AS clustering_permille
+      |FROM m, wg, t""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q47_pagerank", q47, Some(q47Oracle)),
-    Q("q66_shortest_paths", q66, Some(q66Oracle))
+    Q("q66_shortest_paths", q66, Some(q66Oracle)),
+    Q("q75_triangle_count", q75, Some(q75Oracle))
   )
 }

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1 gate rehearsal (SURVEY §9 round-7 outlook #4): the driver ships
+  * no sf1 fixtures, so synthesize ~10× sf0.1 locally and measure the
+  * SF-SENSITIVE operators — e06 (IVF+PQ Lloyd loops, k·m codebook
+  * constants), d05 (the dense-path 64 MiB matrix cap must FLIP to the
+  * PPJoin-prefix join at this size), d06 (banded LSH linearity on real
+  * query shape, complementing the synthetic SkewSoak) — plus d42's
+  * tf/df/dl ladder, at the larger scale.
+  *
+  * Scaling model: `factor` copies of the corpus, each copy's vocabulary
+  * made DISJOINT by prefixing every word with its copy tag (c1…c9; copy
+  * 0 keeps the original text) — i.e. sf1 ≈ ten independent sf0.1 shards:
+  * per-copy near-dup structure (planted clusters, boilerplate) is
+  * preserved, no cross-copy pairs are invented, so pair counts and
+  * cluster sizes must scale ~linearly — exactly what a real sf1 fixture
+  * of the same generator would look like. Embeddings replicate with
+  * offset ids (cluster density grows 10×, the stress k-means should
+  * see). Remaining tables are symlinked from the source scale.
+  *
+  * Usage: `runMain graft.tools.ScaleRehearsal [srcDir] [outDir] [factor]
+  * [iters] [q1,q2,...]` — prints one JSON line per query with
+  * {best, median, n} wall seconds plus the result row count.
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val iters = if (args.length > 3) args(3).toInt else 3
+    val qs = (if (args.length > 4) args(4).split(",").toSeq
+      else Seq("e06_ivf_pq", "d05_ngram_jaccard", "d06_minhash_lsh", "d42_bm25"))
+      .map(_.trim).filter(_.nonEmpty)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "300")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, src, out, factor)
+    val results = qs.map { name =>
+      val build = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val times = (1 to iters).map { i =>
+        val t0 = System.nanoTime()
+        val n = build(spark, out).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[rehearsal] $name run $i: $s%.3f s rows=$n")
+        (s, n)
+      }
+      val sorted = times.map(_._1).sorted
+      (name, sorted.head, sorted(sorted.size / 2), times.head._2)
+    }
+    val qjson = results.map { case (n, best, med, rows) =>
+      f""""$n":{"best":$best%.3f,"median":$med%.3f,"n":$iters,"rows":$rows}"""
+    }.mkString(",")
+    println(s"""{"metric":"sf1_rehearsal","factor":$factor,"src":"$src","queries":{$qjson}}""")
+    spark.stop()
+  }
+
+  /** Write the scaled corpus once; reuse if already present. */
+  def synthesize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val dir = new java.io.File(out)
+    if (new java.io.File(dir, "documents.parquet").exists()) return
+    dir.mkdirs()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val copies = (0 until factor).map { i =>
+      val tagged =
+        if (i == 0) docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        else docs.select(
+          (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+          expr(s"array_join(transform(split(text, ' '), w -> concat('c$i', w)), ' ')")
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      tagged
+    }
+    copies.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until factor).map(i => emb.select(
+        (col("vec_id") + lit(i * maxVec)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // remaining tables: symlink to the source scale (TempCleanup.rmrf
+    // never follows directory symlinks)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      val link = java.nio.file.Paths.get(out, s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(src, s"$t.parquet"))
+    }
+  }
+}

@@ -863,6 +863,28 @@ class QuerySurfaceSpec extends SparkFunSuite {
     }
   }
 
+  test("q75 triangle count equals the brute-force a<b<c enumeration") {
+    val row = SparkEntry.queries("q75_triangle_count")(spark, sf).collect().head
+    // brute force: all unordered vertex triples with all three edges
+    val und = graft.queries.GraphOps.q47Edges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for {
+      i <- verts.indices; j <- (i + 1) until verts.size
+      if und((verts(i), verts(j)))
+      k <- (j + 1) until verts.size
+      if und((verts(j), verts(k))) && und((verts(i), verts(k)))
+    } brute += 1
+    assert(row.getAs[Long]("n_triangles") == brute,
+      s"oriented count ${row.getAs[Long]("n_triangles")} != brute $brute")
+    assert(row.getAs[Long]("n_edges") == und.size.toLong)
+    assert(brute > 0, "trade graph should contain triangles")
+  }
+
   test("d42 BM25: top-10 is ordered, every hit matches a query term, scores positive") {
     val rows = SparkEntry.queries("d42_bm25")(spark, sf).collect()
     assert(rows.length == 10)
