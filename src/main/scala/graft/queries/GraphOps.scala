@@ -311,9 +311,51 @@ object GraphOps {
       |         AS clustering_permille
       |FROM m, wg, t""".stripMargin
 
+  // --- q76: recursive CTE reachability (Spark 4 WITH RECURSIVE) ----------
+  // The FOURTH way this engine expresses iteration — q47/q66/d09 drive
+  // the loop from the driver (round count or convergence in Scala), q65
+  // rewrites a plan, and here the ITERATION LIVES IN THE SQL TEXT:
+  // Spark 4's recursive CTE runs breadth-first hops of the trade graph
+  // inside one statement, with the standard linear-recursion semantics
+  // (each step joins only the PREVIOUS step's frontier) that DuckDB
+  // shares — so the oracle is the IDENTICAL statement, not a replay.
+  // The hop bound is part of the query (r.hops < 3 ≥ the trade graph's
+  // diameter): unbounded recursion over a cyclic graph never terminates
+  // under UNION ALL semantics, and at 100 TB the bound is also what caps
+  // the frontier blow-up — the same reason q66 fixes its round count.
+  // min-hops BFS distance from the lexicographically smallest nation.
+  private def q76Body(edgeCte: String): String =
+    s"""WITH RECURSIVE $edgeCte,
+       |s0 AS (SELECT MIN(src) AS v FROM e),
+       |reach(v, hops) AS (
+       |  SELECT v, 0 FROM s0
+       |  UNION ALL
+       |  SELECT e.dst, r.hops + 1
+       |  FROM reach r JOIN e ON e.src = r.v
+       |  WHERE r.hops < 3
+       |)
+       |SELECT v AS nation, CAST(MIN(hops) AS BIGINT) AS min_hops
+       |FROM reach GROUP BY v""".stripMargin
+
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    q47Edges(s, dir).createOrReplaceTempView("edges_q76")
+    s.sql(q76Body("e AS (SELECT src, dst FROM edges_q76)"))
+  }
+
+  private def q76Oracle: String = q76Body(
+    """e AS (SELECT cn.n_name AS src, sn.n_name AS dst
+      |  FROM customer c
+      |    JOIN orders o ON o.o_custkey = c.c_custkey
+      |    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |    JOIN supplier su ON su.s_suppkey = l.l_suppkey
+      |    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      |    JOIN nation sn ON sn.n_nationkey = su.s_nationkey
+      |  GROUP BY 1, 2)""".stripMargin)
+
   val queries: Seq[Q] = Seq(
     Q("q47_pagerank", q47, Some(q47Oracle)),
     Q("q66_shortest_paths", q66, Some(q66Oracle)),
-    Q("q75_triangle_count", q75, Some(q75Oracle))
+    Q("q75_triangle_count", q75, Some(q75Oracle)),
+    Q("q76_recursive_reachability", q76, Some(q76Oracle))
   )
 }

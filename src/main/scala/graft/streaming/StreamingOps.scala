@@ -150,6 +150,32 @@ object StreamingOps {
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
     drainToMemory(hourlyAggStream(spark, dir), "graft_stream_hourly_", "complete")
 
+  /** s26: SLIDING (hopping) windows — the overlap case s01's tumbling
+    * hour doesn't exercise: 2-hour windows every 30 minutes, so each
+    * event belongs to exactly size/slide = 4 windows and Spark expands
+    * it into 4 window rows BEFORE the shuffle (map-side, no self-join —
+    * the expansion factor, not the corpus, is the cost knob at 100 TB).
+    * Window starts align to epoch multiples of the slide in BOTH
+    * engines, so the oracle reproduces the window set exactly with a
+    * 4-offset unnest — integer µs arithmetic, no timestamp rounding.
+    */
+  def slidingAggStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    eventsSource(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "2 hours", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)")).as("sum_value_e4"))
+      .select(
+        (unix_timestamp(col("window.start")) / 1800).cast(LongType).as("slide_bucket"),
+        col("event_type"), col("n_events"), col("sum_value_e4"))
+  }
+
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(slidingAggStream(spark, dir), "graft_stream_sliding_", "complete")
+
   final case class UserEvent(user_id: Long, tsu: Long)
   final case class SessionState(lastTs: Long, sessions: Long)
 
@@ -1032,6 +1058,17 @@ object StreamingOps {
              |  COUNT(*) AS n_events,
              |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
              |FROM events GROUP BY 1""".stripMargin)),
+    graft.queries.Q("s26_sliding_window", (s, dir) => slidingAgg(s, dir),
+      // every event lands in exactly 4 overlapping windows; the window
+      // starts are epoch-aligned to the slide in both engines
+      Some("""WITH e AS (SELECT epoch_us(ts) AS tsu, event_type,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |w AS (SELECT (tsu // 1800000000 - k) AS slide_bucket, event_type, value_e4
+             |      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+             |SELECT slide_bucket, event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM w GROUP BY 1, 2""".stripMargin)),
     graft.queries.Q("s02_stateful_sessions", (s, dir) => statefulSessions(s, dir),
       // must agree with the batch sessionization (q15's oracle)
       Some("""WITH d AS (
