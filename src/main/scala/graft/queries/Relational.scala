@@ -962,6 +962,48 @@ object Relational {
              |  CAST(SUM(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM orders GROUP BY ALL""".stripMargin)),
 
+    // --- q77: 2-D skyline (Pareto frontier) -------------------------------
+    // Multi-objective filtering — the data-curation shape ("keep the
+    // quality-vs-cost frontier"): parts not DOMINATED on (size MAX,
+    // price MIN); p2 dominates p1 iff size2 ≥ size1, price2 ≤ price1,
+    // one strict. The naive NOT EXISTS is an O(n²) self-join; the
+    // scalable 2-D formulation reduces the corpus to ONE map-side
+    // aggregate over the small attribute domain: per-size min price
+    // (|domain| ≈ 50 rows), a running min over sizes DESC on that tiny
+    // frame (bounded window — domain-sized, not corpus-sized), broadcast
+    // back. keep ⟺ price < min-price-of-strictly-larger AND price =
+    // min-price-of-same-size. Ties on both dims survive together
+    // (neither dominates). Same construction in the oracle — DuckDB's
+    // NOT EXISTS would also be quadratic there.
+    Q("q77_skyline",
+      (s, dir) => {
+        val parts = t(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast(LongType).as("size"),
+          intUnits("p_retailprice").as("price_c"))
+        val perSize = parts.groupBy("size").agg(min("price_c").as("minp_same"))
+        val ranked = perSize.withColumn("minp_larger",
+          min(col("minp_same")).over(Window.orderBy(col("size").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        parts.join(broadcast(ranked), "size")
+          .filter(col("price_c") === col("minp_same") &&
+            (col("minp_larger").isNull || col("price_c") < col("minp_larger")))
+          .select(col("p_partkey"), col("size"), col("price_c"))
+          .orderBy(col("size").desc, col("p_partkey").asc)
+      },
+      Some("""WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+             |             CAST(floor((p_retailprice) * 100 + 0.5) AS BIGINT) AS price_c
+             |           FROM part),
+             |ps AS (SELECT size, MIN(price_c) AS minp_same FROM p GROUP BY size),
+             |r AS (SELECT size, minp_same,
+             |        MIN(minp_same) OVER (ORDER BY size DESC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS minp_larger
+             |      FROM ps)
+             |SELECT p_partkey, p.size, price_c
+             |FROM p JOIN r ON r.size = p.size
+             |WHERE price_c = minp_same
+             |  AND (minp_larger IS NULL OR price_c < minp_larger)
+             |ORDER BY p.size DESC, p_partkey""".stripMargin)),
+
     // --- q71: IGNORE NULLS window (LOCF forward fill) ---------------------
     // The time-series last-observation-carried-forward repair: 'error'
     // rows carry no valid measurement (modeled as NULL), and each user's

@@ -271,10 +271,29 @@ object ManifestLand {
     vacuum(dir)
   }
 
+  /** The landing's CURRENT schema as persisted/evolved at commit time,
+    * if any commit has happened. */
+  private def storedSchema(dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val sf = new java.io.File(dir, "_schema")
+    if (!sf.exists()) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(Files.readAllBytes(sf.toPath), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   private def readFiles(spark: SparkSession, dir: String, m: Manifest,
       what: String): DataFrame = {
     if (m.files.nonEmpty) {
-      val data = spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
+      // read through the TRACKED schema (not whichever file the reader
+      // samples): after an additive schema evolution, pre-evolution
+      // files simply lack the new columns and the parquet reader fills
+      // them with NULL — the Delta/Iceberg read semantics, without a
+      // mergeSchema footer sweep over every file
+      val reader = storedSchema(dir) match {
+        case Some(sc) => spark.read.schema(sc)
+        case None => spark.read
+      }
+      val data = reader.parquet(m.files.map(n => s"$dir/$n"): _*)
       if (m.dvs.isEmpty) data
       else {
         // merge-on-read: anti-join the (file, position) tombstones back
@@ -294,12 +313,8 @@ object ManifestLand {
     } else {
       require(m.applied >= 0L,
         s"ManifestLand.read on an empty landing (no committed batches): $dir")
-      val sf = new java.io.File(dir, "_schema")
-      require(sf.exists(),
-        s"ManifestLand.$what: committed-empty landing with no _schema file: $dir")
-      val schema = org.apache.spark.sql.types.DataType.fromJson(
-        new String(Files.readAllBytes(sf.toPath), "UTF-8"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
+        s"ManifestLand.$what: committed-empty landing with no _schema file: $dir"))
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     }
   }
@@ -424,12 +439,41 @@ object ManifestLand {
     require(m.bloomCol.isEmpty || bloomCol.isEmpty || bloomCol == m.bloomCol,
       s"bloomCol change mid-landing: manifest declares ${m.bloomCol.getOrElse("")}, " +
         s"batch $batchId declares ${bloomCol.getOrElse("")}")
-    // persist the schema once (write-then-ATOMIC_MOVE like the manifest)
-    // so `read` can serve a committed-but-empty landing; written BEFORE
-    // the flip so any committed state has it
+    // persist the schema (write-then-ATOMIC_MOVE like the manifest) so
+    // `read` can serve a committed-but-empty landing AND so every read
+    // goes through the TRACKED schema; written BEFORE the flip so any
+    // committed state has it. SCHEMA EVOLUTION: a batch may ADD columns
+    // (additive, existing columns keep name+type — the only evolution
+    // the NULL-fill read semantics can serve); the tracked schema then
+    // advances, and pre-evolution files read with the new columns NULL.
+    // Anything else (drop, retype, rename) is refused: silently reading
+    // a retyped column through the old schema would corrupt, not error.
     val sf = new java.io.File(outDir, "_schema")
-    if (!sf.exists())
-      ParquetLand.atomicReplace(sf, batch.schema.json.getBytes("UTF-8"))
+    storedSchema(outDir) match {
+      case None =>
+        ParquetLand.atomicReplace(sf, batch.schema.json.getBytes("UTF-8"))
+      case Some(old) if old == batch.schema => // steady state
+      case Some(old) =>
+        val newByName = batch.schema.fields.map(f => f.name -> f).toMap
+        val incompatible = old.fields.filter(f =>
+          !newByName.get(f.name).map(_.dataType).contains(f.dataType))
+        require(incompatible.isEmpty,
+          s"schema evolution must be additive: batch $batchId drops or retypes " +
+            s"[${incompatible.map(_.name).mkString(", ")}] of $outDir")
+        val oldNames = old.fieldNames.toSet
+        val added = batch.schema.fields.filter(f => !oldNames.contains(f.name))
+        require(added.forall(_.nullable),
+          s"schema evolution: added columns must be nullable " +
+            s"(pre-evolution files read them as NULL): $outDir")
+        // merged = old column order with nullability WIDENED field by
+        // field (a nullable batch must not read through a non-null
+        // schema), plus the additions — reorder-only changes are no-ops
+        val merged = org.apache.spark.sql.types.StructType(
+          old.fields.map(f =>
+            f.copy(nullable = f.nullable || newByName(f.name).nullable)) ++ added)
+        if (merged != old)
+          ParquetLand.atomicReplace(sf, merged.json.getBytes("UTF-8"))
+    }
     // cluster by the explicit expression (a Morton key composes several
     // stats dimensions into one range-clustered order) or, by default,
     // by the first stats column

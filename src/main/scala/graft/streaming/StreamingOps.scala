@@ -858,6 +858,44 @@ object StreamingOps {
         countDistinct(col("event_id")).as("n_ids"))
   }
 
+  /** s27: SCHEMA EVOLUTION on the manifest landing — the lakehouse
+    * contract q73 shows for ad-hoc frames, enforced at the STORAGE
+    * layer: the landing's schema lives in the tracked `_schema` (not in
+    * whichever file a reader samples), a commit may ADD nullable
+    * columns — the tracked schema advances and every read serves
+    * pre-evolution files with the new columns NULL, no mergeSchema
+    * footer sweep — and drops/retypes are REFUSED at commit (silently
+    * reading a retyped column through the old schema corrupts rather
+    * than errors). Writer is the batch commit path: a file stream
+    * declares one fixed schema, so real evolutions happen between
+    * stream incarnations or from backfill writers, which commitBatch
+    * models. The last two quartiles carry a new `channel` column; the
+    * rollup reads old rows as channel IS NULL → 'legacy'.
+    */
+  def streamSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft_s27_out").toString + "/landing"
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+    val Seq(mn, mx) = ev.agg(min("tsu"), max("tsu")).head().toSeq.map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 4 + 1
+    for (k <- 0 until 4) {
+      val b = ev.filter(col("tsu") >= mn + k * step && col("tsu") < mn + (k + 1) * step)
+      val batch =
+        if (k < 2) b
+        else b.withColumn("channel",
+          concat(col("event_type"), lit("_"), expr("CAST(user_id % 3 AS STRING)")))
+      ManifestLand.commitBatch(batch, k.toLong, out)
+    }
+    ManifestLand.read(spark, out)
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"))
+  }
+
   /** s24: CHANGE DATA FEED — the incremental-consumption read over the
     * manifest landing (Delta CDF / Iceberg incremental scan): s15's ETL
     * landed change-tracked with [[ManifestLand.CommitVersionCol]] among
@@ -1205,6 +1243,22 @@ object StreamingOps {
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
              |FROM e GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s27_schema_evolution", (s, dir) => streamSchemaEvolution(s, dir),
+      // pre-evolution rows read with the added column NULL ('legacy');
+      // post-evolution rows carry the derived channel
+      Some("""WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tsu,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |b AS (SELECT MIN(tsu) AS mnu,
+             |             (MAX(tsu) - MIN(tsu)) // 4 + 1 AS step FROM e),
+             |k AS (SELECT e.*, (tsu - mnu) // step AS batch FROM e, b),
+             |c AS (SELECT CASE WHEN batch >= 2
+             |               THEN event_type || '_' || CAST(user_id % 3 AS VARCHAR)
+             |               ELSE 'legacy' END AS channel, value_e4
+             |      FROM k)
+             |SELECT channel, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM c GROUP BY channel""".stripMargin)),
     graft.queries.Q("s24_change_feed", (s, dir) => streamChangeFeed(s, dir),
       // the incremental feed must equal the from-scratch batch diff:
       // inserts = the window's quartiles minus the deleted rows, deletes

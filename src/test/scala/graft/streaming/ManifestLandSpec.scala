@@ -305,6 +305,39 @@ class ManifestLandSpec extends SparkFunSuite {
     }
   }
 
+  test("schema evolution: additive columns NULL-fill old files; drops and retypes refused") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_evo").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    ManifestLand.applyBatch(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 0L, out)
+    // additive evolution: new nullable column
+    ManifestLand.applyBatch(
+      Seq((3L, 30L, "x"), (4L, 40L, "y")).toDF("k", "v", "tag"), 1L, out)
+    val got = ManifestLand.read(spark, out)
+      .select(col("k"), col("v"), col("tag"))
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some("x")), (4L, 40L, Some("y"))))
+    // dropping a column is refused
+    intercept[IllegalArgumentException] {
+      ManifestLand.applyBatch(Seq(5L).toDF("k"), 2L, out)
+    }
+    // retyping a column is refused
+    intercept[IllegalArgumentException] {
+      ManifestLand.applyBatch(
+        Seq((6L, "oops", "z")).toDF("k", "v", "tag"), 2L, out)
+    }
+    // compaction reads through the evolved schema and keeps the NULL fill
+    ManifestLand.applyBatch(Seq((5L, 50L, "z")).toDF("k", "v", "tag"), 2L, out)
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    val after = ManifestLand.read(spark, out)
+      .select(col("k"), col("tag")).as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(after == Seq((1L, None), (2L, None),
+      (3L, Some("x")), (4L, Some("y")), (5L, Some("z"))))
+  }
+
   test("z-order + multi-column zone maps: either dimension prunes alone, both prune harder") {
     val spark = this.spark
     import spark.implicits._
