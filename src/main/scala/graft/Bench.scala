@@ -205,7 +205,43 @@ object Bench {
         ab("x_zonemap_dv_pruned")(() =>
           rollup(graft.streaming.ManifestLand.readPruned(spark, out, lo, hi))))
     }
-    val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb
+    // bloom A/B: the SAME point lookup over a landing committed with
+    // per-file user_id blooms (8 batches), once through the full read,
+    // once through readPrunedEq's manifest-only file rejection — the
+    // round-7 point-lookup payoff, tracked round over round
+    val bloomAb = {
+      import org.apache.spark.sql.functions._
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_bf").toString + "/landing"
+      graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+      new java.io.File(out).mkdirs()
+      val ev = queries.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      // batch by user-id stripe so each file's bloom covers a narrow key
+      // set — the realistic landing where a point lookup CAN skip files
+      val Seq(umn, umx) = ev.agg(min("user_id"), max("user_id")).head()
+        .toSeq.map(_.asInstanceOf[Long])
+      val ustep = (umx - umn) / 8 + 1
+      (0 until 8).foreach { k =>
+        graft.streaming.ManifestLand.commitBatch(
+          ev.filter(col("user_id") >= umn + k * ustep &&
+            col("user_id") < umn + (k + 1) * ustep),
+          k.toLong, out, bloomCol = Some("user_id"))
+      }
+      // an EXISTING key near the middle (an absent probe would let the
+      // blooms reject every file and time nothing)
+      val probe = ev.filter(col("user_id") >= umn + (umx - umn) / 2)
+        .agg(min("user_id")).head().getLong(0)
+      def lookup(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("user_id") === probe)
+          .groupBy("event_type").agg(count(lit(1)), sum("value_e4"))
+      Seq(
+        ab("x_bloom_full")(() =>
+          lookup(graft.streaming.ManifestLand.read(spark, out))),
+        ab("x_bloom_pruned")(() =>
+          lookup(graft.streaming.ManifestLand.readPrunedEq(spark, out, probe))))
+    }
+    val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb ++ bloomAb
     val qs = all.map { case (k, best, _) => "\"" + k + f"\":$best%.3f" }
       .mkString("{", ",", "}")
     val stats = all.map { case (k, best, median) =>

@@ -935,8 +935,78 @@ object TextOps {
              |       CAST(COUNT(*) AS BIGINT) AS n_terms
              |FROM sc GROUP BY doc_id
              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // --- d43: train/eval distribution-shift audit -------------------------
+    // The drift check a training pipeline runs before mixing sources:
+    // which tokens are over/under-represented between the two LARGEST
+    // sources (count DESC, source ASC — a TakeOrdered), scored by the
+    // two-sample chi-square homogeneity statistic in EXACT integer
+    // micro-units (see [[chi2TermExpr]] — per-token integerize, integer
+    // sort; no cross-engine float anywhere). Shape at 100 TB: one
+    // map-side (source, tok) count over the corpus, the 2-row source
+    // totals broadcast, a full-outer merge of the two vocabularies on
+    // tok (each side already one row per token), TakeOrdered top-20.
+    Q("d43_distribution_shift",
+      (s, dir) => {
+        val words = t(s, dir, "documents").select(col("source"),
+          explode(expr(
+            "filter(split(text, ' '), w -> w rlike '\\\\A[a-z]+\\\\z')"))
+            .as("tok"))
+        val counts = words.groupBy("source", "tok")
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy("source").agg(sum("n").cast(LongType).as("nt"))
+        val top2 = totals.orderBy(col("nt").desc, col("source").asc).limit(2)
+          .orderBy(col("source").asc).collect()
+        val (srcA, na) = (top2(0).getString(0), top2(0).getLong(1))
+        val (srcB, nb) = (top2(1).getString(0), top2(1).getLong(1))
+        val ca = counts.filter(col("source") === srcA)
+          .select(col("tok"), col("n").as("a"))
+        val cb = counts.filter(col("source") === srcB)
+          .select(col("tok").as("tok_b"), col("n").as("b"))
+        ca.join(cb, col("tok") === col("tok_b"), "full_outer")
+          .select(coalesce(col("tok"), col("tok_b")).as("tok"),
+            coalesce(col("a"), lit(0L)).as("a"),
+            coalesce(col("b"), lit(0L)).as("b"))
+          .withColumn("na", lit(na)).withColumn("nb", lit(nb))
+          .withColumn("chi2_micro", expr(chi2TermExpr("div", "DECIMAL(38,0)")))
+          .select(col("tok"), col("a"), col("b"), col("chi2_micro"))
+          .orderBy(col("chi2_micro").desc, col("tok").asc)
+          .limit(20)
+      },
+      Some(s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |f AS (SELECT source, tok FROM w WHERE regexp_full_match(tok, '[a-z]+')),
+             |c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+             |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY source),
+             |t2 AS (SELECT source, nt,
+             |         ROW_NUMBER() OVER (ORDER BY source) AS rs
+             |       FROM (SELECT * FROM t ORDER BY nt DESC, source LIMIT 2)),
+             |sa AS (SELECT source, nt AS na FROM t2 WHERE rs = 1),
+             |sb AS (SELECT source, nt AS nb FROM t2 WHERE rs = 2),
+             |ca AS (SELECT tok, n AS a FROM c JOIN sa USING (source)),
+             |cb AS (SELECT tok, n AS b FROM c JOIN sb USING (source)),
+             |m AS (SELECT COALESCE(ca.tok, cb.tok) AS tok,
+             |             COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+             |      FROM ca FULL OUTER JOIN cb ON cb.tok = ca.tok)
+             |SELECT tok, a, b, ${chi2TermExpr("//", "HUGEINT")} AS chi2_micro
+             |FROM m CROSS JOIN sa CROSS JOIN sb
+             |ORDER BY chi2_micro DESC, tok LIMIT 20""".stripMargin))
   )
+
+  /** d43's per-token two-sample chi-square contribution in micro-units:
+    * with a, b the token's counts and na, nb the sources' total tokens,
+    *   χ²_term ∝ (a·nb − b·na)² / (na·nb·(a+b))
+    * (the 2×2 homogeneity statistic up to the constant (na+nb), dropped
+    * identically in both engines — ranking and relative magnitude are
+    * unchanged). All products run 128-bit: a·nb alone overflows BIGINT
+    * at real corpus sizes once squared.
+    */
+  private def chi2TermExpr(intDiv: String, big: String): String =
+    s"""CAST(CAST(1000000 AS $big)
+       | * (a * CAST(nb AS $big) - b * CAST(na AS $big))
+       | * (a * CAST(nb AS $big) - b * CAST(na AS $big))
+       | $intDiv (CAST(na AS $big) * nb * (a + b)) AS BIGINT)""".stripMargin
+      .replace("\n", " ")
 
   /** d42's per-(doc,term) BM25 micro-score: identical integer arithmetic
     * in both engines; only the floor-division token and the 128-bit type
