@@ -1034,6 +1034,68 @@ object Relational {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_e4
              |FROM events""".stripMargin)),
 
+    // --- q78: linear interpolation gap fill -------------------------------
+    // q71's LOCF repairs a series by carrying the LAST reading forward;
+    // the better time-series repair interpolates BETWEEN the neighboring
+    // valid readings. Four IGNORE-NULLS window passes per row (prev/next
+    // value AND the prev/next reading's TIME — `last(when(valid, tsu))`
+    // is the standard trick for "timestamp of the last valid row"), then
+    // the lerp in pure integers: readings clamped ≥ 0 so the weighted
+    // numerator prev·(T−t) + next·(t−T₀) is provably non-negative and
+    // `div` ↔ `//` agree (they differ on negative non-exact quotients).
+    // Edge rows fall back to the one-sided fill. Partitioned per user —
+    // scales like any keyed window.
+    Q("q78_interpolate",
+      (s, dir) => {
+        val back = Window.partitionBy("user_id")
+          .orderBy(col("tsu").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy("user_id")
+          .orderBy(col("tsu").asc, col("event_id").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tsu"),
+            expr("""CASE WHEN event_type = 'error' THEN CAST(NULL AS BIGINT)
+                   | ELSE greatest(CAST(floor((value) * 10000 + 0.5) AS BIGINT), 0L) END""".stripMargin)
+              .as("v4"))
+          .withColumn("pv", last(col("v4"), ignoreNulls = true).over(back))
+          .withColumn("pt", last(when(col("v4").isNotNull, col("tsu")),
+            ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("v4"), ignoreNulls = true).over(fwd))
+          .withColumn("nt", first(when(col("v4").isNotNull, col("tsu")),
+            ignoreNulls = true).over(fwd))
+          .select(col("event_id"), col("user_id"), col("tsu"),
+            expr("""CASE WHEN v4 IS NOT NULL THEN v4
+                   | WHEN pv IS NULL THEN nv
+                   | WHEN nv IS NULL THEN pv
+                   | WHEN nt = pt THEN pv
+                   | ELSE (pv * (nt - tsu) + nv * (tsu - pt)) div (nt - pt)
+                   | END""".stripMargin).as("lerp_e4"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+             |  CASE WHEN event_type = 'error' THEN CAST(NULL AS BIGINT)
+             |       ELSE greatest(CAST(floor((value) * 10000 + 0.5) AS BIGINT), 0) END AS v4
+             |FROM events),
+             |w AS (SELECT event_id, user_id, tsu, v4,
+             |  LAST_VALUE(v4 IGNORE NULLS) OVER bk AS pv,
+             |  LAST_VALUE(CASE WHEN v4 IS NOT NULL THEN tsu END IGNORE NULLS) OVER bk AS pt,
+             |  FIRST_VALUE(v4 IGNORE NULLS) OVER fw AS nv,
+             |  FIRST_VALUE(CASE WHEN v4 IS NOT NULL THEN tsu END IGNORE NULLS) OVER fw AS nt
+             |FROM e
+             |WINDOW bk AS (PARTITION BY user_id ORDER BY tsu, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |       fw AS (PARTITION BY user_id ORDER BY tsu, event_id
+             |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_id, user_id, tsu,
+             |  CAST(CASE WHEN v4 IS NOT NULL THEN v4
+             |       WHEN pv IS NULL THEN nv
+             |       WHEN nv IS NULL THEN pv
+             |       WHEN nt = pt THEN pv
+             |       ELSE (pv * (nt - tsu) + nv * (tsu - pt)) // (nt - pt)
+             |       END AS BIGINT) AS lerp_e4
+             |FROM w""".stripMargin)),
+
     // --- q70: VARIANT semi-structured ingestion (Spark 4 datatype) --------
     // The open-format answer to schema-on-read JSON: `parse_json` ingests
     // props into a VARIANT column ONCE (binary-encoded, shredded access —

@@ -937,6 +937,42 @@ object TextOps {
              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
       headline = true),
 
+    // --- d44: asymmetric containment dedup --------------------------------
+    // Jaccard resemblance (d05) misses the SUBSET case: a short doc
+    // pasted inside a long one scores low symmetric overlap but high
+    // CONTAINMENT |Sh(a)∩Sh(b)| / |Sh(a)| — Broder's second measure, the
+    // one quote/boilerplate inclusion detection needs. Pairs are
+    // DIRECTED (a-in-b ≠ b-in-a): the permille divides by the CONTAINED
+    // side's shingle count only. Same hashed-shingle front end as d05
+    // (xxhash64 on the Spark side for narrow shuffles; the oracle joins
+    // the raw shingle strings — intersection counts agree since the
+    // shingle sets are distinct per doc). At 100 TB the same
+    // PPJoin-prefix bound d05's join path uses applies — the shape here
+    // is the exact-verification stage that runs AFTER candidate
+    // generation.
+    Q("d44_containment",
+      (s, dir) => {
+        val sh = shingleHashes(s, dir).distinct()
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        sh.join(sh.select(col("doc_id").as("doc_b"), col("h").as("h_b")),
+            col("h") === col("h_b") && col("doc_id") =!= col("doc_b"))
+          .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .filter(expr("(1000 * inter) div n >= 700"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST((1000 * inter) div n AS BIGINT)").as("containment_permille"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+             |p AS (SELECT a.doc_id da, b.doc_id db, CAST(COUNT(*) AS BIGINT) AS inter
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+             |SELECT da AS doc_a, db AS doc_b,
+             |       CAST((1000 * inter) // x.n AS BIGINT) AS containment_permille
+             |FROM p JOIN sz x ON x.doc_id = da
+             |WHERE (1000 * inter) // x.n >= 700""".stripMargin)),
+
     // --- d43: train/eval distribution-shift audit -------------------------
     // The drift check a training pipeline runs before mixing sources:
     // which tokens are over/under-represented between the two LARGEST
