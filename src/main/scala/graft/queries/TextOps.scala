@@ -24,10 +24,33 @@ object TextOps {
   /** (doc_id, h): xxhash64'd word-bigram shingles — the shared front end of
     * every Jaccard-based dedup query (d05/d09/d17/d19). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    shingleHashesOf(t(s, dir, "documents"))
+
+  private def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(bigramsExpr)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+
+  /** d44's directed containment pairs over any (doc_id, text) frame —
+    * exposed for the planted-hot-shingle soak. See the d44 entry for the
+    * cap rationale. */
+  private[graft] def containmentPairs(docs: DataFrame, cap: Int = 64,
+      thresholdPermille: Int = 700): DataFrame = {
+    val sh0 = shingleHashesOf(docs).distinct()
+    val rare = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("h")
+    val sh = sh0.join(rare, "h")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.join(sh.select(col("doc_id").as("doc_b"), col("h").as("h_b")),
+        col("h") === col("h_b") && col("doc_id") =!= col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .filter(expr(s"(1000 * inter) div n >= $thresholdPermille"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((1000 * inter) div n AS BIGINT)").as("containment_permille"))
+  }
 
   /** d04/d34's shared n-gram-heuristic classifier: occurrence counts of
     * language marker tokens on the space-padded text, argmax with fixed
@@ -946,25 +969,19 @@ object TextOps {
     // side's shingle count only. Same hashed-shingle front end as d05
     // (xxhash64 on the Spark side for narrow shuffles; the oracle joins
     // the raw shingle strings — intersection counts agree since the
-    // shingle sets are distinct per doc). At 100 TB the same
-    // PPJoin-prefix bound d05's join path uses applies — the shape here
-    // is the exact-verification stage that runs AFTER candidate
-    // generation.
+    // shingle sets are distinct per doc). Scale guard: shingles in more
+    // than 64 documents are DROPPED from the universe before the join
+    // (the d25 boilerplate-cap lesson) — a ubiquitous shingle carries no
+    // containment signal but fans out df² pairs, the hot-key quadratic
+    // that kills the equijoin at 100 TB; with the cap, per-shingle work
+    // is bounded at 64² whatever the corpus. Sizes are measured over the
+    // SAME capped universe so the permille stays a true fraction.
     Q("d44_containment",
-      (s, dir) => {
-        val sh = shingleHashes(s, dir).distinct()
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        sh.join(sh.select(col("doc_id").as("doc_b"), col("h").as("h_b")),
-            col("h") === col("h_b") && col("doc_id") =!= col("doc_b"))
-          .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-          .filter(expr("(1000 * inter) div n >= 700"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("CAST((1000 * inter) div n AS BIGINT)").as("containment_permille"))
-      },
+      (s, dir) => containmentPairs(t(s, dir, "documents")),
       Some("""WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
+             |sh0 AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
+             |dfq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+             |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN dfq USING (s) WHERE df <= 64),
              |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
              |p AS (SELECT a.doc_id da, b.doc_id db, CAST(COUNT(*) AS BIGINT) AS inter
              |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)

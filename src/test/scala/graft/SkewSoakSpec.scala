@@ -78,6 +78,20 @@ class SkewSoakSpec extends SparkFunSuite {
     assert(shuffleB < (256L << 20), s"shuffle blow-up: $shuffleB bytes")
   }
 
+  test("d44 containment: corpus-wide boilerplate shingles are dropped by the df cap") {
+    // 80% of 1500 docs share the same 40-word prefix: every boilerplate
+    // bigram has df ≈ 1200 >> 64 and, uncapped, would fan out ~1200² ≈
+    // 1.4M join pairs PER SHINGLE; the cap removes them from the
+    // universe before the equijoin, and the random tails never collide
+    val docs = skewedDocs(1500, 0.8, seed = 23)
+    val (nPairs, shuffleB, taskMs) = measured {
+      graft.queries.TextOps.containmentPairs(docs).count()
+    }
+    info(s"d44 soak: pairs=$nPairs shuffle=${shuffleB / 1024}KiB maxTask=${taskMs}ms")
+    assert(nPairs < 10000L, s"containment df cap failed: $nPairs pairs")
+    assert(shuffleB < (256L << 20), s"shuffle blow-up: $shuffleB bytes")
+  }
+
   /** Like [[measured]] but also collects every task duration so tail
     * latency (p99) is observable, not just the single max.
     */
