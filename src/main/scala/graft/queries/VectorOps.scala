@@ -389,8 +389,54 @@ object VectorOps {
              |       FROM d JOIN n x ON x.vec_id = qid JOIN n y ON y.vec_id = cid)
              |SELECT qid, cid, sim FROM (
              |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rn FROM sc)
-             |WHERE rn <= 5""".stripMargin))
+             |WHERE rn <= 5""".stripMargin)),
+
+    // --- e13: binary (sign) quantization + Hamming search -----------------
+    // The 64×-compression extreme of the quantization ladder (e07 int8,
+    // e05/e06 PQ): each 64-dim vector collapses to ONE BIGINT of sign
+    // bits and distance becomes `bit_count(xor(codes))` — a single
+    // codegen'd instruction pair per candidate, the cheapest possible
+    // first-stage filter for a 100 TB corpus (the corpus scan reads 8
+    // bytes/vector; e08's two-stage pattern would re-rank the survivors
+    // with exact cosine). The 64-term pack is statically unrolled to a
+    // flat bitwise-OR of plan-time literals (the unrolled-HOF
+    // discipline); sign tests compare the SAME stored floats in both
+    // engines, so codes — and every Hamming distance — are bit-identical
+    // cross-engine with no export.
+    Q("e13_binary_hamming",
+      (s, dir) => {
+        t(s, dir, "embeddings").createOrReplaceTempView("embeddings_e13")
+        s.sql(e13Body(i => s"embedding[$i]", (a, b) => s"$a ^ $b",
+          "embeddings_e13"))
+      },
+      Some(e13Body(i => s"CAST(embedding[${i + 1}] AS DOUBLE)",
+        (a, b) => s"xor($a, $b)", "embeddings")))
   )
+
+  /** e13's shared SQL body: `elem` is the 0-based array accessor in each
+    * dialect, `xorf` the bitwise-xor syntax (Spark `^`, DuckDB `xor()` —
+    * DuckDB's `^` is POWER). Bit 63's literal is written as an
+    * expression both parsers keep in BIGINT.
+    */
+  private def e13Body(elem: Int => String, xorf: (String, String) => String,
+      tbl: String): String = {
+    val pack = (0 until 64).map { i =>
+      val bit =
+        if (i == 63) "(-9223372036854775807 - 1)"
+        else (1L << i).toString
+      s"CASE WHEN ${elem(i)} > 0 THEN $bit ELSE 0 END"
+    }.mkString("(", " | ", ")")
+    s"""WITH c AS (SELECT vec_id, $pack AS code FROM $tbl),
+       |q AS (SELECT vec_id AS qid, code AS qc FROM c WHERE vec_id < 10),
+       |d AS (SELECT qid, c.vec_id AS cid,
+       |        CAST(bit_count(${xorf("qc", "c.code")}) AS BIGINT) AS hamming
+       |      FROM q JOIN c ON c.vec_id <> qid)
+       |SELECT qid, cid, hamming FROM (
+       |  SELECT qid, cid, hamming,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+       |  FROM d)
+       |WHERE rn <= 10""".stripMargin
+  }
 
   /** d39 memo: result + exported assignment from ONE fit (same contract
     * as e04's memo — the aux must be the exact frames the result used).

@@ -858,6 +858,53 @@ object StreamingOps {
         countDistinct(col("event_id")).as("n_ids"))
   }
 
+  /** s28: INCREMENTAL VIEW MAINTENANCE from the change feed — the
+    * pattern s24's feed exists FOR: a derived per-user aggregate is
+    * maintained by FOLDING each version window's deltas (inserts add,
+    * deletes subtract — count/sum are abelian, so the fold is exact),
+    * never recomputing from the landing after the v0 base. At 100 TB
+    * the maintenance cost per sync is proportional to the CHANGED rows
+    * (served file-pruned by the version zone maps), not the table — the
+    * materialized-view refresh model of Delta/Materialize, reduced to
+    * its algebraic kernel. The gate proves the folded view equals the
+    * from-scratch rollup of the surviving rows; a user whose rows all
+    * die drops out of the view exactly when its count reaches zero.
+    * Each fold round localCheckpoints the small view frame (the
+    * round-5 iterative-loop rule — lineage must not grow per version).
+    */
+  def streamIncrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s28")
+    val out = java.nio.file.Files.createTempDirectory("graft_s28_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s28_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      keepVersions = 8, statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"),
+      rangeParts = 2, clusterBy = Some(col("tsu")), trackChanges = true)
+    ManifestLand.deleteWhere(spark, out,
+      col("event_type") === "click" && col("value_e4") < 1000000L)
+    def rollup(df: DataFrame): DataFrame = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value_e4").as("sum_value_e4"))
+    var view = rollup(ManifestLand.readVersion(spark, out, 0L)).localCheckpoint()
+    for (v <- 1L to 3L) {
+      val delta = ManifestLand.changeFeed(spark, out, v - 1L, v, Seq("event_id"))
+        .groupBy("user_id")
+        .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+          .as("dn"),
+          sum(when(col("_change_type") === "insert", col("value_e4"))
+            .otherwise(-col("value_e4"))).as("ds"))
+      view = view.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_events"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("sum_value_e4"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .as("sum_value_e4"))
+        .filter(col("n_events") > 0L)
+        .localCheckpoint()
+    }
+    view
+  }
+
   /** s27: SCHEMA EVOLUTION on the manifest landing — the lakehouse
     * contract q73 shows for ad-hoc frames, enforced at the STORAGE
     * layer: the landing's schema lives in the tracked `_schema` (not in
@@ -1243,6 +1290,17 @@ object StreamingOps {
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
              |FROM e GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s28_incremental_view", (s, dir) => streamIncrementalView(s, dir),
+      // the delta-folded view must equal the from-scratch rollup of the
+      // surviving (non-deleted) rows, per user
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM e
+             |WHERE NOT (event_type = 'click' AND value_e4 < 1000000)
+             |GROUP BY user_id""".stripMargin)),
     graft.queries.Q("s27_schema_evolution", (s, dir) => streamSchemaEvolution(s, dir),
       // pre-evolution rows read with the added column NULL ('legacy');
       // post-evolution rows carry the derived channel
