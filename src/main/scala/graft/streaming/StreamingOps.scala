@@ -943,6 +943,61 @@ object StreamingOps {
         sum(col("value_e4")).as("sum_value_e4"))
   }
 
+  /** s29: STACKED STATEFUL OPERATORS — Spark 4's multi-stateful pipeline
+    * support (pre-3.4 engines refuse this shape): at-least-once dedup
+    * (`dropDuplicatesWithinWatermark`, s25's operator) feeding a
+    * windowed aggregation IN ONE STREAMING QUERY, two state stores deep.
+    * Append mode is REQUIRED for stacked stateful ops, so the trailing
+    * windows only finalize when the watermark passes them — the s12
+    * sentinel lesson applies verbatim: two far-future sentinel files
+    * (the second applies the watermark the first one raised) flush
+    * every real window, and the sentinel's own window is filtered out
+    * of the result by its hour bucket. The emitted set must then equal
+    * s01's batch hourly rollup over the distinct corpus, which is the
+    * oracle.
+    */
+  def streamStackedStateful(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val land = java.nio.file.Files.createTempDirectory("graft_s29_land").toString
+    graft.TempCleanup.registerDir(land)
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val Seq(mn, mx) = ev.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 4 + 1
+    for (k <- 0 until 4; r <- 0 until 2) // each quartile delivered TWICE
+      landFile(ev.filter(expr("ts div 1000") >= mn + k * step &&
+          expr("ts div 1000") < mn + (k + 1) * step),
+        land, f"0$k%d$r%d_events.parquet")
+    // two sentinel files: the first raises the watermark past every real
+    // window, the second makes it APPLY (a watermark raised by batch N
+    // takes effect in batch N+1 — the s12 two-file lesson)
+    import spark.implicits._
+    for (j <- 1 to 2)
+      landFile(Seq((-j.toLong, (mx + step * 10 * j) * 1000L, -1L, "sentinel",
+          0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        land, f"09$j%d_sentinel.parquet")
+    val lastRealHour = mx / 3600000000L
+    val delayMs = step / 1000L + 1000L
+    val out = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("t"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      .withWatermark("t", s"$delayMs milliseconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("t"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"))
+      .select(
+        (unix_timestamp(col("window.start")) / 3600).cast(LongType).as("hour_bucket"),
+        col("n_events"), col("sum_value_e4"))
+    drainToMemory(out, "graft_s29_", "append")
+      .filter(col("hour_bucket") <= lastRealHour) // drop the sentinel windows
+  }
+
   /** s24: CHANGE DATA FEED — the incremental-consumption read over the
     * manifest landing (Delta CDF / Iceberg incremental scan): s15's ETL
     * landed change-tracked with [[ManifestLand.CommitVersionCol]] among
@@ -1290,6 +1345,13 @@ object StreamingOps {
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
              |FROM e GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s29_stacked_stateful", (s, dir) => streamStackedStateful(s, dir),
+      // dedup → windowed agg, two state stores deep, must equal the
+      // batch hourly rollup over the distinct corpus (s01's oracle)
+      Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
+             |FROM events GROUP BY 1""".stripMargin)),
     graft.queries.Q("s28_incremental_view", (s, dir) => streamIncrementalView(s, dir),
       // the delta-folded view must equal the from-scratch rollup of the
       // surviving (non-deleted) rows, per user
