@@ -443,6 +443,33 @@ object StreamingOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_unique_docs"))
 
+  /** p03: the PREP PIPELINE AS A STREAM — p01's composition argument
+    * carried to streaming: normalize (d41's canonicalization) → exact
+    * dedup on the NORMALIZED text keeping the min-doc_id winner (the
+    * mergeable min_by state of s03 — deterministic under any batch
+    * split) → token-count quality gate → per-source accounting, all in
+    * one streaming query. Per-doc stages are stateless maps; the one
+    * state store is the dedup aggregation, exactly where p01's batch
+    * plan shuffles. The gate proves the streamed pipeline equals the
+    * batch composition the oracle computes from scratch — stage
+    * composition, not just stages, verified under streaming execution.
+    */
+  def streamingPrepPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = streamSource(spark, dir, "documents", documentsSchema)
+      .select(col("doc_id"), col("source"),
+        lower(trim(regexp_replace(col("text"), " +", " "))).as("norm"))
+      .withColumn("toks", size(split(col("norm"), " ")).cast(LongType))
+      .groupBy("norm")
+      .agg(min_by(struct(col("doc_id"), col("source"), col("toks")),
+        col("doc_id")).as("w"))
+    drainToMemory(deduped, "graft_stream_prep_", "complete")
+      .select(col("w.source").as("source"), col("w.toks").as("toks"))
+      .filter(col("toks") >= 30L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("sum_tokens"))
+  }
+
   /** Stream-static join: the event stream enriched against a static
     * dimension (customer → market segment), then aggregated. The static
     * side is broadcast per micro-batch — on a cluster the stream side
@@ -1345,6 +1372,19 @@ object StreamingOps {
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
              |FROM e GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("p03_streaming_prep", (s, dir) => streamingPrepPipeline(s, dir),
+      // the streamed normalize→dedup→gate→account composition must equal
+      // the batch pipeline computed from scratch
+      Some("""WITH n AS (SELECT doc_id, source,
+             |             lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm
+             |           FROM documents),
+             |w AS (SELECT doc_id, source, norm,
+             |        CAST(len(string_split(norm, ' ')) AS BIGINT) AS toks FROM n),
+             |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM w),
+             |k AS (SELECT * FROM d WHERE rn = 1 AND toks >= 30)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS sum_tokens
+             |FROM k GROUP BY source""".stripMargin)),
     graft.queries.Q("s29_stacked_stateful", (s, dir) => streamStackedStateful(s, dir),
       // dedup → windowed agg, two state stores deep, must equal the
       // batch hourly rollup over the distinct corpus (s01's oracle)
