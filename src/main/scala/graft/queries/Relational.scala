@@ -1034,6 +1034,19 @@ object Relational {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_e4
              |FROM events""".stripMargin)),
 
+    // --- q79: FILTER-clause aggregates ------------------------------------
+    // The standard-SQL conditional-aggregation surface (one pass, many
+    // differently-filtered aggregates — the reporting shape that would
+    // otherwise be N self-joins or N CASE pyramids), including the
+    // DISTINCT + FILTER combination. One GROUP BY pass in both engines;
+    // the statement text is shared verbatim modulo the table name.
+    Q("q79_filtered_agg",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_q79")
+        s.sql(q79Body("orders_q79"))
+      },
+      Some(q79Body("orders"))),
+
     // --- q78: linear interpolation gap fill -------------------------------
     // q71's LOCF repairs a series by carrying the LAST reading forward;
     // the better time-series repair interpolates BETWEEN the neighboring
@@ -1165,4 +1178,16 @@ object Relational {
              |FROM oc FULL OUTER JOIN ec ON ec.k = oc.k
              |LEFT JOIN af ON af.k = COALESCE(oc.k, ec.k)""".stripMargin))
   )
+
+  /** q79's statement, shared verbatim between engines modulo the table
+    * name (both parse the standard FILTER clause; both need the BIGINT
+    * casts for the driver's type-sensitive hash). */
+  private def q79Body(tbl: String): String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS n,
+       |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       |  CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big_cust,
+       |  CAST(SUM(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT))
+       |       FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+       |FROM $tbl GROUP BY o_orderpriority""".stripMargin
 }
