@@ -571,6 +571,21 @@ object ManifestLand {
       "readPrunedEq")
   }
 
+  /** COMPOSED pruning: the realistic "time range AND key" lookup served
+    * from ONE manifest pass — a file survives only if its zone boxes
+    * overlap every range predicate AND its bloom may contain the key.
+    * The two cuts are independent per file, so the intersection is
+    * exact; either family alone degenerates to the existing paths.
+    */
+  def readPrunedComposed(spark: SparkSession, dir: String,
+      preds: Seq[(String, Long, Long)], eqValue: Long): DataFrame = {
+    val m = readManifest(dir)
+    val keep = prunedLiveFiles(dir, preds).toSet
+      .intersect(prunedLiveFilesEq(dir, eqValue).toSet)
+    readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
+      "readPrunedComposed")
+  }
+
   /** CHANGE DATA FEED between two retained versions — the incremental-
     * consumption read (Delta CDF / Iceberg incremental scan): every row
     * whose NET effect changed in `(fromV, toV]`, tagged `_change_type`

@@ -598,6 +598,60 @@ object StreamingOps {
       .groupBy(col("uid_v").as("user_id"))
       .agg(count(lit(1)).as("n_rows"), count(col("t_p")).as("n_converted"))
 
+  /** s30: watermarked FULL-OUTER stream-stream join — completes the
+    * stream-join matrix (s05 inner, s12 left-outer): matched funnel
+    * pairs emit eagerly, abandoned views AND orphan purchases (a
+    * purchase with no view inside the window — the attribution-gap
+    * signal) each emit with NULLs once the watermark proves their match
+    * can no longer arrive. Same two-sentinel-file finalization as s12
+    * (each sentinel carries one row per join side so it survives both
+    * pushed-down type filters; the second file applies the watermark the
+    * first raised — and in FULL outer the sentinels themselves emit as
+    * unmatched rows, which the rollup's user filter drops). The batch
+    * oracle is a plain FULL OUTER JOIN with the same interval predicate.
+    */
+  def fullOuterFunnelStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val land = java.nio.file.Files.createTempDirectory("graft_s30_land").toString
+    graft.TempCleanup.registerDir(land)
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    landFile(ev, land, "000_events.parquet")
+    val maxTs = ev.agg(max("ts")).head().getLong(0)
+    def sentinel(name: String, offsetDays: Long): Unit = {
+      val t0 = maxTs + offsetDays * 86400L * 1000000000L
+      landFile(spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, t0, -1L, "view", 0.0, "{}"),
+          org.apache.spark.sql.Row(-1L, t0 + 7200L * 1000000000L, -1L,
+            "purchase", 0.0, "{}")),
+        eventsSchema), land, name)
+    }
+    sentinel("001_sentinel.parquet", 1L)
+    sentinel("002_sentinel.parquet", 2L)
+    def side(tag: String) = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+      .select(col("event_type").as(s"type_$tag"),
+        col("user_id").as(s"uid_$tag"),
+        timestamp_micros(expr("ts div 1000")).as(s"t_$tag"))
+      .withWatermark(s"t_$tag", "1 hour")
+    val views = side("v").filter(col("type_v") === "view")
+    val purchases = side("p").filter(col("type_p") === "purchase")
+    views.join(purchases,
+      expr("uid_v = uid_p AND t_p >= t_v AND t_p <= t_v + interval 30 minutes"),
+      "full_outer")
+  }
+
+  def fullOuterFunnel(spark: SparkSession, dir: String): DataFrame =
+    drainToMemory(fullOuterFunnelStream(spark, dir), "graft_stream_fouter_", "append")
+      .filter(coalesce(col("uid_v"), col("uid_p")) >= 0) // drop sentinels
+      .groupBy(coalesce(col("uid_v"), col("uid_p")).as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("uid_v").isNotNull && col("t_p").isNotNull, 1)).as("n_matched"),
+        count(when(col("uid_v").isNull, 1)).as("n_orphan_purchases"),
+        count(when(col("t_p").isNull, 1)).as("n_abandoned_views"))
+
   /** The 4-file ETL source stream shared by s13/s15: events re-landed as
     * four time-range files consumed one per trigger, so the in-loop
     * compactor demonstrably fires mid-stream.
@@ -1372,6 +1426,20 @@ object StreamingOps {
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
              |FROM e GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s30_stream_full_outer_join", (s, dir) => fullOuterFunnel(s, dir),
+      // matched pairs + abandoned views + orphan purchases must equal
+      // the batch FULL OUTER JOIN with the same interval predicate
+      Some("""WITH v AS (SELECT user_id AS u, epoch_us(ts) AS tv FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id AS u, epoch_us(ts) AS tp FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT v.u AS uv, p.u AS up, tv, tp
+             |      FROM v FULL OUTER JOIN p
+             |        ON p.u = v.u AND tp >= tv AND tp <= tv + 1800000000)
+             |SELECT COALESCE(uv, up) AS user_id,
+             |  COUNT(*) AS n_rows,
+             |  CAST(COUNT(CASE WHEN uv IS NOT NULL AND tp IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+             |  CAST(COUNT(CASE WHEN uv IS NULL THEN 1 END) AS BIGINT) AS n_orphan_purchases,
+             |  CAST(COUNT(CASE WHEN tp IS NULL THEN 1 END) AS BIGINT) AS n_abandoned_views
+             |FROM j GROUP BY 1""".stripMargin)),
     graft.queries.Q("p03_streaming_prep", (s, dir) => streamingPrepPipeline(s, dir),
       // the streamed normalize→dedup→gate→account composition must equal
       // the batch pipeline computed from scratch

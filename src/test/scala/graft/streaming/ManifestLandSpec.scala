@@ -261,6 +261,37 @@ class ManifestLandSpec extends SparkFunSuite {
       .filter(col("k") === 20042L).count() == 0L)
   }
 
+  test("composed pruning: zone maps and blooms intersect their file cuts") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_comp").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // 4 batches × 2 range-clustered files on ts; keys k are sparse and
+    // DISJOINT per batch, so time prunes on the zones and key on the bloom
+    (0 until 4).foreach { i =>
+      val b = spark.range(100L)
+        .select((col("id") + i * 100L).as("ts"),
+          (col("id") * 7 + i * 10000L).as("k"))
+      ManifestLand.applyBatch(b.toDF(), i, out, statsCols = Seq("ts"),
+        rangeParts = 2, bloomCol = Some("k"))
+    }
+    assert(ManifestLand.liveFiles(out).size == 8)
+    // time range covers batches 1-2 (4 files); key 20007 = batch 2 only
+    val zonesOnly = ManifestLand.prunedLiveFiles(out, Seq(("ts", 100L, 299L)))
+    val bloomOnly = ManifestLand.prunedLiveFilesEq(out, 20007L)
+    assert(zonesOnly.size == 4 && bloomOnly.size == 1)
+    val both = ManifestLand.readPrunedComposed(spark, out,
+      Seq(("ts", 100L, 299L)), 20007L)
+    // the composed read opens the intersection and still answers exactly
+    val got = both.filter(col("k") === 20007L &&
+        col("ts").between(100L, 299L))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((201L, 20007L)))
+    // a key outside the time window: intersection is empty
+    assert(ManifestLand.readPrunedComposed(spark, out,
+      Seq(("ts", 100L, 299L)), 7L).count() == 0L)
+  }
+
   test("change feed: incremental inserts prune by version zones, deletes survive compaction") {
     val spark = this.spark
     import spark.implicits._
