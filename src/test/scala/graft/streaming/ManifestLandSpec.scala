@@ -292,6 +292,56 @@ class ManifestLandSpec extends SparkFunSuite {
       Seq(("ts", 100L, 299L)), 7L).count() == 0L)
   }
 
+  test("change-feed fold soak: 40 versions with interleaved deletes and compaction") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_fold").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    val nV = 40
+    for (v <- 0 until nV) {
+      val b = spark.range(v * 100L, (v + 1) * 100L)
+        .select(col("id").as("k"), (col("id") % 7).as("g"), (col("id") * 3).as("x"))
+      ManifestLand.applyBatch(b.toDF(), v.toLong, out,
+        statsCols = Seq(ManifestLand.CommitVersionCol), rangeParts = 1,
+        trackChanges = true)
+      // interleave maintenance mid-history: deletes hit OLDER versions'
+      // rows, compaction folds the vectors and rewrites every file
+      if (v == 10 || v == 25) {
+        ManifestLand.deleteWhere(spark, out, col("k") % 11 === v.toLong % 11)
+        ()
+      }
+      if (v == 30) ManifestLand.compactIfNeeded(spark, out, maxFiles = 8,
+        targetFiles = 4)
+    }
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    // fold the whole history incrementally...
+    val t0 = System.nanoTime()
+    var view = rollup(ManifestLand.readVersion(spark, out, 0L)).localCheckpoint()
+    for (v <- 1L until nV.toLong) {
+      val d = ManifestLand.changeFeed(spark, out, v - 1L, v, Seq("k"))
+        .groupBy("g")
+        .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("dn"),
+          sum(when(col("_change_type") === "insert", col("x"))
+            .otherwise(-col("x"))).as("dx"))
+      view = view.join(d, Seq("g"), "full_outer")
+        .select(col("g"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("sx"), lit(0L)) + coalesce(col("dx"), lit(0L))).as("sx"))
+        .filter(col("n") > 0L)
+        .localCheckpoint()
+    }
+    val foldMs = (System.nanoTime() - t0) / 1000000L
+    // ...and it must equal the from-scratch rollup of the live landing
+    val folded = view.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val scratch = rollup(ManifestLand.read(spark, out))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    info(s"fold soak: $nV versions folded in ${foldMs}ms; groups=${folded.size}")
+    assert(folded == scratch,
+      s"incremental fold diverged from recompute after $nV versions")
+    assert(folded.map(_._2).sum < nV * 100L, "deletes must have removed rows")
+  }
+
   test("change feed: incremental inserts prune by version zones, deletes survive compaction") {
     val spark = this.spark
     import spark.implicits._
