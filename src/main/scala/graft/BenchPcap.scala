@@ -79,12 +79,37 @@ object BenchPcap {
     val fullRate = (total / tFull).toLong
     val cachedRate = (total / tCached).toLong
     val replanRate = (total / tReplan).toLong
+    // TCP-dominant corpus (round-7 outlook: the DDoS mix is DNS/NTP
+    // heavy): ~80% TCP across the full flag cycle, <1% fragmented so the
+    // adaptive defrag takes its skip branch — this number isolates
+    // L2-L4 decode + tcp_flags throughput on a quarter-size corpus
+    val tcpDir = s"$dir/tcp"
+    Files.createDirectories(Paths.get(tcpDir))
+    val nTcp = n / 4
+    val tcpManifest = Paths.get(tcpDir, "MANIFEST")
+    val wantTcp = s"n=$nTcp files=$files mix=tcp"
+    val staleTcp = !Files.exists(tcpManifest) ||
+      new String(Files.readAllBytes(tcpManifest), "UTF-8") != wantTcp
+    (0 until files).foreach { f =>
+      val p = s"$tcpDir/cap$f.pcap"
+      if (staleTcp || !Files.exists(Paths.get(p)) || args.contains("--regen"))
+        PcapGen.write(p, nTcp / files, 1700000000000000L + f * 1000000L,
+          mix = "tcp")
+    }
+    Files.write(tcpManifest, wantTcp.getBytes("UTF-8"))
+    val tTcpFull = (1 to 2).map { _ =>
+      time(graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
+        file = s"$tcpDir/cap*.pcap", out = s"$tcpDir/out.parquet",
+        singleFile = false, cache = None)))._1
+    }.min
+    val tcpRate = (nTcp / tTcpFull).toLong
     System.err.println(
       f"[bench-pcap] $total packets: parse $tParse%.2f s ($parseRate pkt/s), " +
         f"full convert $tFull%.2f s ($fullRate pkt/s), " +
         f"cached $tCached%.2f s ($cachedRate pkt/s), " +
-        f"replan $tReplan%.2f s ($replanRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"packets":$total}""")
+        f"replan $tReplan%.2f s ($replanRate pkt/s); " +
+        f"tcp-mix $nTcp packets: $tTcpFull%.2f s ($tcpRate pkt/s)")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_packets":$nTcp}""")
     spark.stop()
   }
 }

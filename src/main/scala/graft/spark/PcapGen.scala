@@ -49,19 +49,31 @@ object PcapGen {
     b.array()
   }
 
-  private def tcpSynAck(dp: Int): Array[Byte] = {
-    val b = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+  private def tcpSynAck(dp: Int): Array[Byte] = tcpPkt(dp, 0x12, 0)
+
+  /** TCP segment with arbitrary flags and an optional ASCII payload. */
+  private def tcpPkt(dp: Int, flags: Int, payloadLen: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(20 + payloadLen).order(ByteOrder.BIG_ENDIAN)
     b.putShort(443.toShort).putShort(dp.toShort).putInt(1).putInt(0)
-    b.put((5 << 4).toByte).put(0x12.toByte).putShort(8192.toShort)
+    b.put((5 << 4).toByte).put(flags.toByte).putShort(8192.toShort)
       .putShort(0).putShort(0)
+    var i = 0
+    while (i < payloadLen) { b.put(0x42.toByte); i += 1 }
     b.array()
   }
+
+  /** A realistic TCP handshake/teardown flag cycle (SYN, SYN-ACK, ACK,
+    * PSH-ACK with payload, FIN-ACK, RST) — the flag diversity the
+    * DDoS-mix corpus lacks, exercising `tcp_flags_as_string` and the
+    * TCP decode path under benchmark load. */
+  private val tcpFlagCycle = Array(0x02, 0x12, 0x10, 0x18, 0x11, 0x04)
 
   private val ntpPriv: Array[Byte] =
     udp(123, 123, Array[Byte](((2 << 3) | 7).toByte, 0, 0, 42, 0, 0, 0, 0))
 
   /** Write `packets` packets (~30% in 3-fragment UDP datagrams) to `path`. */
-  def write(path: String, packets: Int, tsBaseMicros: Long = 1700000000000000L): Unit = {
+  def write(path: String, packets: Int, tsBaseMicros: Long = 1700000000000000L,
+      mix: String = "ddos"): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
     val hdr = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
     hdr.putInt(0xa1b2c3d4).putShort(2).putShort(4).putInt(0).putInt(0)
@@ -78,7 +90,24 @@ object PcapGen {
     }
     val fragTail = Array.fill[Byte](64)(0x41)
     while (i < packets) {
-      (i % 10) match {
+      if (mix == "tcp") {
+        // TCP-dominant mix (~80% TCP across the full flag cycle with
+        // varied payload sizes, 10% DNS, 10% NTP): the defrag pipeline is
+        // a no-op here (<1% fragmented → adaptive skip branch), so the
+        // number isolates L2-L4 decode + flag stringification throughput
+        (i % 10) match {
+          case r if r < 8 =>
+            rec(eth(ipv4(i, 6, tcpPkt(50000 + (i % 10000),
+              tcpFlagCycle(i % tcpFlagCycle.length), (i % 5) * 64),
+              0, mf = false, 0)))
+          case 8 =>
+            rec(eth(ipv4(i, 17, udp(53, 40000 + (i % 10000),
+              dnsQuery(s"q${i % 16}.example.com")), 0, mf = false, 0)))
+          case _ =>
+            rec(eth(ipv4(i, 17, ntpPriv, 0, mf = false, 0)))
+        }
+        i += 1
+      } else (i % 10) match {
         case r if r < 3 => // fragmented DNS amplification reply
           val id = (i / 3) & 0xffff
           rec(eth(ipv4(i, 17, udp(53, 40000 + (i % 10000),
