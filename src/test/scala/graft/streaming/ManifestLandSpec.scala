@@ -239,6 +239,18 @@ class ManifestLandSpec extends SparkFunSuite {
         .filter(col("k") === probe).as[(Long, Long)].collect().sorted.toSeq
       assert(viaBloom == full, s"probe $probe diverged through the blooms")
     }
+    // the bloom GUARANTEE sweep: no false negatives — EVERY present key
+    // keeps its file — and the false-keep rate over absent keys stays at
+    // the designed ~1e-10 (any drift between BloomAgg's update
+    // arithmetic and the driver-side probe would fail this en masse)
+    val presentKeys = (0 until 4).flatMap(i => (0L until 100L).map(_ + i * 10000L))
+    presentKeys.foreach { k =>
+      assert(ManifestLand.prunedLiveFilesEq(out, k).size == 1,
+        s"present key $k was wrongly pruned (bloom false negative)")
+    }
+    val falseKeeps = (0L until 500L)
+      .map(j => ManifestLand.prunedLiveFilesEq(out, 777777L + j * 13L).size).sum
+    assert(falseKeeps <= 2, s"absent-key sweep kept $falseKeeps files")
     // the bloom column cannot change mid-landing
     val clash = spark.range(5L).select(col("id").as("k"), col("id").as("payload"))
     intercept[IllegalArgumentException] {
