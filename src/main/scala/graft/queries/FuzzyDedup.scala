@@ -321,6 +321,46 @@ object FuzzyDedup {
       headline = true,
       aux = Seq("aux_signatures" ->
         ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),
+    // --- d45: dedup recall/precision audit --------------------------------
+    // Evaluation-as-a-query for the dedup family (e11 is the ANN
+    // counterpart): d06's LSH candidate pairs scored against d05's exact
+    // Jaccard truth set — recall (planted pairs the sketch recovers) and
+    // precision (candidates that are truly ≥ 300 permille) in integer
+    // permille. The oracle recomputes BOTH arms independently: the truth
+    // set from raw shingle SQL, the LSH arm replayed from the exported
+    // signatures — so a drift in either pipeline breaks the hash, which
+    // is what makes the metric trustworthy enough to gate a corpus swap.
+    Q("d45_dedup_recall",
+      (s, dir) => {
+        val lsh = minhashNearDups(s, dir).select(col("doc_a"), col("doc_b"))
+        val exact = TextOps.exactNearDups(s, dir).select(col("doc_a"), col("doc_b"))
+        val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        val nH = lsh.join(exact, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        nE.crossJoin(broadcast(nL)).crossJoin(broadcast(nH))
+          .select(col("n_exact"), col("n_lsh"), col("n_hits"),
+            expr("""CAST(CASE WHEN n_exact = 0 THEN 0
+                   | ELSE 1000 * n_hits div n_exact END AS BIGINT)""".stripMargin)
+              .as("recall_permille"),
+            expr("""CAST(CASE WHEN n_lsh = 0 THEN 0
+                   | ELSE 1000 * n_hits div n_lsh END AS BIGINT)""".stripMargin)
+              .as("precision_permille"))
+      },
+      Some {
+        val lshSql = d06Oracle.replace("/_aux/d06_minhash_lsh/", "/_aux/d45_dedup_recall/")
+        s"""WITH lsh AS (SELECT doc_a, doc_b FROM ($lshSql)),
+           |ex AS (SELECT doc_a, doc_b FROM (${TextOps.dedupOracleSql})),
+           |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM lsh JOIN ex USING (doc_a, doc_b)),
+           |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh),
+           |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)
+           |SELECT e.n_exact, l.n_lsh, h.n_hits,
+           |  CAST(CASE WHEN e.n_exact = 0 THEN 0 ELSE 1000 * h.n_hits // e.n_exact END AS BIGINT) AS recall_permille,
+           |  CAST(CASE WHEN l.n_lsh = 0 THEN 0 ELSE 1000 * h.n_hits // l.n_lsh END AS BIGINT) AS precision_permille
+           |FROM e, l, h""".stripMargin
+      },
+      aux = Seq("aux_signatures" ->
+        ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),
     Q("d29_incremental_dedup", (s, dir) => incrementalNearDups(s, dir), Some(d29Oracle),
       aux = Seq("aux_signatures" ->
         ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),

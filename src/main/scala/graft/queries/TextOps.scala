@@ -1074,6 +1074,14 @@ object TextOps {
        |      + CAST(18 AS $big) * dl * n_docs)) AS BIGINT)""".stripMargin
       .replace("\n", " ")
 
+  /** d05's exact near-dup pairs as a callable — d45 measures d06's LSH
+    * recall/precision against exactly this truth set. */
+  private[graft] def exactNearDups(s: SparkSession, dir: String): DataFrame =
+    graft.operators.JaccardAllPairs(shingleHashes(s, dir), 300)
+
+  /** d05's oracle SQL text, exposed so d45 can embed the truth set. */
+  private[graft] def dedupOracleSql: String = dedupOracle.get
+
   /** d05's oracle, shared shape with d09's edge definition. */
   private def dedupOracle: Option[String] =
       Some("""WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
