@@ -1047,6 +1047,21 @@ object Relational {
       },
       Some(q79Body("orders"))),
 
+    // --- q80: NTILE decile bucketing --------------------------------------
+    // The remaining ranking-family window function (q34 row_number/rank,
+    // q40 percent_rank/cume_dist): NTILE(10) assigns standard-SQL
+    // deciles — earlier tiles take the remainder rows, identical in both
+    // engines GIVEN A TOTAL ORDER (cents ties broken by o_orderkey; an
+    // underspecified order would make tile boundaries engine-dependent).
+    // Rolled up per (priority, decile) so the output stays bounded.
+    // Partitioned window — scales like any keyed rank.
+    Q("q80_ntile",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_q80")
+        s.sql(q80Body("orders_q80"))
+      },
+      Some(q80Body("orders"))),
+
     // --- q78: linear interpolation gap fill -------------------------------
     // q71's LOCF repairs a series by carrying the LAST reading forward;
     // the better time-series repair interpolates BETWEEN the neighboring
@@ -1178,6 +1193,22 @@ object Relational {
              |FROM oc FULL OUTER JOIN ec ON ec.k = oc.k
              |LEFT JOIN af ON af.k = COALESCE(oc.k, ec.k)""".stripMargin))
   )
+
+  /** q80's statement, shared verbatim modulo the table name. */
+  private def q80Body(tbl: String): String =
+    s"""WITH r AS (SELECT o_orderpriority,
+       |             CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT) AS cents,
+       |             o_orderkey
+       |           FROM $tbl),
+       |d AS (SELECT o_orderpriority, cents,
+       |        CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+       |                             ORDER BY cents, o_orderkey) AS BIGINT) AS decile
+       |      FROM r)
+       |SELECT o_orderpriority, decile, COUNT(*) AS n,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+       |  CAST(MAX(cents) AS BIGINT) AS max_cents
+       |FROM d GROUP BY o_orderpriority, decile""".stripMargin
 
   /** q79's statement, shared verbatim between engines modulo the table
     * name (both parse the standard FILTER clause; both need the BIGINT

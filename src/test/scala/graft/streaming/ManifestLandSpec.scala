@@ -273,6 +273,39 @@ class ManifestLandSpec extends SparkFunSuite {
       .filter(col("k") === 20042L).count() == 0L)
   }
 
+  test("corrupt manifest lines refuse loudly instead of orphaning files") {
+    val spark = this.spark
+    import spark.implicits._
+    // a parse quirk must never become data loss: a manifest the parser
+    // cannot fully account for would leave unlisted files invisible to
+    // `referenced`, and the next vacuum would DELETE them — so every
+    // malformed line is a refusal, not a skip
+    def landing(): String = {
+      val out = Files.createTempDirectory("graft_mland_bad").toString + "/landing"
+      new java.io.File(out).mkdirs()
+      ManifestLand.applyBatch(Seq((1L, 2L)).toDF("k", "v"), 0L, out,
+        bloomCol = Some("k"))
+      out
+    }
+    def corrupt(out: String, f: String => String): Unit = {
+      val mf = Paths.get(out, "_manifest")
+      Files.write(mf, f(new String(Files.readAllBytes(mf), "UTF-8")).getBytes("UTF-8"))
+      ()
+    }
+    // truncated bloom line (missing the base64 field)
+    val a = landing()
+    corrupt(a, _.replaceAll("(?m)^bf\t(\\S+)\t.*$", "bf\t$1"))
+    intercept[IllegalStateException](ManifestLand.liveFiles(a))
+    // undecodable bloom payload
+    val b = landing()
+    corrupt(b, _.replaceAll("(?m)^(bf\t\\S+\t).*$", "$1!!!not-base64!!!"))
+    intercept[IllegalArgumentException](ManifestLand.liveFiles(b))
+    // garbled header
+    val c = landing()
+    corrupt(c, s => "applied=oops\n" + s.linesIterator.drop(1).mkString("\n"))
+    intercept[IllegalStateException](ManifestLand.liveFiles(c))
+  }
+
   test("composed pruning: zone maps and blooms intersect their file cuts") {
     val spark = this.spark
     import spark.implicits._
