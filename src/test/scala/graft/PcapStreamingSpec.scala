@@ -174,4 +174,44 @@ class PcapStreamingSpec extends SparkFunSuite {
       assert(got == expect)
     } finally q.stop()
   }
+
+  test("streaming pcap conversion lands into the manifest lakehouse with zone maps") {
+    // the reference's whole pipeline ending in the engine's own table
+    // format: pcap micro-batch source → dissect → ManifestLand commits
+    // with per-file frame-time zone maps — so a time-sliced re-read of
+    // the capture archive opens only the overlapping files, straight
+    // from the manifest (the at-scale story for a 100 TB capture lake:
+    // captures are time-partitioned by nature, zone maps make that
+    // structure queryable without listing)
+    val dir = Files.createTempDirectory("pcapmland")
+    for (f <- 0 until 4)
+      graft.spark.PcapGen.write(s"$dir/cap$f.pcap", 3000,
+        1700000000000000L + f * 10000000L)
+    val out = Files.createTempDirectory("pcapmland_out").toString + "/landing"
+    val ckpt = Files.createTempDirectory("pcapmland_ckpt").toString
+    val stream = spark.readStream.format("pcap")
+      .option("maxFilesPerTrigger", "1").load(dir.toString)
+      .select(col("col_protocol"), col("frame_len"),
+        unix_micros(col("frame_time")).as("tsu"))
+    graft.streaming.ManifestLand.appendCompacting(stream, out, ckpt,
+      maxFiles = 64, targetFiles = 4, statsCols = Seq("tsu"), rangeParts = 2)
+    val batch = graft.spark.PcapSource.read(spark, s"$dir/*.pcap")
+      .select(col("col_protocol"), col("frame_len"),
+        unix_micros(col("frame_time")).as("tsu"))
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("col_protocol")
+        .agg(count(lit(1)).as("n"), sum("frame_len").as("bytes"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(roll(graft.streaming.ManifestLand.read(spark, out)) == roll(batch))
+    // a one-capture time slice prunes the rest of the archive from the
+    // manifest alone, and the pruned+residual read answers exactly
+    val (lo, hi) = (1700000000000000L + 10000000L, 1700000000000000L + 10001000L)
+    val live = graft.streaming.ManifestLand.liveFiles(out)
+    val pruned = graft.streaming.ManifestLand.prunedLiveFiles(out, lo, hi)
+    assert(pruned.size < live.size,
+      s"zone maps failed to skip capture files: ${pruned.size} of ${live.size}")
+    assert(roll(graft.streaming.ManifestLand.readPruned(spark, out, lo, hi)
+        .filter(col("tsu").between(lo, hi))) ==
+      roll(batch.filter(col("tsu").between(lo, hi))))
+  }
 }
