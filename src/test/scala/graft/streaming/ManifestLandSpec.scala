@@ -273,6 +273,32 @@ class ManifestLandSpec extends SparkFunSuite {
       .filter(col("k") === 20042L).count() == 0L)
   }
 
+  test("change feed's append-only fast path: metadata alone clears the delete side") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_fastcdf").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    (0 until 3).foreach { i =>
+      ManifestLand.applyBatch(
+        spark.range(i * 10L, (i + 1) * 10L).select(col("id").as("k")).toDF(),
+        i.toLong, out, trackChanges = true)
+    }
+    // pure appends: both windows are provably delete-free by metadata
+    assert(!ManifestLand.windowMayDelete(out, 0L, 1L))
+    assert(!ManifestLand.windowMayDelete(out, 0L, 2L))
+    // a delete re-flips v2 with a vector → the window turns conservative
+    ManifestLand.deleteWhere(spark, out, col("k") === 5L)
+    assert(ManifestLand.windowMayDelete(out, 1L, 2L))
+    assert(ManifestLand.changeFeed(spark, out, 1L, 2L, Seq("k"))
+      .filter(col("_change_type") === "delete").count() == 1L)
+    // compaction replaces files → conservative again, but the anti-join
+    // still finds nothing newly deleted
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 2, targetFiles = 1)
+    assert(ManifestLand.windowMayDelete(out, 0L, 2L))
+    assert(ManifestLand.changeFeed(spark, out, 0L, 1L, Seq("k"))
+      .filter(col("_change_type") === "delete").count() == 0L)
+  }
+
   test("corrupt manifest lines refuse loudly instead of orphaning files") {
     val spark = this.spark
     import spark.implicits._
