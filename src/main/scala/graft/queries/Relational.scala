@@ -1047,6 +1047,24 @@ object Relational {
       },
       Some(q79Body("orders"))),
 
+    // --- q81: NOT IN vs NOT EXISTS under NULLs ----------------------------
+    // The three-valued-logic trap pinned as a query: the subquery's
+    // domain contains NULLs ('error' events), so standard `NOT IN`
+    // returns UNKNOWN for EVERY probe and filters all rows (n_not_in =
+    // 0 in any conforming engine), while the NULL-safe `NOT EXISTS`
+    // rewrite answers the question actually being asked. Both semantics
+    // emitted side by side so the gate pins both engines to the
+    // standard. Plan note for 100 TB: a nullable NOT IN forces Spark's
+    // null-aware anti join (broadcast-only by construction) — the
+    // rewrite is also the SCALABLE form, not just the correct one.
+    Q("q81_not_in_nulls",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_q81")
+        t(s, dir, "orders").createOrReplaceTempView("orders_q81")
+        s.sql(q81Body("events_q81", "orders_q81"))
+      },
+      Some(q81Body("events", "orders"))),
+
     // --- q80: NTILE decile bucketing --------------------------------------
     // The remaining ranking-family window function (q34 row_number/rank,
     // q40 percent_rank/cume_dist): NTILE(10) assigns standard-SQL
@@ -1193,6 +1211,16 @@ object Relational {
              |FROM oc FULL OUTER JOIN ec ON ec.k = oc.k
              |LEFT JOIN af ON af.k = COALESCE(oc.k, ec.k)""".stripMargin))
   )
+
+  /** q81's statement, shared verbatim modulo the table names. */
+  private def q81Body(evTbl: String, ordTbl: String): String =
+    s"""WITH s AS (SELECT CASE WHEN event_type = 'error' THEN NULL
+       |                       ELSE user_id END AS u FROM $evTbl),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_not_in FROM $ordTbl
+       |      WHERE o_custkey NOT IN (SELECT u FROM s)),
+       |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_not_exists FROM $ordTbl o
+       |      WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.u = o.o_custkey))
+       |SELECT a.n_not_in, b.n_not_exists FROM a, b""".stripMargin
 
   /** q80's statement, shared verbatim modulo the table name. */
   private def q80Body(tbl: String): String =
