@@ -278,6 +278,36 @@ object Multimodal {
     })
   }
 
+  final case class ResampledAudio(
+      media_id: Long, n_in: Long, n_out: Long, wsum_out: Long)
+
+  /** m12: 2:1 audio DOWNSAMPLE over the REAL decoded PCM — the sample-
+    * rate-conversion prep op (a speech pipeline normalizes every clip to
+    * one rate before featurization). Each output sample is the exact
+    * integer midpoint of an adjacent input pair, `(s[2i] + s[2i+1]) div
+    * 2` — the box-filter anti-aliasing for a 2:1 ratio — and the emitted
+    * checksum is POSITION-WEIGHTED (Σ (i+1)·out_i, m11's geometry-
+    * observable trick), so a dropped, duplicated, or reordered sample
+    * changes the hash. Decode runs in the same shuffle-free
+    * mapPartitions stage as every media op; DuckDB replays samples,
+    * midpoints, and the weighted sum from the raw text bytes.
+    */
+  def resampleAudio(blobs: Dataset[MediaBlob]): Dataset[ResampledAudio] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val p = decodeWav(b.payload)
+      val nOut = p.length / 2
+      var wsum = 0L
+      var i = 0
+      while (i < nOut) {
+        val mid = (((p(2 * i) & 0xff) + (p(2 * i + 1) & 0xff)) / 2).toLong
+        wsum += (i + 1L) * mid
+        i += 1
+      }
+      ResampledAudio(b.media_id, p.length.toLong, nOut.toLong, wsum)
+    })
+  }
+
   final case class AugMedia(
       media_id: Long, aug_width: Int, aug_height: Int, flip_crop_wsum: Long)
 
@@ -457,6 +487,18 @@ object Multimodal {
              |  CAST(length(list_filter(range(1, 32),
              |    i -> (c[i] * 32 < energy) != (c[i + 1] * 32 < energy))) AS BIGINT) AS crossings
              |FROM e""".stripMargin)),
+
+    Q("m12_resample",
+      (s, dir) => resampleAudio(audioBlobs(s, dir)).toDF(),
+      Some("""WITH f AS (SELECT doc_id AS media_id, text,
+             |             CAST(length(text) AS BIGINT) AS n_in FROM documents),
+             |o AS (SELECT media_id, n_in, n_in // 2 AS n_out,
+             |        [(ascii(text[CAST(2 * i - 1 AS INT)]) + ascii(text[CAST(2 * i AS INT)])) // 2
+             |         for i in range(1, CAST(n_in // 2 AS INT) + 1)] AS outs
+             |      FROM f)
+             |SELECT media_id, n_in, CAST(n_out AS BIGINT) AS n_out,
+             |  CAST(COALESCE(list_sum([outs[i] * i for i in range(1, CAST(n_out AS INT) + 1)]), 0) AS BIGINT) AS wsum_out
+             |FROM o""".stripMargin)),
 
     // metadata-only blob scan: parse the PNG IHDR straight out of the
     // binary column with codegen'd byte arithmetic — NO decode. The cheap
