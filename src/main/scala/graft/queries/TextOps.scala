@@ -1011,6 +1011,8 @@ object TextOps {
         val totals = counts.groupBy("source").agg(sum("n").cast(LongType).as("nt"))
         val top2 = totals.orderBy(col("nt").desc, col("source").asc).limit(2)
           .orderBy(col("source").asc).collect()
+        require(top2.length == 2,
+          s"d43 compares the two largest sources; corpus has ${top2.length}")
         val (srcA, na) = (top2(0).getString(0), top2(0).getLong(1))
         val (srcB, nb) = (top2(1).getString(0), top2(1).getLong(1))
         val ca = counts.filter(col("source") === srcA)
