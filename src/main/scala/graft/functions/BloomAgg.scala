@@ -31,27 +31,43 @@ import org.apache.spark.sql.types._
   */
 case class BloomAgg(
     child: Expression,
+    numBits: Int = BloomAgg.NumBits,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  import BloomAgg._
+  import BloomAgg.{NumProbes, WordBits}
+
+  require(numBits >= 1024 && numBits <= BloomAgg.MaxNumBits &&
+    Integer.bitCount(numBits) == 1,
+    s"BloomAgg: numBits must be a power of two in [1024, ${BloomAgg.MaxNumBits}], got $numBits")
+
+  private val numWords: Int = numBits / WordBits
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](NumWords)
+  // strict: the probe arithmetic is defined on the 64-bit hash — an
+  // implicit numeric cast here would silently change which bits are set
+  // (the repo's TypedImperativeAggregate rule; see MinHashAgg)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom requires a BIGINT hash input (xxhash64), got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numWords)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      val h1 = (h & (NumBits - 1L)).toInt
+      val h1 = (h & (numBits - 1L)).toInt
       val h2 = ((((h & 0xFFFFFFFFL) / 65536L) | 1L)).toInt
       var j = 0
       while (j < NumProbes) {
-        val pos = (h1 + j * h2) % NumBits
+        val pos = (h1 + j * h2) % numBits
         buf(pos >>> 5) |= (1L << (pos & 31))
         j += 1
       }
@@ -61,7 +77,7 @@ case class BloomAgg(
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < NumWords) { a(i) |= b(i); i += 1 }
+    while (i < numWords) { a(i) |= b(i); i += 1 }
     a
   }
 
@@ -87,21 +103,43 @@ case class BloomAgg(
 }
 
 object BloomAgg {
-  /** 2^16 bits / 32-bit words / 4 probes: FPR ≈ (1-e^(-4n/65536))^4 —
-    * ~1.2% at n=6500 inserted keys. Fixed (not parameterized) so the
-    * probe arithmetic is one shared constant set between the Spark
-    * membership expression and the DuckDB oracle replay.
+  /** DEFAULT sizing — 2^16 bits / 32-bit words / 4 probes: FPR ≈
+    * (1-e^(-4n/65536))^4, ~1.2% at n=6500 inserted keys. The default is
+    * a shared constant so the probe arithmetic in [[memberExpr]] and the
+    * DuckDB oracle replay (d27/s08) agree textually; manifest blooms
+    * instead SIZE the table from the staged file's key count via
+    * [[sizeBits]] — the bitset length itself then carries m, and every
+    * probe derives `numBits = words.length * WordBits` per filter.
     */
   val NumBits = 65536
   val WordBits = 32
   val NumWords: Int = NumBits / WordBits
   val NumProbes = 4
 
-  /** Column API: `bloom_agg(hashCol)` → `array<bigint>` of NumWords
+  /** Sizing ceiling: 2^24 bits = 2 MiB raw (~2.7 MiB base64 in a
+    * manifest line) holds ~2.5M keys under 5% FPP with 4 probes. Beyond
+    * that a per-file INLINE filter stops being manifest-sized — the next
+    * step is a puffin-style sidecar, not a bigger line.
+    */
+  val MaxNumBits: Int = 1 << 24
+
+  /** Bits for ~1% FPP at [[NumProbes]]=4 given `ndv` distinct keys:
+    * (1-e^(-4n/m))^4 = 0.01 ⇒ m ≈ 10.5·n, rounded UP to a power of two
+    * (so the `h & (m-1)` masking stays exact), floored at the 64 Kibit
+    * default and capped at [[MaxNumBits]]. The pow-2 round-up also
+    * absorbs approx_count_distinct's ~5% estimation error.
+    */
+  def sizeBits(ndv: Long): Int = {
+    val want = math.max(NumBits.toLong, math.ceil(ndv * 10.5).toLong)
+    if (want >= MaxNumBits) MaxNumBits
+    else Integer.highestOneBit((want - 1).toInt) << 1
+  }
+
+  /** Column API: `bloom_agg(hashCol)` → `array<bigint>` of `numBits/32`
     * 32-bit words. */
-  def bloom_agg(c: Column): Column =
+  def bloom_agg(c: Column, numBits: Int = NumBits): Column =
     GraftSqlBridge.column(
-      BloomAgg(GraftSqlBridge.expression(c)).toAggregateExpression())
+      BloomAgg(GraftSqlBridge.expression(c), numBits).toAggregateExpression())
 
   /** SQL fragment testing membership of hash column `h` against a bloom
     * words array column `words` — shares the exact probe arithmetic with

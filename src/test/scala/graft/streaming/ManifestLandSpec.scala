@@ -273,6 +273,107 @@ class ManifestLandSpec extends SparkFunSuite {
       .filter(col("k") === 20042L).count() == 0L)
   }
 
+  test("bloom sizing: a 500k-key file still prunes (measured FPP < 5%), " +
+      "where the fixed 64 Kibit filter saturates to keep-all") {
+    val spark = this.spark
+    // the round-7 weak mark, demonstrated then closed in one spec: the
+    // SAME high-cardinality file committed under (a) the old fixed
+    // 64 Kibit sizing — saturated, every absent probe keeps the file —
+    // and (b) auto sizing from the staged key count — ~1% designed FPP
+    val big = spark.range(500000L).selectExpr("id * 7 AS k", "id AS payload")
+
+    // (a) pinned legacy size: bloom=k:65536 — saturation measured
+    val fixed = Files.createTempDirectory("graft_mland_sat").toString + "/landing"
+    new java.io.File(fixed).mkdirs()
+    ManifestLand.applyBatch(big.toDF().coalesce(1), 0L, fixed,
+      bloomCol = Some("k"), bloomBits = Some(65536))
+    val mFixed = ManifestLand.readManifest(fixed)
+    assert(mFixed.bloomBits.contains(65536))
+    assert(new String(Files.readAllBytes(Paths.get(fixed, "_manifest")), "UTF-8")
+      .linesIterator.exists(_ == "bloom=k:65536"), "explicit-bits header missing")
+    val satKeeps = (0 until 500).count(j =>
+      ManifestLand.prunedLiveFilesEq(mFixed, fixed, 1000000L + 2L * j + 1L).nonEmpty)
+    assert(satKeeps > 450, s"64 Kibit at 500k keys should saturate, kept $satKeeps/500")
+
+    // (b) auto sizing (the default): bits grow with the key count …
+    val auto = Files.createTempDirectory("graft_mland_sized").toString + "/landing"
+    new java.io.File(auto).mkdirs()
+    ManifestLand.applyBatch(big.toDF().coalesce(1), 0L, auto, bloomCol = Some("k"))
+    val mAuto = ManifestLand.readManifest(auto)
+    assert(mAuto.bloomBits.isEmpty, "auto mode must not pin a size header")
+    val words = mAuto.entries.head.bloom.get.length
+    assert(words * 32 >= (1 << 22),
+      s"500k keys sized only ${words * 32} bits — still near the 64 Kibit default")
+    // … no false negatives on a present-key sample …
+    (0L until 500000L by 997L).foreach { i =>
+      assert(ManifestLand.prunedLiveFilesEq(mAuto, auto, i * 7L).nonEmpty,
+        s"present key ${i * 7L} wrongly pruned (false negative)")
+    }
+    // … and the measured FPP over absent keys is back at the design point
+    val falseKeeps = (0 until 2000).count(j =>
+      ManifestLand.prunedLiveFilesEq(mAuto, auto, 10000000L + 2L * j + 1L).nonEmpty)
+    assert(falseKeeps < 100, s"sized bloom FPP ${falseKeeps / 20.0}% >= 5%")
+    // the pruned read still answers exactly through the sized filter
+    val probe = 7L * 123456L
+    val viaBloom = ManifestLand.readPrunedEq(spark, auto, probe)
+      .filter(col("k") === probe).collect().toSeq
+    assert(viaBloom.map(_.getLong(1)) == Seq(123456L))
+
+    // mixed sizing coexists: a SMALL second batch lands a default-sized
+    // filter next to the 4 Mibit one, and both prune correctly per file
+    ManifestLand.applyBatch(
+      spark.range(100L).selectExpr("id + 100000000 AS k", "id AS payload").toDF()
+        .coalesce(1), 1L, auto, bloomCol = Some("k"))
+    val mMixed = ManifestLand.readManifest(auto)
+    val sizes = mMixed.entries.flatMap(_.bloom).map(_.length).distinct
+    assert(sizes.size == 2, s"expected two coexisting bloom sizes, got $sizes")
+    assert(ManifestLand.prunedLiveFilesEq(mMixed, auto, 100000042L).size == 1)
+    assert(ManifestLand.prunedLiveFilesEq(mMixed, auto, 999999999L).isEmpty)
+  }
+
+  test("bloom column must be BIGINT: a type the probe would hash differently refuses at commit") {
+    val spark = this.spark
+    import spark.implicits._
+    // ADVICE r7: xxhash64 hashes INT and BIGINT differently — a
+    // non-BIGINT bloom column would make the driver-side BIGINT probe
+    // miss every key (false negatives = silently dropped rows), so the
+    // commit refuses loudly instead
+    val out = Files.createTempDirectory("graft_mland_bftype").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    val strCol = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      ManifestLand.applyBatch(strCol, 0L, out, bloomCol = Some("k"))
+    }
+    assert(e.getMessage.contains("must be BIGINT"))
+    val intCol = spark.range(5L).selectExpr("CAST(id AS INT) AS k")
+    intercept[IllegalArgumentException] {
+      ManifestLand.applyBatch(intCol.toDF(), 0L, out, bloomCol = Some("k"))
+    }
+    // a missing column refuses with its own message
+    intercept[IllegalArgumentException] {
+      ManifestLand.applyBatch(strCol, 0L, out, bloomCol = Some("nope"))
+    }
+  }
+
+  test("bulk bloom/stats attachment streams: a 64-file commit attaches every filter") {
+    val spark = this.spark
+    // the many-file path (round-7 verdict #2): stats + blooms for a
+    // commit staging MANY files arrive via toLocalIterator, and every
+    // file still gets its filter and zones
+    val out = Files.createTempDirectory("graft_mland_many").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    val df = spark.range(64000L).selectExpr("id AS ts", "id * 13 AS k")
+    ManifestLand.applyBatch(df.toDF(), 0L, out, statsCols = Seq("ts"),
+      rangeParts = 64, bloomCol = Some("k"))
+    val m = ManifestLand.readManifest(out)
+    assert(m.entries.size == 64)
+    assert(m.entries.forall(e => e.bloom.nonEmpty && e.bounds.size == 1))
+    // zones partition ts; blooms answer k — both cuts stay exact
+    assert(ManifestLand.prunedLiveFiles(out, 10L, 20L).size == 1)
+    assert(ManifestLand.prunedLiveFilesEq(m, out, 13L * 32000L).size == 1)
+    assert(ManifestLand.prunedLiveFilesEq(m, out, 7L).isEmpty)
+  }
+
   test("change feed's append-only fast path: metadata alone clears the delete side") {
     val spark = this.spark
     import spark.implicits._
