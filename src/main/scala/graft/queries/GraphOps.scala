@@ -239,12 +239,29 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    // orient by (deg, name): src = the smaller endpoint in the total order
+    triangleStats(und)
+  }
+
+  /** Max degree-table rows we force into a broadcast (round-7 verdict
+    * #3, the Defrag MaxBroadcastFirstFragments pattern): the degree
+    * frame is O(|V|), tiny for the nation graph but an impossible
+    * broadcast on a billion-node one — above this the enrichment joins
+    * fall back to shuffle hash joins (AQE still converts back at
+    * runtime if the measured side turns out small). ~1M (v, deg) rows
+    * is comfortably inside the 10 MB autoBroadcast ballpark.
+    */
+  private[graft] val MaxBroadcastDegreeNodes = 1000000L
+
+  /** Orient each undirected `(a, b)` edge from the (deg, id)-smaller
+    * endpoint to the larger — the compact-forward total order that caps
+    * every node's OUT-degree at ~√(2·|E|) regardless of its real degree.
+    * `hint` wraps the degree-table join sides (broadcast or identity).
+    */
+  private[graft] def orientEdges(und: DataFrame, deg: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
     val dA = deg.select(col("v").as("a"), col("deg").as("da"))
     val dB = deg.select(col("v").as("b"), col("deg").as("db"))
-    val oriented = und.join(broadcast(dA), "a").join(broadcast(dB), "b")
+    und.join(hint(dA), "a").join(hint(dB), "b")
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("a"))
@@ -252,6 +269,28 @@ object GraphOps {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("v"))
+  }
+
+  /** The reusable compact-forward triangle kernel over an undirected
+    * simple edge list `(a, b)`, a < b: orient by the (deg, id) total
+    * order, wedge-join the out-edges, close with the oriented third
+    * edge — each triangle counted exactly once from its order-minimal
+    * vertex, hub skew capped at √(2·|E|) out-degree. The degree-table
+    * broadcasts are GATED on |V| (one count over the cached degree
+    * frame, reused by the wedge/orientation joins and the open-wedge
+    * total); above `maxBroadcastNodes` the joins shuffle instead.
+    * Emits one row: edges, open wedges, triangles, and the integer
+    * global clustering coefficient (3·closed / open, permille).
+    */
+  private[graft] def triangleStats(und0: DataFrame,
+      maxBroadcastNodes: Long = MaxBroadcastDegreeNodes): DataFrame = {
+    val und = und0.cache() // reused: orientation, edge count
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg")).cache()
+    val nV = deg.count() // materializes the cache AND decides the gate
+    val hint: DataFrame => DataFrame =
+      if (nV <= maxBroadcastNodes) broadcast else identity
+    val oriented = orientEdges(und, deg, hint)
     // wedges: both (u,v) and (u,w) are OUT-edges of u; keep each
     // unordered pair once by requiring v before w in the SAME (deg, id)
     // total order used to orient, then close with the oriented edge v→w
@@ -264,7 +303,7 @@ object GraphOps {
     val dV = deg.select(col("v"), col("deg").as("dv"))
     val dW = deg.select(col("v").as("w"), col("deg").as("dw"))
     val wedges = e1.join(e2, "u").filter(col("v") =!= col("w"))
-      .join(broadcast(dV), "v").join(broadcast(dW), "w")
+      .join(hint(dV), "v").join(hint(dW), "w")
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
     val tri = wedges.join(closing, Seq("v", "w"))
@@ -272,11 +311,19 @@ object GraphOps {
     val edges = und.agg(count(lit(1)).as("n_edges"))
     val openW = deg.agg(
       sum(expr("deg * (deg - 1) div 2")).cast(LongType).as("n_wedges"))
-    edges.crossJoin(broadcast(openW)).crossJoin(broadcast(tri))
+    // the scalar combiners stay broadcast regardless — each side is 1 row
+    val out = edges.crossJoin(broadcast(openW)).crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         expr("""CASE WHEN n_wedges = 0 THEN 0L
                |     ELSE (3000 * n_triangles) div n_wedges END""".stripMargin)
           .cast(LongType).as("clustering_permille"))
+      // materialize before releasing the caches (the pageRank pattern —
+      // a lazily returned plan must not pin cached frames in the shared
+      // session); the result is a single row
+      .localCheckpoint()
+    und.unpersist()
+    deg.unpersist()
+    out
   }
 
   private def q75Oracle: String =

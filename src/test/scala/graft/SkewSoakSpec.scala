@@ -92,6 +92,47 @@ class SkewSoakSpec extends SparkFunSuite {
     assert(shuffleB < (256L << 20), s"shuffle blow-up: $shuffleB bytes")
   }
 
+  test("q75 triangles: a 20k-degree hub's wedges are capped by the " +
+      "compact-forward orientation, broadcast gated on |V|") {
+    import spark.implicits._
+    // star + ring: hub 0 — leaves 1..n, ring i — i+1. Exactly n-1
+    // triangles (hub, i, i+1); the hub's NAIVE wedge count alone is
+    // C(n,2) ≈ 2·10⁸ — the quadratic blowup the orientation must kill.
+    val n = 20000
+    val und = ((1 to n).map(i => (0L, i.toLong)) ++
+      (1 until n).map(i => (i.toLong, (i + 1).toLong))).toDF("a", "b")
+    val nE = 2L * n - 1
+    val deg = und.select($"a".as("v")).union(und.select($"b".as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // the √(2|E|) skew bound: the hub (degree 20000) orients ALL its
+    // edges inward, so its out-degree collapses to 0 and every node's
+    // stays under the bound
+    val maxOut = graft.queries.GraphOps.orientEdges(und, deg, identity)
+      .groupBy("u").agg(count(lit(1)).as("od"))
+      .agg(max("od")).head().getLong(0)
+    val bound = math.ceil(math.sqrt(2.0 * nE)).toLong
+    assert(maxOut <= bound,
+      s"oriented out-degree $maxOut exceeds the sqrt(2|E|)=$bound cap")
+    // the gated kernel: |V|=20001 broadcasts under the default gate and
+    // SHUFFLES when the gate is forced below it — identical answers
+    val (viaShuffle, shuffleB, taskMs) = measured {
+      graft.queries.GraphOps.triangleStats(und, maxBroadcastNodes = 10L)
+        .as[(Long, Long, Long, Long)].head()
+    }
+    val viaBroadcast = graft.queries.GraphOps.triangleStats(und)
+      .as[(Long, Long, Long, Long)].head()
+    info(s"q75 soak: |V|=${n + 1} |E|=$nE maxOutDeg=$maxOut (bound $bound) " +
+      s"triangles=${viaShuffle._3} shuffle=${shuffleB / 1024}KiB maxTask=${taskMs}ms")
+    assert(viaShuffle == viaBroadcast, "gate changed the answer")
+    assert(viaShuffle._1 == nE && viaShuffle._3 == n - 1L,
+      s"expected ${n - 1} triangles over $nE edges, got $viaShuffle")
+    // the hub's open-wedge total stays in n_wedges (the clustering
+    // denominator counts the REAL graph), but the wedge JOIN never
+    // materializes them: shuffle stays far under the ~2·10⁸-row blowup
+    assert(viaShuffle._2 > 100000000L, "hub open-wedge total missing")
+    assert(shuffleB < (256L << 20), s"shuffle blow-up: $shuffleB bytes")
+  }
+
   /** Like [[measured]] but also collects every task duration so tail
     * latency (p99) is observable, not just the single max.
     */
