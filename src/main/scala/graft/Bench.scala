@@ -249,17 +249,24 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMedian = results.map(_._3).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"queries":$qs,"queries_stats":$stats,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"queries":$qs,"queries_stats":$stats,"sf":"$sfDir"}"""
+    // the driver keeps only the LAST ~2000 chars of output and parses
+    // a JSON line within them (round-7: the single full line had grown
+    // past that, so its head was clipped and `parsed` came back null).
+    // So the FULL line (with per-query {best, median, n}) goes first —
+    // and to the sidecar file — and the FINAL line is a compact
+    // tail-proof summary that always fits whole inside any sane tail.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
-      try w.println(line) finally w.close()
+      try w.println(full) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     // bare JSON on the real stdout, even under sbt's in-process logger
     val fd1 = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-    fd1.write((line + "\n").getBytes("UTF-8"))
+    fd1.write((full + "\n" + compact + "\n").getBytes("UTF-8"))
     fd1.flush()
     // delete the scratch CTAS/landing copies the layout queries registered
     // (each timed run registers fresh uniquely-named artifacts)
