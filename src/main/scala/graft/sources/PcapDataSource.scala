@@ -33,7 +33,10 @@ import graft.spark.PcapSource
   *     analytics queries don't pay for DNS-name/UTF8 materialization.
   *
   * Options: `mode=reference-compat` reproduces the reference's EPB quirks
-  * (SURVEY §2.1).
+  * (SURVEY §2.1); `decodePartitions=N` shards each file's DISSECTION
+  * across N partitions (the single-huge-file knob — see
+  * [[PcapScan.planInputPartitions]]; batch reads only, the streaming
+  * source parallelizes by file).
   */
 class PcapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pcap"
@@ -112,10 +115,14 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
     val paths = Option(options.get("paths"))
       .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
       .getOrElse(Option(options.get("path")).toSeq)
+    val decodeParts = options.getInt("decodePartitions", 1)
+    require(decodeParts >= 1 && decodeParts <= 1024,
+      s"pcap option decodePartitions must be in [1, 1024], got $decodeParts")
     new PcapScan(paths, required,
       options.getOrDefault("mode", "sane") == "reference-compat", pushed,
       withBytes,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      decodeParts)
   }
 }
 
@@ -125,7 +132,8 @@ final class PcapScan(
     refCompat: Boolean,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     withBytes: Boolean = false,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    decodePartitions: Int = 1)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -151,7 +159,18 @@ final class PcapScan(
         }
       stats.filter(_.isFile).map(_.getPath.toString)
     }
-    files.sorted.map(f => PcapInputPartition(f): InputPartition).toArray
+    // decodePartitions > 1 = the SINGLE-HUGE-FILE parallelism knob (the
+    // DSv2 twin of PcapSource's RDD-path repartition, round-7 verdict
+    // #7): pcap has no sync markers, so a file cannot be byte-split —
+    // instead each of the N shard partitions re-frames the stream
+    // (framing runs ~6× faster than dissection) and DISSECTS only its
+    // `frameIndex % N` stride. Framing cost is paid N times; the
+    // expensive decode splits N ways with no shuffle, taking a
+    // decode-bound lone file from 1 core to framing-bound. For many
+    // small files leave it at 1 — per-file pipelining already saturates.
+    files.sorted.flatMap(f =>
+      (0 until decodePartitions).map(i =>
+        PcapInputPartition(f, i, decodePartitions): InputPartition)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -161,7 +180,8 @@ final class PcapScan(
   }
 }
 
-final case class PcapInputPartition(file: String) extends InputPartition
+final case class PcapInputPartition(
+    file: String, shard: Int = 0, nShards: Int = 1) extends InputPartition
 
 final case class PcapReaderFactory(
     conf: SerializableConfiguration,
@@ -170,9 +190,11 @@ final case class PcapReaderFactory(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     withBytes: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PcapPartitionReader(p.asInstanceOf[PcapInputPartition].file,
-      conf.value, required, refCompat, filters, withBytes)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val pp = p.asInstanceOf[PcapInputPartition]
+    new PcapPartitionReader(pp.file,
+      conf.value, required, refCompat, filters, withBytes, pp.shard, pp.nShards)
+  }
 }
 
 final class PcapPartitionReader(
@@ -181,7 +203,9 @@ final class PcapPartitionReader(
     required: StructType,
     refCompat: Boolean,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    withBytes: Boolean = false)
+    withBytes: Boolean = false,
+    shard: Int = 0,
+    nShards: Int = 1)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -200,31 +224,39 @@ final class PcapPartitionReader(
   private val identity = ordinals.sameElements(sourceSchema.indices)
 
   private var current: InternalRow = _
+  private var frameIdx: Long = -1L
 
   override def next(): Boolean = {
     while (frames.hasNext) {
       val raw = frames.next()
-      val row = PacketDissector.dissect(raw)
-      if (pred(row)) {
-        val dissected = row.toInternalRow(baseUtf8)
-          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
-        val fullVals =
-          if (withBytes) dissected.values ++ Array[Any](raw.data, raw.linktype)
-          else dissected.values
-        current =
-          if (identity && !withBytes) dissected
-          else if (identity)
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fullVals)
-          else {
-            val vals = new Array[Any](ordinals.length)
-            var i = 0
-            while (i < ordinals.length) {
-              vals(i) = fullVals(ordinals(i))
-              i += 1
+      frameIdx += 1
+      // decode-sharding stride: frames outside this shard are framed
+      // (cheap, sequential-scan bound) but never dissected or
+      // materialized — see PcapScan.planInputPartitions
+      val mine = nShards <= 1 || frameIdx % nShards == shard
+      if (mine) {
+        val row = PacketDissector.dissect(raw)
+        if (pred(row)) {
+          val dissected = row.toInternalRow(baseUtf8)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          val fullVals =
+            if (withBytes) dissected.values ++ Array[Any](raw.data, raw.linktype)
+            else dissected.values
+          current =
+            if (identity && !withBytes) dissected
+            else if (identity)
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fullVals)
+            else {
+              val vals = new Array[Any](ordinals.length)
+              var i = 0
+              while (i < ordinals.length) {
+                vals(i) = fullVals(ordinals(i))
+                i += 1
+              }
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
             }
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
-          }
-        return true
+          return true
+        }
       }
     }
     false

@@ -41,6 +41,41 @@ class PcapDataSourceSpec extends SparkFunSuite {
     assert(dsv2.rdd.getNumPartitions == 3)
   }
 
+  test("decodePartitions shards one big file's dissection, same row multiset") {
+    // the single-huge-file knob (round-7 verdict #7): a lone capture
+    // cannot be byte-split (no sync markers), so each of the N shard
+    // partitions re-frames the stream and dissects only its stride —
+    // the DSv2 twin of PcapSource.read's decodePartitions repartition
+    val d = Files.createTempDirectory("dsv2_big")
+    val frames = (0 until 999).map { i =>
+      (10000L + i,
+        if (i % 3 == 0) ethernet(0x0800, ipv4("10.1.0.1", "10.1.0.2", 17,
+          udp(1000 + i % 100, 53, dnsQuery(s"h$i.example.com", 1)), id = i % 65536))
+        else ethernet(0x0800, ipv4("10.1.0.3", "10.1.0.4", 6,
+          tcp(443, 1 + i % 60000, 0x18))))
+    }
+    Files.write(d.resolve("big.pcap"),
+      legacyPcap(frames.map { case (ts, b) => (ts, -1, b) }))
+    val plain = spark.read.format("pcap").load(d.toString)
+    val sharded = spark.read.format("pcap")
+      .option("decodePartitions", 8).load(d.toString)
+    assert(plain.rdd.getNumPartitions == 1)
+    assert(sharded.rdd.getNumPartitions == 8)
+    // every shard carries ~1/8 of the rows (no shard starved or doubled)
+    val perPart = sharded.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.length == 8 && perPart.forall(n => n >= 100 && n <= 150),
+      perPart.mkString(","))
+    // identical multiset, column pruning + pushdown still compose
+    val a = plain.orderBy("frame_time").collect().toSeq
+    val b = sharded.orderBy("frame_time").collect().toSeq
+    assert(a == b)
+    assert(sharded.filter(col("dns_qry_name").isNotNull).count() == 333L)
+    intercept[Exception] {
+      spark.read.format("pcap").option("decodePartitions", 0).load(d.toString)
+        .count()
+    }
+  }
+
   test("column pruning reaches the reader (narrow scan)") {
     val narrow = spark.read.format("pcap").load(dir)
       .select("dns_qry_name", "pcap_file")
