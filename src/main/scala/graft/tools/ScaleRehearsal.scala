@@ -31,8 +31,15 @@ object ScaleRehearsal {
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val iters = if (args.length > 3) args(3).toInt else 3
+    // d44 joined the default sweep in round 8 (directed-pair growth is
+    // the SF-sensitive quantity; its df cap must keep holding). s23/q75
+    // are NOT here: their scale axes (per-file key cardinality, graph
+    // degree skew) don't grow with the document corpus — they're soaked
+    // directly in ManifestLandSpec (500k-key sizing) and SkewSoakSpec
+    // (20k-degree hub).
     val qs = (if (args.length > 4) args(4).split(",").toSeq
-      else Seq("e06_ivf_pq", "d05_ngram_jaccard", "d06_minhash_lsh", "d42_bm25"))
+      else Seq("e06_ivf_pq", "d05_ngram_jaccard", "d06_minhash_lsh", "d42_bm25",
+        "d44_containment"))
       .map(_.trim).filter(_.nonEmpty)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,10 +69,26 @@ object ScaleRehearsal {
     spark.stop()
   }
 
-  /** Write the scaled corpus once; reuse if already present. */
+  /** Write the scaled corpus once; reuse ONLY when the recorded
+    * (src, factor) MANIFEST matches this run's (ADVICE r7 — a bare
+    * documents.parquet existence check would silently measure a stale
+    * corpus after a src/factor change, the exact stale-fixture hazard
+    * BenchPcap's corpus manifest guards against). A mismatching or
+    * missing manifest regenerates from scratch.
+    */
   def synthesize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val dir = new java.io.File(out)
-    if (new java.io.File(dir, "documents.parquet").exists()) return
+    val manifest = new java.io.File(dir, "MANIFEST")
+    val want = s"src=$src\nfactor=$factor\n"
+    val have =
+      if (manifest.exists())
+        new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+      else ""
+    if (new java.io.File(dir, "documents.parquet").exists() && have == want) return
+    if (dir.exists() && have != want && have.nonEmpty)
+      System.err.println(s"[rehearsal] corpus at $out was built from " +
+        s"${have.trim.replace("\n", " ")}; regenerating for src=$src factor=$factor")
+    graft.TempCleanup.rmrf(dir)
     dir.mkdirs()
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -98,5 +121,9 @@ object ScaleRehearsal {
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(src, s"$t.parquet"))
     }
+    // written LAST: a crash mid-synthesis leaves no manifest, so the
+    // next run regenerates rather than measuring a half-built corpus
+    java.nio.file.Files.write(manifest.toPath, want.getBytes("UTF-8"))
+    ()
   }
 }
