@@ -694,11 +694,14 @@ object ManifestLand {
     *    footer is opened (at 100 TB, an incremental sync reads the new
     *    files, not the table); the version filter stays as residual.
     *  - deletes = rows of `readVersion(fromV)` whose `keyCols` no longer
-    *    exist in `toV` — a key anti-join of the two retained snapshots.
-    *    Sound across compaction (which folds deletion vectors away and
-    *    would blind any tombstone-diff approach); costs a shuffle of the
-    *    two versions, the same price Delta pays materializing change
-    *    files it didn't write at delete time.
+    *    exist in `toV`. Served by a three-rung ladder (see the delete
+    *    ladder comment in the body): append-only windows are EMPTY by
+    *    metadata, delete-bearing windows with stable files read back
+    *    ONLY the window's new deletion-vector tombstones from the
+    *    affected files ([[dvDeltaDeletes]] — O(deletes), never
+    *    O(landing)), and only a compaction inside the window (file
+    *    identity gone — tombstones folded away) falls back to the exact
+    *    two-snapshot key anti-join.
     *
     * NET-effect semantics: a row inserted and deleted inside the window
     * appears as neither (what an incremental MERGE consumer wants).
@@ -711,29 +714,108 @@ object ManifestLand {
     import org.apache.spark.sql.functions.lit
     require(fromV < toV, s"changeFeed: empty window ($fromV, $toV]")
     require(keyCols.nonEmpty, "changeFeed: key columns required for deletes")
-    val m = readManifest(dir)
+    val retained = versions(dir)
+    require(retained.contains(fromV) && retained.contains(toV),
+      s"ManifestLand.changeFeed: window ($fromV, $toV] not retained in $dir " +
+        s"(have: ${retained.mkString(", ")})")
+    val mTo = parseManifest(versionFile(dir, toV))
+    // insert-side file cut from the VERSION manifest's own zone maps
+    // (round 8 — previously only toV == applied pruned, via the live
+    // manifest): when _commit_version is a stats column, every window's
+    // sync opens only the window's files, historic or current
     val newer =
-      if (toV == m.applied && m.statsCols.contains(CommitVersionCol))
-        readPruned(spark, dir, Seq((CommitVersionCol, fromV + 1, toV)))
-      else readVersion(spark, dir, toV)
+      if (mTo.statsCols.contains(CommitVersionCol)) {
+        val i = mTo.statsCols.indexOf(CommitVersionCol)
+        val keep = mTo.entries.filter(e => e.bounds.isEmpty || {
+          val (flo, fhi) = e.bounds(i)
+          flo <= fhi && fhi >= fromV + 1 && flo <= toV
+        })
+        readFiles(spark, dir, mTo.copy(entries = keep), "changeFeed")
+      } else readVersion(spark, dir, toV)
     require(newer.columns.contains(CommitVersionCol),
       s"ManifestLand.changeFeed: landing $dir is not change-tracked " +
         s"(commit with trackChanges = true)")
     val inserts = newer
       .filter(col(CommitVersionCol) > fromV && col(CommitVersionCol) <= toV)
       .withColumn("_change_type", lit("insert"))
-    // append-only fast path: when the window provably removed nothing,
-    // the delete side is EMPTY by metadata alone — no snapshot anti-join
-    // (at 100 TB this is the difference between a per-sync metadata read
-    // and a per-sync full-table join; most windows of a healthy landing
-    // are append-only)
+    // delete-side ladder, cheapest applicable rung first (round-8,
+    // verdict #4 — a delete-bearing sync must not scan two snapshots):
+    //  1. append-only window: provably nothing removed, EMPTY by
+    //     metadata alone (most windows of a healthy landing);
+    //  2. deletion-vector delta: every fromV file survives into toV
+    //     (no compaction in the window), so the removed rows are
+    //     EXACTLY the window's new tombstones on pre-window files —
+    //     read back positionally from only the AFFECTED files, cost
+    //     O(window's deletes), never O(landing);
+    //  3. compaction in the window: file identity is gone, fall back
+    //     to the exact two-snapshot key anti-join (the price Delta
+    //     pays materializing change files it didn't write either).
+    val mFrom = parseManifest(versionFile(dir, fromV))
     val deletes0 =
-      if (!windowMayDelete(dir, fromV, toV))
+      if (mFrom.dvs == mTo.dvs && mFrom.files.toSet.subsetOf(mTo.files.toSet))
         readVersion(spark, dir, fromV).limit(0)
+      else if (mFrom.files.toSet.subsetOf(mTo.files.toSet))
+        dvDeltaDeletes(spark, dir, mFrom, mTo, inserts, keyCols)
       else readVersion(spark, dir, fromV)
         .join(readVersion(spark, dir, toV).select(keyCols.map(col): _*),
           keyCols, "left_anti")
     inserts.unionByName(deletes0.withColumn("_change_type", lit("delete")))
+  }
+
+  /** Rung 2 of [[changeFeed]]'s delete ladder: with every `fromV` data
+    * file still live at `toV` (files are immutable, none compacted
+    * away), a row existed at `fromV` and is gone at `toV` IFF a NEW
+    * tombstone landed on a PRE-window file. So:
+    *
+    *   candidates = (toV tombstones ∖ fromV tombstones) on fromV files,
+    *                fetched positionally from ONLY the affected files;
+    *   deletes    = candidates minus keys the window RE-INSERTED
+    *                (checked against the already-file-pruned insert
+    *                frame, so the guard costs O(window) too).
+    *
+    * Exactness contract (same one the key anti-join and any MERGE
+    * consumer already rely on): `keyCols` identify a row uniquely
+    * within a version — with duplicate keys, "the key no longer
+    * exists" under-reports row removals on EITHER path.
+    */
+  private def dvDeltaDeletes(spark: SparkSession, dir: String,
+      mFrom: Manifest, mTo: Manifest, inserts: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    def tombs(m: Manifest): DataFrame =
+      if (m.dvs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("row_index",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
+        .select(col("file_name"), col("row_index"))
+    val fromFiles = mFrom.files.toSet
+    // sidecars are tiny by construction (tombstones since the last
+    // compaction); the delta is bounded by the window's delete volume
+    val delta = tombs(mTo).join(tombs(mFrom),
+        Seq("file_name", "row_index"), "left_anti")
+      .filter(col("file_name").isInCollection(fromFiles))
+      .localCheckpoint() // read twice: affected-file cut + position join
+    val affected = delta.select("file_name").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return readFiles(spark, dir, mFrom, "changeFeed").limit(0)
+    // positional fetch from ONLY the affected files, through the
+    // tracked schema (readFiles' evolution semantics)
+    val reader = storedSchema(dir) match {
+      case Some(sc) => spark.read.schema(sc)
+      case None => spark.read
+    }
+    val candidates = reader.parquet(affected.map(n => s"$dir/$n"): _*)
+      .withColumn("__file", expr("_metadata.file_name"))
+      .withColumn("__pos", expr("_metadata.row_index"))
+      .join(broadcast(delta.withColumnRenamed("file_name", "__file")
+        .withColumnRenamed("row_index", "__pos")), Seq("__file", "__pos"))
+      .drop("__file", "__pos")
+    candidates.join(
+      broadcast(inserts.select(keyCols.map(col): _*).distinct()),
+      keyCols, "left_anti")
   }
 
   /** Whether the `(fromV, toV]` window could have REMOVED any row —

@@ -514,6 +514,65 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(folded.map(_._2).sum < nV * 100L, "deletes must have removed rows")
   }
 
+  test("change feed DV-delta: a delete-bearing sync reads the affected files, not the base") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_dvd").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // 10 tracked batches of 1000 rows, one file each
+    (0 until 10).foreach { v =>
+      val b = spark.range(v * 1000L, (v + 1) * 1000L)
+        .select(col("id").as("k"), (col("id") * 2).as("x"))
+      ManifestLand.applyBatch(b.toDF(), v.toLong, out,
+        statsCols = Seq(ManifestLand.CommitVersionCol), rangeParts = 1,
+        trackChanges = true)
+    }
+    // delete 11 rows, ALL living in batch 0's file — only that file is
+    // "affected"; the other 8 pre-window files must never be opened
+    ManifestLand.deleteWhere(spark, out, col("k").between(100L, 110L))
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val lsn = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) {
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(lsn)
+    val feed =
+      try {
+        val f = ManifestLand.changeFeed(spark, out, 8L, 9L, Seq("k"))
+          .select(col("_change_type"), col("k"), col("x")).collect().toSeq
+        Thread.sleep(1000) // listener bus drains asynchronously
+        f
+      } finally spark.sparkContext.removeSparkListener(lsn)
+    // exact content: batch 9's 1000 inserts + the 11 tombstoned rows
+    assert(feed.count(_.getString(0) == "insert") == 1000)
+    assert(feed.filter(_.getString(0) == "delete").map(_.getLong(1)).sorted ==
+      (100L to 110L))
+    // the sync read the insert file + the one affected file + sidecars —
+    // NOT the 10k-row base twice (the old anti-join read ~19k records)
+    assert(recs.get() < 5000L,
+      s"delete-bearing sync read ${recs.get()} records — scanned the base?")
+    // re-insert guard: delete k=5000 then re-insert it in a new batch;
+    // the window covering both emits the INSERT only (net effect — the
+    // tombstoned pre-image is guarded out by the window's insert keys)
+    ManifestLand.deleteWhere(spark, out, col("k") === 5000L)
+    ManifestLand.applyBatch(
+      Seq((5000L, 424242L)).toDF("k", "x"), 10L, out,
+      statsCols = Seq(ManifestLand.CommitVersionCol), rangeParts = 1,
+      trackChanges = true)
+    val f2 = ManifestLand.changeFeed(spark, out, 9L, 10L, Seq("k"))
+      .select(col("_change_type"), col("k"), col("x")).collect().toSeq
+    assert(f2.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("insert", 5000L, 424242L)))
+    // an unretained window refuses loudly instead of reading live state
+    ManifestLand.expireVersions(out, keep = 2)
+    intercept[IllegalArgumentException] {
+      ManifestLand.changeFeed(spark, out, 0L, 10L, Seq("k"))
+    }
+  }
+
   test("change feed: incremental inserts prune by version zones, deletes survive compaction") {
     val spark = this.spark
     import spark.implicits._
