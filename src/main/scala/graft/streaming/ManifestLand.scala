@@ -797,25 +797,33 @@ object ManifestLand {
     val delta = tombs(mTo).join(tombs(mFrom),
         Seq("file_name", "row_index"), "left_anti")
       .filter(col("file_name").isInCollection(fromFiles))
-      .localCheckpoint() // read twice: affected-file cut + position join
+    val candidates = positionalRows(spark, dir, delta)
+      .getOrElse(return readFiles(spark, dir, mFrom, "changeFeed").limit(0))
+    candidates.join(
+      broadcast(inserts.select(keyCols.map(col): _*).distinct()),
+      keyCols, "left_anti")
+  }
+
+  /** Fetch the rows at `(file_name, row_index)` positions `delta` back
+    * from ONLY the affected data files, through the tracked schema
+    * (readFiles' evolution semantics). None when `delta` is empty.
+    */
+  private def positionalRows(spark: SparkSession, dir: String,
+      delta0: DataFrame): Option[DataFrame] = {
+    val delta = delta0.localCheckpoint() // read twice: file cut + join
     val affected = delta.select("file_name").distinct()
       .collect().map(_.getString(0)).toSeq
-    if (affected.isEmpty) return readFiles(spark, dir, mFrom, "changeFeed").limit(0)
-    // positional fetch from ONLY the affected files, through the
-    // tracked schema (readFiles' evolution semantics)
+    if (affected.isEmpty) return None
     val reader = storedSchema(dir) match {
       case Some(sc) => spark.read.schema(sc)
       case None => spark.read
     }
-    val candidates = reader.parquet(affected.map(n => s"$dir/$n"): _*)
+    Some(reader.parquet(affected.map(n => s"$dir/$n"): _*)
       .withColumn("__file", expr("_metadata.file_name"))
       .withColumn("__pos", expr("_metadata.row_index"))
       .join(broadcast(delta.withColumnRenamed("file_name", "__file")
         .withColumnRenamed("row_index", "__pos")), Seq("__file", "__pos"))
-      .drop("__file", "__pos")
-    candidates.join(
-      broadcast(inserts.select(keyCols.map(col): _*).distinct()),
-      keyCols, "left_anti")
+      .drop("__file", "__pos"))
   }
 
   /** Whether the `(fromV, toV]` window could have REMOVED any row —
@@ -830,6 +838,130 @@ object ManifestLand {
     val mTo = parseManifest(versionFile(dir, toV))
     !(mFrom.dvs == mTo.dvs && mFrom.files.toSet.subsetOf(mTo.files.toSet))
   }
+
+  /** CHANGE FEED AS A STREAM (round 8): incrementally materialize each
+    * newly committed version's net-effect deltas into an append-only
+    * CHANGE-LOG landing that any `readStream.parquet(deltaDir)` then
+    * consumes push-style — versions become micro-batches, giving the
+    * incremental-view-maintenance fold (s28) its streaming form (s31).
+    *
+    * Exactly-once, by the same applied-high-water idea as the landing
+    * itself: `_cf_applied` records the last relayed version; each new
+    * retained version v stages its window's deltas onto deterministic
+    * `cf<v>_*` names (a crashed attempt re-stages the same names,
+    * REPLACE_EXISTING) and then advances the marker atomically. The
+    * first sync bootstraps from the EARLIEST retained snapshot as pure
+    * inserts. Every window is served by [[changeFeed]]'s delete ladder,
+    * so a delete-bearing sync costs O(its deletes), an append-only one
+    * O(its files).
+    *
+    * LATE DELETES: [[deleteWhere]] re-flips the CURRENT version in
+    * place (it must — `applied` is the stream's exactly-once mark), so
+    * a delete can land on a version the relay ALREADY synced. The relay
+    * therefore records the tombstone set it has accounted for (the
+    * `_cf_state_*` sidecar named by the marker); each sync first diffs
+    * the synced version's CURRENT tombstones against that state and
+    * emits the difference as its own late-delete batch — positional
+    * fetch from only the affected files, like every other delete. No
+    * ordering contract between maintenance and the relay, no silently
+    * lost deletes.
+    *
+    * Other contracts (all loud): the landing's retention must span the
+    * relay's lag (an expired `synced` version refuses — widen
+    * `keepVersions` to the consumer's maximum downtime); single relay
+    * writer. Crash-safe: all change files stage onto deterministic
+    * names first, then the new state sidecar, then the marker flips
+    * atomically to (version, state) together — a replay from the old
+    * marker recomputes and overwrites the same names.
+    *
+    * Returns the high-water version after the sync (-1 = nothing
+    * committed yet).
+    */
+  def changeFeedRelay(spark: SparkSession, dir: String, deltaDir: String,
+      keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.lit
+    new java.io.File(deltaDir).mkdirs()
+    val markerF = new java.io.File(deltaDir, "_cf_applied")
+    val (marker, stateName) =
+      if (!markerF.exists()) (-1L, None)
+      else new String(Files.readAllBytes(markerF.toPath), "UTF-8").trim
+        .split("\t", -1) match {
+          case Array(v) => (v.toLong, None)
+          case Array(v, s) => (v.toLong, Some(s).filter(_.nonEmpty))
+          case other => throw new IllegalStateException(
+            s"unreadable relay marker in $deltaDir: ${other.mkString("\\t")}")
+        }
+    def tombsOf(m: Manifest): DataFrame =
+      if (m.dvs.isEmpty) emptyTombFrame(spark)
+      else spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
+        .select(col("file_name"), col("row_index"))
+    val state: DataFrame = stateName match {
+      case Some(s) => spark.read.parquet(s"$deltaDir/$s")
+      case None => emptyTombFrame(spark)
+    }
+    val retained = versions(dir)
+    var synced = marker
+    // 1. LATE DELETES on the already-synced version: its current
+    // tombstones minus the accounted state (bounded by the late delete
+    // volume; empty when maintenance preceded the relay, and empty
+    // after a compaction — folding tombstones away deletes nothing)
+    if (marker >= 0L) {
+      require(retained.contains(marker),
+        s"changeFeedRelay: synced version $marker expired from $dir — " +
+          s"retention must span the relay's lag (have: ${retained.mkString(", ")})")
+      val mSynced = parseManifest(versionFile(dir, marker))
+      val late = tombsOf(mSynced).join(state,
+        Seq("file_name", "row_index"), "left_anti")
+      positionalRows(spark, dir, late).foreach { rows =>
+        // batch name varies with the dv-sidecar state, so successive
+        // late rounds on the same version never overwrite each other,
+        // while a crash REPLAY of the same round re-stages the same name
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.orderedHash(mSynced.dvs.sorted).toLong & 0xFFFFFFFFL)
+        ParquetLand.stageParts(
+          rows.withColumn("_change_type", lit("delete")),
+          deltaDir, s"cf${marker}d${tag}_")
+        ()
+      }
+    }
+    // 2. the normal version windows, each through changeFeed's ladder
+    for (v <- retained.filter(_ > marker)) {
+      val delta =
+        if (synced < 0L)
+          readVersion(spark, dir, v).withColumn("_change_type", lit("insert"))
+        else changeFeed(spark, dir, synced, v, keyCols)
+      ParquetLand.stageParts(delta, deltaDir, s"cf${v}_")
+      synced = v
+    }
+    // 3. snapshot the accounted tombstone state for the new high-water
+    // version, then flip the marker to (version, state) atomically;
+    // old state sidecars are swept once nothing references them
+    if (synced >= 0L) {
+      val mNow = parseManifest(versionFile(dir, synced))
+      val newState = s"_cf_state_v${synced}_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(mNow.dvs.sorted).toLong & 0xFFFFFFFFL)
+      // full rewrite even if the dir exists — a crashed attempt may have
+      // left it partial; the marker still points at the OLD state until
+      // the atomic flip below, so the rewrite is always safe
+      val stateDir = new java.io.File(deltaDir, newState)
+      if (stateDir.exists()) graft.TempCleanup.rmrf(stateDir)
+      tombsOf(mNow).coalesce(1).write.mode("overwrite")
+        .parquet(s"$deltaDir/$newState")
+      ParquetLand.atomicReplace(markerF, s"$synced\t$newState".getBytes("UTF-8"))
+      Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("_cf_state_") && f.getName != newState)
+        .foreach { f => graft.TempCleanup.rmrf(f); () }
+    }
+    synced
+  }
+
+  private def emptyTombFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("row_index",
+          org.apache.spark.sql.types.LongType))))
 
   /** Per-file [min,max] of every stats column, read back from the staged
     * bytes (one small job; the stats can never disagree with the disk).

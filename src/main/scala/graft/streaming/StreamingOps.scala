@@ -953,10 +953,15 @@ object StreamingOps {
     * Each fold round localCheckpoints the small view frame (the
     * round-5 iterative-loop rule — lineage must not grow per version).
     */
-  def streamIncrementalView(spark: SparkSession, dir: String): DataFrame = {
-    val src = etlSource(spark, dir, "s28")
-    val out = java.nio.file.Files.createTempDirectory("graft_s28_out").toString + "/landing"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_s28_ckpt").toString
+  /** The change-tracked landing both IVM forms maintain a view over:
+    * s15's ETL landed with `_commit_version` + tsu zone maps, then a
+    * merge-on-read DELETE applied after the stream (so the final
+    * version's window carries tombstone deletes for the feed to serve).
+    */
+  private def ivmLanding(spark: SparkSession, dir: String, tag: String): String = {
+    val src = etlSource(spark, dir, tag)
+    val out = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ckpt").toString
     graft.TempCleanup.registerDir(new java.io.File(out).getParent)
     graft.TempCleanup.registerDir(ckpt)
     ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
@@ -964,6 +969,11 @@ object StreamingOps {
       rangeParts = 2, clusterBy = Some(col("tsu")), trackChanges = true)
     ManifestLand.deleteWhere(spark, out,
       col("event_type") === "click" && col("value_e4") < 1000000L)
+    out
+  }
+
+  def streamIncrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val out = ivmLanding(spark, dir, "s28")
     def rollup(df: DataFrame): DataFrame = df.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value_e4").as("sum_value_e4"))
     var view = rollup(ManifestLand.readVersion(spark, out, 0L)).localCheckpoint()
@@ -984,6 +994,43 @@ object StreamingOps {
         .localCheckpoint()
     }
     view
+  }
+
+  /** s31: PUSH-BASED INCREMENTAL VIEW MAINTENANCE — the change feed AS
+    * A STREAMING SOURCE (round-8; s28's fold turned inside-out): the
+    * relay ([[ManifestLand.changeFeedRelay]]) incrementally materializes
+    * each committed version's net-effect deltas into an append-only
+    * change-log landing — exactly-once via its own applied marker,
+    * every window served by the delete ladder (O(changes), not
+    * O(landing)) — and the view is then a STANDARD Structured Streaming
+    * stateful aggregation over `readStream.parquet(change-log)`:
+    * versions arrive as micro-batches, insert rows add, delete rows
+    * subtract, complete-mode state holds exactly the per-user counters.
+    * No custom source machinery: the change log IS the streamable form
+    * of the feed (the Delta CDF architecture — change files + a plain
+    * stream reader), so watermarks, checkpoints, and AvailableNow all
+    * just work. The gate pins it to the SAME oracle as s28: the
+    * push-maintained view must equal the batch fold and the
+    * from-scratch rollup of the surviving rows.
+    */
+  def streamPushIvm(spark: SparkSession, dir: String): DataFrame = {
+    val out = ivmLanding(spark, dir, "s31")
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft_s31_delta").toString
+    graft.TempCleanup.registerDir(deltaDir)
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("event_id"))
+    // change-log schema = the landing's tracked schema + the change tag
+    val logSchema = StructType(
+      ManifestLand.read(spark, out).schema.fields :+
+        StructField("_change_type", StringType))
+    val view = spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+      .groupBy("user_id")
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+          .as("n_events"),
+        sum(when(col("_change_type") === "insert", col("value_e4"))
+          .otherwise(-col("value_e4"))).as("sum_value_e4"))
+    drainToMemory(view, "graft_s31_", "complete")
+      .filter(col("n_events") > 0L)
   }
 
   /** s27: SCHEMA EVOLUTION on the manifest landing — the lakehouse
@@ -1463,6 +1510,17 @@ object StreamingOps {
     graft.queries.Q("s28_incremental_view", (s, dir) => streamIncrementalView(s, dir),
       // the delta-folded view must equal the from-scratch rollup of the
       // surviving (non-deleted) rows, per user
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM e
+             |WHERE NOT (event_type = 'click' AND value_e4 < 1000000)
+             |GROUP BY user_id""".stripMargin)),
+    graft.queries.Q("s31_push_ivm", (s, dir) => streamPushIvm(s, dir),
+      // the push-maintained view must equal s28's batch-folded one:
+      // the from-scratch rollup of the surviving rows, per user
       Some("""WITH e AS (SELECT event_id, user_id, event_type,
              |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
              |           FROM events)

@@ -573,6 +573,59 @@ class ManifestLandSpec extends SparkFunSuite {
     }
   }
 
+  test("changeFeedRelay: versions become change-log batches, exactly-once under replay") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_relay").toString + "/landing"
+    val deltaDir = Files.createTempDirectory("graft_mland_relay_log").toString
+    new java.io.File(out).mkdirs()
+    (0 until 3).foreach { v =>
+      ManifestLand.applyBatch(
+        spark.range(v * 10L, (v + 1) * 10L)
+          .select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+        v.toLong, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+        rangeParts = 1, trackChanges = true)
+    }
+    def logFiles(): Seq[String] = Option(new java.io.File(deltaDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 2L)
+    val afterFirst = logFiles()
+    assert(afterFirst.exists(_.startsWith("cf0_")) &&
+      afterFirst.exists(_.startsWith("cf2_")))
+    // idempotent: nothing new committed → nothing new staged
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 2L)
+    assert(logFiles() == afterFirst)
+    // a LATE delete — deleteWhere re-flips v2, which the relay already
+    // synced — plus a fresh batch: the next sync emits the late delete
+    // as its own change-log batch (diffed against the accounted
+    // tombstone state) and the new version's window as usual
+    ManifestLand.deleteWhere(spark, out, col("k") === 7L)
+    ManifestLand.applyBatch(Seq((100L, 500L)).toDF("k", "x"), 3L, out,
+      statsCols = Seq(ManifestLand.CommitVersionCol), rangeParts = 1,
+      trackChanges = true)
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 3L)
+    assert(logFiles().exists(_.startsWith("cf2d")),
+      s"late-delete batch missing from ${logFiles()}")
+    def foldLog(): Seq[(Long, Long)] = {
+      val log = spark.read.parquet(deltaDir)
+      log.filter(col("_change_type") === "insert").select("k", "x")
+        .join(log.filter(col("_change_type") === "delete").select("k"), Seq("k"), "left_anti")
+        .as[(Long, Long)].collect().sorted.toSeq
+    }
+    // the folded change log reconstructs the live landing exactly
+    val live = ManifestLand.read(spark, out).select("k", "x")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(foldLog() == live && !live.exists(_._1 == 7L))
+    // crash replay: roll the marker back one version — the re-sync
+    // re-stages the SAME deterministic names and the fold is unchanged
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(deltaDir, "_cf_applied"), "2".getBytes("UTF-8"))
+    val before = logFiles()
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 3L)
+    assert(logFiles() == before)
+    assert(foldLog() == live)
+  }
+
   test("change feed: incremental inserts prune by version zones, deletes survive compaction") {
     val spark = this.spark
     import spark.implicits._
