@@ -262,6 +262,52 @@ class SkewSoakSpec extends SparkFunSuite {
     assert(p99Ms < 120000L, s"task-time p99 unbounded: ${p99Ms}ms")
   }
 
+  test("d44 containment at 100x sf0.1: linearity soak (set GRAFT_SOAK_100X=1 to run)") {
+    // On-demand like the d06 100× soak (round-7 verdict #5: extend the
+    // 100× rehearsal to the round-7 operators). 500k docs with planted
+    // containment structure: 10k prefix-template clusters of 5 (each
+    // member extends the cluster prefix → real directed pairs) + 5k
+    // identical boilerplate docs (df >> 64 on every shingle → the cap
+    // must drop them entirely) + random tails. The claim is LINEARITY
+    // of the capped prefix join: directed-pair count tracks the planted
+    // structure and shuffle stays ~linear, never the df² blowup.
+    assume(sys.env.get("GRAFT_SOAK_100X").contains("1"),
+      "on-demand soak; run with GRAFT_SOAK_100X=1")
+    val rnd = new scala.util.Random(31)
+    def randTokens(n: Int): String =
+      (1 to n).map(_ => s"w${rnd.nextInt(20000)}").mkString(" ")
+    val hot = randTokens(40)
+    val templates = Array.fill(10000)(randTokens(20))
+    val docs = (0 until 500000).map { i =>
+      val text =
+        if (i < 5000) hot
+        else if (i < 55000) {
+          val c = (i - 5000) / 5
+          // member j extends the cluster template by j private tokens:
+          // shingles of the template are CONTAINED in every extension
+          templates(c) + " " + (1 to ((i - 5000) % 5) * 5 + 1)
+            .map(j => s"p${i}x$j").mkString(" ")
+        } else randTokens(40)
+      (i.toLong, text)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs, 64)).toDF("doc_id", "text")
+    val ((nPairs, hotPairs), shuffleB, p99Ms, p50Ms) = measuredP99 {
+      val pairs = graft.queries.TextOps.containmentPairs(df).cache()
+      val n = pairs.count()
+      val hp = pairs.filter(col("doc_a") < 5000 || col("doc_b") < 5000).count()
+      pairs.unpersist()
+      (n, hp)
+    }
+    info(s"d44 100x soak: pairs=$nPairs hotPairs=$hotPairs " +
+      s"shuffle=${shuffleB / 1024 / 1024}MiB taskP50=${p50Ms}ms taskP99=${p99Ms}ms")
+    assert(hotPairs == 0L, s"df cap leaked the boilerplate block: $hotPairs")
+    // planted: clusters contribute directed pairs ~linearly in corpus
+    assert(nPairs >= 10000L && nPairs < 2000000L, s"pair count off: $nPairs")
+    assert(shuffleB < (4L << 30), s"shuffle super-linear at 100x: $shuffleB bytes")
+    assert(p99Ms < 120000L, s"task-time p99 unbounded: ${p99Ms}ms")
+  }
+
   test("d40 inverted index: a token in 60% of 20k docs never exceeds the 64-id shard cap") {
     // The round-6 verdict's one scale-killer: the naive build held the
     // hottest token's postings as ONE collect_list row — O(corpus) in a
