@@ -106,7 +106,8 @@ object ManifestLand {
       statsCols: Seq[String] = Seq.empty,
       dvs: Seq[String] = Seq.empty,
       bloomCol: Option[String] = None,
-      bloomBits: Option[Int] = None) {
+      bloomBits: Option[Int] = None,
+      bloomSidecars: Seq[String] = Seq.empty) {
     def files: Seq[String] = entries.map(_.name)
   }
 
@@ -118,14 +119,17 @@ object ManifestLand {
     * (plain file-name lines): tab-separated fields, `dv\t<name>` for a
     * deletion-vector sidecar, `name\t<lo1>\t<hi1>[\t<lo2>\t<hi2>...]` for
     * a data file with one [min,max] pair per declared stats column,
-    * `bf\t<name>\t<base64>` for a data file's bloom filter (big-endian
-    * longs of BloomAgg's word array — the payload length IS the filter's
-    * bit count, so files committed under different sizing coexist);
-    * optional `stats=<col1>[,...]` and `bloom=<col>[:<bits>]` header
-    * lines after `applied=`, in that order. A bare `bloom=<col>` (the
-    * round-7 format) means AUTO sizing — each commit sizes its files'
-    * filters from their approx key counts; `bloom=<col>:<bits>` pins an
-    * explicit size for every future commit.
+    * `bf\t<name>\t<base64>` for a data file's LEGACY inline bloom filter
+    * (big-endian longs of BloomAgg's word array — the payload length IS
+    * the filter's bit count, so files committed under different sizing
+    * coexist), `bfs\t<name>` for an immutable bloom SIDECAR file (the
+    * round-8 externalized form new commits write — the manifest stays
+    * KBs at any filter size); optional `stats=<col1>[,...]` and
+    * `bloom=<col>[:<bits>]` header lines after `applied=`, in that
+    * order. A bare `bloom=<col>` (the round-7 format) means AUTO sizing
+    * — each commit sizes its files' filters from their approx key
+    * counts; `bloom=<col>:<bits>` pins an explicit size for every
+    * future commit.
     */
   private def parseManifest(mf: java.io.File): Manifest = {
     if (!mf.exists()) Manifest(-1L, Seq.empty)
@@ -155,7 +159,8 @@ object ManifestLand {
             case other => (None, None, other)
           }
           val (dvLines, rest2) = body.partition(_.startsWith("dv\t"))
-          val (bfLines, dataLines) = rest2.partition(_.startsWith("bf\t"))
+          val (bfsLines, rest3) = rest2.partition(_.startsWith("bfs\t"))
+          val (bfLines, dataLines) = rest3.partition(_.startsWith("bf\t"))
           val blooms: Map[String, Array[Long]] = bfLines.map { l =>
             l.split("\t", -1) match {
               case Array(_, name, b64) => name -> decodeBloom(b64)
@@ -175,7 +180,8 @@ object ManifestLand {
               s"unrecognized manifest line in $mf (${statsCols.length} stats cols): $l")
           }
           Manifest(applied, entries, statsCols,
-            dvLines.map(_.stripPrefix("dv\t")), bloomCol, bloomBits)
+            dvLines.map(_.stripPrefix("dv\t")), bloomCol, bloomBits,
+            bfsLines.map(_.stripPrefix("bfs\t")))
         case Seq() => Manifest(-1L, Seq.empty)
         case other =>
           // refuse rather than guess: silently consuming a data line as
@@ -196,9 +202,86 @@ object ManifestLand {
       if (e.bounds.isEmpty) e.name
       else (e.name +: e.bounds.flatMap(b => Seq(b._1.toString, b._2.toString))).mkString("\t")
     }
+    // inline bf lines exist only for LEGACY (pre-round-8) entries whose
+    // filter came in inline — new commits externalize to sidecars
     val bf = m.entries.flatMap(e =>
       e.bloom.map(w => s"bf\t${e.name}\t${encodeBloom(w)}"))
-    (header ++ data ++ bf ++ m.dvs.map(n => s"dv\t$n")).mkString("\n").getBytes("UTF-8")
+    (header ++ data ++ bf ++ m.bloomSidecars.map(n => s"bfs\t$n") ++
+      m.dvs.map(n => s"dv\t$n")).mkString("\n").getBytes("UTF-8")
+  }
+
+  /** BLOOM SIDECARS (round 8): inline base64 filters made the manifest
+    * itself O(files × filter bytes) — at sized (up to 2 MiB) filters and
+    * thousands of files the ONE file every reader parses would be GBs.
+    * So new commits externalize their files' filters into an immutable
+    * `.bfs` sidecar (the deletion-vector precedent — sidecars are
+    * ordinary retention roots, the manifest stays KBs and keeps the
+    * one-atomic-pointer kernel) and only the POINT-LOOKUP paths load
+    * them, via a small immutable-keyed cache. Old inline `bf` lines
+    * still parse and probe — legacy landings need no rewrite.
+    *
+    * Sidecar wire format: magic 'GBFS', version 1, entry count, then
+    * per entry: name length + UTF-8 name + word count + big-endian
+    * longs. Plain java IO — the driver-side probe has no SparkSession.
+    */
+  private def writeBloomSidecar(f: java.io.File,
+      blooms: Seq[(String, Array[Long])]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47424653); out.writeInt(1); out.writeInt(blooms.size)
+    blooms.foreach { case (name, words) =>
+      val nb = name.getBytes("UTF-8")
+      out.writeInt(nb.length); out.write(nb)
+      out.writeInt(words.length); words.foreach(out.writeLong)
+    }
+    out.flush()
+    ParquetLand.atomicReplace(f, bos.toByteArray)
+  }
+
+  private def readBloomSidecar(f: java.io.File): Map[String, Array[Long]] = {
+    if (!f.exists()) throw new IllegalStateException(
+      s"bloom sidecar missing: $f — referenced by a manifest but not on " +
+        "disk (retention/vacuum violation); refuse rather than silently " +
+        "degrade point-lookup pruning to keep-all")
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f), 1 << 16))
+    try {
+      require(in.readInt() == 0x47424653 && in.readInt() == 1,
+        s"corrupt bloom sidecar (bad magic/version): $f")
+      (0 until in.readInt()).map { _ =>
+        val nb = new Array[Byte](in.readInt()); in.readFully(nb)
+        val words = new Array[Long](in.readInt())
+        var i = 0
+        while (i < words.length) { words(i) = in.readLong(); i += 1 }
+        new String(nb, "UTF-8") -> words
+      }.toMap
+    } finally in.close()
+  }
+
+  /** Sidecars are immutable once referenced, so caching by absolute path
+    * is safe; bounded so a long-lived session probing many landings
+    * can't pin unbounded filter bytes. */
+  private val bloomSidecarCache =
+    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Array[Long]]]): Boolean =
+        size() > 16
+    }
+
+  /** name → filter for every file the manifest records a bloom for:
+    * legacy inline entries plus all referenced sidecars. */
+  private[streaming] def bloomsFor(dir: String, m: Manifest): Map[String, Array[Long]] = {
+    val fromSidecars = m.bloomSidecars.flatMap { s =>
+      val key = new java.io.File(dir, s).getAbsolutePath
+      bloomSidecarCache.synchronized {
+        Option(bloomSidecarCache.get(key)).getOrElse {
+          val loaded = readBloomSidecar(new java.io.File(dir, s))
+          bloomSidecarCache.put(key, loaded)
+          loaded
+        }
+      }
+    }.toMap
+    fromSidecars ++ m.entries.flatMap(e => e.bloom.map(e.name -> _))
   }
 
   private def encodeBloom(words: Array[Long]): String = {
@@ -242,7 +325,7 @@ object ManifestLand {
     */
   private def referenced(dir: String): Set[String] = {
     val ms = readManifest(dir) +: versionFilesOnDisk(dir).map(parseManifest)
-    ms.flatMap(m => m.files ++ m.dvs).toSet
+    ms.flatMap(m => m.files ++ m.dvs ++ m.bloomSidecars).toSet
   }
 
   /** Atomically replace the manifest — THE commit primitive (shared
@@ -265,7 +348,8 @@ object ManifestLand {
   def vacuum(dir: String): Unit = {
     val keep = referenced(dir)
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => (f.getName.endsWith(".parquet") && !keep.contains(f.getName)) ||
+      .filter(f => ((f.getName.endsWith(".parquet") || f.getName.endsWith(".bfs")) &&
+        !keep.contains(f.getName)) ||
         // a crash between atomicReplace's write and its ATOMIC_MOVE
         // leaves a stale `*.tmp` sibling (ADVICE r5) — harmless to
         // readers (never consulted) but swept like any orphan
@@ -527,13 +611,23 @@ object ManifestLand {
     val base =
       if (statsCols.isEmpty) staged.map(FileEntry(_))
       else fileStats(batch.sparkSession, outDir, staged, statsCols)
-    val entries = effBloom match {
+    val withBlooms = effBloom match {
       case Some(c) => attachBlooms(batch.sparkSession, outDir, base, c, effBits)
       case None => base
     }
+    // externalize the new files' filters to an immutable sidecar (see
+    // the bloom-sidecar doc): deterministic name, so a crashed-attempt
+    // replay overwrites; written BEFORE the flip that references it
+    val (entries, newSidecars) =
+      if (withBlooms.exists(_.bloom.nonEmpty)) {
+        val name = s"bfs_b$batchId.bfs"
+        writeBloomSidecar(new java.io.File(outDir, name),
+          withBlooms.flatMap(e => e.bloom.map(e.name -> _)))
+        (withBlooms.map(_.copy(bloom = None)), Seq(name))
+      } else (withBlooms, Seq.empty[String])
     flip(outDir, Manifest(batchId, m.entries ++ entries,
       if (statsCols.nonEmpty) statsCols else m.statsCols, m.dvs,
-      effBloom, effBits)) // commit point
+      effBloom, effBits, m.bloomSidecars ++ newSidecars)) // commit point
   }
 
   /** Per-file bloom filter over `bloomCol`, built from the staged bytes
@@ -541,10 +635,10 @@ object ManifestLand {
     * grouped on `_metadata.file_name` — map-side OR-merge, so only the
     * m/8-byte bitsets cross the wire, never the keys. A staged file that
     * range-partitioning left EMPTY gets the all-zero bloom ("contains
-    * nothing"), which every point lookup correctly prunes. The filter is
-    * stored INLINE in the manifest (Iceberg keeps the same stats in
-    * puffin sidecars; inline keeps this landing's one-atomic-pointer
-    * kernel).
+    * nothing"), which every point lookup correctly prunes. Filters are
+    * stored in an immutable `.bfs` SIDECAR referenced by the manifest
+    * (the Iceberg-puffin shape; see the bloom-sidecar doc above — the
+    * commit paths externalize after this returns).
     *
     * SIZING (round 8, closing the round-7 weak mark): a fixed bitset
     * saturates — 64 Kibit is ~1% FPP at 6.5k keys and FPP→1 above ~50k,
@@ -651,7 +745,8 @@ object ManifestLand {
     require(m.bloomCol.nonEmpty,
       s"ManifestLand.prunedLiveFilesEq: landing $dir has no bloom column")
     val h = sparkHash(value)
-    m.entries.filter(e => e.bloom.forall(bloomContains(_, h))).map(_.name)
+    val blooms = bloomsFor(dir, m)
+    m.entries.filter(e => blooms.get(e.name).forall(bloomContains(_, h))).map(_.name)
   }
 
   /** Point lookup through the per-file blooms: read ONLY the live files
@@ -1088,14 +1183,24 @@ object ManifestLand {
     // exactly like the deletion vectors themselves, and the rewrite
     // RESIZES — a compaction concentrating many small files' keys into
     // few big ones is exactly where fixed sizing saturated
-    val entries = m.bloomCol match {
+    val withBlooms = m.bloomCol match {
       case Some(c) => attachBlooms(spark, outDir, base, c, m.bloomBits)
       case None => base
     }
+    // the rewrite's sidecar REPLACES every previous one (unique attempt
+    // suffix, like the c-files: a retried compaction never clobbers a
+    // referenced sidecar; orphans of a crashed attempt vacuum away)
+    val (entries, sidecars) =
+      if (withBlooms.exists(_.bloom.nonEmpty)) {
+        val name = s"bfs_c${m.applied}_${System.nanoTime()}.bfs"
+        writeBloomSidecar(new java.io.File(outDir, name),
+          withBlooms.flatMap(e => e.bloom.map(e.name -> _)))
+        (withBlooms.map(_.copy(bloom = None)), Seq(name))
+      } else (withBlooms, Seq.empty[String])
     flip(outDir, Manifest(m.applied, entries, m.statsCols, Seq.empty,
-      m.bloomCol, m.bloomBits))
+      m.bloomCol, m.bloomBits, sidecars))
     val keep = referenced(outDir)
-    (m.files ++ m.dvs).filterNot(keep.contains)
+    (m.files ++ m.dvs ++ m.bloomSidecars).filterNot(keep.contains)
       .foreach { n => new java.io.File(outDir, n).delete(); () }
   }
 

@@ -301,7 +301,12 @@ class ManifestLandSpec extends SparkFunSuite {
     ManifestLand.applyBatch(big.toDF().coalesce(1), 0L, auto, bloomCol = Some("k"))
     val mAuto = ManifestLand.readManifest(auto)
     assert(mAuto.bloomBits.isEmpty, "auto mode must not pin a size header")
-    val words = mAuto.entries.head.bloom.get.length
+    // the filter lives in an immutable sidecar, not inline: the manifest
+    // file itself stays small even at MiB filter sizes
+    assert(mAuto.bloomSidecars.nonEmpty && mAuto.entries.forall(_.bloom.isEmpty))
+    assert(new java.io.File(auto, "_manifest").length() < 4096,
+      "manifest grew with the filter — sidecar externalization failed")
+    val words = ManifestLand.bloomsFor(auto, mAuto).values.head.length
     assert(words * 32 >= (1 << 22),
       s"500k keys sized only ${words * 32} bits — still near the 64 Kibit default")
     // … no false negatives on a present-key sample …
@@ -325,7 +330,7 @@ class ManifestLandSpec extends SparkFunSuite {
       spark.range(100L).selectExpr("id + 100000000 AS k", "id AS payload").toDF()
         .coalesce(1), 1L, auto, bloomCol = Some("k"))
     val mMixed = ManifestLand.readManifest(auto)
-    val sizes = mMixed.entries.flatMap(_.bloom).map(_.length).distinct
+    val sizes = ManifestLand.bloomsFor(auto, mMixed).values.map(_.length).toSeq.distinct
     assert(sizes.size == 2, s"expected two coexisting bloom sizes, got $sizes")
     assert(ManifestLand.prunedLiveFilesEq(mMixed, auto, 100000042L).size == 1)
     assert(ManifestLand.prunedLiveFilesEq(mMixed, auto, 999999999L).isEmpty)
@@ -367,7 +372,8 @@ class ManifestLandSpec extends SparkFunSuite {
       rangeParts = 64, bloomCol = Some("k"))
     val m = ManifestLand.readManifest(out)
     assert(m.entries.size == 64)
-    assert(m.entries.forall(e => e.bloom.nonEmpty && e.bounds.size == 1))
+    assert(m.entries.forall(_.bounds.size == 1))
+    assert(ManifestLand.bloomsFor(out, m).keySet == m.files.toSet)
     // zones partition ts; blooms answer k — both cuts stay exact
     assert(ManifestLand.prunedLiveFiles(out, 10L, 20L).size == 1)
     assert(ManifestLand.prunedLiveFilesEq(m, out, 13L * 32000L).size == 1)
@@ -419,18 +425,40 @@ class ManifestLandSpec extends SparkFunSuite {
       Files.write(mf, f(new String(Files.readAllBytes(mf), "UTF-8")).getBytes("UTF-8"))
       ()
     }
-    // truncated bloom line (missing the base64 field)
+    // a bloom-sidecar reference whose file is gone: the PROBE refuses
+    // loudly instead of silently degrading to keep-all (liveFiles stays
+    // readable — blooms are lazy)
     val a = landing()
-    corrupt(a, _.replaceAll("(?m)^bf\t(\\S+)\t.*$", "bf\t$1"))
-    intercept[IllegalStateException](ManifestLand.liveFiles(a))
-    // undecodable bloom payload
+    corrupt(a, _.replaceAll("(?m)^bfs\t.*$", "bfs\tnope.bfs"))
+    assert(ManifestLand.liveFiles(a).nonEmpty)
+    intercept[IllegalStateException](ManifestLand.prunedLiveFilesEq(a, 1L))
+    // corrupt sidecar bytes: bad magic refuses at load
     val b = landing()
-    corrupt(b, _.replaceAll("(?m)^(bf\t\\S+\t).*$", "$1!!!not-base64!!!"))
-    intercept[IllegalArgumentException](ManifestLand.liveFiles(b))
+    val bfsName = ManifestLand.readManifest(b).bloomSidecars.head
+    Files.write(Paths.get(b, bfsName), "garbage".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](ManifestLand.prunedLiveFilesEq(b, 1L))
     // garbled header
     val c = landing()
     corrupt(c, s => "applied=oops\n" + s.linesIterator.drop(1).mkString("\n"))
     intercept[IllegalStateException](ManifestLand.liveFiles(c))
+    // LEGACY inline bf lines (the round-7 format) still parse AND probe:
+    // rewrite the sidecar landing into the inline form by hand
+    val d = landing()
+    val mD = ManifestLand.readManifest(d)
+    val blooms = ManifestLand.bloomsFor(d, mD)
+    val inline = blooms.map { case (n, ws) =>
+      val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
+      ws.foreach(bb.putLong)
+      s"bf\t$n\t${java.util.Base64.getEncoder.encodeToString(bb.array())}"
+    }
+    corrupt(d, s => (s.linesIterator.filterNot(_.startsWith("bfs\t")) ++ inline)
+      .mkString("\n"))
+    new java.io.File(d, mD.bloomSidecars.head).delete() // truly legacy
+    assert(ManifestLand.prunedLiveFilesEq(d, 1L).size == 1) // k=1 present
+    assert(ManifestLand.prunedLiveFilesEq(d, 424242L).isEmpty)
+    // truncated inline bloom line refuses at parse, as in round 7
+    corrupt(d, _.replaceAll("(?m)^bf\t(\\S+)\t.*$", "bf\t$1"))
+    intercept[IllegalStateException](ManifestLand.liveFiles(d))
   }
 
   test("composed pruning: zone maps and blooms intersect their file cuts") {
