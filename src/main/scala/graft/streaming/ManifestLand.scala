@@ -1154,6 +1154,59 @@ object ManifestLand {
       bloomCol, trackChanges, bloomBits)
   }
 
+  /** Declare (or complete) a bloom column on an EXISTING landing —
+    * the bulk-backfill maintenance op: attach sized filters to every
+    * live data file that lacks one, WITHOUT rewriting any data file.
+    * Files are processed in chunks of `chunkFiles`, each chunk
+    * committing its own sidecar + flip, so a backfill over thousands
+    * of files is restartable — a crash loses at most one chunk's work
+    * (its partial sidecar is an unreferenced orphan the next vacuum
+    * sweeps) and the resume recomputes only what the manifest doesn't
+    * already cover. Single-writer contract, like every maintenance
+    * entry point. Returns the number of files newly covered.
+    *
+    * After the backfill the landing behaves as if committed with the
+    * column from the start: future appendCompacting/commitBatch calls
+    * inherit it (the `effBloom` fallback) and [[readPrunedEq]] serves
+    * the whole history.
+    */
+  def backfillBlooms(spark: SparkSession, dir: String, bloomCol: String,
+      bloomBits: Option[Int] = None, chunkFiles: Int = 256): Int = {
+    require(chunkFiles >= 1, s"backfillBlooms: chunkFiles must be >= 1")
+    val m0 = readManifest(dir)
+    require(m0.applied >= 0L, s"backfillBlooms on an uncommitted landing: $dir")
+    require(m0.bloomCol.forall(_ == bloomCol),
+      s"bloomCol change mid-landing: manifest declares ${m0.bloomCol.getOrElse("")}, " +
+        s"backfill declares $bloomCol")
+    require(m0.bloomBits.isEmpty || bloomBits.isEmpty || bloomBits == m0.bloomBits,
+      s"bloom bits change mid-landing: manifest declares ${m0.bloomBits.getOrElse("auto")}, " +
+        s"backfill declares ${bloomBits.getOrElse("auto")}")
+    val effBits = bloomBits.orElse(m0.bloomBits)
+    // same strict type contract as the commit path (ADVICE r7)
+    storedSchema(dir).foreach { sc =>
+      val f = sc.fields.find(_.name == bloomCol).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom column $bloomCol not in $dir's tracked schema"))
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"bloom column $bloomCol must be BIGINT (xxhash64 is type-sensitive): $dir")
+    }
+    val covered = bloomsFor(dir, m0).keySet
+    var m = m0.copy(bloomCol = Some(bloomCol), bloomBits = effBits)
+    if (m != m0 && m0.files.forall(covered)) flip(dir, m) // declare-only
+    var done = 0
+    m0.files.filterNot(covered).grouped(chunkFiles).foreach { chunk =>
+      val base = m.entries.filter(e => chunk.contains(e.name))
+      val withB = attachBlooms(spark, dir, base, bloomCol, effBits)
+      val name = s"bfs_f${m.applied}_${System.nanoTime()}.bfs"
+      writeBloomSidecar(new java.io.File(dir, name),
+        withB.flatMap(e => e.bloom.map(e.name -> _)))
+      m = m.copy(bloomSidecars = m.bloomSidecars :+ name)
+      flip(dir, m) // chunk commit point — restart resumes after it
+      done += chunk.size
+    }
+    done
+  }
+
   /** Rewrite the landing to `targetFiles` parts when it exceeds
     * `maxFiles`, committing with one flip. The rewrite READS THROUGH the
     * deletion vectors (tombstoned rows fold away — vectors never survive

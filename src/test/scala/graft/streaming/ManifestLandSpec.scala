@@ -380,6 +380,54 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(ManifestLand.prunedLiveFilesEq(m, out, 7L).isEmpty)
   }
 
+  test("backfillBlooms: chunked declaration on an existing landing, restartable, inherited") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_bfill").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // 8 bloom-less batches with disjoint sparse keys
+    (0 until 8).foreach { i =>
+      ManifestLand.applyBatch(
+        spark.range(100L).select((col("id") + i * 10000L).as("k"),
+          (col("id") * 3).as("x")).toDF().coalesce(1), i, out)
+    }
+    intercept[IllegalArgumentException](ManifestLand.prunedLiveFilesEq(out, 42L))
+    // chunked backfill: 8 files in chunks of 3 → 3 sidecars, 3 flips
+    assert(ManifestLand.backfillBlooms(spark, out, "k", chunkFiles = 3) == 8)
+    val m = ManifestLand.readManifest(out)
+    assert(m.bloomCol.contains("k") && m.bloomSidecars.size == 3)
+    assert(ManifestLand.bloomsFor(out, m).keySet == m.files.toSet)
+    // the whole history now point-prunes
+    assert(ManifestLand.prunedLiveFilesEq(out, 30042L).size == 1)
+    assert(ManifestLand.prunedLiveFilesEq(out, 999999L).isEmpty)
+    // idempotent: nothing left to cover
+    assert(ManifestLand.backfillBlooms(spark, out, "k", chunkFiles = 3) == 0)
+    // resume semantics: strip the LAST chunk's sidecar line from the
+    // manifest (as if the crash hit before its flip) — the re-run
+    // covers exactly the gap, not the whole landing
+    val mf = Paths.get(out, "_manifest")
+    val lines = new String(Files.readAllBytes(mf), "UTF-8").linesIterator.toSeq
+    val lastBfs = lines.filter(_.startsWith("bfs\t")).last
+    Files.write(mf, lines.filterNot(_ == lastBfs).mkString("\n").getBytes("UTF-8"))
+    assert(ManifestLand.backfillBlooms(spark, out, "k", chunkFiles = 3) == 2)
+    assert(ManifestLand.prunedLiveFilesEq(out, 70042L).size == 1)
+    intercept[IllegalArgumentException] { // a different column refused
+      ManifestLand.backfillBlooms(spark, out, "x")
+    }
+    // a later commit without bloomCol INHERITS the declared column
+    ManifestLand.applyBatch(
+      spark.range(50L).select((col("id") + 500000L).as("k"),
+        col("id").as("x")).toDF().coalesce(1), 100L, out)
+    assert(ManifestLand.prunedLiveFilesEq(out, 500007L).size == 1)
+    assert(ManifestLand.bloomsFor(out, ManifestLand.readManifest(out)).size ==
+      ManifestLand.liveFiles(out).size)
+    // non-BIGINT backfill refused on a string-keyed landing
+    val bad = Files.createTempDirectory("graft_mland_bfill2").toString + "/landing"
+    new java.io.File(bad).mkdirs()
+    ManifestLand.applyBatch(Seq(("a", 1L)).toDF("s", "v"), 0L, bad)
+    intercept[IllegalArgumentException](ManifestLand.backfillBlooms(spark, bad, "s"))
+  }
+
   test("change feed's append-only fast path: metadata alone clears the delete side") {
     val spark = this.spark
     import spark.implicits._
