@@ -56,19 +56,21 @@ import org.apache.spark.sql.streaming.Trigger
   * ranges prune at once); stats are re-derived from the staged files
   * themselves, never trusted from the incoming frame.
   *
-  * BLOOM FILTERS (round 7, the point-lookup complement of the zone
-  * maps): a landing may declare ONE bloom column; each commit then
-  * stores a per-file bloom filter over it in the manifest (`bf` lines —
-  * a 4-probe bitset SIZED from the staged file's approx key count
-  * (round 8; ~1% FPP from 64 Kibit up to a 2 MiB cap, or pinned via
-  * `bloom=<col>:<bits>`), built from the staged bytes by a map-side-OR
-  * aggregation), and [[readPrunedEq]] serves `col = value`
+  * BLOOM FILTERS (round 7; sized + externalized round 8): a landing
+  * may declare ONE bloom column (BIGINT, enforced); each commit then
+  * builds a per-file 4-probe bloom filter over it — SIZED from the
+  * staged file's approx key count (~1% FPP from 64 Kibit up to a
+  * 2 MiB cap, or pinned via `bloom=<col>:<bits>`) by a map-side-OR
+  * aggregation over the staged bytes — and stores it in an immutable
+  * `.bfs` SIDECAR referenced by the manifest (the Iceberg-puffin
+  * shape; the manifest stays KBs and only point-lookup paths load
+  * filter bytes, lazily). [[readPrunedEq]] serves `col = value`
   * lookups from only the files whose filter may contain the key. Zone
   * maps answer RANGE predicates on clustered dimensions; blooms answer
-  * EQUALITY on high-cardinality keys that clustering can't help — the
-  * Iceberg-puffin idea inlined so visibility and stats still flip in
-  * one atomic pointer. Compaction re-derives filters for its rewrite
-  * files, folding tombstoned keys away with the deletion vectors.
+  * EQUALITY on high-cardinality keys that clustering can't help.
+  * Compaction re-derives filters for its rewrite files, folding
+  * tombstoned keys away with the deletion vectors; [[backfillBlooms]]
+  * declares the column on an existing landing in restartable chunks.
   *
   * DELETION VECTORS (round 6, merge-on-read DELETE): [[deleteWhere]]
   * removes rows WITHOUT rewriting any data file — it stages a small
@@ -749,6 +751,25 @@ object ManifestLand {
     m.entries.filter(e => blooms.get(e.name).forall(bloomContains(_, h))).map(_.name)
   }
 
+  /** IN-list form: live files that may contain ANY of `values` — ONE
+    * manifest parse and one sidecar load serve the whole list (each
+    * probe is 4 bit tests), so a semi-join-shaped lookup (resolve a
+    * batch of foreign keys) prunes as cheaply as a single probe. Union
+    * semantics per file: kept iff some value may be present.
+    */
+  def prunedLiveFilesIn(dir: String, values: Seq[Long]): Seq[String] = {
+    require(values.nonEmpty, "prunedLiveFilesIn: empty probe list")
+    val m = readManifest(dir)
+    require(m.bloomCol.nonEmpty,
+      s"ManifestLand.prunedLiveFilesIn: landing $dir has no bloom column")
+    val hs = values.map(sparkHash)
+    val blooms = bloomsFor(dir, m)
+    m.entries.filter(e => blooms.get(e.name) match {
+      case None => true // no recorded filter: conservatively kept
+      case Some(w) => hs.exists(bloomContains(w, _))
+    }).map(_.name)
+  }
+
   /** Point lookup through the per-file blooms: read ONLY the live files
     * that may contain `bloomCol = value`, tombstones still applied. Like
     * [[readPruned]], the result is a SUPERSET of the exact match — the
@@ -759,6 +780,15 @@ object ManifestLand {
     val keep = prunedLiveFilesEq(dir, value).toSet
     readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
       "readPrunedEq")
+  }
+
+  /** IN-list point lookup: read only the files [[prunedLiveFilesIn]]
+    * keeps; the caller applies the IN residual on top. */
+  def readPrunedIn(spark: SparkSession, dir: String, values: Seq[Long]): DataFrame = {
+    val m = readManifest(dir)
+    val keep = prunedLiveFilesIn(dir, values).toSet
+    readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
+      "readPrunedIn")
   }
 
   /** COMPOSED pruning: the realistic "time range AND key" lookup served

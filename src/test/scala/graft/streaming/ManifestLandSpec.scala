@@ -231,6 +231,12 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(ManifestLand.prunedLiveFilesEq(out, 20042L).size == 1)
     // an absent key prunes the whole landing from the manifest alone
     assert(ManifestLand.prunedLiveFilesEq(out, 5042L).isEmpty)
+    // IN-list probe: one manifest parse serves the whole key batch;
+    // the file cut is the union of the per-key cuts
+    assert(ManifestLand.prunedLiveFilesIn(out, Seq(42L, 20042L, 30099L)).size == 3)
+    assert(ManifestLand.prunedLiveFilesIn(out, Seq(5042L, 777L)).isEmpty)
+    assert(ManifestLand.readPrunedIn(spark, out, Seq(42L, 30000L))
+      .filter(col("k").isin(42L, 30000L)).count() == 2L)
     // pruned + residual == full + filter, present and absent probes
     for (probe <- Seq(42L, 10099L, 30000L, 5042L, -7L)) {
       val viaBloom = ManifestLand.readPrunedEq(spark, out, probe)
