@@ -274,10 +274,14 @@ object ManifestLand {
     * legacy inline entries plus all referenced sidecars. */
   private[streaming] def bloomsFor(dir: String, m: Manifest): Map[String, Array[Long]] = {
     val fromSidecars = m.bloomSidecars.flatMap { s =>
-      val key = new java.io.File(dir, s).getAbsolutePath
+      val f = new java.io.File(dir, s)
+      // length+mtime in the key: referenced sidecars are immutable, but
+      // a landing wiped and rebuilt at the SAME path must not serve the
+      // previous incarnation's filters from cache
+      val key = s"${f.getAbsolutePath}:${f.length()}:${f.lastModified()}"
       bloomSidecarCache.synchronized {
         Option(bloomSidecarCache.get(key)).getOrElse {
-          val loaded = readBloomSidecar(new java.io.File(dir, s))
+          val loaded = readBloomSidecar(f)
           bloomSidecarCache.put(key, loaded)
           loaded
         }
@@ -1294,11 +1298,25 @@ object ManifestLand {
     * `statsCol` opts into zone-map stats + range clustering on that
     * column (`rangeParts` files per batch).
     */
+  /** `relayTo` (round 8) keeps a change-log landing continuously in
+    * sync: after each batch commit the in-loop [[changeFeedRelay]]
+    * appends the batch's window to the log BEFORE compaction runs (the
+    * cheap DV-delta/append-only rungs apply; a post-compaction sync
+    * would pay the anti-join fallback), so a downstream
+    * `readStream.parquet(log)` consumer sees every version as its own
+    * micro-batch with no separate maintenance schedule. Requires
+    * `trackChanges` and retention spanning the loop (`keepVersions` ≥ 2
+    * so each window's fromV is still retained when relayed).
+    */
   def appendCompacting(stream: DataFrame, outDir: String, ckpt: String,
       maxFiles: Int = 8, targetFiles: Int = 2, keepVersions: Int = 1,
       statsCols: Seq[String] = Seq.empty, rangeParts: Int = 2,
       clusterBy: Option[Column] = None, bloomCol: Option[String] = None,
-      trackChanges: Boolean = false, bloomBits: Option[Int] = None): Unit = {
+      trackChanges: Boolean = false, bloomBits: Option[Int] = None,
+      relayTo: Option[String] = None, relayKeys: Seq[String] = Seq.empty): Unit = {
+    require(relayTo.isEmpty || (trackChanges && relayKeys.nonEmpty && keepVersions >= 2),
+      "appendCompacting: relayTo requires trackChanges = true, relayKeys, " +
+        "and keepVersions >= 2 (each relayed window's fromV must still be retained)")
     new java.io.File(outDir).mkdirs()
     vacuum(outDir) // sweep orphans of any crashed stage/compaction
     val q = stream.writeStream
@@ -1306,6 +1324,9 @@ object ManifestLand {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(batch, batchId, outDir, statsCols, rangeParts, clusterBy,
           bloomCol, trackChanges, bloomBits)
+        relayTo.foreach { log =>
+          changeFeedRelay(batch.sparkSession, outDir, log, relayKeys); ()
+        }
         expireVersions(outDir, keepVersions)
         // outside the skip path: a crash between the two flips is
         // repaired here on replay even though the batch itself skips

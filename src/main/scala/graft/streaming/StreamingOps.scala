@@ -1014,9 +1014,25 @@ object StreamingOps {
     * from-scratch rollup of the surviving rows.
     */
   def streamPushIvm(spark: SparkSession, dir: String): DataFrame = {
-    val out = ivmLanding(spark, dir, "s31")
+    val src = etlSource(spark, dir, "s31")
+    val out = java.nio.file.Files.createTempDirectory("graft_s31_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s31_ckpt").toString
     val deltaDir = java.nio.file.Files.createTempDirectory("graft_s31_delta").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
     graft.TempCleanup.registerDir(deltaDir)
+    // the COMPOSED loop: every batch commit relays its window into the
+    // change log in the same foreachBatch turn — the log is a live
+    // by-product of the landing, not a separately scheduled sync
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      keepVersions = 8, statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"),
+      rangeParts = 2, clusterBy = Some(col("tsu")), trackChanges = true,
+      relayTo = Some(deltaDir), relayKeys = Seq("event_id"))
+    // a LATE delete — it re-flips a version the loop already relayed;
+    // the next sync must emit it as its own late-delete batch (the
+    // relay's accounted-tombstone diff), not lose it
+    ManifestLand.deleteWhere(spark, out,
+      col("event_type") === "click" && col("value_e4") < 1000000L)
     ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("event_id"))
     // change-log schema = the landing's tracked schema + the change tag
     val logSchema = StructType(
