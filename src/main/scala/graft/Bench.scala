@@ -241,7 +241,49 @@ object Bench {
         ab("x_bloom_pruned")(() =>
           lookup(graft.streaming.ManifestLand.readPrunedEq(spark, out, probe))))
     }
-    val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb ++ bloomAb
+    // change-feed A/B: the SAME delete-bearing window, once through the
+    // round-8 delete ladder (DV-delta positional fetch from only the
+    // affected files — what changeFeed ships), once forced through the
+    // two-snapshot key anti-join it replaced. The delete is the
+    // production shape (a retention purge of the oldest time stripe),
+    // so the affected-file set is small while the snapshots are not.
+    // Like the merge A/B, expect ~parity (or a slight fixed-cost tax on
+    // the ladder) at bench SF: both arms are bound by per-job overhead
+    // when the snapshots are 30 MB — the argument is READ VOLUME, which
+    // only separates at scale and is pinned by ManifestLandSpec's
+    // DV-delta spec (<5k records read vs ~19k for the anti-join on the
+    // same landing). The rows exist to catch the ladder ever REGRESSING
+    // to a multiple of the fallback.
+    val cdfAb = {
+      import org.apache.spark.sql.functions._
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_cdf").toString + "/landing"
+      graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+      new java.io.File(out).mkdirs()
+      val ev = queries.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tsu"),
+          expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      val Seq(mn, mx) = ev.agg(min("tsu"), max("tsu")).head().toSeq.map(_.asInstanceOf[Long])
+      val step = (mx - mn) / 8 + 1
+      (0 until 8).foreach { k =>
+        graft.streaming.ManifestLand.commitBatch(
+          ev.filter(col("tsu") >= mn + k * step && col("tsu") < mn + (k + 1) * step),
+          k.toLong, out,
+          statsCols = Seq(graft.streaming.ManifestLand.CommitVersionCol, "tsu"),
+          rangeParts = 2, trackChanges = true)
+      }
+      // the oldest half-stripe purged: tombstones land on batch 0's files
+      graft.streaming.ManifestLand.deleteWhere(spark, out, col("tsu") < mn + step / 2)
+      def feed(force: Boolean) =
+        graft.streaming.ManifestLand.changeFeed(spark, out, 6L, 7L,
+          Seq("event_id"), forceSnapshotDeletes = force)
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("n"), sum("value_e4").as("sv"))
+      Seq(
+        ab("x_cdf_dvdelta")(() => feed(force = false)),
+        ab("x_cdf_antijoin")(() => feed(force = true)))
+    }
+    val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb ++ bloomAb ++ cdfAb
     val qs = all.map { case (k, best, _) => "\"" + k + f"\":$best%.3f" }
       .mkString("{", ",", "}")
     val stats = all.map { case (k, best, median) =>

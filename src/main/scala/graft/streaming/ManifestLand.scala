@@ -838,8 +838,11 @@ object ManifestLand {
     * (`keepVersions` spans the window) — the same bound Delta/Iceberg
     * place on CDF reads.
     */
+  /** `forceSnapshotDeletes` pins the rung-3 two-snapshot anti-join even
+    * when a cheaper rung applies — the A/B/debug knob Bench's x_cdf
+    * rows time; answers are identical by construction. */
   def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], forceSnapshotDeletes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(fromV < toV, s"changeFeed: empty window ($fromV, $toV]")
     require(keyCols.nonEmpty, "changeFeed: key columns required for deletes")
@@ -881,7 +884,11 @@ object ManifestLand {
     //     pays materializing change files it didn't write either).
     val mFrom = parseManifest(versionFile(dir, fromV))
     val deletes0 =
-      if (mFrom.dvs == mTo.dvs && mFrom.files.toSet.subsetOf(mTo.files.toSet))
+      if (forceSnapshotDeletes)
+        readVersion(spark, dir, fromV)
+          .join(readVersion(spark, dir, toV).select(keyCols.map(col): _*),
+            keyCols, "left_anti")
+      else if (mFrom.dvs == mTo.dvs && mFrom.files.toSet.subsetOf(mTo.files.toSet))
         readVersion(spark, dir, fromV).limit(0)
       else if (mFrom.files.toSet.subsetOf(mTo.files.toSet))
         dvDeltaDeletes(spark, dir, mFrom, mTo, inserts, keyCols)
@@ -938,8 +945,10 @@ object ManifestLand {
     * (readFiles' evolution semantics). None when `delta` is empty.
     */
   private def positionalRows(spark: SparkSession, dir: String,
-      delta0: DataFrame): Option[DataFrame] = {
-    val delta = delta0.localCheckpoint() // read twice: file cut + join
+      delta: DataFrame): Option[DataFrame] = {
+    // the delta plan is evaluated twice (file cut, then the position
+    // join) — but it is a join of two SMALL sidecar reads, so two lazy
+    // evaluations are cheaper than a checkpoint job's fixed cost
     val affected = delta.select("file_name").distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return None
