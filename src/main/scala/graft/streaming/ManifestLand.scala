@@ -270,24 +270,71 @@ object ManifestLand {
         size() > 16
     }
 
-  /** name → filter for every file the manifest records a bloom for:
-    * legacy inline entries plus all referenced sidecars. */
-  private[streaming] def bloomsFor(dir: String, m: Manifest): Map[String, Array[Long]] = {
-    val fromSidecars = m.bloomSidecars.flatMap { s =>
-      val f = new java.io.File(dir, s)
-      // length+mtime in the key: referenced sidecars are immutable, but
-      // a landing wiped and rebuilt at the SAME path must not serve the
-      // previous incarnation's filters from cache
-      val key = s"${f.getAbsolutePath}:${f.length()}:${f.lastModified()}"
-      bloomSidecarCache.synchronized {
-        Option(bloomSidecarCache.get(key)).getOrElse {
-          val loaded = readBloomSidecar(f)
-          bloomSidecarCache.put(key, loaded)
-          loaded
-        }
+  private def loadSidecar(dir: String, s: String): Map[String, Array[Long]] = {
+    val f = new java.io.File(dir, s)
+    // length+mtime in the key: referenced sidecars are immutable, but
+    // a landing wiped and rebuilt at the SAME path must not serve the
+    // previous incarnation's filters from cache
+    val key = s"${f.getAbsolutePath}:${f.length()}:${f.lastModified()}"
+    bloomSidecarCache.synchronized {
+      Option(bloomSidecarCache.get(key)).getOrElse {
+        val loaded = readBloomSidecar(f)
+        bloomSidecarCache.put(key, loaded)
+        loaded
       }
-    }.toMap
-    fromSidecars ++ m.entries.flatMap(e => e.bloom.map(e.name -> _))
+    }
+  }
+
+  /** name → filter for every file the manifest records a bloom for:
+    * legacy inline entries plus all referenced sidecars. Materializes
+    * the UNION — test/inspection helper only; the probe paths fold one
+    * sidecar at a time instead (see [[probeKept]]) so a probe's memory
+    * is one sidecar + the bounded cache, not O(files × filter bytes).
+    */
+  private[streaming] def bloomsFor(dir: String, m: Manifest): Map[String, Array[Long]] = {
+    m.bloomSidecars.flatMap(loadSidecar(dir, _)).toMap ++
+      m.entries.flatMap(e => e.bloom.map(e.name -> _))
+  }
+
+  /** File names a bloom sidecar covers, WITHOUT loading filter bytes
+    * (payloads are skipped) — coverage checks stay O(names) memory. */
+  private def readBloomSidecarNames(f: java.io.File): Seq[String] = {
+    if (!f.exists()) throw new IllegalStateException(
+      s"bloom sidecar missing: $f — referenced by a manifest but not on disk")
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f), 1 << 16))
+    try {
+      require(in.readInt() == 0x47424653 && in.readInt() == 1,
+        s"corrupt bloom sidecar (bad magic/version): $f")
+      (0 until in.readInt()).map { _ =>
+        val nb = new Array[Byte](in.readInt()); in.readFully(nb)
+        val toSkip = in.readInt().toLong * 8
+        var skipped = 0L
+        while (skipped < toSkip) skipped += in.skip(toSkip - skipped)
+        new String(nb, "UTF-8")
+      }
+    } finally in.close()
+  }
+
+  /** Names of all files with a recorded filter — O(names), no payloads. */
+  private def bloomCoveredNames(dir: String, m: Manifest): Set[String] =
+    m.bloomSidecars.flatMap(s => readBloomSidecarNames(new java.io.File(dir, s))).toSet ++
+      m.entries.filter(_.bloom.nonEmpty).map(_.name)
+
+  /** The probe kernel: names of live files that MAY contain any of the
+    * hashes — folds one sidecar at a time (bounded memory at any landing
+    * size), files without a recorded filter conservatively kept.
+    */
+  private def probeKept(dir: String, m: Manifest, hs: Seq[Long]): Seq[String] = {
+    val decided = scala.collection.mutable.HashMap.empty[String, Boolean]
+    m.entries.foreach(e =>
+      e.bloom.foreach(w => decided(e.name) = hs.exists(bloomContains(w, _))))
+    m.bloomSidecars.foreach { s =>
+      loadSidecar(dir, s).foreach { case (name, w) =>
+        decided(name) = hs.exists(bloomContains(w, _))
+      }
+    }
+    m.files.filter(n => decided.getOrElse(n, true))
   }
 
   private def encodeBloom(words: Array[Long]): String = {
@@ -750,9 +797,7 @@ object ManifestLand {
       value: Long): Seq[String] = {
     require(m.bloomCol.nonEmpty,
       s"ManifestLand.prunedLiveFilesEq: landing $dir has no bloom column")
-    val h = sparkHash(value)
-    val blooms = bloomsFor(dir, m)
-    m.entries.filter(e => blooms.get(e.name).forall(bloomContains(_, h))).map(_.name)
+    probeKept(dir, m, Seq(sparkHash(value)))
   }
 
   /** IN-list form: live files that may contain ANY of `values` — ONE
@@ -766,12 +811,7 @@ object ManifestLand {
     val m = readManifest(dir)
     require(m.bloomCol.nonEmpty,
       s"ManifestLand.prunedLiveFilesIn: landing $dir has no bloom column")
-    val hs = values.map(sparkHash)
-    val blooms = bloomsFor(dir, m)
-    m.entries.filter(e => blooms.get(e.name) match {
-      case None => true // no recorded filter: conservatively kept
-      case Some(w) => hs.exists(bloomContains(w, _))
-    }).map(_.name)
+    probeKept(dir, m, values.map(sparkHash))
   }
 
   /** Point lookup through the per-file blooms: read ONLY the live files
@@ -1214,7 +1254,7 @@ object ManifestLand {
     * the whole history.
     */
   def backfillBlooms(spark: SparkSession, dir: String, bloomCol: String,
-      bloomBits: Option[Int] = None, chunkFiles: Int = 256): Int = {
+      bloomBits: Option[Int] = None, chunkFiles: Int = 64): Int = {
     require(chunkFiles >= 1, s"backfillBlooms: chunkFiles must be >= 1")
     val m0 = readManifest(dir)
     require(m0.applied >= 0L, s"backfillBlooms on an uncommitted landing: $dir")
@@ -1233,7 +1273,9 @@ object ManifestLand {
       require(f.dataType == org.apache.spark.sql.types.LongType,
         s"bloom column $bloomCol must be BIGINT (xxhash64 is type-sensitive): $dir")
     }
-    val covered = bloomsFor(dir, m0).keySet
+    // coverage check reads only sidecar NAMES (payloads skipped): a
+    // many-thousand-file resume stays O(names) memory
+    val covered = bloomCoveredNames(dir, m0)
     var m = m0.copy(bloomCol = Some(bloomCol), bloomBits = effBits)
     if (m != m0 && m0.files.forall(covered)) flip(dir, m) // declare-only
     var done = 0
