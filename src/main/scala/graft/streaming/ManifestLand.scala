@@ -260,15 +260,17 @@ object ManifestLand {
     } finally in.close()
   }
 
-  /** Sidecars are immutable once referenced, so caching by absolute path
-    * is safe; bounded so a long-lived session probing many landings
-    * can't pin unbounded filter bytes. */
+  /** Sidecars are immutable once referenced, so caching by (path, len,
+    * mtime) is safe; bounded by BYTES, not entry count — one sidecar can
+    * be a chunk's worth of MiB filters, so a count cap alone could pin
+    * gigabytes in a long-lived session. LRU by access order.
+    */
+  private val BloomCacheMaxBytes = 256L << 20
   private val bloomSidecarCache =
-    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](32, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, Array[Long]]]): Boolean =
-        size() > 16
-    }
+    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](32, 0.75f, true)
+  private var bloomCacheBytes = 0L
+  private def sidecarBytes(m: Map[String, Array[Long]]): Long =
+    m.valuesIterator.map(_.length.toLong * 8 + 64).sum
 
   private def loadSidecar(dir: String, s: String): Map[String, Array[Long]] = {
     val f = new java.io.File(dir, s)
@@ -280,6 +282,16 @@ object ManifestLand {
       Option(bloomSidecarCache.get(key)).getOrElse {
         val loaded = readBloomSidecar(f)
         bloomSidecarCache.put(key, loaded)
+        bloomCacheBytes += sidecarBytes(loaded)
+        // evict eldest-first until under budget; the just-loaded entry
+        // is newest in access order, so it is never evicted (size > 1
+        // stops the loop before the iterator can reach it)
+        val it = bloomSidecarCache.entrySet().iterator()
+        while (bloomCacheBytes > BloomCacheMaxBytes &&
+            bloomSidecarCache.size() > 1 && it.hasNext) {
+          bloomCacheBytes -= sidecarBytes(it.next().getValue)
+          it.remove()
+        }
         loaded
       }
     }
