@@ -143,12 +143,21 @@ object BloomAgg {
 
   /** SQL fragment testing membership of hash column `h` against a bloom
     * words array column `words` — shares the exact probe arithmetic with
-    * `update` above and with the DuckDB oracle replay.
+    * `update` above and with the DuckDB oracle replay. STATICALLY
+    * UNROLLED into a 4-conjunct AND (the PqAnn trick): the previous
+    * `forall(sequence(0,3), …)` shape materialized the sequence array
+    * and dispatched a lambda PER SHINGLE — pure integer arithmetic now,
+    * with whole-stage codegen's subexpression elimination sharing the
+    * h1/h2 terms across probes, and the AND short-circuits on the first
+    * clear bit (most probes are misses).
     */
-  def memberExpr(words: String, h: String): String =
-    s"""forall(sequence(0, ${NumProbes - 1}), j ->
-       |  (element_at($words,
-       |     CAST((((($h & ${NumBits - 1}) + j * ((($h & 4294967295) div 65536) | 1)) % $NumBits) div $WordBits) AS INT) + 1)
-       |   & shiftleft(CAST(1 AS BIGINT),
-       |     CAST(((($h & ${NumBits - 1}) + j * ((($h & 4294967295) div 65536) | 1)) % $NumBits) % $WordBits AS INT))) != 0)""".stripMargin
+  def memberExpr(words: String, h: String): String = {
+    val h1 = s"($h & ${NumBits - 1})"
+    val h2 = s"((($h & 4294967295) div 65536) | 1)"
+    (0 until NumProbes).map { j =>
+      val pos = s"(($h1 + $j * $h2) % $NumBits)"
+      s"""(element_at($words, CAST($pos div $WordBits AS INT) + 1)
+         | & shiftleft(CAST(1 AS BIGINT), CAST($pos % $WordBits AS INT))) != 0""".stripMargin
+    }.mkString("(", " AND ", ")")
+  }
 }

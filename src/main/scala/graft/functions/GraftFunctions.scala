@@ -79,7 +79,11 @@ object GraftFunctions {
         litInt(es(3), "graft_topk_payload", "k"))),
     "graft_minhash" -> (es =>
       MinHashAgg(es.head, litInt(es(1), "graft_minhash", "numPerms"))),
-    "graft_bloom" -> (es => BloomAgg(es.head)))
+    // optional second arg = the filter's bit count (power of two; see
+    // BloomAgg.sizeBits for the ndv-driven sizing the manifest uses)
+    "graft_bloom" -> (es =>
+      if (es.size >= 2) BloomAgg(es.head, litInt(es(1), "graft_bloom", "numBits"))
+      else BloomAgg(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -55,6 +55,24 @@ class FunctionsSpec extends SparkFunSuite {
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
+  test("graft_bloom: optional bit-count arg sizes the table; bad args refuse at analysis") {
+    GraftFunctions.register(spark)
+    spark.range(100).createOrReplaceTempView("gb_in")
+    def words(sql: String): Int =
+      spark.sql(sql).head().getSeq[Long](0).size
+    assert(words("SELECT graft_bloom(xxhash64(id)) FROM gb_in") == 65536 / 32)
+    assert(words("SELECT graft_bloom(xxhash64(id), 131072) FROM gb_in") == 131072 / 32)
+    // non-power-of-two sizing refused
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_bloom(xxhash64(id), 100000) FROM gb_in").collect())
+    assert(e1.getMessage.contains("power of two"), e1.getMessage)
+    // non-BIGINT hash input refused at analysis, not asInstanceOf at runtime
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_bloom(CAST(id AS INT)) FROM gb_in").collect())
+    assert(e2.getMessage.contains("BIGINT") ||
+      e2.getMessage.contains("DATATYPE_MISMATCH"), e2.getMessage)
+  }
+
   test("cosine_sim expression agrees with the interpreted HOF formulation") {
     import spark.implicits._
     GraftFunctions.register(spark)
