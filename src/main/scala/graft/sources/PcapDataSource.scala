@@ -138,9 +138,16 @@ final class PcapScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // refuse rather than silently ignore: the streaming source's unit of
+    // admission control is the FILE (maxFilesPerTrigger); a stride shard
+    // would split one file's rows across offsets and break replay
+    require(decodePartitions == 1,
+      "pcap streaming read does not support decodePartitions " +
+        "(parallelism is per file; use maxFilesPerTrigger)")
     new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation,
       maxFilesPerTrigger)
+  }
   override def description(): String =
     s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")}" +
       (if (filters.nonEmpty) s", pushed=${filters.mkString(";")})" else ")")

@@ -1070,6 +1070,12 @@ object ManifestLand {
   def changeFeedRelay(spark: SparkSession, dir: String, deltaDir: String,
       keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.lit
+    // refuse BEFORE any staging: an untracked landing would bootstrap
+    // fine and then throw on every subsequent window, leaving a marker
+    // that can never advance
+    require(storedSchema(dir).forall(_.fieldNames.contains(CommitVersionCol)),
+      s"changeFeedRelay: landing $dir is not change-tracked " +
+        s"(commit with trackChanges = true)")
     new java.io.File(deltaDir).mkdirs()
     val markerF = new java.io.File(deltaDir, "_cf_applied")
     val (marker, stateName) =
