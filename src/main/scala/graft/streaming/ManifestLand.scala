@@ -1064,6 +1064,13 @@ object ManifestLand {
     * atomically to (version, state) together — a replay from the old
     * marker recomputes and overwrites the same names.
     *
+    * Known bound: the log is append-only, so it grows with TOTAL change
+    * volume, not live size. Bounding it safely is a generation swap
+    * (snapshot-as-inserts into a NEW log dir that fresh consumers adopt
+    * — rewriting in place would double-count for every checkpointed
+    * consumer, whose file source has already recorded the old names);
+    * deliberately not implemented until something needs it.
+    *
     * Returns the high-water version after the sync (-1 = nothing
     * committed yet).
     */
