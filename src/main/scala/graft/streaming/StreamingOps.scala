@@ -893,6 +893,36 @@ object StreamingOps {
         sum(col("value_e4")).as("sum_value_e4"))
   }
 
+  /** s32: BLOOM BACKFILL + IN-LIST POINT LOOKUP — the round-8 bloom
+    * machinery end-to-end under the oracle: the SAME landing shape as
+    * s23 but committed WITHOUT a bloom column (a pre-existing landing),
+    * then [[ManifestLand.backfillBlooms]] declares `user_id` in
+    * restartable chunks (no data file rewritten — at 100 TB this is the
+    * only affordable way to add point-lookup pruning to history), and
+    * the lookup is the semi-join shape: a BATCH of keys served by ONE
+    * manifest parse via [[ManifestLand.readPrunedIn]], per-file union
+    * of the probe bits. The gate proves the backfilled, IN-pruned read
+    * computes the exact two-user rollup.
+    */
+  def streamBloomBackfillIn(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s32")
+    val out = java.nio.file.Files.createTempDirectory("graft_s32_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s32_ckpt").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    // landed with NO bloom column — history to retrofit
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4)
+    ManifestLand.backfillBlooms(spark, out, "user_id", chunkFiles = 2)
+    val Seq(lo, hi) = ManifestLand.read(spark, out)
+      .agg(min("user_id"), max("user_id")).head().toSeq.map(_.asInstanceOf[Long])
+    ManifestLand.readPrunedIn(spark, out, Seq(lo, hi))
+      .filter(col("user_id").isin(lo, hi)) // residual, like a reader
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** s25: AT-LEAST-ONCE DEDUP via `dropDuplicatesWithinWatermark` — the
     * bounded-state production dedup API (Spark 3.5+), distinct from
     * s03's stateful min_by: here the upstream REDELIVERS data (every
@@ -1479,6 +1509,17 @@ object StreamingOps {
              |SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
              |FROM e, p WHERE user_id = u GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s32_bloom_backfill_in", (s, dir) => streamBloomBackfillIn(s, dir),
+      // the backfilled, IN-pruned lookup must equal the plain two-user
+      // rollup (min and max user of the corpus)
+      Some("""WITH e AS (SELECT event_type, user_id,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |p AS (SELECT MIN(user_id) AS lo, MAX(user_id) AS hi FROM e)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM e, p WHERE user_id IN (lo, hi) GROUP BY event_type""".stripMargin)),
     graft.queries.Q("s25_dedup_within_watermark", (s, dir) => streamDedupWatermark(s, dir),
       // the doubly-delivered stream deduped within the watermark must
       // equal the plain distinct-corpus rollup
