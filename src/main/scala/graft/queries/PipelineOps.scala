@@ -324,6 +324,69 @@ object PipelineOps {
       .select(col("doc_id"), col("n_shingles"), col("n_hits"),
         expr("CAST(1000 * n_hits div n_shingles AS BIGINT)").as("contam_permille"))
 
+  // --- d46: decontamination PURGE against the lakehouse landing ----------
+  // The integration the audits exist FOR: d18 finds contaminated docs,
+  // and this query actually REMOVES them from a manifest landing with
+  // history — ManifestLand.deleteMatching tombstones by a KEY FRAME
+  // (semi-join: the contaminated set is a DataFrame, never a collected
+  // driver list, so the purge scales with the landing, not the driver),
+  // no data file rewritten. Emits the surviving per-(lang, source)
+  // rollup plus the purge count, so the oracle cross-checks both the
+  // survivor set AND how many rows the tombstones claimed.
+  private def d46(s: SparkSession, dir: String): DataFrame = {
+    val land = java.nio.file.Files.createTempDirectory("graft_d46").toString + "/landing"
+    graft.TempCleanup.registerDir(new java.io.File(land).getParent)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    // two commits: the history a real landing accumulates
+    graft.streaming.ManifestLand.commitBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, land)
+    graft.streaming.ManifestLand.commitBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, land)
+    // exact 5-gram contamination vs the src0 eval set — d18's audit
+    // shape verbatim (integer permille, broadcast bench set), filtered
+    // to the purge threshold
+    val grams5 = "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"
+    val sh = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), col("source"), explode(expr(grams5)).as("shingle"))
+      .distinct()
+    val bench = sh.filter(col("source") === "src0")
+      .select(col("shingle")).distinct().withColumn("hit", lit(1L))
+    val contaminated = sh.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .filter(expr("1000 * n_hit div n_sh >= 200"))
+      .select(col("doc_id"))
+    val nPurged = graft.streaming.ManifestLand.deleteMatching(
+      s, land, contaminated, Seq("doc_id"))
+    graft.streaming.ManifestLand.read(s, land)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("n_purged", lit(nPurged))
+  }
+
+  private val d46Oracle =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 5),
+      |s AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+4], ' ') AS shingle
+      |      FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)),
+      |bench AS (SELECT DISTINCT shingle FROM s WHERE source = 'src0'),
+      |con AS (SELECT s.doc_id FROM s LEFT JOIN bench b USING (shingle)
+      |        WHERE s.source <> 'src0'
+      |        GROUP BY s.doc_id
+      |        HAVING 1000 * SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+      |               // COUNT(*) >= 200),
+      |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purged FROM con)
+      |SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars, np.n_purged
+      |FROM documents d CROSS JOIN np
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM con)
+      |GROUP BY d.lang, d.source, np.n_purged""".stripMargin
+
   private val d27Oracle = {
     import graft.functions.BloomAgg.{NumBits, NumProbes, WordBits}
     s"""WITH wds AS (SELECT idx, word FROM '{OUT}/_aux/d27_bloom_contamination/aux_bloom/*.parquet'),
@@ -1307,6 +1370,7 @@ object PipelineOps {
           d27Bloom(s, dir).select(posexplode(col("words")).as(Seq("idx", "word")))),
         "aux_probes" -> ((s: SparkSession, dir: String) => d27Probes(s, dir)))),
     Q("e08_two_stage_rerank", e08, Some(e08Oracle)),
+    Q("d46_decontam_purge", d46, Some(d46Oracle)),
     Q("d24_redaction", d24, Some(d24Oracle)),
     Q("d25_substring_dedup", d25, Some(d25Oracle)),
     Q("d35_memorization_audit", d35, Some(d35Oracle)),

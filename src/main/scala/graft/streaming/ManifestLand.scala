@@ -1209,30 +1209,45 @@ object ManifestLand {
     * idempotent re-run is a no-op flip). Single-writer contract: do not
     * run while a stream is appending.
     */
-  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long =
+    deleteImpl(spark, dir, "deleteWhere", _.filter(cond))
+
+  /** MERGE-style delete: tombstone every live row whose `keyCols` appear
+    * in the `keys` frame — the scalable form of "delete these ids" (a
+    * driver-side `isInCollection` list caps out where a DataFrame of
+    * keys doesn't; the match is a semi-join, so the key side may be
+    * arbitrarily large and is never collected). Same merge-on-read
+    * mechanics, retention contract, and single-writer contract as
+    * [[deleteWhere]]. Returns the number of newly tombstoned rows.
+    */
+  def deleteMatching(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteMatching: key columns required")
+    require(!keyCols.exists(Set("file_name", "row_index")),
+      "deleteMatching: key columns collide with the positional columns")
+    deleteImpl(spark, dir, "deleteMatching",
+      _.join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi"))
+  }
+
+  private def deleteImpl(spark: SparkSession, dir: String, what: String,
+      restrict: DataFrame => DataFrame): Long = {
     val m = readManifest(dir)
-    require(m.applied >= 0L, s"ManifestLand.deleteWhere on an uncommitted landing: $dir")
+    require(m.applied >= 0L, s"ManifestLand.$what on an uncommitted landing: $dir")
     if (m.files.isEmpty) return 0L
     val existing: DataFrame =
-      if (m.dvs.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("file_name",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("row_index",
-              org.apache.spark.sql.types.LongType))))
+      if (m.dvs.isEmpty) emptyTombFrame(spark)
       else spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
         .select(col("file_name"), col("row_index"))
     // positions of the matching rows in the CURRENT merge-on-read view:
     // rows already tombstoned must not be re-counted, so anti-join first
-    val fresh = spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
-      .withColumn("file_name", expr("_metadata.file_name"))
-      .withColumn("row_index", expr("_metadata.row_index"))
-      .join(broadcast(existing.withColumnRenamed("file_name", "__ef")
-        .withColumnRenamed("row_index", "__ep")),
-        col("file_name") === col("__ef") && col("row_index") === col("__ep"),
-        "left_anti")
-      .filter(cond)
+    val fresh = restrict(
+      spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
+        .withColumn("file_name", expr("_metadata.file_name"))
+        .withColumn("row_index", expr("_metadata.row_index"))
+        .join(broadcast(existing.withColumnRenamed("file_name", "__ef")
+          .withColumnRenamed("row_index", "__ep")),
+          col("file_name") === col("__ef") && col("row_index") === col("__ep"),
+          "left_anti"))
       .select(col("file_name"), col("row_index"))
       // one scan, one predicate evaluation (ADVICE r6): the count and the
       // staged tombstones must come from the SAME materialization, or a

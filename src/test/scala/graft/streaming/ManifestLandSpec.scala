@@ -386,6 +386,27 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(ManifestLand.prunedLiveFilesEq(m, out, 7L).isEmpty)
   }
 
+  test("deleteMatching: key-frame semi-join tombstones; idempotent; collisions refused") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_delm").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    ManifestLand.applyBatch(
+      spark.range(100L).selectExpr("id AS k", "id * 3 AS x").toDF(), 0L, out)
+    val keys = Seq(3L, 7L, 7L, 250L).toDF("k") // dup + absent keys are fine
+    assert(ManifestLand.deleteMatching(spark, out, keys, Seq("k")) == 2L)
+    // re-running claims nothing new (already tombstoned rows anti-joined)
+    assert(ManifestLand.deleteMatching(spark, out, keys, Seq("k")) == 0L)
+    val live = ManifestLand.read(spark, out).select("k").as[Long].collect().sorted
+    assert(live.length == 98 && !live.contains(3L) && !live.contains(7L))
+    intercept[IllegalArgumentException] {
+      ManifestLand.deleteMatching(spark, out, keys, Seq("file_name"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLand.deleteMatching(spark, out, keys, Seq.empty)
+    }
+  }
+
   test("backfillBlooms: chunked declaration on an existing landing, restartable, inherited") {
     val spark = this.spark
     import spark.implicits._
