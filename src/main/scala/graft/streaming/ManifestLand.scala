@@ -601,6 +601,24 @@ object ManifestLand {
     require(m.statsCols.isEmpty || statsCols.isEmpty || statsCols == m.statsCols,
       s"statsCols change mid-landing: manifest declares ${m.statsCols.mkString(",")}, " +
         s"batch $batchId declares ${statsCols.mkString(",")}")
+    // zone maps are [min,max] of the LONG cast: an integral column
+    // prunes; anything else casts to NULL per row, the file records the
+    // impossible [0,-1] zone, and pruning silently degenerates to
+    // prune-all (correct only because such rows can't satisfy a long
+    // range residual either — useless, not wrong). Refuse loudly, like
+    // the bloom column's BIGINT rule: declare a derived integer column
+    // (epoch micros, a dictionary code) instead.
+    statsCols.foreach { c =>
+      val f = batch.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"stats column $c not in batch $batchId's schema for $outDir"))
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+        s"stats column $c must be integral (zone maps are [min,max] of " +
+          s"the BIGINT cast; a ${f.dataType.sql} column records only " +
+          s"impossible zones): $outDir")
+    }
     // same hazard for the bloom column: old bf lines would claim a
     // different column's membership than the new header declares
     require(m.bloomCol.isEmpty || bloomCol.isEmpty || bloomCol == m.bloomCol,

@@ -386,6 +386,30 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(ManifestLand.prunedLiveFilesEq(m, out, 7L).isEmpty)
   }
 
+  test("stats columns must be integral: a string zone map refuses at commit") {
+    val spark = this.spark
+    import spark.implicits._
+    // a non-integral stats column long-casts to NULL per row, so every
+    // file records the impossible [0,-1] zone and pruning silently
+    // degenerates to prune-all — refused like the bloom BIGINT rule
+    val out = Files.createTempDirectory("graft_mland_stattype").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("s", "v")
+    val e = intercept[IllegalArgumentException] {
+      ManifestLand.applyBatch(df, 0L, out, statsCols = Seq("s"))
+    }
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      ManifestLand.applyBatch(df, 0L, out, statsCols = Seq("nope"))
+    }
+    // integral columns of any width pass
+    ManifestLand.applyBatch(
+      spark.range(5L).selectExpr("CAST(id AS INT) AS k", "id AS v").toDF(),
+      0L, out, statsCols = Seq("k"))
+    assert(ManifestLand.prunedLiveFiles(out, 0L, 10L).nonEmpty)
+    assert(ManifestLand.prunedLiveFiles(out, 100L, 200L).isEmpty)
+  }
+
   test("deleteMatching: key-frame semi-join tombstones; idempotent; collisions refused") {
     val spark = this.spark
     import spark.implicits._
