@@ -322,7 +322,14 @@ object ManifestLand {
         val nb = new Array[Byte](in.readInt()); in.readFully(nb)
         val toSkip = in.readInt().toLong * 8
         var skipped = 0L
-        while (skipped < toSkip) skipped += in.skip(toSkip - skipped)
+        while (skipped < toSkip) {
+          val n = in.skip(toSkip - skipped)
+          // skip() returns 0 at EOF — a truncated payload must refuse,
+          // not spin
+          if (n <= 0) throw new IllegalStateException(
+            s"corrupt bloom sidecar (truncated payload): $f")
+          skipped += n
+        }
         new String(nb, "UTF-8")
       }
     } finally in.close()

@@ -1042,6 +1042,13 @@ object StreamingOps {
     * just work. The gate pins it to the SAME oracle as s28: the
     * push-maintained view must equal the batch fold and the
     * from-scratch rollup of the surviving rows.
+    *
+    * Scale note: the view's state is one counter row per key — at
+    * billions of keys that is exactly what the RocksDB state store
+    * ([[StateStores]]) exists for, and the production sink is
+    * update-mode + MERGE upserts into a landing rather than this
+    * gate's complete-mode memory table (bounded here: the corpus has
+    * thousands of users).
     */
   def streamPushIvm(spark: SparkSession, dir: String): DataFrame = {
     val src = etlSource(spark, dir, "s31")
