@@ -228,16 +228,25 @@ object ManifestLand {
     */
   private def writeBloomSidecar(f: java.io.File,
       blooms: Seq[(String, Array[Long])]): Unit = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(0x47424653); out.writeInt(1); out.writeInt(blooms.size)
-    blooms.foreach { case (name, words) =>
-      val nb = name.getBytes("UTF-8")
-      out.writeInt(nb.length); out.write(nb)
-      out.writeInt(words.length); words.foreach(out.writeLong)
-    }
-    out.flush()
-    ParquetLand.atomicReplace(f, bos.toByteArray)
+    // streamed to the tmp file, not buffered whole: a 64-file chunk of
+    // near-cap filters is already ~hundreds of MiB resident in `blooms`;
+    // an in-memory copy would double the driver's peak exactly at the
+    // bulk-backfill sizes the sidecar design exists for. Same crash
+    // semantics as atomicReplace: tmp sibling, then ATOMIC_MOVE.
+    val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp), 1 << 16))
+    try {
+      out.writeInt(0x47424653); out.writeInt(1); out.writeInt(blooms.size)
+      blooms.foreach { case (name, words) =>
+        val nb = name.getBytes("UTF-8")
+        out.writeInt(nb.length); out.write(nb)
+        out.writeInt(words.length); words.foreach(out.writeLong)
+      }
+    } finally out.close()
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def readBloomSidecar(f: java.io.File): Map[String, Array[Long]] = {
@@ -304,8 +313,13 @@ object ManifestLand {
     * is one sidecar + the bounded cache, not O(files × filter bytes).
     */
   private[streaming] def bloomsFor(dir: String, m: Manifest): Map[String, Array[Long]] = {
-    m.bloomSidecars.flatMap(loadSidecar(dir, _)).toMap ++
-      m.entries.flatMap(e => e.bloom.map(e.name -> _))
+    // precedence must match probeKept's fold order exactly: a file
+    // carrying BOTH a legacy inline filter and a sidecar entry (a
+    // hand-migrated manifest) resolves to the SIDECAR in both, or a
+    // spec validating via this helper could pass while the probe path
+    // consults the other filter
+    m.entries.flatMap(e => e.bloom.map(e.name -> _)).toMap ++
+      m.bloomSidecars.flatMap(loadSidecar(dir, _))
   }
 
   /** File names a bloom sidecar covers, WITHOUT loading filter bytes
@@ -422,10 +436,11 @@ object ManifestLand {
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => ((f.getName.endsWith(".parquet") || f.getName.endsWith(".bfs")) &&
         !keep.contains(f.getName)) ||
-        // a crash between atomicReplace's write and its ATOMIC_MOVE
-        // leaves a stale `*.tmp` sibling (ADVICE r5) — harmless to
-        // readers (never consulted) but swept like any orphan
-        (f.getName.startsWith("_") && f.getName.endsWith(".tmp")))
+        // a crash between a tmp-sibling write and its ATOMIC_MOVE
+        // (atomicReplace, writeBloomSidecar) leaves a stale `*.tmp` —
+        // harmless to readers (never consulted) but swept like any
+        // orphan; safe under the single-writer contract vacuum runs in
+        f.getName.endsWith(".tmp"))
       .foreach { f => f.delete(); () }
   }
 
@@ -994,20 +1009,10 @@ object ManifestLand {
   private def dvDeltaDeletes(spark: SparkSession, dir: String,
       mFrom: Manifest, mTo: Manifest, inserts: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    def tombs(m: Manifest): DataFrame =
-      if (m.dvs.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("file_name",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("row_index",
-              org.apache.spark.sql.types.LongType))))
-      else spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
-        .select(col("file_name"), col("row_index"))
     val fromFiles = mFrom.files.toSet
     // sidecars are tiny by construction (tombstones since the last
     // compaction); the delta is bounded by the window's delete volume
-    val delta = tombs(mTo).join(tombs(mFrom),
+    val delta = tombFrame(spark, dir, mTo).join(tombFrame(spark, dir, mFrom),
         Seq("file_name", "row_index"), "left_anti")
       .filter(col("file_name").isInCollection(fromFiles))
     val candidates = positionalRows(spark, dir, delta)
@@ -1077,9 +1082,16 @@ object ManifestLand {
     * `_cf_state_*` sidecar named by the marker); each sync first diffs
     * the synced version's CURRENT tombstones against that state and
     * emits the difference as its own late-delete batch — positional
-    * fetch from only the affected files, like every other delete. No
-    * ordering contract between maintenance and the relay, no silently
-    * lost deletes.
+    * fetch from only the affected files, like every other delete.
+    *
+    * ORDERING CONTRACT with compaction: a compaction FOLDS tombstones
+    * away, so folding the synced version's un-relayed tombstones would
+    * erase the late-delete diff's only evidence — the one maintenance
+    * order that can silently lose change rows (every other order is
+    * safe: un-relayed WINDOWS survive a fold via the exact anti-join
+    * rung). The relay therefore writes a `_cf_relay` attach marker into
+    * the landing and [[compactIfNeeded]] REFUSES that exact state; the
+    * in-loop order (relay, then compact) always passes.
     *
     * Other contracts (all loud): the landing's retention must span the
     * relay's lag (an expired `synced` version refuses — widen
@@ -1109,21 +1121,34 @@ object ManifestLand {
       s"changeFeedRelay: landing $dir is not change-tracked " +
         s"(commit with trackChanges = true)")
     new java.io.File(deltaDir).mkdirs()
+    // attach marker: lets the landing's own maintenance find the relay
+    // marker and refuse the one folding order that loses deletes (see
+    // the ordering contract above); last attached relay wins, matching
+    // the single-relay-writer contract
+    val attachF = new java.io.File(dir, RelayAttachFile)
+    val attachBytes = deltaDir.getBytes("UTF-8")
+    if (!attachF.exists() ||
+        !java.util.Arrays.equals(Files.readAllBytes(attachF.toPath), attachBytes))
+      ParquetLand.atomicReplace(attachF, attachBytes)
     val markerF = new java.io.File(deltaDir, "_cf_applied")
     val (marker, stateName) =
-      if (!markerF.exists()) (-1L, None)
+      if (!markerF.exists()) (-1L, Option.empty[String])
       else new String(Files.readAllBytes(markerF.toPath), "UTF-8").trim
         .split("\t", -1) match {
-          case Array(v) => (v.toLong, None)
-          case Array(v, s) => (v.toLong, Some(s).filter(_.nonEmpty))
+          // strictly <version>\t<state>: the relay never writes anything
+          // else, and guessing a missing accounted state either
+          // double-emits deletes (assume none accounted) or loses them
+          // (assume all) — refuse instead
+          case Array(v, s) if v.toLongOption.isDefined && s.nonEmpty =>
+            (v.toLong, Some(s))
           case other => throw new IllegalStateException(
-            s"unreadable relay marker in $deltaDir: ${other.mkString("\\t")}")
+            s"unreadable relay marker in $deltaDir: ${other.mkString("\\t")}" +
+              " (expected <version>\\t<state>)")
         }
-    def tombsOf(m: Manifest): DataFrame =
-      if (m.dvs.isEmpty) emptyTombFrame(spark)
-      else spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
-        .select(col("file_name"), col("row_index"))
-    val state: DataFrame = stateName match {
+    // built only when a late diff is actually needed: parquet() lists
+    // and reads footers eagerly, and the common no-change relay pass
+    // must stay a pure metadata check
+    def state: DataFrame = stateName match {
       case Some(s) => spark.read.parquet(s"$deltaDir/$s")
       case None => emptyTombFrame(spark)
     }
@@ -1138,18 +1163,27 @@ object ManifestLand {
         s"changeFeedRelay: synced version $marker expired from $dir — " +
           s"retention must span the relay's lag (have: ${retained.mkString(", ")})")
       val mSynced = parseManifest(versionFile(dir, marker))
-      val late = tombsOf(mSynced).join(state,
-        Seq("file_name", "row_index"), "left_anti")
-      positionalRows(spark, dir, late).foreach { rows =>
-        // batch name varies with the dv-sidecar state, so successive
-        // late rounds on the same version never overwrite each other,
-        // while a crash REPLAY of the same round re-stages the same name
-        val tag = java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.orderedHash(mSynced.dvs.sorted).toLong & 0xFFFFFFFFL)
-        ParquetLand.stageParts(
-          rows.withColumn("_change_type", lit("delete")),
-          deltaDir, s"cf${marker}d${tag}_")
-        ()
+      // the accounted state is NAMED by the synced version's dv set
+      // (content tag — sidecar names are unique per attempt, so name-set
+      // equality IS content equality): an unchanged name proves an empty
+      // late diff, and the no-change relay pass runs zero Spark jobs
+      if (!stateName.contains(cfStateName(marker, mSynced.dvs))) {
+        val late = tombFrame(spark, dir, mSynced).join(state,
+          Seq("file_name", "row_index"), "left_anti")
+        positionalRows(spark, dir, late).foreach { rows =>
+          // the batch name is keyed by the ACCOUNTED state, not the
+          // current dv set: a crashed attempt's retry re-stages the SAME
+          // prefix even when more deletes landed in between (stageParts
+          // sweeps the leftovers — no orphaned duplicate batch), while
+          // committed rounds stay distinct because every flip changes
+          // the accounted state name. stateName is always defined here:
+          // marker >= 0 and the parse above is strict.
+          val tag = stateName.get.stripPrefix("_cf_state_").replace("_", "x")
+          ParquetLand.stageParts(
+            rows.withColumn("_change_type", lit("delete")),
+            deltaDir, s"cf${marker}d${tag}_")
+          ()
+        }
       }
     }
     // 2. the normal version windows, each through changeFeed's ladder
@@ -1166,22 +1200,57 @@ object ManifestLand {
     // old state sidecars are swept once nothing references them
     if (synced >= 0L) {
       val mNow = parseManifest(versionFile(dir, synced))
-      val newState = s"_cf_state_v${synced}_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.orderedHash(mNow.dvs.sorted).toLong & 0xFFFFFFFFL)
-      // full rewrite even if the dir exists — a crashed attempt may have
-      // left it partial; the marker still points at the OLD state until
-      // the atomic flip below, so the rewrite is always safe
-      val stateDir = new java.io.File(deltaDir, newState)
-      if (stateDir.exists()) graft.TempCleanup.rmrf(stateDir)
-      tombsOf(mNow).coalesce(1).write.mode("overwrite")
-        .parquet(s"$deltaDir/$newState")
-      ParquetLand.atomicReplace(markerF, s"$synced\t$newState".getBytes("UTF-8"))
-      Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("_cf_state_") && f.getName != newState)
-        .foreach { f => graft.TempCleanup.rmrf(f); () }
+      val newState = cfStateName(synced, mNow.dvs)
+      // nothing changed since the last flip → leave the LIVE state dir
+      // alone: rewriting the dir the marker references would open a
+      // crash window where the marker points at a missing/partial state
+      if (!stateName.contains(newState)) {
+        // full rewrite even if the dir exists — a crashed attempt may
+        // have left it partial; the name DIFFERS from the marker's
+        // (checked above), so the marker keeps referencing the old
+        // intact state until the atomic flip below
+        val stateDir = new java.io.File(deltaDir, newState)
+        if (stateDir.exists()) graft.TempCleanup.rmrf(stateDir)
+        tombFrame(spark, dir, mNow).coalesce(1).write.mode("overwrite")
+          .parquet(s"$deltaDir/$newState")
+        ParquetLand.atomicReplace(markerF, s"$synced\t$newState".getBytes("UTF-8"))
+        Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("_cf_state_") && f.getName != newState)
+          .foreach { f => graft.TempCleanup.rmrf(f); () }
+      }
     }
     synced
   }
+
+  /** `_cf_relay` sibling in the LANDING dir: records the attached
+    * change-log dir so the landing's own maintenance can locate the
+    * relay marker (compactIfNeeded's folding guard). */
+  private[streaming] val RelayAttachFile = "_cf_relay"
+
+  /** Content tag of a dv-sidecar set: 64 bits of MD5 over the sorted
+    * names. Deliberately not the 32-bit murmur it replaces — state-name
+    * EQUALITY is now trusted to skip the late diff and the state
+    * rewrite, so a collision would silently drop late deletes; at 64
+    * bits it is out of reach. Sidecar names are unique per staging
+    * attempt, so name-set equality is content equality. */
+  private def dvSetTag(dvs: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    dvs.sorted.foreach(n => md.update((n + "\n").getBytes("UTF-8")))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def cfStateName(v: Long, dvs: Seq[String]): String =
+    s"_cf_state_v${v}_${dvSetTag(dvs)}"
+
+  /** A manifest's deletion-vector tombstones as a `(file_name,
+    * row_index)` frame — THE one dv reader every consumer shares (the
+    * delete ladder, the relay, [[deleteWhere]]), so the sidecar's shape
+    * is defined in exactly one place.
+    */
+  private def tombFrame(spark: SparkSession, dir: String, m: Manifest): DataFrame =
+    if (m.dvs.isEmpty) emptyTombFrame(spark)
+    else spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
+      .select(col("file_name"), col("row_index"))
 
   private def emptyTombFrame(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](),
@@ -1259,10 +1328,7 @@ object ManifestLand {
     val m = readManifest(dir)
     require(m.applied >= 0L, s"ManifestLand.$what on an uncommitted landing: $dir")
     if (m.files.isEmpty) return 0L
-    val existing: DataFrame =
-      if (m.dvs.isEmpty) emptyTombFrame(spark)
-      else spark.read.parquet(m.dvs.map(n => s"$dir/$n"): _*)
-        .select(col("file_name"), col("row_index"))
+    val existing: DataFrame = tombFrame(spark, dir, m)
     // positions of the matching rows in the CURRENT merge-on-read view:
     // rows already tombstoned must not be re-counted, so anti-join first
     val fresh = restrict(
@@ -1372,6 +1438,30 @@ object ManifestLand {
       maxFiles: Int, targetFiles: Int, clusterBy: Option[Column] = None): Unit = {
     val m = readManifest(outDir)
     if (m.files.length <= maxFiles) return
+    // relay ordering guard (see changeFeedRelay's ORDERING CONTRACT):
+    // folding tombstones the relay has NOT accounted on the SYNCED
+    // version erases the late-delete diff's only evidence — refuse that
+    // exact state. A marker BEHIND the current version is safe to fold
+    // past: un-relayed WINDOWS survive via the exact anti-join rung.
+    if (m.dvs.nonEmpty) {
+      val attachF = new java.io.File(outDir, RelayAttachFile)
+      if (attachF.exists()) {
+        val log = new String(Files.readAllBytes(attachF.toPath), "UTF-8").trim
+        val markerF = new java.io.File(log, "_cf_applied")
+        val accounted = markerF.exists() &&
+          (new String(Files.readAllBytes(markerF.toPath), "UTF-8").trim
+            .split("\t", -1) match {
+              case Array(v, s) => v.toLongOption.exists(mv =>
+                mv < m.applied || s == cfStateName(mv, m.dvs))
+              case _ => false // legacy/absent state name: can't verify
+            })
+        require(accounted,
+          s"compact on relay-attached landing $outDir would fold away " +
+            s"tombstones the change-feed relay ($log) has not accounted — " +
+            "run changeFeedRelay first (the appendCompacting loop does), " +
+            s"or detach by deleting $RelayAttachFile")
+      }
+    }
     val merged = readFiles(spark, outDir, m, "compact")
     val data = clusterBy.orElse(m.statsCols.headOption.map(col)) match {
       case Some(c) => merged.repartitionByRange(targetFiles, c)

@@ -743,14 +743,92 @@ class ManifestLandSpec extends SparkFunSuite {
     val live = ManifestLand.read(spark, out).select("k", "x")
       .as[(Long, Long)].collect().sorted.toSeq
     assert(foldLog() == live && !live.exists(_._1 == 7L))
-    // crash replay: roll the marker back one version — the re-sync
-    // re-stages the SAME deterministic names and the fold is unchanged
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(deltaDir, "_cf_applied"), "2".getBytes("UTF-8"))
-    val before = logFiles()
+    // crash replay: simulate dying mid-relay — a late batch staged and
+    // a partial state dir written, but the marker NOT yet flipped — with
+    // a FURTHER delete landing before the retry (the dv set changes).
+    // The retry must re-stage the SAME accounted-state-keyed prefix,
+    // sweeping the stranded attempt instead of orphaning it as a
+    // duplicate delete batch
+    val markerPath = java.nio.file.Paths.get(deltaDir, "_cf_applied")
+    val Array(mv, mState) = new String(
+      java.nio.file.Files.readAllBytes(markerPath), "UTF-8").trim.split("\t", -1)
+    ManifestLand.deleteWhere(spark, out, col("k") === 9L)
+    val crashTag = mState.stripPrefix("_cf_state_").replace("_", "x")
+    // the stranded attempt: bogus content under the crashed run's
+    // prefix (template = an existing log file, so the schema matches)
+    ParquetLand.stageParts(
+      spark.read.parquet(s"$deltaDir/${afterFirst.head}").limit(1)
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("k", lit(999999L)),
+      deltaDir, s"cf${mv}d${crashTag}_")
+    new java.io.File(deltaDir, s"_cf_state_v${mv}_deadbeef").mkdirs()
     assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 3L)
-    assert(logFiles() == before)
-    assert(foldLog() == live)
+    val deletes = spark.read.parquet(deltaDir)
+      .filter(col("_change_type") === "delete").select("k").as[Long].collect().toSeq
+    assert(!deletes.contains(999999L),
+      s"stranded crashed late batch survived as a duplicate: $deletes")
+    assert(deletes.count(_ == 9L) == 1 && deletes.count(_ == 7L) == 1)
+    assert(!new java.io.File(deltaDir, s"_cf_state_v${mv}_deadbeef").exists(),
+      "partial state dir of the crashed attempt not swept")
+    assert(foldLog() == live.filterNot(_._1 == 9L))
+    // a NO-CHANGE relay pass leaves marker, log, and the LIVE state dir
+    // byte-identical — rewriting the dir the marker references would
+    // open a crash window where the marker points at a missing state
+    val markerBytes = java.nio.file.Files.readAllBytes(markerPath)
+    val stateNow = new String(markerBytes, "UTF-8").trim.split("\t")(1)
+    def stateSig(): Seq[(String, Long)] =
+      new java.io.File(deltaDir, stateNow).listFiles().toSeq
+        .map(f => (f.getName, f.lastModified())).sortBy(_._1)
+    val (filesBefore, sigBefore) = (logFiles(), stateSig())
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 3L)
+    assert(java.util.Arrays.equals(markerBytes,
+      java.nio.file.Files.readAllBytes(markerPath)))
+    assert(logFiles() == filesBefore && stateSig() == sigBefore,
+      "no-change relay pass rewrote the live accounted state")
+  }
+
+  test("compactIfNeeded refuses to fold un-relayed tombstones on a relay-attached landing") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_cguard").toString + "/landing"
+    val deltaDir = Files.createTempDirectory("graft_mland_cguard_log").toString
+    new java.io.File(out).mkdirs()
+    def commit(v: Long, lo: Long, hi: Long): Unit = ManifestLand.applyBatch(
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") * 2).as("x"))
+        .toDF().coalesce(1),
+      v, out, statsCols = Seq(ManifestLand.CommitVersionCol), rangeParts = 1,
+      trackChanges = true)
+    (0 until 3).foreach(v => commit(v.toLong, v * 10L, (v + 1) * 10L))
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    // tombstones on the SYNCED version, not yet relayed: folding them
+    // would erase the late-delete diff's only evidence — refuse
+    ManifestLand.deleteWhere(spark, out, col("k") === 1L)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    }
+    assert(ex.getMessage.contains("changeFeedRelay"), ex.getMessage)
+    // once the relay accounts them the same compaction passes, and the
+    // folded log still reconstructs the live landing
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    def foldLog(): Seq[Long] = {
+      val log = spark.read.parquet(deltaDir)
+      log.filter(col("_change_type") === "insert").select("k")
+        .join(log.filter(col("_change_type") === "delete").select("k"),
+          Seq("k"), "left_anti").as[Long].collect().sorted.toSeq
+    }
+    val live = ManifestLand.read(spark, out).select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(foldLog() == live && !live.contains(1L))
+    // a marker BEHIND the current version is safe to fold past: the
+    // un-relayed WINDOW's deletes survive via the exact anti-join rung
+    commit(3L, 100L, 110L)
+    ManifestLand.deleteWhere(spark, out, col("k") === 2L)
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    assert(foldLog() == ManifestLand.read(spark, out).select("k")
+      .as[Long].collect().sorted.toSeq)
+    assert(!foldLog().contains(2L))
   }
 
   test("relay consumer restart: a checkpointed stream over the change log reads only the increment") {
