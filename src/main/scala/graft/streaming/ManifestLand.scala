@@ -1096,10 +1096,14 @@ object ManifestLand {
     * Other contracts (all loud): the landing's retention must span the
     * relay's lag (an expired `synced` version refuses — widen
     * `keepVersions` to the consumer's maximum downtime); single relay
-    * writer. Crash-safe: all change files stage onto deterministic
-    * names first, then the new state sidecar, then the marker flips
-    * atomically to (version, state) together — a replay from the old
-    * marker recomputes and overwrites the same names.
+    * writer. Crash-safe: change files stage HIDDEN (`.`-prefixed, which
+    * file sources ignore), then the new state sidecar is written, then
+    * the marker flips atomically to (version, state, staged names), and
+    * only then are the staged files renamed visible — so a consumer can
+    * never read bytes a crashed attempt would recompute differently,
+    * and a visible change file is immutable forever. A crash before the
+    * flip leaves only hidden garbage (swept on the next entry); a crash
+    * mid-promotion is finished from the marker's file list.
     *
     * Known bound: the log is append-only, so it grows with TOTAL change
     * volume, not live size. Bounding it safely is a generation swap
@@ -1131,20 +1135,41 @@ object ManifestLand {
         !java.util.Arrays.equals(Files.readAllBytes(attachF.toPath), attachBytes))
       ParquetLand.atomicReplace(attachF, attachBytes)
     val markerF = new java.io.File(deltaDir, "_cf_applied")
-    val (marker, stateName) =
-      if (!markerF.exists()) (-1L, Option.empty[String])
-      else new String(Files.readAllBytes(markerF.toPath), "UTF-8").trim
-        .split("\t", -1) match {
-          // strictly <version>\t<state>: the relay never writes anything
-          // else, and guessing a missing accounted state either
-          // double-emits deletes (assume none accounted) or loses them
-          // (assume all) — refuse instead
-          case Array(v, s) if v.toLongOption.isDefined && s.nonEmpty =>
-            (v.toLong, Some(s))
-          case other => throw new IllegalStateException(
-            s"unreadable relay marker in $deltaDir: ${other.mkString("\\t")}" +
-              " (expected <version>\\t<state>)")
+    val parsed = parseRelayMarker(deltaDir)
+    val (marker, stateName) = parsed match {
+      case Some((v, s, _)) => (v, Some(s))
+      case None => (-1L, Option.empty[String])
+    }
+    // PUBLICATION PROTOCOL: every change file is staged HIDDEN (a `.`
+    // prefix Spark readers ignore) and becomes consumer-visible by an
+    // atomic rename only AFTER the marker flip commits it. A checkpointed
+    // consumer can therefore never observe bytes a crashed attempt might
+    // recompute differently (a deleteWhere between crash and retry
+    // changes the late/window frames, and a file source never re-reads a
+    // path it has recorded) — once visible, a change file is immutable
+    // forever. Entry recovery below finishes the rename sweep of a flip
+    // that died mid-promotion (the marker's third field lists what it
+    // committed), then deletes hidden leftovers of any UN-flipped
+    // attempt — this pass re-stages those deterministically.
+    parsed.foreach { case (_, _, committed) =>
+      committed.foreach { n =>
+        val hidden = new java.io.File(deltaDir, "." + n)
+        if (hidden.exists()) {
+          val visible = new java.io.File(deltaDir, n)
+          if (visible.exists()) { hidden.delete(); () }
+          else { Files.move(hidden.toPath, visible.toPath); () }
         }
+      }
+    }
+    Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".cf")).foreach { f => f.delete(); () }
+    // visible names staged by THIS pass, promoted after the flip
+    val stagedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    def stageHidden(df: DataFrame, prefix: String): Unit = {
+      stagedNames ++= ParquetLand.stageParts(df, deltaDir, s".$prefix")
+        .map(_.stripPrefix("."))
+      ()
+    }
     // built only when a late diff is actually needed: parquet() lists
     // and reads footers eagerly, and the common no-change relay pass
     // must stay a pure metadata check
@@ -1172,17 +1197,14 @@ object ManifestLand {
           Seq("file_name", "row_index"), "left_anti")
         positionalRows(spark, dir, late).foreach { rows =>
           // the batch name is keyed by the ACCOUNTED state, not the
-          // current dv set: a crashed attempt's retry re-stages the SAME
-          // prefix even when more deletes landed in between (stageParts
-          // sweeps the leftovers — no orphaned duplicate batch), while
-          // committed rounds stay distinct because every flip changes
-          // the accounted state name. stateName is always defined here:
-          // marker >= 0 and the parse above is strict.
+          // current dv set: committed rounds stay distinct because every
+          // flip changes the accounted state name, while a crashed
+          // attempt's hidden leftovers were swept at entry regardless.
+          // stateName is always defined here: marker >= 0 and the parse
+          // is strict.
           val tag = stateName.get.stripPrefix("_cf_state_").replace("_", "x")
-          ParquetLand.stageParts(
-            rows.withColumn("_change_type", lit("delete")),
-            deltaDir, s"cf${marker}d${tag}_")
-          ()
+          stageHidden(rows.withColumn("_change_type", lit("delete")),
+            s"cf${marker}d${tag}_")
         }
       }
     }
@@ -1192,7 +1214,7 @@ object ManifestLand {
         if (synced < 0L)
           readVersion(spark, dir, v).withColumn("_change_type", lit("insert"))
         else changeFeed(spark, dir, synced, v, keyCols)
-      ParquetLand.stageParts(delta, deltaDir, s"cf${v}_")
+      stageHidden(delta, s"cf${v}_")
       synced = v
     }
     // 3. snapshot the accounted tombstone state for the new high-water
@@ -1203,7 +1225,10 @@ object ManifestLand {
       val newState = cfStateName(synced, mNow.dvs)
       // nothing changed since the last flip → leave the LIVE state dir
       // alone: rewriting the dir the marker references would open a
-      // crash window where the marker points at a missing/partial state
+      // crash window where the marker points at a missing/partial state.
+      // Anything staged this pass implies a name change (late deletes
+      // require a dv-set change, windows bump the version), so the skip
+      // never strands hidden files.
       if (!stateName.contains(newState)) {
         // full rewrite even if the dir exists — a crashed attempt may
         // have left it partial; the name DIFFERS from the marker's
@@ -1213,7 +1238,16 @@ object ManifestLand {
         if (stateDir.exists()) graft.TempCleanup.rmrf(stateDir)
         tombFrame(spark, dir, mNow).coalesce(1).write.mode("overwrite")
           .parquet(s"$deltaDir/$newState")
-        ParquetLand.atomicReplace(markerF, s"$synced\t$newState".getBytes("UTF-8"))
+        // the flip commits (version, state, staged files) together; the
+        // promotion renames below make the committed files visible —
+        // a crash mid-promotion is finished by the next entry recovery
+        ParquetLand.atomicReplace(markerF,
+          s"$synced\t$newState\t${stagedNames.mkString(",")}".getBytes("UTF-8"))
+        stagedNames.foreach { n =>
+          Files.move(java.nio.file.Paths.get(deltaDir, "." + n),
+            java.nio.file.Paths.get(deltaDir, n))
+          ()
+        }
         Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("_cf_state_") && f.getName != newState)
           .foreach { f => graft.TempCleanup.rmrf(f); () }
@@ -1221,6 +1255,39 @@ object ManifestLand {
     }
     synced
   }
+
+  /** Strict parse of the relay marker `_cf_applied`:
+    * `<version>\t<state>[\t<comma-joined committed file names>]` — the
+    * third field is what the flip published, consumed by the promotion
+    * recovery. None = nothing relayed yet; anything malformed THROWS —
+    * guessing a missing accounted state either double-emits deletes or
+    * loses them. The one parser shared by the relay and the compaction
+    * guard, so the two can never disagree on validity.
+    */
+  private def parseRelayMarker(deltaDir: String): Option[(Long, String, Seq[String])] = {
+    val f = new java.io.File(deltaDir, "_cf_applied")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8").trim
+      .split("\t", -1) match {
+        case Array(v, s) if v.toLongOption.isDefined && s.nonEmpty =>
+          Some((v.toLong, s, Seq.empty)) // early-round-8 two-field form
+        case Array(v, s, names) if v.toLongOption.isDefined && s.nonEmpty =>
+          Some((v.toLong, s, names.split(",").filter(_.nonEmpty).toSeq))
+        case other => throw new IllegalStateException(
+          s"unreadable relay marker in $deltaDir: ${other.mkString("\\t")}" +
+            " (expected <version>\\t<state>[\\t<files>])")
+      }
+  }
+
+  /** Detach a previously attached change-feed relay from `dir`: removes
+    * the `_cf_relay` marker so maintenance stops consulting the (perhaps
+    * long-deleted) change-log dir. After a detach, compactions may fold
+    * tombstones the relay never accounted — only detach when the change
+    * log and its consumers are themselves retired. Returns whether a
+    * marker existed.
+    */
+  def detachRelay(dir: String): Boolean =
+    new java.io.File(dir, RelayAttachFile).delete()
 
   /** `_cf_relay` sibling in the LANDING dir: records the attached
     * change-log dir so the landing's own maintenance can locate the
@@ -1447,19 +1514,18 @@ object ManifestLand {
       val attachF = new java.io.File(outDir, RelayAttachFile)
       if (attachF.exists()) {
         val log = new String(Files.readAllBytes(attachF.toPath), "UTF-8").trim
-        val markerF = new java.io.File(log, "_cf_applied")
-        val accounted = markerF.exists() &&
-          (new String(Files.readAllBytes(markerF.toPath), "UTF-8").trim
-            .split("\t", -1) match {
-              case Array(v, s) => v.toLongOption.exists(mv =>
-                mv < m.applied || s == cfStateName(mv, m.dvs))
-              case _ => false // legacy/absent state name: can't verify
-            })
+        // a missing/unreadable log or marker refuses too — guessing
+        // "detached" here silently loses deletes exactly when the log
+        // dir was deleted out from under a live relay
+        val accounted = scala.util.Try(parseRelayMarker(log)).toOption.flatten
+          .exists { case (mv, s, _) =>
+            mv < m.applied || s == cfStateName(mv, m.dvs) }
         require(accounted,
           s"compact on relay-attached landing $outDir would fold away " +
             s"tombstones the change-feed relay ($log) has not accounted — " +
             "run changeFeedRelay first (the appendCompacting loop does), " +
-            s"or detach by deleting $RelayAttachFile")
+            "or detachRelay(dir) if the change log and its consumers " +
+            "are retired")
       }
     }
     val merged = readFiles(spark, outDir, m, "compact")

@@ -743,33 +743,63 @@ class ManifestLandSpec extends SparkFunSuite {
     val live = ManifestLand.read(spark, out).select("k", "x")
       .as[(Long, Long)].collect().sorted.toSeq
     assert(foldLog() == live && !live.exists(_._1 == 7L))
-    // crash replay: simulate dying mid-relay — a late batch staged and
-    // a partial state dir written, but the marker NOT yet flipped — with
-    // a FURTHER delete landing before the retry (the dv set changes).
-    // The retry must re-stage the SAME accounted-state-keyed prefix,
-    // sweeping the stranded attempt instead of orphaning it as a
-    // duplicate delete batch
+    // crash replay: simulate dying mid-relay — a late batch staged
+    // HIDDEN and a partial state dir written, but the marker NOT yet
+    // flipped — with a FURTHER delete landing before the retry (the dv
+    // set changes). The retry must sweep the stranded hidden attempt
+    // and, crucially, never rewrite any file a consumer could already
+    // have read: published change files are immutable forever
     val markerPath = java.nio.file.Paths.get(deltaDir, "_cf_applied")
-    val Array(mv, mState) = new String(
+    val mparts = new String(
       java.nio.file.Files.readAllBytes(markerPath), "UTF-8").trim.split("\t", -1)
+    val (mv, mState) = (mparts(0), mparts(1))
     ManifestLand.deleteWhere(spark, out, col("k") === 9L)
     val crashTag = mState.stripPrefix("_cf_state_").replace("_", "x")
-    // the stranded attempt: bogus content under the crashed run's
-    // prefix (template = an existing log file, so the schema matches)
+    // the stranded attempt: bogus content staged hidden under the
+    // crashed run's prefix (template = an existing log file, so the
+    // schema matches), plus a partial state dir it never referenced
     ParquetLand.stageParts(
       spark.read.parquet(s"$deltaDir/${afterFirst.head}").limit(1)
         .withColumn("_change_type", lit("delete"))
         .withColumn("k", lit(999999L)),
-      deltaDir, s"cf${mv}d${crashTag}_")
+      deltaDir, s".cf${mv}d${crashTag}_")
     new java.io.File(deltaDir, s"_cf_state_v${mv}_deadbeef").mkdirs()
+    def visibleSig(): Map[String, (Long, Long)] =
+      Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("cf") && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val published = visibleSig()
     assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 3L)
+    // every file that was visible before the retry is byte-identical
+    // after it — a checkpointed file source never re-reads a path, so a
+    // rewrite would silently lose whatever changed
+    val after = visibleSig()
+    published.foreach { case (n, sig) =>
+      assert(after.get(n).contains(sig), s"published change file $n mutated")
+    }
     val deletes = spark.read.parquet(deltaDir)
       .filter(col("_change_type") === "delete").select("k").as[Long].collect().toSeq
     assert(!deletes.contains(999999L),
-      s"stranded crashed late batch survived as a duplicate: $deletes")
+      s"stranded crashed late batch leaked into the log: $deletes")
     assert(deletes.count(_ == 9L) == 1 && deletes.count(_ == 7L) == 1)
     assert(!new java.io.File(deltaDir, s"_cf_state_v${mv}_deadbeef").exists(),
       "partial state dir of the crashed attempt not swept")
+    assert(Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+      .forall(f => !f.getName.startsWith(".cf")),
+      "hidden staged files survived a completed relay pass")
+    assert(foldLog() == live.filterNot(_._1 == 9L))
+    // crash mid-PROMOTION: the flip committed but a staged file was
+    // never renamed visible — entry recovery finishes it from the
+    // marker's file list, even on an otherwise no-change pass
+    val committed = new String(java.nio.file.Files.readAllBytes(markerPath),
+      "UTF-8").trim.split("\t", -1)(2).split(",").filter(_.nonEmpty)
+    assert(committed.nonEmpty)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(deltaDir, committed.head),
+      java.nio.file.Paths.get(deltaDir, "." + committed.head))
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 3L)
+    assert(new java.io.File(deltaDir, committed.head).exists(),
+      "mid-promotion crash not recovered from the marker's file list")
     assert(foldLog() == live.filterNot(_._1 == 9L))
     // a NO-CHANGE relay pass leaves marker, log, and the LIVE state dir
     // byte-identical — rewriting the dir the marker references would
@@ -829,6 +859,19 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(foldLog() == ManifestLand.read(spark, out).select("k")
       .as[Long].collect().sorted.toSeq)
     assert(!foldLog().contains(2L))
+    // a change log deleted out from under a live relay still refuses
+    // (guessing "detached" would silently lose deletes); the explicit
+    // detach is the only way to re-enable folding
+    graft.TempCleanup.rmrf(new java.io.File(deltaDir))
+    commit(4L, 200L, 210L)
+    ManifestLand.deleteWhere(spark, out, col("k") === 3L)
+    intercept[IllegalArgumentException] {
+      ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    }
+    assert(ManifestLand.detachRelay(out))
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    assert(ManifestLand.read(spark, out).count() ==
+      ManifestLand.read(spark, out).select("k").distinct().count())
   }
 
   test("relay consumer restart: a checkpointed stream over the change log reads only the increment") {
