@@ -874,6 +874,99 @@ class ManifestLandSpec extends SparkFunSuite {
       ManifestLand.read(spark, out).select("k").distinct().count())
   }
 
+  test("randomized relay soak: appends, deletes, compactions, and crash debris interleave exactly") {
+    val spark = this.spark
+    import spark.implicits._
+    // seeded driver over the full op mix; after EVERY relay pass the
+    // folded change log must equal the live landing, no hidden debris
+    // may survive, and a change file, once visible, must never change
+    // bytes (the publication-protocol invariant a checkpointed consumer
+    // depends on)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val out = Files.createTempDirectory("graft_mland_rsoak").toString + "/landing"
+    val deltaDir = Files.createTempDirectory("graft_mland_rsoak_log").toString
+    new java.io.File(out).mkdirs()
+    var nextV = 0L
+    var nextKey = 0L
+    def append(): Unit = {
+      val n = 10 + rnd.nextInt(20)
+      ManifestLand.applyBatch(
+        spark.range(nextKey, nextKey + n)
+          .select(col("id").as("k"), (col("id") * 3).as("x")).toDF().coalesce(1),
+        nextV, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+        rangeParts = 1, trackChanges = true)
+      nextV += 1; nextKey += n
+    }
+    def liveKeys(): Seq[Long] =
+      ManifestLand.read(spark, out).select("k").as[Long].collect().sorted.toSeq
+    def foldLog(): Seq[Long] = {
+      val log = spark.read.parquet(deltaDir)
+      log.filter(col("_change_type") === "insert").select("k")
+        .join(log.filter(col("_change_type") === "delete").select("k"),
+          Seq("k"), "left_anti").as[Long].collect().sorted.toSeq
+    }
+    val sigs = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    append(); ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    for (round <- 1 to 18) {
+      rnd.nextInt(4) match {
+        case 0 => append()
+        case 1 =>
+          val ks = liveKeys()
+          if (ks.nonEmpty) {
+            ManifestLand.deleteWhere(spark, out,
+              col("k") === ks(rnd.nextInt(ks.size)))
+            ()
+          }
+        case 2 =>
+          // the guard may refuse (un-relayed tombstones on the synced
+          // version): relay, then the same compaction must pass
+          try ManifestLand.compactIfNeeded(spark, out, maxFiles = 2, targetFiles = 1)
+          catch { case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("changeFeedRelay"), e.getMessage)
+            ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+            ManifestLand.compactIfNeeded(spark, out, maxFiles = 2, targetFiles = 1)
+          }
+        case 3 => () // idle round → the relay below is a no-change pass
+      }
+      // crash debris: a stranded hidden attempt (invalid bytes — it
+      // must be swept by NAME, never parsed) ...
+      if (rnd.nextInt(3) == 0)
+        java.nio.file.Files.write(java.nio.file.Paths.get(deltaDir,
+          s".cf${rnd.nextInt(100)}dgarbage${round}_00000.parquet"),
+          Array[Byte](1, 2, 3))
+      // ... and sometimes a committed file left un-promoted
+      // (mid-promotion death); rename preserves (length, mtime), so the
+      // immutability signature must survive the recovery round-trip
+      if (rnd.nextInt(4) == 0) {
+        val mp = java.nio.file.Paths.get(deltaDir, "_cf_applied")
+        val parts = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+          .trim.split("\t", -1)
+        if (parts.length == 3 && parts(2).nonEmpty) {
+          val n = parts(2).split(",").head
+          val vis = new java.io.File(deltaDir, n)
+          if (vis.exists()) {
+            java.nio.file.Files.move(vis.toPath,
+              new java.io.File(deltaDir, "." + n).toPath)
+            ()
+          }
+        }
+      }
+      ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+      assert(foldLog() == liveKeys(), s"round $round: fold mismatch")
+      assert(Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+        .forall(f => !f.getName.startsWith(".cf")),
+        s"round $round: hidden debris survived")
+      Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("cf") && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val sig = (f.length(), f.lastModified())
+          sigs.get(f.getName).foreach(old => assert(old == sig,
+            s"round $round: published ${f.getName} mutated"))
+          sigs(f.getName) = sig
+        }
+    }
+  }
+
   test("relay consumer restart: a checkpointed stream over the change log reads only the increment") {
     val spark = this.spark
     import spark.implicits._
