@@ -83,16 +83,11 @@ case class BloomAgg(
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buf.length * 8)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BloomAgg.serializeLongs(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong)
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    BloomAgg.deserializeLongs(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
     copy(mutableAggBufferOffset = o)
@@ -135,6 +130,42 @@ object BloomAgg {
     else Integer.highestOneBit((want - 1).toInt) << 1
   }
 
+  /** THE driver-side membership probe — the one JVM twin of
+    * [[memberExpr]]'s SQL arithmetic (and of `update`'s bit-set loop
+    * above), shared with [[graft.streaming.ManifestLand]]'s manifest
+    * pruning so the two can never diverge. Bits derive from the words
+    * array; a non-power-of-two payload refuses (a truncated filter
+    * probed modulo a garbage size would return silent false negatives).
+    */
+  def mightContain(words: Array[Long], h: Long): Boolean = {
+    val numBits = words.length * WordBits
+    if (numBits <= 0 || Integer.bitCount(numBits) != 1)
+      throw new IllegalStateException(
+        s"corrupt bloom payload: ${words.length} words is not a power-of-two bit count")
+    val h1 = (h & (numBits - 1L)).toInt
+    val h2 = (((h & 0xFFFFFFFFL) / 65536L) | 1L).toInt
+    var j = 0
+    while (j < NumProbes) {
+      val pos = (h1 + j * h2) % numBits
+      if ((words(pos >>> 5) & (1L << (pos & 31))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Shared long-array wire codec for the TypedImperativeAggregate
+    * buffers here and in [[MinHashAgg]]. */
+  private[functions] def serializeLongs(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private[functions] def deserializeLongs(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
   /** Column API: `bloom_agg(hashCol)` → `array<bigint>` of `numBits/32`
     * 32-bit words. */
   def bloom_agg(c: Column, numBits: Int = NumBits): Column =
@@ -152,10 +183,17 @@ object BloomAgg {
     * clear bit (most probes are misses).
     */
   def memberExpr(words: String, h: String): String = {
-    val h1 = s"($h & ${NumBits - 1})"
+    // the bit count is derived from the words array itself (m = size·32,
+    // a power of two by construction), so the probe matches WHATEVER
+    // size built the filter — a hardcoded default mask probed against a
+    // sized filter would test the wrong bits and return silent false
+    // negatives. Codegen's subexpression elimination shares the size()
+    // and h1/h2 terms across the four probes.
+    val m = s"(CAST(size($words) AS BIGINT) * $WordBits)"
+    val h1 = s"($h & ($m - 1))"
     val h2 = s"((($h & 4294967295) div 65536) | 1)"
     (0 until NumProbes).map { j =>
-      val pos = s"(($h1 + $j * $h2) % $NumBits)"
+      val pos = s"(($h1 + $j * $h2) % $m)"
       s"""(element_at($words, CAST($pos div $WordBits AS INT) + 1)
          | & shiftleft(CAST(1 AS BIGINT), CAST($pos % $WordBits AS INT))) != 0""".stripMargin
     }.mkString("(", " AND ", ")")

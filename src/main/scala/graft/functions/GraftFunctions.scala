@@ -18,12 +18,21 @@ object GraftFunctions {
     UTF8String.fromString(graft.dissect.PacketDissector.tcpFlagsString(flags))
 
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // ragged vectors and null elements REFUSE rather than degrade: a
+    // prefix-truncated similarity or a null-as-0.0 slot returns a
+    // confident wrong number (and diverges from any oracle replay,
+    // which errors on both) — embedding columns are fixed-dim,
+    // fully-populated by contract
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"cosine_sim: vector lengths differ ($n vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        s"cosine_sim: null element at position $i")
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y
@@ -57,7 +66,13 @@ object GraftFunctions {
     require(e.foldable,
       s"$fn: $what must be an integer literal, got non-foldable $e")
     e.eval() match {
-      case n: Number => n.intValue()
+      case n: Number =>
+        val v = n.intValue()
+        // every litInt parameter is a count (k, numPerms, numBits): a
+        // zero or negative value silently yields empty/degenerate
+        // results instead of surfacing the caller's typo
+        require(v > 0, s"$fn: $what must be positive, got $v")
+        v
       case other => throw new IllegalArgumentException(
         s"$fn: $what must be an integer literal, got $other")
     }

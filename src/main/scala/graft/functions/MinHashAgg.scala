@@ -28,7 +28,18 @@ case class MinHashAgg(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
+  require(numPerms > 0, s"minhash_sig: numPerms must be positive, got $numPerms")
+
   override def children: Seq[Expression] = Seq(child)
+  // same strict-BIGINT contract as TopKAgg/BloomAgg: a mistyped shingle
+  // hash must fail at ANALYSIS, not per-task with ClassCastException,
+  // and an implicit numeric cast would silently change the hashed value
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT input hash (cast explicitly); " +
+        s"got ${child.dataType.sql}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -60,16 +71,11 @@ case class MinHashAgg(
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buf.length * 8)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BloomAgg.serializeLongs(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong)
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    BloomAgg.deserializeLongs(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
     copy(mutableAggBufferOffset = o)

@@ -36,6 +36,8 @@ case class TopKAgg(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Long)]] {
 
+  require(k > 0, s"topk_by: k must be positive, got $k")
+
   private type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]
 
   override def children: Seq[Expression] = Seq(ord, id)
@@ -59,9 +61,20 @@ case class TopKAgg(
   override def createAggregationBuffer(): Buf =
     scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
 
+  // (ord DESC, id ASC) compared directly, never via key negation:
+  // -Long.MinValue overflows back to Long.MinValue, so a sortBy(-o)
+  // would rank the SMALLEST possible ord as the largest — plausible
+  // exactly when ord is hash-derived (xxhash64 spans the full range)
+  private val pairOrd: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   private def trim(buf: Buf, bound: Int): Buf = {
     if (buf.length > bound) {
-      val kept = buf.sortBy { case (o, i) => (-o, i) }.take(k)
+      val kept = buf.sorted(pairOrd).take(k)
       buf.clear()
       buf ++= kept
     }
@@ -82,7 +95,7 @@ case class TopKAgg(
 
   override def eval(buf: Buf): Any =
     new GenericArrayData(
-      buf.sortBy { case (o, i) => (-o, i) }.take(k)
+      buf.sorted(pairOrd).take(k)
         .map { case (o, i) => InternalRow(o, i) }.toArray[Any])
 
   override def serialize(buf: Buf): Array[Byte] = {

@@ -38,6 +38,8 @@ case class TopKPayloadAgg(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[UnsafeRow]] {
 
+  require(k > 0, s"topk_by_payload: k must be positive, got $k")
+
   private type Buf = scala.collection.mutable.ArrayBuffer[UnsafeRow]
 
   override def children: Seq[Expression] = Seq(ord, id, payload)
@@ -64,9 +66,18 @@ case class TopKPayloadAgg(
   override def createAggregationBuffer(): Buf =
     scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
 
+  // direct comparison, never sortBy(-ord): -Long.MinValue overflows back
+  // to Long.MinValue and would rank the smallest ord first (see TopKAgg)
+  private val rowOrd: Ordering[UnsafeRow] = new Ordering[UnsafeRow] {
+    def compare(a: UnsafeRow, b: UnsafeRow): Int = {
+      val c = java.lang.Long.compare(b.getLong(0), a.getLong(0))
+      if (c != 0) c else java.lang.Long.compare(a.getLong(1), b.getLong(1))
+    }
+  }
+
   private def trim(buf: Buf, bound: Int): Buf = {
     if (buf.length > bound) {
-      val kept = buf.sortBy(r => (-r.getLong(0), r.getLong(1))).take(k)
+      val kept = buf.sorted(rowOrd).take(k)
       buf.clear()
       buf ++= kept
     }
@@ -88,8 +99,7 @@ case class TopKPayloadAgg(
   override def merge(a: Buf, b: Buf): Buf = { a ++= b; trim(a, 4 * k) }
 
   override def eval(buf: Buf): Any =
-    new GenericArrayData(
-      buf.sortBy(r => (-r.getLong(0), r.getLong(1))).take(k).toArray[Any])
+    new GenericArrayData(buf.sorted(rowOrd).take(k).toArray[Any])
 
   override def serialize(buf: Buf): Array[Byte] = {
     trim(buf, k)

@@ -799,30 +799,15 @@ object ManifestLand {
       new Array[Long](bitsByFile(e.name) / BloomAgg.WordBits)))))
   }
 
-  /** Driver-side membership probe sharing BloomAgg's exact arithmetic:
-    * `h` is Spark's `xxhash64` of the key (seed 42). The filter's bit
-    * count is derived from the payload itself (`words.length * 32`), so
+  /** Driver-side membership probe: `h` is Spark's `xxhash64` of the key
+    * (seed 42). Delegates to [[graft.functions.BloomAgg.mightContain]] —
+    * THE shared probe kernel (bit count derived from the payload, so
     * files committed under different sizing regimes probe correctly side
-    * by side; a non-pow-2 payload is a corrupted manifest and refuses
-    * loudly (the masking arithmetic would otherwise probe wrong bits —
-    * false negatives, i.e. silently dropped rows).
+    * by side; a non-pow-2 payload refuses loudly) — so the manifest
+    * probe and the aggregate's arithmetic can never diverge.
     */
-  private def bloomContains(words: Array[Long], h: Long): Boolean = {
-    import graft.functions.BloomAgg.{NumProbes, WordBits}
-    val numBits = words.length * WordBits
-    if (numBits <= 0 || Integer.bitCount(numBits) != 1)
-      throw new IllegalStateException(
-        s"corrupt bloom payload: ${words.length} words is not a power-of-two bit count")
-    val h1 = (h & (numBits - 1L)).toInt
-    val h2 = (((h & 0xFFFFFFFFL) / 65536L) | 1L).toInt
-    var j = 0
-    while (j < NumProbes) {
-      val pos = (h1 + j * h2) % numBits
-      if ((words(pos >>> 5) & (1L << (pos & 31))) == 0L) return false
-      j += 1
-    }
-    true
-  }
+  private def bloomContains(words: Array[Long], h: Long): Boolean =
+    graft.functions.BloomAgg.mightContain(words, h)
 
   /** Spark's `xxhash64(CAST(v AS BIGINT))`, evaluated driver-side — the
     * same bits the staged-file blooms were built from. */

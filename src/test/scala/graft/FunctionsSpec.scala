@@ -217,4 +217,80 @@ class FunctionsSpec extends SparkFunSuite {
     assert(errDouble.getMessage.contains("DATATYPE_MISMATCH") ||
       errDouble.getMessage.toUpperCase.contains("BIGINT"), errDouble.getMessage)
   }
+
+  test("topk aggregates rank hash-range ords exactly: Long.MinValue never beats larger values") {
+    import spark.implicits._
+    // pre-fix: the sort key was -ord, and -Long.MinValue overflows back
+    // to Long.MinValue — the SMALLEST possible ord ranked as the largest
+    // (plausible exactly when ord is hash-derived, spanning the range)
+    val df = Seq(
+      (1, Long.MinValue, 1L), (1, Long.MaxValue, 2L),
+      (1, 0L, 3L), (1, Long.MinValue + 1, 4L)).toDF("g", "o", "id")
+    val top = df.groupBy("g")
+      .agg(TopKAgg.topk_by(col("o"), col("id"), 2).as("tk"))
+      .select(explode(col("tk"))).select(col("col.ord"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top == Seq((Long.MaxValue, 2L), (0L, 3L)), top.mkString(","))
+    val topP = df.groupBy("g")
+      .agg(graft.functions.TopKPayloadAgg.topk_by_payload(
+        col("o"), col("id"), col("g"), 2).as("tk"))
+      .select(explode(col("tk"))).select(col("col.ord"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(topP == Seq(Long.MaxValue, 0L), topP.mkString(","))
+  }
+
+  test("graft_minhash: non-BIGINT input and non-positive counts refuse at analysis") {
+    GraftFunctions.register(spark)
+    spark.range(10).createOrReplaceTempView("mh_in")
+    val ok = spark.sql("SELECT graft_minhash(xxhash64(id), 4) FROM mh_in")
+      .head().getSeq[Long](0)
+    assert(ok.size == 4)
+    // pre-fix: analysis passed and every task died with a
+    // ClassCastException at v.asInstanceOf[Long]
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_minhash(CAST(id AS INT), 4) FROM mh_in").collect())
+    assert(e1.getMessage.contains("BIGINT") ||
+      e1.getMessage.contains("DATATYPE_MISMATCH"), e1.getMessage)
+    // counts are sizes: zero/negative k or numPerms silently produced
+    // empty signatures/arrays pre-fix
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_minhash(xxhash64(id), 0) FROM mh_in").collect())
+    assert(e2.getMessage.contains("positive"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql("SELECT graft_topk(id, id, 0) FROM mh_in").collect())
+    assert(e3.getMessage.contains("positive"), e3.getMessage)
+  }
+
+  test("bloom memberExpr probes SIZED filters correctly (bits derived from the words array)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // build a NON-default-size filter and probe all inserted keys via the
+    // SQL membership fragment: pre-fix the fragment masked with the
+    // hardcoded default 65535, probing wrong bits of any sized filter —
+    // silent false negatives, the worst failure class for a pruning filter
+    spark.range(500).createOrReplaceTempView("bm_in")
+    spark.sql("SELECT graft_bloom(xxhash64(id), 1048576) AS words FROM bm_in")
+      .createOrReplaceTempView("bm_filter")
+    val misses = spark.sql(
+      s"""SELECT count(*) FROM bm_in CROSS JOIN bm_filter
+         |WHERE NOT ${graft.functions.BloomAgg.memberExpr("words", "xxhash64(id)")}"""
+        .stripMargin).head().getLong(0)
+    assert(misses == 0L, s"$misses inserted keys missed the sized filter")
+    // and the JVM kernel agrees with the SQL fragment on the same filter
+    val words = spark.sql("SELECT words FROM bm_filter").head().getSeq[Long](0).toArray
+    val hashes = spark.sql("SELECT xxhash64(id) h FROM bm_in").as[Long].collect()
+    assert(hashes.forall(graft.functions.BloomAgg.mightContain(words, _)))
+  }
+
+  test("cosine_sim refuses ragged vectors and null elements instead of degrading") {
+    GraftFunctions.register(spark)
+    // a prefix-truncated similarity or a null-as-0.0 slot is a confident
+    // wrong number; both are contract violations that must surface
+    val eRag = intercept[Exception](spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d))").collect())
+    assert(eRag.getMessage.contains("lengths differ"), eRag.getMessage)
+    val eNull = intercept[Exception](spark.sql(
+      "SELECT cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d))").collect())
+    assert(eNull.getMessage.contains("null element"), eNull.getMessage)
+  }
 }
