@@ -112,8 +112,13 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan = {
+    // the multi-path `paths` option arrives as a JSON array (Spark
+    // encodes load(paths*) that way) — parse it as one, not by string
+    // surgery: a path containing a comma would otherwise shatter into
+    // bogus fragments
     val paths = Option(options.get("paths"))
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .map(js => new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq)
       .getOrElse(Option(options.get("path")).toSeq)
     val decodeParts = options.getInt("decodePartitions", 1)
     require(decodeParts >= 1 && decodeParts <= 1024,
@@ -145,8 +150,10 @@ final class PcapScan(
     require(decodePartitions == 1,
       "pcap streaming read does not support decodePartitions " +
         "(parallelism is per file; use maxFilesPerTrigger)")
+    // withBytes/filters ride along: dropping them made every bytes-mode
+    // streaming task die on a schema-ordinal lookup
     new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, filters, withBytes)
   }
   override def description(): String =
     s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")}" +
@@ -155,17 +162,7 @@ final class PcapScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
-    val files = paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(hconf)
-      val stats =
-        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
-        else fs.globStatus(path) match {
-          case null => Seq(fs.getFileStatus(path))
-          case g => g.toSeq
-        }
-      stats.filter(_.isFile).map(_.getPath.toString)
-    }
+    val files = PcapFileEnum.list(paths, hconf)
     // decodePartitions > 1 = the SINGLE-HUGE-FILE parallelism knob (the
     // DSv2 twin of PcapSource's RDD-path repartition, round-7 verdict
     // #7): pcap has no sync markers, so a file cannot be byte-split —
@@ -185,6 +182,34 @@ final class PcapScan(
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     PcapReaderFactory(conf, required, refCompat, filters, withBytes)
   }
+}
+
+/** THE one path expander shared by the batch scan and the streaming
+  * source (the two had drifting hand copies). Globs expand FIRST —
+  * `getFileStatus` on a pattern throws before `globStatus` could run, so
+  * the old order made glob loads dead code; glob-matched directories
+  * expand one level like literal directories. Hidden files (`.`/`_`
+  * basenames: in-flight `.tmp` staging from [[PcapWrite]], crashed-task
+  * debris, marker siblings) are never data — reading a half-written tmp
+  * as pcap fails the whole job (or double-reads frames once the rename
+  * lands).
+  */
+private[sources] object PcapFileEnum {
+  def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  def list(paths: Seq[String], hconf: Configuration): Seq[String] = paths.flatMap { p =>
+    val path = new Path(p)
+    val fs = path.getFileSystem(hconf)
+    val stats = fs.globStatus(path) match {
+      case null => Seq(fs.getFileStatus(path)) // literal missing path → loud
+      case g => g.toSeq
+    }
+    stats.flatMap(st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+      .filter(st => st.isFile && !isHidden(st.getPath.getName))
+      .map(_.getPath.toString)
+  }.sorted
 }
 
 final case class PcapInputPartition(

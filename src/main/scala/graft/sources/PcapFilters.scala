@@ -15,9 +15,14 @@ object PcapFilters {
 
   /** Columns we can evaluate pre-materialization, as Option[Any] getters
     * in the value domain Spark compares with (Int/Long/Short/Boolean/
-    * String).
+    * String). `pcapFile` parameterizes the constant-per-file column
+    * DIRECTLY — substituting a sentinel into every getter's VALUE would
+    * also rewrite a data value that happens to equal the sentinel (and a
+    * reader-skipped row is gone for good; Spark's residual re-evaluation
+    * never sees it).
     */
-  private def getter(attr: String): Option[PacketRow => Option[Any]] = attr match {
+  private def getter(attr: String,
+      pcapFile: String = ""): Option[PacketRow => Option[Any]] = attr match {
     case "frame_time" => None // timestamp comparison left to Spark
     case "frame_len" => Some(r => r.frameLen)
     case "eth_type" => Some(r => r.ethType)
@@ -40,7 +45,7 @@ object PcapFilters {
     case "dns_qry_type" => Some(r => r.dnsQryType)
     case "ntp_priv_reqcode" => Some(r => r.ntpPrivReqcode)
     case "dhip_device" => Some(r => r.dhipDevice)
-    case "pcap_file" => Some(_ => Some("__PCAP_FILE__")) // substituted at compile
+    case "pcap_file" => Some(_ => Some(pcapFile))
     case _ => None
   }
 
@@ -79,17 +84,17 @@ object PcapFilters {
       case LessThan(a, v) => evalCmp(a, v, _ < 0)
       case LessThanOrEqual(a, v) => evalCmp(a, v, _ <= 0)
       case In(a, vs) =>
-        getter(a) match {
-          case Some(g) => r => g(r).map(subst).exists(x => vs.exists(v => cmp(x, v).contains(0)))
+        getter(a, pcapFile) match {
+          case Some(g) => r => g(r).exists(x => vs.exists(v => cmp(x, v).contains(0)))
           case None => _ => true
         }
       case IsNull(a) =>
-        getter(a) match {
+        getter(a, pcapFile) match {
           case Some(g) => r => g(r).isEmpty
           case None => _ => true
         }
       case IsNotNull(a) =>
-        getter(a) match {
+        getter(a, pcapFile) match {
           case Some(g) => r => g(r).isDefined
           case None => _ => true
         }
@@ -98,10 +103,9 @@ object PcapFilters {
       case Not(c) => val fc = one(c); row => !fc(row)
       case _ => _ => true
     }
-    def subst(v: Any): Any = if (v == "__PCAP_FILE__") pcapFile else v
     def evalCmp(attr: String, v: Any, ok: Int => Boolean): PacketRow => Boolean =
-      getter(attr) match {
-        case Some(g) => r => g(r).map(subst).flatMap(x => cmp(x, v)).exists(ok)
+      getter(attr, pcapFile) match {
+        case Some(g) => r => g(r).flatMap(x => cmp(x, v)).exists(ok)
         case None => _ => true
       }
     val compiled = filters.map(one)

@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
@@ -8,50 +7,74 @@ import org.apache.spark.util.SerializableConfiguration
 
 /** Micro-batch streaming over a landing directory of pcap files (SURVEY
   * §2.5's optional extension): each trigger processes the files that
-  * appeared since the last committed offset. The offset is the sorted
-  * file manifest position — files must be written atomically (rename into
-  * the directory), the standard landing-zone contract.
+  * appeared since the last committed offset.
+  *
+  * The offset is `(fileCount, lastName)` — a batch is the SORTED-NAME
+  * range `(start.lastName, end.lastName]`, NOT a positional slice of a
+  * re-evaluated listing: a position shifts whenever a file arrives (or
+  * disappears) out of lexicographic order, silently double-reading one
+  * file and never reading another, and makes a replayed batch read
+  * different files than its original attempt. The name range is stable
+  * under growth; the recorded count cross-checks it, so a file deleted
+  * from (or arriving late inside) a COMMITTED range refuses loudly
+  * instead of re-slicing. Landing contract, same as Spark's file
+  * source: files appear by atomic rename, with names that sort after
+  * everything already present (the standard timestamped-rotation
+  * pattern, e.g. `tcpdump -G`).
   *
   * Implements [[SupportsTriggerAvailableNow]] (round-7, VERDICT r6 #5):
   * without it, `Trigger.AvailableNow` falls back to a SINGLE batch of
   * everything — which weakens the processing guarantee on restart (an
   * uncommitted giant batch replays in full, and admission control is
-  * ignored). With it, `prepareForTriggerAvailableNow` pins the target
-  * file count at query start and every batch advances toward that fence
-  * under the declared read limit (`maxFilesPerTrigger` option), exactly
-  * like Spark's own file source.
+  * ignored). With it, `prepareForTriggerAvailableNow` pins the fence at
+  * query start and every batch advances toward that fence under the
+  * declared read limit (`maxFilesPerTrigger` option), exactly like
+  * Spark's own file source.
   */
 final class PcapMicroBatchStream(
     paths: Seq[String],
     required: org.apache.spark.sql.types.StructType,
     refCompat: Boolean,
     checkpointLocation: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    withBytes: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val spark = org.apache.spark.sql.SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
   private val serConf = new SerializableConfiguration(hconf)
 
-  /** AvailableNow fence: files beyond this count (they arrived after the
-    * query started) are left for the NEXT run — the trigger's contract.
+  /** AvailableNow fence: files sorting after this name (they arrived
+    * after the query started) are left for the NEXT run.
     */
-  @volatile private var availableNowCap: Option[Int] = None
+  @volatile private var availableNowFence: Option[String] = None
 
-  private def listFiles(): Seq[String] = paths.flatMap { p =>
-    val path = new Path(p)
-    val fs = path.getFileSystem(hconf)
-    val stats =
-      if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
-      else fs.globStatus(path) match {
-        case null => Seq(fs.getFileStatus(path))
-        case g => g.toSeq
-      }
-    stats.filter(_.isFile).map(_.getPath.toString)
-  }.sorted
+  // one listing per trigger, not one per callback: latestOffset,
+  // reportLatestOffset, and planInputPartitions all need the file set
+  @volatile private var cachedListing: Seq[String] = _
+
+  private def listFiles(refresh: Boolean): Seq[String] = {
+    if (refresh || cachedListing == null)
+      cachedListing = PcapFileEnum.list(paths, hconf)
+    cachedListing
+  }
+
+  /** Pre-name-range checkpoints recorded only a count: anchor it to the
+    * current listing ONCE at migration (the old positional semantics),
+    * then every subsequent offset carries its name.
+    */
+  private def resolve(o: PcapOffset, listing: Seq[String]): PcapOffset =
+    if (o.lastName.nonEmpty || o.fileCount == 0) o
+    else {
+      require(listing.size >= o.fileCount,
+        s"pcap stream: legacy offset ${o.fileCount} exceeds the ${listing.size}-file " +
+          "listing — files were deleted from the landing")
+      PcapOffset(o.fileCount, listing(o.fileCount - 1))
+    }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(listFiles().size)
+    availableNowFence = Some(listFiles(refresh = true).lastOption.getOrElse(""))
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
@@ -61,16 +84,36 @@ final class PcapMicroBatchStream(
     * AvailableNow fence when set), bounded by the read limit from start.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[PcapOffset].fileCount
-    val avail = availableNowCap.getOrElse(listFiles().size)
-    val e = limit match {
-      case mf: ReadMaxFiles => math.min(avail, s + mf.maxFiles())
-      case _ => avail
+    val listing = listFiles(refresh = true)
+    val s = resolve(start.asInstanceOf[PcapOffset], listing)
+    // the files at or below the processed watermark must be exactly the
+    // ones already counted: more means a file arrived OUT OF ORDER
+    // (sorting below names already processed — it would be silently
+    // skipped forever), fewer means a processed file was deleted.
+    // Both violate the landing contract; refuse instead of losing data.
+    val below = listing.count(_ <= s.lastName)
+    require(below == s.fileCount,
+      s"pcap stream: $below files at or below the processed watermark " +
+        s"'${s.lastName}' but ${s.fileCount} were processed — a file " +
+        "arrived out of lexicographic order (it would never be read) or " +
+        "a processed file was deleted; the landing must add files by " +
+        "atomic rename with monotonically sorting names")
+    val unfenced = listing.filter(_ > s.lastName)
+    val candidates = availableNowFence match {
+      case Some(f) => unfenced.filter(_ <= f)
+      case None => unfenced
     }
-    PcapOffset(math.max(s, e))
+    val take = limit match {
+      case mf: ReadMaxFiles => math.min(candidates.size, mf.maxFiles())
+      case _ => candidates.size
+    }
+    if (take == 0) s else PcapOffset(s.fileCount + take, candidates(take - 1))
   }
 
-  override def reportLatestOffset(): Offset = PcapOffset(listFiles().size)
+  override def reportLatestOffset(): Offset = {
+    val listing = listFiles(refresh = false)
+    PcapOffset(listing.size, listing.lastOption.getOrElse(""))
+  }
 
   // a SupportsAdmissionControl source is always asked through
   // latestOffset(start, limit); the legacy form must never be called
@@ -78,25 +121,40 @@ final class PcapMicroBatchStream(
     throw new UnsupportedOperationException(
       "PcapMicroBatchStream uses latestOffset(Offset, ReadLimit)")
 
-  override def initialOffset(): Offset = PcapOffset(0)
+  override def initialOffset(): Offset = PcapOffset(0, "")
 
   override def deserializeOffset(json: String): Offset =
-    PcapOffset(json.trim.toInt)
+    json.trim.split("\t", -1) match {
+      case Array(n) => PcapOffset(n.toInt, "") // legacy count-only form
+      case Array(n, name) => PcapOffset(n.toInt, name)
+      case other => throw new IllegalStateException(
+        s"unreadable pcap stream offset: ${other.mkString("\\t")}")
+    }
 
   override def commit(end: Offset): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[PcapOffset].fileCount
-    val e = end.asInstanceOf[PcapOffset].fileCount
-    listFiles().slice(s, e).map(f => PcapInputPartition(f): InputPartition).toArray
+    val listing = listFiles(refresh = false)
+    val s = resolve(start.asInstanceOf[PcapOffset], listing)
+    val e = resolve(end.asInstanceOf[PcapOffset], listing)
+    val files = listing.filter(n => n > s.lastName && n <= e.lastName)
+    // the count pins the committed range's content: a mismatch means a
+    // file inside it was deleted or arrived late (non-monotonic name) —
+    // re-slicing would silently duplicate or lose files, so refuse
+    require(files.size == e.fileCount - s.fileCount,
+      s"pcap stream: committed batch (${s.lastName}, ${e.lastName}] recorded " +
+        s"${e.fileCount - s.fileCount} files but the landing now resolves it to " +
+        s"${files.size} — the atomic-rename/monotonic-name landing contract was " +
+        "violated; refusing to replay a different batch than was committed")
+    files.map(f => PcapInputPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PcapReaderFactory(serConf, required, refCompat)
+    PcapReaderFactory(serConf, required, refCompat, filters, withBytes)
 
   override def stop(): Unit = ()
 }
 
-final case class PcapOffset(fileCount: Int) extends Offset {
-  override def json(): String = fileCount.toString
+final case class PcapOffset(fileCount: Int, lastName: String = "") extends Offset {
+  override def json(): String = s"$fileCount\t$lastName"
 }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{BinaryType, StructType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -122,7 +122,12 @@ final class PcapDataWriter(
       schema.fieldIndex("frame_time")
     else -1
   private val lenIdx =
-    if (schema.fieldNames.contains("frame_len")) schema.fieldIndex("frame_len")
+    // type-gated like frame_time above: these optional columns are read
+    // with a fixed-width getter, so a differently-typed projection must
+    // fall back (misreading an unsafe-row word writes a garbage length)
+    if (schema.fieldNames.contains("frame_len") &&
+        schema(schema.fieldIndex("frame_len")).dataType == LongType)
+      schema.fieldIndex("frame_len")
     else -1
 
   private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.pcap")
@@ -198,10 +203,17 @@ final class PcapNgDataWriter(
       schema.fieldIndex("frame_time")
     else -1
   private val lenIdx =
-    if (schema.fieldNames.contains("frame_len")) schema.fieldIndex("frame_len")
+    // type-gated like frame_time above: these optional columns are read
+    // with a fixed-width getter, so a differently-typed projection must
+    // fall back (misreading an unsafe-row word writes a garbage length)
+    if (schema.fieldNames.contains("frame_len") &&
+        schema(schema.fieldIndex("frame_len")).dataType == LongType)
+      schema.fieldIndex("frame_len")
     else -1
   private val ltIdx =
-    if (schema.fieldNames.contains("linktype")) schema.fieldIndex("linktype")
+    if (schema.fieldNames.contains("linktype") &&
+        schema(schema.fieldIndex("linktype")).dataType == IntegerType)
+      schema.fieldIndex("linktype")
     else -1
 
   private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.pcapng")

@@ -38,12 +38,30 @@ object ParquetLand {
     q.awaitTermination()
   }
 
-  /** Complete-mode aggregate → per-batch atomic snapshot overwrite. */
+  /** Complete-mode aggregate → per-batch snapshot through the SAME
+    * staged rename swap the compacting landing uses: a direct
+    * `mode("overwrite")` deletes the previous snapshot BEFORE writing
+    * the new one, so a crash mid-batch (or a reader racing the write)
+    * saw an empty or partial table for the whole write duration.
+    * Staging to a `.compact` sibling and swapping narrows the exposed
+    * window to two renames; a crash between them is finished by
+    * [[recoverSwap]] on the next start, and a replay after the swap
+    * overwrites the same staged dir (the batch-id names it).
+    */
   def completeSnapshot(stream: DataFrame, outDir: String, ckpt: String): Unit = {
+    recoverSwap(outDir)
     val q = stream.writeStream
       .outputMode("complete")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val tmp = s"$outDir.compact$batchId"
+        batch.write.mode("overwrite").parquet(tmp)
+        val cur = new java.io.File(outDir)
+        val old = new java.io.File(s"$outDir.old$batchId")
+        if (old.exists()) graft.TempCleanup.rmrf(old) // crashed replay debris
+        if (cur.exists())
+          require(cur.renameTo(old), s"swap-out failed: $outDir")
+        require(new java.io.File(tmp).renameTo(cur), s"swap-in failed: $tmp")
+        graft.TempCleanup.rmrf(old)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -51,13 +69,24 @@ object ParquetLand {
     q.awaitTermination()
   }
 
-  /** Update-mode state stream → batch-id-stamped journal (CDC-style). */
+  /** Update-mode state stream → batch-id-stamped journal (CDC-style).
+    * Exactly-once like [[applyBatch]]: a replayed batch (crash after
+    * the parquet write, before the checkpoint commit) must not append
+    * its rows a second time — the journal is an AUDIT trail, so
+    * duplicates double-count per-batch deltas even though
+    * [[journalState]]'s latest-row-per-key read would survive them.
+    * Deterministic staged names make the pre-marker replay overwrite
+    * rather than duplicate.
+    */
   def updateJournal(stream: DataFrame, outDir: String, ckpt: String): Unit = {
     val q = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        batch.withColumn("_batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        if (batchId > appliedThrough(outDir)) {
+          stageParts(batch.withColumn("_batch_id", lit(batchId)),
+            outDir, s"j${batchId}_")
+          commitApplied(outDir, batchId)
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

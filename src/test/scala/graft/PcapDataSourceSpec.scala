@@ -76,6 +76,40 @@ class PcapDataSourceSpec extends SparkFunSuite {
     }
   }
 
+  test("glob loads expand; hidden and tmp files are never read as data") {
+    // pre-fix: getFileStatus ran BEFORE globStatus, so any glob path
+    // threw FileNotFoundException (the glob branch was dead code)
+    val viaGlob = spark.read.format("pcap").load(s"$dir/*.pcap")
+    assert(viaGlob.count() == 6)
+    // in-flight staging tmp files and marker siblings are not data: a
+    // half-written .tmp read as pcap fails the whole job
+    val d2 = Files.createTempDirectory("dsv2_hidden")
+    Files.copy(java.nio.file.Paths.get(dir, "a.pcap"), d2.resolve("a.pcap"))
+    Files.write(d2.resolve(".part-0-1.pcap.tmp"), Array[Byte](1, 2, 3))
+    Files.write(d2.resolve("_marker"), Array[Byte](0))
+    assert(spark.read.format("pcap").load(d2.toString).count() == 2)
+  }
+
+  test("pcap_file filter does not clobber a data value equal to the old sentinel") {
+    // pre-fix the reader substituted EVERY compared value matching the
+    // internal __PCAP_FILE__ sentinel with the file basename — a packet
+    // whose dns_qry_name was literally that string was skipped at the
+    // reader and Spark's residual re-evaluation never saw it
+    val d = Files.createTempDirectory("dsv2_sentinel")
+    val frames = Seq(
+      (1L, ethernet(0x0800, ipv4("10.0.0.1", "10.0.0.2", 17,
+        udp(5353, 53, dnsQuery("__PCAP_FILE__", 1))))))
+    Files.write(d.resolve("s.pcap"), legacyPcap(frames.map { case (ts, b) => (ts, -1, b) }))
+    val hits = spark.read.format("pcap").load(d.toString)
+      .filter(col("dns_qry_name") === "__PCAP_FILE__")
+    assert(hits.count() == 1, "sentinel-valued data row lost at the reader")
+    // and the real pcap_file pushdown still matches per file
+    assert(spark.read.format("pcap").load(d.toString)
+      .filter(col("pcap_file") === "s.pcap").count() == 1)
+    assert(spark.read.format("pcap").load(d.toString)
+      .filter(col("pcap_file") === "other.pcap").count() == 0)
+  }
+
   test("column pruning reaches the reader (narrow scan)") {
     val narrow = spark.read.format("pcap").load(dir)
       .select("dns_qry_name", "pcap_file")

@@ -91,6 +91,54 @@ class PcapStreamingSpec extends SparkFunSuite {
     assert(rows.select("pcap_file").distinct().count() == 4)
   }
 
+  test("out-of-order file arrival refuses loudly instead of silently skipping or double-reading") {
+    // the offset is a (count, lastName) watermark over SORTED names:
+    // pre-fix it was a POSITION in a re-evaluated listing, so a file
+    // sorting before the watermark shifted the slice — one file read
+    // twice, the newcomer never. Now the below-watermark census detects
+    // the contract violation and the stream fails with a clear message.
+    val dir = Files.createTempDirectory("pcapooo")
+    Files.write(dir.resolve("c5.pcap"), capture(5))
+    val name = "pcap_ooo_sink"
+    val q = spark.readStream.format("pcap").load(dir.toString)
+      .groupBy("col_protocol").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(1)).sum == 2L)
+      // a file sorting BEFORE the processed watermark arrives
+      Files.write(dir.resolve("c0.pcap"), capture(0))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(10000); ()
+      }
+      assert(err.getMessage.contains("out of lexicographic order") ||
+        Option(err.getCause).exists(_.getMessage.contains("out of lexicographic order")),
+        err.getMessage)
+    } finally q.stop()
+  }
+
+  test("bytes=true streaming read carries raw frames (schema and reader agree)") {
+    // pre-fix toMicroBatchStream dropped the bytes option: the table
+    // schema said bytesSchema but every task built its projection
+    // against the 31-column schema and died on the frame_bytes ordinal
+    val dir = Files.createTempDirectory("pcapbytesstream")
+    Files.write(dir.resolve("c1.pcap"), capture(1))
+    val name = "pcap_bytes_sink"
+    val q = spark.readStream.format("pcap").option("bytes", "true")
+      .load(dir.toString)
+      .select("col_protocol", "frame_bytes", "linktype")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = spark.table(name).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getAs[Array[Byte]]("frame_bytes").length > 14 &&
+      r.getInt(2) == 1))
+  }
+
   test("streaming defrag: a continuation fragment in a LATER batch is patched from state") {
     lateBatchDefrag("pcap_stream_defrag_sink")
   }
