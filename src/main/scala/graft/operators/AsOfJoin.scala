@@ -59,7 +59,7 @@ object AsOfJoin {
       .withColumn("__best", max(when(col("__side") === 0, col("__rp"))).over(w))
       .filter(col("__side") === 1)
     matched.select(
-      leftCols.map(c => (if (keys.contains(c)) col(c) else col(c)).as(c)) ++
+      leftCols.map(c => col(c).as(c)) ++
         Seq(col("__best.__pts").as("asof_ts")) ++
         rightPayload.map(p => col(s"__best.$p").as(s"asof_$p")): _*)
   }

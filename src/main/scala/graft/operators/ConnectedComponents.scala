@@ -63,6 +63,14 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    // an unconverged label frame LOOKS valid but splits true components
+    // (propagation advances one hop per round — a >maxIterations-diameter
+    // chain reports wrong ids); silent wrong output is the one thing a
+    // dedup keep-list must never get
+    require(converged,
+      s"ConnectedComponents: no fixpoint after $maxIterations rounds — " +
+        "graph diameter exceeds the budget; raise maxIterations or use " +
+        "twoPhase (O(log² n) rounds regardless of diameter)")
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -121,6 +129,12 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    // worse than apply()'s failure mode: a non-converged edge set is not
+    // a star forest, so a node with two parents emits TWO (node,
+    // component) rows and corrupts every downstream join
+    require(converged,
+      s"ConnectedComponents.twoPhase: no fixpoint after $maxIterations " +
+        "alternation rounds; raise maxIterations")
     // star forest: every u points at its root v; roots (and isolated
     // nodes) are their own component
     val children = e.select(col("u").as("node"), col("v").as("component"))

@@ -29,6 +29,13 @@ object InvertedIndex {
 
   /** Bounded postings shards from a (doc_id, tok) pair table.
     * Output: (tok, bucket, docs sorted ASC, dfp = ids in this shard).
+    *
+    * PRECONDITION: the input pairs must be DISTINCT — a document's
+    * repeated token must arrive once (callers `array_distinct` before
+    * exploding, as d40 does). Duplicates would inflate dfp beyond true
+    * document frequency and repeat ids inside `docs`. Not enforced here:
+    * a defensive `.distinct()` would re-shuffle what every caller has
+    * already deduplicated.
     */
   def shards(toks: DataFrame, cap: Int = 64): DataFrame =
     toks

@@ -136,9 +136,15 @@ object JaccardAllPairs {
       .join(d.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
+    // NO broadcast hint on sz: it is one row per corpus document, and
+    // joinPath is chosen precisely when the corpus exceeds the dense
+    // gate — at 10^8+ docs a forced broadcast is the driver-OOM hazard
+    // MaxDenseMatrixBytes exists to prevent. The joins key on the
+    // candidate pairs (tiny), so AQE picks a broadcast when sz actually
+    // fits and a shuffle join when it does not.
     inter
-      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST((1000 * inter) div (na + nb - inter) AS BIGINT)").as("jaccard_permille"))
       .filter(col("jaccard_permille") >= thresholdPermille)

@@ -36,14 +36,19 @@ object KMeansIvf {
     }
     for (_ <- 1 to iterations) {
       val assigned = assign(e, centroids)
-      centroids = assigned
+      val updated = assigned
         .select(col("cell"), posexplode(col("e")))
         .groupBy("cell", "pos")
         .agg(avg("col").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"),
-          expr("transform(pm, x -> x.m)").as("ce"))
+        .select(col("cell"), expr("transform(pm, x -> x.m)").as("nce"))
+      // a cell that captured NO points this round keeps its previous
+      // centroid (the PqAnn.fitEncode guard): emitting only assigned
+      // cells would silently shrink the index below the requested k
+      // forever, and searchWithIndex would probe nprobe of fewer cells
+      centroids = centroids.join(updated, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("nce"), col("ce")).as("ce"))
         // EAGER materialization of the k-row centroid frame: without it
         // the Lloyd chain stays lazy and iteration i re-runs iterations
         // 1..i-1 (quadratic recompute — round-5 bench finding on e06)
@@ -100,7 +105,11 @@ object KMeansIvf {
             lit(oversample.toDouble) * col("d2i").cast("double") / lit(phi.toDouble))
         .select(col("vec_id"), col("e"))
         .collect()
-      cands = (cands ++ picked.map(_.getSeq[Double](1).toArray)).distinct
+      // dedup BY VALUE: Array.distinct compares JVM arrays by reference,
+      // so a point sampled in two rounds survived twice — a weight-0
+      // twin candidate that could become a duplicate centroid
+      cands = (cands ++ picked.map(_.getSeq[Double](1).toArray))
+        .map(_.toSeq).distinct.map(_.toArray)
     }
 
     // weights: points per nearest candidate (index argmin, ties -> lowest)

@@ -42,8 +42,11 @@ object MergeInto {
     base.as("b")
       .join(source.as("s"), bk === sk, "full_outer")
       // delete rows: a matched delete removes the base row; a source-only
-      // delete has nothing to remove
-      .filter(!(sk.isNotNull && deleteWhen))
+      // delete has nothing to remove. A NULL predicate is NOT a delete
+      // (SQL MERGE: an unknown WHEN-condition is not satisfied) — without
+      // the coalesce, !(true && NULL) = NULL and the filter would DROP
+      // the row, silently deleting on e.g. `op === "D"` when op is NULL
+      .filter(!(sk.isNotNull && coalesce(deleteWhen, lit(false))))
       .select(cols: _*)
   }
 }

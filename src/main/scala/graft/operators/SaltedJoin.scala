@@ -36,11 +36,14 @@ object SaltedJoin {
     require(allowed.contains(joinType.toLowerCase.replace("_", "")),
       s"SaltedJoin: joinType '$joinType' would duplicate unmatched right rows " +
         s"(one per salt); use the plain join for right/full outer")
-    // deterministic per-row shard: hash every left column so identical
-    // rows still spread (monotonically_increasing_id would break
-    // determinism across retries)
+    // per-row round-robin shard: the salt only ROUTES rows — the right
+    // side carries every replica, so any salt value joins correctly and
+    // retry-instability is harmless. A hash of the row's columns (the
+    // previous scheme) provably cannot spread the canonical worst case,
+    // a hot key whose rows are byte-identical: every copy hashed to the
+    // same salt and the whole key still melted one reducer.
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

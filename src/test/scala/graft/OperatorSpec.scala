@@ -212,6 +212,61 @@ class OperatorSpec extends SparkFunSuite {
     assert(leftJoin.last.isNullAt(2)) // k=3 has no match
   }
 
+  test("SaltedJoin: byte-identical hot-key rows still join correctly (round-robin salt)") {
+    import spark.implicits._
+    // the canonical worst case the operator exists for: one hot key whose
+    // rows are byte-identical. The old column-hash salt sent every copy
+    // to ONE reducer (zero mitigation); round-robin spreads them, and the
+    // result must equal the plain join regardless of salt routing
+    val l = Seq.fill(200)((7L, "dup")).toDF("k", "lv")
+    val r = Seq((7L, "X"), (8L, "Y")).toDF("k", "rv")
+    val got = SaltedJoin(l, r, Seq("k"), 8).collect()
+    assert(got.length == 200 && got.forall(_.getString(2) == "X"))
+  }
+
+  test("MergeInto: a NULL delete predicate is not a delete (SQL MERGE semantics)") {
+    import spark.implicits._
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("custkey", "v")
+    // op NULL on a matched key and on a source-only key: pre-fix the
+    // filter evaluated to NULL and silently DROPPED both rows (the
+    // matched base row vanished; the insert was suppressed)
+    val source = Seq((1L, 11L, null.asInstanceOf[String]),
+      (3L, 30L, null.asInstanceOf[String]),
+      (2L, 0L, "D")).toDF("custkey", "v", "op")
+    val merged = graft.operators.MergeInto(
+      base, source, "custkey",
+      deleteWhen = col("s.op") === "D",
+      outCols = Seq(
+        "custkey" -> ((col("s.custkey"), col("b.custkey"), col("s.custkey"))),
+        "v" -> ((col("s.v"), col("b.v"), col("s.v")))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 11L, 3L -> 30L), merged.toString)
+  }
+
+  test("ConnectedComponents: exhausting maxIterations without a fixpoint refuses loudly") {
+    import spark.implicits._
+    // a 30-edge chain cannot converge in 3 min-label rounds; pre-fix the
+    // operator returned a silently SPLIT component (labels look valid)
+    val chain = (0 until 30).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.ConnectedComponents(chain, maxIterations = 3).collect()
+    }
+    assert(err.getMessage.contains("fixpoint"), err.getMessage)
+  }
+
+  test("KMeansIvf: a cell that loses every point keeps its centroid (no index shrink)") {
+    import spark.implicits._
+    // seeds 0 and 1 are identical vectors, so every point tie-breaks into
+    // one cell and the other captures nothing — pre-fix the Lloyd update
+    // emitted only assigned cells and the index silently shrank below k
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val (centroids, assigned) = graft.operators.KMeansIvf.fit(emb, k = 2, iterations = 2)
+    assert(centroids.count() == 2, "empty cell dropped from the index")
+    assert(assigned.count() == 4)
+  }
+
   test("ConnectedComponents equals union-find on random graphs") {
     import spark.implicits._
     for (seed <- Seq(3, 99)) {
