@@ -1,7 +1,5 @@
 package graft.dissect
 
-import graft.core.PacketRow
-
 /** DNS question extraction (reference: src/packetstats.rs:268-291 via the
   * `domain` crate): first question only, qname in dotted form WITHOUT a
   * trailing dot (the domain crate 0.10.3 `Display` for names omits the
@@ -10,17 +8,16 @@ import graft.core.PacketRow
   * messages count one error and set nothing.
   */
 object Dns {
-  def dissect(b: Array[Byte], start: Int, end: Int, row: PacketRow): PacketRow = {
-    def fail = row.copy(errors = row.errors + 1)
-    if (end - start < 12) return fail
+  def dissectInto(b: Array[Byte], start: Int, end: Int, a: DissectAcc): Unit = {
+    if (end - start < 12) { a.errors += 1; return }
     val qdcount = ((b(start + 4) & 0xff) << 8) | (b(start + 5) & 0xff)
-    if (qdcount < 1) return row // no question: nothing set, no error
+    if (qdcount < 1) return // no question: nothing set, no error
     parseName(b, start, end, start + 12) match {
-      case None => fail
+      case None => a.errors += 1
       case Some((name, after)) =>
-        if (end - after < 4) return fail
-        val qtype = ((b(after) & 0xff) << 8) | (b(after + 1) & 0xff)
-        row.copy(dnsQryName = Some(name), dnsQryType = Some(qtype))
+        if (end - after < 4) { a.errors += 1; return }
+        a.dnsQryName = name
+        a.dnsQryType = ((b(after) & 0xff) << 8) | (b(after + 1) & 0xff)
     }
   }
 
@@ -81,17 +78,17 @@ object Dns {
   * error count.
   */
 object Ntp {
-  def dissect(b: Array[Byte], start: Int, end: Int, row: PacketRow): PacketRow = {
+  def dissectInto(b: Array[Byte], start: Int, end: Int, a: DissectAcc): Unit = {
     val n = end - start
-    if (n < 1) return row.copy(errors = row.errors + 1)
+    if (n < 1) { a.errors += 1; return }
     val ver = ((b(start) & 0xff) >> 3) & 0x7
     if (ver == 2) {
-      if (n >= 4) row.copy(ntpPrivReqcode = Some((b(start + 3) & 0xff).toShort))
-      else row.copy(errors = row.errors + 1)
+      if (n >= 4) a.ntpPrivReqcode = b(start + 3) & 0xff
+      else a.errors += 1
     } else if ((ver == 3 || ver == 4) && n >= 48) {
-      row // full parse succeeds; its result is discarded (packetstats.rs:297)
+      () // full parse succeeds; its result is discarded (packetstats.rs:297)
     } else {
-      row.copy(errors = row.errors + 1)
+      a.errors += 1
     }
   }
 }
@@ -104,9 +101,9 @@ object Ntp {
   * error instead — a 100 TB job must survive one bad packet.
   */
 object Dhip {
-  def dissect(b: Array[Byte], start: Int, end: Int, row: PacketRow): PacketRow = {
+  def dissectInto(b: Array[Byte], start: Int, end: Int, a: DissectAcc): Unit = {
     val n = end - start
-    if (n <= 0) return row
+    if (n <= 0) return
     val sb = new StringBuilder(n)
     var i = start
     while (i < end) {
@@ -115,16 +112,16 @@ object Dhip {
       i += 1
     }
     val s = sb.toString
-    if (!s.startsWith("    DHIP")) return row
-    if (s.length < 32) return row.copy(errors = row.errors + 1)
+    if (!s.startsWith("    DHIP")) return
+    if (s.length < 32) { a.errors += 1; return }
     val json = s.substring(32)
     try {
       val node = Dhip.mapper.readTree(json)
       val dev = node.path("params").path("deviceInfo").path("DeviceType")
       // serde_json renders a missing key / null as the string "null"
-      row.copy(dhipDevice = Some(if (dev.isMissingNode) "null" else dev.toString))
+      a.dhipDevice = if (dev.isMissingNode) "null" else dev.toString
     } catch {
-      case _: Exception => row.copy(errors = row.errors + 1)
+      case _: Exception => a.errors += 1
     }
   }
 

@@ -257,6 +257,8 @@ final class PcapPartitionReader(
 
   private var current: InternalRow = _
   private var frameIdx: Long = -1L
+  private val acc = new graft.dissect.DissectAcc
+  private val noFilters = filters.isEmpty
 
   override def next(): Boolean = {
     while (frames.hasNext) {
@@ -267,10 +269,11 @@ final class PcapPartitionReader(
       // materialized — see PcapScan.planInputPartitions
       val mine = nShards <= 1 || frameIdx % nShards == shard
       if (mine) {
-        val row = PacketDissector.dissect(raw)
-        if (pred(row)) {
-          val dissected = row.toInternalRow(baseUtf8)
-            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        PacketDissector.dissectInto(acc, raw)
+        // the PacketRow (Option-boxed) form is only materialized when a
+        // pushed filter actually needs evaluating
+        if (noFilters || pred(acc.toPacketRow)) {
+          val dissected = acc.toInternalRow(baseUtf8)
           val fullVals =
             if (withBytes) dissected.values ++ Array[Any](raw.data, raw.linktype)
             else dissected.values

@@ -55,29 +55,19 @@ object PcapConvert {
     val m = PcapSource.metrics(spark)
     val parsed = PcapSource
       .read(spark, a.file, mode, decodePartitions = a.jobs, metrics = Some(m))
-    // Pass strategy (round-2 measured, 10M packets, local[32]):
-    //   - cached:       1 parse + N cheap cached passes  → 2.4× faster here
-    //   - plan-driven:  defrag re-parses per pass         → 100 TB-safe
+    // Pass strategy (re-measured round 8, 10M packets, local[32]):
+    //   - plan-driven:  defrag re-parses per pass — 1.59M pkt/s
+    //   - cached:       1 parse + cached passes   — 904k pkt/s
     //   - parquet-temp (the reference's flow): the 31-col parquet WRITE
     //     costs ~2.6× a parse, so writing twice always loses.
-    // Auto mode caches only when the raw input is provably small relative
-    // to storage memory (decoded rows ≈ 3× file bytes; threshold 1/6 of
-    // the heap keeps the cache comfortably inside the storage fraction) —
-    // a 100 TB capture can never trip it, so the scale path stays
-    // plan-driven with zero configuration.
-    val doCache = a.cache.getOrElse {
-      val inputBytes = try {
-        val p = new org.apache.hadoop.fs.Path(a.file)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.globStatus(p) match {
-          case null => 0L
-          case st => st.map(s =>
-            if (s.isDirectory) fs.listStatus(s.getPath).map(_.getLen).sum
-            else s.getLen).sum
-        }
-      } catch { case _: Throwable => Long.MaxValue }
-      inputBytes * 3 < Runtime.getRuntime.maxMemory() / 6
-    }
+    // Round 2 measured the opposite (cached 2.4× faster) and auto mode
+    // cached small inputs; the allocation-lean dissector then halved the
+    // parse cost and flipped the trade — re-reading tmpfs/page-cache bytes
+    // through the dissector now beats round-tripping InternalRows through
+    // block-manager storage. Plan-driven is also the only strategy a
+    // 100 TB capture can take, so auto = plan-driven unconditionally;
+    // --cache remains as an explicit override (BenchPcap A/Bs both).
+    val doCache = a.cache.getOrElse(false)
     val pcap = if (doCache) parsed.cache() else parsed
     // live progress (reference parity, src/statswriter.rs:64-68): the
     // accumulators tick as tasks finish, so a long 100 TB conversion shows

@@ -56,18 +56,20 @@ object PcapSource {
       if (decodePartitions > 0) frames.repartition(decodePartitions)
       else frames
     val rows = staged.mapPartitions { it =>
-      // intern the per-file UTF8String once per partition run
+      // intern the per-file UTF8String once per partition run; one reused
+      // dissection accumulator per partition (allocation-lean hot path)
       var lastBase: String = null
       var lastUtf8: org.apache.spark.unsafe.types.UTF8String = null
+      val a = new graft.dissect.DissectAcc
       it.map { case (base: String, f: RawFrame) =>
-        val r = PacketDissector.dissect(f)
-        m.packets.add(1L)
-        if (r.errors > 0) m.errors.add(r.errors.toLong)
         if (base ne lastBase) {
           lastBase = base
           lastUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(base)
         }
-        r.toInternalRow(lastUtf8)
+        val row = PacketDissector.dissectToInternal(a, f, lastUtf8)
+        m.packets.add(1L)
+        if (a.errors > 0) m.errors.add(a.errors.toLong)
+        row
       }
     }
     org.apache.spark.sql.GraftSqlBridge

@@ -108,6 +108,29 @@ object DissectorProps extends Properties("dissector") {
     r.frameTime == 1L // reached the end without throwing
   }
 
+  property("fast path ≡ compat path: dissectToInternal equals dissect().toInternalRow") = forAll(
+    Gen.oneOf(
+      // well-formed packets across the protocol families + junk bytes
+      Gen.zip(genPort, genPort, Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte)))
+        .map { case (sp, dp, pay) =>
+          ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17, udp(sp, dp, pay))) },
+      Gen.zip(genLabel, genPort).map { case (l, p) =>
+        ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17, udp(p, 53, dnsQuery(l, 1)))) },
+      Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))),
+    Gen.oneOf(1, 12, 101, 9999)
+  ) { (pkt, linktype) =>
+    val frame = RawFrame(7L, pkt.length.toLong, pkt, linktype)
+    val file = org.apache.spark.unsafe.types.UTF8String.fromString("f.pcap")
+    val fast = PacketDissector.dissectToInternal(new graft.dissect.DissectAcc, frame, file)
+    val compat = PacketDissector.dissect(frame).toInternalRow(file)
+    (0 until 31).forall { i =>
+      (fast.isNullAt(i) && compat.isNullAt(i)) ||
+        (!fast.isNullAt(i) && !compat.isNullAt(i) &&
+          fast.get(i, graft.core.PacketSchema.schema(i).dataType) ==
+            compat.get(i, graft.core.PacketSchema.schema(i).dataType))
+    }
+  }
+
   property("fragment gate: offset>0 rows never carry transport columns") = forAll(
     Gen.chooseNum(1, 0x1fff), Gen.oneOf(6, 17, 1)
   ) { (off, proto) =>
