@@ -41,18 +41,16 @@ object FuzzyDedup {
     */
   val MaxBucketDocs = 64
 
-  /** doc_id + word-bigram shingle hashes. Deliberately NOT deduplicated:
-    * `min()` is insensitive to duplicates, so minhash signatures are
-    * identical either way and skipping the distinct saves a full shuffle —
-    * the signature aggregation becomes the only wide stage.
+  /** doc_id + word-bigram shingle hashes — [[TextOps.shingleHashesOf]],
+    * the ONE shingle front end shared by the whole Jaccard/sketch family
+    * (d45's recall audit depends on both arms shingling identically).
+    * Deliberately NOT deduplicated: `min()` is insensitive to duplicates,
+    * so minhash signatures are identical either way and skipping the
+    * distinct saves a full shuffle — the signature aggregation becomes
+    * the only wide stage.
     */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    TextOps.shingleHashesOf(docs)
 
   /** One row per doc: the 64-slot minhash signature, computed by the
     * custom [[graft.functions.MinHashAgg]] aggregate — the whole signature
@@ -66,6 +64,25 @@ object FuzzyDedup {
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash_sig(col("h"), NumPerms).as("sig"))
 
+  /** One cached signature/fingerprint frame per (session, dir) — the
+    * VectorOps memo pattern. d06, d29, AND d45 (which runs the full d06
+    * pipeline as one arm) previously each cached their own copy of the
+    * same signatures and never released them; the memo makes the sharing
+    * explicit and caps retention at one frame per table. Safe because the
+    * sketches are order-insensitive (elementwise min / signed-vote sums),
+    * so any recompute is bit-identical — the cache is purely perf.
+    */
+  private val sigMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+    sigMemo.getOrElseUpdate((s, dir),
+      signatures(t(s, dir, "documents")).cache())
+  private val simMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def cachedSimhashes(s: SparkSession, dir: String): DataFrame =
+    simMemo.getOrElseUpdate((s, dir),
+      simhashes(t(s, dir, "documents")).cache())
+
   /** LSH candidate pairs: the join key is each band's raw signature slice
     * (4 BIGINTs) — exact bucket equality, no band-hash collisions, and the
     * same bucketing is reproducible in DuckDB from the exported
@@ -73,7 +90,13 @@ object FuzzyDedup {
     * corpus size; no cross product ever materializes, and the bucket-size
     * cap bounds the worst (band, bucket) at [[MaxBucketDocs]] docs.
     */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
+  /** @param bSideFilter restricts the LARGER (`b`) member of each pair —
+    *        the incremental-dedup hook (d29): with new ids strictly above
+    *        old ids, filtering b to the new batch yields exactly the
+    *        new×old ∪ new×new pair set without a second banding copy.
+    */
+  def candidatePairs(
+      sigs: DataFrame, bSideFilter: Column = lit(true)): DataFrame = {
     // band WITHOUT the signature column: the cap window and the self-join
     // shuffle only (doc_id, band, 4-slot bucket) — ~10× narrower rows than
     // carrying the full 64-slot signature through both exchanges. The
@@ -90,7 +113,7 @@ object FuzzyDedup {
       .filter(col("bn") <= MaxBucketDocs)
       .drop("bn")
     val pairs = capped.as("a")
-      .join(capped.as("b"),
+      .join(capped.filter(bSideFilter).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -115,8 +138,8 @@ object FuzzyDedup {
         .as("est_jaccard_permille"))
 
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    // signatures feed both sides of the band self-join: cache them
-    estimate(candidatePairs(signatures(t(s, dir, "documents")).cache()))
+    // signatures feed both sides of the band self-join: memo-cached
+    estimate(candidatePairs(cachedSignatures(s, dir)))
       .filter(col("est_jaccard_permille") >= 300)
 
   /** DuckDB replay of everything downstream of the exported signatures:
@@ -161,25 +184,8 @@ object FuzzyDedup {
     * same table.
     */
   def incrementalNearDups(s: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(t(s, dir, "documents")).cache()
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> slice(sig, b * $RowsPerBand + 1, $RowsPerBand))")))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val capped = banded
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bn") <= MaxBucketDocs)
-      .drop("bn")
-    val pairs = capped.as("a")
-      .join(capped.filter(col("doc_id") >= NewBatchMin).as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    estimate(pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b"))
+    val sigs = cachedSignatures(s, dir)
+    estimate(candidatePairs(sigs, col("doc_id") >= NewBatchMin))
       .filter(col("est_jaccard_permille") >= 300)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_permille"),
         when(col("doc_a") < NewBatchMin, "vs_corpus").otherwise("within_batch")
@@ -227,14 +233,18 @@ object FuzzyDedup {
     val votes: Seq[Column] = (0 until SimHashBits).map { i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1L).otherwise(-1L)).as(s"v$i")
     }
+    // the vote bit MUST be widened before shifting: a bare literal 1 is
+    // INT, and Spark's ShiftLeft on INT shifts mod 32 — bits 32-62 would
+    // alias onto 0-30 and bit 31 would sign-extend through the final
+    // BIGINT cast, collapsing the fingerprint to ~31 effective bits and
+    // herding ~half the corpus into one bucket per upper block (the
+    // quadratic join this design exists to prevent). DuckDB replays the
+    // exported fingerprints, so the oracle alone cannot catch this;
+    // SimHashSpec pins the upper-bit structure directly.
     val fp = (0 until SimHashBits)
-      .map(i => s"(CASE WHEN v$i > 0 THEN 1 ELSE 0 END) << $i")
+      .map(i => s"((CASE WHEN v$i > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << $i)")
       .mkString(" | ")
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    shingleHashes(docs)
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), expr(s"CAST($fp AS BIGINT)").as("simhash"))
@@ -251,7 +261,7 @@ object FuzzyDedup {
   def simhashNearDups(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     require(maxHamming < SimHashBlocks,
       s"pigeonhole guarantee needs maxHamming < $SimHashBlocks blocks")
-    val fp = simhashes(t(s, dir, "documents")).cache()
+    val fp = cachedSimhashes(s, dir)
     val blk = fp.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${SimHashBlocks - 1}), i -> shiftright(simhash, $BlockBits * i) & ${(1 << BlockBits) - 1})")))
@@ -320,7 +330,7 @@ object FuzzyDedup {
     Q("d06_minhash_lsh", (s, dir) => minhashNearDups(s, dir), Some(d06Oracle),
       headline = true,
       aux = Seq("aux_signatures" ->
-        ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),
+        ((s: SparkSession, dir: String) => cachedSignatures(s, dir)))),
     // --- d45: dedup recall/precision audit --------------------------------
     // Evaluation-as-a-query for the dedup family (e11 is the ANN
     // counterpart): d06's LSH candidate pairs scored against d05's exact
@@ -360,13 +370,13 @@ object FuzzyDedup {
            |FROM e, l, h""".stripMargin
       },
       aux = Seq("aux_signatures" ->
-        ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),
+        ((s: SparkSession, dir: String) => cachedSignatures(s, dir)))),
     Q("d29_incremental_dedup", (s, dir) => incrementalNearDups(s, dir), Some(d29Oracle),
       aux = Seq("aux_signatures" ->
-        ((s: SparkSession, dir: String) => signatures(t(s, dir, "documents"))))),
+        ((s: SparkSession, dir: String) => cachedSignatures(s, dir)))),
     Q("d07_simhash", (s, dir) => simhashNearDups(s, dir), Some(d07Oracle),
       aux = Seq("aux_simhashes" ->
-        ((s: SparkSession, dir: String) => simhashes(t(s, dir, "documents"))))),
+        ((s: SparkSession, dir: String) => cachedSimhashes(s, dir)))),
     Q("d08_fingerprints",
       (s, dir) => fingerprints(t(s, dir, "documents"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints")),

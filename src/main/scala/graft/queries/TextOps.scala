@@ -26,7 +26,7 @@ object TextOps {
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     shingleHashesOf(t(s, dir, "documents"))
 
-  private def shingleHashesOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(bigramsExpr)).as("sh"))
