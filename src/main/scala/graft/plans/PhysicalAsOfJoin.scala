@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions.col
   * Semantics (both implementations, and DuckDB's `ASOF LEFT JOIN` with
   * `l.ts >= r.ts`): for every left row, the LATEST right row of the same
   * keys with `rightTs <= leftTs`; ties match; null ts never matches.
+  * Among several right rows at the SAME (key, ts), the lexicographically
+  * greatest payload tuple wins — the composed form's max(struct(...))
+  * tie-break, enforced here by the right child's required ordering.
+  * NULL join KEYS group together (the composed form's partitionBy
+  * semantics; both graft forms agree) — note this diverges from an SQL
+  * `ON l.key = r.key` equality, which would never match NULLs: pre-filter
+  * null-keyed rows when SQL-equality semantics are required.
   */
 object PhysicalAsOfJoin {
 
@@ -144,7 +151,18 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    // the merge keeps the LAST right row consumed among equal (key, ts) —
+    // without the payload in the sort, that row depends on shuffle fetch
+    // order and duplicate (key, ts) right rows would emit a
+    // NONDETERMINISTIC asof payload (and diverge from the composed
+    // AsOfJoin, which ties-breaks via max(struct(ts, payload...))).
+    // Sorting the orderable payload columns ascending makes the last
+    // equal-ts row the lexicographic max — exactly the struct-max the
+    // composed form computes. Unorderable payload types (maps) stay out
+    // of the sort; their ties remain arbitrary, as they are in any
+    // engine.
+    (rightKeys ++ (rightTs +: rightPayload.filter(a =>
+      RowOrdering.isOrderable(a.dataType)))).map(SortOrder(_, Ascending)))
 
   // left rows pass through in their (keys, ts) order
   override def outputPartitioning: Partitioning = left.outputPartitioning

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -384,12 +384,9 @@ object StreamingOps {
     val ev = graft.queries.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
-    val Seq(mn, mx) = ev.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
-      .head().toSeq.map(_.asInstanceOf[Long])
-    val step = (mx - mn) / 4 + 1
+    val (mn, mx, step) = quartileCut(ev, expr("ts div 1000"))
     for (k <- 0 until 4)
-      landFile(ev.filter(expr("ts div 1000") >= mn + k * step &&
-          expr("ts div 1000") < mn + (k + 1) * step),
+      landFile(ev.filter(inQuartile(expr("ts div 1000"), mn, step, k)),
         land, f"00${k}%d_events.parquet")
     // two watermark-raising sentinel batches (see the processor doc)
     for (k <- 4 to 5)
@@ -516,6 +513,22 @@ object StreamingOps {
       .groupBy(col("uid_v").as("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
 
+  /** THE quartile boundary arithmetic every multi-batch harness lands
+    * with and every matching DuckDB oracle reproduces as
+    * `(x - mn) // step`: one definition, six call sites (s13/s15-family
+    * etlSource, s16, s21, s25, s27, s29) — an off-by-one here must change
+    * everywhere at once or the oracles' batch cuts silently diverge.
+    * Returns (mn, mx, step) over the (integer) cut column.
+    */
+  private def quartileCut(df: DataFrame, c: Column): (Long, Long, Long) = {
+    val Seq(mn, mx) = df.agg(min(c), max(c)).head().toSeq.map(_.asInstanceOf[Long])
+    (mn, mx, (mx - mn) / 4 + 1)
+  }
+
+  /** Quartile k's membership predicate over the same cut column. */
+  private def inQuartile(c: Column, mn: Long, step: Long, k: Int): Column =
+    c >= mn + k * step && c < mn + (k + 1) * step
+
   /** Write `df` as ONE parquet file at `$landDir/$name`, with strictly
     * increasing mod times so a file-stream source replays the landed
     * files oldest-first (the multi-batch harness used by s12/s13).
@@ -545,52 +558,60 @@ object StreamingOps {
     * "close the books on period N once the stream reaches N+1" pattern;
     * the batch oracle is a plain LEFT JOIN.
     */
-  def leftOuterFunnelStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared landing/sentinel/side machinery for the OUTER stream-stream
+    * join queries (s12 left, s30 full) — one implementation so the
+    * sentinel mechanics can never diverge between them.
+    *
+    * TWO sentinel files, each holding a far-future VIEW and PURCHASE for
+    * the nonexistent user -1 (excluded from the rollup). Two subtleties,
+    * both observed on the gate:
+    *  - Catalyst pushes the event_type filters BELOW the watermark
+    *    operators into the parquet scan, so a neutral "zz_sentinel" row
+    *    never reaches either watermark node and the watermark freezes —
+    *    the sentinel must survive BOTH pushed filters, hence one row per
+    *    join side (the purchase 2 h after the view, outside the 30-min
+    *    window, so the sentinels never match each other);
+    *  - the watermark computed from batch N only takes effect in batch
+    *    N+1 and AvailableNow stops at the last file, so sentinel #1
+    *    raises the watermark and sentinel #2's batch APPLIES it,
+    *    evicting (and emitting) every real view's unmatched state.
+    */
+  private def outerFunnelStream(
+      spark: SparkSession, dir: String, joinType: String, tag: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val land = java.nio.file.Files.createTempDirectory("graft_s12_land").toString
+    val land = java.nio.file.Files.createTempDirectory(s"graft_${tag}_land").toString
     graft.TempCleanup.registerDir(land)
-    def landOne(df: DataFrame, name: String): Unit = landFile(df, land, name)
     val ev = graft.queries.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
-    landOne(ev, "000_events.parquet")
+    landFile(ev, land, "000_events.parquet")
     val maxTs = ev.agg(max("ts")).head().getLong(0)
-    // TWO sentinel files, each holding a far-future VIEW and PURCHASE for
-    // the nonexistent user -1 (excluded from the rollup). Two subtleties,
-    // both observed on the gate:
-    //  - Catalyst pushes the event_type filters BELOW the watermark
-    //    operators into the parquet scan, so a neutral "zz_sentinel" row
-    //    never reaches either watermark node and the watermark freezes —
-    //    the sentinel must survive BOTH pushed filters, hence one row per
-    //    join side (the purchase 2 h after the view, outside the 30-min
-    //    window, so the sentinels never match each other);
-    //  - the watermark computed from batch N only takes effect in batch
-    //    N+1 and AvailableNow stops at the last file, so sentinel #1
-    //    raises the watermark and sentinel #2's batch APPLIES it,
-    //    evicting (and emitting) every real view's unmatched state.
     def sentinel(name: String, offsetDays: Long): Unit = {
       val t0 = maxTs + offsetDays * 86400L * 1000000000L
-      landOne(spark.createDataFrame(
+      landFile(spark.createDataFrame(
         java.util.Arrays.asList(
           org.apache.spark.sql.Row(-1L, t0, -1L, "view", 0.0, "{}"),
           org.apache.spark.sql.Row(-1L, t0 + 7200L * 1000000000L, -1L,
             "purchase", 0.0, "{}")),
-        eventsSchema), name)
+        eventsSchema), land, name)
     }
     sentinel("001_sentinel.parquet", 1L)
     sentinel("002_sentinel.parquet", 2L)
-    def side(tag: String) = spark.readStream.schema(eventsSchema)
+    def side(t: String) = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(land)
-      .select(col("event_type").as(s"type_$tag"),
-        col("user_id").as(s"uid_$tag"),
-        timestamp_micros(expr("ts div 1000")).as(s"t_$tag"))
-      .withWatermark(s"t_$tag", "1 hour")
+      .select(col("event_type").as(s"type_$t"),
+        col("user_id").as(s"uid_$t"),
+        timestamp_micros(expr("ts div 1000")).as(s"t_$t"))
+      .withWatermark(s"t_$t", "1 hour")
     val views = side("v").filter(col("type_v") === "view")
     val purchases = side("p").filter(col("type_p") === "purchase")
     views.join(purchases,
       expr("uid_v = uid_p AND t_p >= t_v AND t_p <= t_v + interval 30 minutes"),
-      "left_outer")
+      joinType)
   }
+
+  def leftOuterFunnelStream(spark: SparkSession, dir: String): DataFrame =
+    outerFunnelStream(spark, dir, "left_outer", "s12")
 
   def leftOuterFunnel(spark: SparkSession, dir: String): DataFrame =
     drainToMemory(leftOuterFunnelStream(spark, dir), "graft_stream_abandon_", "append")
@@ -610,38 +631,8 @@ object StreamingOps {
     * unmatched rows, which the rollup's user filter drops). The batch
     * oracle is a plain FULL OUTER JOIN with the same interval predicate.
     */
-  def fullOuterFunnelStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val land = java.nio.file.Files.createTempDirectory("graft_s30_land").toString
-    graft.TempCleanup.registerDir(land)
-    val ev = graft.queries.Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"))
-    landFile(ev, land, "000_events.parquet")
-    val maxTs = ev.agg(max("ts")).head().getLong(0)
-    def sentinel(name: String, offsetDays: Long): Unit = {
-      val t0 = maxTs + offsetDays * 86400L * 1000000000L
-      landFile(spark.createDataFrame(
-        java.util.Arrays.asList(
-          org.apache.spark.sql.Row(-1L, t0, -1L, "view", 0.0, "{}"),
-          org.apache.spark.sql.Row(-1L, t0 + 7200L * 1000000000L, -1L,
-            "purchase", 0.0, "{}")),
-        eventsSchema), land, name)
-    }
-    sentinel("001_sentinel.parquet", 1L)
-    sentinel("002_sentinel.parquet", 2L)
-    def side(tag: String) = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", 1).parquet(land)
-      .select(col("event_type").as(s"type_$tag"),
-        col("user_id").as(s"uid_$tag"),
-        timestamp_micros(expr("ts div 1000")).as(s"t_$tag"))
-      .withWatermark(s"t_$tag", "1 hour")
-    val views = side("v").filter(col("type_v") === "view")
-    val purchases = side("p").filter(col("type_p") === "purchase")
-    views.join(purchases,
-      expr("uid_v = uid_p AND t_p >= t_v AND t_p <= t_v + interval 30 minutes"),
-      "full_outer")
-  }
+  def fullOuterFunnelStream(spark: SparkSession, dir: String): DataFrame =
+    outerFunnelStream(spark, dir, "full_outer", "s30")
 
   def fullOuterFunnel(spark: SparkSession, dir: String): DataFrame =
     drainToMemory(fullOuterFunnelStream(spark, dir), "graft_stream_fouter_", "append")
@@ -667,12 +658,9 @@ object StreamingOps {
     // timestamps truncated to µs, so an oracle that must reproduce a
     // PREFIX of the batch sequence (s17's time travel) can only express
     // µs-exact cuts — `ts div 1000` here ↔ `epoch_us(ts)` there
-    val Seq(mn, mx) = ev.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
-      .head().toSeq.map(_.asInstanceOf[Long])
-    val step = (mx - mn) / 4 + 1
+    val (mn, mx, step) = quartileCut(ev, expr("ts div 1000"))
     for (k <- 0 until 4)
-      landFile(ev.filter(expr("ts div 1000") >= mn + k * step &&
-          expr("ts div 1000") < mn + (k + 1) * step),
+      landFile(ev.filter(inQuartile(expr("ts div 1000"), mn, step, k)),
         land, f"00${k}%d_events.parquet")
     spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(land)
@@ -742,10 +730,9 @@ object StreamingOps {
     val land = java.nio.file.Files.createTempDirectory("graft_s16_land").toString
     graft.TempCleanup.registerDir(land)
     val feed = PipelineOps.changeFeed(spark, dir)
-    val Seq(mn, mx) = feed.agg(min("ord"), max("ord")).head().toSeq.map(_.asInstanceOf[Long])
-    val step = (mx - mn) / 4 + 1
+    val (mn, mx, step) = quartileCut(feed, col("ord"))
     for (k <- 0 until 4)
-      landFile(feed.filter(col("ord") >= mn + k * step && col("ord") < mn + (k + 1) * step),
+      landFile(feed.filter(inQuartile(col("ord"), mn, step, k)),
         land, f"00${k}%d_changes.parquet")
     val changesSchema = StructType(Seq(
       StructField("custkey", LongType), StructField("c_name", StringType),
@@ -945,12 +932,9 @@ object StreamingOps {
     val ev = graft.queries.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
-    val Seq(mn, mx) = ev.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
-      .head().toSeq.map(_.asInstanceOf[Long])
-    val step = (mx - mn) / 4 + 1
+    val (mn, mx, step) = quartileCut(ev, expr("ts div 1000"))
     for (k <- 0 until 4; r <- 0 until 2) // each quartile delivered TWICE
-      landFile(ev.filter(expr("ts div 1000") >= mn + k * step &&
-          expr("ts div 1000") < mn + (k + 1) * step),
+      landFile(ev.filter(inQuartile(expr("ts div 1000"), mn, step, k)),
         land, f"0$k%d$r%d_events.parquet")
     val delayMs = step / 1000L + 1000L
     // engine-written landing: canonical BIGINT-ns ts, read directly (the
@@ -1108,10 +1092,9 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("tsu"),
         expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
-    val Seq(mn, mx) = ev.agg(min("tsu"), max("tsu")).head().toSeq.map(_.asInstanceOf[Long])
-    val step = (mx - mn) / 4 + 1
+    val (mn, mx, step) = quartileCut(ev, col("tsu"))
     for (k <- 0 until 4) {
-      val b = ev.filter(col("tsu") >= mn + k * step && col("tsu") < mn + (k + 1) * step)
+      val b = ev.filter(inQuartile(col("tsu"), mn, step, k))
       val batch =
         if (k < 2) b
         else b.withColumn("channel",
@@ -1144,20 +1127,23 @@ object StreamingOps {
     val ev = graft.queries.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
-    val Seq(mn, mx) = ev.agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
-      .head().toSeq.map(_.asInstanceOf[Long])
-    val step = (mx - mn) / 4 + 1
+    val (mn, mx, step) = quartileCut(ev, expr("ts div 1000"))
     for (k <- 0 until 4; r <- 0 until 2) // each quartile delivered TWICE
-      landFile(ev.filter(expr("ts div 1000") >= mn + k * step &&
-          expr("ts div 1000") < mn + (k + 1) * step),
+      landFile(ev.filter(inQuartile(expr("ts div 1000"), mn, step, k)),
         land, f"0$k%d$r%d_events.parquet")
     // two sentinel files: the first raises the watermark past every real
     // window, the second makes it APPLY (a watermark raised by batch N
-    // takes effect in batch N+1 — the s12 two-file lesson)
+    // takes effect in batch N+1 — the s12 two-file lesson). The offset
+    // must clear the last real window's HOUR CEILING, not just mx: with a
+    // data-span-proportional offset alone (10×step vs the step+1s delay),
+    // any corpus spanning under ~27 minutes would never flush its final
+    // hourly window and silently drop rows — so add two hours per
+    // sentinel on top of the span-scaled part (the s21 fixed-anchor
+    // lesson applied here).
     import spark.implicits._
     for (j <- 1 to 2)
-      landFile(Seq((-j.toLong, (mx + step * 10 * j) * 1000L, -1L, "sentinel",
-          0.0, "{}"))
+      landFile(Seq((-j.toLong, (mx + (step * 10 + 7200000000L) * j) * 1000L,
+          -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
         land, f"09$j%d_sentinel.parquet")
     val lastRealHour = mx / 3600000000L
@@ -1315,6 +1301,8 @@ object StreamingOps {
   def streamEtlParquet(spark: SparkSession, dir: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_etl").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_etl_ckpt").toString
+    graft.TempCleanup.registerDir(outDir)
+    graft.TempCleanup.registerDir(ckpt)
     ParquetLand.append(streamEtlStream(spark, dir), outDir, ckpt)
     spark.read.parquet(outDir)
       .groupBy("event_type")

@@ -84,6 +84,23 @@ class OperatorSpec extends SparkFunSuite {
     }
   }
 
+  test("PhysicalAsOfJoin: duplicate (key, ts) right rows tie-break to max payload, deterministically") {
+    import spark.implicits._
+    // 40 right rows ALL at the same (key, ts): without the payload in the
+    // right child's required ordering, the merge kept whichever duplicate
+    // the shuffle happened to deliver last — nondeterministic, and free to
+    // diverge from the composed operator's max(struct(ts, payload)) rule
+    val l = Seq((1L, 10L, 1L), (1L, 9L, 2L)).toDF("k", "ts", "lid")
+    val r = (1 to 40).map(i => (1L, 9L, 100L + i)).toDF("k", "ts", "rid")
+    (1 to 3).foreach { _ =>
+      val got = graft.plans.PhysicalAsOfJoin(
+        l.repartition(7), r.repartition(5), Seq("k"), "ts", "ts", Seq("rid"))
+        .select("lid", "asof_rid").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == Map(1L -> 140L, 2L -> 140L), got.toString)
+    }
+  }
+
   test("PhysicalAsOfJoin: null timestamps never match") {
     import spark.implicits._
     val l = Seq((1L, Some(10L), 1L), (1L, Option.empty[Long], 2L), (2L, Some(5L), 3L))
