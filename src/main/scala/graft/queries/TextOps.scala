@@ -990,6 +990,47 @@ object TextOps {
              |FROM p JOIN sz x ON x.doc_id = da
              |WHERE (1000 * inter) // x.n >= 700""".stripMargin)),
 
+    // --- d47: dataset profile — the per-column data-quality report --------
+    // The first thing a pipeline runs against a new corpus drop: one row
+    // per column with null/distinct/length statistics, all integer-exact.
+    // Shape at 100 TB: ONE aggregation pass over the table — the exact
+    // per-column distinct counts make Catalyst plan an Expand (one
+    // projection per counted column, so ~6× the input rows flow into the
+    // partial aggregates), which is the standard price of exact
+    // multi-column NDV and still a single scan + one shuffle of partial
+    // states. Lengths are measured over CAST(col AS STRING), identical
+    // text in both engines for BIGINT/VARCHAR columns, so one metric set
+    // covers every column type uniformly.
+    Q("d47_profile",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(length(col(c).cast(StringType))).cast(LongType).as(s"mnl_$c"),
+            max(length(col(c).cast(StringType))).cast(LongType).as(s"mxl_$c"),
+            sum(length(col(c).cast(StringType)).cast(LongType)).as(s"sl_$c"))
+        }
+        val one = d.agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map(c =>
+          s"'$c', nn_$c, nd_$c, mnl_$c, mxl_$c, sl_$c").mkString(", ")
+        one.select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stacked) AS (col_name, n_non_null, n_distinct, min_len, max_len, sum_len)"))
+          .select(col("col_name"), col("n_rows"),
+            (col("n_rows") - col("n_non_null")).as("n_null"),
+            col("n_distinct"), col("min_len"), col("max_len"), col("sum_len"))
+      },
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN(length(CAST($c AS VARCHAR))) AS BIGINT) AS min_len,
+           |  CAST(MAX(length(CAST($c AS VARCHAR))) AS BIGINT) AS max_len,
+           |  CAST(SUM(length(CAST($c AS VARCHAR))) AS BIGINT) AS sum_len
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n"))),
+
     // --- d43: train/eval distribution-shift audit -------------------------
     // The drift check a training pipeline runs before mixing sources:
     // which tokens are over/under-represented between the two LARGEST
