@@ -712,27 +712,40 @@ object ManifestLand {
     // stageParts sweeps crashed-attempt leftovers for this prefix (live
     // b-files always belong to ids <= applied, so the sweep can never
     // touch a manifest-referenced file)
-    val staged = ParquetLand.stageParts(clustered, outDir, s"b${batchId}_")
-    val base =
-      if (statsCols.isEmpty) staged.map(FileEntry(_))
-      else fileStats(batch.sparkSession, outDir, staged, statsCols)
-    val withBlooms = effBloom match {
-      case Some(c) => attachBlooms(batch.sparkSession, outDir, base, c, effBits)
-      case None => base
-    }
-    // externalize the new files' filters to an immutable sidecar (see
-    // the bloom-sidecar doc): deterministic name, so a crashed-attempt
-    // replay overwrites; written BEFORE the flip that references it
-    val (entries, newSidecars) =
-      if (withBlooms.exists(_.bloom.nonEmpty)) {
-        val name = s"bfs_b$batchId.bfs"
-        writeBloomSidecar(new java.io.File(outDir, name),
-          withBlooms.flatMap(e => e.bloom.map(e.name -> _)))
-        (withBlooms.map(_.copy(bloom = None)), Seq(name))
-      } else (withBlooms, Seq.empty[String])
+    val (entries, newSidecars) = stageDataFiles(batch.sparkSession, outDir,
+      clustered, s"b${batchId}_", s"bfs_b$batchId.bfs",
+      statsCols, effBloom, effBits)
     flip(outDir, Manifest(batchId, m.entries ++ entries,
       if (statsCols.nonEmpty) statsCols else m.statsCols, m.dvs,
       effBloom, effBits, m.bloomSidecars ++ newSidecars)) // commit point
+  }
+
+  /** Stage `df` as immutable data files under `prefix` and derive their
+    * manifest entries: zone bounds over `statsCols` and, when the landing
+    * declares a bloom column, sized per-file filters externalized to the
+    * immutable sidecar `sidecarName` (written BEFORE the flip that
+    * references it; a deterministic name means a crashed-attempt replay
+    * overwrites its own debris). Shared by the batch commit and
+    * [[updateWhere]]'s rewrite side — one definition of "what a data
+    * file must carry to join the landing".
+    */
+  private def stageDataFiles(spark: SparkSession, dir: String, df: DataFrame,
+      prefix: String, sidecarName: String, statsCols: Seq[String],
+      bloomCol: Option[String], bloomBits: Option[Int])
+      : (Seq[FileEntry], Seq[String]) = {
+    val staged = ParquetLand.stageParts(df, dir, prefix)
+    val base =
+      if (statsCols.isEmpty) staged.map(FileEntry(_))
+      else fileStats(spark, dir, staged, statsCols)
+    val withBlooms = bloomCol match {
+      case Some(c) => attachBlooms(spark, dir, base, c, bloomBits)
+      case None => base
+    }
+    if (withBlooms.exists(_.bloom.nonEmpty)) {
+      writeBloomSidecar(new java.io.File(dir, sidecarName),
+        withBlooms.flatMap(e => e.bloom.map(e.name -> _)))
+      (withBlooms.map(_.copy(bloom = None)), Seq(sidecarName))
+    } else (withBlooms, Seq.empty[String])
   }
 
   /** Per-file bloom filter over `bloomCol`, built from the staged bytes
@@ -1373,6 +1386,98 @@ object ManifestLand {
       "deleteMatching: key columns collide with the positional columns")
     deleteImpl(spark, dir, "deleteMatching",
       _.join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi"))
+  }
+
+  /** Merge-on-read row UPDATE — the remaining lakehouse verb: tombstone
+    * every live row matching `cond` AND append its rewritten copy, in
+    * ONE atomic manifest flip. A reader sees the pre-update or the
+    * post-update table, never a row both ways (or neither) — the
+    * atomicity a delete-then-append pair cannot give.
+    *
+    * Mechanics compose the two existing sides: positions come from the
+    * same metadata scan [[deleteWhere]] uses (minus already-tombstoned
+    * rows), the rewritten rows go through [[stageDataFiles]] — so the
+    * new files carry zone maps and sized bloom filters exactly like any
+    * committed batch, and pruning serves them immediately. The scan is
+    * localCheckpoint'd so the tombstoned positions and the rewritten
+    * rows come from ONE materialization (a nondeterministic `cond`
+    * could otherwise tombstone rows it didn't rewrite).
+    *
+    * Version contract matches [[deleteWhere]]: the CURRENT version is
+    * re-flipped in place (`readVersion(applied)` == `read`; older
+    * retained versions keep the pre-update rows; `applied` does NOT
+    * advance, so the streaming writer's exactly-once batch-id guard is
+    * untouched). On a change-tracked landing the rewritten rows are
+    * restamped with the CURRENT version, so a change-feed window ending
+    * at `applied` carries the update as an UPSERT: the postimage rides
+    * the insert side, and no delete row is owed because the key still
+    * exists at the window's end (the feed's net-effect-BY-KEY contract —
+    * a MERGE consumer applies inserts by key, so the preimage is
+    * replaced, not orphaned). Reads through the TRACKED
+    * schema, so post-evolution updates of pre-evolution files rewrite
+    * the added columns as their NULL fill. SET of the engine-managed
+    * commit-version column or the positional pseudo-columns is refused.
+    * Single-writer contract, like every maintenance entry point.
+    * Returns the number of rows updated.
+    */
+  def updateWhere(spark: SparkSession, dir: String, cond: Column,
+      set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, "updateWhere: no SET expressions")
+    val m = readManifest(dir)
+    require(m.applied >= 0L,
+      s"ManifestLand.updateWhere on an uncommitted landing: $dir")
+    val schema = storedSchema(dir).getOrElse(throw new IllegalStateException(
+      s"ManifestLand.updateWhere: no tracked schema in $dir"))
+    set.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"updateWhere: SET column $c is not in the tracked schema of $dir")
+      require(c != CommitVersionCol,
+        s"updateWhere: $CommitVersionCol is engine-managed")
+      require(!Set("file_name", "row_index").contains(c),
+        s"updateWhere: $c collides with the positional columns")
+    }
+    if (m.files.isEmpty) return 0L
+    val existing = tombFrame(spark, dir, m)
+    val hit = spark.read.schema(schema).parquet(m.files.map(n => s"$dir/$n"): _*)
+      .withColumn("file_name", expr("_metadata.file_name"))
+      .withColumn("row_index", expr("_metadata.row_index"))
+      .join(broadcast(existing.withColumnRenamed("file_name", "__ef")
+        .withColumnRenamed("row_index", "__ep")),
+        col("file_name") === col("__ef") && col("row_index") === col("__ep"),
+        "left_anti")
+      .drop("__ef", "__ep")
+      .filter(cond)
+      .localCheckpoint()
+    val nHit = hit.count()
+    if (nHit == 0L) return 0L
+    val tag = System.nanoTime()
+    val rewritten0 = set.foldLeft(hit: DataFrame) { case (df, (c, e)) =>
+      df.withColumn(c, e)
+    }
+    val rewritten1 =
+      if (schema.fieldNames.contains(CommitVersionCol))
+        rewritten0.withColumn(CommitVersionCol,
+          org.apache.spark.sql.functions.lit(m.applied))
+      else rewritten0
+    val rewritten = rewritten1.select(schema.fieldNames.map(col).toSeq: _*)
+    // cluster the rewrite like the commit path's default (first stats
+    // column) so zone maps on the new files stay tight
+    val clustered = m.statsCols.headOption match {
+      case Some(c) => rewritten.repartitionByRange(2, col(c))
+      case None => rewritten
+    }
+    val (entries, newSidecars) = stageDataFiles(spark, dir, clustered,
+      s"u${m.applied}_${tag}_", s"bfs_u${m.applied}_$tag.bfs",
+      m.statsCols, m.bloomCol, m.bloomBits)
+    // merged tombstones, staged like deleteImpl's
+    val mergedDv = existing.union(hit.select(col("file_name"), col("row_index")))
+      .coalesce(1)
+    val stagedDv = ParquetLand.stageParts(mergedDv, dir,
+      s"dv${m.applied}_${tag}_")
+    flip(dir, m.copy(entries = m.entries ++ entries, dvs = stagedDv,
+      bloomSidecars = m.bloomSidecars ++ newSidecars)) // commit point
+    vacuum(dir) // sweep the superseded dv sidecar unless a version pins it
+    nHit
   }
 
   private def deleteImpl(spark: SparkSession, dir: String, what: String,

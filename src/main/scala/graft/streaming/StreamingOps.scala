@@ -1084,6 +1084,36 @@ object StreamingOps {
     * models. The last two quartiles carry a new `channel` column; the
     * rollup reads old rows as channel IS NULL → 'legacy'.
     */
+  /** s33: MERGE-ON-READ ROW UPDATE — the remaining lakehouse verb over
+    * the manifest landing: events land as four quartile commits, then
+    * [[ManifestLand.updateWhere]] patches every error row (relabel +
+    * value bump) in ONE atomic flip — tombstones on the old positions
+    * plus rewritten files with fresh zone maps, never a data file
+    * rewritten in place. The rollup over the merged read must equal the
+    * batch CASE-expression answer; ManifestLandSpec pins the mechanics
+    * (atomicity, history, CDF upsert shape, pruning, compaction fold).
+    */
+  def streamRowUpdate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft_s33_out").toString + "/landing"
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"),
+        expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+    val (mn, mx, step) = quartileCut(ev, col("tsu"))
+    for (k <- 0 until 4)
+      ManifestLand.commitBatch(ev.filter(inQuartile(col("tsu"), mn, step, k)),
+        k.toLong, out, statsCols = Seq("tsu"))
+    ManifestLand.updateWhere(spark, out, col("event_type") === "error",
+      Seq("event_type" -> lit("error_handled"),
+        "value_e4" -> (col("value_e4") + 1000000L)))
+    ManifestLand.read(spark, out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_e4")).as("sum_value_e4"))
+  }
+
   def streamSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft_s27_out").toString + "/landing"
@@ -1515,6 +1545,20 @@ object StreamingOps {
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4,
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM e, p WHERE user_id IN (lo, hi) GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s33_row_update", (s, dir) => streamRowUpdate(s, dir),
+      // the atomically-updated landing's rollup must equal the batch
+      // CASE-expression answer over the raw events
+      Some("""WITH e AS (SELECT event_type,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |u AS (SELECT CASE WHEN event_type = 'error' THEN 'error_handled'
+             |               ELSE event_type END AS event_type,
+             |             CASE WHEN event_type = 'error' THEN value_e4 + 1000000
+             |               ELSE value_e4 END AS value_e4
+             |      FROM e)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM u GROUP BY event_type""".stripMargin)),
     graft.queries.Q("s25_dedup_within_watermark", (s, dir) => streamDedupWatermark(s, dir),
       // the doubly-delivered stream deduped within the watermark must
       // equal the plain distinct-corpus rollup

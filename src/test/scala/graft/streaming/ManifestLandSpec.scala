@@ -1187,6 +1187,84 @@ class ManifestLandSpec extends SparkFunSuite {
       "expiry + vacuum must leave disk == manifest")
   }
 
+  test("updateWhere: atomic tombstone+rewrite flip; history, CDF, pruning, compaction all hold") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_upd").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    // change-tracked landing with zone maps + blooms on k
+    (0 until 3).foreach { i =>
+      val b = spark.range(i * 10L, (i + 1) * 10L)
+        .select(col("id").as("k"), (col("id") * 100L).as("v"))
+      ManifestLand.applyBatch(b.toDF(), i, out,
+        statsCols = Seq(ManifestLand.CommitVersionCol, "k"),
+        bloomCol = Some("k"), trackChanges = true)
+    }
+    val filesBefore = ManifestLand.liveFiles(out).toSet
+    // UPDATE v = v + 7 WHERE k between 5 and 14 (spans two batches)
+    val n = ManifestLand.updateWhere(spark, out,
+      col("k") >= 5L && col("k") <= 14L, Seq("v" -> (col("v") + 7L)))
+    assert(n == 10L, s"updated $n rows")
+    // old files untouched, new u-files joined the landing
+    assert(filesBefore.subsetOf(ManifestLand.liveFiles(out).toSet))
+    assert(ManifestLand.liveFiles(out).toSet != filesBefore)
+    def kv(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("k", "v").as[(Long, Long)].collect().toMap
+    val expect = (0L until 30L).map(k =>
+      k -> (if (k >= 5 && k <= 14) k * 100 + 7 else k * 100)).toMap
+    // exactly one row per key, updated values in place
+    assert(ManifestLand.read(spark, out).count() == 30L)
+    assert(kv(ManifestLand.read(spark, out)) == expect)
+    // current version == read; history below still serves pre-update rows
+    assert(kv(ManifestLand.readVersion(spark, out, 2)) == expect)
+    assert(kv(ManifestLand.readVersion(spark, out, 1)) ==
+      (0L until 20L).map(k => k -> k * 100).toMap)
+    // the same cond matches the rewritten rows again (v plays no part) —
+    // a second update must update them AGAIN, not re-surface old rows
+    assert(ManifestLand.updateWhere(spark, out,
+      col("k") >= 5L && col("k") <= 14L, Seq("v" -> (col("v") + 7L))) == 10L)
+    val expect2 = (0L until 30L).map(k =>
+      k -> (if (k >= 5 && k <= 14) k * 100 + 14 else k * 100)).toMap
+    assert(kv(ManifestLand.read(spark, out)) == expect2)
+    // CDF over (1, 2]: batch 2's inserts PLUS the update's postimages as
+    // UPSERTS — and NO delete rows, because every updated key still
+    // exists at the window's end (net-effect-BY-KEY: a MERGE consumer
+    // applies inserts by key, replacing the preimage)
+    val feed = ManifestLand.changeFeed(spark, out, fromV = 1L, toV = 2L,
+      keyCols = Seq("k"))
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    val del = feed.filter(col("_change_type") === "delete")
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(ins == (20L until 30L).map(k => k -> k * 100).toMap ++
+      (5L to 14L).map(k => k -> (k * 100 + 14)).toMap, ins.toString)
+    assert(del == Map.empty[Long, Long], del.toString)
+    // point-lookup pruning serves the rewritten keys from the new files
+    val hitFiles = ManifestLand.prunedLiveFilesEq(out, 7L)
+    assert(hitFiles.nonEmpty &&
+      hitFiles.exists(f => !filesBefore.contains(f)),
+      s"bloom cut $hitFiles misses the rewrite files")
+    assert(ManifestLand.readPrunedEq(spark, out, 7L).filter(col("k") === 7L)
+      .select("k", "v").as[(Long, Long)].collect().toSeq == Seq(7L -> 714L),
+      "the pruned read must serve the REWRITTEN row exactly once")
+    // refusals: engine-managed + unknown columns
+    intercept[IllegalArgumentException] {
+      ManifestLand.updateWhere(spark, out, col("k") === 1L,
+        Seq(ManifestLand.CommitVersionCol -> org.apache.spark.sql.functions.lit(9L)))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLand.updateWhere(spark, out, col("k") === 1L,
+        Seq("nope" -> org.apache.spark.sql.functions.lit(9L)))
+    }
+    // compaction folds the update's tombstones; content survives
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    assert(ManifestLand.readManifest(out).dvs.isEmpty)
+    assert(kv(ManifestLand.read(spark, out)) == expect2)
+    ManifestLand.expireVersions(out, keep = 1)
+    assert(diskParquet(out) == ManifestLand.liveFiles(out).toSet,
+      "expiry + vacuum must leave disk == manifest")
+  }
+
   test("statsCols cannot change mid-landing; all-NULL stats record an impossible zone") {
     // ADVICE r6 pair: (1) a statsCols change mid-landing would render old
     // entry lines whose bounds arity no longer matches the new stats=
