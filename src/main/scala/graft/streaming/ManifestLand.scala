@@ -1421,32 +1421,53 @@ object ManifestLand {
     * Returns the number of rows updated.
     */
   def updateWhere(spark: SparkSession, dir: String, cond: Column,
-      set: Seq[(String, Column)]): Long = {
-    require(set.nonEmpty, "updateWhere: no SET expressions")
+      set: Seq[(String, Column)]): Long =
+    updateImpl(spark, dir, "updateWhere", _.filter(cond), set)
+
+  /** MERGE-style update: rewrite every live row whose `keyCols` appear
+    * in the `keys` frame — the scalable form of "patch these ids"
+    * (semi-join match, so the key side may be arbitrarily large and is
+    * never collected; [[deleteMatching]]'s contract, update-shaped).
+    * Same atomic-flip mechanics, version contract, and single-writer
+    * contract as [[updateWhere]]. Returns the number of rows updated.
+    */
+  def updateMatching(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCols: Seq[String], set: Seq[(String, Column)]): Long = {
+    require(keyCols.nonEmpty, "updateMatching: key columns required")
+    require(!keyCols.exists(Set("file_name", "row_index")),
+      "updateMatching: key columns collide with the positional columns")
+    updateImpl(spark, dir, "updateMatching",
+      _.join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi"),
+      set)
+  }
+
+  private def updateImpl(spark: SparkSession, dir: String, what: String,
+      restrict: DataFrame => DataFrame, set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, s"$what: no SET expressions")
     val m = readManifest(dir)
     require(m.applied >= 0L,
-      s"ManifestLand.updateWhere on an uncommitted landing: $dir")
+      s"ManifestLand.$what on an uncommitted landing: $dir")
     val schema = storedSchema(dir).getOrElse(throw new IllegalStateException(
-      s"ManifestLand.updateWhere: no tracked schema in $dir"))
+      s"ManifestLand.$what: no tracked schema in $dir"))
     set.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
-        s"updateWhere: SET column $c is not in the tracked schema of $dir")
+        s"$what: SET column $c is not in the tracked schema of $dir")
       require(c != CommitVersionCol,
-        s"updateWhere: $CommitVersionCol is engine-managed")
+        s"$what: $CommitVersionCol is engine-managed")
       require(!Set("file_name", "row_index").contains(c),
-        s"updateWhere: $c collides with the positional columns")
+        s"$what: $c collides with the positional columns")
     }
     if (m.files.isEmpty) return 0L
     val existing = tombFrame(spark, dir, m)
-    val hit = spark.read.schema(schema).parquet(m.files.map(n => s"$dir/$n"): _*)
-      .withColumn("file_name", expr("_metadata.file_name"))
-      .withColumn("row_index", expr("_metadata.row_index"))
-      .join(broadcast(existing.withColumnRenamed("file_name", "__ef")
-        .withColumnRenamed("row_index", "__ep")),
-        col("file_name") === col("__ef") && col("row_index") === col("__ep"),
-        "left_anti")
-      .drop("__ef", "__ep")
-      .filter(cond)
+    val hit = restrict(
+      spark.read.schema(schema).parquet(m.files.map(n => s"$dir/$n"): _*)
+        .withColumn("file_name", expr("_metadata.file_name"))
+        .withColumn("row_index", expr("_metadata.row_index"))
+        .join(broadcast(existing.withColumnRenamed("file_name", "__ef")
+          .withColumnRenamed("row_index", "__ep")),
+          col("file_name") === col("__ef") && col("row_index") === col("__ep"),
+          "left_anti")
+        .drop("__ef", "__ep"))
       .localCheckpoint()
     val nHit = hit.count()
     if (nHit == 0L) return 0L

@@ -1256,10 +1256,18 @@ class ManifestLandSpec extends SparkFunSuite {
       ManifestLand.updateWhere(spark, out, col("k") === 1L,
         Seq("nope" -> org.apache.spark.sql.functions.lit(9L)))
     }
+    // updateMatching: the key-frame form patches exactly the given ids
+    val keys = spark.range(3).select((col("id") * 2L).as("k")) // 0, 2, 4
+    assert(ManifestLand.updateMatching(spark, out, keys.toDF(), Seq("k"),
+      Seq("v" -> (col("v") + 1L))) == 3L)
+    val expect3 = expect2.map { case (k, v) =>
+      k -> (if (k == 0 || k == 2 || k == 4) v + 1 else v)
+    }
+    assert(kv(ManifestLand.read(spark, out)) == expect3)
     // compaction folds the update's tombstones; content survives
     ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
     assert(ManifestLand.readManifest(out).dvs.isEmpty)
-    assert(kv(ManifestLand.read(spark, out)) == expect2)
+    assert(kv(ManifestLand.read(spark, out)) == expect3)
     ManifestLand.expireVersions(out, keep = 1)
     assert(diskParquet(out) == ManifestLand.liveFiles(out).toSet,
       "expiry + vacuum must leave disk == manifest")
