@@ -38,7 +38,13 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     // unified layout: keys, __ts, __side (0=right sorts first on ties),
     // right payload, left columns
-    val r = right.select(
+    // a NULL-ts right row never matches (rightTs <= leftTs is UNKNOWN) —
+    // unfiltered it would sort FIRST (nulls-first asc), sit inside every
+    // frame, and its non-null struct(NULL, payload) would win max() when
+    // no real candidate precedes: a phantom match with asof_ts = NULL
+    // but populated payload. The physical operator skips such rows in
+    // its merge; drop them here for the same contract.
+    val r = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
           struct(col(rightTs).as("__pts") +: rightPayload.map(col): _*).as("__rp")) ++

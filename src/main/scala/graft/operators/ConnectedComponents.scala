@@ -56,6 +56,13 @@ object ConnectedComponents {
       val next =
         if ((iter + 1) % 3 == 0) nextPlan.localCheckpoint()
         else nextPlan.cache()
+      // materialize the WHOLE frame into the cache before the probe: the
+      // filter+limit(1) convergence check alone short-circuits after one
+      // changed row, leaving most cache partitions uncomputed — the next
+      // round's join would then recompute them through the
+      // already-unpersisted previous labels (the lazily-chained-loop
+      // recompute this loop's checkpoint cadence exists to prevent)
+      next.count()
       val changed = next.filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = next
@@ -122,6 +129,7 @@ object ConnectedComponents {
       val nextPlan = smallStar(largeStar(e))
       val next =
         (if ((iter + 1) % 3 == 0) nextPlan.localCheckpoint() else nextPlan.cache())
+      next.count() // full materialization before the probe (see apply())
       // fixpoint when the edge set is stable (small-star output is always
       // oriented u > v, so set equality is well-defined)
       converged = next.exceptAll(e).limit(1).isEmpty && e.exceptAll(next).limit(1).isEmpty

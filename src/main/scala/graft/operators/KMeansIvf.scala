@@ -54,7 +54,16 @@ object KMeansIvf {
         // 1..i-1 (quadratic recompute — round-5 bench finding on e06)
         .localCheckpoint()
     }
-    (centroids.cache(), assign(e, centroids))
+    val out = assign(e, centroids)
+    // e's cache exists for the Lloyd loop's repeated assigns; the
+    // returned assignment recomputes the narrow scan+cast lineage
+    // deterministically (centroids are localCheckpoint'd, argmax
+    // tie-breaks are total), so RELEASE the corpus-size cache instead of
+    // pinning it for the session — the PqAnn.fitEncode discipline.
+    // Callers needing aux-export consistency cache the assignment
+    // itself (searchWithIndex does).
+    e.unpersist()
+    (centroids.cache(), out)
   }
 
   /** Scalable k-means|| initialization (Bahmani et al., VLDB 2012),

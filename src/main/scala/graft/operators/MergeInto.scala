@@ -34,19 +34,25 @@ object MergeInto {
       outCols: Seq[(String, (Column, Column, Column))]): DataFrame = {
     val bk = col(s"b.$key")
     val sk = col(s"s.$key")
-    val matched = bk.isNotNull && sk.isNotNull
-    val baseOnly = sk.isNull
+    // side-PRESENCE markers, not key nullability: a source row with a
+    // NULL merge key never joins (NULL = NULL is not true), and
+    // classifying by `sk.isNull` would mistake it for base-only —
+    // emitting a spurious all-null "keep" row built from the absent base
+    // side. With markers it takes the insert branch, which is SQL
+    // MERGE's NOT MATCHED behavior for such a row.
+    val matched = col("b.__b").isNotNull && col("s.__s").isNotNull
+    val baseOnly = col("s.__s").isNull
     val cols = outCols.map { case (name, (u, k, i)) =>
       when(baseOnly, k).when(matched, u).otherwise(i).as(name)
     }
-    base.as("b")
-      .join(source.as("s"), bk === sk, "full_outer")
+    base.withColumn("__b", lit(1)).as("b")
+      .join(source.withColumn("__s", lit(1)).as("s"), bk === sk, "full_outer")
       // delete rows: a matched delete removes the base row; a source-only
       // delete has nothing to remove. A NULL predicate is NOT a delete
       // (SQL MERGE: an unknown WHEN-condition is not satisfied) — without
       // the coalesce, !(true && NULL) = NULL and the filter would DROP
       // the row, silently deleting on e.g. `op === "D"` when op is NULL
-      .filter(!(sk.isNotNull && coalesce(deleteWhen, lit(false))))
+      .filter(!(col("s.__s").isNotNull && coalesce(deleteWhen, lit(false))))
       .select(cols: _*)
   }
 }

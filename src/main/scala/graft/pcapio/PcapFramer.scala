@@ -216,7 +216,11 @@ private final class PcapFramer(in: InputStream, mode: PcapFramer.Mode)
         val ts = (u32(body, 4, bigEndian) << 32) | u32(body, 8, bigEndian)
         val caplen = u32(body, 12, bigEndian).toInt
         val origlen = u32(body, 16, bigEndian)
-        if (caplen < 0 || 20 + caplen > bodyLen) return None
+        // compare as `caplen > bodyLen - 20`: the `20 + caplen` spelling
+        // overflows Int for a corrupt caplen near Int.MaxValue, slipping
+        // past the guard into copyOfRange's IllegalArgumentException
+        // instead of the skip-malformed path
+        if (caplen < 0 || caplen > bodyLen - 20) return None
         val data = java.util.Arrays.copyOfRange(body, 20, 20 + caplen)
         val (lt, res) = mode match {
           case ReferenceCompat =>

@@ -41,6 +41,19 @@ final class PcapMicroBatchStream(
     withBytes: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  // SINGLE-ROOT contract: the offset watermark is a name in ONE sorted
+  // namespace. With two directories the global full-path sort interleaves
+  // them, so the first new file in any non-last-sorting directory sits
+  // BELOW the watermark and trips the out-of-order refusal — i.e. a
+  // multi-path stream is guaranteed to die on its first mixed-order
+  // arrival even when each directory honors the landing contract. Refuse
+  // at construction (batch reads still take multi-path; streams take one
+  // root per query and union at the DataFrame level).
+  require(paths.size == 1,
+    s"pcap streaming needs a single landing root (got ${paths.size}: " +
+      s"${paths.mkString(", ")}); start one stream per directory and " +
+      "union the DataFrames")
+
   private val spark = org.apache.spark.sql.SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
   private val serConf = new SerializableConfiguration(hconf)

@@ -69,9 +69,14 @@ object Defrag {
     * row_number instead of DuckDB's scan-order `first`, SURVEY §4.4).
     */
   def firstFragments(pcap: DataFrame): DataFrame = {
+    // FULL sort key (CLAUDE.md rule): frame_time alone ties for
+    // retransmitted/duplicated first fragments of the same datagram key
+    // at the same µs — the patched columns themselves break the tie, so
+    // the six back-filled values are identical across partitionings even
+    // when duplicate first fragments disagree
     val w = Window
       .partitionBy(JoinKeys.map(col): _*)
-      .orderBy(col("frame_time").asc)
+      .orderBy(col("frame_time").asc +: Patched.map(c => col(c).asc): _*)
     pcap
       .filter(col("ip_proto") === 17 && col("ip_mf") && col("ip_frag_offset") === 0)
       .select((JoinKeys ++ Patched :+ "frame_time").distinct.map(col): _*)

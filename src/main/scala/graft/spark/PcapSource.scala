@@ -50,7 +50,15 @@ object PcapSource {
     val files = spark.sparkContext.binaryFiles(path)
     val frames = files.flatMap { case (name, stream) =>
       val base = basename(name)
-      PcapFramer.frames(stream.open(), mode).map(f => (base, f))
+      val in = stream.open()
+      // close at task end, not GC: the framer has no close hook and an
+      // early-terminating consumer (limit) abandons the iterator mid-file
+      // — at millions of capture files per executor the leaked
+      // descriptors would hit the fd rlimit before the finalizer runs
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: java.io.IOException => () }))
+      PcapFramer.frames(in, mode).map(f => (base, f))
     }
     val staged =
       if (decodePartitions > 0) frames.repartition(decodePartitions)

@@ -260,6 +260,39 @@ class OperatorSpec extends SparkFunSuite {
     assert(merged == Map(1L -> 11L, 3L -> 30L), merged.toString)
   }
 
+  test("MergeInto: a NULL-key source row inserts, never fabricates an all-null keep row") {
+    import spark.implicits._
+    val base = Seq((1L, 10L)).toDF("custkey", "v")
+    // pre-fix the NULL-key source row was classified base-only (sk.isNull)
+    // and emitted a keep row built from the ABSENT base side: all nulls
+    val source = Seq((Option.empty[Long], 99L, "U")).toDF("custkey", "v", "op")
+    val merged = graft.operators.MergeInto(
+      base, source, "custkey",
+      deleteWhen = col("s.op") === "D",
+      outCols = Seq(
+        "custkey" -> ((col("s.custkey"), col("b.custkey"), col("s.custkey"))),
+        "v" -> ((col("s.v"), col("b.v"), col("s.v")))))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1))
+      .toMap
+    // kept base row + the NULL-key row as an INSERT (SQL NOT MATCHED)
+    assert(merged == Map(Some(1L) -> 10L, None -> 99L), merged.toString)
+  }
+
+  test("AsOfJoin: a NULL-ts right row is no candidate (no phantom payload)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 1L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, Option.empty[Long], 777L)).toDF("k", "ts", "rid")
+    // pre-fix: struct(NULL, 777) sorted first, sat in every frame, and
+    // max() returned it when no real candidate preceded — asof_ts NULL
+    // but asof_rid populated. Both implementations must emit no match.
+    val composed = AsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("rid")).collect()
+    assert(composed.length == 1 && composed.head.isNullAt(3) && composed.head.isNullAt(4),
+      composed.mkString)
+    val phys = graft.plans.PhysicalAsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("rid")).collect()
+    assert(phys.length == 1 && phys.head.isNullAt(3) && phys.head.isNullAt(4),
+      phys.mkString)
+  }
+
   test("ConnectedComponents: exhausting maxIterations without a fixpoint refuses loudly") {
     import spark.implicits._
     // a 30-edge chain cannot converge in 3 min-label rounds; pre-fix the
