@@ -132,9 +132,23 @@ object PacketDissector {
 
   /** RFC 5952 text form (longest zero-run → `::`, lowercase, no leading
     * zeros) — matches Rust's `Ipv6Addr` Display used by the reference
-    * (packetstats.rs:246-250).
+    * (packetstats.rs:246-250), INCLUDING its dotted special cases:
+    * after `::` and `::1`, an IPv4-compatible [0×6,g,h] renders
+    * `::a.b.c.d` and an IPv4-mapped [0×5,ffff,g,h] renders
+    * `::ffff:a.b.c.d` (Rust's `to_ipv4()` branch in Display).
     */
   private[graft] def ipv6Text(groups: Array[Int]): String = {
+    @inline def dotted(g: Int, h: Int): String =
+      s"${(g >> 8) & 0xff}.${g & 0xff}.${(h >> 8) & 0xff}.${h & 0xff}"
+    val leadingZeros = (0 until 6).forall(i => groups(i) == 0)
+    if (leadingZeros && groups(6) == 0 && (groups(7) == 0 || groups(7) == 1)) {
+      // `::` / `::1` take the general path (identical rendering) — Rust
+      // excludes exactly these two from the dotted branch
+    } else if (leadingZeros) {
+      return "::" + dotted(groups(6), groups(7))
+    } else if ((0 until 5).forall(i => groups(i) == 0) && groups(5) == 0xffff) {
+      return "::ffff:" + dotted(groups(6), groups(7))
+    }
     // find longest run of zero groups (length >= 2), leftmost on tie
     var bestStart = -1; var bestLen = 0
     var i = 0
@@ -187,8 +201,8 @@ object PacketDissector {
     val pEnd =
       if (totalLen >= ihl && off + totalLen <= b.length) off + totalLen
       else b.length
-    if (pStart >= pEnd && proto != 0) ()
-    else dissectTransport(a, b, proto, pStart, pEnd)
+    // an empty payload range no-ops through every transport arm
+    if (pStart < pEnd) dissectTransport(a, b, proto, pStart, pEnd)
   }
 
   private def dissectIpv6(a: DissectAcc, b: Array[Byte], off: Int): Unit = {
@@ -300,9 +314,16 @@ object PacketDissector {
           a.udpSrcport = u16(b, t)
           a.udpDstport = u16(b, t + 2)
         case 6 if qEnd - t >= 20 =>
-          a.tcpSrcport = u16(b, t)
-          a.tcpDstport = u16(b, t + 2)
-          a.tcpFlagsBits = u8(b, t + 13)
+          // same strict data-offset contract as the v4-inner branch: a
+          // quote shorter than the header doff declares is a parse
+          // error, not a populated row
+          val doff = (u8(b, t + 12) >> 4) * 4
+          if (doff < 20 || qEnd - t < doff) a.errors += 1
+          else {
+            a.tcpSrcport = u16(b, t)
+            a.tcpDstport = u16(b, t + 2)
+            a.tcpFlagsBits = u8(b, t + 13)
+          }
         case 17 | 6 => a.errors += 1
         case _      => ()
       }

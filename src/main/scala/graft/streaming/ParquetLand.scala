@@ -82,11 +82,10 @@ object ParquetLand {
     val q = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (batchId > appliedThrough(outDir)) {
-          stageParts(batch.withColumn("_batch_id", lit(batchId)),
-            outDir, s"j${batchId}_")
-          commitApplied(outDir, batchId)
-        }
+        // the ONE exactly-once applier, journal-prefixed — not an inline
+        // copy of its guard/stage/commit sequence
+        applyBatch(batch.withColumn("_batch_id", lit(batchId)),
+          batchId, outDir, prefix = "j")
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -166,10 +165,22 @@ object ParquetLand {
     */
   private[streaming] def stageParts(df: Dataset[Row], outDir: String,
       prefix: String): Seq[String] = {
-    val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
-    df.write.mode("overwrite").parquet(stage)
     val out = new java.io.File(outDir)
     out.mkdirs()
+    // stage as a HIDDEN SIBLING of the landing, not under java.io.tmpdir:
+    // a landing on a different filesystem than /tmp would turn every
+    // Files.move below into an EXDEV copy+delete — the batch written
+    // twice, and readers able to observe a torn part file mid-copy where
+    // the same-FS rename is atomic. Dot-prefixed siblings are invisible
+    // to every parquet reader; stale ones (crashed attempts) are swept
+    // here under the single-writer contract.
+    val parent = Option(out.getParentFile).getOrElse(new java.io.File("."))
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s".${out.getName}.stage"))
+      .foreach(graft.TempCleanup.rmrf)
+    val stage = java.nio.file.Files.createTempDirectory(
+      parent.toPath, s".${out.getName}.stage").toString
+    df.write.mode("overwrite").parquet(stage)
     Option(out.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(prefix)).foreach(_.delete())
     val names = new java.io.File(stage).listFiles()
@@ -227,9 +238,10 @@ object ParquetLand {
     * at 0) requires removing the landing and its `_applied` sibling too,
     * or the stale high-water mark silently skips the replayed batches.
     */
-  private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long, outDir: String): Unit = {
+  private[streaming] def applyBatch(batch: Dataset[Row], batchId: Long,
+      outDir: String, prefix: String = "b"): Unit = {
     if (batchId <= appliedThrough(outDir)) return
-    stageParts(batch, outDir, s"b${batchId}_") // sweeps crashed-attempt leftovers
+    stageParts(batch, outDir, s"$prefix${batchId}_") // sweeps crashed-attempt leftovers
     commitApplied(outDir, batchId) // commit point
   }
 
@@ -252,7 +264,16 @@ object ParquetLand {
         f.getName.startsWith(base + ".compact") || f.getName.startsWith(base + ".old")
       }
     if (!out.exists()) {
-      val compacts = debris().filter(_.getName.startsWith(base + ".compact"))
+      // only a COMPLETED rewrite may be promoted: Spark's committer
+      // writes _SUCCESS at job commit, so a dir without it is a
+      // crashed-mid-write attempt. Promoting a partial dir would be
+      // silent data loss on the FIRST batch of a CdcLand landing
+      // (outDir never existed, so the replayed batch would read the
+      // partial dir as the current snapshot instead of calling init())
+      // — sweep it as debris and let the replay rebuild instead.
+      val compacts = debris().filter(f =>
+        f.getName.startsWith(base + ".compact") &&
+          new java.io.File(f, "_SUCCESS").exists())
       if (compacts.nonEmpty) {
         // batchId suffix orders the copies; the newest completed rewrite wins
         val newest = compacts.maxBy(f =>

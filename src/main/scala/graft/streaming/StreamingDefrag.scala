@@ -58,14 +58,27 @@ object StreamingDefrag {
     import projected.sparkSession.implicits._
     val fn: (FragKey, Iterator[FragRow], GroupState[Patch]) => Iterator[PatchedRow] =
       (_, rows, state) => {
-        val sorted = rows.toSeq.sortBy(_.tsu)
-        // time-first first-fragment wins; carried state (an earlier batch)
-        // outranks anything in this batch — same order batch defrag's
-        // row_number-over-frame_time picks
-        val ff = state.getOption.orElse(
+        // FULL sort key (the batch Defrag.firstFragments tiebreak):
+        // tsu alone ties for duplicated first fragments at the same µs,
+        // and the patched fields break the tie identically in both
+        // engines (None sorts first, like SQL ASC NULLS FIRST)
+        val sorted = rows.toSeq.sortBy(r => (r.tsu, r.udp_srcport,
+          r.udp_dstport, r.ntp_priv_reqcode, r.dns_qry_type,
+          r.dns_qry_name, r.col_protocol))
+        // carried state (an earlier batch) outranks anything in this
+        // batch — the append-mode contract: rows already emitted with
+        // that patch cannot be retracted, so a duplicate first fragment
+        // with an earlier tsu arriving in a LATER batch is ignored (the
+        // class doc's arrival-order caveat; s07's one-file fixture is
+        // single-batch, so its oracle's global pick agrees)
+        val carried = state.getOption
+        val ff = carried.orElse(
           sorted.find(r => r.ip_proto == 17 && r.ip_mf && r.ip_frag_offset == 0)
             .map(toPatch))
-        ff.foreach(state.update)
+        // write state only when it changes — an unconditional update
+        // re-serializes the identical patch every batch that touches the
+        // key (pure changelog write amplification under RocksDB)
+        if (carried.isEmpty) ff.foreach(state.update)
         val p = ff.getOrElse(Patch(None, None, None, None, None, None))
         sorted.iterator.map { r =>
           PatchedRow(r.ip_src, r.ip_dst, r.ip_proto, r.ip_id, r.tsu,
@@ -144,7 +157,10 @@ object StreamingDefrag {
              |         udp_srcport, udp_dstport, ntp_priv_reqcode,
              |         dns_qry_type, dns_qry_name, col_protocol,
              |         ROW_NUMBER() OVER (PARTITION BY ip_src, ip_dst, ip_proto, ip_id
-             |                            ORDER BY tsu) AS rn
+             |                            ORDER BY tsu,
+             |                              udp_srcport NULLS FIRST, udp_dstport NULLS FIRST,
+             |                              ntp_priv_reqcode NULLS FIRST, dns_qry_type NULLS FIRST,
+             |                              dns_qry_name NULLS FIRST, col_protocol NULLS FIRST) AS rn
              |  FROM p WHERE ip_proto = 17 AND ip_mf AND ip_frag_offset = 0)
              |  WHERE rn = 1)
              |SELECT p.ip_src, p.ip_dst, p.ip_proto, p.ip_id, p.tsu,

@@ -31,7 +31,13 @@ object DissectorProps extends Properties("dissector") {
           val parts = s.split("::", -1)
           def side(p: String): Array[Int] =
             if (p.isEmpty) Array.empty
-            else p.split(':').map(Integer.parseInt(_, 16))
+            else p.split(':').flatMap { seg =>
+              if (seg.contains('.')) {
+                // dotted IPv4 tail (compatible/mapped forms) = 2 groups
+                val b = seg.split('.').map(_.toInt)
+                Array((b(0) << 8) | b(1), (b(2) << 8) | b(3))
+              } else Array(Integer.parseInt(seg, 16))
+            }
           if (parts.length == 2) {
             val l = side(parts(0)); val r = side(parts(1))
             l ++ Array.fill(8 - l.length - r.length)(0) ++ r

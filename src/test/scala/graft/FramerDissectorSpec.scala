@@ -216,6 +216,16 @@ class FramerDissectorSpec extends AnyFunSuite {
     assert(PacketDissector.ipv6Text(Array(1, 2, 3, 4, 5, 6, 7, 8)) == "1:2:3:4:5:6:7:8")
     // single zero group is NOT compressed (RFC 5952 §4.2.2)
     assert(PacketDissector.ipv6Text(Array(1, 0, 2, 3, 4, 5, 6, 7)) == "1:0:2:3:4:5:6:7")
+    // Rust Ipv6Addr Display's dotted special cases (reference parity):
+    // IPv4-mapped and IPv4-compatible render their last 32 bits dotted,
+    // with :: and ::1 excluded
+    assert(PacketDissector.ipv6Text(Array(0, 0, 0, 0, 0, 0xffff, 0xc000, 0x0201))
+      == "::ffff:192.0.2.1")
+    assert(PacketDissector.ipv6Text(Array(0, 0, 0, 0, 0, 0, 0xc000, 0x0201))
+      == "::192.0.2.1")
+    assert(PacketDissector.ipv6Text(Array(0, 0, 0, 0, 0, 0, 0, 5)) == "::0.0.0.5")
+    assert(PacketDissector.ipv6Text(Array(0, 0, 0, 0, 0, 0xffff, 0, 0))
+      == "::ffff:0.0.0.0")
   }
 
   test("VLAN-tagged frame reaches the IP layer; eth_type keeps outer value") {

@@ -34,6 +34,28 @@ class RecoverSwapSpec extends SparkFunSuite {
     assert(leftovers == Set("landing"), s"debris not swept: $leftovers")
   }
 
+  test("a crashed-mid-write rewrite (no _SUCCESS) is swept, never promoted") {
+    val spark = this.spark
+    import spark.implicits._
+    val parent = Files.createTempDirectory("graft_swap3").toString
+    val out = s"$parent/landing"
+    // CdcLand's FIRST batch crash window: outDir never existed and the
+    // merge rewrite died mid-write. Promoting the partial dir would make
+    // the replayed batch read it as the current snapshot instead of
+    // calling init() — silent loss of every init row the partial write
+    // missed. recoverSwap must treat it as debris.
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(s"$out.compact0")
+    assert(new java.io.File(s"$out.compact0/_SUCCESS").delete(),
+      "fixture: simulate a mid-write crash by removing the commit marker")
+
+    ParquetLand.recoverSwap(out)
+
+    assert(!new java.io.File(out).exists(),
+      "a partial rewrite must NOT be promoted to the landing")
+    val leftovers = new java.io.File(parent).listFiles().map(_.getName).toSet
+    assert(leftovers.isEmpty, s"partial-rewrite debris not swept: $leftovers")
+  }
+
   test("healthy landing is untouched; stale debris is swept") {
     val spark = this.spark
     import spark.implicits._
