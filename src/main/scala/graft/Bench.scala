@@ -76,14 +76,31 @@ object Bench {
       (q.name, best, median)
     }
     def ab(name: String)(build: () => org.apache.spark.sql.DataFrame): (String, Double, Double) = {
-      val (best, median) = timeN(build)
+      // degrade like the headline rows: one broken A/B arm must cost its
+      // own row, never the whole round's JSON line
+      val (best, median) =
+        try timeN(build)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (-1.0, -1.0)
+        }
       System.err.println(f"[bench] $name%-24s best $best%8.3f s  median $median%8.3f s")
       (name, best, median)
     }
+    // same contract for a whole A/B group whose FIXTURE setup fails
+    // (commitBatch on disk pressure, an empty probe frame): the group's
+    // rows are dropped with a stderr note and every other row still lands
+    def abGroup(label: String)(body: => Seq[(String, Double, Double)])
+        : Seq[(String, Double, Double)] =
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $label fixture failed: ${e.getMessage}")
+        Seq.empty
+      }
     // as-of join A/B: the custom physical operator (what q17 ships) vs the
     // composed union+window formulation, same inputs — the regression
     // guard for the round-5 SparkPlan/Strategy extension
-    val asofAb = {
+    val asofAb = abGroup("asofAb") {
       import org.apache.spark.sql.functions._
       def inputs() = {
         val ev = queries.Tables.events(spark, sfDir)
@@ -112,7 +129,7 @@ object Bench {
     // lives in PlanQualitySpec's q64 plan pin (no Union, one join) and
     // only separates at real scale; the A/B guards against the single-
     // join plan ever REGRESSING behind the naive one.
-    val mergeAb = {
+    val mergeAb = abGroup("mergeAb") {
       import org.apache.spark.sql.functions._
       import graft.queries.PipelineOps
       def inputs() = (PipelineOps.mergeBase(spark, sfDir),
@@ -148,7 +165,7 @@ object Bench {
     // WindowGroupLimit, once through graft.rules.TopKWindowRewrite into
     // the TopKPayloadAgg bounded-heap plan — the regression guard for the
     // round-6 injectOptimizerRule extension
-    val topkAb = {
+    val topkAb = abGroup("topkAb") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       def formulation(s: SparkSession) =
@@ -170,7 +187,7 @@ object Bench {
     // per-file tsu stats (8 time-clustered batch commits), once through
     // the full manifest read, once through readPruned's file skipping —
     // the round-6 data-skipping payoff, tracked round over round
-    val zonemapAb = {
+    val zonemapAb = abGroup("zonemapAb") {
       import org.apache.spark.sql.functions._
       val out = java.nio.file.Files.createTempDirectory("graft_bench_zm").toString + "/landing"
       graft.TempCleanup.registerDir(new java.io.File(out).getParent)
@@ -209,7 +226,7 @@ object Bench {
     // per-file user_id blooms (8 batches), once through the full read,
     // once through readPrunedEq's manifest-only file rejection — the
     // round-7 point-lookup payoff, tracked round over round
-    val bloomAb = {
+    val bloomAb = abGroup("bloomAb") {
       import org.apache.spark.sql.functions._
       val out = java.nio.file.Files.createTempDirectory("graft_bench_bf").toString + "/landing"
       graft.TempCleanup.registerDir(new java.io.File(out).getParent)
@@ -254,7 +271,7 @@ object Bench {
     // DV-delta spec (<5k records read vs ~19k for the anti-join on the
     // same landing). The rows exist to catch the ladder ever REGRESSING
     // to a multiple of the fallback.
-    val cdfAb = {
+    val cdfAb = abGroup("cdfAb") {
       import org.apache.spark.sql.functions._
       val out = java.nio.file.Files.createTempDirectory("graft_bench_cdf").toString + "/landing"
       graft.TempCleanup.registerDir(new java.io.File(out).getParent)
@@ -289,16 +306,24 @@ object Bench {
     val stats = all.map { case (k, best, median) =>
       "\"" + k + f"""\":{"best":$best%.3f,"median":$median%.3f,"n":$iters}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMedian = results.map(_._3).sum
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"queries":$qs,"queries_stats":$stats,"sf":"$sfDir"}"""
+    // totals over SUCCESSFUL rows only: summing the -1 failure sentinels
+    // would make a round with a broken query read as FASTER round-over-
+    // round; the failed list makes the gap explicit instead
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.filter(_._2 < 0).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries excluded from totals: ${failed.mkString(", ")}")
+    val total = ok.map(_._2).sum
+    val totalMedian = ok.map(_._3).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"failed":$failedJson,"queries":$qs,"queries_stats":$stats,"sf":"$sfDir"}"""
     // the driver keeps only the LAST ~2000 chars of output and parses
     // a JSON line within them (round-7: the single full line had grown
     // past that, so its head was clipped and `parsed` came back null).
     // So the FULL line (with per-query {best, median, n}) goes first —
     // and to the sidecar file — and the FINAL line is a compact
     // tail-proof summary that always fits whole inside any sane tail.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")

@@ -32,6 +32,7 @@ object SparkEntry {
     try {
       import org.apache.spark.sql.functions._
       val dir = java.nio.file.Files.createTempDirectory("graft-entry")
+      graft.TempCleanup.registerDir(dir.toString) // swept at purge/shutdown
       val f = dir.resolve("entry.pcap").toString
       graft.spark.PcapGen.write(f, 20000)
       val pcap = spark.read.format("pcap").load(f)

@@ -45,11 +45,10 @@ object Verify {
     // a pre-round-4 run may have left $outDir/_aux behind; the driver
     // enumerates $outDir subdirs, so purge any legacy aux tree before
     // writing (aux now lives in the ${outDir}_aux sibling)
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-      f.delete(); ()
-    }
-    rmrf(new java.io.File(s"$outDir/_aux"))
+    // TempCleanup.rmrf, never a local recursive delete: the shared helper
+    // does NOT follow directory symlinks (CLAUDE.md rule — the sharded
+    // gate fixtures are symlink trees into read-only testdata)
+    TempCleanup.rmrf(new java.io.File(s"$outDir/_aux"))
     // per-query watchdog: one pathological query must not stall the whole
     // correctness dump. Each query runs in its own Spark job group; on
     // timeout only THAT group is cancelled (interrupting its thread), so
@@ -100,7 +99,11 @@ object Verify {
         catch {
           case _: java.util.concurrent.TimeoutException =>
             System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
-            spark.sparkContext.cancelJobGroup(name)
+            // AndFutureJobs: plain cancelJobGroup only cancels ACTIVE
+            // jobs — a timed-out query sitting in driver-side loop code
+            // between jobs would keep submitting new ones under its FAIR
+            // pool for the rest of the run
+            spark.sparkContext.cancelJobGroupAndFutureJobs(name)
           case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -538,8 +538,11 @@ object ManifestLand {
     * columns) gives tight boxes in all dimensions at once, so any
     * single-dimension range prunes too.
     */
-  def prunedLiveFiles(dir: String, preds: Seq[(String, Long, Long)]): Seq[String] = {
-    val m = readManifest(dir)
+  def prunedLiveFiles(dir: String, preds: Seq[(String, Long, Long)]): Seq[String] =
+    prunedLiveFiles(readManifest(dir), dir, preds)
+
+  private[streaming] def prunedLiveFiles(m: Manifest, dir: String,
+      preds: Seq[(String, Long, Long)]): Seq[String] = {
     require(m.statsCols.nonEmpty,
       s"ManifestLand.prunedLiveFiles: landing $dir has no stats columns")
     val idx = preds.map { case (c, lo, hi) =>
@@ -575,8 +578,11 @@ object ManifestLand {
     */
   def readPruned(spark: SparkSession, dir: String,
       preds: Seq[(String, Long, Long)]): DataFrame = {
+    // ONE manifest parse feeds both the cut and the read: re-parsing for
+    // each would race a concurrent flip (a compaction between the two
+    // reads intersects old entries with new names — silently empty)
     val m = readManifest(dir)
-    val keep = prunedLiveFiles(dir, preds).toSet
+    val keep = prunedLiveFiles(m, dir, preds).toSet
     readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
       "readPruned")
   }
@@ -856,9 +862,12 @@ object ManifestLand {
     * batch of foreign keys) prunes as cheaply as a single probe. Union
     * semantics per file: kept iff some value may be present.
     */
-  def prunedLiveFilesIn(dir: String, values: Seq[Long]): Seq[String] = {
+  def prunedLiveFilesIn(dir: String, values: Seq[Long]): Seq[String] =
+    prunedLiveFilesIn(readManifest(dir), dir, values)
+
+  private def prunedLiveFilesIn(m: Manifest, dir: String,
+      values: Seq[Long]): Seq[String] = {
     require(values.nonEmpty, "prunedLiveFilesIn: empty probe list")
-    val m = readManifest(dir)
     require(m.bloomCol.nonEmpty,
       s"ManifestLand.prunedLiveFilesIn: landing $dir has no bloom column")
     probeKept(dir, m, values.map(sparkHash))
@@ -870,8 +879,8 @@ object ManifestLand {
     * caller applies the equality residual on top.
     */
   def readPrunedEq(spark: SparkSession, dir: String, value: Long): DataFrame = {
-    val m = readManifest(dir)
-    val keep = prunedLiveFilesEq(dir, value).toSet
+    val m = readManifest(dir) // one parse (see readPruned)
+    val keep = prunedLiveFilesEq(m, dir, value).toSet
     readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
       "readPrunedEq")
   }
@@ -879,8 +888,8 @@ object ManifestLand {
   /** IN-list point lookup: read only the files [[prunedLiveFilesIn]]
     * keeps; the caller applies the IN residual on top. */
   def readPrunedIn(spark: SparkSession, dir: String, values: Seq[Long]): DataFrame = {
-    val m = readManifest(dir)
-    val keep = prunedLiveFilesIn(dir, values).toSet
+    val m = readManifest(dir) // one parse (see readPruned)
+    val keep = prunedLiveFilesIn(m, dir, values).toSet
     readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
       "readPrunedIn")
   }
@@ -893,9 +902,9 @@ object ManifestLand {
     */
   def readPrunedComposed(spark: SparkSession, dir: String,
       preds: Seq[(String, Long, Long)], eqValue: Long): DataFrame = {
-    val m = readManifest(dir)
-    val keep = prunedLiveFiles(dir, preds).toSet
-      .intersect(prunedLiveFilesEq(dir, eqValue).toSet)
+    val m = readManifest(dir) // one parse feeds BOTH cuts and the read
+    val keep = prunedLiveFiles(m, dir, preds).toSet
+      .intersect(prunedLiveFilesEq(m, dir, eqValue).toSet)
     readFiles(spark, dir, m.copy(entries = m.entries.filter(e => keep(e.name))),
       "readPrunedComposed")
   }
@@ -1509,8 +1518,15 @@ object ManifestLand {
     val existing: DataFrame = tombFrame(spark, dir, m)
     // positions of the matching rows in the CURRENT merge-on-read view:
     // rows already tombstoned must not be re-counted, so anti-join first
+    // read through the TRACKED schema like every other read path: a raw
+    // read samples one file's footer, so after an additive evolution a
+    // predicate on the added column would throw or bind nondeterministically
+    val reader = storedSchema(dir) match {
+      case Some(sc) => spark.read.schema(sc)
+      case None => spark.read
+    }
     val fresh = restrict(
-      spark.read.parquet(m.files.map(n => s"$dir/$n"): _*)
+      reader.parquet(m.files.map(n => s"$dir/$n"): _*)
         .withColumn("file_name", expr("_metadata.file_name"))
         .withColumn("row_index", expr("_metadata.row_index"))
         .join(broadcast(existing.withColumnRenamed("file_name", "__ef")

@@ -54,8 +54,13 @@ object ScaleRehearsal {
         sys.error(s"unknown query $name"))
       val times = (1 to iters).map { i =>
         val t0 = System.nanoTime()
-        val n = build(spark, out).count()
+        // noop-sink write + a separate (untimed) count for the row tally:
+        // timing count() would let Catalyst prune the output expressions
+        // (Bench's round-2 lesson)
+        val df = build(spark, out)
+        df.write.mode("overwrite").format("noop").save()
         val s = (System.nanoTime() - t0) / 1e9
+        val n = df.count()
         System.err.println(f"[rehearsal] $name run $i: $s%.3f s rows=$n")
         (s, n)
       }

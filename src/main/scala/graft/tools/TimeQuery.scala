@@ -26,8 +26,12 @@ object TimeQuery {
       sys.error(s"unknown query $name; have: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     for (i <- 1 to iters) {
       val t0 = System.nanoTime()
-      val n = build(spark, dir).count()
-      println(f"[timequery] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      // noop-sink write, NOT count(): count() lets Catalyst prune every
+      // unused output expression, so a projection-heavy query times a
+      // plan that skips exactly the expressions being tuned (Bench's
+      // round-2 lesson — the tuning tool must measure what the gate runs)
+      build(spark, dir).write.mode("overwrite").format("noop").save()
+      println(f"[timequery] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }
