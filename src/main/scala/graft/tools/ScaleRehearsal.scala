@@ -37,9 +37,12 @@ object ScaleRehearsal {
     // degree skew) don't grow with the document corpus — they're soaked
     // directly in ManifestLandSpec (500k-key sizing) and SkewSoakSpec
     // (20k-degree hub).
+    // d07 joined after its 32-bit-wrap fix: the fingerprints' upper-block
+    // bucket distribution materially changed, so its block-join linearity
+    // needs the 10× measurement like the other banded dedups
     val qs = (if (args.length > 4) args(4).split(",").toSeq
       else Seq("e06_ivf_pq", "d05_ngram_jaccard", "d06_minhash_lsh", "d42_bm25",
-        "d44_containment"))
+        "d44_containment", "d07_simhash"))
       .map(_.trim).filter(_.nonEmpty)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
