@@ -1456,6 +1456,20 @@ object ManifestLand {
     val m = readManifest(dir)
     require(m.applied >= 0L,
       s"ManifestLand.$what on an uncommitted landing: $dir")
+    // A row UPDATE rewrites the CURRENT version in place — adding data
+    // files to a version the relay may have ALREADY published. Published
+    // change files are immutable and the relay's late-diff machinery
+    // accounts late DELETES only (a dv-set change), so the update's
+    // postimage rows would silently never reach the change log. Refuse
+    // loudly (the compactIfNeeded precedent): apply updates to a relayed
+    // landing as delete+append BATCHES (new versions relay cleanly), or
+    // detachRelay when the log is retired.
+    require(!new java.io.File(dir, RelayAttachFile).exists(),
+      s"ManifestLand.$what on relay-attached landing $dir would add " +
+        "rows to a version the change-feed relay may have already " +
+        "published (change files are immutable; late accounting covers " +
+        "deletes only) — apply the update as delete+append batches, or " +
+        "detachRelay(dir) if the change log and its consumers are retired")
     val schema = storedSchema(dir).getOrElse(throw new IllegalStateException(
       s"ManifestLand.$what: no tracked schema in $dir"))
     set.foreach { case (c, _) =>

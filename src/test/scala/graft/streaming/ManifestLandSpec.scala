@@ -1264,6 +1264,17 @@ class ManifestLandSpec extends SparkFunSuite {
       k -> (if (k == 0 || k == 2 || k == 4) v + 1 else v)
     }
     assert(kv(ManifestLand.read(spark, out)) == expect3)
+    // a relay-attached landing refuses updates (published change files
+    // are immutable; late accounting covers deletes only) — and the
+    // refusal fires BEFORE any scan or staging
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, ManifestLand.RelayAttachFile), "/tmp/nowhere")
+    val relayErr = intercept[IllegalArgumentException] {
+      ManifestLand.updateWhere(spark, out, col("k") === 1L,
+        Seq("v" -> (col("v") + 1L)))
+    }
+    assert(relayErr.getMessage.contains("relay"), relayErr.getMessage)
+    assert(new java.io.File(out, ManifestLand.RelayAttachFile).delete())
     // compaction folds the update's tombstones; content survives
     ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
     assert(ManifestLand.readManifest(out).dvs.isEmpty)
