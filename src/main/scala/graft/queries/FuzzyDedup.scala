@@ -377,6 +377,55 @@ object FuzzyDedup {
     Q("d07_simhash", (s, dir) => simhashNearDups(s, dir), Some(d07Oracle),
       aux = Seq("aux_simhashes" ->
         ((s: SparkSession, dir: String) => cachedSimhashes(s, dir)))),
+    // --- d48: simhash recall/precision audit -------------------------------
+    // d45's counterpart for the OTHER sketch family (made meaningful by
+    // the shift-wrap fix: the pre-fix giant shared buckets inflated
+    // recall to an accidental 1.0): d07's Hamming≤6 pairs scored against
+    // d05's exact-Jaccard truth — recall against the STRONG (≥800‰)
+    // pairs simhash targets, precision against the ≥300‰ set (a sim pair
+    // below even that is a real false positive). The oracle recomputes
+    // BOTH arms independently: the truth sets from raw shingle SQL, the
+    // simhash arm replayed from the exported fingerprints.
+    Q("d48_simhash_recall",
+      (s, dir) => {
+        val sim = simhashNearDups(s, dir).select(col("doc_a"), col("doc_b"))
+        val ex = TextOps.exactNearDups(s, dir)
+        val strong = ex.filter(col("jaccard_permille") >= 800)
+          .select(col("doc_a"), col("doc_b"))
+        val any = ex.select(col("doc_a"), col("doc_b"))
+        val nS = sim.agg(count(lit(1)).as("n_sim"))
+        val nE = strong.agg(count(lit(1)).as("n_strong"))
+        val nH = sim.join(strong, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        val nT = sim.join(any, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_true"))
+        nE.crossJoin(broadcast(nS)).crossJoin(broadcast(nH))
+          .crossJoin(broadcast(nT))
+          .select(col("n_strong"), col("n_sim"), col("n_hits"), col("n_true"),
+            expr("""CAST(CASE WHEN n_strong = 0 THEN 0
+                   | ELSE 1000 * n_hits div n_strong END AS BIGINT)""".stripMargin)
+              .as("recall_permille"),
+            expr("""CAST(CASE WHEN n_sim = 0 THEN 0
+                   | ELSE 1000 * n_true div n_sim END AS BIGINT)""".stripMargin)
+              .as("precision_permille"))
+      },
+      Some {
+        val simSql = d07Oracle.replace("/_aux/d07_simhash/", "/_aux/d48_simhash_recall/")
+        s"""WITH sim AS (SELECT doc_a, doc_b FROM ($simSql)),
+           |ex3 AS (SELECT doc_a, doc_b FROM (${TextOps.dedupOracleSql})),
+           |ex8 AS (SELECT doc_a, doc_b FROM (${TextOps.dedupOracleSql})
+           |        WHERE jaccard_permille >= 800),
+           |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM sim JOIN ex8 USING (doc_a, doc_b)),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM sim JOIN ex3 USING (doc_a, doc_b)),
+           |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sim FROM sim),
+           |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strong FROM ex8)
+           |SELECT e.n_strong, sc.n_sim, h.n_hits, t.n_true,
+           |  CAST(CASE WHEN e.n_strong = 0 THEN 0 ELSE 1000 * h.n_hits // e.n_strong END AS BIGINT) AS recall_permille,
+           |  CAST(CASE WHEN sc.n_sim = 0 THEN 0 ELSE 1000 * t.n_true // sc.n_sim END AS BIGINT) AS precision_permille
+           |FROM e, sc, h, t""".stripMargin
+      },
+      aux = Seq("aux_simhashes" ->
+        ((s: SparkSession, dir: String) => cachedSimhashes(s, dir)))),
     Q("d08_fingerprints",
       (s, dir) => fingerprints(t(s, dir, "documents"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints")),
