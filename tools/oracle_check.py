@@ -119,6 +119,14 @@ def main(sf_dir, out_dir):
         else:
             print(f"  ✓ {name}: {len(got_rows)} rows match")
             n_pass += 1
+    # an oracle with NO result dir is a FAILED query, not a skipped one:
+    # a build that crashed before writing produced PASS=N FAIL=0 with the
+    # broken query silently absent (observed live — a stack() type error
+    # yielded FAIL=0 while dumping nothing). The driver marks such rows
+    # `err`; mirror it loudly.
+    for name in sorted(set(oracles) - set(names)):
+        print(f"  ✗ {name}: declared oracle but NO result written by Verify")
+        n_fail += 1
     print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
     return 1 if n_fail else 0
 
