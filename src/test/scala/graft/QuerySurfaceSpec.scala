@@ -67,6 +67,32 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} strong pairs")
   }
 
+  test("minhash signatures equal an exact driver-side recompute (slot-by-slot)") {
+    // the d06/d29/d45 oracles replay EXPORTED signatures, so MinHashAgg
+    // itself sits in the gate's aux-replay blind spot (where the simhash
+    // shift-wrap bug lived) — pin it exactly: per-slot min of
+    // XXH64.hashLong(shingleHash, slot), recomputed on the driver from
+    // the same shingle hashes
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val sigs = FuzzyDedup.signatures(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val hs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))) AS sh")
+      .selectExpr("doc_id", "xxhash64(sh) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+    assert(hs.keySet == sigs.keySet)
+    hs.foreach { case (doc, hashes) =>
+      val expect = Array.tabulate(FuzzyDedup.NumPerms) { slot =>
+        hashes.map(h => XXH64.hashLong(h, slot)).min
+      }
+      assert(sigs(doc).sameElements(expect), s"doc $doc signature diverges")
+    }
+  }
+
   test("simhash upper bits are real: 63-bit non-negative, bits 32-62 vote independently") {
     // regression pin for the INT-shift wrap bug: `1 << i` in Spark SQL is
     // a 32-bit shift (mod 32), so bits 32-62 aliased onto 0-30 and bit 31

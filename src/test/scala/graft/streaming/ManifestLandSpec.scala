@@ -1344,6 +1344,19 @@ class ManifestLandSpec extends SparkFunSuite {
           ManifestLand.deleteWhere(spark, out, col("x").between(dlo, dhi))
           model.filterInPlace((_, x) => x < dlo || x > dhi)
         }
+        if (rnd.nextBoolean()) {
+          // round-8 UPDATE verb joins the interleave: patch a random x
+          // stripe (MOD stays inside the zone-mapped domain so pruning
+          // keeps being exercised on post-update files)
+          val (ulo, uhi) = { val a = rnd.nextInt(1000).toLong; (a, a + rnd.nextInt(200)) }
+          val n = ManifestLand.updateWhere(spark, out,
+            col("x").between(ulo, uhi),
+            Seq("x" -> ((col("x") + 37L) % 1000L)))
+          val expected = model.count(kv => kv._2 >= ulo && kv._2 <= uhi)
+          assert(n == expected, s"seed=$seed batch $b: updated $n != $expected")
+          model.mapValuesInPlace((_, x) =>
+            if (x >= ulo && x <= uhi) (x + 37L) % 1000L else x)
+        }
         if (rnd.nextInt(3) == 0)
           ManifestLand.compactIfNeeded(spark, out, maxFiles = 3, targetFiles = 2)
         check(s"after batch $b")
