@@ -119,6 +119,32 @@ class PcapStreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("multi-root streaming refuses at construction (single-namespace watermark)") {
+    // the offset watermark is a name in ONE sorted namespace: with two
+    // directories the global sort interleaves them and the first new
+    // file in any non-last-sorting root sits BELOW the watermark —
+    // guaranteed out-of-order refusal later even when each root honors
+    // the landing contract. So the stream must refuse UP FRONT with the
+    // union-of-streams workaround in the message.
+    val a = Files.createTempDirectory("pcapmr_a")
+    val b = Files.createTempDirectory("pcapmr_b")
+    Files.write(a.resolve("c1.pcap"), capture(1))
+    Files.write(b.resolve("c1.pcap"), capture(1))
+    val pathsJson = s"""["${a.toString}","${b.toString}"]"""
+    val q = spark.readStream.format("pcap").option("paths", pathsJson)
+      .load()
+      .groupBy("col_protocol").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("pcap_mr_sink").trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(10000); ()
+    }
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+    assert(msg(err).contains("single landing root"), msg(err))
+    q.stop()
+  }
+
   test("bytes=true streaming read carries raw frames (schema and reader agree)") {
     // pre-fix toMicroBatchStream dropped the bytes option: the table
     // schema said bytesSchema but every task built its projection

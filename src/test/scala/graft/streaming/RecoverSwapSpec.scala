@@ -104,6 +104,26 @@ class RecoverSwapSpec extends SparkFunSuite {
     assert(landed() == Seq(1L, 2L, 3L, 4L, 9L))
   }
 
+  test("stageParts stages as a hidden sibling and sweeps a crashed attempt's stage debris") {
+    val spark = this.spark
+    import spark.implicits._
+    val parent = Files.createTempDirectory("graft_stage_sib").toString
+    val out = s"$parent/landing"
+    // crashed-attempt debris: a stale hidden stage dir with a file in it
+    val stale = Paths.get(parent, ".landing.stage_crashed")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("leftover.parquet"), "junk")
+    ParquetLand.applyBatch(Seq(1L, 2L).toDF("v"), 0, out)
+    assert(!Files.exists(stale), "stale stage debris must be swept at entry")
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // no stage dir survives a successful apply, and nothing but the
+    // landing + its marker remain in the parent (same-FS staging means
+    // the moves were true renames)
+    val leftovers = new java.io.File(parent).listFiles().map(_.getName).toSet
+    assert(leftovers == Set("landing", "landing._applied"),
+      s"unexpected siblings: $leftovers")
+  }
+
   test("rmrf unlinks directory symlinks without deleting their targets") {
     val target = Files.createTempDirectory("graft_rmrf_target")
     val kept = target.resolve("keep.txt")
