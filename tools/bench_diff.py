@@ -17,6 +17,14 @@ def load(p):
     # the driver's BENCH_r*.json wraps Bench's JSON line under "parsed"
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
+    if "queries" not in d and isinstance(d.get("tail"), str):
+        # pre-round-8 driver files where the tail clipped the JSON line's
+        # head ("parsed": null): recover the per-query pairs that DID
+        # survive in the tail — a partial but usable comparison
+        import re
+        pairs = re.findall(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)', d["tail"])
+        skip = {"value", "total_median", "sf", "median", "best", "total", "n"}
+        d = {"queries": {k: float(v) for k, v in pairs if k not in skip}}
     return d
 
 
