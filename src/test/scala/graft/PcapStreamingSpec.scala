@@ -136,13 +136,14 @@ class PcapStreamingSpec extends SparkFunSuite {
       .groupBy("col_protocol").agg(count(lit(1)).as("n"))
       .writeStream.outputMode("complete").format("memory")
       .queryName("pcap_mr_sink").trigger(Trigger.AvailableNow()).start()
-    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.processAllAvailable(); q.awaitTermination(10000); ()
-    }
-    def msg(t: Throwable): String =
-      Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
-    assert(msg(err).contains("single landing root"), msg(err))
-    q.stop()
+    try {
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(10000); ()
+      }
+      def msg(t: Throwable): String =
+        Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+      assert(msg(err).contains("single landing root"), msg(err))
+    } finally q.stop()
   }
 
   test("bytes=true streaming read carries raw frames (schema and reader agree)") {

@@ -11,6 +11,18 @@ class QuerySurfaceSpec extends SparkFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Driver-side shingle hashes per doc via the SAME SQL exprs the
+    * pipeline uses — deliberately inlined (independent of TextOps) and
+    * shared by the minhash and simhash exact-recompute pins. */
+  private def driverShingleHashes(path: String): Map[Long, Array[Long]] =
+    spark.read.parquet(path)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))) AS sh")
+      .selectExpr("doc_id", "xxhash64(sh) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+
   test("every declared query runs at sf0.001; oracles cover the SQL-expressible ones") {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
@@ -77,13 +89,7 @@ class QuerySurfaceSpec extends SparkFunSuite {
     val sigs = FuzzyDedup.signatures(
       spark.read.parquet(s"$sf/documents.parquet"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    val hs = spark.read.parquet(s"$sf/documents.parquet")
-      .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .selectExpr("doc_id",
-        "explode(transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))) AS sh")
-      .selectExpr("doc_id", "xxhash64(sh) AS h")
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+    val hs = driverShingleHashes(s"$sf/documents.parquet")
     assert(hs.keySet == sigs.keySet)
     hs.foreach { case (doc, hashes) =>
       val expect = Array.tabulate(FuzzyDedup.NumPerms) { slot =>
@@ -110,13 +116,7 @@ class QuerySurfaceSpec extends SparkFunSuite {
       s"upper 31 bits collapsed to ${upper.size} distinct values (wrap bug)")
     // exact parity with a driver-side recomputation from the same shingle
     // hashes (votes majority per bit, bit set iff positive)
-    val hs = spark.read.parquet(s"$sf/documents.parquet")
-      .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .selectExpr("doc_id",
-        "explode(transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))) AS tok")
-      .selectExpr("doc_id", "xxhash64(tok) AS h")
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+    val hs = driverShingleHashes(s"$sf/documents.parquet")
     hs.foreach { case (doc, hashes) =>
       var fp = 0L
       (0 until FuzzyDedup.SimHashBits).foreach { i =>

@@ -113,14 +113,23 @@ class RecoverSwapSpec extends SparkFunSuite {
     val stale = Paths.get(parent, ".landing.stage_crashed")
     Files.createDirectories(stale)
     Files.writeString(stale.resolve("leftover.parquet"), "junk")
+    // a DIFFERENT landing's in-flight stage in the same parent: the
+    // sweep is name-scoped, so an over-broad "sweep all hidden
+    // siblings" regression must fail here, not delete a neighbor's
+    // mid-write data
+    val neighbor = Paths.get(parent, ".other.stage_inflight")
+    Files.createDirectories(neighbor)
+    Files.writeString(neighbor.resolve("part.parquet"), "neighbor bytes")
     ParquetLand.applyBatch(Seq(1L, 2L).toDF("v"), 0, out)
     assert(!Files.exists(stale), "stale stage debris must be swept at entry")
+    assert(Files.exists(neighbor.resolve("part.parquet")),
+      "the sweep must NOT touch another landing's stage dir")
     assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
-    // no stage dir survives a successful apply, and nothing but the
-    // landing + its marker remain in the parent (same-FS staging means
-    // the moves were true renames)
+    // no own-stage dir survives a successful apply; only the landing,
+    // its marker, and the untouched neighbor remain (same-FS staging
+    // means the moves were true renames)
     val leftovers = new java.io.File(parent).listFiles().map(_.getName).toSet
-    assert(leftovers == Set("landing", "landing._applied"),
+    assert(leftovers == Set("landing", "landing._applied", ".other.stage_inflight"),
       s"unexpected siblings: $leftovers")
   }
 
