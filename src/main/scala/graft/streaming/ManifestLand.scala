@@ -1024,8 +1024,11 @@ object ManifestLand {
       .filter(col("file_name").isInCollection(fromFiles))
     val candidates = positionalRows(spark, dir, delta)
       .getOrElse(return readFiles(spark, dir, mFrom, "changeFeed").limit(0))
-    candidates.join(
-      broadcast(inserts.select(keyCols.map(col): _*).distinct()),
+    // no forced broadcast (ADVICE r8): the insert side is bounded only
+    // by the window's change volume — a bulk append in a delete-bearing
+    // window would push an arbitrarily large frame through a driver-side
+    // broadcast. AQE picks broadcast when the side is actually small.
+    candidates.join(inserts.select(keyCols.map(col): _*).distinct(),
       keyCols, "left_anti")
   }
 
@@ -1045,11 +1048,13 @@ object ManifestLand {
       case Some(sc) => spark.read.schema(sc)
       case None => spark.read
     }
+    // no forced broadcast (ADVICE r8): a bulk retention purge makes the
+    // tombstone delta arbitrarily large; AQE broadcasts when it is small
     Some(reader.parquet(affected.map(n => s"$dir/$n"): _*)
       .withColumn("__file", expr("_metadata.file_name"))
       .withColumn("__pos", expr("_metadata.row_index"))
-      .join(broadcast(delta.withColumnRenamed("file_name", "__file")
-        .withColumnRenamed("row_index", "__pos")), Seq("__file", "__pos"))
+      .join(delta.withColumnRenamed("file_name", "__file")
+        .withColumnRenamed("row_index", "__pos"), Seq("__file", "__pos"))
       .drop("__file", "__pos"))
   }
 
@@ -1082,14 +1087,23 @@ object ManifestLand {
     * so a delete-bearing sync costs O(its deletes), an append-only one
     * O(its files).
     *
-    * LATE DELETES: [[deleteWhere]] re-flips the CURRENT version in
-    * place (it must — `applied` is the stream's exactly-once mark), so
-    * a delete can land on a version the relay ALREADY synced. The relay
-    * therefore records the tombstone set it has accounted for (the
-    * `_cf_state_*` sidecar named by the marker); each sync first diffs
-    * the synced version's CURRENT tombstones against that state and
-    * emits the difference as its own late-delete batch — positional
-    * fetch from only the affected files, like every other delete.
+    * LATE CHANGES: [[deleteWhere]] and [[updateWhere]] re-flip the
+    * CURRENT version in place (they must — `applied` is the stream's
+    * exactly-once mark), so a delete or update can land on a version
+    * the relay ALREADY synced. The relay therefore records the
+    * late-change evidence it has accounted for — the tombstone set
+    * (the `_cf_state_*` sidecar named by the marker) and, since round
+    * 9, the synced version's update-rewrite file set (`_accounted_upd`
+    * inside the state dir). Each sync diffs the synced version's
+    * CURRENT tombstones and `u`-files against that state: un-relayed
+    * postimage rows are emitted as `update_postimage` (the upsert
+    * payload), matched removed positions as `update_preimage`, and
+    * plain removed positions as `delete` — positional fetch from only
+    * the affected files in every case, so the pass costs O(the late
+    * change volume). The Delta-CDF four-type shape means a row-algebra
+    * fold (postimage adds, preimage subtracts) and a key-upsert MERGE
+    * consumer (apply postimages by key, ignore preimages) are both
+    * exact with no ordering assumption between the log's files.
     *
     * ORDERING CONTRACT with compaction: a compaction FOLDS tombstones
     * away, so folding the synced version's un-relayed tombstones would
@@ -1186,32 +1200,90 @@ object ManifestLand {
     }
     val retained = versions(dir)
     var synced = marker
-    // 1. LATE DELETES on the already-synced version: its current
-    // tombstones minus the accounted state (bounded by the late delete
-    // volume; empty when maintenance preceded the relay, and empty
-    // after a compaction — folding tombstones away deletes nothing)
+    // 1. LATE CHANGES on the already-synced version — the two ways a
+    // maintenance verb re-flips a version the relay already published:
+    //   deletes: its current tombstones minus the accounted state
+    //     (bounded by the late delete volume; empty when maintenance
+    //     preceded the relay, and empty after a compaction — folding
+    //     tombstones away deletes nothing);
+    //   updates (round 9): [[updateWhere]] adds postimage `u`-files to
+    //     the synced version; their rows were never relayed. Emitted in
+    //     the Delta-CDF shape — `update_postimage` rows (the UPSERT
+    //     payload a MERGE consumer applies by key) paired with
+    //     `update_preimage` rows for the matching removed positions —
+    //     so a row-algebra fold (preimage subtracts like a delete) and
+    //     a key-upsert consumer (preimages ignored) are BOTH exact,
+    //     without any ordering assumption on the log's files.
     if (marker >= 0L) {
       require(retained.contains(marker),
         s"changeFeedRelay: synced version $marker expired from $dir — " +
           s"retention must span the relay's lag (have: ${retained.mkString(", ")})")
       val mSynced = parseManifest(versionFile(dir, marker))
-      // the accounted state is NAMED by the synced version's dv set
-      // (content tag — sidecar names are unique per attempt, so name-set
-      // equality IS content equality): an unchanged name proves an empty
-      // late diff, and the no-change relay pass runs zero Spark jobs
-      if (!stateName.contains(cfStateName(marker, mSynced.dvs))) {
+      val curUpd = updateFiles(mSynced)
+      // the accounted state is NAMED by the synced version's dv set and
+      // update-file set (content tag — names are unique per attempt, so
+      // name-set equality IS content equality): an unchanged name proves
+      // an empty late diff, and the no-change relay pass runs zero Spark
+      // jobs
+      if (!stateName.contains(cfStateName(marker, mSynced.dvs, curUpd))) {
+        // the batch names are keyed by the ACCOUNTED state, not the
+        // current evidence: committed rounds stay distinct because every
+        // flip changes the accounted state name, while a crashed
+        // attempt's hidden leftovers were swept at entry regardless.
+        // stateName is always defined here: marker >= 0 and the parse
+        // is strict.
+        val tag = stateName.get.stripPrefix("_cf_state_").replace("_", "x")
+        val newUpd = curUpd.toSet --
+          stateName.flatMap(readAccountedUpd(deltaDir, _)).getOrElse(curUpd.toSet)
+        // postimages = rows of the un-relayed rewrite files, minus any
+        // the synced version has since tombstoned again (a re-update or
+        // a post-update delete); checkpointed — the frame (bounded by
+        // the late update volume) feeds both its own stage and the
+        // preimage key split below
+        val postimages =
+          if (newUpd.isEmpty) None
+          else {
+            val reader = storedSchema(dir) match {
+              case Some(sc) => spark.read.schema(sc)
+              case None => spark.read
+            }
+            Some(reader.parquet(newUpd.toSeq.map(n => s"$dir/$n"): _*)
+              .withColumn("__file", expr("_metadata.file_name"))
+              .withColumn("__pos", expr("_metadata.row_index"))
+              .join(tombFrame(spark, dir, mSynced)
+                  .withColumnRenamed("file_name", "__file")
+                  .withColumnRenamed("row_index", "__pos"),
+                Seq("__file", "__pos"), "left_anti")
+              .drop("__file", "__pos")
+              .localCheckpoint())
+          }
+        // removed rows = new tombstones on files whose rows WERE
+        // published — tombstones on the un-relayed rewrite files
+        // themselves carry no debt (those rows never reached the log)
         val late = tombFrame(spark, dir, mSynced).join(state,
-          Seq("file_name", "row_index"), "left_anti")
-        positionalRows(spark, dir, late).foreach { rows =>
-          // the batch name is keyed by the ACCOUNTED state, not the
-          // current dv set: committed rounds stay distinct because every
-          // flip changes the accounted state name, while a crashed
-          // attempt's hidden leftovers were swept at entry regardless.
-          // stateName is always defined here: marker >= 0 and the parse
-          // is strict.
-          val tag = stateName.get.stripPrefix("_cf_state_").replace("_", "x")
-          stageHidden(rows.withColumn("_change_type", lit("delete")),
-            s"cf${marker}d${tag}_")
+            Seq("file_name", "row_index"), "left_anti")
+          .filter(if (newUpd.isEmpty) lit(true)
+            else !col("file_name").isInCollection(newUpd))
+        positionalRows(spark, dir, late).foreach { rows0 =>
+          postimages match {
+            case Some(post) =>
+              val rows = rows0.localCheckpoint() // feeds both splits
+              val pKeys = post.select(keyCols.map(col): _*).distinct()
+              val del = rows.join(pKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("delete"))
+              if (!del.isEmpty) stageHidden(del, s"cf${marker}d${tag}_")
+              val pre = rows.join(pKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+              if (!pre.isEmpty) stageHidden(pre, s"cf${marker}p${tag}_")
+            case None =>
+              stageHidden(rows0.withColumn("_change_type", lit("delete")),
+                s"cf${marker}d${tag}_")
+          }
+        }
+        postimages.foreach { post =>
+          if (!post.isEmpty)
+            stageHidden(post.withColumn("_change_type", lit("update_postimage")),
+              s"cf${marker}u${tag}_")
         }
       }
     }
@@ -1229,13 +1301,14 @@ object ManifestLand {
     // old state sidecars are swept once nothing references them
     if (synced >= 0L) {
       val mNow = parseManifest(versionFile(dir, synced))
-      val newState = cfStateName(synced, mNow.dvs)
+      val newState = cfStateName(synced, mNow.dvs, updateFiles(mNow))
       // nothing changed since the last flip → leave the LIVE state dir
       // alone: rewriting the dir the marker references would open a
       // crash window where the marker points at a missing/partial state.
       // Anything staged this pass implies a name change (late deletes
-      // require a dv-set change, windows bump the version), so the skip
-      // never strands hidden files.
+      // require a dv-set change, late postimages a u-file-set change,
+      // windows bump the version), so the skip never strands hidden
+      // files.
       if (!stateName.contains(newState)) {
         // full rewrite even if the dir exists — a crashed attempt may
         // have left it partial; the name DIFFERS from the marker's
@@ -1245,6 +1318,11 @@ object ManifestLand {
         if (stateDir.exists()) graft.TempCleanup.rmrf(stateDir)
         tombFrame(spark, dir, mNow).coalesce(1).write.mode("overwrite")
           .parquet(s"$deltaDir/$newState")
+        // accounted update-rewrite files ride INSIDE the state dir (the
+        // `_` prefix hides the file from the parquet read) and commit
+        // with the same marker flip as the tombstone snapshot
+        ParquetLand.atomicReplace(new java.io.File(stateDir, "_accounted_upd"),
+          updateFiles(mNow).sorted.mkString("\n").getBytes("UTF-8"))
         // the flip commits (version, state, staged files) together; the
         // promotion renames below make the committed files visible —
         // a crash mid-promotion is finished by the next entry recovery
@@ -1301,20 +1379,47 @@ object ManifestLand {
     * relay marker (compactIfNeeded's folding guard). */
   private[streaming] val RelayAttachFile = "_cf_relay"
 
-  /** Content tag of a dv-sidecar set: 64 bits of MD5 over the sorted
-    * names. Deliberately not the 32-bit murmur it replaces — state-name
-    * EQUALITY is now trusted to skip the late diff and the state
-    * rewrite, so a collision would silently drop late deletes; at 64
-    * bits it is out of reach. Sidecar names are unique per staging
+  /** Content tag of the accounted late-change evidence: 64 bits of MD5
+    * over the sorted dv-sidecar names PLUS (round 9) the sorted
+    * update-rewrite file names of the synced version. Deliberately not
+    * the 32-bit murmur it replaces — state-name EQUALITY is trusted to
+    * skip the late diff and the state rewrite, so a collision would
+    * silently drop late deletes or late postimages; at 64 bits it is
+    * out of reach. Sidecar and u-file names are unique per staging
     * attempt, so name-set equality is content equality. */
-  private def dvSetTag(dvs: Seq[String]): String = {
+  private def lateEvidenceTag(dvs: Seq[String], updFiles: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     dvs.sorted.foreach(n => md.update((n + "\n").getBytes("UTF-8")))
+    md.update(0.toByte) // domain separator: dv set vs update-file set
+    updFiles.sorted.foreach(n => md.update((n + "\n").getBytes("UTF-8")))
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
-  private def cfStateName(v: Long, dvs: Seq[String]): String =
-    s"_cf_state_v${v}_${dvSetTag(dvs)}"
+  private def cfStateName(v: Long, dvs: Seq[String], updFiles: Seq[String]): String =
+    s"_cf_state_v${v}_${lateEvidenceTag(dvs, updFiles)}"
+
+  /** Update-rewrite data files of manifest `m`'s OWN version — the
+    * `u<applied>_` prefix [[updateImpl]] stages under. The relay's late
+    * accounting keys on this naming contract: compaction `c`-files and
+    * batch `b`-files never match, so a rewrite that merely reorganizes
+    * existing rows (compaction) is never mistaken for new data, while a
+    * row UPDATE's postimage files — the only way rows are ADDED to an
+    * already-committed version — always are. */
+  private def updateFiles(m: Manifest): Seq[String] =
+    m.files.filter(_.startsWith(s"u${m.applied}_"))
+
+  /** The accounted update-rewrite file list stored inside a state dir
+    * (`_accounted_upd` — the `_` prefix hides it from the parquet read).
+    * None for a legacy (pre-round-9) state, which is safe to read as
+    * "every current u-file accounted": under the old code updateWhere
+    * REFUSED on an attached landing, so any u-file of the synced version
+    * predates the attach and was covered by the bootstrap snapshot. */
+  private def readAccountedUpd(deltaDir: String, state: String): Option[Set[String]] = {
+    val f = new java.io.File(new java.io.File(deltaDir, state), "_accounted_upd")
+    if (!f.exists()) None
+    else Some(new String(Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSet)
+  }
 
   /** A manifest's deletion-vector tombstones as a `(file_name,
     * row_index)` frame — THE one dv reader every consumer shares (the
@@ -1457,19 +1562,13 @@ object ManifestLand {
     require(m.applied >= 0L,
       s"ManifestLand.$what on an uncommitted landing: $dir")
     // A row UPDATE rewrites the CURRENT version in place — adding data
-    // files to a version the relay may have ALREADY published. Published
-    // change files are immutable and the relay's late-diff machinery
-    // accounts late DELETES only (a dv-set change), so the update's
-    // postimage rows would silently never reach the change log. Refuse
-    // loudly (the compactIfNeeded precedent): apply updates to a relayed
-    // landing as delete+append BATCHES (new versions relay cleanly), or
-    // detachRelay when the log is retired.
-    require(!new java.io.File(dir, RelayAttachFile).exists(),
-      s"ManifestLand.$what on relay-attached landing $dir would add " +
-        "rows to a version the change-feed relay may have already " +
-        "published (change files are immutable; late accounting covers " +
-        "deletes only) — apply the update as delete+append batches, or " +
-        "detachRelay(dir) if the change log and its consumers are retired")
+    // files to a version the relay may have ALREADY published. Fine
+    // since round 9: the relay's late accounting covers updates
+    // symmetrically to deletes — the `u<applied>_` rewrite files this
+    // verb stages are detected by the accounted-update-file diff and
+    // emitted as update_preimage/update_postimage pairs on the next
+    // relay pass, and compactIfNeeded refuses to fold them away before
+    // that pass runs (the same ordering contract as tombstones).
     val schema = storedSchema(dir).getOrElse(throw new IllegalStateException(
       s"ManifestLand.$what: no tracked schema in $dir"))
     set.foreach { case (c, _) =>
@@ -1647,10 +1746,13 @@ object ManifestLand {
     val m = readManifest(outDir)
     if (m.files.length <= maxFiles) return
     // relay ordering guard (see changeFeedRelay's ORDERING CONTRACT):
-    // folding tombstones the relay has NOT accounted on the SYNCED
-    // version erases the late-delete diff's only evidence — refuse that
-    // exact state. A marker BEHIND the current version is safe to fold
-    // past: un-relayed WINDOWS survive via the exact anti-join rung.
+    // folding tombstones (or un-relayed update-postimage files) the
+    // relay has NOT accounted on the SYNCED version erases the late
+    // diff's only evidence — refuse that exact state. A marker BEHIND
+    // the current version is safe to fold past: un-relayed WINDOWS
+    // survive via the exact anti-join rung. An update always tombstones
+    // its preimages, so un-relayed u-files imply dvs.nonEmpty and this
+    // guard covers both late-change kinds.
     if (m.dvs.nonEmpty) {
       val attachF = new java.io.File(outDir, RelayAttachFile)
       if (attachF.exists()) {
@@ -1660,7 +1762,7 @@ object ManifestLand {
         // dir was deleted out from under a live relay
         val accounted = scala.util.Try(parseRelayMarker(log)).toOption.flatten
           .exists { case (mv, s, _) =>
-            mv < m.applied || s == cfStateName(mv, m.dvs) }
+            mv < m.applied || s == cfStateName(mv, m.dvs, updateFiles(m)) }
         require(accounted,
           s"compact on relay-attached landing $outDir would fold away " +
             s"tombstones the change-feed relay ($log) has not accounted — " +

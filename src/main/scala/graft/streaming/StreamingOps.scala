@@ -1070,6 +1070,64 @@ object StreamingOps {
       .filter(col("n_events") > 0L)
   }
 
+  /** s34: LATE UPDATE THROUGH THE RELAY (round 9 — the verb × feature
+    * composition that used to refuse): a row UPDATE re-flips a version
+    * the change-feed relay has ALREADY published, so its postimage rows
+    * exist in no relayed window. The relay's late accounting now covers
+    * updates symmetrically to deletes — the next sync emits the
+    * Delta-CDF pair (`update_preimage` for the removed positions,
+    * `update_postimage` for the rewritten rows, fetched positionally
+    * from only the affected files) alongside plain late `delete` rows,
+    * so the log stays exact for BOTH consumer models with no ordering
+    * assumption: a row-algebra fold subtracts preimages like deletes
+    * and adds postimages like inserts (this query's consumer), and a
+    * key-upsert MERGE consumer applies postimages by key and ignores
+    * preimages. The gate pins the folded view to the from-scratch
+    * rollup with the delete and the update applied (s33's CASE oracle
+    * composed with s31's delete predicate). Scale shape: the late pass
+    * costs O(the late change volume) — tombstone-delta diff plus a
+    * positional fetch — never a rescan of the landing.
+    */
+  def streamRelayUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s34")
+    val out = java.nio.file.Files.createTempDirectory("graft_s34_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s34_ckpt").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft_s34_delta").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    graft.TempCleanup.registerDir(deltaDir)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      keepVersions = 8, statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"),
+      rangeParts = 2, clusterBy = Some(col("tsu")), trackChanges = true,
+      relayTo = Some(deltaDir), relayKeys = Seq("event_id"))
+    // BOTH late verbs on the already-relayed current version: a delete
+    // (low-value clicks purged) and an update (errors relabeled with a
+    // value bump — s33's patch, previously refused while attached)
+    ManifestLand.deleteWhere(spark, out,
+      col("event_type") === "click" && col("value_e4") < 1000000L)
+    ManifestLand.updateWhere(spark, out, col("event_type") === "error",
+      Seq("event_type" -> lit("error_handled"),
+        "value_e4" -> (col("value_e4") + 1000000L)))
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("event_id"))
+    val logSchema = StructType(
+      ManifestLand.read(spark, out).schema.fields :+
+        StructField("_change_type", StringType))
+    // update-aware row-algebra fold: insert/update_postimage add,
+    // delete/update_preimage subtract — the 'error' group nets to zero
+    // (its rows all moved to 'error_handled') and drops out at the
+    // n_events > 0 cut, exactly like a fully-deleted key in s31
+    val adds = col("_change_type") === "insert" ||
+      col("_change_type") === "update_postimage"
+    val view = spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+      .groupBy("event_type")
+      .agg(sum(when(adds, 1L).otherwise(-1L)).as("n_events"),
+        sum(when(adds, col("value_e4")).otherwise(-col("value_e4")))
+          .as("sum_value_e4"))
+    drainToMemory(view, "graft_s34_", "complete")
+      .filter(col("n_events") > 0L)
+  }
+
   /** s27: SCHEMA EVOLUTION on the manifest landing — the lakehouse
     * contract q73 shows for ad-hoc frames, enforced at the STORAGE
     * layer: the landing's schema lives in the tracked `_schema` (not in
@@ -1625,6 +1683,23 @@ object StreamingOps {
              |FROM e
              |WHERE NOT (event_type = 'click' AND value_e4 < 1000000)
              |GROUP BY user_id""".stripMargin)),
+    graft.queries.Q("s34_relay_upsert", (s, dir) => streamRelayUpsert(s, dir),
+      // the update-aware fold of the relayed change log must equal the
+      // from-scratch rollup with the late delete AND the late update
+      // applied (s33's CASE patch composed with s31's delete predicate)
+      Some("""WITH e AS (SELECT event_type,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |s AS (SELECT * FROM e
+             |      WHERE NOT (event_type = 'click' AND value_e4 < 1000000)),
+             |u AS (SELECT CASE WHEN event_type = 'error' THEN 'error_handled'
+             |               ELSE event_type END AS event_type,
+             |             CASE WHEN event_type = 'error' THEN value_e4 + 1000000
+             |               ELSE value_e4 END AS value_e4
+             |      FROM s)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM u GROUP BY event_type""".stripMargin)),
     graft.queries.Q("s27_schema_evolution", (s, dir) => streamSchemaEvolution(s, dir),
       // pre-evolution rows read with the added column NULL ('legacy');
       // post-evolution rows carry the derived channel

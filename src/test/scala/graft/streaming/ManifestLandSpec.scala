@@ -817,6 +817,101 @@ class ManifestLandSpec extends SparkFunSuite {
       "no-change relay pass rewrote the live accounted state")
   }
 
+  test("changeFeedRelay accounts a late UPDATE: preimage/postimage pairs, crash-safe") {
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_relayupd").toString + "/landing"
+    val deltaDir = Files.createTempDirectory("graft_mland_relayupd_log").toString
+    new java.io.File(out).mkdirs()
+    (0 until 2).foreach { v =>
+      ManifestLand.applyBatch(
+        spark.range(v * 10L, (v + 1) * 10L)
+          .select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+        v.toLong, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+        rangeParts = 1, trackChanges = true)
+    }
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    // BOTH late verbs on the already-relayed current version — the
+    // update used to REFUSE on a relay-attached landing (round-8)
+    ManifestLand.deleteWhere(spark, out, col("k") === 3L)
+    ManifestLand.updateWhere(spark, out, col("k") === 7L,
+      Seq("x" -> lit(777L)))
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    def logFiles(): Seq[String] = Option(new java.io.File(deltaDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    // the Delta-CDF late shape: a plain delete batch for k=3, a
+    // preimage batch for k=7's removed row, a postimage batch for its
+    // rewritten row
+    assert(logFiles().exists(_.startsWith("cf1d")), s"late-delete batch missing: ${logFiles()}")
+    assert(logFiles().exists(_.startsWith("cf1p")), s"preimage batch missing: ${logFiles()}")
+    assert(logFiles().exists(_.startsWith("cf1u")), s"postimage batch missing: ${logFiles()}")
+    val log0 = spark.read.parquet(deltaDir)
+    assert(log0.filter(col("_change_type") === "update_preimage")
+      .select("k", "x").as[(Long, Long)].collect().toSeq == Seq((7L, 35L)))
+    assert(log0.filter(col("_change_type") === "update_postimage")
+      .select("k", "x").as[(Long, Long)].collect().toSeq == Seq((7L, 777L)))
+    assert(log0.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(3L))
+    // update-aware row-algebra fold reconstructs the live landing
+    // exactly, with NO ordering assumption between log files
+    def foldLog(): Seq[(Long, Long)] = {
+      val log = spark.read.parquet(deltaDir)
+      val adds = col("_change_type") === "insert" ||
+        col("_change_type") === "update_postimage"
+      log.groupBy("k")
+        .agg(sum(when(adds, 1L).otherwise(-1L)).as("n"),
+          sum(when(adds, col("x")).otherwise(-col("x"))).as("x"))
+        .filter(col("n") > 0L).select("k", "x")
+        .as[(Long, Long)].collect().sorted.toSeq
+    }
+    def live(): Seq[(Long, Long)] = ManifestLand.read(spark, out).select("k", "x")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(foldLog() == live() && live().exists(p => p == (7L, 777L)))
+    // idempotent: a no-change pass stages nothing new
+    val afterUpdate = logFiles()
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    assert(logFiles() == afterUpdate)
+    // UPDATE STACKING + crash retry: re-update the same key, strand a
+    // bogus hidden postimage attempt under the accounted tag (as if a
+    // prior try died pre-flip) — the retry must sweep it and never
+    // mutate any published byte
+    ManifestLand.updateWhere(spark, out, col("k") === 7L, Seq("x" -> lit(888L)))
+    val markerPath = java.nio.file.Paths.get(deltaDir, "_cf_applied")
+    val mState = new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8")
+      .trim.split("\t", -1)(1)
+    val crashTag = mState.stripPrefix("_cf_state_").replace("_", "x")
+    ParquetLand.stageParts(
+      spark.read.parquet(s"$deltaDir/${afterUpdate.head}").limit(1)
+        .withColumn("_change_type", lit("update_postimage"))
+        .withColumn("k", lit(999999L)),
+      deltaDir, s".cf1u${crashTag}_")
+    def visibleSig(): Map[String, (Long, Long)] =
+      Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("cf") && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val published = visibleSig()
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    val after = visibleSig()
+    published.foreach { case (n, sig) =>
+      assert(after.get(n).contains(sig), s"published change file $n mutated")
+    }
+    val allK = spark.read.parquet(deltaDir).select("k").as[Long].collect().toSeq
+    assert(!allK.contains(999999L), "stranded crashed postimage batch leaked")
+    // the second update relays as preimage(777)/postimage(888)
+    assert(foldLog() == live() && live().exists(p => p == (7L, 888L)))
+    // compaction refuses while an update is un-relayed (folding the
+    // u-file away would erase the late diff's only evidence), passes
+    // after the relay accounts it, and the folded log still matches
+    ManifestLand.updateWhere(spark, out, col("k") === 5L, Seq("x" -> lit(555L)))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    }
+    assert(ex.getMessage.contains("changeFeedRelay"), ex.getMessage)
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    assert(foldLog() == live() && live().exists(p => p == (5L, 555L)))
+  }
+
   test("compactIfNeeded refuses to fold un-relayed tombstones on a relay-attached landing") {
     val spark = this.spark
     import spark.implicits._
@@ -1264,21 +1359,25 @@ class ManifestLandSpec extends SparkFunSuite {
       k -> (if (k == 0 || k == 2 || k == 4) v + 1 else v)
     }
     assert(kv(ManifestLand.read(spark, out)) == expect3)
-    // a relay-attached landing refuses updates (published change files
-    // are immutable; late accounting covers deletes only) — and the
-    // refusal fires BEFORE any scan or staging
+    // a relay-attached landing ACCEPTS updates since round 9 (the late
+    // accounting emits the postimages as update_postimage batches) —
+    // but compaction on that landing refuses until the relay accounts
+    // them: folding the u-files would erase the late diff's evidence
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out, ManifestLand.RelayAttachFile), "/tmp/nowhere")
-    val relayErr = intercept[IllegalArgumentException] {
-      ManifestLand.updateWhere(spark, out, col("k") === 1L,
-        Seq("v" -> (col("v") + 1L)))
+    assert(ManifestLand.updateWhere(spark, out, col("k") === 1L,
+      Seq("v" -> (col("v") + 1L))) == 1L)
+    val expect4 = expect3.map { case (k, v) => k -> (if (k == 1) v + 1 else v) }
+    assert(kv(ManifestLand.read(spark, out)) == expect4)
+    val cErr = intercept[IllegalArgumentException] {
+      ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
     }
-    assert(relayErr.getMessage.contains("relay"), relayErr.getMessage)
+    assert(cErr.getMessage.contains("changeFeedRelay"), cErr.getMessage)
     assert(new java.io.File(out, ManifestLand.RelayAttachFile).delete())
     // compaction folds the update's tombstones; content survives
     ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
     assert(ManifestLand.readManifest(out).dvs.isEmpty)
-    assert(kv(ManifestLand.read(spark, out)) == expect3)
+    assert(kv(ManifestLand.read(spark, out)) == expect4)
     ManifestLand.expireVersions(out, keep = 1)
     assert(diskParquet(out) == ManifestLand.liveFiles(out).toSet,
       "expiry + vacuum must leave disk == manifest")
