@@ -127,7 +127,8 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       options.getOrDefault("mode", "sane") == "reference-compat", pushed,
       withBytes,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      decodeParts)
+      decodeParts,
+      options.getBoolean("strictLanding", false))
   }
 }
 
@@ -138,7 +139,8 @@ final class PcapScan(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     withBytes: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    decodePartitions: Int = 1)
+    decodePartitions: Int = 1,
+    strictLanding: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -151,9 +153,11 @@ final class PcapScan(
       "pcap streaming read does not support decodePartitions " +
         "(parallelism is per file; use maxFilesPerTrigger)")
     // withBytes/filters ride along: dropping them made every bytes-mode
-    // streaming task die on a schema-ordinal lookup
+    // streaming task die on a schema-ordinal lookup. Multi-root paths
+    // stream natively since round 9: one watermark per root in a
+    // composite offset (see PcapMicroBatchStream).
     new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation,
-      maxFilesPerTrigger, filters, withBytes)
+      maxFilesPerTrigger, filters, withBytes, strictLanding)
   }
   override def description(): String =
     s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")}" +

@@ -1,34 +1,52 @@
 package graft.sources
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.util.SerializableConfiguration
 
-/** Micro-batch streaming over a landing directory of pcap files (SURVEY
-  * §2.5's optional extension): each trigger processes the files that
-  * appeared since the last committed offset.
+/** Micro-batch streaming over one or more landing directories of pcap
+  * files (SURVEY §2.5's optional extension): each trigger processes the
+  * files that appeared since the last committed offset.
   *
-  * The offset is `(fileCount, lastName)` — a batch is the SORTED-NAME
-  * range `(start.lastName, end.lastName]`, NOT a positional slice of a
+  * The offset is a `(fileCount, lastName)` watermark PER ROOT (round 9 —
+  * previously single-root only): each element of `paths` is its OWN
+  * sorted namespace with its own watermark, carried together in one
+  * composite offset. A batch is, per root, the SORTED-NAME range
+  * `(start.lastName, end.lastName]`, NOT a positional slice of a
   * re-evaluated listing: a position shifts whenever a file arrives (or
   * disappears) out of lexicographic order, silently double-reading one
   * file and never reading another, and makes a replayed batch read
   * different files than its original attempt. The name range is stable
-  * under growth; the recorded count cross-checks it, so a file deleted
-  * from (or arriving late inside) a COMMITTED range refuses loudly
-  * instead of re-slicing. Landing contract, same as Spark's file
-  * source: files appear by atomic rename, with names that sort after
-  * everything already present (the standard timestamped-rotation
-  * pattern, e.g. `tcpdump -G`).
+  * under growth; the recorded count cross-checks it. Per-root watermarks
+  * mean a union of capture directories streams natively — files from
+  * different roots never interleave in one namespace, so each root only
+  * has to honor the landing contract LOCALLY: files appear by atomic
+  * rename, with names that sort after everything already present in THAT
+  * root (the standard timestamped-rotation pattern, e.g. `tcpdump -G`).
+  * A root ADDED to `paths` across a restart starts fresh at (0, "");
+  * removing a root that the checkpoint still tracks refuses loudly (its
+  * accounting would be silently dropped).
+  *
+  * Landing-contract enforcement (ADVICE r8): a file arriving BELOW a
+  * root's processed watermark would never be read — that is data loss
+  * and always refuses. A file MISSING below the watermark is the normal
+  * retention pattern (already-processed captures cleaned up, exactly
+  * what Spark's own file source tolerates) — logged as a warning by
+  * default; `strictLanding=true` restores the exact census refusal for
+  * landings that guarantee immutability. Note the inherent blind spot of
+  * lenient mode: one deletion plus one out-of-order arrival below the
+  * same watermark cancel in the count census — strict mode exists for
+  * landings that need that caught.
   *
   * Implements [[SupportsTriggerAvailableNow]] (round-7, VERDICT r6 #5):
   * without it, `Trigger.AvailableNow` falls back to a SINGLE batch of
   * everything — which weakens the processing guarantee on restart (an
   * uncommitted giant batch replays in full, and admission control is
-  * ignored). With it, `prepareForTriggerAvailableNow` pins the fence at
-  * query start and every batch advances toward that fence under the
-  * declared read limit (`maxFilesPerTrigger` option), exactly like
+  * ignored). With it, `prepareForTriggerAvailableNow` pins a per-root
+  * fence at query start and every batch advances toward that fence under
+  * the declared read limit (`maxFilesPerTrigger` option), exactly like
   * Spark's own file source.
   */
 final class PcapMicroBatchStream(
@@ -38,56 +56,70 @@ final class PcapMicroBatchStream(
     checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    withBytes: Boolean = false)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    withBytes: Boolean = false,
+    strictLanding: Boolean = false)
+    extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
-  // SINGLE-ROOT contract: the offset watermark is a name in ONE sorted
-  // namespace. With two directories the global full-path sort interleaves
-  // them, so the first new file in any non-last-sorting directory sits
-  // BELOW the watermark and trips the out-of-order refusal — i.e. a
-  // multi-path stream is guaranteed to die on its first mixed-order
-  // arrival even when each directory honors the landing contract. Refuse
-  // at construction (batch reads still take multi-path; streams take one
-  // root per query and union at the DataFrame level).
-  require(paths.size == 1,
-    s"pcap streaming needs a single landing root (got ${paths.size}: " +
-      s"${paths.mkString(", ")}); start one stream per directory and " +
-      "union the DataFrames")
+  require(paths.nonEmpty, "pcap streaming needs at least one landing root")
+  // duplicate roots would double-read every file (two watermarks cannot
+  // share one namespace key)
+  require(paths.distinct.size == paths.size,
+    s"pcap streaming roots must be distinct, got: ${paths.mkString(", ")}")
 
   private val spark = org.apache.spark.sql.SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
   private val serConf = new SerializableConfiguration(hconf)
 
-  /** AvailableNow fence: files sorting after this name (they arrived
-    * after the query started) are left for the NEXT run.
+  /** AvailableNow fence per root: files sorting after a root's fence
+    * (they arrived after the query started) are left for the NEXT run.
     */
-  @volatile private var availableNowFence: Option[String] = None
+  @volatile private var availableNowFence: Option[Map[String, String]] = None
 
   // one listing per trigger, not one per callback: latestOffset,
-  // reportLatestOffset, and planInputPartitions all need the file set
-  @volatile private var cachedListing: Seq[String] = _
+  // reportLatestOffset, and planInputPartitions all need the file sets
+  @volatile private var cachedListing: Map[String, Seq[String]] = _
 
-  private def listFiles(refresh: Boolean): Seq[String] = {
+  private def listFiles(refresh: Boolean): Map[String, Seq[String]] = {
     if (refresh || cachedListing == null)
-      cachedListing = PcapFileEnum.list(paths, hconf)
+      cachedListing = paths.map(r => r -> PcapFileEnum.list(Seq(r), hconf)).toMap
     cachedListing
   }
 
-  /** Pre-name-range checkpoints recorded only a count: anchor it to the
-    * current listing ONCE at migration (the old positional semantics),
-    * then every subsequent offset carries its name.
+  /** A checkpointed offset's mark for `root`, migrated and completed:
+    *  - a root the checkpoint doesn't know (added to `paths` across a
+    *    restart) starts fresh at (0, "");
+    *  - a pre-name-range mark (count only — the pre-round-7 positional
+    *    semantics, necessarily single-root) anchors its name to the
+    *    current listing ONCE at migration;
+    *  - a root the checkpoint tracks but `paths` dropped refuses in
+    *    [[resolve]] — silently forgetting its watermark would re-read
+    *    everything if the root ever came back.
     */
-  private def resolve(o: PcapOffset, listing: Seq[String]): PcapOffset =
-    if (o.lastName.nonEmpty || o.fileCount == 0) o
-    else {
-      require(listing.size >= o.fileCount,
-        s"pcap stream: legacy offset ${o.fileCount} exceeds the ${listing.size}-file " +
-          "listing — files were deleted from the landing")
-      PcapOffset(o.fileCount, listing(o.fileCount - 1))
-    }
+  private def resolve(o: PcapOffset,
+      listing: Map[String, Seq[String]]): Map[String, PcapRootMark] = {
+    val unknown = o.roots.keySet -- paths.toSet
+    require(unknown.isEmpty,
+      s"pcap stream: checkpoint tracks roots not in this query's paths: " +
+        s"${unknown.mkString(", ")} — removing a root drops its watermark; " +
+        "restore the path or start a fresh checkpoint")
+    paths.map { r =>
+      val m = o.roots.getOrElse(r, PcapRootMark(0, ""))
+      r -> (if (m.lastName.nonEmpty || m.fileCount == 0) m
+      else {
+        val rl = listing(r)
+        require(rl.size >= m.fileCount,
+          s"pcap stream: legacy offset ${m.fileCount} exceeds the ${rl.size}-file " +
+            s"listing of $r — files were deleted from the landing")
+        PcapRootMark(m.fileCount, rl(m.fileCount - 1))
+      })
+    }.toMap
+  }
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowFence = Some(listFiles(refresh = true).lastOption.getOrElse(""))
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val listing = listFiles(refresh = true)
+    availableNowFence =
+      Some(paths.map(r => r -> listing(r).lastOption.getOrElse("")).toMap)
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
@@ -95,37 +127,60 @@ final class PcapMicroBatchStream(
 
   /** Admission-controlled batch end: everything available (capped by the
     * AvailableNow fence when set), bounded by the read limit from start.
+    * The file budget is spent in `paths` order — deterministic, and a
+    * busy first root cannot starve later ones forever because its own
+    * watermark advances every batch.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val listing = listFiles(refresh = true)
     val s = resolve(start.asInstanceOf[PcapOffset], listing)
-    // the files at or below the processed watermark must be exactly the
-    // ones already counted: more means a file arrived OUT OF ORDER
-    // (sorting below names already processed — it would be silently
-    // skipped forever), fewer means a processed file was deleted.
-    // Both violate the landing contract; refuse instead of losing data.
-    val below = listing.count(_ <= s.lastName)
-    require(below == s.fileCount,
-      s"pcap stream: $below files at or below the processed watermark " +
-        s"'${s.lastName}' but ${s.fileCount} were processed — a file " +
-        "arrived out of lexicographic order (it would never be read) or " +
-        "a processed file was deleted; the landing must add files by " +
-        "atomic rename with monotonically sorting names")
-    val unfenced = listing.filter(_ > s.lastName)
-    val candidates = availableNowFence match {
-      case Some(f) => unfenced.filter(_ <= f)
-      case None => unfenced
+    var budget = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _ => Int.MaxValue
     }
-    val take = limit match {
-      case mf: ReadMaxFiles => math.min(candidates.size, mf.maxFiles())
-      case _ => candidates.size
-    }
-    if (take == 0) s else PcapOffset(s.fileCount + take, candidates(take - 1))
+    val marks = paths.map { r =>
+      val rl = listing(r)
+      val m = s(r)
+      // census of the processed range: MORE files than were counted
+      // means one arrived OUT OF ORDER (sorting below names already
+      // processed — it would be silently skipped forever): always
+      // refuse. FEWER means an already-processed file was deleted —
+      // ordinary landing retention, tolerated like Spark's file source
+      // unless strictLanding pins immutability (ADVICE r8).
+      val below = rl.count(_ <= m.lastName)
+      require(below <= m.fileCount,
+        s"pcap stream: $below files at or below the processed watermark " +
+          s"'${m.lastName}' of $r but ${m.fileCount} were processed — a file " +
+          "arrived out of lexicographic order and would never be read; the " +
+          "landing must add files by atomic rename with monotonically " +
+          "sorting names")
+      if (below < m.fileCount) {
+        require(!strictLanding,
+          s"pcap stream: only $below of the ${m.fileCount} processed files " +
+            s"remain at or below watermark '${m.lastName}' of $r and " +
+            "strictLanding=true pins the landing immutable")
+        logWarning(s"pcap stream: ${m.fileCount - below} processed files " +
+          s"below watermark '${m.lastName}' of $r were deleted (landing " +
+          "retention); continuing")
+      }
+      val unfenced = rl.filter(_ > m.lastName)
+      val candidates = availableNowFence match {
+        case Some(f) => unfenced.filter(_ <= f(r))
+        case None => unfenced
+      }
+      val take = math.min(candidates.size, budget)
+      budget -= take
+      r -> (if (take == 0) m
+      else PcapRootMark(m.fileCount + take, candidates(take - 1)))
+    }.toMap
+    PcapOffset(marks)
   }
 
   override def reportLatestOffset(): Offset = {
     val listing = listFiles(refresh = false)
-    PcapOffset(listing.size, listing.lastOption.getOrElse(""))
+    PcapOffset(paths.map { r =>
+      r -> PcapRootMark(listing(r).size, listing(r).lastOption.getOrElse(""))
+    }.toMap)
   }
 
   // a SupportsAdmissionControl source is always asked through
@@ -134,15 +189,11 @@ final class PcapMicroBatchStream(
     throw new UnsupportedOperationException(
       "PcapMicroBatchStream uses latestOffset(Offset, ReadLimit)")
 
-  override def initialOffset(): Offset = PcapOffset(0, "")
+  override def initialOffset(): Offset =
+    PcapOffset(paths.map(r => r -> PcapRootMark(0, "")).toMap)
 
   override def deserializeOffset(json: String): Offset =
-    json.trim.split("\t", -1) match {
-      case Array(n) => PcapOffset(n.toInt, "") // legacy count-only form
-      case Array(n, name) => PcapOffset(n.toInt, name)
-      case other => throw new IllegalStateException(
-        s"unreadable pcap stream offset: ${other.mkString("\\t")}")
-    }
+    PcapOffset.fromJson(json, paths)
 
   override def commit(end: Offset): Unit = ()
 
@@ -150,16 +201,22 @@ final class PcapMicroBatchStream(
     val listing = listFiles(refresh = false)
     val s = resolve(start.asInstanceOf[PcapOffset], listing)
     val e = resolve(end.asInstanceOf[PcapOffset], listing)
-    val files = listing.filter(n => n > s.lastName && n <= e.lastName)
-    // the count pins the committed range's content: a mismatch means a
-    // file inside it was deleted or arrived late (non-monotonic name) —
-    // re-slicing would silently duplicate or lose files, so refuse
-    require(files.size == e.fileCount - s.fileCount,
-      s"pcap stream: committed batch (${s.lastName}, ${e.lastName}] recorded " +
-        s"${e.fileCount - s.fileCount} files but the landing now resolves it to " +
-        s"${files.size} — the atomic-rename/monotonic-name landing contract was " +
-        "violated; refusing to replay a different batch than was committed")
-    files.map(f => PcapInputPartition(f): InputPartition).toArray
+    paths.flatMap { r =>
+      val (sm, em) = (s(r), e(r))
+      val files = listing(r).filter(n => n > sm.lastName && n <= em.lastName)
+      // the count pins the committed range's content: a mismatch means a
+      // file inside it was deleted or arrived late (non-monotonic name) —
+      // re-slicing would silently duplicate or lose files, so refuse.
+      // (Retention tolerance never reaches here: it only concerns files
+      // BELOW the start watermark, outside every planned range.)
+      require(files.size == em.fileCount - sm.fileCount,
+        s"pcap stream: committed batch (${sm.lastName}, ${em.lastName}] of $r " +
+          s"recorded ${em.fileCount - sm.fileCount} files but the landing now " +
+          s"resolves it to ${files.size} — the atomic-rename/monotonic-name " +
+          "landing contract was violated; refusing to replay a different " +
+          "batch than was committed")
+      files.map(f => PcapInputPartition(f): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -168,6 +225,64 @@ final class PcapMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-final case class PcapOffset(fileCount: Int, lastName: String = "") extends Offset {
-  override def json(): String = s"$fileCount\t$lastName"
+final case class PcapRootMark(fileCount: Int, lastName: String)
+
+/** Composite per-root offset. Single-root offsets keep the legacy
+  * `count\tlastName` wire form, so existing checkpoints replay
+  * unchanged and single-root checkpoints stay forward/backward
+  * portable; multi-root offsets serialize as a JSON object keyed by
+  * root (Jackson — a root path may contain any character).
+  */
+final case class PcapOffset(roots: Map[String, PcapRootMark]) extends Offset {
+  override def json(): String =
+    if (roots.size == 1) {
+      val m = roots.head._2
+      s"${m.fileCount}\t${m.lastName}"
+    } else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.createObjectNode()
+      roots.toSeq.sortBy(_._1).foreach { case (r, m) =>
+        val o = node.putObject(r)
+        o.put("n", m.fileCount)
+        o.put("last", m.lastName)
+        ()
+      }
+      om.writeValueAsString(node)
+    }
+}
+
+object PcapOffset {
+  /** Single-root convenience (tests, legacy call sites). */
+  def apply(root: String, fileCount: Int, lastName: String): PcapOffset =
+    PcapOffset(Map(root -> PcapRootMark(fileCount, lastName)))
+
+  def fromJson(json: String, paths: Seq[String]): PcapOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(t)
+      require(node.isObject, s"unreadable pcap stream offset: $t")
+      val b = Map.newBuilder[String, PcapRootMark]
+      node.properties().forEach { e =>
+        val v = e.getValue
+        require(v.has("n") && v.has("last"),
+          s"unreadable pcap stream offset entry for ${e.getKey}: $v")
+        b += e.getKey -> PcapRootMark(v.get("n").asInt(), v.get("last").asText())
+      }
+      PcapOffset(b.result())
+    } else {
+      // legacy single-root forms: `count` (positional, pre-round-7) or
+      // `count\tlastName`; necessarily written by a single-root stream
+      require(paths.size == 1,
+        s"pcap stream: single-root checkpoint offset '$t' under a " +
+          s"${paths.size}-root query — the checkpoint belongs to a " +
+          "different path configuration")
+      t.split("\t", -1) match {
+        case Array(n) => PcapOffset(paths.head, n.toInt, "")
+        case Array(n, name) => PcapOffset(paths.head, n.toInt, name)
+        case other => throw new IllegalStateException(
+          s"unreadable pcap stream offset: ${other.mkString("\\t")}")
+      }
+    }
+  }
 }

@@ -119,31 +119,129 @@ class PcapStreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
-  test("multi-root streaming refuses at construction (single-namespace watermark)") {
-    // the offset watermark is a name in ONE sorted namespace: with two
-    // directories the global sort interleaves them and the first new
-    // file in any non-last-sorting root sits BELOW the watermark —
-    // guaranteed out-of-order refusal later even when each root honors
-    // the landing contract. So the stream must refuse UP FRONT with the
-    // union-of-streams workaround in the message.
+  test("multi-root streaming: per-root watermarks, mixed-order arrivals across roots") {
+    // round 9: one (count, lastName) watermark PER ROOT in a composite
+    // offset — a union of capture directories streams natively. The
+    // killer case the old single-namespace watermark refused at
+    // construction: a new file in root `a` whose full path sorts BELOW
+    // root `b`'s files (global interleave) is perfectly fine, because
+    // each root's landing contract is checked in its own namespace.
     val a = Files.createTempDirectory("pcapmr_a")
     val b = Files.createTempDirectory("pcapmr_b")
     Files.write(a.resolve("c1.pcap"), capture(1))
-    Files.write(b.resolve("c1.pcap"), capture(1))
+    Files.write(b.resolve("c1.pcap"), capture(2))
+    Files.write(b.resolve("c2.pcap"), capture(3))
     val pathsJson = s"""["${a.toString}","${b.toString}"]"""
+    val name = "pcap_mr_sink"
     val q = spark.readStream.format("pcap").option("paths", pathsJson)
       .load()
       .groupBy("col_protocol").agg(count(lit(1)).as("n"))
       .writeStream.outputMode("complete").format("memory")
-      .queryName("pcap_mr_sink").trigger(Trigger.AvailableNow()).start()
+      .queryName(name).trigger(Trigger.ProcessingTime(100)).start()
     try {
+      q.processAllAvailable()
+      val r1 = spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r1 == Map("DNS" -> 3L, "TCP" -> 3L), r1.toString)
+      // new files land in BOTH roots; a's new file sorts globally below
+      // everything in b — per-root watermarks don't care
+      Files.write(a.resolve("c2.pcap"), capture(4))
+      Files.write(b.resolve("c3.pcap"), capture(5))
+      q.processAllAvailable()
+      val r2 = spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r2 == Map("DNS" -> 5L, "TCP" -> 5L), r2.toString)
+      // the landing contract still refuses WITHIN a root: a file sorting
+      // below root b's processed watermark would never be read
+      Files.write(b.resolve("c0.pcap"), capture(6))
       val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable(); q.awaitTermination(10000); ()
       }
       def msg(t: Throwable): String =
         Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
-      assert(msg(err).contains("single landing root"), msg(err))
+      assert(msg(err).contains("out of lexicographic order"), msg(err))
     } finally q.stop()
+  }
+
+  test("multi-root streaming replays exactly-once across restarts; added roots start fresh") {
+    val a = Files.createTempDirectory("pcapmrr_a")
+    val b = Files.createTempDirectory("pcapmrr_b")
+    (1 to 2).foreach(i => Files.write(a.resolve(s"c$i.pcap"), capture(i)))
+    Files.write(b.resolve("c1.pcap"), capture(3))
+    val out = Files.createTempDirectory("pcapmrr_out").toString
+    val ckpt = Files.createTempDirectory("pcapmrr_ckpt").toString
+    def run(pathsJson: String): Unit = {
+      val q = spark.readStream.format("pcap").option("paths", pathsJson)
+        .option("maxFilesPerTrigger", 1).load()
+        .select("frame_time", "col_protocol", "pcap_file")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    val two = s"""["${a.toString}","${b.toString}"]"""
+    run(two)
+    // 3 files under maxFilesPerTrigger=1 → one batch per file, across roots
+    assert(spark.read.parquet(out).count() == 6)
+    // restart with the same roots: nothing replays
+    run(two)
+    assert(spark.read.parquet(out).count() == 6)
+    // a THIRD root added across a restart starts fresh at (0, ""); the
+    // old roots' watermarks replay exactly-once from the checkpoint
+    val c = Files.createTempDirectory("pcapmrr_c")
+    Files.write(c.resolve("c1.pcap"), capture(4))
+    Files.write(a.resolve("c3.pcap"), capture(5))
+    run(s"""["${a.toString}","${b.toString}","${c.toString}"]""")
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 10, s"got ${rows.count()}")
+    // pcap_file is the BASENAME: c1.pcap exists in all three roots
+    assert(rows.select("pcap_file").distinct().count() == 3)
+    // DROPPING a tracked root refuses loudly (its watermark would be
+    // silently forgotten)
+    val err = intercept[Exception] {
+      run(s"""["${a.toString}","${b.toString}"]""")
+    }
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+    assert(msg(err).contains("checkpoint tracks roots"), msg(err))
+  }
+
+  test("retention deletion below the watermark warns and continues; strictLanding refuses") {
+    // ADVICE r8: deleting an already-processed capture (standard landing
+    // retention) must not crash-loop the stream — only an out-of-order
+    // arrival (data-loss risk) refuses. strictLanding=true restores the
+    // exact census for landings that pin immutability.
+    def drive(strict: Boolean, tag: String): Unit = {
+      val dir = Files.createTempDirectory(s"pcapret_$tag")
+      Files.write(dir.resolve("c1.pcap"), capture(1))
+      Files.write(dir.resolve("c2.pcap"), capture(2))
+      val name = s"pcap_ret_${tag}_sink"
+      val q = spark.readStream.format("pcap")
+        .option("strictLanding", strict.toString).load(dir.toString)
+        .groupBy("col_protocol").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(100)).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(name).collect().map(_.getLong(1)).sum == 4L)
+        // retention: the oldest processed capture is cleaned up, then a
+        // new file lands
+        assert(new java.io.File(dir.toFile, "c1.pcap").delete())
+        Files.write(dir.resolve("c3.pcap"), capture(3))
+        if (strict) {
+          val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            q.processAllAvailable(); q.awaitTermination(10000); ()
+          }
+          def msg(t: Throwable): String =
+            Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+          assert(msg(err).contains("strictLanding"), msg(err))
+        } else {
+          q.processAllAvailable()
+          assert(spark.table(name).collect().map(_.getLong(1)).sum == 6L,
+            "lenient stream must keep processing past a retention deletion")
+        }
+      } finally q.stop()
+    }
+    drive(strict = false, "lenient")
+    drive(strict = true, "strict")
   }
 
   test("bytes=true streaming read carries raw frames (schema and reader agree)") {
