@@ -817,6 +817,55 @@ class ManifestLandSpec extends SparkFunSuite {
       "no-change relay pass rewrote the live accounted state")
   }
 
+  test("bloom sidecar loads stripe per key: 8-way cold probes run in parallel, byte accounting exact") {
+    // round-9 verdict #6: the old loadSidecar held the global cache
+    // monitor through the disk read, serializing concurrent cold probes
+    // of DIFFERENT sidecars. Now the read runs outside every lock with a
+    // per-key in-flight future; this spec pins (a) observed read
+    // concurrency > 1 across 8 threads on 8 distinct sidecars, with a
+    // wall-clock bound far under the serialized sum, and (b) cache byte
+    // accounting exactly equal to the sum of the loaded sidecars' sizes.
+    val spark = this.spark
+    val outs = (0 until 8).map { i =>
+      val out = Files.createTempDirectory(s"graft_mland_stripe$i").toString + "/landing"
+      new java.io.File(out).mkdirs()
+      ManifestLand.commitBatch(
+        spark.range(i * 100L, i * 100L + 50L).select(col("id").as("k")).toDF()
+          .coalesce(1),
+        0L, out, rangeParts = 1, bloomCol = Some("k"))
+      out
+    }
+    ManifestLand.clearSidecarCacheForTest()
+    ManifestLand.sidecarLoadDelayMsForTest = 150L
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val t0 = System.nanoTime()
+      val futures = outs.map { out =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          override def call(): Seq[String] =
+            ManifestLand.prunedLiveFilesEq(out, 1L)
+        })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      // serialized would be >= 8 * 150ms = 1200ms; parallel with 8
+      // threads lands near 150ms — allow generous scheduling slop
+      assert(wallMs < 900L, s"8 cold sidecar loads took ${wallMs}ms — serialized?")
+      assert(ManifestLand.sidecarLoadsMaxConcurrent.get() >= 2,
+        s"no overlap observed: max concurrent loads = " +
+          s"${ManifestLand.sidecarLoadsMaxConcurrent.get()}")
+    } finally ManifestLand.sidecarLoadDelayMsForTest = 0L
+    // byte accounting: exactly the sum of the 8 loaded sidecars
+    val expected = outs.map { out =>
+      val m = ManifestLand.readManifest(out)
+      ManifestLand.bloomsFor(out, m).valuesIterator
+        .map(_.length.toLong * 8 + 64).sum
+    }.sum
+    assert(ManifestLand.bloomCacheBytesNow == expected,
+      s"cache bytes ${ManifestLand.bloomCacheBytesNow} != expected $expected")
+  }
+
   test("changeFeedRelay accounts a late UPDATE: preimage/postimage pairs, crash-safe") {
     val spark = this.spark
     import spark.implicits._

@@ -54,8 +54,15 @@ def table(con, sql):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     scols = [cols[i] for i in order]
     stypes = [types[i] for i in order]
+    # NULL-DISTINCT row sort (round-9 verdict #7): the old key mapped
+    # NULL to "", so two rows differing ONLY by a NULL vs '' (or any
+    # stringified collision) tied — Python's stable sort then preserved
+    # each engine's own fetch order and the row-by-row zip compare could
+    # fail on an identical multiset. A (is-null, value) pair per column
+    # is injective on normalized rows, so the order is engine-independent.
     srows = sorted([tuple(norm(r[i]) for i in order) for r in rows],
-                   key=lambda t: tuple("" if x is None else str(x) for x in t))
+                   key=lambda t: tuple((x is None, "" if x is None else str(x))
+                                       for x in t))
     return scols, stypes, srows
 
 
