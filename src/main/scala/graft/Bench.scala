@@ -296,21 +296,56 @@ object Bench {
           Seq("event_id"), forceSnapshotDeletes = force)
           .groupBy("_change_type")
           .agg(count(lit(1)).as("n"), sum("value_e4").as("sv"))
+      // READ-VOLUME metric alongside the wall-time pair (round-9 verdict
+      // #4): at bench SF both arms are per-job-overhead bound and wall
+      // time argues ~parity — the ladder's actual win is records READ
+      // (O(window's deletes) vs O(two snapshots)), which is what
+      // separates at 100 TB. One measured run per arm; deterministic, so
+      // n=1. Emitted as *_recs rows (unit: records) — never summed into
+      // totals (A/B rows aren't), and bench_diff ratios stay like-for-
+      // like per key.
+      def recordsOf(build: () => org.apache.spark.sql.DataFrame): Double = {
+        val recs = new java.util.concurrent.atomic.AtomicLong
+        val lsn = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            if (te.taskMetrics != null) {
+              recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(lsn)
+        try {
+          build().write.mode("overwrite").format("noop").save()
+          Thread.sleep(1000) // listener bus drains asynchronously
+          recs.get.toDouble
+        } finally spark.sparkContext.removeSparkListener(lsn)
+      }
+      val dvRecs = recordsOf(() => feed(force = false))
+      val ajRecs = recordsOf(() => feed(force = true))
+      System.err.println(f"[bench] x_cdf records read: dvdelta $dvRecs%.0f vs antijoin $ajRecs%.0f")
       Seq(
         ab("x_cdf_dvdelta")(() => feed(force = false)),
-        ab("x_cdf_antijoin")(() => feed(force = true)))
+        ab("x_cdf_antijoin")(() => feed(force = true)),
+        ("x_cdf_dvdelta_recs", dvRecs, dvRecs),
+        ("x_cdf_antijoin_recs", ajRecs, ajRecs))
     }
     val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb ++ bloomAb ++ cdfAb
-    val qs = all.map { case (k, best, _) => "\"" + k + f"\":$best%.3f" }
+    // failure sentinels are EXCLUDED from the qs/stats JSON and listed in
+    // `failed` instead (ADVICE r8: a -1.0 A/B row fed bench_diff's
+    // round-over-round ratios as a real timing)
+    val emitted = all.filter(_._2 >= 0)
+    val qs = emitted.map { case (k, best, _) => "\"" + k + f"\":$best%.3f" }
       .mkString("{", ",", "}")
-    val stats = all.map { case (k, best, median) =>
-      "\"" + k + f"""\":{"best":$best%.3f,"median":$median%.3f,"n":$iters}"""
+    val stats = emitted.map { case (k, best, median) =>
+      val n = if (k.endsWith("_recs")) 1 else iters // records rows run once
+      "\"" + k + f"""\":{"best":$best%.3f,"median":$median%.3f,"n":$n}"""
     }.mkString("{", ",", "}")
-    // totals over SUCCESSFUL rows only: summing the -1 failure sentinels
-    // would make a round with a broken query read as FASTER round-over-
-    // round; the failed list makes the gap explicit instead
+    // totals over SUCCESSFUL HEADLINE rows only: summing the -1 failure
+    // sentinels would make a round with a broken query read as FASTER
+    // round-over-round; the failed list makes the gap explicit instead
     val ok = results.filter(_._2 >= 0)
-    val failed = results.filter(_._2 < 0).map(_._1)
+    val failed = all.filter(_._2 < 0).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries excluded from totals: ${failed.mkString(", ")}")
     val total = ok.map(_._2).sum

@@ -72,16 +72,40 @@ object FuzzyDedup {
     * sketches are order-insensitive (elementwise min / signed-vote sums),
     * so any recompute is bit-identical — the cache is purely perf.
     */
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  /** Bounded LRU memo (ADVICE r8): the unbounded TrieMap pinned one
+    * cached corpus-sized frame per (session, dir) for the session's
+    * LIFETIME — a ScaleRehearsal sweep or a multi-dir test session
+    * accumulated them without end. Retention is now capped at the live
+    * working set: beyond `maxEntries` the least-recently-used frame is
+    * unpersisted and dropped. Safe because the memoized sketches are
+    * deterministic and order-insensitive (elementwise min / signed-vote
+    * sums), so a re-build after eviction is bit-identical — the cache
+    * is purely perf (see the memo doc above).
+    */
+  private final class FrameMemo(maxEntries: Int) {
+    private val m = new java.util.LinkedHashMap[
+      (SparkSession, String), DataFrame](8, 0.75f, true) // access order
+    def getOrBuild(k: (SparkSession, String))(build: => DataFrame): DataFrame =
+      m.synchronized {
+        Option(m.get(k)).getOrElse {
+          val df = build.cache()
+          m.put(k, df)
+          while (m.size() > maxEntries) {
+            val it = m.entrySet().iterator()
+            it.next().getValue.unpersist()
+            it.remove()
+          }
+          df
+        }
+      }
+  }
+
+  private val sigMemo = new FrameMemo(maxEntries = 4)
   private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
-    sigMemo.getOrElseUpdate((s, dir),
-      signatures(t(s, dir, "documents")).cache())
-  private val simMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+    sigMemo.getOrBuild((s, dir))(signatures(t(s, dir, "documents")))
+  private val simMemo = new FrameMemo(maxEntries = 4)
   private def cachedSimhashes(s: SparkSession, dir: String): DataFrame =
-    simMemo.getOrElseUpdate((s, dir),
-      simhashes(t(s, dir, "documents")).cache())
+    simMemo.getOrBuild((s, dir))(simhashes(t(s, dir, "documents")))
 
   /** LSH candidate pairs: the join key is each band's raw signature slice
     * (4 BIGINTs) — exact bucket equality, no band-hash collisions, and the
