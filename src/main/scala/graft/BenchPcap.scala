@@ -75,10 +75,20 @@ object BenchPcap {
     // re-parse (the 100 TB-safe path a big capture must take)
     val tCached = timeFull(cache = Some(true))
     val tReplan = timeFull(cache = Some(false))
+    // read-path A/B (round-9 verdict #5): the columnar DSv2 scan with
+    // stride-sharded encode (the new default, timed above) vs the legacy
+    // RDD row reader — keeps the columnar win (or a regression) visible
+    // round over round
+    val tRowPath = (1 to 2).map { _ =>
+      time(graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
+        file = s"$dir/*.pcap", out = s"$dir/out.parquet", singleFile = false,
+        cache = Some(false), rowPath = true)))._1
+    }.min
     val parseRate = (total / tParse).toLong
     val fullRate = (total / tFull).toLong
     val cachedRate = (total / tCached).toLong
     val replanRate = (total / tReplan).toLong
+    val rowPathRate = (total / tRowPath).toLong
     // TCP-dominant corpus (round-7 outlook: the DDoS mix is DNS/NTP
     // heavy): ~80% TCP across the full flag cycle, <1% fragmented so the
     // adaptive defrag takes its skip branch — this number isolates
@@ -107,9 +117,10 @@ object BenchPcap {
       f"[bench-pcap] $total packets: parse $tParse%.2f s ($parseRate pkt/s), " +
         f"full convert $tFull%.2f s ($fullRate pkt/s), " +
         f"cached $tCached%.2f s ($cachedRate pkt/s), " +
-        f"replan $tReplan%.2f s ($replanRate pkt/s); " +
+        f"replan $tReplan%.2f s ($replanRate pkt/s), " +
+        f"rowpath $tRowPath%.2f s ($rowPathRate pkt/s); " +
         f"tcp-mix $nTcp packets: $tTcpFull%.2f s ($tcpRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_packets":$nTcp}""")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_packets":$nTcp}""")
     spark.stop()
   }
 }

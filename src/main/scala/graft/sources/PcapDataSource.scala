@@ -128,7 +128,9 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       withBytes,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       decodeParts,
-      options.getBoolean("strictLanding", false))
+      options.getBoolean("strictLanding", false),
+      options.getBoolean("columnar", true),
+      Option(options.get("metricsKey")))
   }
 }
 
@@ -140,7 +142,9 @@ final class PcapScan(
     withBytes: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     decodePartitions: Int = 1,
-    strictLanding: Boolean = false)
+    strictLanding: Boolean = false,
+    columnar: Boolean = true,
+    metricsKey: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -184,7 +188,10 @@ final class PcapScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    PcapReaderFactory(conf, required, refCompat, filters, withBytes)
+    // the metrics registry is consulted on the DRIVER (here), then the
+    // accumulators themselves serialize into the task closures
+    PcapReaderFactory(conf, required, refCompat, filters, withBytes,
+      columnar, metricsKey.flatMap(graft.spark.PcapSource.metricsFor))
   }
 }
 
@@ -198,7 +205,7 @@ final class PcapScan(
   * as pcap fails the whole job (or double-reads frames once the rename
   * lands).
   */
-private[sources] object PcapFileEnum {
+private[graft] object PcapFileEnum {
   def isHidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_")
 
@@ -224,13 +231,173 @@ final case class PcapReaderFactory(
     required: StructType,
     refCompat: Boolean,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    withBytes: Boolean = false)
+    withBytes: Boolean = false,
+    columnar: Boolean = false,
+    metrics: Option[graft.spark.PcapSource.Metrics] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapPartitionReader(pp.file,
-      conf.value, required, refCompat, filters, withBytes, pp.shard, pp.nShards)
+      conf.value, required, refCompat, filters, withBytes, pp.shard, pp.nShards,
+      metrics)
   }
+
+  /** COLUMNAR scan path (round-9 verdict #5): the dissector's unboxed
+    * accumulator fields go straight into `OnHeapColumnVector`s — no
+    * per-packet `Array[Any]` + `GenericInternalRow` + ~10 boxed numerics,
+    * and downstream operators consume whole batches (`ColumnarToRow` is
+    * codegen'd). Gated off when a pushed filter needs the per-row
+    * `PacketRow` evaluation or the raw-bytes column rides along — those
+    * keep the row reader.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && !withBytes && filters.isEmpty
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val pp = p.asInstanceOf[PcapInputPartition]
+    new PcapColumnarReader(pp.file, conf.value, required, refCompat,
+      pp.shard, pp.nShards, metrics)
+  }
+}
+
+/** Columnar pcap reader: frames → [[graft.dissect.DissectAcc]] →
+  * column vectors, 4096 packets per batch. Column writers are bound
+  * ONCE per reader from the required schema (column pruning = fewer
+  * writers, not a per-row projection); every string column reuses the
+  * accumulator's interned UTF8Strings' backing bytes.
+  */
+final class PcapColumnarReader(
+    file: String,
+    conf: Configuration,
+    required: StructType,
+    refCompat: Boolean,
+    shard: Int = 0,
+    nShards: Int = 1,
+    metrics: Option[graft.spark.PcapSource.Metrics] = None)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val BatchRows = 4096
+  private val path = new Path(file)
+  private val in = path.getFileSystem(conf).open(path)
+  private val mode: PcapFramer.Mode =
+    if (refCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
+  private val frames = PcapFramer.frames(in, mode)
+  private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String
+    .fromString(PcapSource.basename(file))
+  private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+  private val acc = new graft.dissect.DissectAcc
+  private var frameIdx: Long = -1L
+  private var nPackets = 0L
+  private var nErrors = 0L
+
+  private def putU8(v: OnHeapColumnVector, row: Int,
+      s: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    // getBytes copies only when the UTF8String isn't array-backed at
+    // offset 0 — interned labels and cached IPv4 texts are
+    val b = s.getBytes
+    v.putByteArray(row, b, 0, b.length)
+    ()
+  }
+
+  /** One writer per REQUIRED column, bound by source-schema ordinal. */
+  private val writers: Array[(OnHeapColumnVector, Int) => Unit] =
+    required.fieldNames.map(PacketSchema.schema.fieldIndex).map { ord =>
+      import graft.dissect.DissectAcc.{FlagU8, ProtoU8}
+      ord match {
+        case 0 => (v, r) => { v.putLong(r, acc.frameTime); () }
+        case 1 => (v, r) => { v.putLong(r, acc.frameLen); () }
+        case 2 => (v, r) =>
+          if (acc.ethType < 0) v.putNull(r) else { v.putInt(r, acc.ethType); () }
+        case 3 => (v, r) =>
+          if (acc.ipSrcU8 == null) v.putNull(r) else putU8(v, r, acc.ipSrcU8)
+        case 4 => (v, r) =>
+          if (acc.ipDstU8 == null) v.putNull(r) else putU8(v, r, acc.ipDstU8)
+        case 5 => (v, r) => { v.putShort(r, acc.ipProto); () }
+        case 6 => (v, r) =>
+          if (acc.ipTtl < 0) v.putNull(r) else { v.putShort(r, acc.ipTtl.toShort); () }
+        case 7 => (v, r) => { v.putInt(r, acc.ipFragOffset); () }
+        case 8 => (v, r) => { v.putInt(r, acc.ipId); () }
+        case 9 => (v, r) => { v.putBoolean(r, acc.ipMf); () }
+        case 10 => (v, r) =>
+          if (acc.icmpType < 0) v.putNull(r) else { v.putShort(r, acc.icmpType.toShort); () }
+        case 11 => (v, r) =>
+          if (acc.udpLength < 0) v.putNull(r) else { v.putInt(r, acc.udpLength); () }
+        case 12 => (v, r) =>
+          if (acc.udpSrcport < 0) v.putNull(r) else { v.putInt(r, acc.udpSrcport); () }
+        case 13 => (v, r) =>
+          if (acc.udpDstport < 0) v.putNull(r) else { v.putInt(r, acc.udpDstport); () }
+        case 14 => (v, r) =>
+          if (acc.tcpFlagsBits < 0) v.putNull(r)
+          else putU8(v, r, FlagU8(acc.tcpFlagsBits))
+        case 15 => (v, r) =>
+          if (acc.tcpSrcport < 0) v.putNull(r) else { v.putInt(r, acc.tcpSrcport); () }
+        case 16 => (v, r) =>
+          if (acc.tcpDstport < 0) v.putNull(r) else { v.putInt(r, acc.tcpDstport); () }
+        case 17 => (v, r) => v.putNull(r) // col_info: declared, never populated
+        case 18 => (v, r) =>
+          if (acc.ipSrcU8 == null) v.putNull(r) else putU8(v, r, acc.ipSrcU8)
+        case 19 => (v, r) =>
+          if (acc.ipDstU8 == null) v.putNull(r) else putU8(v, r, acc.ipDstU8)
+        case 20 => (v, r) =>
+          if (acc.protoIdx < 0) v.putNull(r) else putU8(v, r, ProtoU8(acc.protoIdx))
+        case 21 => (v, r) =>
+          if (acc.dnsQryName == null) v.putNull(r)
+          else putU8(v, r, org.apache.spark.unsafe.types.UTF8String
+            .fromString(acc.dnsQryName))
+        case 22 => (v, r) =>
+          if (acc.dnsQryType < 0) v.putNull(r) else { v.putInt(r, acc.dnsQryType); () }
+        case i if i >= 23 && i <= 27 => (v, r) => v.putNull(r) // http_*
+        case 28 => (v, r) =>
+          if (acc.ntpPrivReqcode < 0) v.putNull(r)
+          else { v.putShort(r, acc.ntpPrivReqcode.toShort); () }
+        case 29 => (v, r) =>
+          if (acc.dhipDevice == null) v.putNull(r)
+          else putU8(v, r, org.apache.spark.unsafe.types.UTF8String
+            .fromString(acc.dhipDevice))
+        case 30 => (v, r) => putU8(v, r, baseUtf8)
+        case other => throw new IllegalStateException(
+          s"pcap columnar reader: unexpected required ordinal $other " +
+            "(bytes-mode columns take the row reader)")
+      }
+    }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < BatchRows && frames.hasNext) {
+      val raw = frames.next()
+      frameIdx += 1
+      // decode-sharding stride, same as the row reader: foreign frames
+      // are framed (cheap) but never dissected or materialized
+      if (nShards <= 1 || frameIdx % nShards == shard) {
+        PacketDissector.dissectInto(acc, raw)
+        nPackets += 1
+        if (acc.errors > 0) nErrors += acc.errors.toLong
+        var c = 0
+        while (c < writers.length) {
+          writers(c)(vectors(c), n)
+          c += 1
+        }
+        n += 1
+      }
+    }
+    batch.setNumRows(n)
+    // flush per BATCH, not per packet: cheap, and executor heartbeats
+    // still surface live progress (`-v`) from the partial sums
+    if (nPackets > 0) metrics.foreach { m =>
+      m.packets.add(nPackets); m.errors.add(nErrors)
+      nPackets = 0L; nErrors = 0L
+    }
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = in.close()
 }
 
 final class PcapPartitionReader(
@@ -241,7 +408,8 @@ final class PcapPartitionReader(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     withBytes: Boolean = false,
     shard: Int = 0,
-    nShards: Int = 1)
+    nShards: Int = 1,
+    metrics: Option[graft.spark.PcapSource.Metrics] = None)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -274,6 +442,10 @@ final class PcapPartitionReader(
       val mine = nShards <= 1 || frameIdx % nShards == shard
       if (mine) {
         PacketDissector.dissectInto(acc, raw)
+        metrics.foreach { m =>
+          m.packets.add(1L)
+          if (acc.errors > 0) m.errors.add(acc.errors.toLong)
+        }
         // the PacketRow (Option-boxed) form is only materialized when a
         // pushed filter actually needs evaluating
         if (noFilters || pred(acc.toPacketRow)) {

@@ -23,7 +23,11 @@ object PcapConvert {
       /** None = auto: cache the parsed table when the input is small
         * enough to surely fit (multi-pass defrag then reads it once),
         * re-parse per pass otherwise (the 100 TB-safe default). */
-      cache: Option[Boolean] = None)
+      cache: Option[Boolean] = None,
+      /** Force the legacy RDD row-materializing read (the pre-round-9
+        * default) instead of the columnar DSv2 scan — the fallback knob
+        * for the round-9 columnar attempt. */
+      rowPath: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     @annotation.tailrec
@@ -39,6 +43,7 @@ object PcapConvert {
       case "--multi-file" :: t       => loop(t, a.copy(singleFile = false))
       case "--cache" :: t            => loop(t, a.copy(cache = Some(true)))
       case "--no-cache" :: t         => loop(t, a.copy(cache = Some(false)))
+      case "--row-path" :: t         => loop(t, a.copy(rowPath = true))
       case "--reference-compat" :: t => loop(t, a.copy(referenceCompat = true))
       case Nil                       => a
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
@@ -53,8 +58,31 @@ object PcapConvert {
     val mode: PcapFramer.Mode =
       if (a.referenceCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
     val m = PcapSource.metrics(spark)
-    val parsed = PcapSource
-      .read(spark, a.file, mode, decodePartitions = a.jobs, metrics = Some(m))
+    // Read path (round 9): the DSv2 columnar scan — accumulator fields
+    // go straight into OnHeapColumnVectors (no per-packet row + boxing)
+    // and, when there are fewer files than cores, each file is
+    // stride-sharded so dissection AND the parquet encode both
+    // parallelize to the full machine (the old per-file task layout left
+    // a 32-core box writing on 8 tasks). `--row-path` restores the RDD
+    // row reader; `-j N` still forces an explicit total parallelism.
+    val metricsKey = java.util.UUID.randomUUID().toString
+    val parsed =
+      if (a.rowPath)
+        PcapSource.read(spark, a.file, mode, decodePartitions = a.jobs,
+          metrics = Some(m))
+      else {
+        PcapSource.registerMetrics(metricsKey, m)
+        val nFiles = math.max(1, graft.sources.PcapFileEnum
+          .list(Seq(a.file), spark.sessionState.newHadoopConf()).size)
+        val want = if (a.jobs > 0) a.jobs else spark.sparkContext.defaultParallelism
+        val shards = math.max(1, math.min(1024,
+          math.ceil(want.toDouble / nFiles).toInt))
+        spark.read.format("pcap")
+          .option("mode", if (a.referenceCompat) "reference-compat" else "sane")
+          .option("decodePartitions", shards)
+          .option("metricsKey", metricsKey)
+          .load(a.file)
+      }
     // Pass strategy (re-measured round 8, 10M packets, local[32]):
     //   - plan-driven:  defrag re-parses per pass — 1.59M pkt/s
     //   - cached:       1 parse + cached passes   — 904k pkt/s
@@ -93,7 +121,10 @@ object PcapConvert {
         if (a.nodefrag) pcap
         else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
       PcapSource.write(out, a.out, a.singleFile)
-    } finally progress.foreach(_.interrupt())
+    } finally {
+      progress.foreach(_.interrupt())
+      PcapSource.unregisterMetrics(metricsKey)
+    }
     if (a.verbose)
       System.err.println(
         s"Packets: ${m.packets.value} Errors: ${m.errors.value}")

@@ -33,6 +33,25 @@ object PcapSource {
     spark.sparkContext.longAccumulator("pcap_packets"),
     spark.sparkContext.longAccumulator("pcap_dissect_errors"))
 
+  /** Driver-side metrics registry for the DSv2 path: DataSource options
+    * are strings, so [[PcapConvert]] registers its accumulators here and
+    * passes the key as the `metricsKey` option; the scan resolves it at
+    * planReaderFactory time (on the driver) and the accumulators then
+    * serialize into the task closures like any other.
+    */
+  private val metricsRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Metrics]
+
+  def registerMetrics(key: String, m: Metrics): Unit = {
+    metricsRegistry.put(key, m); ()
+  }
+
+  def metricsFor(key: String): Option[Metrics] = metricsRegistry.get(key)
+
+  def unregisterMetrics(key: String): Unit = {
+    metricsRegistry.remove(key); ()
+  }
+
   /** Read one or many pcap/pcapng files into the 31-column packet table.
     *
     * @param path file, directory, or Hadoop glob (`*.pcap` under a dir)

@@ -76,6 +76,39 @@ class PcapDataSourceSpec extends SparkFunSuite {
     }
   }
 
+  test("columnar scan ≡ row scan on all 31 columns; filters and bytes mode fall back to rows") {
+    // round-9 verdict #5: the columnar reader fills OnHeapColumnVectors
+    // straight from the dissection accumulator. It must be plan-visible
+    // (ColumnarToRow above the scan), bit-identical to the row reader,
+    // and ABSENT exactly where the row reader is required: a pushed
+    // filter (needs the per-row PacketRow evaluation) and bytes mode.
+    val colDf = spark.read.format("pcap").load(dir)
+    val rowDf = spark.read.format("pcap").option("columnar", "false").load(dir)
+    assert(colDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      colDf.queryExecution.executedPlan.toString)
+    assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val a = colDf.orderBy("frame_time", "pcap_file").collect().toSeq
+    val b = rowDf.orderBy("frame_time", "pcap_file").collect().toSeq
+    assert(a == b && a.size == 6)
+    // sharded + pruned columnar projection agrees with the row path
+    val colNarrow = spark.read.format("pcap").option("decodePartitions", 2)
+      .load(dir).select("col_protocol", "udp_dstport", "pcap_file")
+    val rowNarrow = spark.read.format("pcap").option("columnar", "false")
+      .load(dir).select("col_protocol", "udp_dstport", "pcap_file")
+    assert(colNarrow.orderBy("pcap_file", "udp_dstport").collect().toSeq ==
+      rowNarrow.orderBy("pcap_file", "udp_dstport").collect().toSeq)
+    // a pushed filter keeps the row reader and both arms agree
+    val filtered = spark.read.format("pcap").load(dir)
+      .filter(col("udp_dstport") === 53)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      filtered.queryExecution.executedPlan.toString)
+    assert(filtered.count() == 3L)
+    // bytes mode keeps the row reader (frame_bytes has no vector writer)
+    val bytes = spark.read.format("pcap").option("bytes", "true").load(dir)
+    assert(!bytes.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(bytes.select("frame_bytes").collect().forall(_.getAs[Array[Byte]](0).length > 14))
+  }
+
   test("glob loads expand; hidden and tmp files are never read as data") {
     // pre-fix: getFileStatus ran BEFORE globStatus, so any glob path
     // threw FileNotFoundException (the glob branch was dead code)
