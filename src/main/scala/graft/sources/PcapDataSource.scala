@@ -246,18 +246,20 @@ final case class PcapReaderFactory(
     * accumulator fields go straight into `OnHeapColumnVector`s — no
     * per-packet `Array[Any]` + `GenericInternalRow` + ~10 boxed numerics,
     * and downstream operators consume whole batches (`ColumnarToRow` is
-    * codegen'd). Gated off when a pushed filter needs the per-row
-    * `PacketRow` evaluation or the raw-bytes column rides along — those
-    * keep the row reader.
+    * codegen'd). Pushed filters evaluate per packet against the same
+    * Option-boxed `PacketRow` view the row reader uses, BEFORE the
+    * vector writes — a filtered slice of a capture keeps the columnar
+    * speedup. Gated off only when the raw-bytes column rides along —
+    * that keeps the row reader.
     */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && !withBytes && filters.isEmpty
+    columnar && !withBytes
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapColumnarReader(pp.file, conf.value, required, refCompat,
-      pp.shard, pp.nShards, metrics)
+      filters, pp.shard, pp.nShards, metrics)
   }
 }
 
@@ -272,6 +274,7 @@ final class PcapColumnarReader(
     conf: Configuration,
     required: StructType,
     refCompat: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     shard: Int = 0,
     nShards: Int = 1,
     metrics: Option[graft.spark.PcapSource.Metrics] = None)
@@ -284,8 +287,11 @@ final class PcapColumnarReader(
   private val mode: PcapFramer.Mode =
     if (refCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
   private val frames = PcapFramer.frames(in, mode)
+  private val base = PcapSource.basename(file)
   private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String
-    .fromString(PcapSource.basename(file))
+    .fromString(base)
+  private val pred = PcapFilters.compile(filters, base)
+  private val noFilters = filters.isEmpty
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
@@ -378,12 +384,18 @@ final class PcapColumnarReader(
         PacketDissector.dissectInto(acc, raw)
         nPackets += 1
         if (acc.errors > 0) nErrors += acc.errors.toLong
-        var c = 0
-        while (c < writers.length) {
-          writers(c)(vectors(c), n)
-          c += 1
+        // pushed-filter veto BEFORE the vector writes, same Option-boxed
+        // PacketRow view (and the same packet/error accounting) as the
+        // row reader; unknown filter shapes default to true, Spark
+        // re-applies every filter above the scan
+        if (noFilters || pred(acc.toPacketRow)) {
+          var c = 0
+          while (c < writers.length) {
+            writers(c)(vectors(c), n)
+            c += 1
+          }
+          n += 1
         }
-        n += 1
       }
     }
     batch.setNumRows(n)

@@ -76,12 +76,14 @@ class PcapDataSourceSpec extends SparkFunSuite {
     }
   }
 
-  test("columnar scan ≡ row scan on all 31 columns; filters and bytes mode fall back to rows") {
+  test("columnar scan ≡ row scan on all 31 columns; only bytes mode falls back to rows") {
     // round-9 verdict #5: the columnar reader fills OnHeapColumnVectors
     // straight from the dissection accumulator. It must be plan-visible
     // (ColumnarToRow above the scan), bit-identical to the row reader,
-    // and ABSENT exactly where the row reader is required: a pushed
-    // filter (needs the per-row PacketRow evaluation) and bytes mode.
+    // and ABSENT exactly where the row reader is required: bytes mode
+    // (frame_bytes has no vector writer). Pushed filters evaluate
+    // per packet inside the columnar reader too (same PacketRow veto as
+    // the row path), so a filtered slice keeps the columnar speedup.
     val colDf = spark.read.format("pcap").load(dir)
     val rowDf = spark.read.format("pcap").option("columnar", "false").load(dir)
     assert(colDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
@@ -97,12 +99,16 @@ class PcapDataSourceSpec extends SparkFunSuite {
       .load(dir).select("col_protocol", "udp_dstport", "pcap_file")
     assert(colNarrow.orderBy("pcap_file", "udp_dstport").collect().toSeq ==
       rowNarrow.orderBy("pcap_file", "udp_dstport").collect().toSeq)
-    // a pushed filter keeps the row reader and both arms agree
+    // a pushed filter STAYS columnar and agrees with the row path
     val filtered = spark.read.format("pcap").load(dir)
       .filter(col("udp_dstport") === 53)
-    assert(!filtered.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+    assert(filtered.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
       filtered.queryExecution.executedPlan.toString)
-    assert(filtered.count() == 3L)
+    assert(filtered.count() === 3L)
+    val filteredRows = spark.read.format("pcap").option("columnar", "false")
+      .load(dir).filter(col("udp_dstport") === 53)
+    assert(filtered.orderBy("frame_time", "pcap_file").collect().toSeq ==
+      filteredRows.orderBy("frame_time", "pcap_file").collect().toSeq)
     // bytes mode keeps the row reader (frame_bytes has no vector writer)
     val bytes = spark.read.format("pcap").option("bytes", "true").load(dir)
     assert(!bytes.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
