@@ -113,14 +113,30 @@ object BenchPcap {
         singleFile = false, cache = None)))._1
     }.min
     val tcpRate = (nTcp / tTcpFull).toLong
+    // filtered-slice A/B (round 9): a pushed protocol filter used to
+    // force the row reader; it now evaluates inside the columnar reader.
+    // Measures the common "slice a capture" shape — full corpus scanned,
+    // predicate vetoes pre-vector-write — columnar vs legacy row path.
+    import org.apache.spark.sql.functions.col
+    def slice(columnar: Boolean): Double = (1 to 2).map { _ =>
+      time(spark.read.format("pcap")
+        .option("columnar", columnar.toString).load(s"$dir/*.pcap")
+        .filter(col("col_protocol") === "DNS").count())._1
+    }.min
+    val tSliceCol = slice(columnar = true)
+    val tSliceRow = slice(columnar = false)
+    val sliceColRate = (total / tSliceCol).toLong
+    val sliceRowRate = (total / tSliceRow).toLong
     System.err.println(
       f"[bench-pcap] $total packets: parse $tParse%.2f s ($parseRate pkt/s), " +
         f"full convert $tFull%.2f s ($fullRate pkt/s), " +
         f"cached $tCached%.2f s ($cachedRate pkt/s), " +
         f"replan $tReplan%.2f s ($replanRate pkt/s), " +
         f"rowpath $tRowPath%.2f s ($rowPathRate pkt/s); " +
-        f"tcp-mix $nTcp packets: $tTcpFull%.2f s ($tcpRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_packets":$nTcp}""")
+        f"tcp-mix $nTcp packets: $tTcpFull%.2f s ($tcpRate pkt/s); " +
+        f"DNS slice columnar $tSliceCol%.2f s ($sliceColRate pkt/s) " +
+        f"vs rowpath $tSliceRow%.2f s ($sliceRowRate pkt/s)")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate}""")
     spark.stop()
   }
 }
