@@ -304,23 +304,10 @@ object Bench {
       // n=1. Emitted as *_recs rows (unit: records) — never summed into
       // totals (A/B rows aren't), and bench_diff ratios stay like-for-
       // like per key.
-      def recordsOf(build: () => org.apache.spark.sql.DataFrame): Double = {
-        val recs = new java.util.concurrent.atomic.AtomicLong
-        val lsn = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            if (te.taskMetrics != null) {
-              recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
-            }
-          }
-        }
-        spark.sparkContext.addSparkListener(lsn)
-        try {
+      def recordsOf(build: () => org.apache.spark.sql.DataFrame): Double =
+        graft.tools.TaskRecords.measure(spark) {
           build().write.mode("overwrite").format("noop").save()
-          Thread.sleep(1000) // listener bus drains asynchronously
-          recs.get.toDouble
-        } finally spark.sparkContext.removeSparkListener(lsn)
-      }
+        }._2.toDouble
       val dvRecs = recordsOf(() => feed(force = false))
       val ajRecs = recordsOf(() => feed(force = true))
       System.err.println(f"[bench] x_cdf records read: dvdelta $dvRecs%.0f vs antijoin $ajRecs%.0f")

@@ -125,20 +125,32 @@ final class PcapMicroBatchStream(
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
+  // throttle the retention-deletion warning: once per OBSERVED census
+  // change per root, not once per trigger (a ProcessingTime stream would
+  // otherwise repeat it forever after one acknowledged deletion)
+  private val warnedDeleted = scala.collection.mutable.Map.empty[String, Int]
+  // rotates the fair-share remainder's starting root across triggers so
+  // no root is systematically last in line
+  private var triggerSeq = 0L
+
   /** Admission-controlled batch end: everything available (capped by the
     * AvailableNow fence when set), bounded by the read limit from start.
-    * The file budget is spent in `paths` order — deterministic, and a
-    * busy first root cannot starve later ones forever because its own
-    * watermark advances every batch.
+    * The file budget is FAIR-SHARED across roots with pending files —
+    * an equal split first, then the remainder one root at a time from a
+    * rotating start — so a busy root can delay the others by at most
+    * its share, never starve them (budget spent strictly in `paths`
+    * order would give a root that lands >= budget files per trigger
+    * every slot forever).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val listing = listFiles(refresh = true)
     val s = resolve(start.asInstanceOf[PcapOffset], listing)
-    var budget = limit match {
+    val budget = limit match {
       case mf: ReadMaxFiles => mf.maxFiles()
       case _ => Int.MaxValue
     }
-    val marks = paths.map { r =>
+    // pass 1: census checks + pending candidates per root
+    val candidates: Map[String, Seq[String]] = paths.map { r =>
       val rl = listing(r)
       val m = s(r)
       // census of the processed range: MORE files than were counted
@@ -159,21 +171,56 @@ final class PcapMicroBatchStream(
           s"pcap stream: only $below of the ${m.fileCount} processed files " +
             s"remain at or below watermark '${m.lastName}' of $r and " +
             "strictLanding=true pins the landing immutable")
-        logWarning(s"pcap stream: ${m.fileCount - below} processed files " +
-          s"below watermark '${m.lastName}' of $r were deleted (landing " +
-          "retention); continuing")
-      }
+        val missing = m.fileCount - below
+        if (!warnedDeleted.get(r).contains(missing)) {
+          warnedDeleted(r) = missing
+          logWarning(s"pcap stream: $missing processed files " +
+            s"below watermark '${m.lastName}' of $r were deleted (landing " +
+            "retention); continuing")
+        }
+      } else warnedDeleted.remove(r)
       val unfenced = rl.filter(_ > m.lastName)
-      val candidates = availableNowFence match {
+      r -> (availableNowFence match {
         case Some(f) => unfenced.filter(_ <= f(r))
         case None => unfenced
-      }
-      val take = math.min(candidates.size, budget)
-      budget -= take
-      r -> (if (take == 0) m
-      else PcapRootMark(m.fileCount + take, candidates(take - 1)))
+      })
     }.toMap
-    PcapOffset(marks)
+    // pass 2: fair-share the budget — equal split across pending roots,
+    // then the remainder one at a time starting from a rotating root
+    val takes = scala.collection.mutable.Map.empty[String, Int]
+    val pendingTotal = candidates.valuesIterator.map(_.size.toLong).sum
+    if (budget == Int.MaxValue || pendingTotal <= budget) {
+      paths.foreach(r => takes(r) = candidates(r).size)
+    } else {
+      var left = budget
+      val pending = paths.filter(r => candidates(r).nonEmpty)
+      // floor split (0 when budget < pending roots — the rotating
+      // remainder below then decides who gets the scarce slots, so a
+      // root earlier in `paths` has no standing advantage)
+      val fair = left / math.max(1, pending.size)
+      pending.foreach { r =>
+        val t = math.min(math.min(fair, candidates(r).size), left)
+        takes(r) = t; left -= t
+      }
+      val k = (triggerSeq % math.max(1, pending.size)).toInt
+      val rotated = pending.drop(k) ++ pending.take(k)
+      var progressed = true
+      while (left > 0 && progressed) {
+        progressed = false
+        rotated.foreach { r =>
+          if (left > 0 && takes(r) < candidates(r).size) {
+            takes(r) += 1; left -= 1; progressed = true
+          }
+        }
+      }
+    }
+    triggerSeq += 1
+    PcapOffset(paths.map { r =>
+      val m = s(r)
+      val take = takes.getOrElse(r, 0)
+      r -> (if (take == 0) m
+      else PcapRootMark(m.fileCount + take, candidates(r)(take - 1)))
+    }.toMap)
   }
 
   override def reportLatestOffset(): Offset = {

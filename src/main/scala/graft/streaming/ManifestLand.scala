@@ -1151,6 +1151,13 @@ object ManifestLand {
     * fold (postimage adds, preimage subtracts) and a key-upsert MERGE
     * consumer (apply postimages by key, ignore preimages) are both
     * exact with no ordering assumption between the log's files.
+    * This late path is the ONLY exact relay path for an update, so
+    * [[updateImpl]] refuses while the relay lags the landing: inside an
+    * un-relayed window the postimage would flow through [[changeFeed]]'s
+    * key-level ladder as a plain `insert` with the preimage delete
+    * suppressed (the re-insert guard), double-counting under a
+    * row-algebra fold. The in-loop order (relay, then update) always
+    * passes.
     *
     * ORDERING CONTRACT with compaction: a compaction FOLDS tombstones
     * away, so folding the synced version's un-relayed tombstones would
@@ -1282,6 +1289,10 @@ object ManifestLand {
         val tag = stateName.get.stripPrefix("_cf_state_").replace("_", "x")
         val newUpd = curUpd.toSet --
           stateName.flatMap(readAccountedUpd(deltaDir, _)).getOrElse(curUpd.toSet)
+        // ONE read of the synced version's dv sidecars feeds both the
+        // postimage anti-join and the late-delete diff (bounded by the
+        // synced version's tombstone count)
+        val tombSynced = tombFrame(spark, dir, mSynced).localCheckpoint()
         // postimages = rows of the un-relayed rewrite files, minus any
         // the synced version has since tombstoned again (a re-update or
         // a post-update delete); checkpointed — the frame (bounded by
@@ -1297,7 +1308,7 @@ object ManifestLand {
             Some(reader.parquet(newUpd.toSeq.map(n => s"$dir/$n"): _*)
               .withColumn("__file", expr("_metadata.file_name"))
               .withColumn("__pos", expr("_metadata.row_index"))
-              .join(tombFrame(spark, dir, mSynced)
+              .join(tombSynced
                   .withColumnRenamed("file_name", "__file")
                   .withColumnRenamed("row_index", "__pos"),
                 Seq("__file", "__pos"), "left_anti")
@@ -1307,7 +1318,7 @@ object ManifestLand {
         // removed rows = new tombstones on files whose rows WERE
         // published — tombstones on the un-relayed rewrite files
         // themselves carry no debt (those rows never reached the log)
-        val late = tombFrame(spark, dir, mSynced).join(state,
+        val late = tombSynced.join(state,
             Seq("file_name", "row_index"), "left_anti")
           .filter(if (newUpd.isEmpty) lit(true)
             else !col("file_name").isInCollection(newUpd))
@@ -1383,6 +1394,17 @@ object ManifestLand {
         Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("_cf_state_") && f.getName != newState)
           .foreach { f => graft.TempCleanup.rmrf(f); () }
+      } else if (readAccountedUpd(deltaDir, newState).isEmpty) {
+        // unchanged state name but the accounted-update list is missing
+        // (a genuinely legacy state always has a DIFFERENT name — the
+        // round-9 tag domain-separates the u-file set — but a crashed or
+        // hand-pruned state dir can lack the file). The pass above read
+        // it as "all current u-files accounted" and updateImpl refuses
+        // new u-files while it's missing, so restoring the CURRENT list
+        // in place is consistent; atomicReplace, no crash window.
+        ParquetLand.atomicReplace(
+          new java.io.File(new java.io.File(deltaDir, newState), "_accounted_upd"),
+          updateFiles(mNow).sorted.mkString("\n").getBytes("UTF-8"))
       }
     }
     synced
@@ -1460,7 +1482,11 @@ object ManifestLand {
     * None for a legacy (pre-round-9) state, which is safe to read as
     * "every current u-file accounted": under the old code updateWhere
     * REFUSED on an attached landing, so any u-file of the synced version
-    * predates the attach and was covered by the bootstrap snapshot. */
+    * predates the attach and was covered by the bootstrap snapshot —
+    * and [[updateImpl]] refuses to ADD u-files while the state is still
+    * legacy (its _accounted_upd guard), so the window between upgrade
+    * and the first round-9 relay pass cannot inject unaccounted ones.
+    * The next relay pass rewrites the state with the list present. */
   private def readAccountedUpd(deltaDir: String, state: String): Option[Set[String]] = {
     val f = new java.io.File(new java.io.File(deltaDir, state), "_accounted_upd")
     if (!f.exists()) None
@@ -1616,6 +1642,40 @@ object ManifestLand {
     // emitted as update_preimage/update_postimage pairs on the next
     // relay pass, and compactIfNeeded refuses to fold them away before
     // that pass runs (the same ordering contract as tombstones).
+    //
+    // ORDERING CONTRACT with the relay: the late path above is the ONLY
+    // exact relay path for an update. An update inside an UN-RELAYED
+    // window would flow through changeFeed's key-level net-effect
+    // ladder instead, which emits the postimage as a plain `insert` and
+    // suppresses the preimage delete (the re-insert guard) — a
+    // row-algebra fold would then double-count the updated key. So on a
+    // relay-attached landing this verb requires the relay to be synced
+    // to the CURRENT version (the in-loop order — relay, then update —
+    // always passes), and requires the accounted state to carry the
+    // round-9 `_accounted_upd` list: a legacy (pre-round-9) state
+    // cannot tell this verb's new u-files from pre-attach ones and
+    // would silently drop the postimages; one relay pass upgrades it.
+    locally {
+      val attachF = new java.io.File(dir, RelayAttachFile)
+      if (attachF.exists()) {
+        val deltaDir = new String(Files.readAllBytes(attachF.toPath), "UTF-8")
+        val parsed = parseRelayMarker(deltaDir)
+        val marker = parsed.map(_._1).getOrElse(-1L)
+        require(marker == m.applied,
+          s"ManifestLand.$what: landing $dir has a change-feed relay at " +
+            s"version $marker but is at version ${m.applied} — run " +
+            s"changeFeedRelay($deltaDir) first so the update relays " +
+            s"through the exact late (preimage/postimage) path instead " +
+            s"of an un-relayed window")
+        parsed.foreach { case (_, state, _) =>
+          require(readAccountedUpd(deltaDir, state).isDefined,
+            s"ManifestLand.$what: the relay's accounted state for $dir " +
+              s"predates update accounting (no _accounted_upd in $state) " +
+              s"— run changeFeedRelay($deltaDir) once to upgrade it, " +
+              s"then retry")
+        }
+      }
+    }
     val schema = storedSchema(dir).getOrElse(throw new IllegalStateException(
       s"ManifestLand.$what: no tracked schema in $dir"))
     set.foreach { case (c, _) =>

@@ -1,0 +1,49 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Records-read measurement for a Spark action — THE one task-metrics
+  * listener shared by Bench's x_cdf A/B rows and the 100× soak specs
+  * (they previously carried drifting hand copies). The listener bus
+  * delivers task ends asynchronously, so after the action returns the
+  * counter is drained by CONVERGENCE — stable across consecutive poll
+  * windows — rather than a fixed sleep, which silently undercounts
+  * whenever a loaded box drains slower than the chosen constant.
+  */
+object TaskRecords {
+
+  /** Run `body` and return (its result, records read by the tasks it
+    * triggered). Counts everything the session runs concurrently —
+    * callers serialize measured actions, as both call sites do.
+    */
+  def measure[T](spark: SparkSession)(body: => T): (T, Long) = {
+    val recs = new AtomicLong
+    val lsn = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) {
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(lsn)
+    try {
+      val r = body
+      // drain: stable for 3 consecutive 100 ms windows (>= 400 ms total,
+      // bounded at 10 s) — jobs are done once body returns, this only
+      // waits out the bus
+      var last = -1L
+      var stable = 0
+      var polls = 0
+      while (stable < 3 && polls < 100) {
+        Thread.sleep(100)
+        polls += 1
+        val cur = recs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (r, recs.get())
+    } finally spark.sparkContext.removeSparkListener(lsn)
+  }
+}

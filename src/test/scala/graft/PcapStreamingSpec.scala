@@ -204,6 +204,56 @@ class PcapStreamingSpec extends SparkFunSuite {
     assert(msg(err).contains("checkpoint tracks roots"), msg(err))
   }
 
+  test("multi-root budget fair-shares: a busy root cannot starve the other") {
+    // Review round 9: spending maxFilesPerTrigger strictly in `paths`
+    // order starves later roots for as long as an earlier root lands
+    // >= budget files per trigger. The fair split (+ rotating
+    // remainder) must drain the quiet root while the busy one stays
+    // saturated — driven at the latestOffset level to simulate
+    // sustained arrivals between triggers.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.sparkContext // the stream's constructor needs an active session
+    val a = Files.createTempDirectory("pcapfair_a")
+    val b = Files.createTempDirectory("pcapfair_b")
+    var aSeq = 0
+    def landA(k: Int): Unit = (0 until k).foreach { _ =>
+      Files.write(a.resolve(f"a$aSeq%04d.pcap"), capture(aSeq)); aSeq += 1
+    }
+    landA(8)
+    (0 until 3).foreach(i => Files.write(b.resolve(s"b$i.pcap"), capture(100 + i)))
+    val ckpt = Files.createTempDirectory("pcapfair_ckpt").toString
+    val stream = new graft.sources.PcapMicroBatchStream(
+      Seq(a.toString, b.toString), graft.core.PacketSchema.schema,
+      refCompat = false, checkpointLocation = ckpt)
+    var off = stream.initialOffset().asInstanceOf[graft.sources.PcapOffset]
+    def counts(o: graft.sources.PcapOffset): (Int, Int) =
+      (o.roots(a.toString).fileCount, o.roots(b.toString).fileCount)
+    var trigger = 0
+    while (counts(off)._2 < 3 && trigger < 6) {
+      off = stream.latestOffset(off, ReadLimit.maxFiles(2))
+        .asInstanceOf[graft.sources.PcapOffset]
+      landA(2) // root a stays busy: 2 new files per trigger, budget 2
+      trigger += 1
+    }
+    val (aN, bN) = counts(off)
+    assert(bN == 3, s"quiet root b starved: only $bN/3 files after $trigger triggers")
+    assert(aN > 0, "busy root a must still progress under the fair split")
+    // and the scarce-budget case (budget < pending roots) rotates: two
+    // busy roots under budget 1 must BOTH progress across triggers
+    var off1 = off
+    val before = counts(off1)
+    (0 until 4).foreach { _ =>
+      landA(1)
+      Files.write(b.resolve(s"b9_${counts(off1)._2}.pcap"),
+        capture(200 + counts(off1)._2))
+      off1 = stream.latestOffset(off1, ReadLimit.maxFiles(1))
+        .asInstanceOf[graft.sources.PcapOffset]
+    }
+    val after = counts(off1)
+    assert(after._1 > before._1 && after._2 > before._2,
+      s"budget-1 rotation left a root starved: $before -> $after")
+  }
+
   test("retention deletion below the watermark warns and continues; strictLanding refuses") {
     // ADVICE r8: deleting an already-processed capture (standard landing
     // retention) must not crash-loop the stream — only an out-of-order

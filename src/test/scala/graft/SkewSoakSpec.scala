@@ -311,22 +311,8 @@ class SkewSoakSpec extends SparkFunSuite {
   /** Like [[measured]] but collecting INPUT records read — the metric
     * for storage-layer soaks, where the claim is "reads O(change), not
     * O(landing)". */
-  private def measuredRecords[T](body: => T): (T, Long) = {
-    val recs = new AtomicLong
-    val lsn = new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        if (te.taskMetrics != null) {
-          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(lsn)
-    try {
-      val r = body
-      Thread.sleep(1000)
-      (r, recs.get())
-    } finally spark.sparkContext.removeSparkListener(lsn)
-  }
+  private def measuredRecords[T](body: => T): (T, Long) =
+    graft.tools.TaskRecords.measure(spark)(body)
 
   test("changeFeedRelay at 100x: 40-version landing; late delete+update sync " +
       "reads O(change), not O(landing) (set GRAFT_SOAK_100X=1 to run)") {

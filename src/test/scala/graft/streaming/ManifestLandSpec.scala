@@ -961,6 +961,68 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(foldLog() == live() && live().exists(p => p == (5L, 555L)))
   }
 
+  test("updateWhere refuses in an un-relayed window and on a legacy accounted state") {
+    // Review round 9: an update INSIDE an un-relayed window would flow
+    // through changeFeed's key-level ladder (postimage as plain insert,
+    // preimage delete suppressed by the re-insert guard) and
+    // double-count under a row-algebra fold; and a pre-round-9 state
+    // dir (no _accounted_upd) cannot tell new u-files from pre-attach
+    // ones. Both compositions must refuse loudly, and the advised
+    // relay pass must clear each refusal with the fold still exact.
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_updguard").toString + "/landing"
+    val deltaDir = Files.createTempDirectory("graft_mland_updguard_log").toString
+    new java.io.File(out).mkdirs()
+    def commit(v: Long): Unit = ManifestLand.commitBatch(
+      spark.range(v * 10L, (v + 1) * 10L)
+        .select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+      v, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+      rangeParts = 1, trackChanges = true)
+    def foldLog(): Seq[(Long, Long)] = {
+      val adds = col("_change_type").isin("insert", "update_postimage")
+      spark.read.parquet(deltaDir).groupBy("k")
+        .agg(sum(when(adds, 1L).otherwise(-1L)).as("n"),
+          sum(when(adds, col("x")).otherwise(-col("x"))).as("x"))
+        .filter(col("n") > 0L).select("k", "x")
+        .as[(Long, Long)].collect().sorted.toSeq
+    }
+    def live(): Seq[(Long, Long)] = ManifestLand.read(spark, out)
+      .select("k", "x").as[(Long, Long)].collect().sorted.toSeq
+    commit(0L)
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 0L)
+    commit(1L) // marker 0 < applied 1: the window is un-relayed
+    val exWin = intercept[IllegalArgumentException] {
+      ManifestLand.updateWhere(spark, out, col("k") === 3L, Seq("x" -> lit(303L)))
+    }
+    assert(exWin.getMessage.contains("changeFeedRelay"), exWin.getMessage)
+    assert(live().contains((3L, 15L)), "refused update must not mutate the landing")
+    // the advised order clears it and the fold stays exact
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    assert(ManifestLand.updateWhere(spark, out, col("k") === 3L,
+      Seq("x" -> lit(303L))) == 1L)
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    assert(foldLog() == live() && live().contains((3L, 303L)))
+    // legacy / damaged accounted state: strip _accounted_upd from the
+    // live state dir — the verb refuses with the upgrade advice, one
+    // relay pass restores the list IN PLACE (same state name), retry ok
+    val mState = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(deltaDir, "_cf_applied")), "UTF-8")
+      .trim.split("\t", -1)(1)
+    val accF = new java.io.File(new java.io.File(deltaDir, mState), "_accounted_upd")
+    assert(accF.exists() && accF.delete())
+    val exLegacy = intercept[IllegalArgumentException] {
+      ManifestLand.updateWhere(spark, out, col("k") === 4L, Seq("x" -> lit(404L)))
+    }
+    assert(exLegacy.getMessage.contains("_accounted_upd"), exLegacy.getMessage)
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    assert(accF.exists(), "relay pass must restore the accounted-update list")
+    assert(ManifestLand.updateWhere(spark, out, col("k") === 4L,
+      Seq("x" -> lit(404L))) == 1L)
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    assert(foldLog() == live() && live().contains((4L, 404L)))
+  }
+
   test("compactIfNeeded refuses to fold un-relayed tombstones on a relay-attached landing") {
     val spark = this.spark
     import spark.implicits._
@@ -1410,10 +1472,12 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(kv(ManifestLand.read(spark, out)) == expect3)
     // a relay-attached landing ACCEPTS updates since round 9 (the late
     // accounting emits the postimages as update_postimage batches) —
-    // but compaction on that landing refuses until the relay accounts
+    // provided the relay is SYNCED to the current version, the exact
+    // late path (an un-relayed window refuses: see the guard spec) —
+    // and compaction on that landing refuses until the relay accounts
     // them: folding the u-files would erase the late diff's evidence
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(out, ManifestLand.RelayAttachFile), "/tmp/nowhere")
+    val rDelta = Files.createTempDirectory("graft_mland_upd_relay").toString
+    ManifestLand.changeFeedRelay(spark, out, rDelta, Seq("k"))
     assert(ManifestLand.updateWhere(spark, out, col("k") === 1L,
       Seq("v" -> (col("v") + 1L))) == 1L)
     val expect4 = expect3.map { case (k, v) => k -> (if (k == 1) v + 1 else v) }
