@@ -978,8 +978,15 @@ object ManifestLand {
     *    identity gone — tombstones folded away) falls back to the exact
     *    two-snapshot key anti-join.
     *
-    * NET-effect semantics: a row inserted and deleted inside the window
-    * appears as neither (what an incremental MERGE consumer wants).
+    * NET-effect semantics are KEY-level: a row inserted and deleted
+    * inside the window appears as neither, and a key deleted and
+    * RE-INSERTED inside the window nets to the insert alone (both the
+    * rung-2 re-insert guard and the rung-3 anti-join agree) — what an
+    * incremental MERGE consumer wants. A row-algebra fold over windows
+    * is exact only while keys are not recycled within a window; row
+    * UPDATEs therefore never relay through windows ([[updateImpl]]
+    * refuses while the relay lags — the late path's four-type shape
+    * carries the preimage explicitly and has no such caveat).
     * Retention contract: both versions must still be retained
     * (`keepVersions` spans the window) — the same bound Delta/Iceberg
     * place on CDF reads.
