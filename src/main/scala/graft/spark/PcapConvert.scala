@@ -27,7 +27,17 @@ object PcapConvert {
       /** Force the legacy RDD row-materializing read (the pre-round-9
         * default) instead of the columnar DSv2 scan — the fallback knob
         * for the round-9 columnar attempt. */
-      rowPath: Boolean = false)
+      rowPath: Boolean = false,
+      /** Parquet codec for the output. Default zstd: measured on the 10M
+        * packet corpus (graft.tools.BenchCodec, interleaved rounds — a
+        * sequential sweep hands the wall-time 'win' to whichever codec
+        * runs last) all four codecs CONVERT at the same wall time
+        * (4.3–4.5 s, within noise; the codec CPU amortizes across the
+        * cores) while zstd writes 39 MB vs snappy's 83 MB — half the
+        * write I/O and half of every downstream scan, the axis that
+        * matters at 100 TB, for free. `-c snappy` restores byte-level
+        * reference-output parity (statswriter.rs:36-40). */
+      compression: String = "zstd")
 
   def parse(argv: Array[String]): Args = {
     @annotation.tailrec
@@ -44,6 +54,8 @@ object PcapConvert {
       case "--cache" :: t            => loop(t, a.copy(cache = Some(true)))
       case "--no-cache" :: t         => loop(t, a.copy(cache = Some(false)))
       case "--row-path" :: t         => loop(t, a.copy(rowPath = true))
+      case ("-c" | "--compression") :: v :: t =>
+        loop(t, a.copy(compression = v))
       case "--reference-compat" :: t => loop(t, a.copy(referenceCompat = true))
       case Nil                       => a
       case x :: _ => throw new IllegalArgumentException(s"unknown arg: $x")
@@ -120,7 +132,7 @@ object PcapConvert {
       val out =
         if (a.nodefrag) pcap
         else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
-      PcapSource.write(out, a.out, a.singleFile)
+      PcapSource.write(out, a.out, a.singleFile, a.compression)
     } finally {
       progress.foreach(_.interrupt())
       PcapSource.unregisterMetrics(metricsKey)

@@ -1,0 +1,84 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Parquet-codec A/B for the pcap convert pipeline (`-c/--compression`).
+  * Times the FULL convert per codec on the BenchPcap corpus (generated
+  * if absent) and reports output bytes — the throughput/size trade per
+  * codec on the real 31-column packet schema, not a synthetic guess.
+  * Measured verdict (10M packets, local[32]): all four codecs convert
+  * at the SAME wall time (the codec CPU amortizes across the cores; a
+  * naive sequential sweep instead hands the 'win' to whichever codec
+  * runs last — JIT/warm-up bias, observed to reverse under reordering)
+  * while zstd halves the bytes vs snappy/lz4 (39/83/81 MB; plain 212)
+  * — hence the convert CLI's zstd default.
+  */
+object BenchCodec {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_PCAP_PACKETS", "10000000").toInt
+    val defaultDir =
+      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-pcap-bench"
+      else "/tmp/graft-pcap-bench"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PCAP_DIR", defaultDir)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    Files.createDirectories(Paths.get(dir))
+    val files = 8
+    (0 until files).foreach { f =>
+      val p = s"$dir/cap$f.pcap"
+      if (!Files.exists(Paths.get(p)))
+        graft.spark.PcapGen.write(p, n / files, 1700000000000000L + f * 1000000L)
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](f: => T): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def dirBytes(p: String): Long =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).map(_.length()).sum
+    val codecs = args.toSeq match {
+      case Nil => Seq("snappy", "lz4", "zstd", "uncompressed")
+      case cs => cs
+    }
+    val out = s"$dir/codec.parquet"
+    def convert(c: String): Double =
+      time(graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
+        file = s"$dir/*.pcap", out = out, singleFile = false,
+        compression = c)))
+    // a DISCARDED full-convert warmup, then three interleaved rounds
+    // with per-codec best: the first measured flavor of a fresh JVM is
+    // systematically slower (JIT + page-cache warm-up) — a sequential
+    // sweep hands the win to whichever codec runs last (observed:
+    // reversing the order reversed a 1.5× wall-time 'win')
+    convert(codecs.head)
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    (1 to 3).foreach { _ =>
+      codecs.foreach { c =>
+        val t = convert(c)
+        if (!times.get(c).exists(_ <= t)) times(c) = t
+        sizes(c) = dirBytes(out)
+      }
+    }
+    val results = codecs.map { c =>
+      val (t, bytes) = (times(c), sizes(c))
+      System.err.println(
+        f"[bench-codec] $c%-12s ${t}%.2f s (${(n / t).toLong} pkt/s), " +
+          f"${bytes / 1e6}%.1f MB")
+      (c, t, bytes)
+    }
+    println("{" + results.map { case (c, t, b) =>
+      s""""$c":{"sec":${f"$t%.3f"},"pkt_per_s":${(n / t).toLong},"bytes":$b}"""
+    }.mkString(",") + "}")
+    spark.stop()
+  }
+}
