@@ -246,11 +246,12 @@ final case class PcapReaderFactory(
     * accumulator fields go straight into `OnHeapColumnVector`s — no
     * per-packet `Array[Any]` + `GenericInternalRow` + ~10 boxed numerics,
     * and downstream operators consume whole batches (`ColumnarToRow` is
-    * codegen'd). Pushed filters evaluate per packet against the same
-    * Option-boxed `PacketRow` view the row reader uses, BEFORE the
-    * vector writes — a filtered slice of a capture keeps the columnar
-    * speedup. Gated off only when the raw-bytes column rides along —
-    * that keeps the row reader.
+    * codegen'd). Pushed filters evaluate per packet on the UNBOXED
+    * accumulator ([[PcapFilters.compileAcc]], value-parity with the row
+    * reader's getters property-pinned), BEFORE the vector writes — a
+    * filtered slice of a capture keeps the columnar speedup. Gated off
+    * only when the raw-bytes column rides along — that keeps the row
+    * reader.
     */
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar && !withBytes
@@ -290,7 +291,10 @@ final class PcapColumnarReader(
   private val base = PcapSource.basename(file)
   private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String
     .fromString(base)
-  private val pred = PcapFilters.compile(filters, base)
+  // the unboxed form: evaluates on the accumulator's fields directly —
+  // no per-packet Option-boxed PacketRow just to test a predicate
+  // (value parity with the row reader's getter is property-pinned)
+  private val pred = PcapFilters.compileAcc(filters, base)
   private val noFilters = filters.isEmpty
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
@@ -384,11 +388,10 @@ final class PcapColumnarReader(
         PacketDissector.dissectInto(acc, raw)
         nPackets += 1
         if (acc.errors > 0) nErrors += acc.errors.toLong
-        // pushed-filter veto BEFORE the vector writes, same Option-boxed
-        // PacketRow view (and the same packet/error accounting) as the
-        // row reader; unknown filter shapes default to true, Spark
-        // re-applies every filter above the scan
-        if (noFilters || pred(acc.toPacketRow)) {
+        // pushed-filter veto BEFORE the vector writes, same packet/error
+        // accounting as the row reader; unknown filter shapes default to
+        // true, Spark re-applies every filter above the scan
+        if (noFilters || pred(acc)) {
           var c = 0
           while (c < writers.length) {
             writers(c)(vectors(c), n)

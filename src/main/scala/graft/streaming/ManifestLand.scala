@@ -1294,8 +1294,28 @@ object ManifestLand {
         // stateName is always defined here: marker >= 0 and the parse
         // is strict.
         val tag = stateName.get.stripPrefix("_cf_state_").replace("_", "x")
-        val newUpd = curUpd.toSet --
-          stateName.flatMap(readAccountedUpd(deltaDir, _)).getOrElse(curUpd.toSet)
+        // A missing accounted-update list with u-files PRESENT is
+        // ambiguous evidence: "all accounted" (a legacy pre-round-9
+        // state — its u-files predate the attach and were covered by
+        // the bootstrap) reads the same as "some lost" (a round-9 state
+        // dir that lost the file AFTER an update was accounted — then
+        // assuming all-accounted silently drops postimages and emits
+        // their preimages as plain deletes). Guessing loses rows, so
+        // refuse with the recovery path spelled out; with no u-files at
+        // all the ambiguity is empty and the pass proceeds (step 3
+        // writes the list fresh).
+        val accounted = stateName.flatMap(readAccountedUpd(deltaDir, _))
+        require(accounted.isDefined || curUpd.isEmpty,
+          s"changeFeedRelay: the accounted state ${stateName.get} of " +
+            s"$deltaDir has no _accounted_upd but the synced version " +
+            s"$marker carries update-rewrite files (${curUpd.mkString(", ")}) " +
+            "— cannot tell accounted postimages from un-relayed ones " +
+            "(assuming either silently loses or double-emits rows). If " +
+            "this state predates update accounting (pre-round-9) and " +
+            "every u-file predates the relay attach, acknowledge by " +
+            "writing their names to that dir's _accounted_upd; otherwise " +
+            "rebuild the log from a fresh delta dir")
+        val newUpd = curUpd.toSet -- accounted.getOrElse(curUpd.toSet)
         // ONE read of the synced version's dv sidecars feeds both the
         // postimage anti-join and the late-delete diff (bounded by the
         // synced version's tombstone count)
@@ -1486,14 +1506,16 @@ object ManifestLand {
 
   /** The accounted update-rewrite file list stored inside a state dir
     * (`_accounted_upd` — the `_` prefix hides it from the parquet read).
-    * None for a legacy (pre-round-9) state, which is safe to read as
-    * "every current u-file accounted": under the old code updateWhere
-    * REFUSED on an attached landing, so any u-file of the synced version
-    * predates the attach and was covered by the bootstrap snapshot —
-    * and [[updateImpl]] refuses to ADD u-files while the state is still
-    * legacy (its _accounted_upd guard), so the window between upgrade
-    * and the first round-9 relay pass cannot inject unaccounted ones.
-    * The next relay pass rewrites the state with the list present. */
+    * None when the list is absent — a legacy (pre-round-9) state, or a
+    * round-9 state dir that lost the file. The two are observationally
+    * identical but semantically opposite (legacy u-files predate the
+    * attach and were covered by the bootstrap; lost ones may hide
+    * accounted postimages), so the relay's late pass REFUSES on
+    * None-with-u-files instead of guessing, [[updateImpl]] refuses to
+    * ADD u-files while the list is missing, and the only silent
+    * recoveries are the unambiguous ones: no u-files at all (step 3
+    * writes the list fresh) or an unchanged state name (in-place
+    * restore of the current list). */
   private def readAccountedUpd(deltaDir: String, state: String): Option[Set[String]] = {
     val f = new java.io.File(new java.io.File(deltaDir, state), "_accounted_upd")
     if (!f.exists()) None

@@ -26,11 +26,20 @@ object BenchCodec {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     Files.createDirectories(Paths.get(dir))
     val files = 8
+    // same MANIFEST staleness guard as BenchPcap (round-1 verdict #8,
+    // and the two tools share the default corpus dir): a corpus
+    // generated for a different packet count must be regenerated, or
+    // pkt_per_s = n/t reports rates for the wrong corpus size
+    val manifest = Paths.get(dir, "MANIFEST")
+    val want = s"n=$n files=$files"
+    val stale = !Files.exists(manifest) ||
+      new String(Files.readAllBytes(manifest), "UTF-8") != want
     (0 until files).foreach { f =>
       val p = s"$dir/cap$f.pcap"
-      if (!Files.exists(Paths.get(p)))
+      if (stale || !Files.exists(Paths.get(p)) || args.contains("--regen"))
         graft.spark.PcapGen.write(p, n / files, 1700000000000000L + f * 1000000L)
     }
+    Files.write(manifest, want.getBytes("UTF-8"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +54,7 @@ object BenchCodec {
     def dirBytes(p: String): Long =
       Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
         .filter(_.isFile).map(_.length()).sum
-    val codecs = args.toSeq match {
+    val codecs = args.toSeq.filterNot(_ == "--regen") match {
       case Nil => Seq("snappy", "lz4", "zstd", "uncompressed")
       case cs => cs
     }

@@ -15,35 +15,42 @@ import org.apache.spark.sql.SparkSession
   */
 object TaskRecords {
 
-  /** Run `body` and return (its result, records read by the tasks it
-    * triggered). Counts everything the session runs concurrently —
-    * callers serialize measured actions, as both call sites do.
+  /** Run `body` with `onTask` observing every completed task's metrics,
+    * then DRAIN by convergence — the task-end COUNT stable across 3
+    * consecutive 100 ms polls (>= 400 ms total, bounded at 10 s). Jobs
+    * are done once body returns; this only waits out the bus. Counts
+    * everything the session runs concurrently — callers serialize
+    * measured actions, as all call sites do.
     */
-  def measure[T](spark: SparkSession)(body: => T): (T, Long) = {
-    val recs = new AtomicLong
+  def measureWith[T](spark: SparkSession)(
+      onTask: org.apache.spark.executor.TaskMetrics => Unit)(body: => T): T = {
+    val seen = new AtomicLong
     val lsn = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        if (te.taskMetrics != null) {
-          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
-        }
+        seen.incrementAndGet()
+        if (te.taskMetrics != null) onTask(te.taskMetrics)
       }
     }
     spark.sparkContext.addSparkListener(lsn)
     try {
       val r = body
-      // drain: stable for 3 consecutive 100 ms windows (>= 400 ms total,
-      // bounded at 10 s) — jobs are done once body returns, this only
-      // waits out the bus
       var last = -1L
       var stable = 0
       var polls = 0
       while (stable < 3 && polls < 100) {
         Thread.sleep(100)
         polls += 1
-        val cur = recs.get()
+        val cur = seen.get()
         if (cur == last) stable += 1 else { stable = 0; last = cur }
       }
-      (r, recs.get())
+      r
     } finally spark.sparkContext.removeSparkListener(lsn)
+  }
+
+  /** (result, records read by the tasks `body` triggered). */
+  def measure[T](spark: SparkSession)(body: => T): (T, Long) = {
+    val recs = new AtomicLong
+    val r = measureWith(spark)(m => { recs.addAndGet(m.inputMetrics.recordsRead); () })(body)
+    (r, recs.get())
   }
 }

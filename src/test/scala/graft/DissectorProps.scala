@@ -137,6 +137,43 @@ object DissectorProps extends Properties("dissector") {
     }
   }
 
+  property("accGetter \u2261 getter\u2218toPacketRow on every supported column") = forAll(
+    // round-9 review: the columnar reader's filter path evaluates on the
+    // UNBOXED accumulator (PcapFilters.accGetter); this pins its value
+    // parity with the row reader's PacketRow getters per column across
+    // protocol families, fragments, NTP, and junk bytes
+    Gen.oneOf(
+      Gen.zip(genPort, genPort, Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte)))
+        .map { case (sp, dp, pay) =>
+          ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17, udp(sp, dp, pay))) },
+      Gen.zip(genLabel, genPort).map { case (l, p) =>
+        ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17, udp(p, 53, dnsQuery(l, 1)))) },
+      Gen.zip(genPort, Gen.chooseNum(0, 255)).map { case (p, fl) =>
+        ethernet(0x0800, ipv4("3.3.3.3", "4.4.4.4", 6, tcp(443, p, fl))) },
+      Gen.zip(genPort, Gen.chooseNum(1, 8191)).map { case (p, off) =>
+        ethernet(0x0800, ipv4("5.5.5.5", "6.6.6.6", 17,
+          udp(p, p, Array[Byte](1, 2, 3)), id = 7, mf = true, fragOffset = off)) },
+      Gen.chooseNum(0, 255).map(rc => ethernet(0x0800,
+        ipv4("7.7.7.7", "8.8.8.8", 17, udp(123, 123, ntpPrivate(rc))))),
+      Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))),
+    Gen.oneOf(1, 12, 101, 9999)
+  ) { (pkt, linktype) =>
+    val acc = new graft.dissect.DissectAcc
+    PacketDissector.dissectInto(acc, RawFrame(7L, pkt.length.toLong, pkt, linktype))
+    val row = acc.toPacketRow
+    val cols = Seq("frame_time", "frame_len", "eth_type", "ip_src", "ip_dst",
+      "col_source", "col_destination", "ip_proto", "ip_ttl", "ip_frag_offset",
+      "ip_id", "ip_mf", "icmp_type", "udp_length", "udp_srcport",
+      "udp_dstport", "tcp_flags", "tcp_srcport", "tcp_dstport",
+      "col_protocol", "dns_qry_name", "dns_qry_type", "ntp_priv_reqcode",
+      "dhip_device", "pcap_file")
+    cols.forall { c =>
+      val viaAcc = graft.sources.PcapFilters.accGetter(c, "f.pcap").map(_(acc))
+      val viaRow = graft.sources.PcapFilters.getter(c, "f.pcap").map(_(row))
+      viaAcc == viaRow
+    }
+  }
+
   property("fragment gate: offset>0 rows never carry transport columns") = forAll(
     Gen.chooseNum(1, 0x1fff), Gen.oneOf(6, 17, 1)
   ) { (off, proto) =>

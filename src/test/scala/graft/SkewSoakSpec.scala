@@ -16,27 +16,18 @@ import graft.queries.{FuzzyDedup, PipelineOps}
   */
 class SkewSoakSpec extends SparkFunSuite {
 
-  /** Run `body`, returning (result, totalShuffleWriteBytes, maxTaskMs). */
+  /** Run `body`, returning (result, totalShuffleWriteBytes, maxTaskMs).
+    * Shares TaskRecords' convergence drain (a fixed sleep undercounts
+    * on a loaded box, passing the soak bounds vacuously). */
   private def measured[T](body: => T): (T, Long, Long) = {
     val bytes = new AtomicLong
     val maxMs = new AtomicLong
-    val lsn = new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          maxMs.updateAndGet(c => math.max(c, m.executorRunTime))
-          ()
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(lsn)
-    try {
-      val r = body
-      // listener events are posted asynchronously; give the bus a moment
-      Thread.sleep(1000)
-      (r, bytes.get(), maxMs.get())
-    } finally spark.sparkContext.removeSparkListener(lsn)
+    val r = graft.tools.TaskRecords.measureWith(spark) { m =>
+      bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      maxMs.updateAndGet(c => math.max(c, m.executorRunTime))
+      ()
+    }(body)
+    (r, bytes.get(), maxMs.get())
   }
 
   private def skewedDocs(nDocs: Int, hotShare: Double, seed: Int): DataFrame = {
@@ -139,25 +130,15 @@ class SkewSoakSpec extends SparkFunSuite {
   private def measuredP99[T](body: => T): (T, Long, Long, Long) = {
     val bytes = new AtomicLong
     val times = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-    val lsn = new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          times.add(m.executorRunTime)
-          ()
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(lsn)
-    try {
-      val r = body
-      Thread.sleep(1000)
-      val sorted = times.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
-      val p99 = if (sorted.isEmpty) 0L else sorted((sorted.length * 99 / 100).min(sorted.length - 1))
-      val p50 = if (sorted.isEmpty) 0L else sorted(sorted.length / 2)
-      (r, bytes.get(), p99, p50)
-    } finally spark.sparkContext.removeSparkListener(lsn)
+    val r = graft.tools.TaskRecords.measureWith(spark) { m =>
+      bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      times.add(m.executorRunTime)
+      ()
+    }(body)
+    val sorted = times.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+    val p99 = if (sorted.isEmpty) 0L else sorted((sorted.length * 99 / 100).min(sorted.length - 1))
+    val p50 = if (sorted.isEmpty) 0L else sorted(sorted.length / 2)
+    (r, bytes.get(), p99, p50)
   }
 
   test("d06 LSH at 10x sf0.1: cap + AQE keep shuffle and task p99 bounded",

@@ -1021,6 +1021,26 @@ class ManifestLandSpec extends SparkFunSuite {
       Seq("x" -> lit(404L))) == 1L)
     ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
     assert(foldLog() == live() && live().contains((4L, 404L)))
+    // AMBIGUOUS LOSS: the list vanishes after updates WERE accounted and
+    // NEW late evidence lands (state name mismatch) — "all accounted"
+    // would relay the late delete but silently drop any lost postimage,
+    // so the relay must refuse; restoring the list (the operator's
+    // acknowledgment) recovers and the fold stays exact
+    val mState2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(deltaDir, "_cf_applied")), "UTF-8")
+      .trim.split("\t", -1)(1)
+    val accF2 = new java.io.File(new java.io.File(deltaDir, mState2), "_accounted_upd")
+    val savedList = java.nio.file.Files.readAllBytes(accF2.toPath)
+    ManifestLand.deleteWhere(spark, out, col("k") === 6L) // new dv evidence
+    assert(accF2.delete())
+    val exAmb = intercept[IllegalArgumentException] {
+      ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    }
+    assert(exAmb.getMessage.contains("_accounted_upd") &&
+      exAmb.getMessage.contains("acknowledge"), exAmb.getMessage)
+    java.nio.file.Files.write(accF2.toPath, savedList)
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    assert(foldLog() == live() && !live().exists(_._1 == 6L))
   }
 
   test("compactIfNeeded refuses to fold un-relayed tombstones on a relay-attached landing") {
