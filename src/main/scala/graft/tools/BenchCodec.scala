@@ -40,11 +40,15 @@ object BenchCodec {
         graft.spark.PcapGen.write(p, n / files, 1700000000000000L + f * 1000000L)
     }
     Files.write(manifest, want.getBytes("UTF-8"))
+    // shuffle/spill dirs on the corpus's tmpfs, same as BenchPcap
+    val localDir = s"$dir/spark-local"
+    Files.createDirectories(Paths.get(localDir))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
