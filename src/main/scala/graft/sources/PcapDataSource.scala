@@ -120,6 +120,11 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       .map(js => new com.fasterxml.jackson.databind.ObjectMapper()
         .readValue(js, classOf[Array[String]]).toSeq)
       .getOrElse(Option(options.get("path")).toSeq)
+    // retired roots (streaming only): same JSON-array encoding as paths
+    val retired = Option(options.get("retiredRoots"))
+      .map(js => new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq)
+      .getOrElse(Seq.empty)
     val decodeParts = options.getInt("decodePartitions", 1)
     require(decodeParts >= 1 && decodeParts <= 1024,
       s"pcap option decodePartitions must be in [1, 1024], got $decodeParts")
@@ -130,7 +135,8 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       decodeParts,
       options.getBoolean("strictLanding", false),
       options.getBoolean("columnar", true),
-      Option(options.get("metricsKey")))
+      Option(options.get("metricsKey")),
+      retired)
   }
 }
 
@@ -144,7 +150,8 @@ final class PcapScan(
     decodePartitions: Int = 1,
     strictLanding: Boolean = false,
     columnar: Boolean = true,
-    metricsKey: Option[String] = None)
+    metricsKey: Option[String] = None,
+    retiredRoots: Seq[String] = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -161,7 +168,7 @@ final class PcapScan(
     // stream natively since round 9: one watermark per root in a
     // composite offset (see PcapMicroBatchStream).
     new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation,
-      maxFilesPerTrigger, filters, withBytes, strictLanding)
+      maxFilesPerTrigger, filters, withBytes, strictLanding, retiredRoots)
   }
   override def description(): String =
     s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")}" +

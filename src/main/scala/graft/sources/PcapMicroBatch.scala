@@ -57,7 +57,8 @@ final class PcapMicroBatchStream(
     maxFilesPerTrigger: Option[Int] = None,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     withBytes: Boolean = false,
-    strictLanding: Boolean = false)
+    strictLanding: Boolean = false,
+    retiredRoots: Seq[String] = Seq.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   require(paths.nonEmpty, "pcap streaming needs at least one landing root")
@@ -65,6 +66,16 @@ final class PcapMicroBatchStream(
   // share one namespace key)
   require(paths.distinct.size == paths.size,
     s"pcap streaming roots must be distinct, got: ${paths.mkString(", ")}")
+  // ROOT RETIREMENT (round 9, closing-outlook #4): dropping a tracked
+  // root still refuses by default (its watermark would be silently
+  // forgotten), but a root listed in `retiredRoots` is an EXPLICIT
+  // acknowledgment — it is no longer listed or read, while its
+  // checkpointed watermark rides FROZEN through every emitted offset.
+  // Re-activating later (move it back to paths, off the retired list)
+  // resumes exactly-once from the frozen mark.
+  require(retiredRoots.intersect(paths).isEmpty,
+    s"pcap streaming: roots cannot be both active and retired: " +
+      s"${retiredRoots.intersect(paths).mkString(", ")}")
 
   private val spark = org.apache.spark.sql.SparkSession.active
   private val hconf = spark.sessionState.newHadoopConf()
@@ -97,11 +108,12 @@ final class PcapMicroBatchStream(
     */
   private def resolve(o: PcapOffset,
       listing: Map[String, Seq[String]]): Map[String, PcapRootMark] = {
-    val unknown = o.roots.keySet -- paths.toSet
+    val unknown = o.roots.keySet -- paths.toSet -- retiredRoots.toSet
     require(unknown.isEmpty,
       s"pcap stream: checkpoint tracks roots not in this query's paths: " +
         s"${unknown.mkString(", ")} — removing a root drops its watermark; " +
-        "restore the path or start a fresh checkpoint")
+        "restore the path, list it in retiredRoots to acknowledge, or " +
+        "start a fresh checkpoint")
     paths.map { r =>
       val m = o.roots.getOrElse(r, PcapRootMark(0, ""))
       r -> (if (m.lastName.nonEmpty || m.fileCount == 0) m
@@ -220,8 +232,14 @@ final class PcapMicroBatchStream(
       val take = takes.getOrElse(r, 0)
       r -> (if (take == 0) m
       else PcapRootMark(m.fileCount + take, candidates(r)(take - 1)))
-    }.toMap)
+    }.toMap ++ frozenRetired(start.asInstanceOf[PcapOffset]))
   }
+
+  /** Retired roots' checkpointed watermarks, carried verbatim through
+    * every emitted offset so a later re-activation resumes exactly-once.
+    */
+  private def frozenRetired(o: PcapOffset): Map[String, PcapRootMark] =
+    o.roots.filter { case (r, _) => retiredRoots.contains(r) }
 
   override def reportLatestOffset(): Offset = {
     val listing = listFiles(refresh = false)

@@ -204,6 +204,56 @@ class PcapStreamingSpec extends SparkFunSuite {
     assert(msg(err).contains("checkpoint tracks roots"), msg(err))
   }
 
+  test("root retirement: acknowledged drop freezes the watermark; re-activation resumes exactly-once") {
+    // round-9 closing-outlook #4: dropping a tracked root still refuses
+    // by default, but listing it in retiredRoots is an explicit
+    // acknowledgment — the root is no longer read while its watermark
+    // rides FROZEN through every offset, so putting it back in paths
+    // later resumes exactly-once from where it stopped.
+    val a = Files.createTempDirectory("pcapret_a")
+    val b = Files.createTempDirectory("pcapret_b")
+    (1 to 2).foreach(i => Files.write(a.resolve(s"c$i.pcap"), capture(i)))
+    (1 to 2).foreach(i => Files.write(b.resolve(s"c$i.pcap"), capture(10 + i)))
+    val out = Files.createTempDirectory("pcapret_out").toString
+    val ckpt = Files.createTempDirectory("pcapret_ckpt").toString
+    def run(pathsJson: String, retiredJson: Option[String]): Unit = {
+      val r0 = spark.readStream.format("pcap").option("paths", pathsJson)
+      val r1 = retiredJson.fold(r0)(j => r0.option("retiredRoots", j))
+      val q = r1.load().select("frame_time", "col_protocol", "pcap_file")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    val both = s"""["${a.toString}","${b.toString}"]"""
+    val onlyA = s"""["${a.toString}"]"""
+    run(both, None)
+    assert(spark.read.parquet(out).count() == 8) // 4 files x 2 packets
+    // un-acknowledged drop still refuses
+    val err = intercept[Exception] { run(onlyA, None) }
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+    assert(msg(err).contains("checkpoint tracks roots"), msg(err))
+    // acknowledged retirement: b's new files are NOT read, a's are
+    Files.write(a.resolve("c3.pcap"), capture(3))
+    Files.write(b.resolve("c3.pcap"), capture(13))
+    run(onlyA, Some(s"""["${b.toString}"]"""))
+    assert(spark.read.parquet(out).count() == 10, "retired root was read")
+    // re-activation: resumes from b's FROZEN watermark — only its new
+    // file lands, the two already-processed captures never replay
+    run(both, None)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 12, s"got ${rows.count()}")
+    assert(rows.select("frame_time").distinct().count() == 12,
+      "a retired-then-reactivated root replayed processed files")
+    // the decommission case the verb exists for: a retired root's
+    // directory can be deleted outright — nothing lists or reads it
+    Files.write(a.resolve("c4.pcap"), capture(4))
+    graft.TempCleanup.rmrf(b.toFile)
+    run(onlyA, Some(s"""["${b.toString}"]"""))
+    assert(spark.read.parquet(out).count() == 14, "decommissioned-dir run")
+  }
+
   test("multi-root budget fair-shares: a busy root cannot starve the other") {
     // Review round 9: spending maxFilesPerTrigger strictly in `paths`
     // order starves later roots for as long as an earlier root lands
