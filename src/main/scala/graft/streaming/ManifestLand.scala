@@ -1198,7 +1198,24 @@ object ManifestLand {
     * committed yet).
     */
   def changeFeedRelay(spark: SparkSession, dir: String, deltaDir: String,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String]): Long =
+    changeFeedRelayImpl(spark, dir, deltaDir, keyCols,
+      snapshotBootstrap = false)
+
+  /** `snapshotBootstrap = true` (the generation swap's form): a first
+    * sync bootstraps from the CURRENT version's snapshot as pure
+    * inserts, with NO history windows. Replaying retained windows into
+    * a fresh log would re-route any already-applied row UPDATE through
+    * changeFeed's key-level ladder (postimage re-inserted, preimage
+    * suppressed) and leave the pre-update rows as phantoms in the new
+    * log's fold — the late four-type accounting that relayed the
+    * update exactly lives in the OLD generation's state, which a fresh
+    * dir by definition does not have. A snapshot has every verb baked
+    * in (merge-on-read), so the new log folds to the live landing
+    * trivially, and subsequent syncs diff incrementally from there. */
+  private def changeFeedRelayImpl(spark: SparkSession, dir: String,
+      deltaDir: String, keyCols: Seq[String],
+      snapshotBootstrap: Boolean): Long = {
     import org.apache.spark.sql.functions.lit
     // refuse BEFORE any staging: an untracked landing would bootstrap
     // fine and then throw on every subsequent window, leaving a marker
@@ -1373,7 +1390,11 @@ object ManifestLand {
       }
     }
     // 2. the normal version windows, each through changeFeed's ladder
-    for (v <- retained.filter(_ > marker)) {
+    // (snapshot-bootstrap form: only the CURRENT version, as a snapshot)
+    val toSync =
+      if (snapshotBootstrap && marker < 0L) retained.filter(_ > marker).takeRight(1)
+      else retained.filter(_ > marker)
+    for (v <- toSync) {
       val delta =
         if (synced < 0L)
           readVersion(spark, dir, v).withColumn("_change_type", lit("insert"))
@@ -1435,6 +1456,44 @@ object ManifestLand {
       }
     }
     synced
+  }
+
+  /** GENERATION SWAP (round 9 — the change log's one documented bound):
+    * the relay's log is append-only, so it grows with TOTAL change
+    * volume, not live size. Swapping generations re-bases it: a NEW
+    * log dir is bootstrapped from the landing's CURRENT snapshot as
+    * pure inserts — deliberately NOT the retained history windows,
+    * which would re-route an already-applied row UPDATE through
+    * changeFeed's key-level ladder and leave pre-update phantoms in
+    * the fold (see [[changeFeedRelayImpl]]) — and the landing's attach
+    * marker re-points so every subsequent sync maintains the NEW dir.
+    * The new log restarts at LIVE size; swapping periodically bounds
+    * total footprint.
+    *
+    * The old dir is deliberately left untouched and unmaintained: a
+    * checkpointed consumer's file source has recorded its file names
+    * and can keep draining what was published (rewriting in place
+    * would double-count for exactly those consumers). Fresh consumers
+    * adopt `newDeltaDir`; drop the old dir when its consumers are gone.
+    *
+    * Refuses a non-fresh target (visible change files but no marker —
+    * some OTHER landing's log; mixing histories would double-count).
+    * Re-running after a crash is the relay's own idempotence: a marker
+    * at the same evidence is a zero-job no-op pass. Returns the synced
+    * high-water version.
+    */
+  def relayGenerationSwap(spark: SparkSession, dir: String,
+      newDeltaDir: String, keyCols: Seq[String]): Long = {
+    val d = new java.io.File(newDeltaDir)
+    val visible = Option(d.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.getName.startsWith("cf") && f.getName.endsWith(".parquet"))
+    require(parseRelayMarker(newDeltaDir).isDefined || !visible,
+      s"relayGenerationSwap: $newDeltaDir holds change files but no relay " +
+        "marker — it is not a fresh generation dir (and not a crashed " +
+        "attempt of one, whose staged files would be hidden); mixing " +
+        "log histories double-counts")
+    changeFeedRelayImpl(spark, dir, newDeltaDir, keyCols,
+      snapshotBootstrap = true)
   }
 
   /** Strict parse of the relay marker `_cf_applied`:

@@ -1128,6 +1128,67 @@ object StreamingOps {
       .filter(col("n_events") > 0L)
   }
 
+  /** s35: CHANGE-LOG GENERATION SWAP (round 9 — the relay's one
+    * documented bound, closed): the append-only change log grows with
+    * TOTAL change volume, so a long-lived relay periodically swaps
+    * generations — [[ManifestLand.relayGenerationSwap]] bootstraps a
+    * NEW log dir from the landing's CURRENT snapshot as pure inserts
+    * (live-sized, not lifetime churn; history windows would replay an
+    * applied UPDATE through the key-level ladder and leave pre-update
+    * phantoms) and re-points the attach marker so every later sync
+    * maintains the new dir; the old dir is frozen for its draining
+    * consumers. This query runs s34's full history (stream + late
+    * delete + late update) into generation 1, SHRINKS retention, swaps
+    * to generation 2, then lands one more LATE delete through the new
+    * generation — and folds ONLY the new log. The gate pins that fold to the from-scratch rollup with all
+    * three verbs applied: a fresh consumer adopting the new generation
+    * sees exactly the truth, with no memory of the old log required.
+    */
+  def streamRelayGenerationSwap(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s35")
+    val out = java.nio.file.Files.createTempDirectory("graft_s35_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s35_ckpt").toString
+    val log1 = java.nio.file.Files.createTempDirectory("graft_s35_log1").toString
+    val log2 = java.nio.file.Files.createTempDirectory("graft_s35_log2").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    graft.TempCleanup.registerDir(log1)
+    graft.TempCleanup.registerDir(log2)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      keepVersions = 8, statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"),
+      rangeParts = 2, clusterBy = Some(col("tsu")), trackChanges = true,
+      relayTo = Some(log1), relayKeys = Seq("event_id"))
+    // generation 1 absorbs s34's late history
+    ManifestLand.deleteWhere(spark, out,
+      col("event_type") === "click" && col("value_e4") < 1000000L)
+    ManifestLand.updateWhere(spark, out, col("event_type") === "error",
+      Seq("event_type" -> lit("error_handled"),
+        "value_e4" -> (col("value_e4") + 1000000L)))
+    ManifestLand.changeFeedRelay(spark, out, log1, Seq("event_id"))
+    // shrink retention, then swap: generation 2's bootstrap is bounded
+    // by the 2-version window, not the landing's lifetime churn
+    ManifestLand.expireVersions(out, keep = 2)
+    ManifestLand.relayGenerationSwap(spark, out, log2, Seq("event_id"))
+    // post-swap maintenance flows to the NEW generation only: a late
+    // purge of low-value views, relayed through log2's own state diff
+    ManifestLand.deleteWhere(spark, out,
+      col("event_type") === "view" && col("value_e4") < 500000L)
+    ManifestLand.changeFeedRelay(spark, out, log2, Seq("event_id"))
+    val logSchema = StructType(
+      ManifestLand.read(spark, out).schema.fields :+
+        StructField("_change_type", StringType))
+    val adds = col("_change_type") === "insert" ||
+      col("_change_type") === "update_postimage"
+    val view = spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 1).parquet(log2)
+      .groupBy("event_type")
+      .agg(sum(when(adds, 1L).otherwise(-1L)).as("n_events"),
+        sum(when(adds, col("value_e4")).otherwise(-col("value_e4")))
+          .as("sum_value_e4"))
+    drainToMemory(view, "graft_s35_", "complete")
+      .filter(col("n_events") > 0L)
+  }
+
   /** s27: SCHEMA EVOLUTION on the manifest landing — the lakehouse
     * contract q73 shows for ad-hoc frames, enforced at the STORAGE
     * layer: the landing's schema lives in the tracked `_schema` (not in
@@ -1700,6 +1761,27 @@ object StreamingOps {
              |SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
              |FROM u GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s35_relay_genswap",
+      (s, dir) => streamRelayGenerationSwap(s, dir),
+      // fold of ONLY the new generation (bootstrapped from retained
+      // history after the swap, then one more late delete through it)
+      // = the from-scratch rollup with all three verbs applied: s34's
+      // late delete + update, composed with the post-swap view purge
+      Some("""WITH e AS (SELECT event_type,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |s AS (SELECT * FROM e
+             |      WHERE NOT (event_type = 'click' AND value_e4 < 1000000)),
+             |u AS (SELECT CASE WHEN event_type = 'error' THEN 'error_handled'
+             |               ELSE event_type END AS event_type,
+             |             CASE WHEN event_type = 'error' THEN value_e4 + 1000000
+             |               ELSE value_e4 END AS value_e4
+             |      FROM s),
+             |f AS (SELECT * FROM u
+             |      WHERE NOT (event_type = 'view' AND value_e4 < 500000))
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM f GROUP BY event_type""".stripMargin)),
     graft.queries.Q("s27_schema_evolution", (s, dir) => streamSchemaEvolution(s, dir),
       // pre-evolution rows read with the added column NULL ('legacy');
       // post-evolution rows carry the derived channel

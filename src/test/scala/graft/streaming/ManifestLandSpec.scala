@@ -961,6 +961,81 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(foldLog() == live() && live().exists(p => p == (5L, 555L)))
   }
 
+  test("relayGenerationSwap: snapshot-sized new log, fold-exact, old log frozen") {
+    // round-9 closing-outlook #2: the change log's documented bound.
+    // A new generation bootstraps from the CURRENT snapshot as pure
+    // inserts (live-sized; replaying retained windows would re-route
+    // an applied UPDATE through the key-level ladder — s35 pins that
+    // composition), the attach marker re-points, the old log never
+    // changes again, and folds over the new log equal the live landing
+    // before AND after further syncs.
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_genswap").toString + "/landing"
+    val log1 = Files.createTempDirectory("graft_mland_genswap_l1").toString
+    val log2 = Files.createTempDirectory("graft_mland_genswap_l2").toString
+    new java.io.File(out).mkdirs()
+    def foldLog(d: String): Seq[(Long, Long)] = {
+      val adds = col("_change_type").isin("insert", "update_postimage")
+      spark.read.parquet(d).groupBy("k")
+        .agg(sum(when(adds, 1L).otherwise(-1L)).as("n"),
+          sum(when(adds, col("x")).otherwise(-col("x"))).as("x"))
+        .filter(col("n") > 0L).select("k", "x")
+        .as[(Long, Long)].collect().sorted.toSeq
+    }
+    def live(): Seq[(Long, Long)] = ManifestLand.read(spark, out)
+      .select("k", "x").as[(Long, Long)].collect().sorted.toSeq
+    def cfFiles(d: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("cf") && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    // churn: six versions, deletes interleaved, every version relayed
+    (0 until 6).foreach { v =>
+      ManifestLand.applyBatch(
+        spark.range(v * 10L, (v + 1) * 10L)
+          .select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+        v.toLong, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+        rangeParts = 1, trackChanges = true)
+      if (v % 2 == 1)
+        ManifestLand.deleteWhere(spark, out, col("k") === (v * 10L - 5L))
+      ManifestLand.changeFeedRelay(spark, out, log1, Seq("k"))
+    }
+    assert(foldLog(log1) == live())
+    ManifestLand.expireVersions(out, keep = 2)
+    // the swap: new generation bounded by the 2-version retention
+    assert(ManifestLand.relayGenerationSwap(spark, out, log2, Seq("k")) == 5L)
+    assert(foldLog(log2) == live(), "new generation fold diverged")
+    assert(cfFiles(log2).size < cfFiles(log1).size,
+      s"new log ${cfFiles(log2).size} files, old ${cfFiles(log1).size} — not re-based")
+    // attach marker re-pointed: the landing's maintenance follows log2
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, ManifestLand.RelayAttachFile)), "UTF-8") == log2)
+    // further churn maintains ONLY the new generation; old log frozen
+    val frozen = cfFiles(log1)
+    ManifestLand.applyBatch(
+      spark.range(60L, 70L).select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+      6L, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+      rangeParts = 1, trackChanges = true)
+    ManifestLand.deleteWhere(spark, out, col("k") === 62L)
+    ManifestLand.changeFeedRelay(spark, out, log2, Seq("k"))
+    assert(foldLog(log2) == live(), "post-swap sync diverged")
+    assert(cfFiles(log1) == frozen, "old generation mutated after the swap")
+    // idempotence: re-swapping into the live generation is a no-op pass
+    val before2 = cfFiles(log2)
+    assert(ManifestLand.relayGenerationSwap(spark, out, log2, Seq("k")) == 6L)
+    assert(cfFiles(log2) == before2)
+    // refusal: a dir holding change files but no marker is not a fresh
+    // generation (some other landing's log)
+    val bogus = Files.createTempDirectory("graft_mland_genswap_bogus").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(log1, cfFiles(log1).keys.head),
+      java.nio.file.Paths.get(bogus, cfFiles(log1).keys.head))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestLand.relayGenerationSwap(spark, out, bogus, Seq("k"))
+    }
+    assert(ex.getMessage.contains("fresh generation"), ex.getMessage)
+  }
+
   test("updateWhere refuses in an un-relayed window and on a legacy accounted state") {
     // Review round 9: an update INSIDE an un-relayed window would flow
     // through changeFeed's key-level ladder (postimage as plain insert,
