@@ -976,7 +976,13 @@ object ManifestLand {
     *    affected files ([[dvDeltaDeletes]] — O(deletes), never
     *    O(landing)), and only a compaction inside the window (file
     *    identity gone — tombstones folded away) falls back to the exact
-    *    two-snapshot key anti-join.
+    *    two-snapshot key anti-join. Rung 2 additionally tags a removed
+    *    row whose key the window RE-INSERTED as `update_preimage`
+    *    instead of suppressing it (round 9) — folds subtract it, MERGE
+    *    consumers ignore it, and the re-inserting row stays a plain
+    *    `insert` — so key recycling within a rung-2 window folds
+    *    exactly; rung 3 has no positional identity and keeps the
+    *    key-level contract.
     *
     * NET-effect semantics are KEY-level: a row inserted and deleted
     * inside the window appears as neither, and a key deleted and
@@ -993,7 +999,10 @@ object ManifestLand {
     */
   /** `forceSnapshotDeletes` pins the rung-3 two-snapshot anti-join even
     * when a cheaper rung applies — the A/B/debug knob Bench's x_cdf
-    * rows time; answers are identical by construction. */
+    * rows time. Answers are identical unless a key was deleted AND
+    * re-inserted within the window: rung 2 then also emits the removed
+    * position as `update_preimage` (strictly more informative — exact
+    * for fold consumers), which rung 3's key anti-join cannot see. */
   def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long,
       keyCols: Seq[String], forceSnapshotDeletes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -1036,19 +1045,22 @@ object ManifestLand {
     //     to the exact two-snapshot key anti-join (the price Delta
     //     pays materializing change files it didn't write either).
     val mFrom = parseManifest(versionFile(dir, fromV))
-    val deletes0 =
+    val removed =
       if (forceSnapshotDeletes)
         readVersion(spark, dir, fromV)
           .join(readVersion(spark, dir, toV).select(keyCols.map(col): _*),
             keyCols, "left_anti")
+          .withColumn("_change_type", lit("delete"))
       else if (mFrom.dvs == mTo.dvs && mFrom.files.toSet.subsetOf(mTo.files.toSet))
         readVersion(spark, dir, fromV).limit(0)
+          .withColumn("_change_type", lit("delete"))
       else if (mFrom.files.toSet.subsetOf(mTo.files.toSet))
         dvDeltaDeletes(spark, dir, mFrom, mTo, inserts, keyCols)
       else readVersion(spark, dir, fromV)
         .join(readVersion(spark, dir, toV).select(keyCols.map(col): _*),
           keyCols, "left_anti")
-    inserts.unionByName(deletes0.withColumn("_change_type", lit("delete")))
+        .withColumn("_change_type", lit("delete"))
+    inserts.unionByName(removed)
   }
 
   /** Rung 2 of [[changeFeed]]'s delete ladder: with every `fromV` data
@@ -1070,6 +1082,7 @@ object ManifestLand {
   private def dvDeltaDeletes(spark: SparkSession, dir: String,
       mFrom: Manifest, mTo: Manifest, inserts: DataFrame,
       keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
     val fromFiles = mFrom.files.toSet
     // sidecars are tiny by construction (tombstones since the last
     // compaction); the delta is bounded by the window's delete volume
@@ -1077,13 +1090,28 @@ object ManifestLand {
         Seq("file_name", "row_index"), "left_anti")
       .filter(col("file_name").isInCollection(fromFiles))
     val candidates = positionalRows(spark, dir, delta)
-      .getOrElse(return readFiles(spark, dir, mFrom, "changeFeed").limit(0))
+      .getOrElse(return readFiles(spark, dir, mFrom, "changeFeed").limit(0)
+        .withColumn("_change_type", lit("delete")))
     // no forced broadcast (ADVICE r8): the insert side is bounded only
     // by the window's change volume — a bulk append in a delete-bearing
     // window would push an arbitrarily large frame through a driver-side
     // broadcast. AQE picks broadcast when the side is actually small.
-    candidates.join(inserts.select(keyCols.map(col): _*).distinct(),
-      keyCols, "left_anti")
+    //
+    // Round 9: a candidate whose key the window RE-INSERTED is not
+    // suppressed any more — it is tagged `update_preimage` (row-algebra
+    // folds subtract it like a delete; key-upsert MERGE consumers
+    // ignore it, and the re-inserting row stays a plain `insert`), so a
+    // delete+re-insert of one key within a window folds exactly. Rung 3
+    // (compaction in the window) cannot see these — its key anti-join
+    // has no positional identity — which is why updateImpl still
+    // refuses into un-relayed windows rather than relying on this rung.
+    val reKeys = inserts.select(keyCols.map(col): _*).distinct()
+      .withColumn("__reinserted", lit(true))
+    candidates.join(reKeys, keyCols, "left_outer")
+      .withColumn("_change_type",
+        when(coalesce(col("__reinserted"), lit(false)),
+          lit("update_preimage")).otherwise(lit("delete")))
+      .drop("__reinserted")
   }
 
   /** Fetch the rows at `(file_name, row_index)` positions `delta` back

@@ -641,6 +641,66 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(folded.map(_._2).sum < nV * 100L, "deletes must have removed rows")
   }
 
+  test("changeFeed rung 2 tags re-inserted keys update_preimage; window fold exact") {
+    // round-9 outlook #3 (common path): a key deleted AND re-inserted
+    // within one window used to be suppressed by rung 2's re-insert
+    // guard (key-level net effect) — a row-algebra fold then kept the
+    // OLD row alongside the new one. Rung 2 now tags the removed
+    // position `update_preimage` (folds subtract, MERGE consumers
+    // ignore), the re-inserting row stays a plain insert, and the fold
+    // is exact. Rung 3 (compaction in the window) keeps the key-level
+    // contract — no positional identity — which is why updateImpl still
+    // refuses updates into un-relayed windows.
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_recycle").toString + "/landing"
+    new java.io.File(out).mkdirs()
+    def commit(v: Long, ks: Seq[(Long, Long)]): Unit =
+      ManifestLand.applyBatch(ks.toDF("k", "x"), v, out,
+        statsCols = Seq(ManifestLand.CommitVersionCol), rangeParts = 1,
+        trackChanges = true)
+    commit(0L, (0L until 10L).map(k => k -> k * 5L))
+    commit(1L, (10L until 15L).map(k => k -> k * 5L))
+    ManifestLand.deleteWhere(spark, out, col("k") === 3L) // tombstone on a v0 file
+    commit(2L, Seq(3L -> 999L, 15L -> 75L)) // k=3 recycled in the same window
+    val delta = ManifestLand.changeFeed(spark, out, 0L, 2L, Seq("k"))
+      .select("_change_type", "k", "x").as[(String, Long, Long)]
+      .collect().toSeq.sorted
+    assert(delta.contains(("update_preimage", 3L, 15L)),
+      s"recycled key's removed position must be a preimage: $delta")
+    assert(delta.contains(("insert", 3L, 999L)))
+    assert(!delta.contains(("delete", 3L, 15L)),
+      "recycled key must not double as a plain delete")
+    // update-aware fold over the v0 snapshot + the window == live
+    val adds = col("_change_type").isin("insert", "update_postimage")
+    val folded = ManifestLand.readVersion(spark, out, 0L)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(ManifestLand.changeFeed(spark, out, 0L, 2L, Seq("k")))
+      .groupBy("k")
+      .agg(sum(when(adds, 1L).otherwise(-1L)).as("n"),
+        sum(when(adds, col("x")).otherwise(-col("x"))).as("x"))
+      .filter(col("n") > 0L).select("k", "x")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val live = ManifestLand.read(spark, out).select("k", "x")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(folded == live && live.contains((3L, 999L)),
+      s"window fold diverged under key recycling: $folded vs $live")
+    // the key-upsert reconstruction (inserts by key, preimages ignored)
+    // is ALSO exact — both consumer models hold on the same log
+    val log = ManifestLand.readVersion(spark, out, 0L)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(ManifestLand.changeFeed(spark, out, 0L, 2L, Seq("k")))
+    val upsert = log.filter(col("_change_type") === "insert")
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col(ManifestLand.CommitVersionCol).desc, col("x").desc)))
+      .filter(col("__r") === 1)
+      .join(log.filter(col("_change_type") === "delete").select("k"),
+        Seq("k"), "left_anti")
+      .select("k", "x").as[(Long, Long)].collect().sorted.toSeq
+    assert(upsert == live, s"key-upsert reconstruction diverged: $upsert")
+  }
+
   test("change feed DV-delta: a delete-bearing sync reads the affected files, not the base") {
     val spark = this.spark
     import spark.implicits._
