@@ -75,6 +75,9 @@ object BenchPcap {
     graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
       file = s"$dir/cap0.pcap", out = s"$dir/warmup.parquet",
       singleFile = false))
+    // the warmup output is RAM-backed (tmpfs) — drop it immediately, a
+    // 100M-packet run would otherwise pin an n/8-packet parquet forever
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/warmup.parquet"))
     val (tParse, total) = time(PcapSource.read(spark, s"$dir/*.pcap").count())
     // the production path (PcapConvert.run with auto cache: at bench sizes
     // the parsed table fits, so defrag's extra passes hit the cache);

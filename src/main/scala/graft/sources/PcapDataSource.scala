@@ -116,15 +116,14 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
     // encodes load(paths*) that way) — parse it as one, not by string
     // surgery: a path containing a comma would otherwise shatter into
     // bogus fragments
-    val paths = Option(options.get("paths"))
-      .map(js => new com.fasterxml.jackson.databind.ObjectMapper()
-        .readValue(js, classOf[Array[String]]).toSeq)
+    def jsonStringSeq(key: String): Option[Seq[String]] =
+      Option(options.get(key))
+        .map(js => new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(js, classOf[Array[String]]).toSeq)
+    val paths = jsonStringSeq("paths")
       .getOrElse(Option(options.get("path")).toSeq)
     // retired roots (streaming only): same JSON-array encoding as paths
-    val retired = Option(options.get("retiredRoots"))
-      .map(js => new com.fasterxml.jackson.databind.ObjectMapper()
-        .readValue(js, classOf[Array[String]]).toSeq)
-      .getOrElse(Seq.empty)
+    val retired = jsonStringSeq("retiredRoots").getOrElse(Seq.empty)
     val decodeParts = options.getInt("decodePartitions", 1)
     require(decodeParts >= 1 && decodeParts <= 1024,
       s"pcap option decodePartitions must be in [1, 1024], got $decodeParts")

@@ -72,7 +72,10 @@ final class PcapMicroBatchStream(
   // acknowledgment — it is no longer listed or read, while its
   // checkpointed watermark rides FROZEN through every emitted offset.
   // Re-activating later (move it back to paths, off the retired list)
-  // resumes exactly-once from the frozen mark.
+  // resumes exactly-once from the frozen mark. Retirement is otherwise
+  // PERMANENT configuration: dropping a root from retiredRoots without
+  // re-activating refuses (its frozen mark is still in the checkpoint);
+  // the cost of keeping it listed is one frozen offset entry.
   require(retiredRoots.intersect(paths).isEmpty,
     s"pcap streaming: roots cannot be both active and retired: " +
       s"${retiredRoots.intersect(paths).mkString(", ")}")
@@ -237,15 +240,22 @@ final class PcapMicroBatchStream(
 
   /** Retired roots' checkpointed watermarks, carried verbatim through
     * every emitted offset so a later re-activation resumes exactly-once.
+    * Also remembered for [[reportLatestOffset]], which has no start
+    * offset of its own — progress reporting must show the same root set
+    * committed offsets carry.
     */
-  private def frozenRetired(o: PcapOffset): Map[String, PcapRootMark] =
-    o.roots.filter { case (r, _) => retiredRoots.contains(r) }
+  private def frozenRetired(o: PcapOffset): Map[String, PcapRootMark] = {
+    val f = o.roots.filter { case (r, _) => retiredRoots.contains(r) }
+    lastFrozen = f
+    f
+  }
+  @volatile private var lastFrozen: Map[String, PcapRootMark] = Map.empty
 
   override def reportLatestOffset(): Offset = {
     val listing = listFiles(refresh = false)
     PcapOffset(paths.map { r =>
       r -> PcapRootMark(listing(r).size, listing(r).lastOption.getOrElse(""))
-    }.toMap)
+    }.toMap ++ lastFrozen)
   }
 
   // a SupportsAdmissionControl source is always asked through
@@ -258,7 +268,7 @@ final class PcapMicroBatchStream(
     PcapOffset(paths.map(r => r -> PcapRootMark(0, "")).toMap)
 
   override def deserializeOffset(json: String): Offset =
-    PcapOffset.fromJson(json, paths)
+    PcapOffset.fromJson(json, paths, retiredRoots)
 
   override def commit(end: Offset): Unit = ()
 
@@ -321,7 +331,8 @@ object PcapOffset {
   def apply(root: String, fileCount: Int, lastName: String): PcapOffset =
     PcapOffset(Map(root -> PcapRootMark(fileCount, lastName)))
 
-  def fromJson(json: String, paths: Seq[String]): PcapOffset = {
+  def fromJson(json: String, paths: Seq[String],
+      retiredRoots: Seq[String] = Seq.empty): PcapOffset = {
     val t = json.trim
     if (t.startsWith("{")) {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -337,7 +348,17 @@ object PcapOffset {
       PcapOffset(b.result())
     } else {
       // legacy single-root forms: `count` (positional, pre-round-7) or
-      // `count\tlastName`; necessarily written by a single-root stream
+      // `count\tlastName`; necessarily written by a single-root stream.
+      // They carry NO root identity, so they cannot be resolved against
+      // a retiredRoots configuration — attributing the mark to the new
+      // active root would silently skip its files AND lose the retired
+      // root's watermark (the exact double failure retirement exists to
+      // prevent). Root-keyed (JSON) offsets are unaffected.
+      require(retiredRoots.isEmpty,
+        s"pcap stream: the checkpoint offset '$t' is a legacy single-root " +
+          "form with no root identity and cannot be resolved against " +
+          "retiredRoots — keep the original paths, or start a fresh " +
+          "checkpoint for the new configuration")
       require(paths.size == 1,
         s"pcap stream: single-root checkpoint offset '$t' under a " +
           s"${paths.size}-root query — the checkpoint belongs to a " +

@@ -959,7 +959,7 @@ object ManifestLand {
   /** CHANGE DATA FEED between two retained versions — the incremental-
     * consumption read (Delta CDF / Iceberg incremental scan): every row
     * whose NET effect changed in `(fromV, toV]`, tagged `_change_type`
-    * `insert` or `delete`. Requires a change-tracked landing
+    * `insert`, `delete`, or (rung-2 recycled keys) `update_preimage`. Requires a change-tracked landing
     * (`trackChanges = true` stamps [[CommitVersionCol]] at commit).
     *
     *  - inserts = rows of `readVersion(toV)` with commit version in the
@@ -984,15 +984,17 @@ object ManifestLand {
     *    exactly; rung 3 has no positional identity and keeps the
     *    key-level contract.
     *
-    * NET-effect semantics are KEY-level: a row inserted and deleted
-    * inside the window appears as neither, and a key deleted and
-    * RE-INSERTED inside the window nets to the insert alone (both the
-    * rung-2 re-insert guard and the rung-3 anti-join agree) — what an
-    * incremental MERGE consumer wants. A row-algebra fold over windows
-    * is exact only while keys are not recycled within a window; row
+    * NET-effect semantics: a row inserted and deleted inside the window
+    * appears as neither. A key deleted and RE-INSERTED inside the
+    * window emits (since round 9) the removed position as
+    * `update_preimage` on rung 2 — row-algebra folds subtract it,
+    * key-upsert MERGE consumers ignore it, and the re-inserting row
+    * stays a plain `insert`, so recycling folds exactly there. Rung 3
+    * (compaction inside the window) has no positional identity and
+    * stays KEY-level (recycled keys net to the insert alone); row
     * UPDATEs therefore never relay through windows ([[updateImpl]]
     * refuses while the relay lags — the late path's four-type shape
-    * carries the preimage explicitly and has no such caveat).
+    * carries the preimage explicitly on every rung).
     * Retention contract: both versions must still be retained
     * (`keepVersions` spans the window) — the same bound Delta/Iceberg
     * place on CDF reads.
@@ -1520,6 +1522,23 @@ object ManifestLand {
         "marker — it is not a fresh generation dir (and not a crashed " +
         "attempt of one, whose staged files would be hidden); mixing " +
         "log histories double-counts")
+    // a target that HAS a marker must be THIS landing's current log
+    // (the idempotent re-swap / crash-retry case — the attach marker is
+    // re-pointed at entry, before any staging): any other marked dir is
+    // some other landing's live log, and appending this landing's
+    // windows into it would interleave two histories — every foreign
+    // log has a marker, so the marker-less check above cannot catch it
+    parseRelayMarker(newDeltaDir).foreach { _ =>
+      val attachF = new java.io.File(dir, RelayAttachFile)
+      val attach =
+        if (attachF.exists())
+          new String(Files.readAllBytes(attachF.toPath), "UTF-8")
+        else ""
+      require(attach == newDeltaDir,
+        s"relayGenerationSwap: $newDeltaDir already carries a relay marker " +
+          s"and is not $dir's current log (attach: '$attach') — it is " +
+          "another log's history; a generation swap needs a FRESH dir")
+    }
     changeFeedRelayImpl(spark, dir, newDeltaDir, keyCols,
       snapshotBootstrap = true)
   }

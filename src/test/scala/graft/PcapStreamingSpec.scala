@@ -252,6 +252,19 @@ class PcapStreamingSpec extends SparkFunSuite {
     graft.TempCleanup.rmrf(b.toFile)
     run(onlyA, Some(s"""["${b.toString}"]"""))
     assert(spark.read.parquet(out).count() == 14, "decommissioned-dir run")
+    // a LEGACY single-root offset carries no root identity: resolving it
+    // against a retiredRoots configuration must refuse (attributing the
+    // mark to the new active root would silently skip its files AND
+    // lose the retired root's watermark)
+    val exLegacy = intercept[IllegalArgumentException] {
+      graft.sources.PcapOffset.fromJson("2\tc2.pcap",
+        Seq(a.toString), Seq(b.toString))
+    }
+    assert(exLegacy.getMessage.contains("root identity"), exLegacy.getMessage)
+    // without retirement the legacy form still parses (existing
+    // single-root checkpoints replay unchanged)
+    assert(graft.sources.PcapOffset.fromJson("2\tc2.pcap", Seq(a.toString))
+      .roots(a.toString).fileCount == 2)
   }
 
   test("multi-root budget fair-shares: a busy root cannot starve the other") {

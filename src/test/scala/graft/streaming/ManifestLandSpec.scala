@@ -1094,6 +1094,23 @@ class ManifestLandSpec extends SparkFunSuite {
       ManifestLand.relayGenerationSwap(spark, out, bogus, Seq("k"))
     }
     assert(ex.getMessage.contains("fresh generation"), ex.getMessage)
+    // refusal: a FOREIGN live log (marker present, not this landing's
+    // attach target) — every real log has a marker, so the marker-less
+    // check alone cannot catch this; appending this landing's windows
+    // into another landing's log would interleave two histories
+    val out2 = Files.createTempDirectory("graft_mland_genswap2").toString + "/landing"
+    val log3 = Files.createTempDirectory("graft_mland_genswap_l3").toString
+    new java.io.File(out2).mkdirs()
+    ManifestLand.applyBatch(
+      spark.range(5L).select(col("id").as("k"), (col("id") * 7).as("x")).toDF(),
+      0L, out2, statsCols = Seq(ManifestLand.CommitVersionCol),
+      rangeParts = 1, trackChanges = true)
+    ManifestLand.changeFeedRelay(spark, out2, log3, Seq("k"))
+    val exForeign = intercept[IllegalArgumentException] {
+      ManifestLand.relayGenerationSwap(spark, out, log3, Seq("k"))
+    }
+    assert(exForeign.getMessage.contains("another log's history"),
+      exForeign.getMessage)
   }
 
   test("updateWhere refuses in an un-relayed window and on a legacy accounted state") {
