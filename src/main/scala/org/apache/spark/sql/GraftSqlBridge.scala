@@ -16,6 +16,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Decompose a `.asc`/`.desc` column into (child, isDescending); None for
+    * a plain column. Spark 4 Columns wrap lazy ColumnNodes (not catalyst
+    * expressions), so callers can't pattern-match catalyst `SortOrder`.
+    */
+  def sortOrder(c: Column): Option[(Column, Boolean)] = c.node match {
+    case internal.SortOrder(child, dir, _, _) =>
+      Some((Column(child), dir == internal.SortOrder.Descending))
+    case _ => None
+  }
+
   def internalCreateDataFrame(
       spark: SparkSession, rows: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
