@@ -280,6 +280,11 @@ class PlanQualitySpec extends SparkFunSuite {
     val p = plan(SparkEntry.queries("q59_equidepth_histogram")(spark, sf))
     assert(!p.contains("row_number"), p)
     assert(p.contains("__pid"), p)
+    // round-10: the rank must NOT materialize its full fact-table input —
+    // a localCheckpoint would surface as a Scan ExistingRDD replacing the
+    // parquet scan (at 100× that wrote the corpus to executor storage)
+    assert(!p.contains("ExistingRDD"), p)
+    assert(p.contains("Scan parquet"), p)
   }
 
   test("q58: top-k-per-group is a partial object aggregate, not a window sort") {
