@@ -976,38 +976,39 @@ object ManifestLand {
     *    affected files ([[dvDeltaDeletes]] — O(deletes), never
     *    O(landing)), and only a compaction inside the window (file
     *    identity gone — tombstones folded away) falls back to the exact
-    *    two-snapshot key anti-join. Rung 2 additionally tags a removed
-    *    row whose key the window RE-INSERTED as `update_preimage`
-    *    instead of suppressing it (round 9) — folds subtract it, MERGE
-    *    consumers ignore it, and the re-inserting row stays a plain
-    *    `insert` — so key recycling within a rung-2 window folds
-    *    exactly; rung 3 has no positional identity and keeps the
-    *    key-level contract.
+    *    two-snapshot diff. Both delete-bearing rungs tag a removed row
+    *    whose key the window RE-COMMITTED as `update_preimage` instead
+    *    of suppressing it — rung 2 positionally (round 9), the
+    *    two-snapshot rung via an in-window re-commit flag on the toV
+    *    key join (round 10) — folds subtract it, MERGE consumers
+    *    ignore it, and the re-committing row stays a plain `insert`,
+    *    so key recycling folds exactly on EVERY rung, compaction or
+    *    not.
     *
     * NET-effect semantics: a row inserted and deleted inside the window
-    * appears as neither. A key deleted and RE-INSERTED inside the
-    * window emits (since round 9) the removed position as
-    * `update_preimage` on rung 2 — row-algebra folds subtract it,
-    * key-upsert MERGE consumers ignore it, and the re-inserting row
-    * stays a plain `insert`, so recycling folds exactly there. Rung 3
-    * (compaction inside the window) has no positional identity and
-    * stays KEY-level (recycled keys net to the insert alone); row
-    * UPDATEs therefore never relay through windows ([[updateImpl]]
-    * refuses while the relay lags — the late path's four-type shape
-    * carries the preimage explicitly on every rung).
+    * appears as neither. A key deleted and RE-INSERTED (or a row
+    * UPDATED — the postimage is restamped with its commit version, so
+    * it rides the insert side) inside the window emits the removed
+    * position/old row as `update_preimage` on every delete-bearing
+    * rung — row-algebra folds subtract it, key-upsert MERGE consumers
+    * ignore it, and the new row stays a plain `insert`. A window is
+    * therefore an exact relay path for row UPDATEs too (round 10 —
+    * [[updateImpl]]'s relay-lag refusal lifted); the late accounting
+    * path remains for updates landing on the already-relayed version,
+    * which no window will ever cover.
     * Retention contract: both versions must still be retained
     * (`keepVersions` spans the window) — the same bound Delta/Iceberg
     * place on CDF reads.
     */
-  /** `forceSnapshotDeletes` pins the rung-3 two-snapshot anti-join even
-    * when a cheaper rung applies — the A/B/debug knob Bench's x_cdf
-    * rows time. Answers are identical unless a key was deleted AND
-    * re-inserted within the window: rung 2 then also emits the removed
-    * position as `update_preimage` (strictly more informative — exact
-    * for fold consumers), which rung 3's key anti-join cannot see. */
+  /** `forceSnapshotDeletes` pins the two-snapshot diff rung even when a
+    * cheaper rung applies — the A/B/debug knob Bench's x_cdf rows time.
+    * Answers are identical on every rung (since round 10 the snapshot
+    * rung tags recycled keys `update_preimage` too); only the cost
+    * differs — the snapshot rung reads both snapshots, the DV-delta
+    * rung only the affected files. */
   def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long,
       keyCols: Seq[String], forceSnapshotDeletes: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{lit, when}
     require(fromV < toV, s"changeFeed: empty window ($fromV, $toV]")
     require(keyCols.nonEmpty, "changeFeed: key columns required for deletes")
     val retained = versions(dir)
@@ -1044,24 +1045,43 @@ object ManifestLand {
     //     read back positionally from only the AFFECTED files, cost
     //     O(window's deletes), never O(landing);
     //  3. compaction in the window: file identity is gone, fall back
-    //     to the exact two-snapshot key anti-join (the price Delta
-    //     pays materializing change files it didn't write either).
+    //     to the exact two-snapshot diff (the price Delta pays
+    //     materializing change files it didn't write either).
     val mFrom = parseManifest(versionFile(dir, fromV))
+    // EXACT two-snapshot diff (round 10, closing the rung-3 recycled-key
+    // caveat): the fromV side left-outer-joins toV's keys carrying an
+    // in-window re-commit flag instead of a bare key anti-join. A fromV
+    // row whose key is ABSENT at toV was removed (`delete`); one whose
+    // key survives with an IN-WINDOW commit version was removed AND its
+    // key re-committed — per-version key uniqueness (the contract every
+    // rung and every MERGE consumer already rely on) makes the
+    // re-committed row a NEW row, so the old one is gone — emitted as
+    // `update_preimage`, which row-algebra folds subtract and key-upsert
+    // consumers ignore. Same scan/shuffle shape as the anti-join (each
+    // snapshot once); no positional identity needed, so this rung stays
+    // exact across a compaction inside the window — which is what lets
+    // updateWhere land inside un-relayed windows (the round-9 refusal in
+    // [[updateImpl]] is lifted).
+    def snapshotRemoved(): DataFrame = {
+      val toKeys = readVersion(spark, dir, toV)
+        .select((keyCols.map(col) :+
+          (col(CommitVersionCol) > lit(fromV)).as("__rein")): _*)
+      readVersion(spark, dir, fromV)
+        .join(toKeys, keyCols, "left_outer")
+        .withColumn("_change_type",
+          when(col("__rein").isNull, lit("delete"))
+            .when(col("__rein"), lit("update_preimage")))
+        .filter(col("_change_type").isNotNull)
+        .drop("__rein")
+    }
     val removed =
-      if (forceSnapshotDeletes)
-        readVersion(spark, dir, fromV)
-          .join(readVersion(spark, dir, toV).select(keyCols.map(col): _*),
-            keyCols, "left_anti")
-          .withColumn("_change_type", lit("delete"))
+      if (forceSnapshotDeletes) snapshotRemoved()
       else if (mFrom.dvs == mTo.dvs && mFrom.files.toSet.subsetOf(mTo.files.toSet))
         readVersion(spark, dir, fromV).limit(0)
           .withColumn("_change_type", lit("delete"))
       else if (mFrom.files.toSet.subsetOf(mTo.files.toSet))
         dvDeltaDeletes(spark, dir, mFrom, mTo, inserts, keyCols)
-      else readVersion(spark, dir, fromV)
-        .join(readVersion(spark, dir, toV).select(keyCols.map(col): _*),
-          keyCols, "left_anti")
-        .withColumn("_change_type", lit("delete"))
+      else snapshotRemoved()
     inserts.unionByName(removed)
   }
 
@@ -1103,10 +1123,9 @@ object ManifestLand {
     // suppressed any more — it is tagged `update_preimage` (row-algebra
     // folds subtract it like a delete; key-upsert MERGE consumers
     // ignore it, and the re-inserting row stays a plain `insert`), so a
-    // delete+re-insert of one key within a window folds exactly. Rung 3
-    // (compaction in the window) cannot see these — its key anti-join
-    // has no positional identity — which is why updateImpl still
-    // refuses into un-relayed windows rather than relying on this rung.
+    // delete+re-insert of one key within a window folds exactly. Since
+    // round 10 the two-snapshot rung matches this exactness through its
+    // in-window re-commit flag, so every delete-bearing rung agrees.
     val reKeys = inserts.select(keyCols.map(col): _*).distinct()
       .withColumn("__reinserted", lit(true))
     candidates.join(reKeys, keyCols, "left_outer")
@@ -1188,19 +1207,19 @@ object ManifestLand {
     * fold (postimage adds, preimage subtracts) and a key-upsert MERGE
     * consumer (apply postimages by key, ignore preimages) are both
     * exact with no ordering assumption between the log's files.
-    * This late path is the ONLY exact relay path for an update, so
-    * [[updateImpl]] refuses while the relay lags the landing: inside an
-    * un-relayed window the postimage would flow through [[changeFeed]]'s
-    * key-level ladder as a plain `insert` with the preimage delete
-    * suppressed (the re-insert guard), double-counting under a
-    * row-algebra fold. The in-loop order (relay, then update) always
-    * passes.
+    * An update inside an UN-RELAYED window needs no late accounting at
+    * all (round 10): the window itself relays it exactly — the
+    * postimage rides the insert side (restamped with its commit
+    * version) and the removed positions surface as `update_preimage`
+    * on every delete rung, including the two-snapshot rung after a
+    * compaction. The late path exists because an update on the
+    * ALREADY-RELAYED version is covered by no window, ever.
     *
     * ORDERING CONTRACT with compaction: a compaction FOLDS tombstones
     * away, so folding the synced version's un-relayed tombstones would
     * erase the late-delete diff's only evidence — the one maintenance
     * order that can silently lose change rows (every other order is
-    * safe: un-relayed WINDOWS survive a fold via the exact anti-join
+    * safe: un-relayed WINDOWS survive a fold via the exact two-snapshot
     * rung). The relay therefore writes a `_cf_relay` attach marker into
     * the landing and [[compactIfNeeded]] REFUSES that exact state; the
     * in-loop order (relay, then compact) always passes.
@@ -1234,15 +1253,15 @@ object ManifestLand {
 
   /** `snapshotBootstrap = true` (the generation swap's form): a first
     * sync bootstraps from the CURRENT version's snapshot as pure
-    * inserts, with NO history windows. Replaying retained windows into
-    * a fresh log would re-route any already-applied row UPDATE through
-    * changeFeed's key-level ladder (postimage re-inserted, preimage
-    * suppressed) and leave the pre-update rows as phantoms in the new
-    * log's fold — the late four-type accounting that relayed the
-    * update exactly lives in the OLD generation's state, which a fresh
-    * dir by definition does not have. A snapshot has every verb baked
-    * in (merge-on-read), so the new log folds to the live landing
-    * trivially, and subsequent syncs diff incrementally from there. */
+    * inserts, with NO history windows. The swap exists to BOUND the
+    * log — replaying retained windows would re-import exactly the
+    * lifetime churn the swap is shedding (and round 9's key-level
+    * rung 3 would additionally have left pre-update phantoms in the
+    * fold, the bug s35 caught; the round-10 exact snapshot rung
+    * removes that hazard, but replay stays pointless — a fresh
+    * consumer needs the truth, not its history). A snapshot has every
+    * verb baked in (merge-on-read), so the new log folds to the live
+    * landing trivially, and subsequent syncs diff incrementally. */
   private def changeFeedRelayImpl(spark: SparkSession, dir: String,
       deltaDir: String, keyCols: Seq[String],
       snapshotBootstrap: Boolean): Long = {
@@ -1493,9 +1512,8 @@ object ManifestLand {
     * volume, not live size. Swapping generations re-bases it: a NEW
     * log dir is bootstrapped from the landing's CURRENT snapshot as
     * pure inserts — deliberately NOT the retained history windows,
-    * which would re-route an already-applied row UPDATE through
-    * changeFeed's key-level ladder and leave pre-update phantoms in
-    * the fold (see [[changeFeedRelayImpl]]) — and the landing's attach
+    * which would re-import exactly the lifetime churn the swap is
+    * shedding (see [[changeFeedRelayImpl]]) — and the landing's attach
     * marker re-points so every subsequent sync maintains the NEW dir.
     * The new log restarts at LIVE size; swapping periodically bounds
     * total footprint.
@@ -1731,11 +1749,11 @@ object ManifestLand {
     * advance, so the streaming writer's exactly-once batch-id guard is
     * untouched). On a change-tracked landing the rewritten rows are
     * restamped with the CURRENT version, so a change-feed window ending
-    * at `applied` carries the update as an UPSERT: the postimage rides
-    * the insert side, and no delete row is owed because the key still
-    * exists at the window's end (the feed's net-effect-BY-KEY contract —
-    * a MERGE consumer applies inserts by key, so the preimage is
-    * replaced, not orphaned). Reads through the TRACKED
+    * at `applied` carries the update exactly: the postimage rides the
+    * insert side, and the removed positions surface as
+    * `update_preimage` on every delete rung (round 10) — row-algebra
+    * folds subtract them, key-upsert MERGE consumers ignore them and
+    * apply the insert by key. Reads through the TRACKED
     * schema, so post-evolution updates of pre-evolution files rewrite
     * the added columns as their NULL fill. SET of the engine-managed
     * commit-version column or the positional pseudo-columns is refused.
@@ -1770,44 +1788,37 @@ object ManifestLand {
     require(m.applied >= 0L,
       s"ManifestLand.$what on an uncommitted landing: $dir")
     // A row UPDATE rewrites the CURRENT version in place — adding data
-    // files to a version the relay may have ALREADY published. Fine
-    // since round 9: the relay's late accounting covers updates
-    // symmetrically to deletes — the `u<applied>_` rewrite files this
-    // verb stages are detected by the accounted-update-file diff and
-    // emitted as update_preimage/update_postimage pairs on the next
-    // relay pass, and compactIfNeeded refuses to fold them away before
-    // that pass runs (the same ordering contract as tombstones).
-    //
-    // ORDERING CONTRACT with the relay: the late path above is the ONLY
-    // exact relay path for an update. An update inside an UN-RELAYED
-    // window would flow through changeFeed's key-level net-effect
-    // ladder instead, which emits the postimage as a plain `insert` and
-    // suppresses the preimage delete (the re-insert guard) — a
-    // row-algebra fold would then double-count the updated key. So on a
-    // relay-attached landing this verb requires the relay to be synced
-    // to the CURRENT version (the in-loop order — relay, then update —
-    // always passes), and requires the accounted state to carry the
-    // round-9 `_accounted_upd` list: a legacy (pre-round-9) state
-    // cannot tell this verb's new u-files from pre-attach ones and
-    // would silently drop the postimages; one relay pass upgrades it.
+    // files to a version the relay may have ALREADY published. Both
+    // relay positions are exact (round 10 — the round-9 un-relayed-
+    // window refusal is LIFTED):
+    //  - relay synced to the current version: the late accounting path
+    //    (round 9) — the `u<applied>_` rewrite files this verb stages
+    //    are detected by the accounted-update-file diff and emitted as
+    //    update_preimage/update_postimage pairs on the next relay pass,
+    //    and compactIfNeeded refuses to fold them away before that pass
+    //    runs (the same ordering contract as tombstones);
+    //  - relay lagging (the update lands inside an un-relayed window):
+    //    the window itself relays it exactly — the postimage rides the
+    //    insert side (restamped with the current version) and the
+    //    removed positions surface as `update_preimage` on every delete
+    //    rung: positionally on the DV-delta rung, and via the in-window
+    //    re-commit flag on the two-snapshot rung, exact even across a
+    //    compaction inside the window.
+    // The one refusal kept: on the SYNCED version, a legacy accounted
+    // state (no `_accounted_upd` list) cannot tell this verb's new
+    // u-files from pre-attach ones and would wedge the next relay pass
+    // in its ambiguity refusal; one relay pass upgrades it in place.
     locally {
       val attachF = new java.io.File(dir, RelayAttachFile)
       if (attachF.exists()) {
         val deltaDir = new String(Files.readAllBytes(attachF.toPath), "UTF-8")
-        val parsed = parseRelayMarker(deltaDir)
-        val marker = parsed.map(_._1).getOrElse(-1L)
-        require(marker == m.applied,
-          s"ManifestLand.$what: landing $dir has a change-feed relay at " +
-            s"version $marker but is at version ${m.applied} — run " +
-            s"changeFeedRelay($deltaDir) first so the update relays " +
-            s"through the exact late (preimage/postimage) path instead " +
-            s"of an un-relayed window")
-        parsed.foreach { case (_, state, _) =>
-          require(readAccountedUpd(deltaDir, state).isDefined,
-            s"ManifestLand.$what: the relay's accounted state for $dir " +
-              s"predates update accounting (no _accounted_upd in $state) " +
-              s"— run changeFeedRelay($deltaDir) once to upgrade it, " +
-              s"then retry")
+        parseRelayMarker(deltaDir).filter(_._1 == m.applied).foreach {
+          case (_, state, _) =>
+            require(readAccountedUpd(deltaDir, state).isDefined,
+              s"ManifestLand.$what: the relay's accounted state for $dir " +
+                s"predates update accounting (no _accounted_upd in $state) " +
+                s"— run changeFeedRelay($deltaDir) once to upgrade it, " +
+                s"then retry")
         }
       }
     }
@@ -1992,9 +2003,11 @@ object ManifestLand {
     // relay has NOT accounted on the SYNCED version erases the late
     // diff's only evidence — refuse that exact state. A marker BEHIND
     // the current version is safe to fold past: un-relayed WINDOWS
-    // survive via the exact anti-join rung. An update always tombstones
-    // its preimages, so un-relayed u-files imply dvs.nonEmpty and this
-    // guard covers both late-change kinds.
+    // survive via the exact two-snapshot rung (round 10 — its in-window
+    // re-commit flag keeps recycled keys and in-window updates exact
+    // with no positional identity, so the fold loses nothing). An
+    // update always tombstones its preimages, so un-relayed u-files
+    // imply dvs.nonEmpty and this guard covers both late-change kinds.
     if (m.dvs.nonEmpty) {
       val attachF = new java.io.File(outDir, RelayAttachFile)
       if (attachF.exists()) {

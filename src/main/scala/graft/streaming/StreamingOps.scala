@@ -1189,6 +1189,75 @@ object StreamingOps {
       .filter(col("n_events") > 0L)
   }
 
+  /** s36: UPDATE INSIDE AN UN-RELAYED WINDOW, COMPACTED BEFORE THE RELAY
+    * (round 10 — the rung-3 caveat closed, lifting updateWhere's last
+    * refusal): the stream lands and relays (marker = current), then a
+    * CORRECTION batch commits a new version the relay has NOT seen, and
+    * BOTH maintenance verbs land inside that un-relayed window — a purge
+    * of low-value views and s33's error relabel (which round 9 refused
+    * here). A compaction then folds the window's tombstones and rewrite
+    * files away BEFORE the relay runs — positional identity gone — so
+    * the sync must serve the window through the two-snapshot rung, whose
+    * round-10 in-window re-commit flag tags each updated row's removed
+    * position `update_preimage` instead of suppressing it. The gate pins
+    * the update-aware row-algebra fold of the log to the from-scratch
+    * rollup with the correction, the purge, and the relabel all applied
+    * — the composition that double-counted every relabeled key under the
+    * round-9 key-level rung. Scale shape: the snapshot rung reads the
+    * two snapshots once (same shape as the anti-join it replaces), and
+    * only when a compaction actually landed inside the window; cheaper
+    * rungs still serve every other sync.
+    */
+  def streamRelayUpdateWindow(spark: SparkSession, dir: String): DataFrame = {
+    val src = etlSource(spark, dir, "s36")
+    val out = java.nio.file.Files.createTempDirectory("graft_s36_out").toString + "/landing"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s36_ckpt").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft_s36_delta").toString
+    graft.TempCleanup.registerDir(new java.io.File(out).getParent)
+    graft.TempCleanup.registerDir(ckpt)
+    graft.TempCleanup.registerDir(deltaDir)
+    ManifestLand.appendCompacting(src, out, ckpt, maxFiles = 64, targetFiles = 4,
+      keepVersions = 8, statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"),
+      rangeParts = 2, clusterBy = Some(col("tsu")), trackChanges = true,
+      relayTo = Some(deltaDir), relayKeys = Seq("event_id"))
+    // a correction batch opens an UN-RELAYED window: high-value clicks
+    // re-landed as a vip segment under fresh keys (-id - 1 — strictly
+    // negative, so no collision with the fixture's 0-based event_ids)
+    val correction = ManifestLand.read(spark, out)
+      .filter(col("event_type") === "click" && col("value_e4") >= 1000000L)
+      .select((-col("event_id") - 1L).as("event_id"), col("user_id"),
+        lit("click_vip").as("event_type"), col("tsu"), col("value_e4"))
+    ManifestLand.commitBatch(correction, 4L, out,
+      statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"), rangeParts = 2,
+      clusterBy = Some(col("tsu")), trackChanges = true)
+    // both verbs land INSIDE the un-relayed window (the update refused
+    // here until round 10) ...
+    ManifestLand.deleteWhere(spark, out,
+      col("event_type") === "view" && col("value_e4") < 500000L)
+    ManifestLand.updateWhere(spark, out, col("event_type") === "error",
+      Seq("event_type" -> lit("error_handled"),
+        "value_e4" -> (col("value_e4") + 1000000L)))
+    // ... and a compaction folds the window's evidence BEFORE the relay
+    // (allowed: the marker is behind the current version), forcing the
+    // sync below through the exact two-snapshot rung
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 2,
+      clusterBy = Some(col("tsu")))
+    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("event_id"))
+    val logSchema = StructType(
+      ManifestLand.read(spark, out).schema.fields :+
+        StructField("_change_type", StringType))
+    val adds = col("_change_type") === "insert" ||
+      col("_change_type") === "update_postimage"
+    val view = spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+      .groupBy("event_type")
+      .agg(sum(when(adds, 1L).otherwise(-1L)).as("n_events"),
+        sum(when(adds, col("value_e4")).otherwise(-col("value_e4")))
+          .as("sum_value_e4"))
+    drainToMemory(view, "graft_s36_", "complete")
+      .filter(col("n_events") > 0L)
+  }
+
   /** s27: SCHEMA EVOLUTION on the manifest landing — the lakehouse
     * contract q73 shows for ad-hoc frames, enforced at the STORAGE
     * layer: the landing's schema lives in the tracked `_schema` (not in
@@ -1782,6 +1851,30 @@ object StreamingOps {
              |SELECT event_type, COUNT(*) AS n_events,
              |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
              |FROM f GROUP BY event_type""".stripMargin)),
+    graft.queries.Q("s36_relay_update_window",
+      (s, dir) => streamRelayUpdateWindow(s, dir),
+      // update + purge land inside an UN-RELAYED window, a compaction
+      // folds the window's evidence, then the relay syncs it through
+      // the exact two-snapshot rung: the fold of the log must equal the
+      // from-scratch rollup with the vip correction, the view purge,
+      // and the error relabel all applied
+      Some("""WITH e AS (SELECT event_type,
+             |             CAST(floor((value) * 10000 + 0.5) AS BIGINT) AS value_e4
+             |           FROM events),
+             |c AS (SELECT event_type, value_e4 FROM e
+             |      UNION ALL
+             |      SELECT 'click_vip' AS event_type, value_e4 FROM e
+             |      WHERE event_type = 'click' AND value_e4 >= 1000000),
+             |s AS (SELECT * FROM c
+             |      WHERE NOT (event_type = 'view' AND value_e4 < 500000)),
+             |u AS (SELECT CASE WHEN event_type = 'error' THEN 'error_handled'
+             |               ELSE event_type END AS event_type,
+             |             CASE WHEN event_type = 'error' THEN value_e4 + 1000000
+             |               ELSE value_e4 END AS value_e4
+             |      FROM s)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(value_e4) AS BIGINT) AS sum_value_e4
+             |FROM u GROUP BY event_type""".stripMargin)),
     graft.queries.Q("s27_schema_evolution", (s, dir) => streamSchemaEvolution(s, dir),
       // pre-evolution rows read with the added column NULL ('legacy');
       // post-evolution rows carry the derived channel

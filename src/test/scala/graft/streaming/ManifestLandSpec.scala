@@ -648,9 +648,9 @@ class ManifestLandSpec extends SparkFunSuite {
     // OLD row alongside the new one. Rung 2 now tags the removed
     // position `update_preimage` (folds subtract, MERGE consumers
     // ignore), the re-inserting row stays a plain insert, and the fold
-    // is exact. Rung 3 (compaction in the window) keeps the key-level
-    // contract — no positional identity — which is why updateImpl still
-    // refuses updates into un-relayed windows.
+    // is exact. Round 10: the two-snapshot rung (compaction in the
+    // window) matches this exactness via its in-window re-commit flag —
+    // the tail of this test compacts and re-runs the SAME window.
     val spark = this.spark
     import spark.implicits._
     val out = Files.createTempDirectory("graft_mland_recycle").toString + "/landing"
@@ -699,6 +699,26 @@ class ManifestLandSpec extends SparkFunSuite {
         Seq("k"), "left_anti")
       .select("k", "x").as[(Long, Long)].collect().sorted.toSeq
     assert(upsert == live, s"key-upsert reconstruction diverged: $upsert")
+    // round 10: a compaction inside the window destroys positional
+    // identity — the two-snapshot rung must now serve the SAME window
+    // with the SAME exactness (delta identical row-for-row, fold == live)
+    ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+    val delta3 = ManifestLand.changeFeed(spark, out, 0L, 2L, Seq("k"))
+      .select("_change_type", "k", "x").as[(String, Long, Long)]
+      .collect().toSeq.sorted
+    assert(delta3 == delta,
+      s"two-snapshot rung diverged from the DV-delta rung on the same " +
+        s"window:\n  dv: $delta\n  snap: $delta3")
+    val folded3 = ManifestLand.readVersion(spark, out, 0L)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(ManifestLand.changeFeed(spark, out, 0L, 2L, Seq("k")))
+      .groupBy("k")
+      .agg(sum(when(adds, 1L).otherwise(-1L)).as("n"),
+        sum(when(adds, col("x")).otherwise(-col("x"))).as("x"))
+      .filter(col("n") > 0L).select("k", "x")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(folded3 == live,
+      s"post-compaction window fold diverged under key recycling: $folded3")
   }
 
   test("change feed DV-delta: a delete-bearing sync reads the affected files, not the base") {
@@ -1113,14 +1133,14 @@ class ManifestLandSpec extends SparkFunSuite {
       exForeign.getMessage)
   }
 
-  test("updateWhere refuses in an un-relayed window and on a legacy accounted state") {
-    // Review round 9: an update INSIDE an un-relayed window would flow
-    // through changeFeed's key-level ladder (postimage as plain insert,
-    // preimage delete suppressed by the re-insert guard) and
-    // double-count under a row-algebra fold; and a pre-round-9 state
-    // dir (no _accounted_upd) cannot tell new u-files from pre-attach
-    // ones. Both compositions must refuse loudly, and the advised
-    // relay pass must clear each refusal with the fold still exact.
+  test("updateWhere lands in an un-relayed window exactly; legacy accounted state refuses") {
+    // Round 10: an update INSIDE an un-relayed window no longer refuses —
+    // the window itself relays it exactly (postimage as the in-window
+    // insert, removed positions as update_preimage on every delete
+    // rung), so the round-9 relay-lag refusal is lifted. The one refusal
+    // kept: a pre-round-9 state dir (no _accounted_upd) cannot tell new
+    // u-files from pre-attach ones when the update lands on the SYNCED
+    // version — that still refuses loudly and one relay pass upgrades it.
     val spark = this.spark
     import spark.implicits._
     val out = Files.createTempDirectory("graft_mland_updguard").toString + "/landing"
@@ -1144,16 +1164,21 @@ class ManifestLandSpec extends SparkFunSuite {
     commit(0L)
     assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 0L)
     commit(1L) // marker 0 < applied 1: the window is un-relayed
-    val exWin = intercept[IllegalArgumentException] {
-      ManifestLand.updateWhere(spark, out, col("k") === 3L, Seq("x" -> lit(303L)))
-    }
-    assert(exWin.getMessage.contains("changeFeedRelay"), exWin.getMessage)
-    assert(live().contains((3L, 15L)), "refused update must not mutate the landing")
-    // the advised order clears it and the fold stays exact
-    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    // round 10: the update lands INSIDE the un-relayed window...
     assert(ManifestLand.updateWhere(spark, out, col("k") === 3L,
       Seq("x" -> lit(303L))) == 1L)
-    ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    assert(live().contains((3L, 303L)))
+    // ...and the WINDOW relays it exactly: the removed position is an
+    // update_preimage (never a suppressed delete), the postimage rides
+    // the insert side, and the row-algebra fold equals the live landing
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    val winLog = spark.read.parquet(deltaDir)
+    assert(winLog.filter(col("_change_type") === "update_preimage" &&
+      col("k") === 3L && col("x") === 15L).count() == 1L,
+      "windowed update must emit its preimage")
+    assert(winLog.filter(col("_change_type") === "insert" &&
+      col("k") === 3L && col("x") === 303L).count() == 1L,
+      "windowed update's postimage must ride the insert side")
     assert(foldLog() == live() && live().contains((3L, 303L)))
     // legacy / damaged accounted state: strip _accounted_upd from the
     // live state dir — the verb refuses with the upgrade advice, one
