@@ -302,28 +302,29 @@ final class PcapMicroBatchStream(
 
 final case class PcapRootMark(fileCount: Int, lastName: String)
 
-/** Composite per-root offset. Single-root offsets keep the legacy
-  * `count\tlastName` wire form, so existing checkpoints replay
-  * unchanged and single-root checkpoints stay forward/backward
-  * portable; multi-root offsets serialize as a JSON object keyed by
-  * root (Jackson — a root path may contain any character).
+/** Composite per-root offset, serialized as a JSON object keyed by
+  * root (Jackson — a root path may contain any character). EVERY fresh
+  * offset carries root identity, single-root included (round 10, ADVICE
+  * r9): the legacy `count\tlastName` wire form, which a single-root
+  * stream used to keep writing, could never gain a second root — its
+  * mark is attributable to no root, so `fromJson` refuses it under a
+  * multi-root `paths`, contradicting the documented "a root added
+  * across a restart starts fresh". Legacy forms still PARSE (existing
+  * single-root checkpoints replay unchanged and upgrade to the keyed
+  * form on their next commit); only writing them stopped.
   */
 final case class PcapOffset(roots: Map[String, PcapRootMark]) extends Offset {
-  override def json(): String =
-    if (roots.size == 1) {
-      val m = roots.head._2
-      s"${m.fileCount}\t${m.lastName}"
-    } else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.createObjectNode()
-      roots.toSeq.sortBy(_._1).foreach { case (r, m) =>
-        val o = node.putObject(r)
-        o.put("n", m.fileCount)
-        o.put("last", m.lastName)
-        ()
-      }
-      om.writeValueAsString(node)
+  override def json(): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    roots.toSeq.sortBy(_._1).foreach { case (r, m) =>
+      val o = node.putObject(r)
+      o.put("n", m.fileCount)
+      o.put("last", m.lastName)
+      ()
     }
+    om.writeValueAsString(node)
+  }
 }
 
 object PcapOffset {

@@ -65,11 +65,17 @@ object PcapConvert {
     require(a.file.nonEmpty && a.out.nonEmpty, "usage: -f <in.pcap> -o <out.parquet>")
     // fail a typo'd codec in milliseconds, not after hours of parse +
     // defrag compute on a big capture (Spark's ParquetOptions would
-    // otherwise throw only when the write finally starts)
-    val codecs = Set("none", "uncompressed", "snappy", "gzip", "lzo",
-      "brotli", "lz4", "lz4_raw", "zstd")
+    // otherwise throw only when the write finally starts). Only codecs
+    // the BUNDLED runtime can actually write (ADVICE r9): parquet also
+    // names lzo/brotli, but stock Spark carries no native lib / codec
+    // jar for them, so those would pass the guard in milliseconds and
+    // still die when the write starts — after exactly the compute the
+    // guard exists to protect.
+    val codecs = Set("none", "uncompressed", "snappy", "gzip", "lz4",
+      "lz4_raw", "zstd")
     require(codecs.contains(a.compression.toLowerCase(java.util.Locale.ROOT)),
-      s"unknown --compression '${a.compression}' (one of: ${codecs.toSeq.sorted.mkString(", ")})")
+      s"unknown or unbundled --compression '${a.compression}' " +
+        s"(one of: ${codecs.toSeq.sorted.mkString(", ")})")
     a
   }
 

@@ -265,6 +265,22 @@ class PcapStreamingSpec extends SparkFunSuite {
     // single-root checkpoints replay unchanged)
     assert(graft.sources.PcapOffset.fromJson("2\tc2.pcap", Seq(a.toString))
       .roots(a.toString).fileCount == 2)
+    // round 10 (ADVICE r9): a FRESH single-root offset serializes
+    // root-keyed, so a stream started with one root CAN gain a second
+    // across a restart — the old tab form wedged exactly this upgrade
+    val single = graft.sources.PcapOffset(a.toString, 2, "c2.pcap")
+    assert(single.json().trim.startsWith("{"),
+      s"single-root offsets must carry root identity: ${single.json()}")
+    val grown = graft.sources.PcapOffset.fromJson(single.json(),
+      Seq(a.toString, b.toString))
+    assert(grown.roots(a.toString) == graft.sources.PcapRootMark(2, "c2.pcap"))
+    assert(!grown.roots.contains(b.toString),
+      "the added root is absent from the offset and starts fresh in resolve")
+    // and the keyed single-root form resolves against retiredRoots too
+    // (the legacy refusal above was about missing root identity, which
+    // the keyed form has)
+    assert(graft.sources.PcapOffset.fromJson(single.json(),
+      Seq(a.toString), Seq(b.toString)).roots(a.toString).fileCount == 2)
   }
 
   test("multi-root budget fair-shares: a busy root cannot starve the other") {
