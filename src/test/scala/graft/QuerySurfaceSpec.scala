@@ -380,7 +380,7 @@ class QuerySurfaceSpec extends SparkFunSuite {
     assert(salted == plain && salted.nonEmpty)
   }
 
-  test("approx_count_distinct lands within 10% of exact") {
+  test("approx_count_distinct lands within 10% of exact and cross-checks q52's HLL") {
     val joined = SparkEntry.queries("q21_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -388,6 +388,28 @@ class QuerySurfaceSpec extends SparkFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, e) =>
       assert(math.abs(joined(k) - e).toDouble / e <= 0.10, s"$k: ${joined(k)} vs $e")
+    }
+    // round 10 (verdict #7): q21 is the one gate row that can never
+    // hash-match (engine-specific sketch bytes), so cross-check it
+    // against q52 — the md5-deterministic, fully-oracled HLL computing
+    // the SAME estimate (distinct l_partkey per flag). Two independent
+    // sketches agreeing within their combined error needs no exact
+    // count, which is the check that still works at 100 TB. Run at
+    // sf0.01 like q52's own bound spec: ~2000 distinct per flag ≈ 8·m
+    // is the RAW estimator's accurate regime (at sf0.001's ~200 ≈
+    // 0.8·m the missing small-range correction dominates and the two
+    // sketches legitimately diverge). Bound: q21's HLL++ ≤10% + q52's
+    // raw estimator ≤25% ⇒ 35% worst case; 30% passes with margin.
+    val xDir = "/root/testdata/sf0.01"
+    val q21x = SparkEntry.queries("q21_approx_distinct")(spark, xDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q52x = SparkEntry.queries("q52_hll_cross_engine")(spark, xDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q52x.keySet == q21x.keySet && q52x.nonEmpty)
+    q52x.foreach { case (k, d) =>
+      assert(math.abs(q21x(k) - d).toDouble / d <= 0.30,
+        s"q21 vs q52 disagree beyond combined sketch error for $k: " +
+          s"${q21x(k)} vs $d")
     }
   }
 
