@@ -326,7 +326,124 @@ object Bench {
         ("x_cdf_dvdelta_recs", dvRecs, dvRecs),
         ("x_cdf_antijoin_recs", ajRecs, ajRecs))
     }
-    val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb ++ bloomAb ++ cdfAb
+    // change-feed RELAY A/B (round-10, verdict #8: the substrate's newest
+    // hot path had specs but no bench row): three relay-pass shapes on
+    // one 8-version change-tracked landing, wall + records each —
+    //   x_relay_full:   bootstrap + 7 windows into a FRESH log (the
+    //                   consumer-attach / generation-swap cost, O(landing));
+    //   x_relay_late:   one late UPDATE accounted on the synced version
+    //                   (the in-loop maintenance cost — O(late volume),
+    //                   records must sit far below the full pass);
+    //   x_relay_window: an update inside an UN-RELAYED window with the
+    //                   window's evidence COMPACTED away, synced through
+    //                   the round-10 exact two-snapshot rung (O(two
+    //                   snapshots) — the price of positional identity
+    //                   loss, and the regression guard for that rung).
+    val relayAb = abGroup("relayAb") {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.ManifestLand
+      val base = java.nio.file.Files.createTempDirectory("graft_bench_relay").toString
+      graft.TempCleanup.registerDir(base)
+      val out = base + "/landing"
+      new java.io.File(out).mkdirs()
+      val ev = queries.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tsu"),
+          expr("CAST(floor((value) * 10000 + 0.5) AS BIGINT)").as("value_e4"))
+      val Seq(mn, mx) = ev.agg(min("tsu"), max("tsu")).head().toSeq.map(_.asInstanceOf[Long])
+      val step = (mx - mn) / 8 + 1
+      (0 until 8).foreach { k =>
+        ManifestLand.commitBatch(
+          ev.filter(col("tsu") >= mn + k * step && col("tsu") < mn + (k + 1) * step),
+          k.toLong, out,
+          statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"),
+          rangeParts = 2, trackChanges = true)
+      }
+      // side-effecting passes can't ride ab()'s DataFrame contract: same
+      // best/median cadence, un-timed per-iteration prep
+      def timeSide(label: String)(prep: Int => Unit)(pass: Int => Unit)
+          : (String, Double, Double) = {
+        val ts = (1 to iters).map { i =>
+          prep(i)
+          val t0 = System.nanoTime()
+          pass(i)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val median =
+          if (iters % 2 == 1) ts(iters / 2)
+          else (ts(iters / 2 - 1) + ts(iters / 2)) / 2
+        System.err.println(f"[bench] $label%-24s best ${ts.head}%8.3f s  median $median%8.3f s")
+        (label, ts.head, median)
+      }
+      def recsOf(body: => Unit): Double =
+        graft.tools.TaskRecords.measure(spark)(body)._2.toDouble
+      // full pass: fresh log dir per iteration (a re-run on the same dir
+      // is a no-change metadata pass and would time nothing)
+      val full = timeSide("x_relay_full")(_ => ()) { i =>
+        ManifestLand.changeFeedRelay(spark, out, base + s"/log_full_$i",
+          Seq("event_id")); ()
+      }
+      val fullRecs = recsOf {
+        ManifestLand.changeFeedRelay(spark, out, base + "/log_full_r",
+          Seq("event_id")); ()
+      }
+      // late pass: one attached log; each iteration COMPACTS first (so
+      // the accounted tombstone state is this update's alone — the
+      // in-loop production shape, where compaction bounds the sidecars)
+      // then lands fresh late evidence and times ONLY the accounting
+      // relay pass. The update patches a tsu STRIPE — clustered like a
+      // real correction — so the pass's positional fetch demonstrates
+      // its affected-FILE cut (an update spread over every file would
+      // legitimately read back the whole landing)
+      val lateLog = base + "/log_late"
+      ManifestLand.changeFeedRelay(spark, out, lateLog, Seq("event_id"))
+      def lateEvidence(): Unit = {
+        ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 4,
+          clusterBy = Some(col("tsu")))
+        ManifestLand.changeFeedRelay(spark, out, lateLog, Seq("event_id"))
+        ManifestLand.updateWhere(spark, out, col("tsu") < mn + step / 2,
+          Seq("value_e4" -> (col("value_e4") + 1L))); ()
+      }
+      lateEvidence()
+      val lateRecs = recsOf {
+        ManifestLand.changeFeedRelay(spark, out, lateLog, Seq("event_id")); ()
+      }
+      val late = timeSide("x_relay_late")(_ => lateEvidence()) { _ =>
+        ManifestLand.changeFeedRelay(spark, out, lateLog, Seq("event_id")); ()
+      }
+      // window pass: commit a fresh-keyed stripe (un-relayed window),
+      // update inside it, COMPACT the window's evidence away, then time
+      // the sync — forced through the exact two-snapshot rung
+      var nextBatch = 8L
+      def windowEvidence(i: Int): Unit = {
+        val stripe = ev.filter(col("tsu") < mn + step)
+          .withColumn("event_id", col("event_id") + lit(10000000L * i))
+        ManifestLand.commitBatch(stripe, nextBatch, out,
+          statsCols = Seq(ManifestLand.CommitVersionCol, "tsu"),
+          rangeParts = 2, trackChanges = true)
+        nextBatch += 1
+        ManifestLand.updateWhere(spark, out,
+          col("event_id") >= lit(10000000L * i) && col("event_type") === "error",
+          Seq("value_e4" -> (col("value_e4") + 1L)))
+        ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 4,
+          clusterBy = Some(col("tsu")))
+      }
+      windowEvidence(1)
+      val windowRecs = recsOf {
+        ManifestLand.changeFeedRelay(spark, out, lateLog, Seq("event_id")); ()
+      }
+      val window = timeSide("x_relay_window")(i => windowEvidence(i + 1)) { _ =>
+        ManifestLand.changeFeedRelay(spark, out, lateLog, Seq("event_id")); ()
+      }
+      System.err.println(f"[bench] x_relay records read: full $fullRecs%.0f " +
+        f"vs late $lateRecs%.0f vs window $windowRecs%.0f")
+      Seq(full, late, window,
+        ("x_relay_full_recs", fullRecs, fullRecs),
+        ("x_relay_late_recs", lateRecs, lateRecs),
+        ("x_relay_window_recs", windowRecs, windowRecs))
+    }
+    val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb ++ bloomAb ++
+      cdfAb ++ relayAb
     // failure sentinels are EXCLUDED from the qs/stats JSON and listed in
     // `failed` instead (ADVICE r8: a -1.0 A/B row fed bench_diff's
     // round-over-round ratios as a real timing)

@@ -1353,13 +1353,20 @@ object ManifestLand {
       // an empty late diff, and the no-change relay pass runs zero Spark
       // jobs
       if (!stateName.contains(cfStateName(marker, mSynced.dvs, curUpd))) {
-        // the batch names are keyed by the ACCOUNTED state, not the
-        // current evidence: committed rounds stay distinct because every
-        // flip changes the accounted state name, while a crashed
-        // attempt's hidden leftovers were swept at entry regardless.
-        // stateName is always defined here: marker >= 0 and the parse
-        // is strict.
-        val tag = stateName.get.stripPrefix("_cf_state_").replace("_", "x")
+        // the batch names are keyed by the state this pass will FLIP TO
+        // (computed from the current evidence — dv and u-file names
+        // embed a staging nonce, so the name never recurs), NOT by the
+        // accounted state at entry: that one DOES recur — a compaction
+        // resets the synced version's evidence to empty, so the
+        // compact → relay → update → relay loop with no version advance
+        // would stage a second late batch under the SAME entry-state tag
+        // and collide with the earlier committed file on promotion
+        // (round 10 — the x_relay bench fixture crashed on exactly this).
+        // Crash-retry determinism is unchanged: an un-flipped attempt's
+        // hidden leftovers were swept at entry, and the retry recomputes
+        // the same evidence-derived names.
+        val tag = cfStateName(marker, mSynced.dvs, curUpd)
+          .stripPrefix("_cf_state_").replace("_", "x")
         // A missing accounted-update list with u-files PRESENT is
         // ambiguous evidence: "all accounted" (a legacy pre-round-9
         // state — its u-files predate the attach and were covered by
@@ -1994,7 +2001,14 @@ object ManifestLand {
     * VERSION still references (time travel keeps old files alive until
     * expiry).
     */
-  private[streaming] def compactIfNeeded(spark: SparkSession, outDir: String,
+  /** Compaction maintenance verb (the OPTIMIZE equivalent): rewrite the
+    * landing to `targetFiles` files when it exceeds `maxFiles`, folding
+    * tombstones and update-rewrite files away. Public since round 10 —
+    * it is the same single-writer maintenance entry point deleteWhere /
+    * updateWhere are, and its relay ordering guard below protects the
+    * one unsafe composition on its own.
+    */
+  def compactIfNeeded(spark: SparkSession, outDir: String,
       maxFiles: Int, targetFiles: Int, clusterBy: Option[Column] = None): Unit = {
     val m = readManifest(outDir)
     if (m.files.length <= maxFiles) return

@@ -1039,6 +1039,23 @@ class ManifestLandSpec extends SparkFunSuite {
     ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
     ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
     assert(foldLog() == live() && live().exists(p => p == (5L, 555L)))
+    // round 10 (found by the x_relay bench fixture): the maintenance
+    // loop compact → relay → update → relay with NO version advance
+    // resets the accounted evidence to empty each round, so the
+    // entry-state tag RECURS — staged late-batch names keyed by it
+    // collided with the earlier committed file on promotion. Names are
+    // now keyed by the evidence-derived state this pass flips to
+    // (nonce-unique); three rounds of the loop must publish distinct
+    // files and stay fold-exact throughout.
+    (1 to 3).foreach { round =>
+      ManifestLand.compactIfNeeded(spark, out, maxFiles = 1, targetFiles = 1)
+      ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+      ManifestLand.updateWhere(spark, out, col("k") === 2L,
+        Seq("x" -> lit(2000L + round)))
+      ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+      assert(foldLog() == live() && live().exists(p => p == (2L, 2000L + round)),
+        s"recurring-evidence round $round diverged")
+    }
   }
 
   test("relayGenerationSwap: snapshot-sized new log, fold-exact, old log frozen") {
