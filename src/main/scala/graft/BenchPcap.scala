@@ -71,7 +71,17 @@ object BenchPcap {
     // round 9): the first defrag-join run in a JVM pays JIT/alloc
     // ramp-up — observed 7.4 s vs 4.1 s for IDENTICAL code later in
     // the same session — and the headline arm runs first, so without
-    // this the metric systematically understates the engine
+    // this the metric systematically understates the engine.
+    // Round 10: the warmup must exercise the SHUFFLE defrag branch too —
+    // a single cap file stays under the broadcast ceiling, so at 100M
+    // the first timed arm absorbed the shuffle branch's JIT ramp (944k
+    // vs 2.29M pkt/s, identical code). Forcing the ceiling to 0 for the
+    // warmup JITs both branches; the prop is cleared before any timing.
+    sys.props("graft.defrag.maxBroadcastFF") = "0"
+    try graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
+      file = s"$dir/cap0.pcap", out = s"$dir/warmup.parquet",
+      singleFile = false))
+    finally sys.props.remove("graft.defrag.maxBroadcastFF")
     graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
       file = s"$dir/cap0.pcap", out = s"$dir/warmup.parquet",
       singleFile = false))
@@ -132,6 +142,17 @@ object BenchPcap {
         singleFile = false, cache = None)))._1
     }.min
     val tcpRate = (nTcp / tTcpFull).toLong
+    // write-path A/B (round-10 verdict #4): the tcp-mix convert takes the
+    // adaptive defrag-skip branch, so its plan stays columnar end-to-end
+    // and the vector-direct parquet writer engages (the arm above). This
+    // arm forces the standard FileFormatWriter on the same input —
+    // keeps the vector-write win (or a regression) visible per round.
+    val tTcpRowWrite = (1 to 2).map { _ =>
+      time(graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
+        file = s"$tcpDir/cap*.pcap", out = s"$tcpDir/out.parquet",
+        singleFile = false, cache = None, rowWrite = true)))._1
+    }.min
+    val tcpRowWriteRate = (nTcp / tTcpRowWrite).toLong
     // filtered-slice A/B (round 9): a pushed protocol filter used to
     // force the row reader; it now evaluates inside the columnar reader.
     // Measures the common "slice a capture" shape — full corpus scanned,
@@ -152,10 +173,11 @@ object BenchPcap {
         f"cached $tCached%.2f s ($cachedRate pkt/s), " +
         f"replan $tReplan%.2f s ($replanRate pkt/s), " +
         f"rowpath $tRowPath%.2f s ($rowPathRate pkt/s); " +
-        f"tcp-mix $nTcp packets: $tTcpFull%.2f s ($tcpRate pkt/s); " +
+        f"tcp-mix $nTcp packets: $tTcpFull%.2f s ($tcpRate pkt/s) " +
+        f"vs row-write $tTcpRowWrite%.2f s ($tcpRowWriteRate pkt/s); " +
         f"DNS slice columnar $tSliceCol%.2f s ($sliceColRate pkt/s) " +
         f"vs rowpath $tSliceRow%.2f s ($sliceRowRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate}""")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate}""")
     spark.stop()
   }
 }

@@ -65,32 +65,43 @@ object Defrag {
   def fragmentedPct(pcap: DataFrame): Double = fragStats(pcap).pct
 
   /** One row per fragmented UDP datagram: the deterministic "first"
-    * fragment's six L7 columns (reference src/main.rs:292, with
-    * row_number instead of DuckDB's scan-order `first`, SURVEY §4.4).
+    * fragment's six L7 columns (reference src/main.rs:292, with a
+    * deterministic lexicographic-min instead of DuckDB's scan-order
+    * `first`, SURVEY §4.4).
+    *
+    * Round 10: a `min(struct(frame_time, patched…))` AGGREGATE, not a
+    * row_number window. Identical row choice — struct ordering is
+    * field-by-field with nulls first, exactly the window's
+    * `frame_time.asc +: patched.asc` full sort key (the patched columns
+    * still break retransmit ties at the same µs) — but the aggregate
+    * gets map-side partial combining with no per-partition sort (each
+    * scan task pre-aggregates ITS fragments — per capture file/stride —
+    * before anything shuffles), and its output exchange is already
+    * hash-partitioned by the join keys, so the shuffle branch of
+    * [[defrag]] reuses it for the build side.
     */
   def firstFragments(pcap: DataFrame): DataFrame = {
-    // FULL sort key (CLAUDE.md rule): frame_time alone ties for
-    // retransmitted/duplicated first fragments of the same datagram key
-    // at the same µs — the patched columns themselves break the tie, so
-    // the six back-filled values are identical across partitionings even
-    // when duplicate first fragments disagree
-    val w = Window
-      .partitionBy(JoinKeys.map(col): _*)
-      .orderBy(col("frame_time").asc +: Patched.map(c => col(c).asc): _*)
     pcap
       .filter(col("ip_proto") === 17 && col("ip_mf") && col("ip_frag_offset") === 0)
-      .select((JoinKeys ++ Patched :+ "frame_time").distinct.map(col): _*)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select((JoinKeys ++ Patched).map(col): _*)
+      .groupBy(JoinKeys.map(col): _*)
+      .agg(min(struct((col("frame_time") +: Patched.map(col)): _*)).as("__ff"))
+      .select((JoinKeys.map(col) ++ Patched.map(c => col(s"__ff.$c").as(c))): _*)
   }
 
   /** Max first-fragment rows we force into a broadcast. Above this (a
     * heavily fragmented multi-TB capture — the reference's own Booter8 run
     * was 90% fragmented), the enrichment falls back to a shuffle join that
     * AQE plans (including skew-split on hot datagram keys).
+    *
+    * The `graft.defrag.maxBroadcastFF` system property overrides the
+    * ceiling — benchmark instrumentation only (BenchPcap's warmup forces
+    * the SHUFFLE branch on a small file so the first timed 100M arm does
+    * not absorb that branch's JIT ramp; round-10 probe: 944k vs 2.29M
+    * pkt/s for identical code, first arm vs warmed).
     */
-  val MaxBroadcastFirstFragments: Long = 4000000L
+  def MaxBroadcastFirstFragments: Long =
+    sys.props.get("graft.defrag.maxBroadcastFF").map(_.toLong)
+      .getOrElse(4000000L)
 
   /** The enrichment join: every packet inherits its datagram's
     * first-fragment L7 columns where its own are NULL
@@ -107,11 +118,37 @@ object Defrag {
     val ff = Patched.foldLeft(firstFragments(pcap)) { (d, c) =>
       d.withColumnRenamed(c, "__ff_" + c)
     }
-    val joined = pcap.join(if (broadcastFF) broadcast(ff) else ff, JoinKeys, "left")
     val keep = pcap.columns.filterNot(Patched.contains).toSeq
-    joined.select(
-      keep.map(col) ++
-        Patched.map(c => coalesce(col(c), col("__ff_" + c)).as(c)): _*)
+    def enrich(rows: DataFrame, ffSide: DataFrame): DataFrame =
+      rows.join(ffSide, JoinKeys, "left")
+        .select(
+          keep.map(col) ++
+            Patched.map(c => coalesce(col(c), col("__ff_" + c)).as(c)): _*)
+    if (broadcastFF) enrich(pcap, broadcast(ff))
+    else {
+      // Shuffle branch (round 10, the 100M-packet sublinearity fix): at
+      // pathological fragmentation the join cannot broadcast — but only
+      // a SLICE of the packet table can possibly change under the
+      // enrichment, so only that slice is shuffled. A row provably
+      // keeps its exact bytes when any of:
+      //   - a join key is NULL (an equi-join never matches NULL keys);
+      //   - ip_proto != 17 (every ff row has 17 in its key);
+      //   - all six patched columns are non-NULL (coalesce(col, ff) ≡
+      //     col — the join result is the identity row regardless of
+      //     any key match).
+      // Those rows bypass as-is; the rest (continuation fragments plus
+      // NULL-L7 UDP rows whose ip_id may collide — the reference's LEFT
+      // JOIN patches those too, so they must flow through the join)
+      // shuffle against the aggregate-partitioned ff side. Exact: the
+      // bypass predicate never evaluates NULL (the null-key disjunct
+      // fires first), so every row lands on exactly one side.
+      val joinable = JoinKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col("ip_proto") === 17 &&
+        Patched.map(col(_).isNull).reduce(_ || _)
+      val bypass = pcap.filter(!joinable)
+        .select((keep ++ Patched).map(col): _*)
+      bypass.unionByName(enrich(pcap.filter(joinable), ff))
+    }
   }
 
   /** Full adaptive pipeline (reference src/main.rs:274-301): one stats

@@ -1,0 +1,236 @@
+package graft.spark
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.ParquetProperties
+import org.apache.parquet.column.impl.ColumnWriteStoreV1
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.{CodecFactory, ColumnChunkPageWriteStore, ParquetFileWriter}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Vector-direct parquet writer for the pcap convert path (round 10,
+  * verdict #4's "one measured attempt"): the DSv2 scan already emits
+  * `ColumnarBatch`es, but Spark's FileFormatWriter accepts rows only —
+  * so the default write pays ColumnarToRow + per-row record assembly
+  * (ParquetWriteSupport walks every field of every row through a
+  * RecordConsumer). This sink feeds the batch VECTORS straight into
+  * parquet-mr's column writers (`ColumnWriteStoreV1` over a
+  * `ColumnChunkPageWriteStore`): one virtual call per VALUE on a
+  * type-resolved writer loop per column, no InternalRow, no record
+  * assembly.
+  *
+  * Scope (deliberate): the flat 31-column packet schema, local/Hadoop
+  * paths, one file per scan partition, snappy/zstd/gzip/lz4/uncompressed.
+  * Timestamps are written as INT64 TIMESTAMP(MICROS, UTC-adjusted)
+  * rather than Spark's legacy INT96 — every reader in the gate (Spark,
+  * DuckDB) reads both as the same µs instant, and the µs long is what
+  * the vector already holds. Used only when the plan below the write is
+  * still columnar (the nodefrag / defrag-skip convert shapes); anything
+  * row-shaped (the defrag join's output) keeps the standard writer.
+  *
+  * Not a general-purpose committer: files are written in place and the
+  * job is not speculative-safe. The convert CLI is a single-attempt
+  * local batch job, which is exactly the contract the reference's own
+  * writer has (pcap-converter writes local files, main.rs:22-43).
+  */
+object PcapColumnarWrite {
+
+  /** parquet MessageType mirroring how Spark maps [[PacketSchema]]'s
+    * Catalyst types (INT(16) annotation for shorts, STRING for strings)
+    * except the timestamp (INT64 micros, above).
+    */
+  private[spark] def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+        case LongType => Types.optional(PrimitiveTypeName.INT64)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+        case ShortType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.intType(16, true))
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+        case StringType => Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
+        case other => throw new IllegalArgumentException(
+          s"PcapColumnarWrite: unsupported column type $other for ${f.name}")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+
+  /** The columnar child of `df`'s executed plan, or None when the plan
+    * is row-shaped anywhere below the top (then the standard writer is
+    * the right path — converting rows BACK to vectors would pay the
+    * transposition this sink exists to skip).
+    */
+  private def columnarChild(df: DataFrame): Option[SparkPlan] = {
+    def unwrap(p: SparkPlan): Option[SparkPlan] = p match {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => unwrap(c.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => unwrap(w.child)
+      case other => if (other.supportsColumnar) Some(other) else None
+    }
+    unwrap(df.queryExecution.executedPlan)
+  }
+
+  /** Write `df` as parquet at `out` through the vector path; false when
+    * the plan is not columnar end-to-end (caller falls back to the
+    * standard writer). Row-group target mirrors Spark's 128 MiB.
+    */
+  def write(df: DataFrame, out: String, compression: String,
+      rowGroupBytes: Long = 128L * 1024 * 1024): Boolean = {
+    val plan = columnarChild(df) match {
+      case Some(p) => p
+      case None => return false
+    }
+    val schema = df.schema
+    val codec = compression.toLowerCase(java.util.Locale.ROOT) match {
+      case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+      case "snappy" => CompressionCodecName.SNAPPY
+      case "gzip" => CompressionCodecName.GZIP
+      case "lz4" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+      case "zstd" => CompressionCodecName.ZSTD
+      case other => throw new IllegalArgumentException(
+        s"PcapColumnarWrite: unsupported codec $other")
+    }
+    val spark = df.sparkSession
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val outDir = new Path(out)
+    val fs = outDir.getFileSystem(serConf.value)
+    if (fs.exists(outDir)) fs.delete(outDir, true) // overwrite semantics
+    fs.mkdirs(outDir)
+    val schemaB = spark.sparkContext.broadcast(schema.json)
+    val rdd = plan.executeColumnar()
+    rdd.foreachPartition { (it: Iterator[ColumnarBatch]) =>
+      val sc = DataType.fromJson(schemaB.value).asInstanceOf[StructType]
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val file = new Path(outDir,
+        f"part-$pid%05d-vec.${codec.name.toLowerCase}.parquet")
+      writePartition(it, sc, file, serConf.value, codec, rowGroupBytes)
+    }
+    // SUCCESS marker for parity with the standard committer's layout
+    fs.create(new Path(outDir, "_SUCCESS"), true).close()
+    true
+  }
+
+  private def writePartition(it: Iterator[ColumnarBatch], schema: StructType,
+      file: Path, conf: Configuration, codec: CompressionCodecName,
+      rowGroupBytes: Long): Unit = {
+    val msg = messageType(schema)
+    val props = ParquetProperties.builder().build()
+    val writer = new ParquetFileWriter(conf, msg, file,
+      ParquetFileWriter.Mode.OVERWRITE)
+    writer.start()
+    val codecFactory = new CodecFactory(conf, props.getPageSizeThreshold)
+    val compressor = codecFactory.getCompressor(codec)
+    try {
+      var store: ColumnChunkPageWriteStore = null
+      var cws: ColumnWriteStoreV1 = null
+      var groupRows = 0L
+      def openGroup(): Unit = {
+        store = new ColumnChunkPageWriteStore(compressor, msg,
+          props.getAllocator, props.getColumnIndexTruncateLength)
+        cws = new ColumnWriteStoreV1(msg, store, props)
+        groupRows = 0L
+      }
+      def closeGroup(): Unit = if (groupRows > 0) {
+        writer.startBlock(groupRows)
+        cws.flush()
+        store.flushToFileWriter(writer)
+        writer.endBlock()
+        cws.close()
+        store.close()
+      }
+      openGroup()
+      val descs = msg.getColumns
+      while (it.hasNext) {
+        val batch = it.next()
+        val n = batch.numRows()
+        if (n > 0) {
+          var c = 0
+          while (c < schema.length) {
+            val cw = cws.getColumnWriter(descs.get(c))
+            val v = batch.column(c)
+            val dt = schema.fields(c).dataType
+            var r = 0
+            dt match {
+              case TimestampType | LongType =>
+                while (r < n) {
+                  if (v.isNullAt(r)) cw.writeNull(0, 0)
+                  else cw.write(v.getLong(r), 0, 1)
+                  r += 1
+                }
+              case IntegerType =>
+                while (r < n) {
+                  if (v.isNullAt(r)) cw.writeNull(0, 0)
+                  else cw.write(v.getInt(r), 0, 1)
+                  r += 1
+                }
+              case ShortType =>
+                while (r < n) {
+                  if (v.isNullAt(r)) cw.writeNull(0, 0)
+                  else cw.write(v.getShort(r).toInt, 0, 1)
+                  r += 1
+                }
+              case BooleanType =>
+                while (r < n) {
+                  if (v.isNullAt(r)) cw.writeNull(0, 0)
+                  else cw.write(v.getBoolean(r), 0, 1)
+                  r += 1
+                }
+              case StringType =>
+                while (r < n) {
+                  if (v.isNullAt(r)) cw.writeNull(0, 0)
+                  else {
+                    // unconditional copy: the dictionary encoder RETAINS
+                    // Binary references across rows, and getBytes may
+                    // alias the vector's shared buffer when the string
+                    // spans it exactly — a reused batch would then
+                    // corrupt retained dictionary entries silently
+                    val u = v.getUTF8String(r)
+                    val len = u.numBytes()
+                    val arr = new Array[Byte](len)
+                    org.apache.spark.unsafe.Platform.copyMemory(
+                      u.getBaseObject, u.getBaseOffset, arr,
+                      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+                    cw.write(Binary.fromConstantByteArray(arr), 0, 1)
+                  }
+                  r += 1
+                }
+              case BinaryType =>
+                while (r < n) {
+                  if (v.isNullAt(r)) cw.writeNull(0, 0)
+                  else cw.write(Binary.fromConstantByteArray(v.getBinary(r)), 0, 1)
+                  r += 1
+                }
+              case other => throw new IllegalStateException(
+                s"unreachable: $other passed messageType")
+            }
+            c += 1
+          }
+          var k = 0
+          while (k < n) { cws.endRecord(); k += 1 }
+          groupRows += n
+          if (cws.getBufferedSize > rowGroupBytes) {
+            closeGroup(); openGroup()
+          }
+        }
+      }
+      closeGroup()
+    } finally {
+      codecFactory.release()
+      writer.end(new java.util.HashMap[String, String]())
+    }
+  }
+}

@@ -29,6 +29,12 @@ object PcapConvert {
         * default) instead of the columnar DSv2 scan — the fallback knob
         * for the round-9 columnar attempt. */
       rowPath: Boolean = false,
+      /** Force the standard FileFormatWriter instead of the round-10
+        * vector-direct parquet writer ([[PcapColumnarWrite]]). The
+        * vector writer engages automatically only when the plan under
+        * the write is still columnar (nodefrag / defrag-skip shapes)
+        * and the output is multi-file. */
+      rowWrite: Boolean = false,
       /** Parquet codec for the output. Default zstd: measured on the 10M
         * packet corpus (graft.tools.BenchCodec, interleaved rounds — a
         * sequential sweep hands the wall-time 'win' to whichever codec
@@ -55,6 +61,7 @@ object PcapConvert {
       case "--cache" :: t            => loop(t, a.copy(cache = Some(true)))
       case "--no-cache" :: t         => loop(t, a.copy(cache = Some(false)))
       case "--row-path" :: t         => loop(t, a.copy(rowPath = true))
+      case "--row-write" :: t        => loop(t, a.copy(rowWrite = true))
       case ("-c" | "--compression") :: v :: t =>
         loop(t, a.copy(compression = v))
       case "--reference-compat" :: t => loop(t, a.copy(referenceCompat = true))
@@ -146,7 +153,15 @@ object PcapConvert {
       val out =
         if (a.nodefrag) pcap
         else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
-      PcapSource.write(out, a.out, a.singleFile, a.compression)
+      // round-10 vector-direct write: when the plan under the write is
+      // still columnar (nodefrag, or the adaptive defrag-skip branch),
+      // the batch vectors go straight into parquet-mr's column writers —
+      // no ColumnarToRow, no per-row record assembly. Returns false on
+      // row-shaped plans (the defrag join) → standard writer.
+      val vecWritten = !a.rowWrite && !a.singleFile &&
+        PcapColumnarWrite.write(out, a.out, a.compression)
+      if (!vecWritten)
+        PcapSource.write(out, a.out, a.singleFile, a.compression)
     } finally {
       progress.foreach(_.interrupt())
       PcapSource.unregisterMetrics(metricsKey)
