@@ -53,6 +53,15 @@ class PlanQualitySpec extends SparkFunSuite {
     val pcap = graft.spark.PcapSource.read(spark, f.toString)
     val p = plan(graft.spark.Defrag.defrag(pcap))
     assert(p.contains("BroadcastHashJoin"), p)
+    // round-10 shuffle branch: the bypass split must keep the
+    // non-joinable slice OUT of any exchange — the only shuffles are
+    // the joinable slice and the pre-aggregated ff side (plus AQE
+    // reads); the bypass side is a plain scan+filter unioned back
+    val ps = plan(graft.spark.Defrag.defrag(pcap, broadcastFF = false))
+    assert(ps.contains("Union"), ps)
+    assert(ps.contains("SortMergeJoin") || ps.contains("ShuffledHashJoin"), ps)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(ps).size
+    assert(exchanges <= 2, s"bypass side leaked into a shuffle ($exchanges):\n$ps")
   }
 
   test("e01: corpus side streams through a broadcast nested loop (no corpus shuffle)") {
