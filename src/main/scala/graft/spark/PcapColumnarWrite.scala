@@ -86,9 +86,14 @@ object PcapColumnarWrite {
   /** Write `df` as parquet at `out` through the vector path; false when
     * the plan is not columnar end-to-end (caller falls back to the
     * standard writer). Row-group target mirrors Spark's 128 MiB.
+    * `singleFile` funnels every batch through ONE task via an RDD-level
+    * coalesce — no shuffle, batches stay columnar — so the CLI's default
+    * single-file output rides the vector path too (a DataFrame-level
+    * coalesce(1) would plan a row-shaped CoalesceExec instead).
     */
   def write(df: DataFrame, out: String, compression: String,
-      rowGroupBytes: Long = 128L * 1024 * 1024): Boolean = {
+      rowGroupBytes: Long = 128L * 1024 * 1024,
+      singleFile: Boolean = false): Boolean = {
     val plan = columnarChild(df) match {
       case Some(p) => p
       case None => return false
@@ -111,7 +116,8 @@ object PcapColumnarWrite {
     if (fs.exists(outDir)) fs.delete(outDir, true) // overwrite semantics
     fs.mkdirs(outDir)
     val schemaB = spark.sparkContext.broadcast(schema.json)
-    val rdd = plan.executeColumnar()
+    val rdd0 = plan.executeColumnar()
+    val rdd = if (singleFile) rdd0.coalesce(1) else rdd0
     rdd.foreachPartition { (it: Iterator[ColumnarBatch]) =>
       val sc = DataType.fromJson(schemaB.value).asInstanceOf[StructType]
       val pid = org.apache.spark.TaskContext.getPartitionId()

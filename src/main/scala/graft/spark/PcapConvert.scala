@@ -156,10 +156,12 @@ object PcapConvert {
       // round-10 vector-direct write: when the plan under the write is
       // still columnar (nodefrag, or the adaptive defrag-skip branch),
       // the batch vectors go straight into parquet-mr's column writers —
-      // no ColumnarToRow, no per-row record assembly. Returns false on
-      // row-shaped plans (the defrag join) → standard writer.
-      val vecWritten = !a.rowWrite && !a.singleFile &&
-        PcapColumnarWrite.write(out, a.out, a.compression)
+      // no ColumnarToRow, no per-row record assembly. Single-file output
+      // coalesces at the RDD level (batches stay columnar). Returns
+      // false on row-shaped plans (the defrag join) → standard writer.
+      val vecWritten = !a.rowWrite &&
+        PcapColumnarWrite.write(out, a.out, a.compression,
+          singleFile = a.singleFile)
       if (!vecWritten)
         PcapSource.write(out, a.out, a.singleFile, a.compression)
     } finally {

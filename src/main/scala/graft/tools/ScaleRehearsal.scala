@@ -87,7 +87,11 @@ object ScaleRehearsal {
   def synthesize(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val dir = new java.io.File(out)
     val manifest = new java.io.File(dir, "MANIFEST")
-    val want = s"src=$src\nfactor=$factor\n"
+    // v2 (round 10): lineitem joined the scaled set (q59's exact global
+    // rank is SF-sensitive since the de-checkpoint — its 10× sample needs
+    // a 10× fact table, not a symlink); the version bump regenerates any
+    // corpus built with the symlinked layout
+    val want = s"src=$src\nfactor=$factor\nv=2\n"
     val have =
       if (manifest.exists())
         new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
@@ -120,10 +124,20 @@ object ScaleRehearsal {
         col("embedding"), col("label")))
       .reduce(_ unionByName _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // lineitem scales by key-offset copies (values repeat verbatim —
+    // exactly what a bigger fact table of the same generator looks like
+    // to a rank/histogram; l_orderkey offsets keep the full sort keys
+    // distinct)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxOk = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    (0 until factor).map(i => li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * maxOk)))
+      .reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // remaining tables: symlink to the source scale (TempCleanup.rmrf
     // never follows directory symlinks)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+        "orders", "events")) {
       val link = java.nio.file.Paths.get(out, s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,
