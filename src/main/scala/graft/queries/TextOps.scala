@@ -250,6 +250,57 @@ object TextOps {
              |SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
              |FROM s GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 3""".stripMargin)),
 
+    // --- d49: boilerplate SCRUB (the apply stage of d13) --------------------
+    // d13 *detects* template shingles; d49 removes them from the corpus —
+    // the C4-style "strip repeated spans" stage: every word position
+    // covered by an occurrence of a frequent (df >= 3) 5-gram is dropped,
+    // and the document is re-emitted from the surviving words. Two linear
+    // passes: the d13 aggregate builds the frequent-shingle set, then a
+    // second scan re-shingles and joins it back (broadcast here; at 100 TB
+    // the set rides the d27 bloom gate — a few false positives only
+    // over-scrub, which that pipeline tolerates). Covered positions fold
+    // into a per-doc integer list, so the scrub itself is a narrow
+    // array-filter — no per-word explode ever reaches a shuffle.
+    Q("d49_boilerplate_scrub",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val sh = docs.filter(size(col("ws")) >= 5)
+          .select(col("doc_id"), expr(
+            """inline(transform(sequence(1, size(ws) - 4),
+              |  i -> struct(i AS st, concat_ws(' ', slice(ws, i, 5)) AS shingle)))""".stripMargin))
+        val freq = sh.groupBy("shingle")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 3).select("shingle")
+        val cov = sh.join(broadcast(freq), "shingle")
+          .groupBy("doc_id")
+          .agg(expr("""array_distinct(flatten(collect_list(
+                      |  array(st, st + 1, st + 2, st + 3, st + 4))))""".stripMargin)
+            .as("covered"))
+        docs.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), expr(
+            """filter(ws, (w, i) -> covered IS NULL
+              |  OR NOT array_contains(covered, i + 1))""".stripMargin).as("kept"))
+          .select(col("doc_id"),
+            size(col("kept")).cast("long").as("n_kept"),
+            md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, i AS st, array_to_string(ws[i:i+4], ' ') AS shingle
+             |       FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+             |       WHERE len(ws) >= 5),
+             |fr AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 3),
+             |cov AS (SELECT doc_id,
+             |          list_distinct(flatten(list([st, st + 1, st + 2, st + 3, st + 4]))) AS covered
+             |        FROM sh JOIN fr USING (shingle) GROUP BY doc_id),
+             |k AS (SELECT w.doc_id,
+             |        list_filter(w.ws, (x, i) -> cov.covered IS NULL
+             |          OR NOT list_contains(cov.covered, i)) AS kept
+             |      FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id)
+             |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+             |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+             |FROM k""".stripMargin)),
+
     // --- d14: text normalization/cleaning ----------------------------------
     // lowercase, strip non-alphanumerics, collapse whitespace — the
     // canonical-form stage exact dedup keys on. Narrow (no shuffle); the

@@ -410,8 +410,94 @@ object VectorOps {
           "embeddings_e13"))
       },
       Some(e13Body(i => s"CAST(embedding[${i + 1}] AS DOUBLE)",
-        (a, b) => s"xor($a, $b)", "embeddings")))
+        (a, b) => s"xor($a, $b)", "embeddings"))),
+
+    // --- e14: hybrid lexical+dense retrieval (reciprocal-rank fusion) ------
+    // RRF (Cormack et al., SIGIR 2009): combine rankers in RANK space,
+    // score = Σ 1/(60 + rank) — no score calibration between heterogeneous
+    // rankers needed, which is why it's the standard fusion for hybrid
+    // retrieval in RAG/training-data pipelines. The corpus is the ids that
+    // exist in BOTH modalities (documents ⋉ embeddings — at sf0.1 that's
+    // the 2000 embedded docs out of 5000); ranker A is e01's dense cosine
+    // over the embedding, ranker B a lexical distinct-token Jaccard over
+    // the text — genuinely independent signals, fused per query into one
+    // top-k. Each ranker is a broadcast-queries × corpus linear scan (the
+    // corpus is never shuffled); the fusion groupBy sees only ≤2·kEach
+    // rows per query. Cross-engine exactness: the RRF contribution is
+    // integer floor-division (1e9 div (60+rank)), the Jaccard is
+    // integer-scaled floor-division (1e6·|∩| div |∪|), and cosine reuses
+    // e01's round-before-rank contract; ties break on cid everywhere.
+    Q("e14_hybrid_rrf",
+      (s, dir) => hybridRrf(s, dir),
+      Some("""WITH f AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
+             |qf AS (SELECT * FROM f WHERE vec_id < 10),
+             |dd AS (SELECT qf.vec_id qid, c.vec_id cid, SUM(CAST(qf.v AS DOUBLE) * CAST(c.v AS DOUBLE)) dot
+             |       FROM qf JOIN f c ON qf.i = c.i AND c.vec_id <> qf.vec_id
+             |       GROUP BY 1, 2),
+             |ra AS (SELECT qid, cid,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (x.nrm * y.nrm), 4) DESC, cid) r
+             |       FROM dd JOIN n x ON x.vec_id = qid JOIN n y ON y.vec_id = cid),
+             |docs AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wd
+             |         FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+             |qd AS (SELECT doc_id AS qid, wd AS qw FROM docs WHERE doc_id < 10),
+             |lx AS (SELECT qid, c.doc_id cid,
+             |         CAST(CAST(1000000 AS BIGINT) * len(list_intersect(qw, c.wd)) //
+             |           (len(qw) + len(c.wd) - len(list_intersect(qw, c.wd))) AS BIGINT) jac
+             |       FROM qd JOIN docs c ON c.doc_id <> qid),
+             |rb AS (SELECT qid, cid,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY jac DESC, cid) r
+             |       FROM lx),
+             |u AS (SELECT qid, cid, 1000000000 // (60 + r) c FROM ra WHERE r <= 20
+             |      UNION ALL
+             |      SELECT qid, cid, 1000000000 // (60 + r) c FROM rb WHERE r <= 20),
+             |sc AS (SELECT qid, cid, CAST(SUM(c) AS BIGINT) rrf_score FROM u GROUP BY 1, 2)
+             |SELECT qid, cid, rrf_score FROM (
+             |  SELECT qid, cid, rrf_score,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_score DESC, cid) rn FROM sc)
+             |WHERE rn <= 10""".stripMargin))
   )
+
+  /** e14's two-ranker hybrid — see the Q entry's comment. kEach is each
+    * ranker's contribution depth, kOut the fused top-k.
+    */
+  private[graft] def hybridRrf(s: SparkSession, dir: String,
+      nQueries: Int = 10, kEach: Int = 20, kOut: Int = 10): DataFrame = {
+    // dense arm: e01's broadcast-queries cosine scan, ranked per query
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wA = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val dense = emb.crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), sim.as("sim"))
+      .withColumn("r", row_number().over(wA)).filter(col("r") <= kEach)
+    // lexical arm: distinct-token Jaccard over the embedded docs' text
+    val ids = t(s, dir, "embeddings").select(col("vec_id"))
+    val docs = t(s, dir, "documents")
+      .join(ids, col("doc_id") === col("vec_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wd"))
+    val qd = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("wd").as("qw"))
+    val wB = Window.partitionBy("qid").orderBy(col("jac").desc, col("cid").asc)
+    val lexical = docs.crossJoin(broadcast(qd))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("cid"),
+        expr("""CAST(CAST(1000000 AS BIGINT) * size(array_intersect(qw, wd)) div
+               |  (size(qw) + size(wd) - size(array_intersect(qw, wd))) AS BIGINT)""".stripMargin)
+          .as("jac"))
+      .withColumn("r", row_number().over(wB)).filter(col("r") <= kEach)
+    // rank-space fusion: Σ 1e9 div (60 + rank), integer-exact
+    val contrib = dense.select(col("qid"), col("cid"),
+        expr("1000000000 div (60 + r)").as("c"))
+      .unionByName(lexical.select(col("qid"), col("cid"),
+        expr("1000000000 div (60 + r)").as("c")))
+    val wO = Window.partitionBy("qid")
+      .orderBy(col("rrf_score").desc, col("cid").asc)
+    contrib.groupBy("qid", "cid").agg(sum(col("c")).as("rrf_score"))
+      .withColumn("rn", row_number().over(wO)).filter(col("rn") <= kOut)
+      .select("qid", "cid", "rrf_score")
+  }
 
   /** e13's shared SQL body: `elem` is the 0-based array accessor in each
     * dialect, `xorf` the bitwise-xor syntax (Spark `^`, DuckDB `xor()` —

@@ -999,4 +999,74 @@ class QuerySurfaceSpec extends SparkFunSuite {
     // tf normalization collapsed)
     assert(rows.head.getAs[Long]("n_terms") >= 2L)
   }
+
+  test("e14 hybrid RRF equals a naive driver-side two-ranker fusion") {
+    val res = SparkEntry.queries("e14_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) ->
+        r.getAs[Long]("rrf_score")).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "array_distinct(split(text, ' ')) AS wd")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+      .toMap.view.filterKeys(vecs.contains).toMap
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      round4(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val expected = (0L until 10L).flatMap { q =>
+      val ra = vecs.keys.filter(_ != q).toSeq
+        .map(c => c -> cos(vecs(q), vecs(c)))
+        .sortBy { case (c, s) => (-s, c) }.take(20).map(_._1)
+      val rb = words.keys.filter(_ != q).toSeq
+        .map { c =>
+          val inter = (words(q) & words(c)).size.toLong
+          c -> 1000000L * inter / (words(q).size + words(c).size - inter)
+        }
+        .sortBy { case (c, s) => (-s, c) }.take(20).map(_._1)
+      val contrib = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      ra.zipWithIndex.foreach { case (c, i) => contrib(c) += 1000000000L / (60 + i + 1) }
+      rb.zipWithIndex.foreach { case (c, i) => contrib(c) += 1000000000L / (60 + i + 1) }
+      contrib.toSeq.sortBy { case (c, s) => (-s, c) }.take(10)
+        .map { case (c, s) => (q, c) -> s }
+    }.toMap
+    assert(res == expected)
+    // the fusion must be non-degenerate: some fused row carries BOTH arms
+    // (score > a single rank-1 contribution), so the lexical arm genuinely
+    // reorders the dense ranking
+    assert(res.values.exists(_ > 1000000000L / 61),
+      "no candidate was ranked by both arms — fusion is degenerate")
+  }
+
+  test("d49 boilerplate scrub equals a naive driver-side positional scrub") {
+    val res = SparkEntry.queries("d49_boilerplate_scrub")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("kept_md5"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toArray).toMap
+    def shingles(ws: Array[String]): Seq[(Int, String)] =
+      if (ws.length < 5) Nil
+      else (0 to ws.length - 5).map(i => i -> ws.slice(i, i + 5).mkString(" "))
+    val freq = docs.toSeq
+      .flatMap { case (d, ws) => shingles(ws).map(_._2).distinct.map(_ -> d) }
+      .groupBy(_._1).collect { case (sh, ds) if ds.map(_._2).distinct.size >= 3 => sh }
+      .toSet
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(res.size == docs.size)
+    docs.foreach { case (d, ws) =>
+      val covered = shingles(ws).collect {
+        case (i, sh) if freq(sh) => i until (i + 5)
+      }.flatten.toSet
+      val kept = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      assert(res(d) == (kept.length.toLong, md5(kept.mkString(" "))), s"doc $d")
+    }
+    // the scrub must actually remove something at this SF
+    assert(docs.exists { case (d, ws) => res(d)._1 < ws.length })
+  }
 }
