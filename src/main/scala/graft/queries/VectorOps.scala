@@ -455,7 +455,8 @@ object VectorOps {
              |SELECT qid, cid, rrf_score FROM (
              |  SELECT qid, cid, rrf_score,
              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_score DESC, cid) rn FROM sc)
-             |WHERE rn <= 10""".stripMargin))
+             |WHERE rn <= 10""".stripMargin),
+      headline = true)
   )
 
   /** e14's two-ranker hybrid — see the Q entry's comment. kEach is each
