@@ -456,8 +456,91 @@ object VectorOps {
              |  SELECT qid, cid, rrf_score,
              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_score DESC, cid) rn FROM sc)
              |WHERE rn <= 10""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // --- d50: MMR diversified selection (Carbonell & Goldstein 1998) -------
+    // The diversity-aware sampling step a training-data pipeline runs when
+    // a top-k by relevance alone would be redundant: greedily pick k items
+    // maximizing λ·rel − (1−λ)·max-sim-to-already-picked (λ=0.7, ×10
+    // integer weights). The greedy loop runs over a SHORTLIST (top-40 by
+    // relevance — the standard rerank-window shape), so the one driver
+    // collect is shortlist²-bounded (1,600 rows) and INDEPENDENT of corpus
+    // size: the corpus-scale work is the broadcast-query relevance scan
+    // and the 40-row pairwise sim join, both linear. Scores are integer
+    // (floor-scaled e4 cosines, e01's round-before-rank contract + the
+    // floor(x·1e4+0.5) idiom), so both engines pick identical items;
+    // DuckDB replays the greedy loop as a recursive CTE carrying the
+    // chosen list.
+    Q("d50_mmr_diversify",
+      (s, dir) => mmrDiversify(s, dir),
+      Some("""WITH RECURSIVE
+             |f AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding, 1) i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) nrm FROM f GROUP BY vec_id),
+             |q AS (SELECT * FROM f WHERE vec_id = 0),
+             |rel AS (SELECT c.vec_id cid,
+             |          CAST(floor(round(SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) / (x.nrm * y.nrm), 4) * 10000 + 0.5) AS BIGINT) rel_e4
+             |        FROM q JOIN f c ON q.i = c.i AND c.vec_id <> 0
+             |        JOIN n x ON x.vec_id = 0 JOIN n y ON y.vec_id = c.vec_id
+             |        GROUP BY c.vec_id, x.nrm, y.nrm),
+             |short AS (SELECT cid, rel_e4 FROM rel ORDER BY rel_e4 DESC, cid LIMIT 40),
+             |sims AS (SELECT a.cid a, b.cid b,
+             |           CAST(floor(round(SUM(CAST(af.v AS DOUBLE) * CAST(bf.v AS DOUBLE)) / (x.nrm * y.nrm), 4) * 10000 + 0.5) AS BIGINT) sim_e4
+             |         FROM short a JOIN short b ON a.cid <> b.cid
+             |         JOIN f af ON af.vec_id = a.cid JOIN f bf ON bf.vec_id = b.cid AND bf.i = af.i
+             |         JOIN n x ON x.vec_id = a.cid JOIN n y ON y.vec_id = b.cid
+             |         GROUP BY a.cid, b.cid, x.nrm, y.nrm),
+             |pick(step, cid, mmr_e4, chosen) AS (
+             |  (SELECT 1, cid, 7 * rel_e4, [cid] FROM short ORDER BY 7 * rel_e4 DESC, cid LIMIT 1)
+             |  UNION ALL
+             |  (SELECT p.step + 1, s.cid, s.mmr, list_append(p.chosen, s.cid)
+             |   FROM pick p, LATERAL (
+             |     SELECT c.cid, 7 * c.rel_e4 - 3 * (SELECT MAX(sim_e4) FROM sims
+             |                                       WHERE a = c.cid AND list_contains(p.chosen, b)) AS mmr
+             |     FROM short c WHERE NOT list_contains(p.chosen, c.cid)
+             |     ORDER BY mmr DESC, c.cid LIMIT 1) s
+             |   WHERE p.step < 10)
+             |)
+             |SELECT CAST(step AS BIGINT) step, cid, CAST(mmr_e4 AS BIGINT) mmr_e4
+             |FROM pick""".stripMargin))
   )
+
+  /** d50's Spark side — see the Q entry's comment. The distributed stages
+    * are the relevance scan and the shortlist pairwise-sim join; the
+    * greedy argmax loop itself runs on the driver over the collected
+    * shortlist (shortlist² rows, corpus-independent — the k-row-centroid
+    * class of justified collect).
+    */
+  private[graft] def mmrDiversify(s: SparkSession, dir: String, qid: Long = 0L,
+      shortlistN: Int = 40, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === qid).select(col("e").as("qe"))
+    val relE4 = floor(sim * lit(10000) + lit(0.5)).cast("long")
+    val short = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= qid)
+      .select(col("vec_id").as("cid"), relE4.as("rel_e4"))
+      .orderBy(col("rel_e4").desc, col("cid").asc).limit(shortlistN)
+    val sv = emb.join(broadcast(short), col("vec_id") === col("cid"))
+      .select(col("cid"), col("e"), col("rel_e4"))
+    val rels = sv.select("cid", "rel_e4").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sims = sv.select(col("cid").as("a"), col("e").as("qe"))
+      .crossJoin(sv.select(col("cid").as("b"), col("e")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), relE4.as("sim_e4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var chosen = Vector.empty[Long]
+    val out = (1 to k).map { step =>
+      val best = rels.keysIterator.filterNot(chosen.contains).map { c =>
+        val score =
+          if (chosen.isEmpty) 7L * rels(c)
+          else 7L * rels(c) - 3L * chosen.map(b => sims((c, b))).max
+        (c, score)
+      }.minBy { case (c, sc) => (-sc, c) }
+      chosen :+= best._1
+      (step.toLong, best._1, best._2)
+    }
+    out.toDF("step", "cid", "mmr_e4")
+  }
 
   /** e14's two-ranker hybrid — see the Q entry's comment. kEach is each
     * ranker's contribution depth, kOut the fused top-k.

@@ -1041,6 +1041,48 @@ class QuerySurfaceSpec extends SparkFunSuite {
       "no candidate was ranked by both arms — fusion is degenerate")
   }
 
+  test("d50 MMR: greedy invariants hold and diversity genuinely reorders top-k") {
+    val rows = SparkEntry.queries("d50_mmr_diversify")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[Long]("step")).toSeq == (1L to 10L))
+    val picked = rows.map(_.getAs[Long]("cid"))
+    assert(picked.distinct.length == 10, "a candidate was picked twice")
+    assert(!picked.contains(0L), "the query vector itself was picked")
+    // mmr scores are non-increasing ONLY for step>=2 relative to what a
+    // pure-relevance pick would give; the hard invariant is: step 1 is the
+    // single most relevant candidate, and the selection diverges from the
+    // pure top-10-by-relevance (diversity term does real work)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def relE4(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val c = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      val r4 = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(r4 * 10000 + 0.5).toLong
+    }
+    val rels = vecs.keys.filter(_ != 0L)
+      .map(c => c -> relE4(vecs(0L), vecs(c))).toMap
+    val topByRel = rels.toSeq.sortBy { case (c, r) => (-r, c) }.take(10).map(_._1)
+    assert(picked.head == topByRel.head, "step 1 must be the most relevant")
+    assert(picked.toSet != topByRel.toSet,
+      "MMR picked exactly the relevance top-10 — diversity term did nothing")
+    // full naive replay: greedy argmax over the top-40 shortlist
+    val short = rels.toSeq.sortBy { case (c, r) => (-r, c) }.take(40).map(_._1)
+    var chosen = Vector.empty[Long]
+    val expect = (1 to 10).map { step =>
+      val best = short.filterNot(chosen.contains).map { c =>
+        val sc = if (chosen.isEmpty) 7L * rels(c)
+          else 7L * rels(c) - 3L * chosen.map(b => relE4(vecs(c), vecs(b))).max
+        (c, sc)
+      }.minBy { case (c, sc) => (-sc, c) }
+      chosen :+= best._1
+      (step.toLong, best._1, best._2)
+    }
+    assert(rows.map(r => (r.getAs[Long]("step"), r.getAs[Long]("cid"),
+      r.getAs[Long]("mmr_e4"))).toSeq == expect)
+  }
+
   test("d49 boilerplate scrub equals a naive driver-side positional scrub") {
     val res = SparkEntry.queries("d49_boilerplate_scrub")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
