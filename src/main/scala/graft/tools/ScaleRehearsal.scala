@@ -44,7 +44,16 @@ object ScaleRehearsal {
       else Seq("e06_ivf_pq", "d05_ngram_jaccard", "d06_minhash_lsh", "d42_bm25",
         "d44_containment", "d07_simhash"))
       .map(_.trim).filter(_.nonEmpty)
+    // shuffle/spill on tmpfs (Bench's round-9 lesson): /tmp rides the
+    // virtio disk and adds bandwidth + multi-second variance spikes to
+    // every shuffle this instrument times
+    val localDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft-bench-local"
+      else "/tmp/graft-bench-local"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "300")
@@ -57,18 +66,21 @@ object ScaleRehearsal {
         sys.error(s"unknown query $name"))
       val times = (1 to iters).map { i =>
         val t0 = System.nanoTime()
-        // noop-sink write + a separate (untimed) count for the row tally:
-        // timing count() would let Catalyst prune the output expressions
-        // (Bench's round-2 lesson)
-        val df = build(spark, out)
-        df.write.mode("overwrite").format("noop").save()
+        // noop-sink write (timing count() would let Catalyst prune the
+        // output expressions — Bench's round-2 lesson)
+        build(spark, out).write.mode("overwrite").format("noop").save()
         val s = (System.nanoTime() - t0) / 1e9
-        val n = df.count()
-        System.err.println(f"[rehearsal] $name run $i: $s%.3f s rows=$n")
-        (s, n)
+        System.err.println(f"[rehearsal] $name run $i: $s%.3f s")
+        s
       }
-      val sorted = times.map(_._1).sorted
-      (name, sorted.head, sorted(sorted.size / 2), times.head._2)
+      // row tally ONCE, after the timed loop: an untimed count() between
+      // arms re-executes the whole query and perturbs the next timed arm
+      // (GC + shuffle residue made q59's arms bimodal, 5.8 s vs 15 s,
+      // before this moved out of the loop)
+      val n = build(spark, out).count()
+      System.err.println(s"[rehearsal] $name rows=$n")
+      val sorted = times.sorted
+      (name, sorted.head, sorted(sorted.size / 2), n)
     }
     val qjson = results.map { case (n, best, med, rows) =>
       f""""$n":{"best":$best%.3f,"median":$med%.3f,"n":$iters,"rows":$rows}"""
