@@ -73,18 +73,22 @@ object GlobalRank {
       }
     val bucket = search(0, bounds.length)
     val probes = probeSlots(p)
-    val parted = df
+    val keyed = df
       .withColumn("__bkt", bucket)
       .withColumn("__pid",
         element_at(array(probes.map(lit(_)).toIndexedSeq: _*),
           (col("__bkt") + lit(1)).cast("int")))
-      .repartition(p, col("__pid"))
-    // Bucket offsets need only per-bucket COUNTS: the aggregate rides the
-    // repartition exchange (ReusedExchange) with NO sort — the probe side
-    // below is the only consumer that sorts the data. (The previous form
-    // sorted BOTH consumers to share a monotonically_increasing_id-based
-    // local index — twice the sort work for the same ranks.)
-    val offsets = parted
+    val parted = keyed.repartition(p, col("__pid"))
+    // Bucket offsets need only per-bucket COUNTS, and counts don't care
+    // about partitioning: aggregating the PRE-repartition frame makes the
+    // offsets branch a map-side partial aggregate over the scan — it
+    // never shuffles data (its exchange carries ≤ p rows per input task)
+    // and never sorts. The probe side below is the only consumer that
+    // sorts or shuffles rows. (The previous form sorted BOTH consumers to
+    // share a monotonically_increasing_id local index — twice the sort
+    // work; the cost here is a second column-pruned scan of the input,
+    // the standard cheap side of the scan-twice-vs-sort-twice trade.)
+    val offsets = keyed
       .groupBy("__bkt", "__pid")
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
