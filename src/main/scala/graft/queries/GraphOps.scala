@@ -399,10 +399,74 @@ object GraphOps {
       |    JOIN nation sn ON sn.n_nationkey = su.s_nationkey
       |  GROUP BY 1, 2)""".stripMargin)
 
+  // --- q82: k-core decomposition of the near-dup graph ---------------------
+
+  /** Peel rounds / minimum degree. 8 rounds reach fixpoint with margin at
+    * every test SF (the spec asserts a 9th round is a no-op); beyond the
+    * fixpoint, peeling is identity, so a too-generous N costs only empty
+    * rounds and never changes the answer.
+    */
+  private val KCoreK = 2
+  private val KCoreRounds = 8
+
+  /** k-core of the d05 near-dup pairs graph: iteratively delete vertices
+    * of degree < k until fixpoint — the dense residue is the
+    * template-farm / mass-duplication structure a corpus-quality pipeline
+    * quarantines (a star of near-dups collapses, a clique survives —
+    * degree alone (d09 components) cannot tell them apart). Per round:
+    * one degree aggregate (map-side partial) + two broadcast semi-joins;
+    * the edge frame is localCheckpoint'ed per round (the iterative-loop
+    * materialization rule — and it only ever SHRINKS). The oracle unrolls
+    * the fixed rounds as chained MATERIALIZED CTEs (q47's unrolled-
+    * pipeline idiom; without MATERIALIZED each round references its
+    * predecessor three times and DuckDB's CTE inlining goes exponential).
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    var g = graft.operators.JaccardAllPairs(
+        TextOps.shingleHashesOf(t(s, dir, "documents")), 300)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+      .localCheckpoint()
+    for (_ <- 1 to KCoreRounds) {
+      val deg = g.select(col("da").as("node"))
+        .unionAll(g.select(col("db").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= KCoreK).select("node")
+      g = g
+        .join(broadcast(keep.withColumnRenamed("node", "da")), Seq("da"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("node", "db")), Seq("db"), "left_semi")
+        .localCheckpoint()
+    }
+    g.select(col("da").as("node")).unionAll(g.select(col("db").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .select(col("node").as("doc_id"), col("deg").cast(LongType).as("core_deg"))
+  }
+
+  private def q82Oracle: String = {
+    val peel = (1 to KCoreRounds).map { r =>
+      val prev = s"g${r - 1}"
+      s"""d$r AS MATERIALIZED (SELECT node, COUNT(*) deg FROM (SELECT da node FROM $prev UNION ALL SELECT db FROM $prev) GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KCoreK),
+         |g$r AS MATERIALIZED (SELECT da, db FROM $prev WHERE da IN (SELECT node FROM k$r) AND db IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS MATERIALIZED (SELECT doc_id, string_split(text,' ') ws FROM documents),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS s FROM w),
+       |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |p AS MATERIALIZED (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       |g0 AS MATERIALIZED (SELECT da, db FROM p JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+       |      WHERE (1000*inter) // (x.n + y.n - inter) >= 300),
+       |$peel
+       |SELECT node AS doc_id, CAST(deg AS BIGINT) AS core_deg FROM (
+       |  SELECT node, COUNT(*) deg
+       |  FROM (SELECT da node FROM g$KCoreRounds UNION ALL SELECT db node FROM g$KCoreRounds)
+       |  GROUP BY 1)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q47_pagerank", q47, Some(q47Oracle)),
     Q("q66_shortest_paths", q66, Some(q66Oracle)),
     Q("q75_triangle_count", q75, Some(q75Oracle)),
-    Q("q76_recursive_reachability", q76, Some(q76Oracle))
+    Q("q76_recursive_reachability", q76, Some(q76Oracle)),
+    Q("q82_kcore", q82, Some(q82Oracle))
   )
 }

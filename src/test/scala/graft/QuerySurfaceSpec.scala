@@ -1083,6 +1083,31 @@ class QuerySurfaceSpec extends SparkFunSuite {
       r.getAs[Long]("mmr_e4"))).toSeq == expect)
   }
 
+  test("q82 k-core: fixpoint reached, equals a naive driver-side peel") {
+    val rows = SparkEntry.queries("q82_kcore")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
+    // independent edge list via the d05 operator the query composes on
+    val edges = SparkEntry.queries("d05_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // naive peel to TRUE fixpoint (unbounded rounds): if the query's 8
+    // unrolled rounds didn't converge at this SF this comparison fails
+    var g = edges.toSet
+    var changed = true
+    while (changed) {
+      val deg = g.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.collect { case (n, d) if d >= 2 => n }.toSet
+      val g2 = g.filter(e => keep(e._1) && keep(e._2))
+      changed = g2 != g
+      g = g2
+    }
+    val expect = g.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows == expect)
+    assert(rows.nonEmpty, "the planted near-dup clusters should yield a 2-core")
+    assert(rows.values.forall(_ >= 2L), "a survivor below k peeled nothing")
+  }
+
   test("d49 boilerplate scrub equals a naive driver-side positional scrub") {
     val res = SparkEntry.queries("d49_boilerplate_scrub")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
