@@ -29,14 +29,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
-    // shuffle/spill dirs on tmpfs when available (round 9, same lesson
-    // as BenchPcap's corpus placement): /tmp rides the virtio disk and
-    // adds disk bandwidth + variance to every shuffle the bench times
-    val localDir =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft-bench-local"
-      else "/tmp/graft-bench-local"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
+    val localDir = graft.BenchEnv.localDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)

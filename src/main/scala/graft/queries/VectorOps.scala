@@ -529,17 +529,25 @@ object VectorOps {
       .select(col("a"), col("b"), relE4.as("sim_e4"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     var chosen = Vector.empty[Long]
-    val out = (1 to k).map { step =>
-      val best = rels.keysIterator.filterNot(chosen.contains).map { c =>
+    val out = Vector.newBuilder[(Long, Long, Long)]
+    var step = 1
+    var remaining = rels.keySet
+    // stop early when the shortlist is exhausted (k > |shortlist| on a
+    // tiny corpus) — the oracle's recursive CTE ends the same way when
+    // its LATERAL argmax returns no row
+    while (step <= k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { c =>
         val score =
           if (chosen.isEmpty) 7L * rels(c)
           else 7L * rels(c) - 3L * chosen.map(b => sims((c, b))).max
         (c, score)
       }.minBy { case (c, sc) => (-sc, c) }
       chosen :+= best._1
-      (step.toLong, best._1, best._2)
+      remaining -= best._1
+      out += ((step.toLong, best._1, best._2))
+      step += 1
     }
-    out.toDF("step", "cid", "mmr_e4")
+    out.result().toDF("step", "cid", "mmr_e4")
   }
 
   /** e14's two-ranker hybrid — see the Q entry's comment. kEach is each

@@ -44,14 +44,7 @@ object ScaleRehearsal {
       else Seq("e06_ivf_pq", "d05_ngram_jaccard", "d06_minhash_lsh", "d42_bm25",
         "d44_containment", "d07_simhash"))
       .map(_.trim).filter(_.nonEmpty)
-    // shuffle/spill on tmpfs (Bench's round-9 lesson): /tmp rides the
-    // virtio disk and adds bandwidth + multi-second variance spikes to
-    // every shuffle this instrument times
-    val localDir =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft-bench-local"
-      else "/tmp/graft-bench-local"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
+    val localDir = graft.BenchEnv.localDir()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", "32")

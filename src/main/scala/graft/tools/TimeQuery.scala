@@ -15,14 +15,7 @@ object TimeQuery {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 4
-    // shuffle/spill on tmpfs (Bench's round-9 lesson): /tmp rides the
-    // virtio disk and adds bandwidth + multi-second variance spikes to
-    // every shuffle this instrument times
-    val localDir =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft-bench-local"
-      else "/tmp/graft-bench-local"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
+    val localDir = graft.BenchEnv.localDir()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", "32")
