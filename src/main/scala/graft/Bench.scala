@@ -185,6 +185,27 @@ object Bench {
         ab("x_topk_window")(() => formulation(spark)),
         ab("x_topk_rewritten")(() => formulation(ruled)))
     }
+    // global-rank A/B: the two-phase literal-boundary GlobalRank (what
+    // q59/d33/d36/q57 ship) vs the naive unpartitioned row_number window
+    // over the same 3-key total order — the round-4 named scale-killer,
+    // measured so the partitioned ranker's constant factor stays visible
+    // round over round (at sf0.1 the one-task window can even win on wall
+    // clock; at 100 TB it is not slower, it is impossible — every row
+    // through a single task)
+    val rankAb = abGroup("rankAb") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      def src() = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+      Seq(
+        ab("x_rank_twophase")(() => graft.operators.GlobalRank.withRowNumber(
+          src(), Seq(col("cents").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc), "rk")),
+        ab("x_rank_window")(() => src().withColumn("rk", row_number().over(
+          Window.orderBy(col("cents").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)))))
+    }
     // zone-map A/B: the SAME µs-range rollup over a manifest landing with
     // per-file tsu stats (8 time-clustered batch commits), once through
     // the full manifest read, once through readPruned's file skipping —
@@ -435,8 +456,8 @@ object Bench {
         ("x_relay_late_recs", lateRecs, lateRecs),
         ("x_relay_window_recs", windowRecs, windowRecs))
     }
-    val all = results ++ asofAb ++ mergeAb ++ topkAb ++ zonemapAb ++ bloomAb ++
-      cdfAb ++ relayAb
+    val all = results ++ asofAb ++ mergeAb ++ topkAb ++ rankAb ++ zonemapAb ++
+      bloomAb ++ cdfAb ++ relayAb
     // failure sentinels are EXCLUDED from the qs/stats JSON and listed in
     // `failed` instead (ADVICE r8: a -1.0 A/B row fed bench_diff's
     // round-over-round ratios as a real timing)
