@@ -331,7 +331,8 @@ class PlanQualitySpec extends SparkFunSuite {
       "operators/GlobalRank.scala" -> 2, // 1 offsets window + 1 scaladoc mention
       "queries/TextOps.scala" -> 4,      // d36 vocab_size + tokens_cum cumsum; d40 rank over the LIMIT-2 top-df frame (+ its doc mention)
       "queries/PipelineOps.scala" -> 1,  // q56 hour-offset cumsum
-      "queries/Relational.scala" -> 1)   // q77 running min over the per-size frame (≤ |p_size domain| ≈ 50 rows)
+      "queries/Relational.scala" -> 1,   // q77 running min over the per-size frame (≤ |p_size domain| ≈ 50 rows)
+      "Bench.scala" -> 1)                // x_rank_window: the DELIBERATE anti-pattern arm of the rank A/B — it exists to be measured against GlobalRank, never shipped in a query
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val found = scala.collection.mutable.Map.empty[String, Int]
     java.nio.file.Files.walk(root).forEach { p =>
