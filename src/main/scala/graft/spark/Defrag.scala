@@ -1,7 +1,6 @@
 package graft.spark
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.PacketSchema
@@ -16,12 +15,16 @@ import graft.core.PacketSchema
   *     orders of magnitude smaller than the packet table → `broadcast(ff)`
   *     turns the enrichment join into a map-side broadcast hash join; the
   *     big table is never shuffled.
-  *   - The window that picks the first fragment runs only on the
-  *     pre-filtered fragment subset (predicate pushed to the parquet scan),
-  *     not the full table.
+  *   - First-fragment selection runs only on the pre-filtered fragment
+  *     subset (predicate pushed to the parquet scan), not the full table,
+  *     as a `min(struct(frame_time, patched…))` AGGREGATE (round 10) —
+  *     field-by-field struct ordering with nulls first picks the same row
+  *     a `frame_time`-ordered window would, but partial-combines map-side
+  *     with no per-partition sort, and its exchange is already
+  *     hash-partitioned on the join keys for the shuffle branch's reuse.
   *   - `first()` determinism: the reference relies on DuckDB scan order
-  *     (src/main.rs:292, SURVEY §4.4); we use `row_number()` ordered by
-  *     `frame_time` so results are stable across partitionings.
+  *     (src/main.rs:292, SURVEY §4.4); the min(struct) total order makes
+  *     results stable across partitionings.
   */
 object Defrag {
 

@@ -140,6 +140,7 @@ object PcapColumnarWrite {
     writer.start()
     val codecFactory = new CodecFactory(conf, props.getPageSizeThreshold)
     val compressor = codecFactory.getCompressor(codec)
+    var ok = false
     try {
       var store: ColumnChunkPageWriteStore = null
       var cws: ColumnWriteStoreV1 = null
@@ -150,14 +151,22 @@ object PcapColumnarWrite {
         cws = new ColumnWriteStoreV1(msg, store, props)
         groupRows = 0L
       }
-      def closeGroup(): Unit = if (groupRows > 0) {
-        writer.startBlock(groupRows)
-        cws.flush()
-        store.flushToFileWriter(writer)
-        writer.endBlock()
-        cws.close()
-        store.close()
-      }
+      def closeGroup(): Unit =
+        if (groupRows > 0) {
+          writer.startBlock(groupRows)
+          cws.flush()
+          store.flushToFileWriter(writer)
+          writer.endBlock()
+          cws.close()
+          store.close()
+        } else if (cws != null) {
+          // a rollover that lands exactly on the last batch leaves a
+          // freshly opened EMPTY group: no block to write, but the
+          // store's page buffers still need releasing (review finding —
+          // a per-task allocator leak otherwise)
+          cws.close()
+          store.close()
+        }
       openGroup()
       val descs = msg.getColumns
       while (it.hasNext) {
@@ -234,9 +243,21 @@ object PcapColumnarWrite {
         }
       }
       closeGroup()
+      // footer ONLY on success: ending the file in a finally block would
+      // stamp a valid footer over whatever groups survived a mid-write
+      // failure — a silently short file any *.parquet glob reads as good
+      // data (review finding); a footer-write failure would additionally
+      // mask the root cause
+      writer.end(new java.util.HashMap[String, String]())
+      ok = true
     } finally {
       codecFactory.release()
-      writer.end(new java.util.HashMap[String, String]())
+      if (!ok) {
+        // leave no readable-looking truncated parquet behind; swallow
+        // secondary errors so the ORIGINAL exception propagates
+        try { file.getFileSystem(conf).delete(file, false); () }
+        catch { case _: Throwable => () }
+      }
     }
   }
 }

@@ -31,9 +31,10 @@ object PcapConvert {
       rowPath: Boolean = false,
       /** Force the standard FileFormatWriter instead of the round-10
         * vector-direct parquet writer ([[PcapColumnarWrite]]). The
-        * vector writer engages automatically only when the plan under
-        * the write is still columnar (nodefrag / defrag-skip shapes)
-        * and the output is multi-file. */
+        * vector writer engages automatically whenever the plan under
+        * the write is still columnar (nodefrag / defrag-skip shapes) —
+        * single-file output rides it too via an RDD-level coalesce
+        * (batches stay columnar into one task). */
       rowWrite: Boolean = false,
       /** Parquet codec for the output. Default zstd: measured on the 10M
         * packet corpus (graft.tools.BenchCodec, interleaved rounds — a

@@ -1286,7 +1286,14 @@ object ManifestLand {
     val parsed = parseRelayMarker(deltaDir)
     val (marker, stateName) = parsed match {
       case Some((v, s, _)) => (v, Some(s))
-      case None => (-1L, Option.empty[String])
+      case None =>
+        // no marker is legitimate ONLY for a fresh dir (first pass
+        // bootstraps from snapshot). A markerless dir that already holds
+        // PUBLISHED change files means the marker was lost — bootstrapping
+        // again would re-emit the snapshot as inserts on top of history a
+        // checkpointed consumer has already folded (double-count forever).
+        requireNoOrphanChangeFiles(deltaDir, "changeFeedRelay")
+        (-1L, Option.empty[String])
     }
     // PUBLICATION PROTOCOL: every change file is staged HIDDEN (a `.`
     // prefix Spark readers ignore) and becomes consumer-visible by an
@@ -1576,6 +1583,23 @@ object ManifestLand {
     * loses them. The one parser shared by the relay and the compaction
     * guard, so the two can never disagree on validity.
     */
+  /** Refuse when `deltaDir` holds PUBLISHED change files (`cf*`) without
+    * a `_cf_applied` marker: the marker was lost, and any path that would
+    * treat the dir as fresh (relay re-bootstrap) or mutate the landing
+    * on top of it would double-count for checkpointed consumers. A fresh
+    * attach (no marker, no files) passes.
+    */
+  private def requireNoOrphanChangeFiles(deltaDir: String, ctx: String): Unit = {
+    val leftover = Option(new java.io.File(deltaDir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("cf"))
+    require(leftover.isEmpty,
+      s"$ctx: $deltaDir holds ${leftover.length} published change files " +
+        "but no _cf_applied marker — the relay marker was lost " +
+        "(re-bootstrapping would double-count for checkpointed " +
+        "consumers); restore _cf_applied, or start consumers over on a " +
+        "fresh log dir via relayGenerationSwap")
+  }
+
   private def parseRelayMarker(deltaDir: String): Option[(Long, String, Seq[String])] = {
     val f = new java.io.File(deltaDir, "_cf_applied")
     if (!f.exists()) None
@@ -1819,7 +1843,13 @@ object ManifestLand {
       val attachF = new java.io.File(dir, RelayAttachFile)
       if (attachF.exists()) {
         val deltaDir = new String(Files.readAllBytes(attachF.toPath), "UTF-8")
-        parseRelayMarker(deltaDir).filter(_._1 == m.applied).foreach {
+        val parsed = parseRelayMarker(deltaDir) // throws on corrupt text
+        // a MISSING marker over published change files is lost relay
+        // state — surface it on the first maintenance verb instead of
+        // letting the mutation land and the next relay double-count
+        // (round-10 review finding; a fresh attach still passes)
+        if (parsed.isEmpty) requireNoOrphanChangeFiles(deltaDir, s"ManifestLand.$what")
+        parsed.filter(_._1 == m.applied).foreach {
           case (_, state, _) =>
             require(readAccountedUpd(deltaDir, state).isDefined,
               s"ManifestLand.$what: the relay's accounted state for $dir " +
@@ -1887,6 +1917,19 @@ object ManifestLand {
       restrict: DataFrame => DataFrame): Long = {
     val m = readManifest(dir)
     require(m.applied >= 0L, s"ManifestLand.$what on an uncommitted landing: $dir")
+    // a MISSING relay marker over published change files is lost relay
+    // state: the relay itself refuses to advance, so refusing the delete
+    // too stops maintenance verbs from piling tombstone evidence onto a
+    // log no pass can legally account (round-10 review finding; normal
+    // relay lag and fresh attaches pass untouched)
+    locally {
+      val attachF = new java.io.File(dir, RelayAttachFile)
+      if (attachF.exists()) {
+        val deltaDir = new String(Files.readAllBytes(attachF.toPath), "UTF-8")
+        if (parseRelayMarker(deltaDir).isEmpty)
+          requireNoOrphanChangeFiles(deltaDir, s"ManifestLand.$what")
+      }
+    }
     if (m.files.isEmpty) return 0L
     val existing: DataFrame = tombFrame(spark, dir, m)
     // positions of the matching rows in the CURRENT merge-on-read view:

@@ -94,9 +94,10 @@ object ScaleRehearsal {
     val manifest = new java.io.File(dir, "MANIFEST")
     // v2 (round 10): lineitem joined the scaled set (q59's exact global
     // rank is SF-sensitive since the de-checkpoint — its 10× sample needs
-    // a 10× fact table, not a symlink); the version bump regenerates any
-    // corpus built with the symlinked layout
-    val want = s"src=$src\nfactor=$factor\nv=2\n"
+    // a 10× fact table, not a symlink). v3: orders scales with the SAME
+    // key offsets (the v2 layout left 90% of lineitem's FKs dangling for
+    // join-shaped rehearsals); each bump regenerates stale corpora
+    val want = s"src=$src\nfactor=$factor\nv=3\n"
     val have =
       if (manifest.exists())
         new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
@@ -129,20 +130,30 @@ object ScaleRehearsal {
         col("embedding"), col("label")))
       .reduce(_ unionByName _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // lineitem scales by key-offset copies (values repeat verbatim —
-    // exactly what a bigger fact table of the same generator looks like
-    // to a rank/histogram; l_orderkey offsets keep the full sort keys
-    // distinct)
+    // lineitem AND orders scale by key-offset copies sharing ONE offset
+    // base (values repeat verbatim — exactly what a bigger fact table of
+    // the same generator looks like to a rank/histogram; the shared
+    // o_orderkey/l_orderkey offsets keep the FK intact, so join-shaped
+    // rehearsals see a real 10× join, not 90% dangling keys — round-10
+    // review finding; customer/supplier FKs stay valid because those
+    // dims are symlinked at 1× and the copies keep their values)
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val maxOk = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val maxOk = math.max(
+      li.agg(max("l_orderkey")).head().getLong(0),
+      ord.agg(max("o_orderkey")).head().getLong(0)) + 1
     (0 until factor).map(i => li.withColumn("l_orderkey",
         col("l_orderkey") + lit(i * maxOk)))
       .reduce(_ unionByName _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    (0 until factor).map(i => ord.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * maxOk)))
+      .reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     // remaining tables: symlink to the source scale (TempCleanup.rmrf
     // never follows directory symlinks)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "events")) {
+        "events")) {
       val link = java.nio.file.Paths.get(out, s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,

@@ -1789,4 +1789,47 @@ class ManifestLandSpec extends SparkFunSuite {
       }
     }
   }
+
+  test("a lost relay marker over published change files refuses everywhere") {
+    // round-10 review finding: deleting _cf_applied while cf* files stand
+    // used to make the next relay re-bootstrap (double-count for
+    // checkpointed consumers) and let maintenance verbs mutate the
+    // landing silently. Both paths must refuse; a FRESH attach (no
+    // marker, no files) must keep working.
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_lostmk").toString + "/landing"
+    val deltaDir = Files.createTempDirectory("graft_mland_lostmk_log").toString
+    new java.io.File(out).mkdirs()
+    (0 until 2).foreach { v =>
+      ManifestLand.applyBatch(
+        spark.range(v * 10L, (v + 1) * 10L)
+          .select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+        v.toLong, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+        rangeParts = 1, trackChanges = true)
+    }
+    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
+    // simulate the loss
+    assert(new java.io.File(deltaDir, "_cf_applied").delete())
+    val exR = intercept[IllegalArgumentException] {
+      ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
+    }
+    assert(exR.getMessage.contains("no _cf_applied marker"), exR.getMessage)
+    val exU = intercept[IllegalArgumentException] {
+      ManifestLand.updateWhere(spark, out, col("k") === 3L, Seq("x" -> lit(0L)))
+    }
+    assert(exU.getMessage.contains("no _cf_applied marker"), exU.getMessage)
+    val exD = intercept[IllegalArgumentException] {
+      ManifestLand.deleteWhere(spark, out, col("k") === 3L)
+    }
+    assert(exD.getMessage.contains("no _cf_applied marker"), exD.getMessage)
+    // a FRESH attach still bootstraps: new landing, empty delta dir
+    val out2 = Files.createTempDirectory("graft_mland_lostmk2").toString + "/landing"
+    val delta2 = Files.createTempDirectory("graft_mland_lostmk2_log").toString
+    new java.io.File(out2).mkdirs()
+    ManifestLand.applyBatch(Seq((1L, 5L)).toDF("k", "x"), 0L, out2,
+      statsCols = Seq(ManifestLand.CommitVersionCol), rangeParts = 1,
+      trackChanges = true)
+    assert(ManifestLand.changeFeedRelay(spark, out2, delta2, Seq("k")) == 0L)
+  }
 }
