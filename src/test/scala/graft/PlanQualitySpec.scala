@@ -296,6 +296,17 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("q56: sweep deltas are recomputed, never materialized (no ExistingRDD)") {
+    // round-11 (verdict task 1): the deltas frame used to be
+    // localCheckpoint()ed — corpus-proportional executor storage at
+    // 100×. Now both consumers (per-hour cumsum + hour-totals offsets)
+    // recompute the deterministic derivation; the sessionization
+    // shuffles dedupe via exchange reuse. Same pin as q59's.
+    val p = plan(SparkEntry.queries("q56_peak_concurrency")(spark, sf))
+    assert(!p.contains("ExistingRDD"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
   test("q58: top-k-per-group is a partial object aggregate, not a window sort") {
     // the TopKAgg scale contract: map-side partial trims to k per group
     // before the exchange — the plan must show the two-stage
