@@ -113,11 +113,23 @@ object BenchPcap {
         file = s"$dir/*.pcap", out = s"$dir/out.parquet", singleFile = false,
         cache = Some(false), rowPath = true)))._1
     }.min
+    // write-path A/B on the DEFRAG-JOIN shape (round-11 verdict #2): the
+    // DDoS mix is ~30% fragmented, so the full convert above runs the
+    // defrag join, whose row-shaped output now re-batches through
+    // RowToColumnarExec into the vector-direct parquet writer. This arm
+    // forces the standard FileFormatWriter on the same input — keeps the
+    // rebatch+vector win (or a regression) visible round over round.
+    val tFullRowWrite = (1 to 2).map { _ =>
+      time(graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
+        file = s"$dir/*.pcap", out = s"$dir/out.parquet", singleFile = false,
+        cache = None, rowWrite = true)))._1
+    }.min
     val parseRate = (total / tParse).toLong
     val fullRate = (total / tFull).toLong
     val cachedRate = (total / tCached).toLong
     val replanRate = (total / tReplan).toLong
     val rowPathRate = (total / tRowPath).toLong
+    val fullRowWriteRate = (total / tFullRowWrite).toLong
     // TCP-dominant corpus (round-7 outlook: the DDoS mix is DNS/NTP
     // heavy): ~80% TCP across the full flag cycle, <1% fragmented so the
     // adaptive defrag takes its skip branch — this number isolates
@@ -172,12 +184,13 @@ object BenchPcap {
         f"full convert $tFull%.2f s ($fullRate pkt/s), " +
         f"cached $tCached%.2f s ($cachedRate pkt/s), " +
         f"replan $tReplan%.2f s ($replanRate pkt/s), " +
-        f"rowpath $tRowPath%.2f s ($rowPathRate pkt/s); " +
+        f"rowpath $tRowPath%.2f s ($rowPathRate pkt/s), " +
+        f"row-write $tFullRowWrite%.2f s ($fullRowWriteRate pkt/s); " +
         f"tcp-mix $nTcp packets: $tTcpFull%.2f s ($tcpRate pkt/s) " +
         f"vs row-write $tTcpRowWrite%.2f s ($tcpRowWriteRate pkt/s); " +
         f"DNS slice columnar $tSliceCol%.2f s ($sliceColRate pkt/s) " +
         f"vs rowpath $tSliceRow%.2f s ($sliceRowRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate}""")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"full_rowwrite_pkt_per_s":$fullRowWriteRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate}""")
     spark.stop()
   }
 }

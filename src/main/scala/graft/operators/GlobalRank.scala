@@ -45,7 +45,14 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * Contract: `order` must be a total order (append a unique tiebreak key)
   * over NON-NULL keys — a null key would compare into bucket 0 regardless
-  * of sort direction. Local ranks are a BIGINT running count, so buckets
+  * of sort direction. The INPUT FRAME must be deterministic under
+  * recompute: the offsets branch aggregates the pre-repartition plan
+  * while the probe branch consumes the repartitioned one, so the two
+  * consumers do not share an exchange — an upstream `sample`, `limit`,
+  * `rand()` or other nondeterministic source would silently desync
+  * per-bucket counts from local ranks and corrupt global ranks instead
+  * of failing (all current callers are parquet/aggregate-fed, which is
+  * deterministic). Local ranks are a BIGINT running count, so buckets
   * carry no 2³¹ row_number cap; size `numPartitions` to what a single
   * task's sort can hold.
   */

@@ -416,12 +416,17 @@ object VectorOps {
     // RRF (Cormack et al., SIGIR 2009): combine rankers in RANK space,
     // score = Σ 1/(60 + rank) — no score calibration between heterogeneous
     // rankers needed, which is why it's the standard fusion for hybrid
-    // retrieval in RAG/training-data pipelines. The corpus is the ids that
-    // exist in BOTH modalities (documents ⋉ embeddings — at sf0.1 that's
-    // the 2000 embedded docs out of 5000); ranker A is e01's dense cosine
-    // over the embedding, ranker B a lexical distinct-token Jaccard over
-    // the text — genuinely independent signals, fused per query into one
-    // top-k. Each ranker is a broadcast-queries × corpus linear scan (the
+    // retrieval in RAG/training-data pipelines. Ranker A is e01's dense
+    // cosine over ALL embeddings; ranker B a lexical distinct-token
+    // Jaccard whose corpus is restricted to the intersection
+    // (documents ⋉ embeddings — at sf0.1 the 2000 embedded docs out of
+    // 5000). Only the LEXICAL arm is intersection-restricted; the dense
+    // arm deliberately ranks every embedding (an embedding without a
+    // text row can still be retrieved by vector similarity — RRF then
+    // fuses whatever each arm can rank; in the fixtures embedding ids
+    // happen to be a subset of document ids, so the arms coincide). The
+    // two rankers are genuinely independent signals, fused per query
+    // into one top-k. Each ranker is a broadcast-queries × corpus linear scan (the
     // corpus is never shuffled); the fusion groupBy sees only ≤2·kEach
     // rows per query. Cross-engine exactness: the RRF contribution is
     // integer floor-division (1e9 div (60+rank)), the Jaccard is

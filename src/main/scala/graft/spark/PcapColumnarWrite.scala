@@ -31,12 +31,28 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * Timestamps are written as INT64 TIMESTAMP(MICROS, UTC-adjusted)
   * rather than Spark's legacy INT96 — every reader in the gate (Spark,
   * DuckDB) reads both as the same µs instant, and the µs long is what
-  * the vector already holds. Used only when the plan below the write is
-  * still columnar (the nodefrag / defrag-skip convert shapes); anything
-  * row-shaped (the defrag join's output) keeps the standard writer.
+  * the vector already holds.
   *
-  * Not a general-purpose committer: files are written in place and the
-  * job is not speculative-safe. The convert CLI is a single-attempt
+  * Plan shapes (round 11): when the plan below the write is still
+  * columnar (the nodefrag / defrag-skip convert shapes) the vectors
+  * feed straight through. A row-shaped plan (the defrag join's output —
+  * the reference's own 90%-fragmented headline workload) REFUSES by
+  * default, but with `rebatch = true` it is wrapped in Spark's
+  * [[org.apache.spark.sql.execution.RowToColumnarExec]]: rows transpose
+  * into fresh ColumnVectors once (cheap primitive-array appends), and
+  * the write still skips ColumnarToRow + per-row record assembly
+  * (ParquetWriteSupport's RecordConsumer walk) — measured faster than
+  * the standard writer on the defrag-join shape (BenchPcap's
+  * full-convert write A/B).
+  *
+  * Commit protocol: each task writes a dot-prefixed temp file (readers
+  * and `*.parquet` globs skip dot-files) and renames it into place only
+  * after the footer is written; on failure the stream is closed and
+  * only the temp file is deleted — a late-failing zombie attempt can
+  * never clobber a concurrent successful attempt's finished file, and
+  * a rename that loses the race to an identical speculative twin
+  * quietly drops its own temp. Still not a general-purpose committer
+  * (no job-level commit protocol); the convert CLI is a single-attempt
   * local batch job, which is exactly the contract the reference's own
   * writer has (pcap-converter writes local files, main.rs:22-43).
   */
@@ -85,7 +101,10 @@ object PcapColumnarWrite {
 
   /** Write `df` as parquet at `out` through the vector path; false when
     * the plan is not columnar end-to-end (caller falls back to the
-    * standard writer). Row-group target mirrors Spark's 128 MiB.
+    * standard writer) — unless `rebatch` is set, which re-batches a
+    * row-shaped plan's output through [[RowToColumnarExec]] so the
+    * defrag-join shape rides the vector write too (see class doc).
+    * Row-group target mirrors Spark's 128 MiB.
     * `singleFile` funnels every batch through ONE task via an RDD-level
     * coalesce — no shuffle, batches stay columnar — so the CLI's default
     * single-file output rides the vector path too (a DataFrame-level
@@ -93,9 +112,13 @@ object PcapColumnarWrite {
     */
   def write(df: DataFrame, out: String, compression: String,
       rowGroupBytes: Long = 128L * 1024 * 1024,
-      singleFile: Boolean = false): Boolean = {
+      singleFile: Boolean = false,
+      rebatch: Boolean = false): Boolean = {
     val plan = columnarChild(df) match {
       case Some(p) => p
+      case None if rebatch =>
+        org.apache.spark.sql.execution.RowToColumnarExec(
+          df.queryExecution.executedPlan)
       case None => return false
     }
     val schema = df.schema
@@ -135,13 +158,21 @@ object PcapColumnarWrite {
       rowGroupBytes: Long): Unit = {
     val msg = messageType(schema)
     val props = ParquetProperties.builder().build()
-    val writer = new ParquetFileWriter(conf, msg, file,
+    val fs = file.getFileSystem(conf)
+    // temp+rename commit: the dot prefix hides the in-progress file from
+    // parquet globs and the task-attempt id keeps a zombie/speculative
+    // twin's temp from colliding with a live attempt's
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(0L)
+    val tmp = new Path(file.getParent, s".${file.getName}.a$attempt.inprogress")
+    val writer = new ParquetFileWriter(conf, msg, tmp,
       ParquetFileWriter.Mode.OVERWRITE)
-    writer.start()
-    val codecFactory = new CodecFactory(conf, props.getPageSizeThreshold)
-    val compressor = codecFactory.getCompressor(codec)
+    var codecFactory: CodecFactory = null
     var ok = false
     try {
+      writer.start()
+      codecFactory = new CodecFactory(conf, props.getPageSizeThreshold)
+      val compressor = codecFactory.getCompressor(codec)
       var store: ColumnChunkPageWriteStore = null
       var cws: ColumnWriteStoreV1 = null
       var groupRows = 0L
@@ -251,12 +282,26 @@ object PcapColumnarWrite {
       writer.end(new java.util.HashMap[String, String]())
       ok = true
     } finally {
-      codecFactory.release()
+      if (codecFactory != null) codecFactory.release()
       if (!ok) {
-        // leave no readable-looking truncated parquet behind; swallow
-        // secondary errors so the ORIGINAL exception propagates
-        try { file.getFileSystem(conf).delete(file, false); () }
-        catch { case _: Throwable => () }
+        // close the underlying output stream (end() never ran), then
+        // delete ONLY the temp file — never anything at the final name;
+        // swallow secondary errors so the ORIGINAL exception propagates
+        try writer.close() catch { case _: Throwable => () }
+        try { fs.delete(tmp, false); () } catch { case _: Throwable => () }
+      }
+    }
+    // commit: reached only on success (an exception above propagates
+    // past this point after the finally's temp cleanup)
+    if (!fs.rename(tmp, file)) {
+      if (fs.exists(file)) {
+        // lost the race to a concurrent successful attempt of the same
+        // partition — its bytes are identical; drop ours
+        try { fs.delete(tmp, false); () } catch { case _: Throwable => () }
+      } else {
+        try { fs.delete(tmp, false); () } catch { case _: Throwable => () }
+        throw new java.io.IOException(
+          s"PcapColumnarWrite: commit rename $tmp -> $file failed")
       }
     }
   }

@@ -31,10 +31,11 @@ object PcapConvert {
       rowPath: Boolean = false,
       /** Force the standard FileFormatWriter instead of the round-10
         * vector-direct parquet writer ([[PcapColumnarWrite]]). The
-        * vector writer engages automatically whenever the plan under
-        * the write is still columnar (nodefrag / defrag-skip shapes) —
-        * single-file output rides it too via an RDD-level coalesce
-        * (batches stay columnar into one task). */
+        * vector writer engages on every convert shape: columnar plans
+        * (nodefrag / defrag-skip) feed vectors straight through, and
+        * row-shaped defrag-join plans re-batch via RowToColumnarExec
+        * (round 11) — single-file output rides it too via an RDD-level
+        * coalesce (batches stay columnar into one task). */
       rowWrite: Boolean = false,
       /** Parquet codec for the output. Default zstd: measured on the 10M
         * packet corpus (graft.tools.BenchCodec, interleaved rounds — a
@@ -154,15 +155,18 @@ object PcapConvert {
       val out =
         if (a.nodefrag) pcap
         else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
-      // round-10 vector-direct write: when the plan under the write is
-      // still columnar (nodefrag, or the adaptive defrag-skip branch),
+      // round-10/11 vector-direct write: when the plan under the write
+      // is still columnar (nodefrag, or the adaptive defrag-skip branch),
       // the batch vectors go straight into parquet-mr's column writers —
-      // no ColumnarToRow, no per-row record assembly. Single-file output
-      // coalesces at the RDD level (batches stay columnar). Returns
-      // false on row-shaped plans (the defrag join) → standard writer.
+      // no ColumnarToRow, no per-row record assembly. Row-shaped plans
+      // (the defrag join — the reference's own 90%-fragmented headline
+      // workload) re-batch through RowToColumnarExec and take the same
+      // vector write (round 11; BenchPcap's write A/B tracks the win).
+      // Single-file output coalesces at the RDD level (batches stay
+      // columnar). `--row-write` restores the standard FileFormatWriter.
       val vecWritten = !a.rowWrite &&
         PcapColumnarWrite.write(out, a.out, a.compression,
-          singleFile = a.singleFile)
+          singleFile = a.singleFile, rebatch = true)
       if (!vecWritten)
         PcapSource.write(out, a.out, a.singleFile, a.compression)
     } finally {

@@ -1548,7 +1548,7 @@ object ManifestLand {
       newDeltaDir: String, keyCols: Seq[String]): Long = {
     val d = new java.io.File(newDeltaDir)
     val visible = Option(d.listFiles()).getOrElse(Array.empty)
-      .exists(f => f.getName.startsWith("cf") && f.getName.endsWith(".parquet"))
+      .exists(f => isPublishedChangeFile(f.getName))
     require(parseRelayMarker(newDeltaDir).isDefined || !visible,
       s"relayGenerationSwap: $newDeltaDir holds change files but no relay " +
         "marker — it is not a fresh generation dir (and not a crashed " +
@@ -1575,23 +1575,26 @@ object ManifestLand {
       snapshotBootstrap = true)
   }
 
-  /** Strict parse of the relay marker `_cf_applied`:
-    * `<version>\t<state>[\t<comma-joined committed file names>]` — the
-    * third field is what the flip published, consumed by the promotion
-    * recovery. None = nothing relayed yet; anything malformed THROWS —
-    * guessing a missing accounted state either double-emits deletes or
-    * loses them. The one parser shared by the relay and the compaction
-    * guard, so the two can never disagree on validity.
-    */
-  /** Refuse when `deltaDir` holds PUBLISHED change files (`cf*`) without
-    * a `_cf_applied` marker: the marker was lost, and any path that would
-    * treat the dir as fresh (relay re-bootstrap) or mutate the landing
-    * on top of it would double-count for checkpointed consumers. A fresh
-    * attach (no marker, no files) passes.
+  /** The ONE definition of "published change file" — a committed
+    * `cf*.parquet` part a checkpointed consumer may already have read.
+    * Shared by the generation-swap freshness guard and the lost-marker
+    * orphan check so the two can never disagree on what counts as
+    * published (a stray `cf`-prefixed non-parquet file must not brick
+    * the relay with the lost-marker message). Staged-but-uncommitted
+    * relay output never matches: staging writes under dot-prefixed
+    * temp names until the marker flip. */
+  private def isPublishedChangeFile(name: String): Boolean =
+    name.startsWith("cf") && name.endsWith(".parquet")
+
+  /** Refuse when `deltaDir` holds PUBLISHED change files (`cf*.parquet`)
+    * without a `_cf_applied` marker: the marker was lost, and any path
+    * that would treat the dir as fresh (relay re-bootstrap) or mutate the
+    * landing on top of it would double-count for checkpointed consumers.
+    * A fresh attach (no marker, no files) passes.
     */
   private def requireNoOrphanChangeFiles(deltaDir: String, ctx: String): Unit = {
     val leftover = Option(new java.io.File(deltaDir).listFiles())
-      .getOrElse(Array.empty).filter(_.getName.startsWith("cf"))
+      .getOrElse(Array.empty).filter(f => isPublishedChangeFile(f.getName))
     require(leftover.isEmpty,
       s"$ctx: $deltaDir holds ${leftover.length} published change files " +
         "but no _cf_applied marker — the relay marker was lost " +
@@ -1600,6 +1603,14 @@ object ManifestLand {
         "fresh log dir via relayGenerationSwap")
   }
 
+  /** Strict parse of the relay marker `_cf_applied`:
+    * `<version>\t<state>[\t<comma-joined committed file names>]` — the
+    * third field is what the flip published, consumed by the promotion
+    * recovery. None = nothing relayed yet; anything malformed THROWS —
+    * guessing a missing accounted state either double-emits deletes or
+    * loses them. The one parser shared by the relay and the compaction
+    * guard, so the two can never disagree on validity.
+    */
   private def parseRelayMarker(deltaDir: String): Option[(Long, String, Seq[String])] = {
     val f = new java.io.File(deltaDir, "_cf_applied")
     if (!f.exists()) None
@@ -1666,11 +1677,13 @@ object ManifestLand {
     * identical but semantically opposite (legacy u-files predate the
     * attach and were covered by the bootstrap; lost ones may hide
     * accounted postimages), so the relay's late pass REFUSES on
-    * None-with-u-files instead of guessing, [[updateImpl]] refuses to
-    * ADD u-files while the list is missing, and the only silent
-    * recoveries are the unambiguous ones: no u-files at all (step 3
-    * writes the list fresh) or an unchanged state name (in-place
-    * restore of the current list). */
+    * None-with-u-files instead of guessing, and the only silent
+    * recoveries are the unambiguous ones: no u-files at all (the
+    * accounted set is trivially empty) or a canonical state name (the
+    * name hashes the u-file set, so the current list was accounted and
+    * merely lost). The relay's step 3 runs both kernels, and since
+    * round 11 [[updateImpl]] runs the same two in place before adding
+    * u-files — it refuses only the ambiguous remainder. */
   private def readAccountedUpd(deltaDir: String, state: String): Option[Set[String]] = {
     val f = new java.io.File(new java.io.File(deltaDir, state), "_accounted_upd")
     if (!f.exists()) None
@@ -1835,10 +1848,22 @@ object ManifestLand {
     //    rung: positionally on the DV-delta rung, and via the in-window
     //    re-commit flag on the two-snapshot rung, exact even across a
     //    compaction inside the window.
-    // The one refusal kept: on the SYNCED version, a legacy accounted
-    // state (no `_accounted_upd` list) cannot tell this verb's new
-    // u-files from pre-attach ones and would wedge the next relay pass
-    // in its ambiguity refusal; one relay pass upgrades it in place.
+    // Missing `_accounted_upd` on the SYNCED version's state (round 11:
+    // the refusal is now scoped to the genuinely ambiguous shape): this
+    // verb's new u-files must read as un-relayed on the next relay
+    // pass, so the accounted list must exist BEFORE they land. The two
+    // unambiguous cases self-upgrade in place — the same recovery
+    // kernels the relay's step 3 runs, atomicReplace, no crash window:
+    //   - state name == the canonical round-9 name: the name itself
+    //     hashes the current u-file set, so the list was accounted and
+    //     merely lost — restore the CURRENT list;
+    //   - no u-files on the synced version at all (the common legacy
+    //     pre-round-9 landing): the accounted set is trivially empty —
+    //     stamp an empty list.
+    // Only the ambiguous remainder still refuses: a non-canonical state
+    // name WITH u-files present cannot tell accounted postimages from
+    // un-relayed ones (the relay's own ambiguity refusal; guessing
+    // either way silently loses or double-emits rows).
     locally {
       val attachF = new java.io.File(dir, RelayAttachFile)
       if (attachF.exists()) {
@@ -1851,11 +1876,24 @@ object ManifestLand {
         if (parsed.isEmpty) requireNoOrphanChangeFiles(deltaDir, s"ManifestLand.$what")
         parsed.filter(_._1 == m.applied).foreach {
           case (_, state, _) =>
-            require(readAccountedUpd(deltaDir, state).isDefined,
-              s"ManifestLand.$what: the relay's accounted state for $dir " +
-                s"predates update accounting (no _accounted_upd in $state) " +
-                s"— run changeFeedRelay($deltaDir) once to upgrade it, " +
-                s"then retry")
+            if (readAccountedUpd(deltaDir, state).isEmpty) {
+              val upd = updateFiles(m)
+              val canonical = cfStateName(m.applied, m.dvs, upd)
+              if (state == canonical || upd.isEmpty)
+                ParquetLand.atomicReplace(
+                  new java.io.File(new java.io.File(deltaDir, state),
+                    "_accounted_upd"),
+                  upd.sorted.mkString("\n").getBytes("UTF-8"))
+              else throw new IllegalStateException(
+                s"ManifestLand.$what: the relay's accounted state $state " +
+                  s"for $dir has no _accounted_upd and the synced version " +
+                  s"${m.applied} carries update-rewrite files " +
+                  s"(${upd.mkString(", ")}) — cannot tell accounted " +
+                  "postimages from un-relayed ones. If every u-file " +
+                  "predates the relay attach, acknowledge by writing " +
+                  "their names to that state dir's _accounted_upd; " +
+                  "otherwise rebuild the log from a fresh delta dir")
+            }
         }
       }
     }

@@ -1150,14 +1150,16 @@ class ManifestLandSpec extends SparkFunSuite {
       exForeign.getMessage)
   }
 
-  test("updateWhere lands in an un-relayed window exactly; legacy accounted state refuses") {
+  test("updateWhere lands in an un-relayed window exactly; missing accounted list self-upgrades") {
     // Round 10: an update INSIDE an un-relayed window no longer refuses —
     // the window itself relays it exactly (postimage as the in-window
     // insert, removed positions as update_preimage on every delete
-    // rung), so the round-9 relay-lag refusal is lifted. The one refusal
-    // kept: a pre-round-9 state dir (no _accounted_upd) cannot tell new
-    // u-files from pre-attach ones when the update lands on the SYNCED
-    // version — that still refuses loudly and one relay pass upgrades it.
+    // rung), so the round-9 relay-lag refusal is lifted. Round 11: a
+    // missing _accounted_upd on the synced version no longer refuses in
+    // the two unambiguous shapes (canonical state name = list merely
+    // lost; no u-files = trivially empty list) — the verb runs the
+    // relay's own recovery kernel in place and proceeds. Only the
+    // ambiguous remainder (non-canonical name WITH u-files) refuses.
     val spark = this.spark
     import spark.implicits._
     val out = Files.createTempDirectory("graft_mland_updguard").toString + "/landing"
@@ -1197,22 +1199,19 @@ class ManifestLandSpec extends SparkFunSuite {
       col("k") === 3L && col("x") === 303L).count() == 1L,
       "windowed update's postimage must ride the insert side")
     assert(foldLog() == live() && live().contains((3L, 303L)))
-    // legacy / damaged accounted state: strip _accounted_upd from the
-    // live state dir — the verb refuses with the upgrade advice, one
-    // relay pass restores the list IN PLACE (same state name), retry ok
+    // lost accounted list on the LIVE state (canonical name — the name
+    // itself hashes the u-file set, so the list was accounted and merely
+    // lost): since round 11 the verb SELF-RESTORES the list in place —
+    // the relay's step-3 kernel — and proceeds; no manual relay pass
     val mState = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(deltaDir, "_cf_applied")), "UTF-8")
       .trim.split("\t", -1)(1)
     val accF = new java.io.File(new java.io.File(deltaDir, mState), "_accounted_upd")
     assert(accF.exists() && accF.delete())
-    val exLegacy = intercept[IllegalArgumentException] {
-      ManifestLand.updateWhere(spark, out, col("k") === 4L, Seq("x" -> lit(404L)))
-    }
-    assert(exLegacy.getMessage.contains("_accounted_upd"), exLegacy.getMessage)
-    assert(ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k")) == 1L)
-    assert(accF.exists(), "relay pass must restore the accounted-update list")
     assert(ManifestLand.updateWhere(spark, out, col("k") === 4L,
       Seq("x" -> lit(404L))) == 1L)
+    assert(accF.exists(),
+      "updateWhere must restore the lost accounted-update list in place")
     ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
     assert(foldLog() == live() && live().contains((4L, 404L)))
     // AMBIGUOUS LOSS: the list vanishes after updates WERE accounted and
@@ -1235,6 +1234,51 @@ class ManifestLandSpec extends SparkFunSuite {
     java.nio.file.Files.write(accF2.toPath, savedList)
     ManifestLand.changeFeedRelay(spark, out, deltaDir, Seq("k"))
     assert(foldLog() == live() && !live().exists(_._1 == 6L))
+    // GENUINELY LEGACY shape (the pre-round-9 landing the round-10
+    // verdict called cosmetic): non-canonical state NAME with NO u-files
+    // on the synced version — simulated by renaming the state dir and
+    // re-pointing the marker. updateWhere stamps the trivially-empty
+    // list itself and proceeds; the next relay pass emits the update as
+    // late postimage/preimage and the fold stays exact.
+    val out4 = Files.createTempDirectory("graft_mland_updlegacy").toString + "/landing"
+    val log4 = Files.createTempDirectory("graft_mland_updlegacy_log").toString
+    new java.io.File(out4).mkdirs()
+    ManifestLand.commitBatch(
+      spark.range(0L, 10L).select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+      0L, out4, statsCols = Seq(ManifestLand.CommitVersionCol),
+      rangeParts = 1, trackChanges = true)
+    ManifestLand.changeFeedRelay(spark, out4, log4, Seq("k"))
+    val marker4 = java.nio.file.Paths.get(log4, "_cf_applied")
+    val fields = new String(java.nio.file.Files.readAllBytes(marker4), "UTF-8")
+      .trim.split("\t", -1)
+    val legacyName = "_cf_state_legacy00"
+    assert(new java.io.File(log4, fields(1)).renameTo(
+      new java.io.File(log4, legacyName)))
+    // a legacy state carries no accounted-update list at all
+    val legacyAcc = new java.io.File(new java.io.File(log4, legacyName),
+      "_accounted_upd")
+    if (legacyAcc.exists()) assert(legacyAcc.delete())
+    java.nio.file.Files.write(marker4,
+      (fields.updated(1, legacyName)).mkString("\t").getBytes("UTF-8"))
+    assert(ManifestLand.updateWhere(spark, out4, col("k") === 2L,
+      Seq("x" -> lit(222L))) == 1L)
+    assert(legacyAcc.exists() && java.nio.file.Files.readAllBytes(
+      legacyAcc.toPath).isEmpty,
+      "updateWhere must stamp the trivially-empty accounted list on a legacy state")
+    ManifestLand.changeFeedRelay(spark, out4, log4, Seq("k"))
+    val log4df = spark.read.parquet(log4)
+    assert(log4df.filter(col("_change_type") === "update_postimage" &&
+      col("k") === 2L && col("x") === 222L).count() == 1L,
+      "the post-upgrade relay must emit the update's postimage")
+    val adds4 = col("_change_type").isin("insert", "update_postimage")
+    val fold4 = log4df.groupBy("k")
+      .agg(sum(when(adds4, 1L).otherwise(-1L)).as("n"),
+        sum(when(adds4, col("x")).otherwise(-col("x"))).as("x"))
+      .filter(col("n") > 0L).select("k", "x")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val live4 = ManifestLand.read(spark, out4)
+      .select("k", "x").as[(Long, Long)].collect().sorted.toSeq
+    assert(fold4 == live4 && live4.contains((2L, 222L)))
   }
 
   test("compactIfNeeded refuses to fold un-relayed tombstones on a relay-attached landing") {
