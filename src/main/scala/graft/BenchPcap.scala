@@ -179,6 +179,30 @@ object BenchPcap {
     val tSliceRow = slice(columnar = false)
     val sliceColRate = (total / tSliceCol).toLong
     val sliceRowRate = (total / tSliceRow).toLong
+    // streaming landing→convert (round-11 verdict #5): drain the same
+    // 8-file corpus through the multi-root streaming pcap source under
+    // Trigger.AvailableNow into the streaming parquet sink — the
+    // round-over-round perf signal for the streaming read path
+    // (composite offsets, admission control, per-file readers; no
+    // stride sharding — streaming parallelism is one task per file).
+    def streamOnce(): Double = {
+      val sOut = s"$dir/stream-out.parquet"
+      val sCkpt = s"$dir/stream-ckpt"
+      graft.TempCleanup.rmrf(new java.io.File(sOut))
+      graft.TempCleanup.rmrf(new java.io.File(sCkpt))
+      time {
+        val q = spark.readStream.format("pcap").load(s"$dir/cap*.pcap")
+          .writeStream.format("parquet")
+          .option("path", sOut)
+          .option("checkpointLocation", sCkpt)
+          .option("compression", "zstd")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }._1
+    }
+    val tStream = (1 to 2).map(_ => streamOnce()).min
+    val streamRate = (total / tStream).toLong
     System.err.println(
       f"[bench-pcap] $total packets: parse $tParse%.2f s ($parseRate pkt/s), " +
         f"full convert $tFull%.2f s ($fullRate pkt/s), " +
@@ -189,8 +213,9 @@ object BenchPcap {
         f"tcp-mix $nTcp packets: $tTcpFull%.2f s ($tcpRate pkt/s) " +
         f"vs row-write $tTcpRowWrite%.2f s ($tcpRowWriteRate pkt/s); " +
         f"DNS slice columnar $tSliceCol%.2f s ($sliceColRate pkt/s) " +
-        f"vs rowpath $tSliceRow%.2f s ($sliceRowRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"full_rowwrite_pkt_per_s":$fullRowWriteRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate}""")
+        f"vs rowpath $tSliceRow%.2f s ($sliceRowRate pkt/s); " +
+        f"stream convert $tStream%.2f s ($streamRate pkt/s)")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"full_rowwrite_pkt_per_s":$fullRowWriteRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate,"stream_convert_pkt_per_s":$streamRate}""")
     spark.stop()
   }
 }
