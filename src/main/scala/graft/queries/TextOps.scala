@@ -70,6 +70,30 @@ object TextOps {
        | ELSE 'zh' END""".stripMargin
   }
 
+  /** (doc_id, st, h): positioned xxhash64'd 5-gram shingles — the shared
+    * front end of the d51 bloom-gated scrub (query + aux export must see
+    * the identical frame, so it is one def; deterministic by
+    * construction, nothing cached).
+    */
+  private[graft] def d51Sh(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), expr(
+        """inline(transform(sequence(1, size(ws) - 4),
+          |  i -> struct(i AS st,
+          |              xxhash64(concat_ws(' ', slice(ws, i, 5))) AS h)))""".stripMargin))
+
+  /** The frequent-shingle (df >= 3) bloom sketch of [[d51Sh]]: grouped by
+    * HASH (a collision can only add a frequent-looking shingle — more
+    * tolerated over-scrub, never an under-scrub of a truly frequent one),
+    * then OR-folded into the fixed 8 KiB BloomAgg words array. */
+  private[graft] def d51Bloom(s: SparkSession, dir: String): DataFrame =
+    d51Sh(s, dir)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+      .agg(graft.functions.BloomAgg.bloom_agg(col("h")).as("words"))
+
   val queries: Seq[Q] = Seq(
     // --- d01: exact dedup by content hash ---------------------------------
     Q("d01_exact_dedup",
@@ -256,9 +280,12 @@ object TextOps {
     // covered by an occurrence of a frequent (df >= 3) 5-gram is dropped,
     // and the document is re-emitted from the surviving words. Two linear
     // passes: the d13 aggregate builds the frequent-shingle set, then a
-    // second scan re-shingles and joins it back (broadcast here; at 100 TB
-    // the set rides the d27 bloom gate — a few false positives only
-    // over-scrub, which that pipeline tolerates). Covered positions fold
+    // second scan re-shingles and joins it back. THIS variant broadcasts
+    // the frequent STRING set — exact, bounded by the distinct frequent
+    // 5-grams (template boilerplate, not corpus size); the 100 TB path
+    // where even that set outgrows a broadcast is d51_scrub_bloom_gate
+    // below, which carries the same scrub through a fixed 8 KiB bloom
+    // sketch (tolerated over-scrub, its own oracle). Covered positions fold
     // into a per-doc integer list, so the scrub itself is a narrow
     // array-filter — no per-word explode ever reaches a shuffle.
     Q("d49_boilerplate_scrub",
@@ -300,6 +327,68 @@ object TextOps {
              |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
              |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
              |FROM k""".stripMargin)),
+
+    // --- d51: bloom-gated boilerplate scrub (d49's 100 TB arm) -------------
+    // The same C4-style span scrub as d49, but the frequent-shingle set
+    // never broadcasts as strings: shingles group by their xxhash64 (a
+    // collision only promotes a rare shingle to frequent-looking — more
+    // over-scrub, never an under-scrub), the df >= 3 hashes OR-fold into
+    // BloomAgg's fixed 8 KiB sketch (map-side partials; m/8 bytes per
+    // partition is the whole shuffle), and the second scan probes each
+    // position's hash with pure codegen'd integer arithmetic. Bloom false
+    // positives scrub a few extra spans — the tolerated over-scrub this
+    // variant's own oracle pins exactly: the sketch words and the
+    // positioned probe hashes export as aux frames and DuckDB replays the
+    // identical bit arithmetic (the d27/s08 pattern), so both engines see
+    // the same false positives.
+    Q("d51_scrub_bloom_gate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val cov = d51Sh(s, dir)
+          .crossJoin(broadcast(d51Bloom(s, dir)))
+          .filter(expr(graft.functions.BloomAgg.memberExpr("words", "h")))
+          .groupBy("doc_id")
+          .agg(expr("""array_distinct(flatten(collect_list(
+                      |  array(st, st + 1, st + 2, st + 3, st + 4))))""".stripMargin)
+            .as("covered"))
+        docs.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), expr(
+            """filter(ws, (w, i) -> covered IS NULL
+              |  OR NOT array_contains(covered, i + 1))""".stripMargin).as("kept"))
+          .select(col("doc_id"),
+            size(col("kept")).cast("long").as("n_kept"),
+            md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+      },
+      Some {
+        import graft.functions.BloomAgg.{NumBits, NumProbes, WordBits}
+        s"""WITH wds AS (SELECT idx, word FROM '{OUT}/_aux/d51_scrub_bloom_gate/aux_bloom/*.parquet'),
+           |pr AS (SELECT doc_id, st, h FROM '{OUT}/_aux/d51_scrub_bloom_gate/aux_probes/*.parquet'),
+           |ph AS (SELECT doc_id, st, h, h & ${NumBits - 1} AS h1,
+           |              ((h & 4294967295) // 65536) | 1 AS h2 FROM pr),
+           |pos AS (SELECT doc_id, st, h, (h1 + r.range * h2) % $NumBits AS pos
+           |        FROM ph, range(0, $NumProbes) r),
+           |bit AS (SELECT p.doc_id, p.st, p.h,
+           |          CASE WHEN (w.word & (CAST(1 AS BIGINT) << CAST(pos % $WordBits AS INT))) != 0
+           |               THEN 1 ELSE 0 END AS b
+           |        FROM pos p JOIN wds w ON w.idx = pos // $WordBits),
+           |mem AS (SELECT doc_id, st, MIN(b) AS is_m FROM bit GROUP BY doc_id, st, h),
+           |cp AS (SELECT DISTINCT doc_id, st + r.range AS p
+           |       FROM mem, range(0, 5) r WHERE is_m = 1),
+           |covl AS (SELECT doc_id, list(p) AS covered FROM cp GROUP BY doc_id),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |k AS (SELECT w.doc_id,
+           |        list_filter(w.ws, (x, i) -> covl.covered IS NULL
+           |          OR NOT list_contains(covl.covered, i)) AS kept
+           |      FROM w LEFT JOIN covl ON covl.doc_id = w.doc_id)
+           |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+           |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+           |FROM k""".stripMargin
+      },
+      aux = Seq(
+        "aux_bloom" -> ((s: SparkSession, dir: String) =>
+          d51Bloom(s, dir).select(posexplode(col("words")).as(Seq("idx", "word")))),
+        "aux_probes" -> ((s: SparkSession, dir: String) => d51Sh(s, dir)))),
 
     // --- d14: text normalization/cleaning ----------------------------------
     // lowercase, strip non-alphanumerics, collapse whitespace — the
