@@ -1536,7 +1536,8 @@ object ManifestLand {
     * checkpointed consumer's file source has recorded its file names
     * and can keep draining what was published (rewriting in place
     * would double-count for exactly those consumers). Fresh consumers
-    * adopt `newDeltaDir`; drop the old dir when its consumers are gone.
+    * adopt `newDeltaDir`; drop the old dir via
+    * [[expireRelayGeneration]] once its consumers are gone.
     *
     * Refuses a non-fresh target (visible change files but no marker —
     * some OTHER landing's log; mixing histories would double-count).
@@ -1573,6 +1574,47 @@ object ManifestLand {
     }
     changeFeedRelayImpl(spark, dir, newDeltaDir, keyCols,
       snapshotBootstrap = true)
+  }
+
+  /** EXPIRE a drained old relay generation (round 11 — the retention
+    * bound [[relayGenerationSwap]] was missing): deletes `oldDeltaDir`
+    * and everything in it. The swap deliberately freezes old
+    * generations — checkpointed consumers keep draining the file names
+    * they recorded — so expiry is destructive exactly for any consumer
+    * still reading, and the verb demands EXPLICIT acknowledgment (the
+    * streaming source's `retiredRoots` pattern): the caller must name
+    * the generation's synced high-water version, proving they looked at
+    * what they are deleting. Refusals:
+    *   - `oldDeltaDir` is the landing's CURRENT attach target (expiring
+    *     the live log would detach maintenance from its late-change
+    *     evidence mid-flight — swap generations first);
+    *   - no relay marker in `oldDeltaDir` (it is not a relay generation;
+    *     this verb must never be usable as a generic rm -rf), or a
+    *     corrupt marker (parse throws);
+    *   - `acknowledgeSyncedVersion` does not match the marker's version.
+    * Returns the synced version the expired generation carried.
+    */
+  def expireRelayGeneration(dir: String, oldDeltaDir: String,
+      acknowledgeSyncedVersion: Long): Long = {
+    val attachF = new java.io.File(dir, RelayAttachFile)
+    val attach =
+      if (attachF.exists())
+        new String(Files.readAllBytes(attachF.toPath), "UTF-8")
+      else ""
+    require(attach != oldDeltaDir,
+      s"expireRelayGeneration: $oldDeltaDir is $dir's CURRENT relay log — " +
+        "swap generations (relayGenerationSwap) before expiring it")
+    val (v, _, _) = parseRelayMarker(oldDeltaDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"expireRelayGeneration: $oldDeltaDir carries no relay marker — " +
+          "not a relay generation dir; refusing to delete it"))
+    require(v == acknowledgeSyncedVersion,
+      s"expireRelayGeneration: acknowledgment mismatch — $oldDeltaDir's " +
+        s"synced high-water version is $v, not $acknowledgeSyncedVersion; " +
+        "name the generation's version to confirm every consumer has " +
+        "drained it (deleting under a live consumer loses rows)")
+    graft.TempCleanup.rmrf(new java.io.File(oldDeltaDir))
+    v
   }
 
   /** The ONE definition of "published change file" — a committed

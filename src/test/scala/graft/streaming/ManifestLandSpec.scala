@@ -1150,6 +1150,66 @@ class ManifestLandSpec extends SparkFunSuite {
       exForeign.getMessage)
   }
 
+  test("expireRelayGeneration: acknowledged expiry deletes a frozen generation, all else refuses") {
+    // round-11 verdict #7: the swap freezes old generations forever —
+    // this is the retention bound. Expiry is destructive for any
+    // consumer still draining, so the verb demands the generation's
+    // synced version as explicit acknowledgment (retiredRoots pattern).
+    val spark = this.spark
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mland_expire").toString + "/landing"
+    val log1 = Files.createTempDirectory("graft_mland_expire_l1").toString
+    val log2 = Files.createTempDirectory("graft_mland_expire_l2").toString
+    new java.io.File(out).mkdirs()
+    (0 until 3).foreach { v =>
+      ManifestLand.applyBatch(
+        spark.range(v * 10L, (v + 1) * 10L)
+          .select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+        v.toLong, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+        rangeParts = 1, trackChanges = true)
+      ManifestLand.changeFeedRelay(spark, out, log1, Seq("k"))
+    }
+    assert(ManifestLand.relayGenerationSwap(spark, out, log2, Seq("k")) == 2L)
+    // refuse: the landing's CURRENT log cannot expire
+    val exLive = intercept[IllegalArgumentException] {
+      ManifestLand.expireRelayGeneration(out, log2, 2L)
+    }
+    assert(exLive.getMessage.contains("CURRENT"), exLive.getMessage)
+    // refuse: a marker-less dir is not a relay generation (never rm -rf)
+    val plain = Files.createTempDirectory("graft_mland_expire_plain").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(plain, "keep.txt"),
+      "data".getBytes("UTF-8"))
+    val exPlain = intercept[IllegalArgumentException] {
+      ManifestLand.expireRelayGeneration(out, plain, 0L)
+    }
+    assert(exPlain.getMessage.contains("no relay marker"), exPlain.getMessage)
+    assert(new java.io.File(plain, "keep.txt").exists())
+    // refuse: acknowledgment must name the generation's synced version
+    val exAck = intercept[IllegalArgumentException] {
+      ManifestLand.expireRelayGeneration(out, log1, 999L)
+    }
+    assert(exAck.getMessage.contains("acknowledgment mismatch"), exAck.getMessage)
+    assert(new java.io.File(log1).exists())
+    // acknowledged expiry deletes the frozen generation
+    assert(ManifestLand.expireRelayGeneration(out, log1, 2L) == 2L)
+    assert(!new java.io.File(log1).exists())
+    // the live generation keeps syncing afterwards, fold-exact
+    ManifestLand.applyBatch(
+      spark.range(30L, 40L).select(col("id").as("k"), (col("id") * 5).as("x")).toDF(),
+      3L, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+      rangeParts = 1, trackChanges = true)
+    ManifestLand.changeFeedRelay(spark, out, log2, Seq("k"))
+    val adds = col("_change_type").isin("insert", "update_postimage")
+    val fold = spark.read.parquet(log2).groupBy("k")
+      .agg(sum(when(adds, 1L).otherwise(-1L)).as("n"),
+        sum(when(adds, col("x")).otherwise(-col("x"))).as("x"))
+      .filter(col("n") > 0L).select("k", "x")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val live = ManifestLand.read(spark, out)
+      .select("k", "x").as[(Long, Long)].collect().sorted.toSeq
+    assert(fold == live)
+  }
+
   test("updateWhere lands in an un-relayed window exactly; missing accounted list self-upgrades") {
     // Round 10: an update INSIDE an un-relayed window no longer refuses —
     // the window itself relays it exactly (postimage as the in-window
