@@ -154,6 +154,19 @@ object Defrag {
     }
   }
 
+  /** Which plan the adaptive pipeline chose — exposed for bench
+    * instrumentation (`tools.BenchDefragWrite` forces the writer per
+    * branch) and any caller that wants to log or assert the branch.
+    * Round-11 note: the convert CLI briefly gated the vector write on
+    * this choice after a sequential 100M A/B mis-read as a rebatch
+    * regression; the interleaved re-measurement showed rebatch ahead on
+    * BOTH branches, so the CLI takes the vector write unconditionally.
+    */
+  sealed trait Choice
+  case object NoDefrag extends Choice
+  case object BroadcastJoin extends Choice
+  case object ShuffleBypass extends Choice
+
   /** Full adaptive pipeline (reference src/main.rs:274-301): one stats
     * pass decides both whether to defrag (>= 1% fragmented) and how to
     * join (broadcast vs shuffle by first-fragment count). Note the parse
@@ -161,9 +174,16 @@ object Defrag {
     * caching the wide packet table — callers cache only when memory is
     * ample.
     */
-  def apply(pcap: DataFrame, thresholdPct: Double = 1.0): DataFrame = {
+  def apply(pcap: DataFrame, thresholdPct: Double = 1.0): DataFrame =
+    applyWithChoice(pcap, thresholdPct)._1
+
+  /** [[apply]] plus the branch it took (see [[Choice]]). */
+  def applyWithChoice(pcap: DataFrame,
+      thresholdPct: Double = 1.0): (DataFrame, Choice) = {
     val st = fragStats(pcap)
-    if (st.pct < thresholdPct) pcap
-    else defrag(pcap, broadcastFF = st.firstFragments <= MaxBroadcastFirstFragments)
+    if (st.pct < thresholdPct) (pcap, NoDefrag)
+    else if (st.firstFragments <= MaxBroadcastFirstFragments)
+      (defrag(pcap, broadcastFF = true), BroadcastJoin)
+    else (defrag(pcap, broadcastFF = false), ShuffleBypass)
   }
 }

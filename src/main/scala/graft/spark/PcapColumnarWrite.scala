@@ -41,9 +41,13 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * [[org.apache.spark.sql.execution.RowToColumnarExec]]: rows transpose
   * into fresh ColumnVectors once (cheap primitive-array appends), and
   * the write still skips ColumnarToRow + per-row record assembly
-  * (ParquetWriteSupport's RecordConsumer walk) — measured faster than
-  * the standard writer on the defrag-join shape (BenchPcap's
-  * full-convert write A/B).
+  * (ParquetWriteSupport's RecordConsumer walk). Measured 2.1× the
+  * standard writer on the broadcast defrag branch (10M packets,
+  * BenchPcap's full-convert write A/B) and ~12% ahead on the
+  * shuffle-bypass branch's corpus-sized union at 100M — the latter is
+  * only visible INTERLEAVED (`tools.BenchDefragWrite`): sequential
+  * 100M arms span ±2.5× on identical code, and an ordering artifact
+  * briefly mis-read as a rebatch regression this round.
   *
   * Commit protocol: each task writes a dot-prefixed temp file (readers
   * and `*.parquet` globs skip dot-files) and renames it into place only

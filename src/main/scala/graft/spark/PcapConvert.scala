@@ -33,9 +33,11 @@ object PcapConvert {
         * vector-direct parquet writer ([[PcapColumnarWrite]]). The
         * vector writer engages on every convert shape: columnar plans
         * (nodefrag / defrag-skip) feed vectors straight through, and
-        * row-shaped defrag-join plans re-batch via RowToColumnarExec
-        * (round 11) — single-file output rides it too via an RDD-level
-        * coalesce (batches stay columnar into one task). */
+        * row-shaped defrag outputs re-batch via RowToColumnarExec
+        * (round 11 — 2.1× at 10M on the broadcast branch, ~12% at 100M
+        * on the shuffle branch, interleaved measurement). Single-file
+        * output rides the vector path via an RDD-level coalesce
+        * (batches stay columnar into one task). */
       rowWrite: Boolean = false,
       /** Parquet codec for the output. Default zstd: measured on the 10M
         * packet corpus (graft.tools.BenchCodec, interleaved rounds — a
@@ -158,10 +160,13 @@ object PcapConvert {
       // round-10/11 vector-direct write: when the plan under the write
       // is still columnar (nodefrag, or the adaptive defrag-skip branch),
       // the batch vectors go straight into parquet-mr's column writers —
-      // no ColumnarToRow, no per-row record assembly. Row-shaped plans
-      // (the defrag join — the reference's own 90%-fragmented headline
-      // workload) re-batch through RowToColumnarExec and take the same
-      // vector write (round 11; BenchPcap's write A/B tracks the win).
+      // no ColumnarToRow, no per-row record assembly. Row-shaped defrag
+      // outputs re-batch through RowToColumnarExec into the same writer
+      // (round 11): measured 2.1× the row writer on the 10M broadcast
+      // branch AND ~12% ahead on the 100M shuffle-bypass branch — the
+      // latter ONLY trustworthy interleaved (tools.BenchDefragWrite;
+      // sequential arms at 100M span ±2.5× on identical code, which
+      // briefly mis-read as a rebatch regression this round).
       // Single-file output coalesces at the RDD level (batches stay
       // columnar). `--row-write` restores the standard FileFormatWriter.
       val vecWritten = !a.rowWrite &&

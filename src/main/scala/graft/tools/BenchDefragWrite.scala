@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Interleaved A/B of the defrag-convert WRITE path (round 11): the
+  * vector-direct writer (rebatch through RowToColumnarExec where the
+  * plan is row-shaped) vs the standard FileFormatWriter, on whatever
+  * corpus BenchPcap generated. Rounds MUST interleave (the BenchCodec
+  * lesson — a sequential per-arm sweep hands the win to whichever arm
+  * runs last under this box's ±2× drift); both arms share the same
+  * warmed JVM and alternate A,B,A,B…, reporting per-arm best + median.
+  *
+  * Usage: `runMain graft.tools.BenchDefragWrite [fileGlob] [rounds]`
+  * (default glob = BenchPcap's tmpfs corpus, rounds = 3 per arm).
+  */
+object BenchDefragWrite {
+  def main(args: Array[String]): Unit = {
+    val defaultDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft-pcap-bench"
+      else "/tmp/graft-pcap-bench"
+    val glob = args.headOption.getOrElse(s"$defaultDir/*.pcap")
+    val rounds = if (args.length > 1) args(1).toInt else 3
+    val localDir = graft.BenchEnv.localDir()
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = s"$defaultDir/defragwrite-ab.parquet"
+    def convert(rowWrite: Boolean, forceVector: Boolean = false): Double = {
+      val t0 = System.nanoTime()
+      // forceVector bypasses the CLI's branch gate so the gated-off
+      // shuffle-branch rebatch stays measurable
+      if (forceVector) {
+        val (df, _) = graft.spark.Defrag.applyWithChoice(
+          spark.read.format("pcap").load(glob))
+        val ok = graft.spark.PcapColumnarWrite.write(df, out, "zstd",
+          singleFile = false, rebatch = true)
+        require(ok, "vector write refused")
+      } else {
+        graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
+          file = glob, out = out, singleFile = false, cache = Some(false),
+          rowWrite = rowWrite))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both branches and both writers once, discarded
+    sys.props("graft.defrag.maxBroadcastFF") = "0"
+    try { convert(rowWrite = false); () }
+    finally sys.props.remove("graft.defrag.maxBroadcastFF")
+    convert(rowWrite = true)
+    convert(rowWrite = false, forceVector = true)
+    val (vec, row) = (Array.newBuilder[Double], Array.newBuilder[Double])
+    (1 to rounds).foreach { r =>
+      val v = convert(rowWrite = false, forceVector = true)
+      val w = convert(rowWrite = true)
+      vec += v; row += w
+      System.err.println(f"[defrag-write] round $r: vector $v%.2f s, row $w%.2f s")
+    }
+    def stats(xs: Array[Double]): (Double, Double) = {
+      val s = xs.sorted
+      (s.head, s(s.length / 2))
+    }
+    val (vb, vm) = stats(vec.result())
+    val (rb, rm) = stats(row.result())
+    System.err.println(
+      f"[defrag-write] vector best $vb%.2f s median $vm%.2f s; " +
+        f"row best $rb%.2f s median $rm%.2f s")
+    println(f"""{"metric":"defrag_write_ab","vector_best_s":$vb%.3f,"vector_median_s":$vm%.3f,"row_best_s":$rb%.3f,"row_median_s":$rm%.3f,"glob":"$glob"}""")
+    spark.stop()
+  }
+}
