@@ -1601,7 +1601,12 @@ object ManifestLand {
       if (attachF.exists())
         new String(Files.readAllBytes(attachF.toPath), "UTF-8")
       else ""
-    require(attach != oldDeltaDir,
+    // canonical comparison: a trailing slash / symlinked spelling of the
+    // live log must not slip past the refusal and delete it
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath
+      catch { case _: java.io.IOException => p }
+    require(attach.isEmpty || canon(attach) != canon(oldDeltaDir),
       s"expireRelayGeneration: $oldDeltaDir is $dir's CURRENT relay log — " +
         "swap generations (relayGenerationSwap) before expiring it")
     val (v, _, _) = parseRelayMarker(oldDeltaDir).getOrElse(
@@ -1921,6 +1926,13 @@ object ManifestLand {
             if (readAccountedUpd(deltaDir, state).isEmpty) {
               val upd = updateFiles(m)
               val canonical = cfStateName(m.applied, m.dvs, upd)
+              // a marker naming a MISSING state dir is corrupt relay
+              // state, not a missing list — refuse loudly rather than
+              // letting atomicReplace die on the absent parent
+              require(new java.io.File(deltaDir, state).isDirectory,
+                s"ManifestLand.$what: relay marker of $deltaDir names " +
+                  s"state $state but the state dir is missing — corrupt " +
+                  "relay state; rebuild the log from a fresh delta dir")
               if (state == canonical || upd.isEmpty)
                 ParquetLand.atomicReplace(
                   new java.io.File(new java.io.File(deltaDir, state),
