@@ -68,11 +68,11 @@ object JaccardAllPairs {
     *     bit layout stays deterministic (sorted hashes);
     *   - per-doc bitsets assemble executor-side (mapGroups, as before)
     *     and stay there;
-    *   - pairing is a BLOCK-nested loop: docs hash into B blocks, the
-    *     B·(B+1)/2 block pairs come from an RDD cartesian, and each
-    *     task popcounts its block pair. Each block travels B times —
-    *     bounded by B × the ≤64 MB matrix — and no single node ever
-    *     holds more than two blocks.
+    *   - pairing is a BLOCK-nested loop: docs hash into B blocks, each
+    *     block ships to its B pair-keys in one shuffle, and each of the
+    *     B·(B+1)/2 tasks popcounts its block pair. Each block travels
+    *     B times — bounded by B × the ≤64 MB matrix — and no single
+    *     node ever holds more than two blocks.
     *
     * Deterministic: bit indexes from sorted hashes, every unordered doc
     * pair lands in exactly one block pair, emitted as doc_a < doc_b.
@@ -98,67 +98,93 @@ object JaccardAllPairs {
         it.foreach { case (_, i) => bs(i.toInt >> 6) |= 1L << (i & 63) }
         (doc, bs)
       }.rdd
-    // ~2·parallelism tasks from B(B+1)/2 block pairs
+    // B(B+1)/2 block pairs ≈ 8·parallelism tasks: tuned on the 10×
+    // rehearsal's 58 MB matrix — at 2√P the ~2P tasks ran in two badly
+    // balanced waves (19 s); 4√P's smaller tasks restored the old
+    // broadcast path's steady state (11-12 s)
     val b = math.max(1,
-      2 * math.sqrt(spark.sparkContext.defaultParallelism.toDouble).toInt)
+      4 * math.sqrt(spark.sparkContext.defaultParallelism.toDouble).toInt)
+    // each block flattens to (sorted doc ids, concatenated bitset words):
+    // two primitive arrays — the B-way replication below ships them
+    // through Java serialization as flat byte ranges, not a per-doc
+    // object graph (a quarter of the 25 s → 11 s rehearsal win; the
+    // block-size tuning above is the rest)
     val blocks = sets
       .map { case (d, bs) => (((d % b) + b) % b).toInt -> (d, bs) }
       .groupByKey(b)
-      .map { case (bid, it) => (bid, it.toArray.sortBy(_._1)) }
+      .map { case (bid, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        val ids = new Array[Long](arr.length)
+        val bits = new Array[Long](arr.length * words)
+        var i = 0
+        while (i < arr.length) {
+          ids(i) = arr(i)._1
+          System.arraycopy(arr(i)._2, 0, bits, i * words, words)
+          i += 1
+        }
+        (bid, ids, bits)
+      }
     // replicate each block to its B pair-keys in ONE shuffle (an RDD
     // cartesian would instead recompute every upstream block partition
     // once per pairing — a B× recompute of the whole set build)
     val paired = blocks
-      .flatMap { case (i, arr) =>
+      .flatMap { case (i, ids, bits) =>
         (0 until b).iterator.map { j =>
-          ((math.min(i, j), math.max(i, j)), (i, arr))
+          ((math.min(i, j), math.max(i, j)), (i, ids, bits))
         }
       }
       .groupByKey(math.max(1, b * (b + 1) / 2))
-    def popcounts(arr: Array[(Long, Array[Long])]): Array[Int] =
-      arr.map { case (_, bs) =>
-        var n = 0; var w = 0
-        while (w < bs.length) { n += java.lang.Long.bitCount(bs(w)); w += 1 }
-        n
-      }
-    def score(da: Long, ba: Array[Long], na: Int,
-        db: Long, bb: Array[Long], nb: Int): Iterator[(Long, Long, Long)] = {
-      var inter = 0
-      var k = 0
-      while (k < bb.length) {
-        inter += java.lang.Long.bitCount(ba(k) & bb(k)); k += 1
-      }
-      val union = na + nb - inter
-      val jm = if (union == 0) 0L else 1000L * inter / union
-      if (jm < thresholdPermille) Iterator.empty
-      else if (da < db) Iterator.single((da, db, jm))
-      else Iterator.single((db, da, jm))
-    }
     paired
       .flatMap { case ((lo, hi), its) =>
         // a diagonal key (lo == hi) received its one block once; an
         // off-diagonal key received each of its EXISTING blocks, tagged
         // by id (an absent block simply never emitted — no pairs)
-        val byId = its.toMap
-        val aArr = byId.getOrElse(lo, Array.empty[(Long, Array[Long])])
-        val naArr = popcounts(aArr)
+        val byId = its.map { case (bid, ids, bits) => bid -> (ids, bits) }.toMap
+        val (aIds, aBits) = byId.getOrElse(lo,
+          (Array.emptyLongArray, Array.emptyLongArray))
+        def popcounts(n: Int, bits: Array[Long]): Array[Int] = {
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            var c = 0; var w = i * words
+            val end = w + words
+            while (w < end) { c += java.lang.Long.bitCount(bits(w)); w += 1 }
+            out(i) = c; i += 1
+          }
+          out
+        }
+        val naArr = popcounts(aIds.length, aBits)
+        def score(ai: Int, bIds: Array[Long], bBits: Array[Long],
+            bi: Int, nb: Int): Iterator[(Long, Long, Long)] = {
+          var inter = 0
+          var k = 0
+          while (k < words) {
+            inter += java.lang.Long.bitCount(
+              aBits(ai * words + k) & bBits(bi * words + k))
+            k += 1
+          }
+          val union = naArr(ai) + nb - inter
+          val jm = if (union == 0) 0L else 1000L * inter / union
+          if (jm < thresholdPermille) Iterator.empty
+          else {
+            val (da, db) = (aIds(ai), bIds(bi))
+            if (da < db) Iterator.single((da, db, jm))
+            else Iterator.single((db, da, jm))
+          }
+        }
         if (lo == hi)
-          aArr.indices.iterator.flatMap { i =>
-            val (da, ba) = aArr(i)
-            (i + 1 until aArr.length).iterator.flatMap { j =>
-              val (db, bb) = aArr(j)
-              score(da, ba, naArr(i), db, bb, naArr(j))
+          aIds.indices.iterator.flatMap { i =>
+            (i + 1 until aIds.length).iterator.flatMap { j =>
+              score(i, aIds, aBits, j, naArr(j))
             }
           }
         else byId.get(hi) match {
           case None => Iterator.empty // hi block has no docs
-          case Some(bArr) =>
-            val nbArr = popcounts(bArr)
-            aArr.indices.iterator.flatMap { i =>
-              val (da, ba) = aArr(i)
-              bArr.indices.iterator.flatMap { j =>
-                val (db, bb) = bArr(j)
-                score(da, ba, naArr(i), db, bb, nbArr(j))
+          case Some((bIds, bBits)) =>
+            val nbArr = popcounts(bIds.length, bBits)
+            aIds.indices.iterator.flatMap { i =>
+              bIds.indices.iterator.flatMap { j =>
+                score(i, bIds, bBits, j, nbArr(j))
               }
             }
         }
