@@ -203,6 +203,10 @@ object BenchPcap {
     }
     val tStream = (1 to 2).map(_ => streamOnce()).min
     val streamRate = (total / tStream).toLong
+    // the streamed output is RAM-backed (tmpfs) — drop it like the
+    // warmup's (a 100M-packet run would otherwise pin GBs forever)
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/stream-out.parquet"))
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/stream-ckpt"))
     System.err.println(
       f"[bench-pcap] $total packets: parse $tParse%.2f s ($parseRate pkt/s), " +
         f"full convert $tFull%.2f s ($fullRate pkt/s), " +
