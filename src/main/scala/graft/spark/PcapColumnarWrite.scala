@@ -41,13 +41,14 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * [[org.apache.spark.sql.execution.RowToColumnarExec]]: rows transpose
   * into fresh ColumnVectors once (cheap primitive-array appends), and
   * the write still skips ColumnarToRow + per-row record assembly
-  * (ParquetWriteSupport's RecordConsumer walk). Measured 2.1× the
-  * standard writer on the broadcast defrag branch (10M packets,
-  * BenchPcap's full-convert write A/B) and ~12% ahead on the
-  * shuffle-bypass branch's corpus-sized union at 100M — the latter is
-  * only visible INTERLEAVED (`tools.BenchDefragWrite`): sequential
-  * 100M arms span ±2.5× on identical code, and an ordering artifact
-  * briefly mis-read as a rebatch regression this round.
+  * (ParquetWriteSupport's RecordConsumer walk). Honest magnitude —
+  * INTERLEAVED A/B only (`tools.BenchDefragWrite`, same stride-sharded
+  * read both arms): rebatch+vector ~15% ahead of the row writer on the
+  * 10M broadcast branch (3.21 vs 3.70 s median) and ahead on the 100M
+  * shuffle-bypass branch too. Sequential BenchPcap arms are NOT a
+  * writer A/B at these sizes: they read 2.1× one session and 0.8× the
+  * next on identical code (ordering/JIT/GC drift), and mis-read
+  * rebatch both ways this round before the interleaved tool settled it.
   *
   * Commit protocol: each task writes a dot-prefixed temp file (readers
   * and `*.parquet` globs skip dot-files) and renames it into place only

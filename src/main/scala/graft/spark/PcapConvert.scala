@@ -34,10 +34,10 @@ object PcapConvert {
         * vector writer engages on every convert shape: columnar plans
         * (nodefrag / defrag-skip) feed vectors straight through, and
         * row-shaped defrag outputs re-batch via RowToColumnarExec
-        * (round 11 — 2.1× at 10M on the broadcast branch, ~12% at 100M
-        * on the shuffle branch, interleaved measurement). Single-file
-        * output rides the vector path via an RDD-level coalesce
-        * (batches stay columnar into one task). */
+        * (round 11 — ~15% ahead at 10M, ahead at 100M; interleaved
+        * measurement, tools.BenchDefragWrite). Single-file output
+        * rides the vector path via an RDD-level coalesce (batches
+        * stay columnar into one task). */
       rowWrite: Boolean = false,
       /** Parquet codec for the output. Default zstd: measured on the 10M
         * packet corpus (graft.tools.BenchCodec, interleaved rounds — a
@@ -162,13 +162,13 @@ object PcapConvert {
       // the batch vectors go straight into parquet-mr's column writers —
       // no ColumnarToRow, no per-row record assembly. Row-shaped defrag
       // outputs re-batch through RowToColumnarExec into the same writer
-      // (round 11): measured 2.1× the row writer on the 10M broadcast
-      // branch AND ~12% ahead on the 100M shuffle-bypass branch — the
-      // latter ONLY trustworthy interleaved (tools.BenchDefragWrite;
-      // sequential arms at 100M span ±2.5× on identical code, which
-      // briefly mis-read as a rebatch regression this round).
-      // Single-file output coalesces at the RDD level (batches stay
-      // columnar). `--row-write` restores the standard FileFormatWriter.
+      // (round 11): ~15% ahead of the row writer on the 10M broadcast
+      // branch and ahead at 100M on the shuffle branch — measured
+      // INTERLEAVED (tools.BenchDefragWrite); sequential A/B arms at
+      // these sizes drift ±2× on identical code and mis-read this both
+      // ways in one session. Single-file output coalesces at the RDD
+      // level (batches stay columnar). `--row-write` restores the
+      // standard FileFormatWriter.
       val vecWritten = !a.rowWrite &&
         PcapColumnarWrite.write(out, a.out, a.compression,
           singleFile = a.singleFile, rebatch = true)

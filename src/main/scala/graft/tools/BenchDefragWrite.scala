@@ -32,11 +32,20 @@ object BenchDefragWrite {
     val out = s"$defaultDir/defragwrite-ab.parquet"
     def convert(rowWrite: Boolean, forceVector: Boolean = false): Double = {
       val t0 = System.nanoTime()
-      // forceVector bypasses the CLI's branch gate so the gated-off
-      // shuffle-branch rebatch stays measurable
+      // forceVector drives the writer directly (so a branch-gated CLI
+      // could not hide the rebatch arm) — with the SAME stride-sharded
+      // read the CLI plans, or the arm reads at per-file parallelism
+      // and the A/B measures the scan, not the writer (caught
+      // in-session: an unsharded vector arm lost 6.05 vs 3.58 s at 10M
+      // where the sharded CLI had measured the opposite)
       if (forceVector) {
+        val nFiles = math.max(1, graft.sources.PcapFileEnum
+          .list(Seq(glob), spark.sessionState.newHadoopConf()).size)
+        val shards = math.max(1, math.min(1024, math.ceil(
+          spark.sparkContext.defaultParallelism.toDouble / nFiles).toInt))
         val (df, _) = graft.spark.Defrag.applyWithChoice(
-          spark.read.format("pcap").load(glob))
+          spark.read.format("pcap")
+            .option("decodePartitions", shards).load(glob))
         val ok = graft.spark.PcapColumnarWrite.write(df, out, "zstd",
           singleFile = false, rebatch = true)
         require(ok, "vector write refused")
