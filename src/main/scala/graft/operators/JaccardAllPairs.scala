@@ -109,8 +109,19 @@ object JaccardAllPairs {
     // through Java serialization as flat byte ranges, not a per-doc
     // object graph (a quarter of the 25 s → 11 s rehearsal win; the
     // block-size tuning above is the rest)
+    // block id from a MIXED doc id (Murmur3 fmix64), not raw `d % b`:
+    // id distributions whose stride shares a factor with b (all-even
+    // ids, even b) would otherwise skew docs into few blocks and
+    // collapse the B(B+1)/2 balance toward one near-O(n²) diagonal
+    // task (review finding; correctness was never affected)
+    def fmix64(x0: Long): Long = {
+      var h = x0
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33; h
+    }
     val blocks = sets
-      .map { case (d, bs) => (((d % b) + b) % b).toInt -> (d, bs) }
+      .map { case (d, bs) => (((fmix64(d) % b) + b) % b).toInt -> (d, bs) }
       .groupByKey(b)
       .map { case (bid, it) =>
         val arr = it.toArray.sortBy(_._1)

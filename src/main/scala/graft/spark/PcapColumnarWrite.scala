@@ -301,7 +301,21 @@ object PcapColumnarWrite {
     if (!fs.rename(tmp, file)) {
       if (fs.exists(file)) {
         // lost the race to a concurrent successful attempt of the same
-        // partition — its bytes are identical; drop ours
+        // partition — its bytes are identical ONLY because write()
+        // clears the out dir before launching tasks (line ~144), so any
+        // occupant is a twin of this attempt. That invariant is
+        // load-bearing: assert it (byte length match) so a future
+        // caller reusing a dirty dir fails loudly instead of silently
+        // keeping stale data (review finding). Note RawLocalFileSystem's
+        // rename(2) OVERWRITES, so this branch is FS-dependent and may
+        // never run on local disks.
+        val kept = fs.getFileStatus(file).getLen
+        val ours = fs.getFileStatus(tmp).getLen
+        if (kept != ours)
+          throw new java.io.IOException(
+            s"PcapColumnarWrite: $file already exists with ${kept}B but " +
+              s"this attempt wrote ${ours}B — the occupant is NOT a twin " +
+              "of this partition (out dir reused without clearing?)")
         try { fs.delete(tmp, false); () } catch { case _: Throwable => () }
       } else {
         try { fs.delete(tmp, false); () } catch { case _: Throwable => () }

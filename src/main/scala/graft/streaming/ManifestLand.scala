@@ -1282,6 +1282,25 @@ object ManifestLand {
     if (!attachF.exists() ||
         !java.util.Arrays.equals(Files.readAllBytes(attachF.toPath), attachBytes))
       ParquetLand.atomicReplace(attachF, attachBytes)
+    // owner marker IN the generation dir (round 12): records which
+    // landing this log belongs to, so [[expireRelayGeneration]] can
+    // refuse deleting ANOTHER landing's generation (the attach-file
+    // check alone only knows dir's CURRENT log — a frozen old
+    // generation carries no back-pointer without this). A present
+    // mismatching owner is a foreign live log: relaying into it would
+    // interleave two histories, refuse before any staging. A missing
+    // owner on a marker-bearing dir is the pre-round-12 legacy shape —
+    // the dir passed the attach guards to get here, so stamping it is
+    // the unambiguous self-upgrade.
+    val ownerF = new java.io.File(deltaDir, RelayOwnerFile)
+    val ownerCanon = canonPath(dir)
+    if (ownerF.exists()) {
+      val rec = new String(Files.readAllBytes(ownerF.toPath), "UTF-8").trim
+      require(canonPath(rec) == ownerCanon,
+        s"changeFeedRelay: $deltaDir is owned by landing '$rec', not " +
+          s"'$dir' — relaying this landing's windows into another " +
+          "landing's log would interleave two histories")
+    } else ParquetLand.atomicReplace(ownerF, ownerCanon.getBytes("UTF-8"))
     val markerF = new java.io.File(deltaDir, "_cf_applied")
     val parsed = parseRelayMarker(deltaDir)
     val (marker, stateName) = parsed match {
@@ -1603,16 +1622,31 @@ object ManifestLand {
       else ""
     // canonical comparison: a trailing slash / symlinked spelling of the
     // live log must not slip past the refusal and delete it
-    def canon(p: String): String =
-      try new java.io.File(p).getCanonicalPath
-      catch { case _: java.io.IOException => p }
-    require(attach.isEmpty || canon(attach) != canon(oldDeltaDir),
+    require(attach.isEmpty || canonPath(attach) != canonPath(oldDeltaDir),
       s"expireRelayGeneration: $oldDeltaDir is $dir's CURRENT relay log — " +
         "swap generations (relayGenerationSwap) before expiring it")
     val (v, _, _) = parseRelayMarker(oldDeltaDir).getOrElse(
       throw new IllegalArgumentException(
         s"expireRelayGeneration: $oldDeltaDir carries no relay marker — " +
           "not a relay generation dir; refusing to delete it"))
+    // ownership (round 12, review finding): the live-log refusal above
+    // only consults THIS landing's attach file, so without this check a
+    // caller passing the wrong `dir` (or one with no attach file) could
+    // delete ANOTHER landing's current generation with only the
+    // guessable synced version as a guard. Every generation is stamped
+    // `_cf_owner` at attach time; a frozen pre-round-12 generation that
+    // predates the stamp must have it restored by hand (echo the owning
+    // landing's path into `_cf_owner`) after verifying ownership —
+    // destructive verbs never guess.
+    val ownerF = new java.io.File(oldDeltaDir, RelayOwnerFile)
+    require(ownerF.exists(),
+      s"expireRelayGeneration: $oldDeltaDir carries no $RelayOwnerFile " +
+        "owner record (a pre-ownership generation) — verify it belongs " +
+        s"to $dir and restore the owner file before expiring")
+    val owner = new String(Files.readAllBytes(ownerF.toPath), "UTF-8").trim
+    require(canonPath(owner) == canonPath(dir),
+      s"expireRelayGeneration: $oldDeltaDir belongs to landing '$owner', " +
+        s"not '$dir' — refusing to delete another landing's generation")
     require(v == acknowledgeSyncedVersion,
       s"expireRelayGeneration: acknowledgment mismatch — $oldDeltaDir's " +
         s"synced high-water version is $v, not $acknowledgeSyncedVersion; " +
@@ -1687,6 +1721,19 @@ object ManifestLand {
     * change-log dir so the landing's own maintenance can locate the
     * relay marker (compactIfNeeded's folding guard). */
   private[streaming] val RelayAttachFile = "_cf_relay"
+
+  /** `_cf_owner` sibling in the GENERATION dir: records the owning
+    * landing's canonical path, stamped at attach time — the
+    * back-pointer [[expireRelayGeneration]] requires before deleting
+    * (the attach file only knows the landing's CURRENT log; frozen old
+    * generations need their own ownership record). */
+  private[streaming] val RelayOwnerFile = "_cf_owner"
+
+  /** Canonical path for ownership / live-log comparisons: a trailing
+    * slash or symlinked spelling must not defeat a refusal. */
+  private def canonPath(p: String): String =
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: java.io.IOException => p }
 
   /** Content tag of the accounted late-change evidence: 64 bits of MD5
     * over the sorted dv-sidecar names PLUS (round 9) the sorted

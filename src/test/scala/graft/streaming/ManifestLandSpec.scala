@@ -1210,6 +1210,69 @@ class ManifestLandSpec extends SparkFunSuite {
     assert(fold == live)
   }
 
+  test("relay generation ownership: _cf_owner gates expiry and foreign relays") {
+    // Round-12 review finding: the live-log refusal in
+    // expireRelayGeneration only consults `dir`'s OWN attach file, so a
+    // caller passing the wrong landing could delete another landing's
+    // current generation. Every generation is now stamped _cf_owner at
+    // attach time and expiry requires it to name the expiring landing.
+    val spark = this.spark
+    val outA = Files.createTempDirectory("graft_mland_owner_a").toString + "/landing"
+    val outB = Files.createTempDirectory("graft_mland_owner_b").toString + "/landing"
+    val logA = Files.createTempDirectory("graft_mland_owner_la").toString
+    val logB = Files.createTempDirectory("graft_mland_owner_lb").toString
+    Seq(outA, outB).foreach(o => new java.io.File(o).mkdirs())
+    def seed(out: String, log: String): Unit = {
+      ManifestLand.applyBatch(
+        spark.range(10L).select(col("id").as("k"), (col("id") * 3).as("x")).toDF(),
+        0L, out, statsCols = Seq(ManifestLand.CommitVersionCol),
+        rangeParts = 1, trackChanges = true)
+      ManifestLand.changeFeedRelay(spark, out, log, Seq("k"))
+    }
+    seed(outA, logA); seed(outB, logB)
+    // attach stamped the owner record in the generation dir
+    val ownerA = new java.io.File(logA, "_cf_owner")
+    assert(ownerA.exists())
+    assert(new java.io.File(new String(
+      java.nio.file.Files.readAllBytes(ownerA.toPath), "UTF-8").trim)
+      .getCanonicalPath == new java.io.File(outA).getCanonicalPath)
+    // refuse: expiring B's generation by naming landing A — even with
+    // the correct synced version, and even though logB is not A's
+    // current attach target (the exact hole the owner record closes)
+    val exForeign = intercept[IllegalArgumentException] {
+      ManifestLand.expireRelayGeneration(outA, logB, 0L)
+    }
+    assert(exForeign.getMessage.contains("belongs to landing"),
+      exForeign.getMessage)
+    assert(new java.io.File(logB, "_cf_applied").exists())
+    // refuse: relaying landing A's windows into B's (owner-stamped) log
+    val exRelay = intercept[IllegalArgumentException] {
+      ManifestLand.changeFeedRelay(spark, outA, logB, Seq("k"))
+    }
+    assert(exRelay.getMessage.contains("owned by landing"), exRelay.getMessage)
+    // self-upgrade: a LIVE owner-less generation (pre-ownership legacy)
+    // is re-stamped by the next relay pass — the unambiguous shape
+    assert(ownerA.delete())
+    ManifestLand.changeFeedRelay(spark, outA, logA, Seq("k"))
+    assert(ownerA.exists())
+    // swap A to a fresh generation; logA is now frozen
+    val logA2 = Files.createTempDirectory("graft_mland_owner_la2").toString
+    val synced = ManifestLand.relayGenerationSwap(spark, outA, logA2, Seq("k"))
+    // refuse: a FROZEN generation with NO owner record — the relay never
+    // touches it again, so no self-upgrade; destructive verbs never
+    // guess and the message tells the operator how to restore
+    assert(ownerA.delete())
+    val exLegacy = intercept[IllegalArgumentException] {
+      ManifestLand.expireRelayGeneration(outA, logA, synced)
+    }
+    assert(exLegacy.getMessage.contains("no _cf_owner"), exLegacy.getMessage)
+    assert(new java.io.File(logA, "_cf_applied").exists())
+    // operator restores the owner record after verifying → expiry works
+    java.nio.file.Files.write(ownerA.toPath, outA.getBytes("UTF-8"))
+    assert(ManifestLand.expireRelayGeneration(outA, logA, synced) == synced)
+    assert(!new java.io.File(logA).exists())
+  }
+
   test("updateWhere lands in an un-relayed window exactly; missing accounted list self-upgrades") {
     // Round 10: an update INSIDE an un-relayed window no longer refuses —
     // the window itself relays it exactly (postimage as the in-window
