@@ -54,9 +54,9 @@ object PacketDissector {
   def acc(): DissectAcc = accTL.get()
 
   /** Immutable-API dissection (tests, write-back filters, toRow). */
-  def dissect(frame: RawFrame): PacketRow = {
+  def dissect(frame: RawFrame, walkV6: Boolean = true): PacketRow = {
     val a = accTL.get()
-    dissectInto(a, frame)
+    dissectInto(a, frame, walkV6)
     a.toPacketRow
   }
 
@@ -65,19 +65,28 @@ object PacketDissector {
     * `a.errors` after the call for the error accumulator.
     */
   def dissectToInternal(
-      a: DissectAcc, frame: RawFrame, pcapFile: UTF8String): InternalRow = {
-    dissectInto(a, frame)
+      a: DissectAcc, frame: RawFrame, pcapFile: UTF8String,
+      walkV6: Boolean = true): InternalRow = {
+    dissectInto(a, frame, walkV6)
     a.toInternalRow(pcapFile)
   }
 
-  def dissectInto(a: DissectAcc, frame: RawFrame): Unit = {
+  /** `walkV6 = true` (the `Sane` default) walks IPv6 extension headers
+    * (hop-by-hop/routing/destination-options/AH) to the real transport
+    * and honors the v6 fragment header — the reference does neither
+    * (packetstats.rs:242-253 reads the fixed 40-byte header's
+    * next_header straight into ip_proto and attempts transport parse on
+    * whatever follows), so `ReferenceCompat` callers pass `false` to
+    * stay bug-for-bug.
+    */
+  def dissectInto(a: DissectAcc, frame: RawFrame, walkV6: Boolean = true): Unit = {
     a.reset()
     a.frameTime = frame.timeMicros
     a.frameLen = frame.origLen
     try {
-      if (frame.linktype == LinktypeEthernet) dissectEthernet(a, frame.data)
+      if (frame.linktype == LinktypeEthernet) dissectEthernet(a, frame.data, walkV6)
       else if (LinktypeRawIp.contains(frame.linktype))
-        dissectIp(a, frame.data, 0)
+        dissectIp(a, frame.data, 0, walkV6)
       // else: unknown linktype — keep the frame row, no dissection
     } catch {
       case _: Exception =>
@@ -101,7 +110,8 @@ object PacketDissector {
   @inline private def has(b: Array[Byte], o: Int, n: Int): Boolean =
     o >= 0 && o + n <= b.length
 
-  private def dissectEthernet(a: DissectAcc, b: Array[Byte]): Unit = {
+  private def dissectEthernet(a: DissectAcc, b: Array[Byte],
+      walkV6: Boolean): Unit = {
     if (!has(b, 0, 14)) { a.errors += 1; return }
     val et = u16(b, 12)
     a.ethType = et
@@ -116,16 +126,17 @@ object PacketDissector {
     }
     etype match {
       case 0x0800 => dissectIpv4(a, b, off)
-      case 0x86dd => dissectIpv6(a, b, off)
+      case 0x86dd => dissectIpv6(a, b, off, walkV6)
       case _      => ()
     }
   }
 
-  private def dissectIp(a: DissectAcc, b: Array[Byte], off: Int): Unit = {
+  private def dissectIp(a: DissectAcc, b: Array[Byte], off: Int,
+      walkV6: Boolean): Unit = {
     if (!has(b, off, 1)) { a.errors += 1; return }
     (u8(b, off) >> 4) match {
       case 4 => dissectIpv4(a, b, off)
-      case 6 => dissectIpv6(a, b, off)
+      case 6 => dissectIpv6(a, b, off, walkV6)
       case _ => a.errors += 1
     }
   }
@@ -205,7 +216,28 @@ object PacketDissector {
     if (pStart < pEnd) dissectTransport(a, b, proto, pStart, pEnd)
   }
 
-  private def dissectIpv6(a: DissectAcc, b: Array[Byte], off: Int): Unit = {
+  /** IPv6. `walkV6 = false` is the reference's scope bug-for-bug
+    * (packetstats.rs:242-253: ip_proto = the fixed header's next_header,
+    * transport parse attempted immediately after the 40 bytes — an
+    * extension header there parses as transport garbage and usually
+    * yields bare IPv6 columns; fragments are never gated). `walkV6 =
+    * true` (Sane, round 12) walks hop-by-hop (0) / routing (43) /
+    * destination-options (60) / AH (51) chains to the real transport,
+    * honors 59 (no next header), and applies the v4-style fragment gate
+    * on the fragment header (44): offset > 0 stops dissection with the
+    * transport columns NULL; a first fragment (offset 0) parses its
+    * transport like v4 first fragments do. ip_proto records the final
+    * header reached (the transport after a complete walk — what the v4
+    * column means), ip_frag_offset keeps the 13-bit 8-byte-unit value
+    * (the same unit the v4 column carries), and ip_id takes the LOW 16
+    * bits of the 32-bit v6 Identification — the best disambiguation the
+    * reference's UInt16 column admits (collision odds equal v4's own
+    * 16-bit id; the defrag join keys stay meaningful for v6 chains).
+    * The walk is capped at 8 hops; a truncated or over-long chain keeps
+    * the partial row and counts one error (never panic, SURVEY §4.4).
+    */
+  private def dissectIpv6(a: DissectAcc, b: Array[Byte], off: Int,
+      walkV6: Boolean): Unit = {
     if (!has(b, off, 40)) { a.errors += 1; return }
     if ((u8(b, off) >> 4) != 6) { a.errors += 1; return }
     val payloadLen = u16(b, off + 4)
@@ -218,12 +250,50 @@ object PacketDissector {
     a.setIpv6Dst(ipv6Text(dstG))
     a.ipTtl = u8(b, off + 7)
     a.ipProto = nextHeader.toShort
-    // no extension-header walk (matches reference scope, SURVEY §2.3)
-    val pStart = off + 40
     val pEnd =
       if (off + 40 + payloadLen <= b.length) off + 40 + payloadLen
       else b.length
-    dissectTransport(a, b, nextHeader, pStart, pEnd)
+    var proto = nextHeader
+    var p = off + 40
+    if (walkV6) {
+      var hops = 0
+      var halt = false // stop with NO transport parse (gate / error / 59)
+      var walking = true
+      while (walking && !halt && hops < 8) {
+        proto match {
+          case 0 | 43 | 60 => // Hdr Ext Len in 8-byte units, excl. first 8
+            if (!has(b, p, 2)) { a.errors += 1; halt = true }
+            else {
+              val l = (u8(b, p + 1) + 1) * 8
+              if (!has(b, p, l)) { a.errors += 1; halt = true }
+              else { proto = u8(b, p); p += l; a.ipProto = proto.toShort }
+            }
+          case 51 => // AH: Payload Len in 4-byte units, excl. first 8
+            if (!has(b, p, 2)) { a.errors += 1; halt = true }
+            else {
+              val l = (u8(b, p + 1) + 2) * 4
+              if (!has(b, p, l)) { a.errors += 1; halt = true }
+              else { proto = u8(b, p); p += l; a.ipProto = proto.toShort }
+            }
+          case 44 => // fragment header: fixed 8 bytes
+            if (!has(b, p, 8)) { a.errors += 1; halt = true }
+            else {
+              val fo = u16(b, p + 2)
+              a.ipFragOffset = fo >>> 3
+              a.ipMf = (fo & 1) != 0
+              a.ipId = u32(b, p + 4) & 0xffff
+              proto = u8(b, p); p += 8; a.ipProto = proto.toShort
+              if (a.ipFragOffset > 0) halt = true // fragment gate, as v4
+            }
+          case 59 => halt = true // no next header
+          case _ => walking = false // a transport — parse it below
+        }
+        hops += 1
+      }
+      if (halt) return
+      if (walking) { a.errors += 1; return } // 8-hop cap hit mid-chain
+    }
+    if (p < pEnd) dissectTransport(a, b, proto, p, pEnd)
   }
 
   /** Transport + L7 dissection over `[pStart, pEnd)`; shared by the normal

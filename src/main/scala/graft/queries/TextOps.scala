@@ -76,13 +76,7 @@ object TextOps {
     * construction, nothing cached).
     */
   private[graft] def d51Sh(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 5)
-      .select(col("doc_id"), expr(
-        """inline(transform(sequence(1, size(ws) - 4),
-          |  i -> struct(i AS st,
-          |              xxhash64(concat_ws(' ', slice(ws, i, 5))) AS h)))""".stripMargin))
+    graft.operators.AdaptiveScrub.shingles(t(s, dir, "documents"))
 
   /** The frequent-shingle (df >= 3) bloom sketch of [[d51Sh]]: grouped by
     * HASH (a collision can only add a frequent-looking shingle — more
@@ -388,6 +382,42 @@ object TextOps {
       aux = Seq(
         "aux_bloom" -> ((s: SparkSession, dir: String) =>
           d51Bloom(s, dir).select(posexplode(col("words")).as(Seq("idx", "word")))),
+        "aux_probes" -> ((s: SparkSession, dir: String) => d51Sh(s, dir)))),
+
+    // --- d52: ADAPTIVE scrub gate (round 12 — the d49 ↔ d51 flip) ----------
+    // One scrub entry that measures the frequent-shingle set and picks the
+    // membership transport by size (the JaccardAllPairs dense/join
+    // pattern): an exact broadcast hash set below the ceiling, BloomAgg's
+    // fixed sketch above it. At every gate SF the measured set is far
+    // below the 2M-hash default, so the declared plan is the exact arm —
+    // asserted in the build (a silent flip would desynchronize the oracle,
+    // which replays exact-set membership from the aux frames); the sketch
+    // arm's bit-exactness is d51's own oracle, and branch equality modulo
+    // the sketch's one-sided over-scrub is property-pinned (ScrubProps).
+    Q("d52_scrub_adaptive",
+      (s, dir) => {
+        val (out, choice) = graft.operators.AdaptiveScrub(t(s, dir, "documents"))
+        require(choice == graft.operators.AdaptiveScrub.BroadcastSet,
+          s"d52 planned $choice at gate scale — the aux oracle replays the " +
+            "exact-set arm; a corpus this boilerplate-heavy needs its own entry")
+        out
+      },
+      Some("""WITH fr AS (SELECT h FROM '{OUT}/_aux/d52_scrub_adaptive/aux_freq/*.parquet'),
+             |pr AS (SELECT doc_id, st, h FROM '{OUT}/_aux/d52_scrub_adaptive/aux_probes/*.parquet'),
+             |cp AS (SELECT DISTINCT doc_id, st + r.range AS p
+             |       FROM pr JOIN fr USING (h), range(0, 5) r),
+             |covl AS (SELECT doc_id, list(p) AS covered FROM cp GROUP BY doc_id),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |k AS (SELECT w.doc_id,
+             |        list_filter(w.ws, (x, i) -> covl.covered IS NULL
+             |          OR NOT list_contains(covl.covered, i)) AS kept
+             |      FROM w LEFT JOIN covl ON covl.doc_id = w.doc_id)
+             |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+             |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+             |FROM k""".stripMargin),
+      aux = Seq(
+        "aux_freq" -> ((s: SparkSession, dir: String) =>
+          graft.operators.AdaptiveScrub.freqHashes(d51Sh(s, dir), 3)),
         "aux_probes" -> ((s: SparkSession, dir: String) => d51Sh(s, dir)))),
 
     // --- d14: text normalization/cleaning ----------------------------------

@@ -391,7 +391,7 @@ final class PcapColumnarReader(
       // decode-sharding stride, same as the row reader: foreign frames
       // are framed (cheap) but never dissected or materialized
       if (nShards <= 1 || frameIdx % nShards == shard) {
-        PacketDissector.dissectInto(acc, raw)
+        PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat)
         nPackets += 1
         if (acc.errors > 0) nErrors += acc.errors.toLong
         // pushed-filter veto BEFORE the vector writes, same packet/error
@@ -462,7 +462,7 @@ final class PcapPartitionReader(
       // materialized — see PcapScan.planInputPartitions
       val mine = nShards <= 1 || frameIdx % nShards == shard
       if (mine) {
-        PacketDissector.dissectInto(acc, raw)
+        PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat)
         metrics.foreach { m =>
           m.packets.add(1L)
           if (acc.errors > 0) m.errors.add(acc.errors.toLong)

@@ -93,7 +93,8 @@ object PcapSource {
           lastBase = base
           lastUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(base)
         }
-        val row = PacketDissector.dissectToInternal(a, f, lastUtf8)
+        val row = PacketDissector.dissectToInternal(a, f, lastUtf8,
+          walkV6 = mode == PcapFramer.Sane)
         m.packets.add(1L)
         if (a.errors > 0) m.errors.add(a.errors.toLong)
         row

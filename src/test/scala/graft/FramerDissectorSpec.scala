@@ -209,6 +209,82 @@ class FramerDissectorSpec extends AnyFunSuite {
     assert(r.colProtocol.contains("UDP"))
   }
 
+  test("IPv6 extension-header chain: Sane walks to the transport, compat stops at the fixed header") {
+    // round 12 (VERDICT #6): hop-by-hop → routing → UDP/DNS. The
+    // reference never walks (packetstats.rs:242-253), so ReferenceCompat
+    // records ip_proto = 0 (hop-by-hop) and parses no transport; Sane
+    // walks the chain and lands on the real UDP header.
+    def ext(hdrType: Int, next: Int, extLen8: Int = 0): Array[Byte] = {
+      val b = Array.fill[Byte]((extLen8 + 1) * 8)(0)
+      b(0) = next.toByte; b(1) = extLen8.toByte
+      b // hdrType is the PREVIOUS header's next value, kept for clarity
+    }
+    val g = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 1)
+    val dst = Array(0xfe80, 0, 0, 0, 0, 0, 0, 2)
+    val payload = ext(0, next = 43) ++ ext(43, next = 17, extLen8 = 1) ++
+      udp(53, 41000, dnsQuery("v6.example.org", 1))
+    val pkt = ethernet(0x86dd, ipv6(g, dst, 0, payload)) // next_header = hop-by-hop
+    val sane = dissectOne(pkt)
+    assert(sane.ipProto == 17 && sane.udpSrcport.contains(53))
+    assert(sane.colProtocol.contains("DNS"))
+    assert(sane.dnsQryName.contains("v6.example.org"))
+    assert(sane.errors == 0)
+    val compat = PacketDissector.dissect(
+      graft.core.RawFrame(1000000L, pkt.length.toLong, pkt, 1), walkV6 = false)
+    assert(compat.ipProto == 0 && compat.udpSrcport.isEmpty)
+    assert(compat.colProtocol.contains("IPv6"))
+  }
+
+  test("IPv6 fragment header: first fragment parses transport, continuation gates (Sane)") {
+    val g = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 7)
+    val dst = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 8)
+    def fragHdr(next: Int, off8: Int, mf: Boolean, id: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.put(next.toByte).put(0.toByte)
+        .putShort((((off8 << 3) | (if (mf) 1 else 0)) & 0xffff).toShort)
+        .putInt(id.toInt)
+      b.array()
+    }
+    // first fragment: offset 0, MF=1 — transport parses, v4-style columns
+    val first = dissectOne(ethernet(0x86dd, ipv6(g, dst, 44,
+      fragHdr(17, 0, mf = true, id = 0x12345678L) ++
+        udp(123, 123, Array[Byte](((2 << 3) | 7).toByte, 0, 0, 42, 0, 0, 0, 0)))))
+    assert(first.ipProto == 17 && first.ipMf && first.ipFragOffset == 0)
+    assert(first.ipId == 0x5678) // low 16 bits of the 32-bit v6 id
+    assert(first.udpSrcport.contains(123))
+    assert(first.colProtocol.contains("NTP"))
+    // continuation: offset > 0 gates dissection — no transport columns
+    val cont = dissectOne(ethernet(0x86dd, ipv6(g, dst, 44,
+      fragHdr(17, 185, mf = false, id = 0x12345678L) ++ Array.fill[Byte](16)(0x42))))
+    assert(cont.ipProto == 17 && !cont.ipMf && cont.ipFragOffset == 185)
+    assert(cont.udpSrcport.isEmpty && cont.colProtocol.contains("IPv6"))
+    // compat mode ignores the fragment header entirely (reference scope)
+    val compat = PacketDissector.dissect(
+      graft.core.RawFrame(1L, 0L, ethernet(0x86dd, ipv6(g, dst, 44,
+        fragHdr(17, 185, mf = false, id = 1L) ++ Array.fill[Byte](16)(0x42))), 1),
+      walkV6 = false)
+    assert(compat.ipProto == 44 && compat.ipFragOffset == 0 && !compat.ipMf)
+  }
+
+  test("IPv6 walk malformed chains: 59 ends clean, truncation errors, never throws") {
+    val g = Array(1, 2, 3, 4, 5, 6, 7, 8)
+    val dst = Array(8, 7, 6, 5, 4, 3, 2, 1)
+    // no-next-header: clean bare-IPv6 row
+    val none = dissectOne(ethernet(0x86dd, ipv6(g, dst, 59, Array.empty)))
+    assert(none.ipProto == 59 && none.errors == 0)
+    assert(none.colProtocol.contains("IPv6"))
+    // hop-by-hop claiming 24 bytes with only 8 present: error, row kept
+    val trunc = dissectOne(ethernet(0x86dd, ipv6(g, dst, 0,
+      Array[Byte](17, 2, 0, 0, 0, 0, 0, 0))))
+    assert(trunc.errors == 1 && trunc.ipSrc.contains("1:2:3:4:5:6:7:8"))
+    assert(trunc.udpSrcport.isEmpty)
+    // an 9-deep chain hits the hop cap: error, row kept
+    val deep = (1 to 9).map(_ => Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+      .reduce(_ ++ _) ++ udp(1, 2, Array.empty)
+    val capped = dissectOne(ethernet(0x86dd, ipv6(g, dst, 0, deep)))
+    assert(capped.errors == 1 && capped.udpSrcport.isEmpty)
+  }
+
   test("ipv6Text edge cases") {
     assert(PacketDissector.ipv6Text(Array(0, 0, 0, 0, 0, 0, 0, 0)) == "::")
     assert(PacketDissector.ipv6Text(Array(0, 0, 0, 0, 0, 0, 0, 1)) == "::1")

@@ -83,6 +83,49 @@ class PcapPipelineSpec extends SparkFunSuite {
     df.unpersist(); out.unpersist()
   }
 
+  test("adaptive guard broadcasts on key-collided captures (distinct keys, not ff rows)") {
+    // round 12: ff after the aggregate is one row per DISTINCT datagram
+    // key, so the broadcast ceiling compares against that — a capture
+    // whose ip_id space wraps (the same key recurring many times) must
+    // take the broadcast join even when the first-fragment ROW count
+    // exceeds the ceiling. 120 first fragments over 6 distinct keys:
+    // ceiling 20 sits between them.
+    val frames = (0 until 120).flatMap { i =>
+      val id = i % 6 // 6 distinct datagram keys, 20 ff rows each
+      Seq(
+        (i * 2000L, -1, ethernet(0x0800, ipv4("198.51.100.7", "192.0.2.9", 17,
+          udp(53, 41000, dnsQuery(s"k$id.example.org", 1)), id = id, mf = true))),
+        (i * 2000L + 1, -1, ethernet(0x0800, ipv4("198.51.100.7", "192.0.2.9", 17,
+          Array.fill[Byte](16)(0x42), id = id, fragOffset = 5))))
+    }
+    val p = writeTemp("cap_guard.pcap", legacyPcap(frames))
+    val df = PcapSource.read(spark, p.toString).cache()
+    val st = Defrag.fragStats(df)
+    assert(st.firstFragments == 120L)
+    // HLL at 6 values is exact
+    assert(st.distinctKeysEst == 6L, s"est=${st.distinctKeysEst}")
+    sys.props("graft.defrag.maxBroadcastFF") = "20"
+    try {
+      val (_, choice) = Defrag.applyWithChoice(df)
+      assert(choice == Defrag.BroadcastJoin, s"got $choice")
+      // and a genuinely wide key space above the ceiling still shuffles:
+      // estimate*1.25 > 20 even with HLL slack at 120 distinct keys
+      val framesWide = (0 until 120).flatMap { i =>
+        Seq(
+          (i * 2000L, -1, ethernet(0x0800, ipv4("198.51.100.7", "192.0.2.9", 17,
+            udp(53, 41000, dnsQuery(s"w$i.example.org", 1)), id = i, mf = true))),
+          (i * 2000L + 1, -1, ethernet(0x0800, ipv4("198.51.100.7", "192.0.2.9", 17,
+            Array.fill[Byte](16)(0x42), id = i, fragOffset = 5))))
+      }
+      val pw = writeTemp("cap_guard_wide.pcap", legacyPcap(framesWide))
+      val dfw = PcapSource.read(spark, pw.toString).cache()
+      val (_, choiceW) = Defrag.applyWithChoice(dfw)
+      assert(choiceW == Defrag.ShuffleBypass, s"got $choiceW")
+      dfw.unpersist()
+    } finally sys.props.remove("graft.defrag.maxBroadcastFF")
+    df.unpersist()
+  }
+
   test("defrag skipped below 1% threshold (main.rs:277)") {
     val frames = (1 to 200).map { i =>
       (i * 1000L, -1, ethernet(0x0800,
