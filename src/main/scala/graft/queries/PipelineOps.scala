@@ -738,6 +738,97 @@ object PipelineOps {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY day""".stripMargin
 
+  // --- d53: DSIR-style importance selection (round 12) ---------------------
+  // Data Selection with Importance Resampling (Xie et al., NeurIPS 2023):
+  // score every document by how much its hashed n-gram feature
+  // distribution looks like a TARGET domain relative to the raw corpus,
+  // then keep the top-weighted docs. Re-expressed with EXACT integer
+  // arithmetic so both engines agree bit-for-bit (CLAUDE.md: no
+  // cross-engine float sums): the per-bucket log-ratio
+  // log p_target(f)/p_raw(f) becomes the integer-log2 difference
+  // `length(bin(t+1)) - length(bin(r+1))` (= floor(log2)+1 in BOTH
+  // engines), and the per-doc weight is an integer SUM of its features'
+  // bucket scores. Deterministic top-k (weight DESC, doc_id ASC) stands
+  // in for DSIR's Gumbel resampling — same selection pressure, oracle-
+  // replayable. Target domain here: the corpus's `lang = 'en'` slice
+  // (DSIR's "formal text" target, proxied by what the fixtures carry).
+  //
+  // 100 TB shape: features are unigrams+bigrams hashed into 4096 buckets
+  // — the bucket-count aggregate partial-combines map-side into <= 4096
+  // rows per task, the score table (4096 longs) collects to the driver
+  // and rides into the scoring pass as a LITERAL array lookup (no join,
+  // no second shuffle; the corpus-side pass is fully narrow), and the
+  // top-k is a TakeOrdered. The two linear passes recompute the feature
+  // arrays rather than caching them (the plan-driven re-parse pattern —
+  // nothing corpus-sized materializes).
+  private val D53Buckets = 4096
+
+  /** Per-doc hashed feature-bucket array — the ONE definition the
+    * scoring pass, the bucket-count pass, and the aux export all share
+    * (the oracle replays from the exported (doc_id, bucket) pairs, so
+    * the frames must be identical). Unigrams + bigrams; the bigram CASE
+    * guards `sequence(1, 0)`, which would otherwise DESCEND. */
+  private def d53Docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .withColumn("bks", expr(
+        s"""transform(
+           |  concat(ws,
+           |    CASE WHEN size(ws) >= 2
+           |         THEN transform(sequence(1, size(ws) - 1),
+           |                i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+           |         ELSE array() END),
+           |  g -> pmod(xxhash64(g), $D53Buckets))""".stripMargin))
+
+  private def d53Feats(s: SparkSession, dir: String): DataFrame =
+    d53Docs(s, dir).select(col("doc_id"), explode(col("bks")).as("bucket"))
+
+  private def d53(s: SparkSession, dir: String): DataFrame = {
+    val docs = d53Docs(s, dir)
+    val feats = docs.select(col("lang"), explode(col("bks")).as("bucket"))
+    // bucket counts: raw corpus vs target slice — one tiny aggregate
+    // (<= 4096 groups, map-side partials), collected to the driver
+    val counts = feats
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      .collect()
+    val scores = Array.fill[Long](D53Buckets)(0L)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      val rc = r.getLong(1)
+      val tc = r.getLong(2)
+      // integer log2 ratio: length(bin(x)) = floor(log2 x) + 1; the +1s
+      // cancel in the difference, the smoothing +1 keeps bin's arg >= 1
+      scores(b) = (64 - java.lang.Long.numberOfLeadingZeros(tc + 1)) -
+        (64 - java.lang.Long.numberOfLeadingZeros(rc + 1)).toLong
+    }
+    val scoresLit = typedlit(scores.toSeq)
+    docs
+      .select(col("doc_id"),
+        size(col("bks")).cast("long").as("n_grams"),
+        aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + element_at(scoresLit, (b + 1).cast("int")))
+          .as("weight"))
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
+  private val d53Oracle =
+    """WITH f AS (SELECT doc_id, bucket FROM '{OUT}/_aux/d53_dsir_select/aux_feats/*.parquet'),
+      |cnt AS (SELECT f.bucket, COUNT(*) AS rc,
+      |          SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS tc
+      |        FROM f JOIN documents d USING (doc_id) GROUP BY f.bucket),
+      |s AS (SELECT bucket,
+      |        CAST(length(bin(CAST(tc + 1 AS BIGINT)))
+      |           - length(bin(CAST(rc + 1 AS BIGINT))) AS BIGINT) AS sc
+      |      FROM cnt),
+      |w AS (SELECT f.doc_id, CAST(SUM(s.sc) AS BIGINT) AS weight,
+      |        CAST(COUNT(*) AS BIGINT) AS n_grams
+      |      FROM f JOIN s USING (bucket) GROUP BY f.doc_id)
+      |SELECT doc_id, n_grams, weight FROM w
+      |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin
+
   // --- p01: the end-to-end training-data prep pipeline ---------------------
   // The engine's capstone as ONE declared query — the stages a real
   // pre-training corpus goes through, chained into a single DAG:
@@ -1365,6 +1456,9 @@ object PipelineOps {
     Q("q54_bucketed_join", q54, Some(q54Oracle)),
     Q("q55_partition_pruning", q55, Some(q55Oracle)),
     Q("p01_prep_pipeline", p01, Some(p01Oracle), headline = true),
+    Q("d53_dsir_select", d53, Some(d53Oracle),
+      aux = Seq(
+        "aux_feats" -> ((s: SparkSession, dir: String) => d53Feats(s, dir)))),
     Q("d28_quantile_filter", d28, Some(d28Oracle)),
     Q("e09_text_embedding_join", e09, Some(e09Oracle)),
     Q("d27_bloom_contamination", d27, Some(d27Oracle),
