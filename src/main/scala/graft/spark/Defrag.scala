@@ -130,8 +130,18 @@ object Defrag {
     * fragmentation the adaptive guard switches to a shuffle join instead
     * of OOMing the driver.
     */
-  def defrag(pcap: DataFrame, broadcastFF: Boolean = true): DataFrame = {
-    val ff = Patched.foldLeft(firstFragments(pcap)) { (d, c) =>
+  def defrag(pcap: DataFrame, broadcastFF: Boolean = true): DataFrame =
+    defragWith(pcap, firstFragments(pcap), broadcastFF)
+
+  /** [[defrag]] with a CALLER-SUPPLIED first-fragment frame — the same
+    * enrichment join, but `ff0` may be a re-read of the spilled ff
+    * parquet ([[applyWithSpill]]) instead of the lazy aggregate subtree
+    * (which re-parses the whole capture). `ff0` must be shaped exactly
+    * like [[firstFragments]]' output (join keys + patched columns).
+    */
+  def defragWith(pcap: DataFrame, ff0: DataFrame,
+      broadcastFF: Boolean): DataFrame = {
+    val ff = Patched.foldLeft(ff0) { (d, c) =>
       d.withColumnRenamed(c, "__ff_" + c)
     }
     val keep = pcap.columns.filterNot(Patched.contains).toSeq
@@ -214,5 +224,54 @@ object Defrag {
     if (st.pct < thresholdPct) (pcap, NoDefrag)
     else if (ffFitsBroadcast) (defrag(pcap, broadcastFF = true), BroadcastJoin)
     else (defrag(pcap, broadcastFF = false), ShuffleBypass)
+  }
+
+  /** [[applyWithChoice]] with an ff SPILL (round 12): ONE job computes
+    * the adaptive stats AND materializes the first-fragment aggregate to
+    * `spillDir` (zstd parquet), so the chosen join reads ff back from
+    * the tiny spill instead of re-parsing the whole capture — the
+    * convert drops from three full dissect passes (stats, ff subtree,
+    * probe side) to two. The spill is bounded by DISTINCT datagram keys
+    * (the post-aggregate row count — ~50 MB at 100M packets on the bench
+    * corpus), NEVER the corpus, and is a different artifact from the
+    * reference's full-table temp parquet this engine eliminated (SURVEY
+    * §2.1): a 31-column 100 TB re-spill costs ~2.6× a parse; an
+    * 11-column keys-only spill costs ~nothing and SAVES a parse.
+    *
+    * Stats ride the same job via `Dataset.observe` on the pre-filter
+    * frame — CollectMetrics is a predicate-pushdown BARRIER, so the ff
+    * filter cannot slide below it and the observed counts cover every
+    * row (PcapPipelineSpec pins equality with [[fragStats]]). The
+    * broadcast decision then uses the spill's EXACT row count (parquet
+    * footer metadata — it IS the distinct-key count), not the HLL
+    * estimate the no-spill path needs.
+    *
+    * The caller owns `spillDir`'s lifecycle: it must outlive every
+    * action on the returned frame (delete after the final write —
+    * PcapConvert does). Local paths work in local mode; on a real
+    * cluster pass a shared-FS path, since executors read it back.
+    */
+  def applyWithSpill(pcap: DataFrame, spillDir: String,
+      thresholdPct: Double = 1.0): (DataFrame, Choice) = {
+    val obs = org.apache.spark.sql.Observation(
+      "defrag_stats_" + java.util.UUID.randomUUID().toString)
+    val observed = pcap.observe(obs,
+      count(lit(1)).as("total"),
+      sum(when(fragmentedCond, 1L).otherwise(0L)).as("frag"))
+    firstFragments(observed).write.mode("overwrite")
+      .option("compression", "zstd").parquet(spillDir)
+    val row = obs.get
+    val total = row("total").asInstanceOf[Long]
+    val frag = Option(row("frag")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val pct =
+      if (total == 0) 0.0 else math.round(100.0 * frag / total).toDouble
+    if (pct < thresholdPct) (pcap, NoDefrag)
+    else {
+      val ff = pcap.sparkSession.read.parquet(spillDir)
+      // footer-metadata count: exact distinct datagram keys, no scan
+      if (ff.count() <= MaxBroadcastFirstFragments)
+        (defragWith(pcap, ff, broadcastFF = true), BroadcastJoin)
+      else (defragWith(pcap, ff, broadcastFF = false), ShuffleBypass)
+    }
   }
 }

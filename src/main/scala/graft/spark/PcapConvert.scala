@@ -153,10 +153,23 @@ object PcapConvert {
         th.start()
         th
       }
+    // ff spill (round 12): the adaptive stats job now ALSO materializes
+    // the first-fragment aggregate (bounded by distinct datagram keys,
+    // never the corpus) so the defrag join reads it back instead of
+    // re-parsing the capture — 3 full dissect passes become 2. Sibling
+    // of the output so it rides the same FS; deleted after the write.
+    val ffSpill = a.out + ".ffspill"
+    def dropSpill(): Unit =
+      if (!a.nodefrag) {
+        val p = new org.apache.hadoop.fs.Path(ffSpill)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(p, true)
+        ()
+      }
     try {
       val out =
         if (a.nodefrag) pcap
-        else Defrag(pcap) // adaptive: joins only when >= 1% fragmented
+        else Defrag.applyWithSpill(pcap, ffSpill)._1 // adaptive: joins only when >= 1% fragmented
       // round-10/11 vector-direct write: when the plan under the write
       // is still columnar (nodefrag, or the adaptive defrag-skip branch),
       // the batch vectors go straight into parquet-mr's column writers —
@@ -177,6 +190,7 @@ object PcapConvert {
     } finally {
       progress.foreach(_.interrupt())
       PcapSource.unregisterMetrics(metricsKey)
+      try dropSpill() catch { case _: java.io.IOException => () }
     }
     if (a.verbose)
       System.err.println(

@@ -46,9 +46,12 @@ object BenchDefragBranch {
         val shards = math.max(1, math.min(1024, math.ceil(
           spark.sparkContext.defaultParallelism.toDouble / nFiles).toInt))
         val t0 = System.nanoTime()
-        val (df, choice) = graft.spark.Defrag.applyWithChoice(
+        // same ff-spill flow the CLI plans (round 12): one stats+spill
+        // job, then the join reads ff back from the spill
+        val (df, choice) = graft.spark.Defrag.applyWithSpill(
           spark.read.format("pcap")
-            .option("decodePartitions", shards).load(glob))
+            .option("decodePartitions", shards).load(glob),
+          s"$out.ffspill")
         val expect =
           if (forceShuffle) graft.spark.Defrag.ShuffleBypass
           else graft.spark.Defrag.BroadcastJoin
@@ -85,6 +88,7 @@ object BenchDefragBranch {
         f"shuffle best $sb%.2f s median $sm%.2f s")
     println(f"""{"metric":"defrag_branch_ab","broadcast_best_s":$bb%.3f,"broadcast_median_s":$bm%.3f,"shuffle_best_s":$sb%.3f,"shuffle_median_s":$sm%.3f,"glob":"$glob"}""")
     graft.TempCleanup.rmrf(new java.io.File(out))
+    graft.TempCleanup.rmrf(new java.io.File(s"$out.ffspill"))
     spark.stop()
   }
 }

@@ -43,12 +43,14 @@ object BenchDefragWrite {
           .list(Seq(glob), spark.sessionState.newHadoopConf()).size)
         val shards = math.max(1, math.min(1024, math.ceil(
           spark.sparkContext.defaultParallelism.toDouble / nFiles).toInt))
-        val (df, _) = graft.spark.Defrag.applyWithChoice(
+        val (df, _) = graft.spark.Defrag.applyWithSpill(
           spark.read.format("pcap")
-            .option("decodePartitions", shards).load(glob))
+            .option("decodePartitions", shards).load(glob),
+          s"$out.ffspill")
         val ok = graft.spark.PcapColumnarWrite.write(df, out, "zstd",
           singleFile = false, rebatch = true)
         require(ok, "vector write refused")
+        graft.TempCleanup.rmrf(new java.io.File(s"$out.ffspill"))
       } else {
         graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
           file = glob, out = out, singleFile = false, cache = Some(false),

@@ -126,6 +126,49 @@ class PcapPipelineSpec extends SparkFunSuite {
     df.unpersist()
   }
 
+  test("applyWithSpill: one stats+spill job, same rows/branch as the lazy path") {
+    // round 12: the stats ride the ff-spill job via Dataset.observe on
+    // the PRE-FILTER frame. The load-bearing property is that Catalyst
+    // must not push the ff filter below CollectMetrics (the counts must
+    // cover every row) — pinned here by branch agreement with fragStats
+    // on a mixed corpus — and that the enrichment from the spilled ff is
+    // row-identical to the lazy aggregate subtree's.
+    val p = writeTemp("cap_spill.pcap", fragmentedCapture)
+    val df = PcapSource.read(spark, p.toString).cache()
+    val spill = java.nio.file.Files.createTempDirectory("ffspill").toString + "/ff"
+    val (out, choice) = Defrag.applyWithSpill(df, spill)
+    assert(choice == Defrag.BroadcastJoin) // 86% fragmented, tiny ff
+    // spilled ff row count = distinct datagram keys, exactly
+    val st = Defrag.fragStats(df)
+    assert(spark.read.parquet(spill).count() == st.distinctKeysEst)
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      d.collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString(""))
+    assert(canon(out) == canon(Defrag.defrag(df)))
+    // below-threshold corpus WITH one fragmented datagram among 500 TCP
+    // rows (round(100·2/502) = 0 < 1): the DISCRIMINATING case — had
+    // Catalyst pushed the ff filter below CollectMetrics, the observed
+    // total would count only the 2 fragment rows (100%) and wrongly
+    // defrag. (300 rows first tripped this assert legitimately:
+    // round(100·2/302) = 1 IS the threshold — the reference's integer-%
+    // rounding, main.rs:274.)
+    val frames = (1 to 500).map { i =>
+      (i * 1000L, -1, ethernet(0x0800,
+        ipv4("9.9.9.9", "8.8.8.8", 6, tcp(80, 2000 + i, 0x10))))
+    } ++ Seq(
+      (400000L, -1, ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17,
+        udp(53, 41000, dnsQuery("x.example.org", 1)), id = 9, mf = true))),
+      (400001L, -1, ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17,
+        Array.fill[Byte](16)(0x42), id = 9, fragOffset = 5))))
+    val p2 = writeTemp("cap_spill2.pcap", legacyPcap(frames))
+    val df2 = PcapSource.read(spark, p2.toString)
+    val spill2 = java.nio.file.Files.createTempDirectory("ffspill2").toString + "/ff"
+    val (out2, choice2) = Defrag.applyWithSpill(df2, spill2)
+    assert(choice2 == Defrag.NoDefrag,
+      s"got $choice2 — the ff filter reached below the observe node")
+    assert(out2.columns.toSeq == df2.columns.toSeq)
+    df.unpersist()
+  }
+
   test("defrag skipped below 1% threshold (main.rs:277)") {
     val frames = (1 to 200).map { i =>
       (i * 1000L, -1, ethernet(0x0800,
