@@ -183,15 +183,20 @@ object BenchPcap {
     // 8-file corpus through the multi-root streaming pcap source under
     // Trigger.AvailableNow into the streaming parquet sink — the
     // round-over-round perf signal for the streaming read path
-    // (composite offsets, admission control, per-file readers; no
-    // stride sharding — streaming parallelism is one task per file).
+    // (composite offsets, admission control; round 12: stride-sharded
+    // per-file dissection, same knob as the batch scan — one task per
+    // file left 24 of 32 cores idle here).
+    val streamShards = math.max(1, math.min(1024,
+      math.ceil(cpus.toDouble / files).toInt))
     def streamOnce(): Double = {
       val sOut = s"$dir/stream-out.parquet"
       val sCkpt = s"$dir/stream-ckpt"
       graft.TempCleanup.rmrf(new java.io.File(sOut))
       graft.TempCleanup.rmrf(new java.io.File(sCkpt))
       time {
-        val q = spark.readStream.format("pcap").load(s"$dir/cap*.pcap")
+        val q = spark.readStream.format("pcap")
+          .option("decodePartitions", streamShards)
+          .load(s"$dir/cap*.pcap")
           .writeStream.format("parquet")
           .option("path", sOut)
           .option("checkpointLocation", sCkpt)

@@ -156,18 +156,21 @@ final class PcapScan(
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    // refuse rather than silently ignore: the streaming source's unit of
-    // admission control is the FILE (maxFilesPerTrigger); a stride shard
-    // would split one file's rows across offsets and break replay
-    require(decodePartitions == 1,
-      "pcap streaming read does not support decodePartitions " +
-        "(parallelism is per file; use maxFilesPerTrigger)")
+    // decodePartitions streams too (round 12 — the rounds-9..11 refusal
+    // here was wrong-footed): the unit of ADMISSION CONTROL stays the
+    // FILE (offsets, watermarks, maxFilesPerTrigger all unchanged), and
+    // a stride shard only splits one admitted file's DISSECTION within
+    // its planned batch — replay regenerates the identical shard set
+    // from the committed (start, end] file range, so exactly-once is
+    // untouched. This closed the streaming-vs-batch convert gap: one
+    // task per file left 24 of 32 cores idle on the 8-file bench corpus.
     // withBytes/filters ride along: dropping them made every bytes-mode
     // streaming task die on a schema-ordinal lookup. Multi-root paths
     // stream natively since round 9: one watermark per root in a
     // composite offset (see PcapMicroBatchStream).
     new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation,
-      maxFilesPerTrigger, filters, withBytes, strictLanding, retiredRoots)
+      maxFilesPerTrigger, filters, withBytes, strictLanding, retiredRoots,
+      decodePartitions)
   }
   override def description(): String =
     s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")}" +

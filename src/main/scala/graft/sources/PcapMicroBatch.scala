@@ -58,7 +58,12 @@ final class PcapMicroBatchStream(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     withBytes: Boolean = false,
     strictLanding: Boolean = false,
-    retiredRoots: Seq[String] = Seq.empty)
+    retiredRoots: Seq[String] = Seq.empty,
+    /** Stride shards per admitted file (round 12): splits each file's
+      * dissection across N reader tasks WITHIN its planned batch. Pure
+      * execution parallelism — offsets, watermarks, and admission stay
+      * per-file, and replay regenerates the identical shard set. */
+    decodePartitions: Int = 1)
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   require(paths.nonEmpty, "pcap streaming needs at least one landing root")
@@ -290,7 +295,9 @@ final class PcapMicroBatchStream(
           s"resolves it to ${files.size} — the atomic-rename/monotonic-name " +
           "landing contract was violated; refusing to replay a different " +
           "batch than was committed")
-      files.map(f => PcapInputPartition(f): InputPartition)
+      files.flatMap(f =>
+        (0 until decodePartitions).map(i =>
+          PcapInputPartition(f, i, decodePartitions): InputPartition))
     }.toArray
   }
 

@@ -43,6 +43,34 @@ class PcapStreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decodePartitions: stride shards read exactly-once within each batch") {
+    // round 12: the rounds-9..11 refusal is lifted — a stride shard
+    // splits one admitted file's DISSECTION within its planned batch;
+    // offsets/watermarks/admission stay per-file, so replay regenerates
+    // the identical shard set. Pinned: sharded row multiset == unsharded,
+    // incl. across a new-file batch boundary.
+    val dir = Files.createTempDirectory("pcapstream_shard")
+    Files.write(dir.resolve("c1.pcap"), capture(1))
+    Files.write(dir.resolve("c2.pcap"), capture(2))
+    val name = "pcap_stream_shard_sink"
+    val q = spark.readStream.format("pcap")
+      .option("decodePartitions", 3) // deliberately > frames per shard
+      .load(dir.toString)
+      .groupBy("col_protocol").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r1 == Map("DNS" -> 2L, "TCP" -> 2L), r1.toString)
+      Files.write(dir.resolve("c3.pcap"), capture(3))
+      q.processAllAvailable()
+      val r2 = spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r2 == Map("DNS" -> 3L, "TCP" -> 3L), r2.toString)
+    } finally q.stop()
+  }
+
   test("AvailableNow honors admission control and survives an uncommitted-batch restart") {
     // VERDICT r6 #5: without SupportsTriggerAvailableNow the source fell
     // back to a SINGLE batch of everything under Trigger.AvailableNow —
