@@ -169,6 +169,49 @@ class PcapPipelineSpec extends SparkFunSuite {
     df.unpersist()
   }
 
+  test("IPv6 fragment chains defrag end-to-end (Sane walk feeds the v4 pipeline)") {
+    // round 12: the Sane-mode v6 fragment gate populates ip_frag_offset/
+    // ip_mf/ip_id (low 16 bits of the v6 identification), so v6 chains
+    // flow through the SAME defrag join as v4 — pin a 3-fragment v6
+    // datagram getting its DNS columns back-filled.
+    val src = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 0x11)
+    val dst = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 0x22)
+    def fragHdr(next: Int, off8: Int, mf: Boolean, id: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.put(next.toByte).put(0.toByte)
+        .putShort((((off8 << 3) | (if (mf) 1 else 0)) & 0xffff).toShort)
+        .putInt(id.toInt)
+      b.array()
+    }
+    val id = 0xBEEF1234L
+    val frames = Seq(
+      (1L, -1, ethernet(0x86dd, ipv6(src, dst, 44,
+        fragHdr(17, 0, mf = true, id) ++
+          udp(53, 41000, dnsQuery("frag6.example.org", 1))))),
+      (2L, -1, ethernet(0x86dd, ipv6(src, dst, 44,
+        fragHdr(17, 9, mf = true, id) ++ Array.fill[Byte](16)(0x42)))),
+      (3L, -1, ethernet(0x86dd, ipv6(src, dst, 44,
+        fragHdr(17, 18, mf = false, id) ++ Array.fill[Byte](16)(0x42)))),
+      // unrelated v6 UDP row, different id — must stay untouched
+      (4L, -1, ethernet(0x86dd, ipv6(src, dst, 44,
+        fragHdr(17, 5, mf = false, id + 1) ++ Array.fill[Byte](8)(0x55)))))
+    val p = writeTemp("cap_v6frag.pcap", legacyPcap(frames))
+    val df = PcapSource.read(spark, p.toString).cache()
+    // all 4 rows match the frag predicate (the lone off>0 sibling too)
+    assert(Defrag.fragmentedPct(df) == 100.0)
+    val out = Defrag.defrag(df).cache()
+    val chain = out.filter(col("ip_id") === 0x1234) // low 16 bits of id
+    assert(chain.count() == 3)
+    assert(chain.collect().forall(
+      _.getAs[String]("dns_qry_name") == "frag6.example.org"))
+    assert(chain.collect().forall(_.getAs[Int]("udp_srcport") == 53))
+    assert(chain.collect().forall(_.getAs[String]("ip_src") == "2001:db8::11"))
+    // the colliding-free sibling datagram keeps NULL L7 (no ff for it)
+    val other = out.filter(col("ip_id") === 0x1235).head()
+    assert(other.isNullAt(other.fieldIndex("dns_qry_name")))
+    df.unpersist(); out.unpersist()
+  }
+
   test("defrag skipped below 1% threshold (main.rs:277)") {
     val frames = (1 to 200).map { i =>
       (i * 1000L, -1, ethernet(0x0800,
