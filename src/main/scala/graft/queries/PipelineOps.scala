@@ -829,6 +829,38 @@ object PipelineOps {
       |SELECT doc_id, n_grams, weight FROM w
       |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin
 
+  // --- d54: k-anonymity audit (round 12) ------------------------------------
+  // Sweeney's k-anonymity (IJUFKS 2002) over the corpus's quasi-
+  // identifiers: a document whose (lang, source, size-bucket) equivalence
+  // class has fewer than k members is re-identifiable from metadata
+  // alone — the release-risk audit that complements d24's content
+  // redaction (scrubbing the text body is moot if the metadata row is
+  // unique). Size buckets are integer log2 (`length(bin(n+1))`, exact in
+  // both engines); k = 5. Two cheap aggregates: classes (map-side
+  // partial combine, one shuffle bounded by |lang|x|source|x~40
+  // buckets), then the per-(lang, source) risk rollup — nothing
+  // corpus-proportional ever shuffles, 100 TB-flat.
+  private def d54(s: SparkSession, dir: String): DataFrame = {
+    val cls = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        length(bin(col("n_chars") + 1)).as("len_bucket"))
+      .agg(count(lit(1)).as("cn"))
+    cls.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_classes"),
+        min("cn").as("k_min"),
+        sum(when(col("cn") < 5, col("cn")).otherwise(0L)).as("n_at_risk"))
+  }
+
+  private val d54Oracle =
+    """WITH c AS (SELECT lang, source,
+      |             length(bin(CAST(n_chars + 1 AS BIGINT))) AS len_bucket,
+      |             COUNT(*) AS cn
+      |           FROM documents GROUP BY 1, 2, 3)
+      |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |       CAST(MIN(cn) AS BIGINT) AS k_min,
+      |       CAST(SUM(CASE WHEN cn < 5 THEN cn ELSE 0 END) AS BIGINT) AS n_at_risk
+      |FROM c GROUP BY lang, source""".stripMargin
+
   // --- p01: the end-to-end training-data prep pipeline ---------------------
   // The engine's capstone as ONE declared query — the stages a real
   // pre-training corpus goes through, chained into a single DAG:
@@ -1456,6 +1488,7 @@ object PipelineOps {
     Q("q54_bucketed_join", q54, Some(q54Oracle)),
     Q("q55_partition_pruning", q55, Some(q55Oracle)),
     Q("p01_prep_pipeline", p01, Some(p01Oracle), headline = true),
+    Q("d54_k_anonymity", d54, Some(d54Oracle)),
     Q("d53_dsir_select", d53, Some(d53Oracle),
       aux = Seq(
         "aux_feats" -> ((s: SparkSession, dir: String) => d53Feats(s, dir)))),
