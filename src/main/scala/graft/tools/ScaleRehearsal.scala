@@ -50,7 +50,8 @@ object ScaleRehearsal {
       else Seq("e06_ivf_pq", "d05_ngram_jaccard", "d06_minhash_lsh", "d42_bm25",
         "d44_containment", "d07_simhash",
         "p01_prep_pipeline", "q56_peak_concurrency", "q59_equidepth_histogram",
-        "e14_hybrid_rrf", "d51_scrub_bloom_gate"))
+        "e14_hybrid_rrf", "d51_scrub_bloom_gate",
+        "d53_dsir_select", "d54_k_anonymity"))
       .map(_.trim).filter(_.nonEmpty)
     val localDir = graft.BenchEnv.localDir()
     val spark = SparkSession.builder().master("local[32]")
