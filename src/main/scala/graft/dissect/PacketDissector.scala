@@ -259,24 +259,31 @@ object PacketDissector {
       var hops = 0
       var halt = false // stop with NO transport parse (gate / error / 59)
       var walking = true
+      // bounds are pEnd (the IPv6 payload end), NOT the capture buffer:
+      // an ethernet-minimum-padded short packet would otherwise feed
+      // trailer/padding bytes to the walk as extension headers — and a
+      // padding byte of 44 would fabricate fragment columns from
+      // garbage (review finding; the transport parse below was always
+      // pEnd-bounded, the walk must match)
+      @inline def within(n: Int): Boolean = p + n <= pEnd
       while (walking && !halt && hops < 8) {
         proto match {
           case 0 | 43 | 60 => // Hdr Ext Len in 8-byte units, excl. first 8
-            if (!has(b, p, 2)) { a.errors += 1; halt = true }
+            if (!within(2)) { a.errors += 1; halt = true }
             else {
               val l = (u8(b, p + 1) + 1) * 8
-              if (!has(b, p, l)) { a.errors += 1; halt = true }
+              if (!within(l)) { a.errors += 1; halt = true }
               else { proto = u8(b, p); p += l; a.ipProto = proto.toShort }
             }
           case 51 => // AH: Payload Len in 4-byte units, excl. first 8
-            if (!has(b, p, 2)) { a.errors += 1; halt = true }
+            if (!within(2)) { a.errors += 1; halt = true }
             else {
               val l = (u8(b, p + 1) + 2) * 4
-              if (!has(b, p, l)) { a.errors += 1; halt = true }
+              if (!within(l)) { a.errors += 1; halt = true }
               else { proto = u8(b, p); p += l; a.ipProto = proto.toShort }
             }
           case 44 => // fragment header: fixed 8 bytes
-            if (!has(b, p, 8)) { a.errors += 1; halt = true }
+            if (!within(8)) { a.errors += 1; halt = true }
             else {
               val fo = u16(b, p + 2)
               a.ipFragOffset = fo >>> 3

@@ -41,6 +41,12 @@ object AdaptiveScrub {
   case object BroadcastSet extends Choice
   case object BloomSketch extends Choice
 
+  /** The ONE default document-frequency threshold — shared by
+    * [[apply]]'s default parameter and d52's aux export so the query
+    * and its oracle can never scrub with different frequent sets
+    * (review finding: two literal 3s could silently desync). */
+  val DefaultMinDf: Int = 3
+
   /** Max frequent-shingle hashes forced into a broadcast (8 B each →
     * 16 MB raw at the default). Above this the membership rides the
     * fixed-size bloom sketch instead. The
@@ -116,7 +122,7 @@ object AdaptiveScrub {
 
   /** Adaptive entry point: measure, pick, scrub. Returns the scrubbed
     * (doc_id, n_kept, kept_md5) frame plus the branch taken. */
-  def apply(docs: DataFrame, minDf: Int = 3,
+  def apply(docs: DataFrame, minDf: Int = DefaultMinDf,
       maxBroadcast: Long = MaxBroadcastShingles): (DataFrame, Choice) = {
     val n = freqHashes(shingles(docs), minDf).count()
     val choice = if (n <= maxBroadcast) BroadcastSet else BloomSketch

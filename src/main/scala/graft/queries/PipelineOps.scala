@@ -770,6 +770,11 @@ object PipelineOps {
     * guards `sequence(1, 0)`, which would otherwise DESCEND. */
   private def d53Docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // NULL-text guard (review finding): a NULL text yields NULL grams
+      // in Spark (size = -1, NULL weight) but simply no feature rows in
+      // the oracle's aux join — drop such docs in BOTH engines by
+      // construction (they contribute no features either way)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .withColumn("bks", expr(
         s"""transform(

@@ -417,7 +417,8 @@ object TextOps {
              |FROM k""".stripMargin),
       aux = Seq(
         "aux_freq" -> ((s: SparkSession, dir: String) =>
-          graft.operators.AdaptiveScrub.freqHashes(d51Sh(s, dir), 3)),
+          graft.operators.AdaptiveScrub.freqHashes(d51Sh(s, dir),
+            graft.operators.AdaptiveScrub.DefaultMinDf)),
         "aux_probes" -> ((s: SparkSession, dir: String) => d51Sh(s, dir)))),
 
     // --- d14: text normalization/cleaning ----------------------------------

@@ -1273,35 +1273,63 @@ object ManifestLand {
       s"changeFeedRelay: landing $dir is not change-tracked " +
         s"(commit with trackChanges = true)")
     new java.io.File(deltaDir).mkdirs()
-    // attach marker: lets the landing's own maintenance find the relay
-    // marker and refuse the one folding order that loses deletes (see
-    // the ordering contract above); last attached relay wins, matching
-    // the single-relay-writer contract
     val attachF = new java.io.File(dir, RelayAttachFile)
     val attachBytes = deltaDir.getBytes("UTF-8")
-    if (!attachF.exists() ||
-        !java.util.Arrays.equals(Files.readAllBytes(attachF.toPath), attachBytes))
-      ParquetLand.atomicReplace(attachF, attachBytes)
     // owner marker IN the generation dir (round 12): records which
     // landing this log belongs to, so [[expireRelayGeneration]] can
     // refuse deleting ANOTHER landing's generation (the attach-file
     // check alone only knows dir's CURRENT log — a frozen old
-    // generation carries no back-pointer without this). A present
-    // mismatching owner is a foreign live log: relaying into it would
-    // interleave two histories, refuse before any staging. A missing
-    // owner on a marker-bearing dir is the pre-round-12 legacy shape —
-    // the dir passed the attach guards to get here, so stamping it is
-    // the unambiguous self-upgrade.
+    // generation carries no back-pointer without this). ORDERING
+    // (round-12 review finding): this refusal must run BEFORE the
+    // attach write below — re-pointing dir's attach at a foreign log
+    // and THEN refusing would leave dir's attach naming a log dir owns
+    // nothing of, which both defeats compactIfNeeded's folding guard
+    // and lets expireRelayGeneration delete dir's REAL live log (the
+    // "is current log" refusal would no longer match it).
+    //   - owner present and mismatching: a foreign live log — refuse.
+    //   - owner missing WITH a marker (or published files): the
+    //     pre-round-12 legacy shape. Self-upgrade ONLY when dir's own
+    //     CURRENT attach already names this deltaDir — that attach is
+    //     the one artifact proving the log is ours; stamping any other
+    //     marker-bearing dir would claim a FOREIGN landing's legacy log
+    //     and permanently lock out its rightful owner (review finding).
+    //   - owner missing, no marker, no published files: a fresh dir the
+    //     caller is creating — stamp.
     val ownerF = new java.io.File(deltaDir, RelayOwnerFile)
     val ownerCanon = canonPath(dir)
+    val markerF = new java.io.File(deltaDir, "_cf_applied")
     if (ownerF.exists()) {
       val rec = new String(Files.readAllBytes(ownerF.toPath), "UTF-8").trim
       require(canonPath(rec) == ownerCanon,
         s"changeFeedRelay: $deltaDir is owned by landing '$rec', not " +
           s"'$dir' — relaying this landing's windows into another " +
           "landing's log would interleave two histories")
-    } else ParquetLand.atomicReplace(ownerF, ownerCanon.getBytes("UTF-8"))
-    val markerF = new java.io.File(deltaDir, "_cf_applied")
+    } else {
+      val hasHistory = markerF.exists() ||
+        Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+          .exists(f => isPublishedChangeFile(f.getName))
+      if (hasHistory) {
+        val attach =
+          if (attachF.exists())
+            new String(Files.readAllBytes(attachF.toPath), "UTF-8")
+          else ""
+        require(attach.nonEmpty && canonPath(attach) == canonPath(deltaDir),
+          s"changeFeedRelay: $deltaDir carries relay history but no " +
+            s"$RelayOwnerFile owner record, and it is not $dir's current " +
+            s"attach target (attach: '$attach') — cannot prove the log is " +
+            "this landing's; if it is, restore ownership by writing the " +
+            s"landing path into $deltaDir/$RelayOwnerFile")
+      }
+      ParquetLand.atomicReplace(ownerF, ownerCanon.getBytes("UTF-8"))
+    }
+    // attach marker: lets the landing's own maintenance find the relay
+    // marker and refuse the one folding order that loses deletes (see
+    // the ordering contract above); last attached relay wins, matching
+    // the single-relay-writer contract. Written only AFTER the owner
+    // refusals above.
+    if (!attachF.exists() ||
+        !java.util.Arrays.equals(Files.readAllBytes(attachF.toPath), attachBytes))
+      ParquetLand.atomicReplace(attachF, attachBytes)
     val parsed = parseRelayMarker(deltaDir)
     val (marker, stateName) = parsed match {
       case Some((v, s, _)) => (v, Some(s))

@@ -1,57 +1,34 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Interleaved A/B of the defrag JOIN branch (round 12): the broadcast
   * join the distinct-key guard now picks on key-collided captures vs
   * the bypass-split shuffle join the old row-count guard forced at 100M
   * packets. Rounds MUST interleave (the BenchCodec lesson — sequential
   * arms hand the win to whichever runs last under this box's ±2×
   * drift); both arms run the FULL convert (same stride-sharded read,
-  * same vector write) in one warmed JVM, alternating A,B,A,B…; the
-  * branch is forced per arm through the `graft.defrag.maxBroadcastFF`
-  * ceiling (0 ⇒ shuffle; default ⇒ whatever the adaptive guard picks —
-  * asserted per arm so a silently-flipped guard can't invalidate the
-  * experiment).
+  * same ff spill, same vector write) in one warmed JVM, alternating
+  * A,B,A,B…; the branch is forced per arm through the
+  * `graft.defrag.maxBroadcastFF` ceiling (0 ⇒ shuffle; default ⇒
+  * whatever the adaptive guard picks — asserted per arm so a
+  * silently-flipped guard can't invalidate the experiment).
   *
   * Usage: `runMain graft.tools.BenchDefragBranch [fileGlob] [rounds]`
   * (default glob = BenchPcap's tmpfs corpus, rounds = 3 per arm).
   */
 object BenchDefragBranch {
   def main(args: Array[String]): Unit = {
-    val defaultDir =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft-pcap-bench"
-      else "/tmp/graft-pcap-bench"
-    val glob = args.headOption.getOrElse(s"$defaultDir/*.pcap")
+    val dir = graft.BenchEnv.pcapCorpusDir()
+    val glob = args.headOption.getOrElse(s"$dir/*.pcap")
     val rounds = if (args.length > 1) args(1).toInt else 3
-    val localDir = graft.BenchEnv.localDir()
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.local.dir", localDir)
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val out = s"$defaultDir/defragbranch-ab.parquet"
+    val spark = graft.BenchEnv.abSession()
+    val out = s"$dir/defragbranch-ab.parquet"
     def convert(forceShuffle: Boolean): Double = {
       if (forceShuffle) sys.props("graft.defrag.maxBroadcastFF") = "0"
       else sys.props.remove("graft.defrag.maxBroadcastFF")
       try {
-        // same stride-sharded read + adaptive defrag the CLI plans, with
-        // the branch recorded so each arm can assert it measured what it
-        // claims to measure
-        val nFiles = math.max(1, graft.sources.PcapFileEnum
-          .list(Seq(glob), spark.sessionState.newHadoopConf()).size)
-        val shards = math.max(1, math.min(1024, math.ceil(
-          spark.sparkContext.defaultParallelism.toDouble / nFiles).toInt))
         val t0 = System.nanoTime()
-        // same ff-spill flow the CLI plans (round 12): one stats+spill
-        // job, then the join reads ff back from the spill
         val (df, choice) = graft.spark.Defrag.applyWithSpill(
-          spark.read.format("pcap")
-            .option("decodePartitions", shards).load(glob),
-          s"$out.ffspill")
+          graft.BenchEnv.pcapRead(spark, glob), s"$out.ffspill")
         val expect =
           if (forceShuffle) graft.spark.Defrag.ShuffleBypass
           else graft.spark.Defrag.BroadcastJoin
@@ -62,7 +39,9 @@ object BenchDefragBranch {
         val ok = graft.spark.PcapColumnarWrite.write(df, out, "zstd",
           singleFile = false, rebatch = true)
         require(ok, "vector write refused")
-        (System.nanoTime() - t0) / 1e9
+        val s = (System.nanoTime() - t0) / 1e9
+        graft.TempCleanup.rmrf(new java.io.File(s"$out.ffspill"))
+        s
       } finally sys.props.remove("graft.defrag.maxBroadcastFF")
     }
     // warm BOTH branches once, discarded (JIT ramp — first defrag join
@@ -77,18 +56,13 @@ object BenchDefragBranch {
       System.err.println(
         f"[defrag-branch] round $r: broadcast $b%.2f s, shuffle $s%.2f s")
     }
-    def stats(xs: Array[Double]): (Double, Double) = {
-      val s = xs.sorted
-      (s.head, s(s.length / 2))
-    }
-    val (bb, bm) = stats(bc.result())
-    val (sb, sm) = stats(sh.result())
+    val (bb, bm) = graft.BenchEnv.bestMedian(bc.result())
+    val (sb, sm) = graft.BenchEnv.bestMedian(sh.result())
     System.err.println(
       f"[defrag-branch] broadcast best $bb%.2f s median $bm%.2f s; " +
         f"shuffle best $sb%.2f s median $sm%.2f s")
     println(f"""{"metric":"defrag_branch_ab","broadcast_best_s":$bb%.3f,"broadcast_median_s":$bm%.3f,"shuffle_best_s":$sb%.3f,"shuffle_median_s":$sm%.3f,"glob":"$glob"}""")
     graft.TempCleanup.rmrf(new java.io.File(out))
-    graft.TempCleanup.rmrf(new java.io.File(s"$out.ffspill"))
     spark.stop()
   }
 }

@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Interleaved A/B of the defrag-convert WRITE path (round 11): the
   * vector-direct writer (rebatch through RowToColumnarExec where the
   * plan is row-shaped) vs the standard FileFormatWriter, on whatever
@@ -15,20 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchDefragWrite {
   def main(args: Array[String]): Unit = {
-    val defaultDir =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft-pcap-bench"
-      else "/tmp/graft-pcap-bench"
+    val defaultDir = graft.BenchEnv.pcapCorpusDir()
     val glob = args.headOption.getOrElse(s"$defaultDir/*.pcap")
     val rounds = if (args.length > 1) args(1).toInt else 3
-    val localDir = graft.BenchEnv.localDir()
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.local.dir", localDir)
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.BenchEnv.abSession()
     val out = s"$defaultDir/defragwrite-ab.parquet"
     def convert(rowWrite: Boolean, forceVector: Boolean = false): Double = {
       val t0 = System.nanoTime()
@@ -39,14 +27,8 @@ object BenchDefragWrite {
       // in-session: an unsharded vector arm lost 6.05 vs 3.58 s at 10M
       // where the sharded CLI had measured the opposite)
       if (forceVector) {
-        val nFiles = math.max(1, graft.sources.PcapFileEnum
-          .list(Seq(glob), spark.sessionState.newHadoopConf()).size)
-        val shards = math.max(1, math.min(1024, math.ceil(
-          spark.sparkContext.defaultParallelism.toDouble / nFiles).toInt))
         val (df, _) = graft.spark.Defrag.applyWithSpill(
-          spark.read.format("pcap")
-            .option("decodePartitions", shards).load(glob),
-          s"$out.ffspill")
+          graft.BenchEnv.pcapRead(spark, glob), s"$out.ffspill")
         val ok = graft.spark.PcapColumnarWrite.write(df, out, "zstd",
           singleFile = false, rebatch = true)
         require(ok, "vector write refused")
@@ -71,12 +53,8 @@ object BenchDefragWrite {
       vec += v; row += w
       System.err.println(f"[defrag-write] round $r: vector $v%.2f s, row $w%.2f s")
     }
-    def stats(xs: Array[Double]): (Double, Double) = {
-      val s = xs.sorted
-      (s.head, s(s.length / 2))
-    }
-    val (vb, vm) = stats(vec.result())
-    val (rb, rm) = stats(row.result())
+    val (vb, vm) = graft.BenchEnv.bestMedian(vec.result())
+    val (rb, rm) = graft.BenchEnv.bestMedian(row.result())
     System.err.println(
       f"[defrag-write] vector best $vb%.2f s median $vm%.2f s; " +
         f"row best $rb%.2f s median $rm%.2f s")

@@ -1250,6 +1250,29 @@ class ManifestLandSpec extends SparkFunSuite {
       ManifestLand.changeFeedRelay(spark, outA, logB, Seq("k"))
     }
     assert(exRelay.getMessage.contains("owned by landing"), exRelay.getMessage)
+    // ...and the refusal must fire BEFORE the attach write (round-12
+    // review finding): A's attach still names A's own log — a clobbered
+    // attach would have defeated the live-log expiry refusal and the
+    // compaction folding guard
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outA, "_cf_relay")), "UTF-8") == logA)
+    // refuse: a FOREIGN owner-less legacy log (marker, no _cf_owner, not
+    // the caller's attach target) must NOT self-upgrade to the caller —
+    // stamping would permanently lock out its rightful owner (review
+    // finding). B's history and B's recovery stay intact.
+    val ownerB = new java.io.File(logB, "_cf_owner")
+    assert(ownerB.delete())
+    val exLegacyRelay = intercept[IllegalArgumentException] {
+      ManifestLand.changeFeedRelay(spark, outA, logB, Seq("k"))
+    }
+    assert(exLegacyRelay.getMessage.contains("cannot prove"),
+      exLegacyRelay.getMessage)
+    assert(!ownerB.exists(), "a refused relay must not stamp ownership")
+    // B itself (whose attach names logB) self-upgrades on its next pass
+    ManifestLand.changeFeedRelay(spark, outB, logB, Seq("k"))
+    assert(ownerB.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(ownerB.toPath),
+      "UTF-8").trim == new java.io.File(outB).getCanonicalPath)
     // self-upgrade: a LIVE owner-less generation (pre-ownership legacy)
     // is re-stamped by the next relay pass — the unambiguous shape
     assert(ownerA.delete())
