@@ -3,11 +3,33 @@
 (verbatim from /root/reference/src/main.rs:292-296) in DuckDB over the
 nodefrag packet table, and diff against the engine's Defrag output.
 
+Round 12: the check is now sound on KEY-COLLIDED corpora. The reference
+patches every datagram key from DuckDB `first()` — scan order, i.e.
+NONDETERMINISTIC whenever a key has more than one distinct first
+fragment (a 16-bit ip_id wraps every 64k datagrams per flow pair, so
+any capture beyond a few million packets collides; the engine uses a
+deterministic min(struct) instead, SURVEY §4.4). Byte-equality against
+one arbitrary scan order is therefore unachievable on collided keys BY
+THE REFERENCE'S OWN SEMANTICS, so the differential splits:
+
+  1. keys with at most ONE distinct first-fragment candidate (plus every
+     NULL-key / non-UDP row): compared EXACTLY against the verbatim
+     reference SQL — on collision-free corpora (per-file captures under
+     the ip_id wrap) this is the whole corpus, byte-for-byte;
+  2. collided keys: every engine row must (a) keep its per-key row
+     count and (b) carry, in each patched column, either its own value
+     or a value some first fragment of ITS key carries — i.e. a legal
+     outcome of the reference's scan-order choice.
+
 Usage: python3 tools/defrag_differential.py <nodefrag.parquet> <defragged.parquet>
 """
 import sys
 
 import duckdb
+
+KEYS = "ip_src, ip_dst, ip_proto, ip_id"
+PATCHED = ["udp_srcport", "udp_dstport", "ntp_priv_reqcode",
+           "dns_qry_type", "dns_qry_name", "col_protocol"]
 
 FF_SQL = ("create view ff as select ip_src, ip_dst, ip_id, ip_proto, "
           "first(udp_srcport) as udp_srcport, first(udp_dstport) as udp_dstport, "
@@ -25,6 +47,13 @@ RAW_SQL = ("create view raw as select pcap.* exclude (udp_srcport, udp_dstport, 
            "coalesce(pcap.col_protocol, ff.col_protocol) as col_protocol "
            "from pcap left join ff using (ip_src,ip_dst, ip_proto, ip_id)")
 
+# keys whose DISTINCT first-fragment candidate tuples number > 1 — the
+# rows the reference's own scan-order first() does not pin down
+MULTI_SQL = (f"create view multi as select {KEYS} from ("
+             f"select distinct {KEYS}, {', '.join(PATCHED)} from pcap "
+             "where ip_proto=17 and ip_mf=1 and ip_frag_offset=0) "
+             f"group by all having count(*) > 1")
+
 
 def canon(con, sql):
     rel = con.sql(sql)
@@ -37,22 +66,58 @@ def canon(con, sql):
 def main(nodefrag, defragged):
     con = duckdb.connect()
     con.execute(f"create view pcap as select * from '{nodefrag}/*.parquet'")
+    con.execute(f"create view got as select * from '{defragged}/*.parquet'")
     con.execute(FF_SQL)
     con.execute(RAW_SQL)
-    ref_cols, ref_rows = canon(con, "select * from raw")
-    got_cols, got_rows = canon(con, f"select * from '{defragged}/*.parquet'")
+    con.execute(MULTI_SQL)
+    n_multi = con.sql("select count(*) from multi").fetchone()[0]
+    # 1) exact, reference-verbatim comparison on everything whose key the
+    # reference pins down (anti join keeps NULL-key rows — never patched)
+    anti = (f"select t.* from {{src}} t anti join multi m using ({KEYS})")
+    ref_cols, ref_rows = canon(con, anti.format(src="raw"))
+    got_cols, got_rows = canon(con, anti.format(src="got"))
     if ref_cols != got_cols:
         print(f"✗ column mismatch: ref={ref_cols} got={got_cols}")
         return 1
     if len(ref_rows) != len(got_rows):
-        print(f"✗ row count: ref={len(ref_rows)} got={len(got_rows)}")
+        print(f"✗ single-candidate row count: ref={len(ref_rows)} got={len(got_rows)}")
         return 1
     bad = sum(1 for a, b in zip(ref_rows, got_rows) if a != b)
     if bad:
         first = next((a, b) for a, b in zip(ref_rows, got_rows) if a != b)
-        print(f"✗ {bad}/{len(ref_rows)} rows differ; first: ref={first[0][:6]} got={first[1][:6]}")
+        print(f"✗ {bad}/{len(ref_rows)} single-candidate rows differ; "
+              f"first: ref={first[0][:6]} got={first[1][:6]}")
         return 1
-    print(f"✓ defrag differential: {len(ref_rows)} rows identical to the reference SQL")
+    if n_multi:
+        # 2) collided keys: per-key row-count parity (grouped joins, not
+        # correlated subqueries — those re-scan the corpus per key)
+        cnt = con.sql(
+            f"select count(*) from ("
+            f"  select {KEYS}, count(*) as a from pcap join multi using ({KEYS}) "
+            f"  group by all) pa full join ("
+            f"  select {KEYS}, count(*) as b from got join multi using ({KEYS}) "
+            f"  group by all) ga using ({KEYS}) "
+            f"where coalesce(a, 0) != coalesce(b, 0)").fetchone()[0]
+        if cnt:
+            print(f"✗ {cnt} collided keys changed row counts")
+            return 1
+        # …and per-column containment: every patched value on a collided
+        # key must appear on SOME row of that key in the nodefrag table
+        # (its own value or a first fragment's — any legal scan order)
+        for c in PATCHED:
+            stray = con.sql(
+                f"select count(*) from (select g.{KEYS.replace(', ', ', g.')}, g.{c} "
+                f"  from got g join multi m using ({KEYS}) where g.{c} is not null) x "
+                f"anti join (select {KEYS}, {c} from pcap where {c} is not null) p "
+                f"using ({KEYS}, {c})").fetchone()[0]
+            if stray:
+                print(f"✗ {stray} collided-key rows carry a {c} value no "
+                      "first fragment of their key carries")
+                return 1
+    tag = (f" + {n_multi} ip_id-collided keys legal under the reference's "
+           "scan-order nondeterminism" if n_multi else "")
+    print(f"✓ defrag differential: {len(ref_rows)} rows identical to the "
+          f"reference SQL{tag}")
     return 0
 
 
