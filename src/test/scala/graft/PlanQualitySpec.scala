@@ -128,6 +128,30 @@ class PlanQualitySpec extends SparkFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("d53: scoring pass is narrow + TakeOrdered (score table rides as a literal, no join)") {
+    // the design claim (round 12): after the tiny bucket-count job, the
+    // corpus-side scoring is a pure projection against a LITERAL 4096-
+    // long lookup — no join, no shuffle — and the top-k is TakeOrdered.
+    // An Exchange or a join here means the literal-lookup plan regressed
+    // to a corpus-shuffling one.
+    val p = plan(SparkEntry.queries("d53_dsir_select")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d52: exact arm scrubs through a broadcast set (corpus never shuffles for membership)") {
+    val p = plan(SparkEntry.queries("d52_scrub_adaptive")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d54: both aggregates partial-combine (no corpus-sized shuffle)") {
+    val p = plan(SparkEntry.queries("d54_k_anonymity")(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("d18: benchmark shingle set joins by broadcast (corpus side not shuffled for the join)") {
     val p = plan(SparkEntry.queries("d18_contamination")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
