@@ -212,6 +212,65 @@ object BenchPcap {
     // warmup's (a 100M-packet run would otherwise pin GBs forever)
     graft.TempCleanup.rmrf(new java.io.File(s"$dir/stream-out.parquet"))
     graft.TempCleanup.rmrf(new java.io.File(s"$dir/stream-ckpt"))
+    // streaming DEFRAG-convert parity row (round-13 verdict #3): landing
+    // → stateful back-fill (s07's flatMapGroupsWithState operator) →
+    // parquet sink under AvailableNow. Emits the 11-column patched
+    // projection (the defrag state machine's schema), so the number is
+    // the stateful-defrag path's throughput, tracked next to batch
+    // convert and the plain stream convert above.
+    def streamDefragOnce(): Double = {
+      val sOut = s"$dir/sdefrag-out.parquet"
+      val sCkpt = s"$dir/sdefrag-ckpt"
+      graft.TempCleanup.rmrf(new java.io.File(sOut))
+      graft.TempCleanup.rmrf(new java.io.File(sCkpt))
+      time {
+        val src = spark.readStream.format("pcap")
+          .option("decodePartitions", streamShards)
+          .load(s"$dir/cap*.pcap")
+        val q = graft.streaming.StreamingDefrag.defragStateful(
+            graft.streaming.StreamingDefrag.project(src))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", sOut)
+          .option("checkpointLocation", sCkpt)
+          .option("compression", "zstd")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }._1
+    }
+    val tStreamDefrag = (1 to 2).map(_ => streamDefragOnce()).min
+    val streamDefragRate = (total / tStreamDefrag).toLong
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/sdefrag-out.parquet"))
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/sdefrag-ckpt"))
+    // stats+spill pass A/B (round-13 verdicts #1/#2): the observe +
+    // ff-spill job alone, on the dissectGate=first-fragment scan (the
+    // convert CLI's production shape since round 13) vs the ungated
+    // scan — INTERLEAVED arms (the only trustworthy instrument at these
+    // sizes, CLAUDE.md), best per arm. Also the pinned steady-state
+    // mark for the stats machinery the r12 verdict flagged as unpinned.
+    val statsShards = math.max(1, math.min(1024,
+      math.ceil(cpus.toDouble / files).toInt))
+    def statsScan(gated: Boolean) = {
+      val r = spark.read.format("pcap").option("decodePartitions", statsShards)
+      (if (gated) r.option("dissectGate", "first-fragment") else r)
+        .load(s"$dir/*.pcap")
+    }
+    val statsProbe = statsScan(gated = false)
+    def statsOnce(gated: Boolean): Double = {
+      val spill = s"$dir/statspill"
+      graft.TempCleanup.rmrf(new java.io.File(spill))
+      val t = time(graft.spark.Defrag.applyWithSpill(
+        statsProbe, statsScan(gated), spill, 1.0))._1
+      graft.TempCleanup.rmrf(new java.io.File(spill))
+      t
+    }
+    statsOnce(gated = true) // discarded warmup (first-arm JIT ramp)
+    val statsArms = (1 to 2).flatMap(_ =>
+      Seq(true -> statsOnce(gated = true), false -> statsOnce(gated = false)))
+    val tStatsGated = statsArms.collect { case (true, t) => t }.min
+    val tStatsFull = statsArms.collect { case (false, t) => t }.min
+    val statsGatedRate = (total / tStatsGated).toLong
+    val statsFullRate = (total / tStatsFull).toLong
     System.err.println(
       f"[bench-pcap] $total packets: parse $tParse%.2f s ($parseRate pkt/s), " +
         f"full convert $tFull%.2f s ($fullRate pkt/s), " +
@@ -223,8 +282,11 @@ object BenchPcap {
         f"vs row-write $tTcpRowWrite%.2f s ($tcpRowWriteRate pkt/s); " +
         f"DNS slice columnar $tSliceCol%.2f s ($sliceColRate pkt/s) " +
         f"vs rowpath $tSliceRow%.2f s ($sliceRowRate pkt/s); " +
-        f"stream convert $tStream%.2f s ($streamRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"full_rowwrite_pkt_per_s":$fullRowWriteRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate,"stream_convert_pkt_per_s":$streamRate}""")
+        f"stream convert $tStream%.2f s ($streamRate pkt/s); " +
+        f"stream defrag $tStreamDefrag%.2f s ($streamDefragRate pkt/s); " +
+        f"stats pass gated $tStatsGated%.2f s ($statsGatedRate pkt/s) " +
+        f"vs full $tStatsFull%.2f s ($statsFullRate pkt/s)")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"full_rowwrite_pkt_per_s":$fullRowWriteRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate,"stream_convert_pkt_per_s":$streamRate,"stream_defrag_pkt_per_s":$streamDefragRate,"stats_pass_gated_pkt_per_s":$statsGatedRate,"stats_pass_full_pkt_per_s":$statsFullRate}""")
     spark.stop()
   }
 }

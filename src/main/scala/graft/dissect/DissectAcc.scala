@@ -51,6 +51,23 @@ final class DissectAcc {
   var dhipDevice: String = null
   var errors: Int = 0
 
+  // Staged-dissection resume state (round 13, [[DissectLevel]]): when
+  // [[PacketDissector.dissectInto]] stops below Full, the continuation
+  // point is parked here so [[PacketDissector.dissectResume]] picks up
+  // exactly where the lower level left off — no re-parse, no duplicate
+  // error counting. pendKind 0 = nothing pending, 1 = transport pending
+  // (a = ip proto, b = payload start, c = payload end), 2 = L7 pending
+  // (a = udp srcport, b = dstport, c = l7 start, d = payload end).
+  // rawOrigLen keeps the pre-IP-overwrite frame length so a resume-time
+  // parse exception can reset to the same base row dissectInto's own
+  // catch produces.
+  var pendKind: Int = 0
+  var pendA: Int = 0
+  var pendB: Int = 0
+  var pendC: Int = 0
+  var pendD: Int = 0
+  var rawOrigLen: Long = 0L
+
   /** Direct-mapped IPv4 text cache (key = the 32-bit address): captures
     * repeat source/dest addresses heavily (flows), so the dotted string +
     * its UTF-8 encoding are built once per distinct address per partition,
@@ -68,6 +85,7 @@ final class DissectAcc {
     tcpFlagsBits = -1; tcpSrcport = -1; tcpDstport = -1
     protoIdx = -1; dnsQryName = null; dnsQryType = -1
     ntpPrivReqcode = -1; dhipDevice = null; errors = 0
+    pendKind = 0
   }
 
   /** Cached dotted-quad lookup; fills ipStrs/ipU8s on miss. Returns the

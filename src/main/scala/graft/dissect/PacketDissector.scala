@@ -71,22 +71,37 @@ object PacketDissector {
     a.toInternalRow(pcapFile)
   }
 
-  /** `walkV6 = true` (the `Sane` default) walks IPv6 extension headers
-    * (hop-by-hop/routing/destination-options/AH) to the real transport
-    * and honors the v6 fragment header — the reference does neither
-    * (packetstats.rs:242-253 reads the fixed 40-byte header's
-    * next_header straight into ip_proto and attempts transport parse on
-    * whatever follows), so `ReferenceCompat` callers pass `false` to
-    * stay bug-for-bug.
+  /** `walkV6` selects the IPv6 extension-header semantics, both of which
+    * WALK the chain (round 13 — the reference's etherparse
+    * `LaxPacketHeaders` walks internally, packetstats.rs:148,190, so a
+    * no-walk compat mode was wrong):
+    *   - `true` (Sane): ip_proto records the header the walk lands on
+    *     (what the v4 column means), the v6 fragment header is honored
+    *     v4-style (frag columns set, offset > 0 gates dissection),
+    *     malformed/over-long chains count an error;
+    *   - `false` (ReferenceCompat): ip_proto keeps the FIXED header's
+    *     next_header (packetstats.rs:252), fragment columns are never
+    *     set (the reference's v6 branch lacks them), a fragmenting
+    *     fragment header stops the parse with no transport and no
+    *     first-fragment recovery (the v4-only read_transport,
+    *     packetstats.rs:222-238), and lax parsing counts no error on a
+    *     malformed chain — headers just stop.
+    *
+    * `level` ([[DissectLevel]]) bounds the work: below `Full` the
+    * remaining stages are parked in the accumulator's pend fields and
+    * can be continued by [[dissectResume]] with zero re-parse.
     */
-  def dissectInto(a: DissectAcc, frame: RawFrame, walkV6: Boolean = true): Unit = {
+  def dissectInto(a: DissectAcc, frame: RawFrame, walkV6: Boolean = true,
+      level: Int = DissectLevel.Full): Unit = {
     a.reset()
     a.frameTime = frame.timeMicros
     a.frameLen = frame.origLen
+    a.rawOrigLen = frame.origLen
     try {
-      if (frame.linktype == LinktypeEthernet) dissectEthernet(a, frame.data, walkV6)
+      if (frame.linktype == LinktypeEthernet)
+        dissectEthernet(a, frame.data, walkV6, level)
       else if (LinktypeRawIp.contains(frame.linktype))
-        dissectIp(a, frame.data, 0, walkV6)
+        dissectIp(a, frame.data, 0, walkV6, level)
       // else: unknown linktype — keep the frame row, no dissection
     } catch {
       case _: Exception =>
@@ -96,6 +111,37 @@ object PacketDissector {
         a.reset()
         a.frameTime = frame.timeMicros
         a.frameLen = frame.origLen
+        a.rawOrigLen = frame.origLen
+        a.errors = 1
+    }
+  }
+
+  /** Continue a below-Full [[dissectInto]] to `level` from the parked
+    * continuation point — the staged half of required-schema-aware
+    * dissection (no stage re-runs, so field values AND error counts end
+    * up identical to a direct full dissection; DissectorProps pins it).
+    * No-op when nothing is pending or `level` doesn't reach the pending
+    * stage. `data` must be the same frame's bytes.
+    */
+  def dissectResume(a: DissectAcc, data: Array[Byte], level: Int): Unit = {
+    try {
+      if (a.pendKind == 1 && level >= DissectLevel.Transport) {
+        val proto = a.pendA; val s = a.pendB; val e = a.pendC
+        a.pendKind = 0
+        dissectTransport(a, data, proto, s, e, level)
+      } else if (a.pendKind == 2 && level >= DissectLevel.Full) {
+        val sp = a.pendA; val dp = a.pendB; val s = a.pendC; val e = a.pendD
+        a.pendKind = 0
+        dissectL7(a, data, sp, dp, s, e)
+      }
+    } catch {
+      case _: Exception =>
+        // same contract as dissectInto's catch: base frame fields only
+        val t = a.frameTime; val l = a.rawOrigLen
+        a.reset()
+        a.frameTime = t
+        a.frameLen = l
+        a.rawOrigLen = l
         a.errors = 1
     }
   }
@@ -110,8 +156,20 @@ object PacketDissector {
   @inline private def has(b: Array[Byte], o: Int, n: Int): Boolean =
     o >= 0 && o + n <= b.length
 
+  /** Below-Transport levels park the transport continuation instead of
+    * parsing it ([[DissectAcc]] pend fields; [[dissectResume]] picks it
+    * up).
+    */
+  @inline private def dispatchTransport(a: DissectAcc, proto: Int,
+      pStart: Int, pEnd: Int, b: Array[Byte], level: Int): Unit =
+    if (level >= DissectLevel.Transport)
+      dissectTransport(a, b, proto, pStart, pEnd, level)
+    else {
+      a.pendKind = 1; a.pendA = proto; a.pendB = pStart; a.pendC = pEnd
+    }
+
   private def dissectEthernet(a: DissectAcc, b: Array[Byte],
-      walkV6: Boolean): Unit = {
+      walkV6: Boolean, level: Int): Unit = {
     if (!has(b, 0, 14)) { a.errors += 1; return }
     val et = u16(b, 12)
     a.ethType = et
@@ -125,18 +183,18 @@ object PacketDissector {
       off += 4
     }
     etype match {
-      case 0x0800 => dissectIpv4(a, b, off)
-      case 0x86dd => dissectIpv6(a, b, off, walkV6)
+      case 0x0800 => dissectIpv4(a, b, off, level)
+      case 0x86dd => dissectIpv6(a, b, off, walkV6, level)
       case _      => ()
     }
   }
 
   private def dissectIp(a: DissectAcc, b: Array[Byte], off: Int,
-      walkV6: Boolean): Unit = {
+      walkV6: Boolean, level: Int): Unit = {
     if (!has(b, off, 1)) { a.errors += 1; return }
     (u8(b, off) >> 4) match {
-      case 4 => dissectIpv4(a, b, off)
-      case 6 => dissectIpv6(a, b, off, walkV6)
+      case 4 => dissectIpv4(a, b, off, level)
+      case 6 => dissectIpv6(a, b, off, walkV6, level)
       case _ => a.errors += 1
     }
   }
@@ -187,7 +245,8 @@ object PacketDissector {
     if (sb.isEmpty) "::" else sb.toString
   }
 
-  private def dissectIpv4(a: DissectAcc, b: Array[Byte], off: Int): Unit = {
+  private def dissectIpv4(a: DissectAcc, b: Array[Byte], off: Int,
+      level: Int = DissectLevel.Full): Unit = {
     if (!has(b, off, 20)) { a.errors += 1; return }
     val verIhl = u8(b, off)
     if ((verIhl >> 4) != 4) { a.errors += 1; return }
@@ -213,31 +272,49 @@ object PacketDissector {
       if (totalLen >= ihl && off + totalLen <= b.length) off + totalLen
       else b.length
     // an empty payload range no-ops through every transport arm
-    if (pStart < pEnd) dissectTransport(a, b, proto, pStart, pEnd)
+    if (pStart < pEnd) dispatchTransport(a, proto, pStart, pEnd, b, level)
   }
 
-  /** IPv6. `walkV6 = false` is the reference's scope bug-for-bug
-    * (packetstats.rs:242-253: ip_proto = the fixed header's next_header,
-    * transport parse attempted immediately after the 40 bytes — an
-    * extension header there parses as transport garbage and usually
-    * yields bare IPv6 columns; fragments are never gated). `walkV6 =
-    * true` (Sane, round 12) walks hop-by-hop (0) / routing (43) /
-    * destination-options (60) / AH (51) chains to the real transport,
-    * honors 59 (no next header), and applies the v4-style fragment gate
-    * on the fragment header (44): offset > 0 stops dissection with the
-    * transport columns NULL; a first fragment (offset 0) parses its
-    * transport like v4 first fragments do. ip_proto records the final
-    * header reached (the transport after a complete walk — what the v4
-    * column means), ip_frag_offset keeps the 13-bit 8-byte-unit value
-    * (the same unit the v4 column carries), and ip_id takes the LOW 16
-    * bits of the 32-bit v6 Identification — the best disambiguation the
-    * reference's UInt16 column admits (collision odds equal v4's own
-    * 16-bit id; the defrag join keys stay meaningful for v6 chains).
-    * The walk is capped at 8 hops; a truncated or over-long chain keeps
-    * the partial row and counts one error (never panic, SURVEY §4.4).
+  /** IPv6. BOTH modes walk the extension-header chain (round 13 — the
+    * reference's etherparse `LaxPacketHeaders` walks internally,
+    * packetstats.rs:148,190, so the round-12 no-walk compat mode
+    * diverged: a hop-by-hop + UDP/DNS packet gets real transport
+    * columns from the reference). The modes differ in what the walk
+    * RECORDS:
+    *
+    * `walkV6 = true` (Sane, round 12): walks hop-by-hop (0) / routing
+    * (43) / destination-options (60) / AH (51) chains to the real
+    * transport, honors 59 (no next header), and applies the v4-style
+    * fragment gate on the fragment header (44): offset > 0 stops
+    * dissection with the transport columns NULL; a first fragment
+    * (offset 0) parses its transport like v4 first fragments do.
+    * ip_proto records the final header reached (the transport after a
+    * complete walk — what the v4 column means), ip_frag_offset keeps
+    * the 13-bit 8-byte-unit value (the same unit the v4 column
+    * carries), and ip_id takes the LOW 16 bits of the 32-bit v6
+    * Identification — the best disambiguation the reference's UInt16
+    * column admits (collision odds equal v4's own 16-bit id; the defrag
+    * join keys stay meaningful for v6 chains). The walk is capped at 8
+    * extension headers — a chain of EXACTLY 8 followed by a transport
+    * still parses it (round-13 ADVICE: classify the proto the cap
+    * landed on before declaring over-long); a truncated or genuinely
+    * over-long chain keeps the partial row and counts one error (never
+    * panic, SURVEY §4.4).
+    *
+    * `walkV6 = false` (ReferenceCompat): matches etherparse's lax walk —
+    * ip_proto keeps the FIXED header's next_header (packetstats.rs:252
+    * reads `ip.next_header`, pre-walk), fragment columns stay at their
+    * defaults (the reference's v6 branch never writes them), a
+    * FRAGMENTING fragment header (offset > 0 or MF — etherparse's
+    * `is_fragmenting_payload`) stops the parse with no transport (the
+    * v4-only first-fragment recovery, packetstats.rs:222-238, has no v6
+    * twin) while an atomic fragment walks through, and malformed or
+    * over-long chains stop QUIETLY — lax parsing surfaces stop-errors
+    * the reference never reads (packetstats.rs:150-158 counts only
+    * from_ethernet slice errors).
     */
   private def dissectIpv6(a: DissectAcc, b: Array[Byte], off: Int,
-      walkV6: Boolean): Unit = {
+      walkV6: Boolean, level: Int = DissectLevel.Full): Unit = {
     if (!has(b, off, 40)) { a.errors += 1; return }
     if ((u8(b, off) >> 4) != 6) { a.errors += 1; return }
     val payloadLen = u16(b, off + 4)
@@ -255,17 +332,17 @@ object PacketDissector {
       else b.length
     var proto = nextHeader
     var p = off + 40
+    var hops = 0
+    var halt = false // stop with NO transport parse (gate / error / 59)
+    var walking = true
+    // bounds are pEnd (the IPv6 payload end), NOT the capture buffer:
+    // an ethernet-minimum-padded short packet would otherwise feed
+    // trailer/padding bytes to the walk as extension headers — and a
+    // padding byte of 44 would fabricate fragment columns from
+    // garbage (review finding; the transport parse below was always
+    // pEnd-bounded, the walk must match)
+    @inline def within(n: Int): Boolean = p + n <= pEnd
     if (walkV6) {
-      var hops = 0
-      var halt = false // stop with NO transport parse (gate / error / 59)
-      var walking = true
-      // bounds are pEnd (the IPv6 payload end), NOT the capture buffer:
-      // an ethernet-minimum-padded short packet would otherwise feed
-      // trailer/padding bytes to the walk as extension headers — and a
-      // padding byte of 44 would fabricate fragment columns from
-      // garbage (review finding; the transport parse below was always
-      // pEnd-bounded, the walk must match)
-      @inline def within(n: Int): Boolean = p + n <= pEnd
       while (walking && !halt && hops < 8) {
         proto match {
           case 0 | 43 | 60 => // Hdr Ext Len in 8-byte units, excl. first 8
@@ -298,9 +375,55 @@ object PacketDissector {
         hops += 1
       }
       if (halt) return
-      if (walking) { a.errors += 1; return } // 8-hop cap hit mid-chain
+      if (walking) {
+        // 8-hop cap: classify what the cap landed on (round-13 ADVICE) —
+        // a transport reached exactly at the cap parses below; a chain
+        // still mid-extension is genuinely over-long (one error); 59
+        // ends clean
+        proto match {
+          case 0 | 43 | 60 | 51 | 44 => a.errors += 1; return
+          case 59 => return
+          case _ => ()
+        }
+      }
+    } else {
+      // ReferenceCompat: same chain shapes, recorded etherparse-style —
+      // no ip_proto update, no fragment columns, no error counting
+      while (walking && !halt && hops < 8) {
+        proto match {
+          case 0 | 43 | 60 =>
+            if (!within(2)) halt = true
+            else {
+              val l = (u8(b, p + 1) + 1) * 8
+              if (!within(l)) halt = true else { proto = u8(b, p); p += l }
+            }
+          case 51 =>
+            if (!within(2)) halt = true
+            else {
+              val l = (u8(b, p + 1) + 2) * 4
+              if (!within(l)) halt = true else { proto = u8(b, p); p += l }
+            }
+          case 44 =>
+            if (!within(8)) halt = true
+            else {
+              // etherparse is_fragmenting_payload: offset != 0 || MF →
+              // stop with no transport; an atomic fragment walks through
+              val fo = u16(b, p + 2)
+              if ((fo >>> 3) != 0 || (fo & 1) != 0) halt = true
+              else { proto = u8(b, p); p += 8 }
+            }
+          case 59 => halt = true
+          case _ => walking = false
+        }
+        hops += 1
+      }
+      if (halt) return
+      if (walking) proto match {
+        case 0 | 43 | 60 | 51 | 44 | 59 => return // still mid-chain: quiet stop
+        case _ => ()
+      }
     }
-    if (p < pEnd) dissectTransport(a, b, proto, p, pEnd)
+    if (p < pEnd) dispatchTransport(a, proto, p, pEnd, b, level)
   }
 
   /** Transport + L7 dissection over `[pStart, pEnd)`; shared by the normal
@@ -308,7 +431,8 @@ object PacketDissector {
     * packetstats.rs:49-107 — one code path here since the parse is manual).
     */
   private def dissectTransport(
-      a: DissectAcc, b: Array[Byte], proto: Int, pStart: Int, pEnd: Int): Unit =
+      a: DissectAcc, b: Array[Byte], proto: Int, pStart: Int, pEnd: Int,
+      level: Int = DissectLevel.Full): Unit =
     proto match {
       case 17 => // UDP
         if (pEnd - pStart < 8) ()
@@ -319,7 +443,11 @@ object PacketDissector {
           a.udpSrcport = sp
           a.udpDstport = dp
           a.udpLength = u16(b, pStart + 4)
-          dissectL7(a, b, sp, dp, pStart + 8, pEnd)
+          if (level >= DissectLevel.Full) dissectL7(a, b, sp, dp, pStart + 8, pEnd)
+          else {
+            a.pendKind = 2
+            a.pendA = sp; a.pendB = dp; a.pendC = pStart + 8; a.pendD = pEnd
+          }
         }
       case 6 => // TCP — full header (data offset) must be present, like
         // TcpHeader::from_slice (packetstats.rs:88-98)

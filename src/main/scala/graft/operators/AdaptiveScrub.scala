@@ -103,13 +103,21 @@ object AdaptiveScrub {
 
   /** The covered frame of the chosen branch — split out so the property
     * suite can compare branches below the md5 fold. */
-  def coveredWith(docs: DataFrame, minDf: Int, choice: Choice): DataFrame = {
+  def coveredWith(docs: DataFrame, minDf: Int, choice: Choice): DataFrame =
+    coveredWithFreq(docs, freqHashes(shingles(docs), minDf), choice)
+
+  /** [[coveredWith]] against a CALLER-SUPPLIED frequent-hash frame —
+    * either the lazy aggregate subtree or a re-read of the spill
+    * ([[applyWithSpill]]); must be shaped like [[freqHashes]]' output
+    * (an `h` column). */
+  def coveredWithFreq(docs: DataFrame, freq: DataFrame,
+      choice: Choice): DataFrame = {
     val sh = shingles(docs)
     choice match {
       case BroadcastSet =>
-        coveredOf(sh.join(broadcast(freqHashes(sh, minDf)), "h"))
+        coveredOf(sh.join(broadcast(freq.select("h")), "h"))
       case BloomSketch =>
-        val sketch = freqHashes(sh, minDf)
+        val sketch = freq
           .agg(graft.functions.BloomAgg.bloom_agg(col("h")).as("words"))
         coveredOf(sh.crossJoin(broadcast(sketch))
           .filter(expr(graft.functions.BloomAgg.memberExpr("words", "h"))))
@@ -121,11 +129,42 @@ object AdaptiveScrub {
     emit(keptWords(docs, coveredWith(docs, minDf, choice)))
 
   /** Adaptive entry point: measure, pick, scrub. Returns the scrubbed
-    * (doc_id, n_kept, kept_md5) frame plus the branch taken. */
+    * (doc_id, n_kept, kept_md5) frame plus the branch taken.
+    *
+    * Three shingle passes total (count pass, then the chosen branch's
+    * freq subtree + probe side). [[applyWithSpill]] drops one by
+    * spilling the frequent set from the count job — prefer it when a
+    * scratch directory is available; this entry stays for callers
+    * without one.
+    */
   def apply(docs: DataFrame, minDf: Int = DefaultMinDf,
       maxBroadcast: Long = MaxBroadcastShingles): (DataFrame, Choice) = {
     val n = freqHashes(shingles(docs), minDf).count()
     val choice = if (n <= maxBroadcast) BroadcastSet else BloomSketch
     (withChoice(docs, minDf, choice), choice)
+  }
+
+  /** [[apply]] with a frequent-set SPILL (round 13, verdict #5 — the
+    * [[graft.spark.Defrag.applyWithSpill]] pattern): ONE job aggregates
+    * the frequent hashes AND materializes them to `spillDir` (zstd
+    * parquet, 8 B/hash — ≤16 MB at the default ceiling; on sketch-branch
+    * corpora the spill is whatever the frequent set is, still df≥minDf-
+    * bounded, never corpus-sized), the gate decides on the spill's exact
+    * footer row count, and the chosen branch reads the set back instead
+    * of re-aggregating every shingle — 3 shingle passes become 2.
+    *
+    * The caller owns `spillDir`'s lifecycle (delete after the final
+    * action on the returned frame); on a cluster pass a shared-FS path,
+    * since executors read it back.
+    */
+  def applyWithSpill(docs: DataFrame, spillDir: String,
+      minDf: Int = DefaultMinDf,
+      maxBroadcast: Long = MaxBroadcastShingles): (DataFrame, Choice) = {
+    freqHashes(shingles(docs), minDf).write.mode("overwrite")
+      .option("compression", "zstd").parquet(spillDir)
+    val freq = docs.sparkSession.read.parquet(spillDir)
+    val n = freq.count() // parquet footer metadata — no scan
+    val choice = if (n <= maxBroadcast) BroadcastSet else BloomSketch
+    (emit(keptWords(docs, coveredWithFreq(docs, freq, choice))), choice)
   }
 }

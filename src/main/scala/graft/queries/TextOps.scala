@@ -396,7 +396,17 @@ object TextOps {
     // the sketch's one-sided over-scrub is property-pinned (ScrubProps).
     Q("d52_scrub_adaptive",
       (s, dir) => {
-        val (out, choice) = graft.operators.AdaptiveScrub(t(s, dir, "documents"))
+        // round 13 (verdict #5): the spill path — the gate's count job
+        // also materializes the frequent set (8 B/hash zstd parquet), so
+        // the chosen branch reads it back instead of re-aggregating all
+        // shingles (3 shingle passes → 2; interleaved A/B at 10×:
+        // tools.BenchScrubSpill). The spill must outlive every action on
+        // the returned frame — a per-build temp dir under the JVM tmpdir
+        // (on a cluster the caller would pass a shared-FS scratch path).
+        val spill = java.nio.file.Files.createTempDirectory("graft_d52_freq")
+          .toString + "/freq"
+        val (out, choice) = graft.operators.AdaptiveScrub
+          .applyWithSpill(t(s, dir, "documents"), spill)
         require(choice == graft.operators.AdaptiveScrub.BroadcastSet,
           s"d52 planned $choice at gate scale — the aux oracle replays the " +
             "exact-set arm; a corpus this boilerplate-heavy needs its own entry")

@@ -127,6 +127,18 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
     val decodeParts = options.getInt("decodePartitions", 1)
     require(decodeParts >= 1 && decodeParts <= 1024,
       s"pcap option decodePartitions must be in [1, 1024], got $decodeParts")
+    // dissectGate=first-fragment (round 13): an explicit consumer
+    // contract — transport/L7 columns are dissected ONLY on UDP
+    // first-fragment rows (ip_proto 17, MF, offset 0); every other row
+    // keeps its L3 columns exact and NULLs the rest. Sound only for
+    // consumers that read transport/L7 columns exclusively under that
+    // predicate — the defrag stats+spill pass is the intended (and
+    // only) user: its ff aggregate filters exactly this condition and
+    // its observed counts read no transport column, so the whole corpus
+    // stops paying the DNS/NTP parse for the 90%+ non-ff rows.
+    val gate = Option(options.get("dissectGate"))
+    require(gate.forall(_ == "first-fragment"),
+      s"pcap option dissectGate: only 'first-fragment' is supported, got ${gate.get}")
     new PcapScan(paths, required,
       options.getOrDefault("mode", "sane") == "reference-compat", pushed,
       withBytes,
@@ -135,7 +147,8 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       options.getBoolean("strictLanding", false),
       options.getBoolean("columnar", true),
       Option(options.get("metricsKey")),
-      retired)
+      retired,
+      ffGate = gate.isDefined)
   }
 }
 
@@ -150,7 +163,8 @@ final class PcapScan(
     strictLanding: Boolean = false,
     columnar: Boolean = true,
     metricsKey: Option[String] = None,
-    retiredRoots: Seq[String] = Seq.empty)
+    retiredRoots: Seq[String] = Seq.empty,
+    ffGate: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -200,7 +214,7 @@ final class PcapScan(
     // the metrics registry is consulted on the DRIVER (here), then the
     // accumulators themselves serialize into the task closures
     PcapReaderFactory(conf, required, refCompat, filters, withBytes,
-      columnar, metricsKey.flatMap(graft.spark.PcapSource.metricsFor))
+      columnar, metricsKey.flatMap(graft.spark.PcapSource.metricsFor), ffGate)
   }
 }
 
@@ -242,13 +256,14 @@ final case class PcapReaderFactory(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     withBytes: Boolean = false,
     columnar: Boolean = false,
-    metrics: Option[graft.spark.PcapSource.Metrics] = None)
+    metrics: Option[graft.spark.PcapSource.Metrics] = None,
+    ffGate: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapPartitionReader(pp.file,
       conf.value, required, refCompat, filters, withBytes, pp.shard, pp.nShards,
-      metrics)
+      metrics, ffGate)
   }
 
   /** COLUMNAR scan path (round-9 verdict #5): the dissector's unboxed
@@ -269,8 +284,45 @@ final case class PcapReaderFactory(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapColumnarReader(pp.file, conf.value, required, refCompat,
-      filters, pp.shard, pp.nShards, metrics)
+      filters, pp.shard, pp.nShards, metrics, ffGate)
   }
+}
+
+/** Shared staged-dissection planning for the two readers (round 13):
+  * derive the level the scan actually needs from the pruned schema plus
+  * every pushed filter's referenced columns, split the pushed filters
+  * into the L3-decidable conjuncts (evaluated BEFORE the transport/L7
+  * stages run — a dropped row pays nothing past L3) and the rest
+  * (evaluated after the resume). Error accounting follows the work
+  * actually done: a row dropped by an L3 filter, or held at L3 by the
+  * ff gate, does not surface transport/L7 parse errors it never ran.
+  */
+private[sources] final case class DissectPlan(
+    levelRequired: Int,
+    baseLevel: Int,
+    l3Filters: Array[org.apache.spark.sql.sources.Filter],
+    highFilters: Array[org.apache.spark.sql.sources.Filter])
+
+private[sources] object DissectPlan {
+  import graft.dissect.DissectLevel
+
+  def of(required: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      ffGate: Boolean): DissectPlan = {
+    val levelRequired = DissectLevel.of(
+      required.fieldNames.toSeq ++ filters.toSeq.flatMap(_.references.toSeq))
+    val (l3, high) = filters.partition(f =>
+      DissectLevel.of(f.references.toSeq) == DissectLevel.L3)
+    val staged = levelRequired > DissectLevel.L3 && (ffGate || l3.nonEmpty)
+    DissectPlan(levelRequired,
+      if (staged) DissectLevel.L3 else levelRequired, l3, high)
+  }
+
+  /** The gate predicate: UDP first fragments only (the rows whose
+    * transport/L7 columns the defrag stats pass consumes).
+    */
+  @inline def gatePass(a: graft.dissect.DissectAcc): Boolean =
+    a.ipProto == 17 && a.ipMf && a.ipFragOffset == 0
 }
 
 /** Columnar pcap reader: frames → [[graft.dissect.DissectAcc]] →
@@ -287,7 +339,8 @@ final class PcapColumnarReader(
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     shard: Int = 0,
     nShards: Int = 1,
-    metrics: Option[graft.spark.PcapSource.Metrics] = None)
+    metrics: Option[graft.spark.PcapSource.Metrics] = None,
+    ffGate: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
@@ -300,11 +353,18 @@ final class PcapColumnarReader(
   private val base = PcapSource.basename(file)
   private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String
     .fromString(base)
-  // the unboxed form: evaluates on the accumulator's fields directly —
-  // no per-packet Option-boxed PacketRow just to test a predicate
-  // (value parity with the row reader's getter is property-pinned)
-  private val pred = PcapFilters.compileAcc(filters, base)
-  private val noFilters = filters.isEmpty
+  // staged dissection (round 13): dissect to the level the pruned
+  // schema + filters need; L3-decidable filters veto BEFORE the
+  // transport/L7 stages run. The unboxed predicate forms evaluate on
+  // the accumulator's fields directly — no per-packet Option-boxed
+  // PacketRow just to test a predicate (value parity with the row
+  // reader's getter is property-pinned).
+  private val plan = DissectPlan.of(required, filters, ffGate)
+  private val predL3 = PcapFilters.compileAcc(plan.l3Filters, base)
+  private val predHigh = PcapFilters.compileAcc(plan.highFilters, base)
+  private val noL3 = plan.l3Filters.isEmpty
+  private val noHigh = plan.highFilters.isEmpty
+  private val stagedResume = plan.baseLevel < plan.levelRequired
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
@@ -394,13 +454,20 @@ final class PcapColumnarReader(
       // decode-sharding stride, same as the row reader: foreign frames
       // are framed (cheap) but never dissected or materialized
       if (nShards <= 1 || frameIdx % nShards == shard) {
-        PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat)
+        PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat,
+          level = plan.baseLevel)
+        // L3-decidable pushed filters veto before transport/L7 ever
+        // run; the ff gate holds non-first-fragment rows at L3 (their
+        // transport columns emit NULL — the gate's documented
+        // contract); unknown filter shapes default to true, Spark
+        // re-applies every filter above the scan
+        var emit = noL3 || predL3(acc)
+        if (emit && stagedResume && (!ffGate || DissectPlan.gatePass(acc)))
+          PacketDissector.dissectResume(acc, raw.data, plan.levelRequired)
+        if (emit && !noHigh) emit = predHigh(acc)
         nPackets += 1
         if (acc.errors > 0) nErrors += acc.errors.toLong
-        // pushed-filter veto BEFORE the vector writes, same packet/error
-        // accounting as the row reader; unknown filter shapes default to
-        // true, Spark re-applies every filter above the scan
-        if (noFilters || pred(acc)) {
+        if (emit) {
           var c = 0
           while (c < writers.length) {
             writers(c)(vectors(c), n)
@@ -433,7 +500,8 @@ final class PcapPartitionReader(
     withBytes: Boolean = false,
     shard: Int = 0,
     nShards: Int = 1,
-    metrics: Option[graft.spark.PcapSource.Metrics] = None)
+    metrics: Option[graft.spark.PcapSource.Metrics] = None,
+    ffGate: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -443,7 +511,15 @@ final class PcapPartitionReader(
   private val frames = PcapFramer.frames(in, mode)
   private val base = PcapSource.basename(file)
   private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(base)
-  private val pred = PcapFilters.compile(filters, base)
+  // same staged plan + unboxed predicates as the columnar reader (the
+  // acc getters are property-pinned value-identical to the PacketRow
+  // getters, so the two readers share one filter semantics)
+  private val plan = DissectPlan.of(required, filters, ffGate)
+  private val predL3 = PcapFilters.compileAcc(plan.l3Filters, base)
+  private val predHigh = PcapFilters.compileAcc(plan.highFilters, base)
+  private val noL3 = plan.l3Filters.isEmpty
+  private val noHigh = plan.highFilters.isEmpty
+  private val stagedResume = plan.baseLevel < plan.levelRequired
   private val sourceSchema =
     if (withBytes) PacketSchema.bytesSchema else PacketSchema.schema
   // projection map: required ordinal -> source-schema ordinal
@@ -454,7 +530,6 @@ final class PcapPartitionReader(
   private var current: InternalRow = _
   private var frameIdx: Long = -1L
   private val acc = new graft.dissect.DissectAcc
-  private val noFilters = filters.isEmpty
 
   override def next(): Boolean = {
     while (frames.hasNext) {
@@ -465,14 +540,17 @@ final class PcapPartitionReader(
       // materialized — see PcapScan.planInputPartitions
       val mine = nShards <= 1 || frameIdx % nShards == shard
       if (mine) {
-        PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat)
+        PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat,
+          level = plan.baseLevel)
+        var emit = noL3 || predL3(acc)
+        if (emit && stagedResume && (!ffGate || DissectPlan.gatePass(acc)))
+          PacketDissector.dissectResume(acc, raw.data, plan.levelRequired)
+        if (emit && !noHigh) emit = predHigh(acc)
         metrics.foreach { m =>
           m.packets.add(1L)
           if (acc.errors > 0) m.errors.add(acc.errors.toLong)
         }
-        // the PacketRow (Option-boxed) form is only materialized when a
-        // pushed filter actually needs evaluating
-        if (noFilters || pred(acc.toPacketRow)) {
+        if (emit) {
           val dissected = acc.toInternalRow(baseUtf8)
           val fullVals =
             if (withBytes) dissected.values ++ Array[Any](raw.data, raw.linktype)

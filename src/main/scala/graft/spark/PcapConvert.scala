@@ -103,6 +103,12 @@ object PcapConvert {
     // a 32-core box writing on 8 tasks). `--row-path` restores the RDD
     // row reader; `-j N` still forces an explicit total parallelism.
     val metricsKey = java.util.UUID.randomUUID().toString
+    // statsParsed (round 13): the SAME DSv2 scan with the first-fragment
+    // dissect gate — the defrag stats+spill job reads it instead of the
+    // full scan, so only actual UDP first fragments pay transport/L7
+    // dissection there (sound by construction: see Defrag.applyWithSpill;
+    // no metricsKey — the stats pass would double-count packets).
+    var statsParsed: Option[org.apache.spark.sql.DataFrame] = None
     val parsed =
       if (a.rowPath)
         PcapSource.read(spark, a.file, mode, decodePartitions = a.jobs,
@@ -114,11 +120,16 @@ object PcapConvert {
         val want = if (a.jobs > 0) a.jobs else spark.sparkContext.defaultParallelism
         val shards = math.max(1, math.min(1024,
           math.ceil(want.toDouble / nFiles).toInt))
-        spark.read.format("pcap")
-          .option("mode", if (a.referenceCompat) "reference-compat" else "sane")
-          .option("decodePartitions", shards)
-          .option("metricsKey", metricsKey)
-          .load(a.file)
+        def scan(gated: Boolean) = {
+          val r = spark.read.format("pcap")
+            .option("mode", if (a.referenceCompat) "reference-compat" else "sane")
+            .option("decodePartitions", shards)
+          val r2 = if (gated) r.option("dissectGate", "first-fragment")
+            else r.option("metricsKey", metricsKey)
+          r2.load(a.file)
+        }
+        if (!a.nodefrag) statsParsed = Some(scan(gated = true))
+        scan(gated = false)
       }
     // Pass strategy (re-measured round 8, 10M packets, local[32]):
     //   - plan-driven:  defrag re-parses per pass — 1.59M pkt/s
@@ -167,9 +178,14 @@ object PcapConvert {
         ()
       }
     try {
+      // adaptive: joins only when >= 1% fragmented. The stats+spill job
+      // reads the ff-gated scan when one exists (DSv2, uncached —
+      // a cached table is already parsed, so the gate would only force
+      // a pointless re-parse; the row path has no scan options).
       val out =
         if (a.nodefrag) pcap
-        else Defrag.applyWithSpill(pcap, ffSpill)._1 // adaptive: joins only when >= 1% fragmented
+        else Defrag.applyWithSpill(pcap,
+          statsParsed.filter(_ => !doCache).getOrElse(pcap), ffSpill, 1.0)._1
       // round-10/11 vector-direct write: when the plan under the write
       // is still columnar (nodefrag, or the adaptive defrag-skip branch),
       // the batch vectors go straight into parquet-mr's column writers —

@@ -46,12 +46,15 @@ object ScaleRehearsal {
     // driver box's single sample (BENCH_r11 read p01 +225% on pure box
     // drift). x_relay is Bench-side scaffolding, not a SparkEntry query;
     // its round-over-round signal stays Bench's interleaved medians.
+    // q11_defrag_shape joined in round 13 (VERDICT #2): the one r11→r12
+    // riser that coincided with changed defrag code had no pinned
+    // steady-state mark — its 10× lineitem sample closes that.
     val qs = (if (args.length > 4) args(4).split(",").toSeq
       else Seq("e06_ivf_pq", "d05_ngram_jaccard", "d06_minhash_lsh", "d42_bm25",
         "d44_containment", "d07_simhash",
         "p01_prep_pipeline", "q56_peak_concurrency", "q59_equidepth_histogram",
         "e14_hybrid_rrf", "d51_scrub_bloom_gate",
-        "d53_dsir_select", "d54_k_anonymity"))
+        "d53_dsir_select", "d54_k_anonymity", "q11_defrag_shape"))
       .map(_.trim).filter(_.nonEmpty)
     val localDir = graft.BenchEnv.localDir()
     val spark = SparkSession.builder().master("local[32]")

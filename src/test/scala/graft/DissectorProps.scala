@@ -174,6 +174,74 @@ object DissectorProps extends Properties("dissector") {
     }
   }
 
+  // every protocol family the dissector distinguishes, incl. v6
+  // extension chains and fragments, plus junk — the staged-dissection
+  // equivalence domain
+  private val genStagedPkt: Gen[Array[Byte]] = {
+    val g6 = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 1)
+    val d6 = Array(0xfe80, 0, 0, 0, 0, 0, 0, 2)
+    Gen.oneOf(
+      Gen.zip(genPort, genPort, Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte)))
+        .map { case (sp, dp, pay) =>
+          ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17, udp(sp, dp, pay))) },
+      Gen.zip(genLabel, genPort).map { case (l, p) =>
+        ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17, udp(p, 53, dnsQuery(l, 1)))) },
+      Gen.zip(genPort, Gen.chooseNum(0, 255)).map { case (p, fl) =>
+        ethernet(0x0800, ipv4("3.3.3.3", "4.4.4.4", 6, tcp(443, p, fl))) },
+      Gen.zip(genPort, Gen.chooseNum(0, 8191)).map { case (p, off) =>
+        ethernet(0x0800, ipv4("5.5.5.5", "6.6.6.6", 17,
+          udp(p, p, Array[Byte](1, 2, 3)), id = 7, mf = true, fragOffset = off)) },
+      Gen.chooseNum(0, 255).map(rc => ethernet(0x0800,
+        ipv4("7.7.7.7", "8.8.8.8", 17, udp(123, 123, ntpPrivate(rc))))),
+      genPort.map(p => ethernet(0x0800, ipv4("10.0.0.9", "10.0.0.1", 1,
+        icmpDestUnreachable(ipv4("10.0.0.2", "10.0.0.1", 17, udp(53, p, Array.empty)))))),
+      // v6 with 0-2 hop-by-hop extension headers before UDP
+      Gen.zip(Gen.chooseNum(0, 2), genPort).map { case (nExt, p) =>
+        val chain = (1 to nExt).map(i =>
+          Array[Byte]((if (i == nExt) 17 else 0).toByte, 0, 0, 0, 0, 0, 0, 0))
+          .foldLeft(Array.empty[Byte])(_ ++ _)
+        val nh = if (nExt == 0) 17 else 0
+        ethernet(0x86dd, ipv6(g6, d6, nh, chain ++ udp(p, p, Array[Byte](1)))) },
+      Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte)))
+  }
+
+  property("staged dissection ≡ direct full, any base level, both modes") = forAll(
+    // round 13: required-schema-aware dissection stops at L3/Transport
+    // and resumes later; the resumed row (values AND error count) must
+    // be bit-identical to a one-shot full dissection — the readers'
+    // correctness hangs on this
+    genStagedPkt, Gen.oneOf(1, 12, 101, 9999),
+    Gen.oneOf(graft.dissect.DissectLevel.L3, graft.dissect.DissectLevel.Transport),
+    Gen.oneOf(true, false)
+  ) { (pkt, linktype, base, walk) =>
+    val frame = RawFrame(7L, pkt.length.toLong, pkt, linktype)
+    val direct = new graft.dissect.DissectAcc
+    PacketDissector.dissectInto(direct, frame, walkV6 = walk)
+    val staged = new graft.dissect.DissectAcc
+    PacketDissector.dissectInto(staged, frame, walkV6 = walk, level = base)
+    PacketDissector.dissectResume(staged, pkt, graft.dissect.DissectLevel.Full)
+    staged.toPacketRow == direct.toPacketRow && staged.errors == direct.errors
+  }
+
+  property("L3-level dissection leaves every L3 column identical to full") = forAll(
+    // the ff gate emits un-resumed rows: their L3 columns must match
+    // what a full dissection would have produced (transport/L7 never
+    // writes an L3 field)
+    genStagedPkt, Gen.oneOf(1, 12, 101, 9999), Gen.oneOf(true, false)
+  ) { (pkt, linktype, walk) =>
+    val frame = RawFrame(7L, pkt.length.toLong, pkt, linktype)
+    val full = new graft.dissect.DissectAcc
+    PacketDissector.dissectInto(full, frame, walkV6 = walk)
+    val l3 = new graft.dissect.DissectAcc
+    PacketDissector.dissectInto(l3, frame, walkV6 = walk,
+      level = graft.dissect.DissectLevel.L3)
+    val a = l3.toPacketRow; val b = full.toPacketRow
+    a.frameTime == b.frameTime && a.frameLen == b.frameLen &&
+      a.ethType == b.ethType && a.ipSrc == b.ipSrc && a.ipDst == b.ipDst &&
+      a.ipProto == b.ipProto && a.ipTtl == b.ipTtl &&
+      a.ipFragOffset == b.ipFragOffset && a.ipId == b.ipId && a.ipMf == b.ipMf
+  }
+
   property("fragment gate: offset>0 rows never carry transport columns") = forAll(
     Gen.chooseNum(1, 0x1fff), Gen.oneOf(6, 17, 1)
   ) { (off, proto) =>

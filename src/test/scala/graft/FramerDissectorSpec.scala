@@ -209,11 +209,13 @@ class FramerDissectorSpec extends AnyFunSuite {
     assert(r.colProtocol.contains("UDP"))
   }
 
-  test("IPv6 extension-header chain: Sane walks to the transport, compat stops at the fixed header") {
-    // round 12 (VERDICT #6): hop-by-hop → routing → UDP/DNS. The
-    // reference never walks (packetstats.rs:242-253), so ReferenceCompat
-    // records ip_proto = 0 (hop-by-hop) and parses no transport; Sane
-    // walks the chain and lands on the real UDP header.
+  test("IPv6 extension-header chain: Sane records the transport proto, compat parses transport but keeps the fixed next_header") {
+    // round 13 (ADVICE): the reference's etherparse LaxPacketHeaders
+    // walks extension headers internally (packetstats.rs:148,190), so
+    // for hop-by-hop → routing → UDP/DNS the reference emits REAL
+    // transport columns while ip_proto stays the fixed header's
+    // next_header (packetstats.rs:252 reads ip.next_header pre-walk).
+    // Sane additionally records the walked-to proto in ip_proto.
     def ext(hdrType: Int, next: Int, extLen8: Int = 0): Array[Byte] = {
       val b = Array.fill[Byte]((extLen8 + 1) * 8)(0)
       b(0) = next.toByte; b(1) = extLen8.toByte
@@ -231,8 +233,86 @@ class FramerDissectorSpec extends AnyFunSuite {
     assert(sane.errors == 0)
     val compat = PacketDissector.dissect(
       graft.core.RawFrame(1000000L, pkt.length.toLong, pkt, 1), walkV6 = false)
-    assert(compat.ipProto == 0 && compat.udpSrcport.isEmpty)
-    assert(compat.colProtocol.contains("IPv6"))
+    assert(compat.ipProto == 0) // the FIXED header's next_header
+    assert(compat.udpSrcport.contains(53) && compat.udpDstport.contains(41000))
+    assert(compat.colProtocol.contains("DNS"))
+    assert(compat.dnsQryName.contains("v6.example.org"))
+    assert(compat.errors == 0)
+  }
+
+  test("IPv6 walk: exactly 8 extension headers before the transport still parses (round-13 ADVICE cap fix)") {
+    val g = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 3)
+    val dst = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 4)
+    // 7 hop-by-hop-shaped headers chaining to each other, the 8th names
+    // UDP; the cap lands exactly on the transport — must classify, not
+    // error
+    val chain = (1 to 7).map(_ => Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+      .reduce(_ ++ _) ++ Array[Byte](17, 0, 0, 0, 0, 0, 0, 0)
+    val pkt = ethernet(0x86dd, ipv6(g, dst, 0, chain ++ udp(5, 6, Array.empty)))
+    val sane = dissectOne(pkt)
+    assert(sane.errors == 0 && sane.ipProto == 17)
+    assert(sane.udpSrcport.contains(5) && sane.colProtocol.contains("UDP"))
+    // compat: same transport parse, fixed next_header kept, no errors
+    val compat = PacketDissector.dissect(
+      graft.core.RawFrame(1L, pkt.length.toLong, pkt, 1), walkV6 = false)
+    assert(compat.errors == 0 && compat.ipProto == 0)
+    assert(compat.udpSrcport.contains(5))
+  }
+
+  test("IPv6 compat fragment semantics: fragmenting stops quietly, atomic walks through (etherparse is_fragmenting_payload)") {
+    val g = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 7)
+    val dst = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 8)
+    def fragHdr(next: Int, off8: Int, mf: Boolean, id: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.put(next.toByte).put(0.toByte)
+        .putShort((((off8 << 3) | (if (mf) 1 else 0)) & 0xffff).toShort)
+        .putInt(id.toInt)
+      b.array()
+    }
+    def compatOf(pkt: Array[Byte]) = PacketDissector.dissect(
+      graft.core.RawFrame(1L, pkt.length.toLong, pkt, 1), walkV6 = false)
+    // FIRST fragment (offset 0, MF=1): fragmenting → etherparse stops,
+    // and the reference's v4-only read_transport recovery has no v6
+    // twin — no transport columns, no fragment columns, no error
+    val first = compatOf(ethernet(0x86dd, ipv6(g, dst, 44,
+      fragHdr(17, 0, mf = true, id = 7L) ++ udp(9, 10, Array.empty))))
+    assert(first.ipProto == 44 && first.udpSrcport.isEmpty)
+    assert(first.ipFragOffset == 0 && !first.ipMf && first.ipId == 0)
+    assert(first.errors == 0 && first.colProtocol.contains("IPv6"))
+    // ATOMIC fragment (offset 0, MF=0): not fragmenting → etherparse
+    // walks through to the transport
+    val atomic = compatOf(ethernet(0x86dd, ipv6(g, dst, 44,
+      fragHdr(17, 0, mf = false, id = 7L) ++ udp(9, 10, Array.empty))))
+    assert(atomic.ipProto == 44) // fixed header's next_header
+    assert(atomic.udpSrcport.contains(9) && atomic.colProtocol.contains("UDP"))
+    assert(atomic.ipFragOffset == 0 && !atomic.ipMf && atomic.ipId == 0)
+    // compat truncated chain: lax stop, no transport, NO error
+    val trunc = compatOf(ethernet(0x86dd, ipv6(g, dst, 0,
+      Array[Byte](17, 2, 0, 0, 0, 0, 0, 0))))
+    assert(trunc.errors == 0 && trunc.udpSrcport.isEmpty)
+  }
+
+  test("staged dissection: L3 stop + resume ≡ direct full (round-13 DissectLevel)") {
+    import graft.dissect.{DissectAcc, DissectLevel}
+    val pkts = Seq(
+      ethernet(0x0800, ipv4("10.0.0.1", "10.0.0.2", 17,
+        udp(5353, 53, dnsQuery("staged.example.com", 1)), ttl = 61, id = 777)),
+      ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 6, tcp(443, 55555, 0x18))),
+      ethernet(0x0800, ipv4("10.0.0.9", "10.0.0.1", 1,
+        icmpDestUnreachable(ipv4("10.0.0.2", "10.0.0.1", 17, udp(53, 33333, Array.empty))))),
+      ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 17, Array.fill[Byte](16)(0),
+        id = 9, mf = true, fragOffset = 185)))
+    for (pkt <- pkts; mid <- Seq(DissectLevel.L3, DissectLevel.Transport)) {
+      val frame = RawFrame(1000000L, pkt.length.toLong, pkt, 1)
+      val direct = new DissectAcc
+      PacketDissector.dissectInto(direct, frame)
+      val staged = new DissectAcc
+      PacketDissector.dissectInto(staged, frame, walkV6 = true, level = mid)
+      PacketDissector.dissectResume(staged, pkt, DissectLevel.Full)
+      assert(staged.toPacketRow == direct.toPacketRow,
+        s"staged(mid=$mid) != direct for ${direct.toPacketRow}")
+      assert(staged.errors == direct.errors)
+    }
   }
 
   test("IPv6 fragment header: first fragment parses transport, continuation gates (Sane)") {

@@ -199,6 +199,103 @@ class PcapDataSourceSpec extends SparkFunSuite {
     assert(p.contains("pushed=") && p.contains("col_protocol"), p)
   }
 
+  // a corpus exercising every dissection stage: DNS, NTP, TCP, ICMP
+  // inner recovery, v4 fragments (first + continuation), v6 ext chain
+  private lazy val stagedDir = {
+    val d = Files.createTempDirectory("dsv2_staged")
+    val g6 = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 1)
+    val d6 = Array(0xfe80, 0, 0, 0, 0, 0, 0, 2)
+    val frames = Seq(
+      ethernet(0x0800, ipv4("10.0.0.1", "10.0.0.2", 17,
+        udp(5353, 53, dnsQuery("staged.example.com", 1)), id = 11)),
+      ethernet(0x0800, ipv4("10.0.0.1", "10.0.0.2", 17,
+        udp(9999, 123, ntpPrivate(42)), id = 12)),
+      ethernet(0x0800, ipv4("10.0.0.3", "10.0.0.4", 6, tcp(443, 17000, 0x18))),
+      ethernet(0x0800, ipv4("10.0.0.9", "10.0.0.1", 1,
+        icmpDestUnreachable(ipv4("10.0.0.2", "10.0.0.1", 17, udp(53, 33333, Array.empty))))),
+      // UDP first fragment + continuation (the defrag shape)
+      ethernet(0x0800, ipv4("198.51.100.1", "203.0.113.9", 17,
+        udp(53, 40001, dnsQuery("frag.example.org", 1)), id = 77, mf = true)),
+      ethernet(0x0800, ipv4("198.51.100.1", "203.0.113.9", 17,
+        Array.fill[Byte](24)(0x61), id = 77, mf = false, fragOffset = 6)),
+      // v6 hop-by-hop then UDP/DNS
+      ethernet(0x86dd, ipv6(g6, d6, 0,
+        Array[Byte](17, 0, 0, 0, 0, 0, 0, 0) ++
+          udp(53, 41000, dnsQuery("v6.example.net", 1)))))
+    Files.write(d.resolve("staged.pcap"),
+      legacyPcap(frames.zipWithIndex.map { case (b, i) => (1000L * (i + 1), -1, b) }))
+    d.toString
+  }
+
+  test("staged dissection: pruned and filtered scans match the full scan (round 13)") {
+    // required-schema-aware dissection stops at L3/Transport when the
+    // pruned schema + pushed filters allow; every projected/filtered
+    // result must equal the same operation over the full scan
+    def fullRows = spark.read.format("pcap").load(stagedDir)
+    for (columnar <- Seq("true", "false")) {
+      def scan = spark.read.format("pcap")
+        .option("columnar", columnar).load(stagedDir)
+      // L3-only projection (defrag stats shape — no transport/L7 work)
+      val l3Cols = Seq("frame_time", "ip_src", "ip_dst", "ip_proto",
+        "ip_frag_offset", "ip_id", "ip_mf")
+      assert(scan.select(l3Cols.map(col): _*).collect().toSeq.sortBy(_.toString) ==
+        fullRows.select(l3Cols.map(col): _*).collect().toSeq.sortBy(_.toString))
+      // L3 filter veto + full projection (resume path)
+      assert(scan.filter(col("ip_proto") === 17).collect().toSeq.sortBy(_.toString) ==
+        fullRows.collect().toSeq.filter(_.getAs[Short]("ip_proto") == 17)
+          .sortBy(_.toString))
+      // transport filter + L7 projection (the DNS-slice shape)
+      val dns = scan.filter(col("udp_dstport") === 53)
+        .select("dns_qry_name", "col_protocol").collect().toSeq.sortBy(_.toString)
+      val dnsRef = fullRows.collect().toSeq
+        .filter(r => !r.isNullAt(r.fieldIndex("udp_dstport")) &&
+          r.getAs[Int]("udp_dstport") == 53)
+        .map(r => org.apache.spark.sql.Row(
+          r.getAs[String]("dns_qry_name"), r.getAs[String]("col_protocol")))
+        .sortBy(_.toString)
+      assert(dns == dnsRef)
+      // mixed L3 + transport filter: L3 conjunct vetoes at L3, the
+      // transport conjunct evaluates post-resume
+      assert(scan.filter(col("ip_proto") === 17 && col("udp_srcport") === 53)
+        .count() == 2) // ff fragment + v6 DNS
+    }
+  }
+
+  test("dissectGate=first-fragment: ff rows full, others L3-exact with NULL transport/L7") {
+    def gated(columnar: String) = spark.read.format("pcap")
+      .option("dissectGate", "first-fragment")
+      .option("columnar", columnar).load(stagedDir)
+    val full = spark.read.format("pcap").load(stagedDir).collect()
+      .map(r => r.getAs[Long]("frame_time") -> r).toMap
+    for (columnar <- Seq("true", "false")) {
+      val rows = gated(columnar).collect()
+      assert(rows.length == full.size) // the gate never drops rows
+      rows.foreach { r =>
+        val f = full(r.getAs[Long]("frame_time"))
+        val isFf = r.getAs[Short]("ip_proto") == 17 &&
+          r.getAs[Boolean]("ip_mf") && r.getAs[Int]("ip_frag_offset") == 0
+        if (isFf) assert(r == f, s"ff row diverged: $r vs $f")
+        else {
+          // L3 columns exact; transport/L7 columns NULL (or the
+          // non-null-vector defaults) regardless of what full has
+          for (c <- Seq("frame_time", "frame_len", "eth_type", "ip_src",
+            "ip_dst", "ip_proto", "ip_ttl", "ip_frag_offset", "ip_id", "ip_mf"))
+            assert(r.getAs[Any](c) == f.getAs[Any](c), s"L3 col $c diverged")
+          for (c <- Seq("udp_srcport", "udp_dstport", "udp_length",
+            "dns_qry_name", "dns_qry_type", "tcp_srcport", "icmp_type"))
+            assert(r.isNullAt(r.fieldIndex(c)), s"gated row leaked $c: $r")
+          assert(Set("IPv4", "IPv6").contains(r.getAs[String]("col_protocol")))
+        }
+      }
+      // the intended consumer shape: the ff aggregate over the gated
+      // scan equals the one over the full scan
+      import graft.spark.Defrag
+      assert(Defrag.firstFragments(gated(columnar)).collect().toSeq.sortBy(_.toString) ==
+        Defrag.firstFragments(spark.read.format("pcap").load(stagedDir))
+          .collect().toSeq.sortBy(_.toString))
+    }
+  }
+
   test("reference-compat mode option is honored") {
     // pcapng with an origlen quirk: EPB frame_len = caplen in compat mode
     val pkt = ethernet(0x0800, ipv4("1.1.1.1", "2.2.2.2", 6, tcp(1, 2, 0)))

@@ -169,6 +169,48 @@ class PcapPipelineSpec extends SparkFunSuite {
     df.unpersist()
   }
 
+  test("applyWithSpill with the ff-gated stats scan: identical rows, branch, and spill (round 13)") {
+    // the convert CLI's shape: the observe + ff-spill job reads the
+    // dissectGate=first-fragment scan (only actual first fragments pay
+    // transport/L7 dissection), the probe side reads the plain scan —
+    // output must be row-identical to the ungated spill path
+    val p = writeTemp("cap_gated.pcap", fragmentedCapture)
+    val plain = spark.read.format("pcap").load(p.toString)
+    val gated = spark.read.format("pcap")
+      .option("dissectGate", "first-fragment").load(p.toString)
+    val dir = java.nio.file.Files.createTempDirectory("ffspill_gate")
+    val (outGated, choiceGated) =
+      Defrag.applyWithSpill(plain, gated, dir.toString + "/g", 1.0)
+    val (outPlain, choicePlain) =
+      Defrag.applyWithSpill(plain, dir.toString + "/p")
+    assert(choiceGated == choicePlain)
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      d.collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString(""))
+    assert(canon(outGated) == canon(outPlain))
+    // the two spills agree row-for-row (same ff aggregate)
+    assert(canon(spark.read.parquet(dir.toString + "/g")) ==
+      canon(spark.read.parquet(dir.toString + "/p")))
+    // below-threshold corpus through the gated path: observed counts
+    // still cover every row (the gate must not disturb the observe
+    // barrier), so the skip decision is unchanged
+    val frames = (1 to 500).map { i =>
+      (i * 1000L, -1, ethernet(0x0800,
+        ipv4("9.9.9.9", "8.8.8.8", 6, tcp(80, 2000 + i, 0x10))))
+    } ++ Seq(
+      (400000L, -1, ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17,
+        udp(53, 41000, dnsQuery("x.example.org", 1)), id = 9, mf = true))),
+      (400001L, -1, ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17,
+        Array.fill[Byte](16)(0x42), id = 9, fragOffset = 5))))
+    val p2 = writeTemp("cap_gated2.pcap", legacyPcap(frames))
+    val plain2 = spark.read.format("pcap").load(p2.toString)
+    val gated2 = spark.read.format("pcap")
+      .option("dissectGate", "first-fragment").load(p2.toString)
+    val (out2, choice2) = Defrag.applyWithSpill(plain2, gated2,
+      java.nio.file.Files.createTempDirectory("ffspill_gate2").toString + "/ff", 1.0)
+    assert(choice2 == Defrag.NoDefrag)
+    assert(out2.columns.toSeq == plain2.columns.toSeq)
+  }
+
   test("IPv6 fragment chains defrag end-to-end (Sane walk feeds the v4 pipeline)") {
     // round 12: the Sane-mode v6 fragment gate populates ip_frag_offset/
     // ip_mf/ip_id (low 16 bits of the v6 identification), so v6 chains

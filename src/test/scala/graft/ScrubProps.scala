@@ -82,6 +82,25 @@ object ScrubProps extends Properties("adaptive-scrub") {
         s"sameDocs=$sameDocs monotone=$monotone exactWhereNoFp=$exactWhereNoFp"
     }
 
+  property("spill path ≡ lazy path: rows and branch, both ceilings (round 13)") =
+    Prop.forAll(genCorpus) { corpus =>
+      val docs = df(corpus)
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      // exact-broadcast branch and forced-sketch branch (ceiling 0):
+      // the spilled frequent set must reproduce the lazy subtree's rows
+      val agree = Seq(Long.MaxValue, 0L).forall { ceil =>
+        val spill = java.nio.file.Files.createTempDirectory("scrubspill")
+        val (lazyOut, lazyChoice) = AdaptiveScrub(docs, 3, maxBroadcast = ceil)
+        val (spillOut, spillChoice) =
+          AdaptiveScrub.applyWithSpill(docs, spill.toString + "/freq", 3, ceil)
+        val ok = lazyChoice == spillChoice && canon(lazyOut) == canon(spillOut)
+        graft.TempCleanup.rmrf(spill.toFile)
+        ok
+      }
+      Prop(agree) :| "spill path diverged from the lazy path"
+    }
+
   property("the gate picks by measured frequent-set size") =
     Prop.forAll(genCorpus) { corpus =>
       val docs = df(corpus)

@@ -17,9 +17,14 @@ THE REFERENCE'S OWN SEMANTICS, so the differential splits:
      reference SQL — on collision-free corpora (per-file captures under
      the ip_id wrap) this is the whole corpus, byte-for-byte;
   2. collided keys: every engine row must (a) keep its per-key row
-     count and (b) carry, in each patched column, either its own value
-     or a value some first fragment of ITS key carries — i.e. a legal
-     outcome of the reference's scan-order choice.
+     count and (b) per patched column, the POST multiset of non-null
+     values per key may differ from the PRE multiset only by a surplus
+     in a single value — every patched null row of a key receives the
+     one chosen first fragment's value — and that surplus value must be
+     carried by a FIRST-FRAGMENT row of the key (round 13: the earlier
+     containment accepted any non-null row of the key as the source, so
+     a defrag bug patching from a non-first-fragment sibling passed;
+     the multiset delta also catches a preserved value vanishing).
 
 Usage: python3 tools/defrag_differential.py <nodefrag.parquet> <defragged.parquet>
 """
@@ -101,18 +106,42 @@ def main(nodefrag, defragged):
         if cnt:
             print(f"✗ {cnt} collided keys changed row counts")
             return 1
-        # …and per-column containment: every patched value on a collided
-        # key must appear on SOME row of that key in the nodefrag table
-        # (its own value or a first fragment's — any legal scan order)
+        # …and per-column multiset delta (round-13 ADVICE): preserved own
+        # values cancel between pre and post, so per key the post multiset
+        # of non-null values may exceed the pre multiset in AT MOST ONE
+        # value (all patched null rows of a key receive the same chosen
+        # first fragment's value), no value may vanish, and the surplus
+        # value must be carried by a FIRST-FRAGMENT row of that key
         for c in PATCHED:
-            stray = con.sql(
-                f"select count(*) from (select g.{KEYS.replace(', ', ', g.')}, g.{c} "
-                f"  from got g join multi m using ({KEYS}) where g.{c} is not null) x "
-                f"anti join (select {KEYS}, {c} from pcap where {c} is not null) p "
-                f"using ({KEYS}, {c})").fetchone()[0]
+            vanished, multi_v, stray = con.sql(f"""
+                with p as (select {KEYS}, {c} as v, count(*) as n
+                           from pcap join multi using ({KEYS})
+                           where {c} is not null group by all),
+                     g as (select {KEYS}, {c} as v, count(*) as n
+                           from got join multi using ({KEYS})
+                           where {c} is not null group by all),
+                     d as (select {KEYS}, v,
+                                  coalesce(g.n, 0) - coalesce(p.n, 0) as delta
+                           from p full join g using ({KEYS}, v))
+                select
+                  (select count(*) from d where delta < 0),
+                  (select count(*) from (select {KEYS} from d where delta > 0
+                                         group by all having count(*) > 1)),
+                  (select count(*) from (select {KEYS}, v from d where delta > 0) s
+                     anti join (select {KEYS}, {c} as v from pcap
+                                where ip_proto = 17 and ip_mf = 1
+                                  and ip_frag_offset = 0 and {c} is not null) f
+                     using ({KEYS}, v))""").fetchone()
+            if vanished:
+                print(f"✗ {vanished} pre-defrag {c} values vanished on collided keys")
+                return 1
+            if multi_v:
+                print(f"✗ {multi_v} collided keys gained more than one distinct "
+                      f"{c} value (a key patches from ONE first fragment)")
+                return 1
             if stray:
-                print(f"✗ {stray} collided-key rows carry a {c} value no "
-                      "first fragment of their key carries")
+                print(f"✗ {stray} collided-key {c} surplus values are carried by "
+                      "no first fragment of their key")
                 return 1
     tag = (f" + {n_multi} ip_id-collided keys legal under the reference's "
            "scan-order nondeterminism" if n_multi else "")
