@@ -148,7 +148,8 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       options.getBoolean("columnar", true),
       Option(options.get("metricsKey")),
       retired,
-      ffGate = gate.isDefined)
+      ffGate = gate.isDefined,
+      patchKey = Option(options.get("defragPatchKey")))
   }
 }
 
@@ -164,7 +165,8 @@ final class PcapScan(
     columnar: Boolean = true,
     metricsKey: Option[String] = None,
     retiredRoots: Seq[String] = Seq.empty,
-    ffGate: Boolean = false)
+    ffGate: Boolean = false,
+    patchKey: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -212,9 +214,14 @@ final class PcapScan(
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     // the metrics registry is consulted on the DRIVER (here), then the
-    // accumulators themselves serialize into the task closures
+    // accumulators themselves serialize into the task closures; same
+    // for the defrag patch map (the broadcast rides the closures)
+    val patch = patchKey.map(k => DefragPatch.forKey(k).getOrElse(
+      throw new IllegalArgumentException(
+        s"pcap option defragPatchKey: no patch registered under '$k'")))
     PcapReaderFactory(conf, required, refCompat, filters, withBytes,
-      columnar, metricsKey.flatMap(graft.spark.PcapSource.metricsFor), ffGate)
+      columnar, metricsKey.flatMap(graft.spark.PcapSource.metricsFor), ffGate,
+      patch)
   }
 }
 
@@ -257,13 +264,15 @@ final case class PcapReaderFactory(
     withBytes: Boolean = false,
     columnar: Boolean = false,
     metrics: Option[graft.spark.PcapSource.Metrics] = None,
-    ffGate: Boolean = false)
+    ffGate: Boolean = false,
+    patch: Option[org.apache.spark.broadcast.Broadcast[
+      DefragPatch.PatchMap]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapPartitionReader(pp.file,
       conf.value, required, refCompat, filters, withBytes, pp.shard, pp.nShards,
-      metrics, ffGate)
+      metrics, ffGate, patch)
   }
 
   /** COLUMNAR scan path (round-9 verdict #5): the dissector's unboxed
@@ -284,7 +293,7 @@ final case class PcapReaderFactory(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapColumnarReader(pp.file, conf.value, required, refCompat,
-      filters, pp.shard, pp.nShards, metrics, ffGate)
+      filters, pp.shard, pp.nShards, metrics, ffGate, patch)
   }
 }
 
@@ -340,7 +349,9 @@ final class PcapColumnarReader(
     shard: Int = 0,
     nShards: Int = 1,
     metrics: Option[graft.spark.PcapSource.Metrics] = None,
-    ffGate: Boolean = false)
+    ffGate: Boolean = false,
+    patch: Option[org.apache.spark.broadcast.Broadcast[
+      DefragPatch.PatchMap]] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
@@ -365,6 +376,8 @@ final class PcapColumnarReader(
   private val noL3 = plan.l3Filters.isEmpty
   private val noHigh = plan.highFilters.isEmpty
   private val stagedResume = plan.baseLevel < plan.levelRequired
+  // defrag broadcast-patch map (null = no patching) — see DefragPatch
+  private val patchMap = patch.map(_.value).orNull
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
@@ -464,6 +477,10 @@ final class PcapColumnarReader(
         var emit = noL3 || predL3(acc)
         if (emit && stagedResume && (!ffGate || DissectPlan.gatePass(acc)))
           PacketDissector.dissectResume(acc, raw.data, plan.levelRequired)
+        // defrag broadcast-patch BEFORE any transport-level filter: a
+        // filter pushed against the patched scan must see the patched
+        // (defragged) values, like a filter above the join would
+        if (patchMap != null) DefragPatch.apply(patchMap, acc)
         if (emit && !noHigh) emit = predHigh(acc)
         nPackets += 1
         if (acc.errors > 0) nErrors += acc.errors.toLong
@@ -501,7 +518,9 @@ final class PcapPartitionReader(
     shard: Int = 0,
     nShards: Int = 1,
     metrics: Option[graft.spark.PcapSource.Metrics] = None,
-    ffGate: Boolean = false)
+    ffGate: Boolean = false,
+    patch: Option[org.apache.spark.broadcast.Broadcast[
+      DefragPatch.PatchMap]] = None)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -520,6 +539,7 @@ final class PcapPartitionReader(
   private val noL3 = plan.l3Filters.isEmpty
   private val noHigh = plan.highFilters.isEmpty
   private val stagedResume = plan.baseLevel < plan.levelRequired
+  private val patchMap = patch.map(_.value).orNull
   private val sourceSchema =
     if (withBytes) PacketSchema.bytesSchema else PacketSchema.schema
   // projection map: required ordinal -> source-schema ordinal
@@ -545,6 +565,7 @@ final class PcapPartitionReader(
         var emit = noL3 || predL3(acc)
         if (emit && stagedResume && (!ffGate || DissectPlan.gatePass(acc)))
           PacketDissector.dissectResume(acc, raw.data, plan.levelRequired)
+        if (patchMap != null) DefragPatch.apply(patchMap, acc)
         if (emit && !noHigh) emit = predHigh(acc)
         metrics.foreach { m =>
           m.packets.add(1L)

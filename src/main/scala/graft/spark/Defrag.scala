@@ -270,6 +270,24 @@ object Defrag {
     */
   def applyWithSpill(pcap: DataFrame, statsPcap: DataFrame, spillDir: String,
       thresholdPct: Double): (DataFrame, Choice) = {
+    val (pct, ffRows) = statsAndSpill(statsPcap, spillDir)
+    if (pct < thresholdPct) (pcap, NoDefrag)
+    else {
+      val ff = pcap.sparkSession.read.parquet(spillDir)
+      if (ffRows <= MaxBroadcastFirstFragments)
+        (defragWith(pcap, ff, broadcastFF = true), BroadcastJoin)
+      else (defragWith(pcap, ff, broadcastFF = false), ShuffleBypass)
+    }
+  }
+
+  /** The ONE stats+spill job (split out in round 13 so PcapConvert's
+    * columnar broadcast-patch path can drive the branch decision
+    * itself): observes (total, fragmented) on the pre-filter frame
+    * while materializing the ff aggregate to `spillDir`; returns the
+    * fragmented percentage and the spill's EXACT row count (parquet
+    * footer metadata — it IS the distinct datagram key count).
+    */
+  def statsAndSpill(statsPcap: DataFrame, spillDir: String): (Double, Long) = {
     val obs = org.apache.spark.sql.Observation(
       "defrag_stats_" + java.util.UUID.randomUUID().toString)
     val observed = statsPcap.observe(obs,
@@ -282,13 +300,12 @@ object Defrag {
     val frag = Option(row("frag")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val pct =
       if (total == 0) 0.0 else math.round(100.0 * frag / total).toDouble
-    if (pct < thresholdPct) (pcap, NoDefrag)
-    else {
-      val ff = pcap.sparkSession.read.parquet(spillDir)
-      // footer-metadata count: exact distinct datagram keys, no scan
-      if (ff.count() <= MaxBroadcastFirstFragments)
-        (defragWith(pcap, ff, broadcastFF = true), BroadcastJoin)
-      else (defragWith(pcap, ff, broadcastFF = false), ShuffleBypass)
-    }
+    (pct, statsPcap.sparkSession.read.parquet(spillDir).count())
   }
+
+  /** The defragged OUTPUT column order (reference src/main.rs:296:
+    * EXCLUDE + re-append — the six patched columns move to the end).
+    */
+  def defraggedOrder(columns: Seq[String]): Seq[String] =
+    columns.filterNot(Patched.contains) ++ Patched
 }

@@ -115,10 +115,19 @@ object PcapColumnarWrite {
     * single-file output rides the vector path too (a DataFrame-level
     * coalesce(1) would plan a row-shaped CoalesceExec instead).
     */
+  /** `outputOrder` (round 13): write the parquet columns in this name
+    * order instead of the frame's — a WRITER-side permutation, so a
+    * column reorder (the defragged patched-at-end layout) costs nothing
+    * in the PLAN (a `select` reorder over the columnar scan would plan
+    * a Project → ColumnarToRow → the very rebatch the broadcast-patch
+    * path exists to avoid). Must be a permutation of the frame's
+    * columns.
+    */
   def write(df: DataFrame, out: String, compression: String,
       rowGroupBytes: Long = 128L * 1024 * 1024,
       singleFile: Boolean = false,
-      rebatch: Boolean = false): Boolean = {
+      rebatch: Boolean = false,
+      outputOrder: Option[Seq[String]] = None): Boolean = {
     val plan = columnarChild(df) match {
       case Some(p) => p
       case None if rebatch =>
@@ -126,7 +135,16 @@ object PcapColumnarWrite {
           df.queryExecution.executedPlan)
       case None => return false
     }
-    val schema = df.schema
+    val frameSchema = df.schema
+    val (schema, perm) = outputOrder match {
+      case None => (frameSchema, frameSchema.indices.toArray)
+      case Some(order) =>
+        require(order.sorted == frameSchema.fieldNames.toSeq.sorted,
+          s"outputOrder must permute the frame's columns; got $order " +
+            s"over ${frameSchema.fieldNames.mkString(",")}")
+        (StructType(order.map(n => frameSchema(n))),
+          order.map(frameSchema.fieldIndex).toArray)
+    }
     val codec = compression.toLowerCase(java.util.Locale.ROOT) match {
       case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
       case "snappy" => CompressionCodecName.SNAPPY
@@ -151,7 +169,7 @@ object PcapColumnarWrite {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val file = new Path(outDir,
         f"part-$pid%05d-vec.${codec.name.toLowerCase}.parquet")
-      writePartition(it, sc, file, serConf.value, codec, rowGroupBytes)
+      writePartition(it, sc, perm, file, serConf.value, codec, rowGroupBytes)
     }
     // SUCCESS marker for parity with the standard committer's layout
     fs.create(new Path(outDir, "_SUCCESS"), true).close()
@@ -159,6 +177,7 @@ object PcapColumnarWrite {
   }
 
   private def writePartition(it: Iterator[ColumnarBatch], schema: StructType,
+      perm: Array[Int],
       file: Path, conf: Configuration, codec: CompressionCodecName,
       rowGroupBytes: Long): Unit = {
     val msg = messageType(schema)
@@ -212,7 +231,7 @@ object PcapColumnarWrite {
           var c = 0
           while (c < schema.length) {
             val cw = cws.getColumnWriter(descs.get(c))
-            val v = batch.column(c)
+            val v = batch.column(perm(c)) // writer-side column permutation
             val dt = schema.fields(c).dataType
             var r = 0
             dt match {

@@ -108,7 +108,10 @@ object PcapConvert {
     // full scan, so only actual UDP first fragments pay transport/L7
     // dissection there (sound by construction: see Defrag.applyWithSpill;
     // no metricsKey — the stats pass would double-count packets).
+    // mkScan stays available for the columnar broadcast-patch path,
+    // which builds one more scan carrying the patch-map key.
     var statsParsed: Option[org.apache.spark.sql.DataFrame] = None
+    var mkScan: Map[String, String] => org.apache.spark.sql.DataFrame = null
     val parsed =
       if (a.rowPath)
         PcapSource.read(spark, a.file, mode, decodePartitions = a.jobs,
@@ -120,16 +123,15 @@ object PcapConvert {
         val want = if (a.jobs > 0) a.jobs else spark.sparkContext.defaultParallelism
         val shards = math.max(1, math.min(1024,
           math.ceil(want.toDouble / nFiles).toInt))
-        def scan(gated: Boolean) = {
+        mkScan = (extra: Map[String, String]) => {
           val r = spark.read.format("pcap")
             .option("mode", if (a.referenceCompat) "reference-compat" else "sane")
             .option("decodePartitions", shards)
-          val r2 = if (gated) r.option("dissectGate", "first-fragment")
-            else r.option("metricsKey", metricsKey)
-          r2.load(a.file)
+          extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load(a.file)
         }
-        if (!a.nodefrag) statsParsed = Some(scan(gated = true))
-        scan(gated = false)
+        if (!a.nodefrag)
+          statsParsed = Some(mkScan(Map("dissectGate" -> "first-fragment")))
+        mkScan(Map("metricsKey" -> metricsKey))
       }
     // Pass strategy (re-measured round 8, 10M packets, local[32]):
     //   - plan-driven:  defrag re-parses per pass — 1.59M pkt/s
@@ -178,31 +180,70 @@ object PcapConvert {
         ()
       }
     try {
-      // adaptive: joins only when >= 1% fragmented. The stats+spill job
-      // reads the ff-gated scan when one exists (DSv2, uncached —
-      // a cached table is already parsed, so the gate would only force
-      // a pointless re-parse; the row path has no scan options).
-      val out =
-        if (a.nodefrag) pcap
-        else Defrag.applyWithSpill(pcap,
-          statsParsed.filter(_ => !doCache).getOrElse(pcap), ffSpill, 1.0)._1
-      // round-10/11 vector-direct write: when the plan under the write
-      // is still columnar (nodefrag, or the adaptive defrag-skip branch),
-      // the batch vectors go straight into parquet-mr's column writers —
-      // no ColumnarToRow, no per-row record assembly. Row-shaped defrag
-      // outputs re-batch through RowToColumnarExec into the same writer
-      // (round 11): ~15% ahead of the row writer on the 10M broadcast
-      // branch and ahead at 100M on the shuffle branch — measured
-      // INTERLEAVED (tools.BenchDefragWrite); sequential A/B arms at
-      // these sizes drift ±2× on identical code and mis-read this both
-      // ways in one session. Single-file output coalesces at the RDD
-      // level (batches stay columnar). `--row-write` restores the
-      // standard FileFormatWriter.
-      val vecWritten = !a.rowWrite &&
-        PcapColumnarWrite.write(out, a.out, a.compression,
-          singleFile = a.singleFile, rebatch = true)
-      if (!vecWritten)
-        PcapSource.write(out, a.out, a.singleFile, a.compression)
+      // Round-13 columnar broadcast-patch path (the default convert
+      // shape): tools.BenchRebatchBound measured the row-shaped
+      // broadcast join + RowToColumnarExec rebatch at ~50% of the
+      // defrag-convert write (join 17.8 s vs no-join 8.8 s median,
+      // interleaved, 100M packets) — so on the broadcast branch the
+      // enrichment moves INTO the scan: the spilled ff aggregate is
+      // collected + broadcast (exactly what a broadcast join ships) and
+      // each reader patches its accumulator before the vectors fill
+      // (graft.sources.DefragPatch). The plan is scan → vector write,
+      // columnar end to end; the reference's patched-at-end column
+      // order is restored by the WRITER's permutation (a select reorder
+      // would re-introduce the rebatch). The shuffle branch and the
+      // --row-path/--row-write/--cache shapes keep the join.
+      val patchPath = !a.nodefrag && !a.rowPath && !a.rowWrite && !doCache &&
+        statsParsed.isDefined
+      if (patchPath) {
+        val (pct, ffRows) = Defrag.statsAndSpill(statsParsed.get, ffSpill)
+        def vecOrRow(df: org.apache.spark.sql.DataFrame,
+            order: Option[Seq[String]] = None): Unit =
+          if (!PcapColumnarWrite.write(df, a.out, a.compression,
+              singleFile = a.singleFile, rebatch = true, outputOrder = order))
+            PcapSource.write(df, a.out, a.singleFile, a.compression)
+        if (pct < 1.0) vecOrRow(pcap) // defrag skip (reference main.rs:277)
+        else if (ffRows <= Defrag.MaxBroadcastFirstFragments) {
+          val map = graft.sources.DefragPatch.build(
+            spark.read.parquet(ffSpill))
+          val bc = spark.sparkContext.broadcast(map)
+          val pk = java.util.UUID.randomUUID().toString
+          graft.sources.DefragPatch.register(pk, bc)
+          try {
+            val patched = mkScan(Map(
+              "metricsKey" -> metricsKey, "defragPatchKey" -> pk))
+            vecOrRow(patched,
+              order = Some(Defrag.defraggedOrder(patched.columns.toSeq)))
+          } finally {
+            graft.sources.DefragPatch.unregister(pk)
+            bc.destroy()
+          }
+        } else vecOrRow(Defrag.defragWith(pcap,
+          spark.read.parquet(ffSpill), broadcastFF = false))
+      } else {
+        // adaptive: joins only when >= 1% fragmented. The stats+spill
+        // job reads the ff-gated scan when one exists (DSv2, uncached —
+        // a cached table is already parsed, so the gate would only
+        // force a pointless re-parse; the row path has no scan options).
+        val out =
+          if (a.nodefrag) pcap
+          else Defrag.applyWithSpill(pcap,
+            statsParsed.filter(_ => !doCache).getOrElse(pcap), ffSpill, 1.0)._1
+        // round-10/11 vector-direct write: when the plan under the write
+        // is still columnar (nodefrag, or the adaptive defrag-skip
+        // branch), the batch vectors go straight into parquet-mr's
+        // column writers — no ColumnarToRow, no per-row record assembly.
+        // Row-shaped defrag outputs re-batch through RowToColumnarExec
+        // into the same writer (round 11, interleaved
+        // tools.BenchDefragWrite). Single-file output coalesces at the
+        // RDD level (batches stay columnar). `--row-write` restores the
+        // standard FileFormatWriter.
+        val vecWritten = !a.rowWrite &&
+          PcapColumnarWrite.write(out, a.out, a.compression,
+            singleFile = a.singleFile, rebatch = true)
+        if (!vecWritten)
+          PcapSource.write(out, a.out, a.singleFile, a.compression)
+      }
     } finally {
       progress.foreach(_.interrupt())
       PcapSource.unregisterMetrics(metricsKey)

@@ -30,31 +30,60 @@ object BenchRebatchBound {
     // rebatch machinery rather than the stats pass
     graft.spark.Defrag.firstFragments(graft.BenchEnv.pcapRead(spark, glob))
       .write.mode("overwrite").option("compression", "zstd").parquet(spill)
-    def arm(join: Boolean): Double = {
+    // arm 0 = join (row-shaped broadcast join + rebatch), 1 = nojoin
+    // (scan → vector write, the ceiling), 2 = patch (round-13 reader-side
+    // broadcast patch + writer column permutation — the shipped path)
+    def arm(kind: Int): Double = {
       val t0 = System.nanoTime()
       val pcap = graft.BenchEnv.pcapRead(spark, glob)
-      val df =
-        if (join) graft.spark.Defrag.defragWith(pcap,
-          spark.read.parquet(spill), broadcastFF = true)
-        else pcap
-      require(graft.spark.PcapColumnarWrite.write(df, out, "zstd",
-        singleFile = false, rebatch = true), "vector write refused")
+      kind match {
+        case 0 =>
+          val df = graft.spark.Defrag.defragWith(pcap,
+            spark.read.parquet(spill), broadcastFF = true)
+          require(graft.spark.PcapColumnarWrite.write(df, out, "zstd",
+            singleFile = false, rebatch = true), "vector write refused")
+        case 1 =>
+          require(graft.spark.PcapColumnarWrite.write(pcap, out, "zstd",
+            singleFile = false, rebatch = true), "vector write refused")
+        case _ =>
+          val tb = System.nanoTime()
+          val map = graft.sources.DefragPatch.build(spark.read.parquet(spill))
+          val bc = spark.sparkContext.broadcast(map)
+          System.err.println(
+            f"[rebatch-bound]   patch map build+broadcast ${(System.nanoTime() - tb) / 1e9}%.2f s")
+          val pk = java.util.UUID.randomUUID().toString
+          graft.sources.DefragPatch.register(pk, bc)
+          try {
+            val shards = graft.BenchEnv.pcapShards(spark, glob)
+            val patched = spark.read.format("pcap")
+              .option("decodePartitions", shards)
+              .option("defragPatchKey", pk).load(glob)
+            require(graft.spark.PcapColumnarWrite.write(patched, out, "zstd",
+              singleFile = false, rebatch = true,
+              outputOrder = Some(graft.spark.Defrag
+                .defraggedOrder(patched.columns.toSeq))),
+              "vector write refused")
+          } finally {
+            graft.sources.DefragPatch.unregister(pk); bc.destroy()
+          }
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    arm(join = true); arm(join = false) // JIT warmup, discarded
-    val (tj, tn) = (Array.newBuilder[Double], Array.newBuilder[Double])
+    arm(0); arm(1); arm(2) // JIT warmup, discarded
+    val builders = Array.fill(3)(Array.newBuilder[Double])
     (1 to rounds).foreach { r =>
-      val a = arm(join = true)
-      val b = arm(join = false)
-      tj += a; tn += b
-      System.err.println(f"[rebatch-bound] round $r: join $a%.2f s, nojoin $b%.2f s")
+      val ts = (0 to 2).map { k => val t = arm(k); builders(k) += t; t }
+      System.err.println(f"[rebatch-bound] round $r: join ${ts(0)}%.2f s, " +
+        f"nojoin ${ts(1)}%.2f s, patch ${ts(2)}%.2f s")
     }
-    val (jb, jm) = graft.BenchEnv.bestMedian(tj.result())
-    val (nb, nm) = graft.BenchEnv.bestMedian(tn.result())
+    val Seq((jb, jm), (nb, nm), (pb, pm)) =
+      builders.toSeq.map(b => graft.BenchEnv.bestMedian(b.result()))
     val gapPct = 100.0 * (jm - nm) / jm
+    val patchGapPct = 100.0 * (jm - pm) / jm
     System.err.println(f"[rebatch-bound] join best $jb%.2f s median $jm%.2f s; " +
-      f"nojoin best $nb%.2f s median $nm%.2f s; median gap $gapPct%.1f%%")
-    println(f"""{"metric":"rebatch_bound_ab","join_best_s":$jb%.3f,"join_median_s":$jm%.3f,"nojoin_best_s":$nb%.3f,"nojoin_median_s":$nm%.3f,"median_gap_pct":$gapPct%.1f,"glob":"$glob"}""")
+      f"nojoin best $nb%.2f s median $nm%.2f s; patch best $pb%.2f s " +
+      f"median $pm%.2f s; join→nojoin gap $gapPct%.1f%%, join→patch $patchGapPct%.1f%%")
+    println(f"""{"metric":"rebatch_bound_ab","join_best_s":$jb%.3f,"join_median_s":$jm%.3f,"nojoin_best_s":$nb%.3f,"nojoin_median_s":$nm%.3f,"patch_best_s":$pb%.3f,"patch_median_s":$pm%.3f,"median_gap_pct":$gapPct%.1f,"patch_gap_pct":$patchGapPct%.1f,"glob":"$glob"}""")
     graft.TempCleanup.rmrf(new java.io.File(out))
     graft.TempCleanup.rmrf(new java.io.File(spill))
     spark.stop()

@@ -211,6 +211,32 @@ class PcapPipelineSpec extends SparkFunSuite {
     assert(out2.columns.toSeq == plain2.columns.toSeq)
   }
 
+  test("columnar broadcast-patch convert ≡ join defrag, defragged column order (round 13)") {
+    // the CLI's default convert shape now enriches IN THE READER from
+    // the broadcast ff map (no join node) — its output must be
+    // row-identical to the join path's, with the reference's
+    // patched-at-end column order restored by the writer permutation
+    val p = writeTemp("cap_patch.pcap", fragmentedCapture)
+    val outDir = java.nio.file.Files.createTempDirectory("patchconv")
+    PcapConvert.run(spark, PcapConvert.Args(
+      file = p.toString, out = outDir.toString + "/out.parquet",
+      singleFile = false))
+    val got = spark.read.parquet(outDir.toString + "/out.parquet")
+    assert(got.columns.toSeq ==
+      Defrag.defraggedOrder(graft.core.PacketSchema.schema.fieldNames.toSeq))
+    val want = Defrag.defrag(PcapSource.read(spark, p.toString))
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      d.selectExpr(d.columns.sorted.map(c => s"`$c`"): _*)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
+    assert(canon(got) == canon(want))
+    // singleFile default shape too (coalesced RDD, same permutation)
+    PcapConvert.run(spark, PcapConvert.Args(
+      file = p.toString, out = outDir.toString + "/one.parquet"))
+    val one = spark.read.parquet(outDir.toString + "/one.parquet")
+    assert(one.columns.toSeq == got.columns.toSeq)
+    assert(canon(one) == canon(want))
+  }
+
   test("IPv6 fragment chains defrag end-to-end (Sane walk feeds the v4 pipeline)") {
     // round 12: the Sane-mode v6 fragment gate populates ip_frag_offset/
     // ip_mf/ip_id (low 16 bits of the v6 identification), so v6 chains
