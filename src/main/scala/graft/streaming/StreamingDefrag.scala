@@ -53,18 +53,25 @@ object StreamingDefrag {
       col("dns_qry_type"), col("dns_qry_name"), col("col_protocol"))
 
   /** The stateful back-fill transform over a (streaming) projected packet
-    * frame — exposed so tests can drive multi-batch triggers around it. */
-  def defragStateful(projected: DataFrame): DataFrame = {
+    * frame — exposed so tests can drive multi-batch triggers around it.
+    *
+    * Round 13: the first-fragment pick is a single-pass MIN under the
+    * full sort key, not a group-wide sort — the old `toSeq.sortBy` over
+    * a 7-tuple of boxed Options allocated ~10 objects per ROW at 100M
+    * packets for an ordering whose only consumer was the min (emitted
+    * row ORDER is no contract: the parquet sink's order was already
+    * partition-arbitrary, and the s07 oracle compares sorted). The pick
+    * itself is unchanged: carried state outranks this batch, then the
+    * least first-fragment row by (tsu, patched… NULLS FIRST) — pinned
+    * ≡ the sortBy reference by StreamingDefragPickProps. `sortless =
+    * false` keeps the old path for the interleaved A/B
+    * (`tools.BenchStreamDefrag`).
+    */
+  def defragStateful(projected: DataFrame,
+      sortless: Boolean = true): DataFrame = {
     import projected.sparkSession.implicits._
     val fn: (FragKey, Iterator[FragRow], GroupState[Patch]) => Iterator[PatchedRow] =
       (_, rows, state) => {
-        // FULL sort key (the batch Defrag.firstFragments tiebreak):
-        // tsu alone ties for duplicated first fragments at the same µs,
-        // and the patched fields break the tie identically in both
-        // engines (None sorts first, like SQL ASC NULLS FIRST)
-        val sorted = rows.toSeq.sortBy(r => (r.tsu, r.udp_srcport,
-          r.udp_dstport, r.ntp_priv_reqcode, r.dns_qry_type,
-          r.dns_qry_name, r.col_protocol))
         // carried state (an earlier batch) outranks anything in this
         // batch — the append-mode contract: rows already emitted with
         // that patch cannot be retracted, so a duplicate first fragment
@@ -72,15 +79,35 @@ object StreamingDefrag {
         // class doc's arrival-order caveat; s07's one-file fixture is
         // single-batch, so its oracle's global pick agrees)
         val carried = state.getOption
-        val ff = carried.orElse(
-          sorted.find(r => r.ip_proto == 17 && r.ip_mf && r.ip_frag_offset == 0)
-            .map(toPatch))
+        val (buf, ff) =
+          if (sortless) {
+            val b = new scala.collection.mutable.ArrayBuffer[FragRow]()
+            var best: FragRow = null
+            rows.foreach { r =>
+              b += r
+              if (r.ip_proto == 17 && r.ip_mf && r.ip_frag_offset == 0 &&
+                  (best == null || ffOrdering.compare(r, best) < 0))
+                best = r
+            }
+            (b, carried.orElse(Option(best).map(toPatch)))
+          } else {
+            // the round-12 reference path, kept for the interleaved A/B:
+            // FULL sort key (the batch Defrag.firstFragments tiebreak) —
+            // tsu alone ties for duplicated first fragments at the same
+            // µs; None sorts first, like SQL ASC NULLS FIRST
+            val sorted = rows.toSeq.sortBy(r => (r.tsu, r.udp_srcport,
+              r.udp_dstport, r.ntp_priv_reqcode, r.dns_qry_type,
+              r.dns_qry_name, r.col_protocol))
+            (sorted, carried.orElse(
+              sorted.find(r => r.ip_proto == 17 && r.ip_mf && r.ip_frag_offset == 0)
+                .map(toPatch)))
+          }
         // write state only when it changes — an unconditional update
         // re-serializes the identical patch every batch that touches the
         // key (pure changelog write amplification under RocksDB)
         if (carried.isEmpty) ff.foreach(state.update)
         val p = ff.getOrElse(Patch(None, None, None, None, None, None))
-        sorted.iterator.map { r =>
+        buf.iterator.map { r =>
           PatchedRow(r.ip_src, r.ip_dst, r.ip_proto, r.ip_id, r.tsu,
             r.udp_srcport.orElse(p.udp_srcport), r.udp_dstport.orElse(p.udp_dstport),
             r.ntp_priv_reqcode.orElse(p.ntp_priv_reqcode),
@@ -93,6 +120,32 @@ object StreamingDefrag {
       .groupByKey(r => FragKey(r.ip_src, r.ip_dst, r.ip_proto, r.ip_id))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .toDF()
+  }
+
+  /** The full first-fragment sort key as an allocation-free comparator:
+    * (tsu, udp_srcport, udp_dstport, ntp_priv_reqcode, dns_qry_type,
+    * dns_qry_name, col_protocol), each Option ASC NULLS FIRST — exactly
+    * the old sortBy tuple's ordering (and Defrag.firstFragments'
+    * min(struct) order).
+    */
+  private[graft] val ffOrdering: Ordering[FragRow] = new Ordering[FragRow] {
+    @inline private def cmpOpt[T](a: Option[T], b: Option[T])(
+        implicit o: Ordering[T]): Int = (a, b) match {
+      case (None, None) => 0
+      case (None, _) => -1
+      case (_, None) => 1
+      case (Some(x), Some(y)) => o.compare(x, y)
+    }
+    def compare(a: FragRow, b: FragRow): Int = {
+      var c = java.lang.Long.compare(a.tsu, b.tsu)
+      if (c != 0) return c
+      c = cmpOpt(a.udp_srcport, b.udp_srcport); if (c != 0) return c
+      c = cmpOpt(a.udp_dstport, b.udp_dstport); if (c != 0) return c
+      c = cmpOpt(a.ntp_priv_reqcode, b.ntp_priv_reqcode); if (c != 0) return c
+      c = cmpOpt(a.dns_qry_type, b.dns_qry_type); if (c != 0) return c
+      c = cmpOpt(a.dns_qry_name, b.dns_qry_name); if (c != 0) return c
+      cmpOpt(a.col_protocol, b.col_protocol)
+    }
   }
 
   /** capturePath may be a landing-zone directory or a single capture file
