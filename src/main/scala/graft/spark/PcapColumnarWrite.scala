@@ -123,11 +123,20 @@ object PcapColumnarWrite {
     * path exists to avoid). Must be a permutation of the frame's
     * columns.
     */
+  /** `fragCounters` (round 13, the speculative single-pass convert):
+    * (total, fragmented) LongAccumulators the write tasks feed per
+    * batch from the ip_frag_offset/ip_mf vectors — the defrag stats
+    * ride the OUTPUT write instead of their own pass, so an
+    * unfragmented capture converts in one read. Requires both columns
+    * in the frame.
+    */
   def write(df: DataFrame, out: String, compression: String,
       rowGroupBytes: Long = 128L * 1024 * 1024,
       singleFile: Boolean = false,
       rebatch: Boolean = false,
-      outputOrder: Option[Seq[String]] = None): Boolean = {
+      outputOrder: Option[Seq[String]] = None,
+      fragCounters: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): Boolean = {
     val plan = columnarChild(df) match {
       case Some(p) => p
       case None if rebatch =>
@@ -164,12 +173,38 @@ object PcapColumnarWrite {
     val schemaB = spark.sparkContext.broadcast(schema.json)
     val rdd0 = plan.executeColumnar()
     val rdd = if (singleFile) rdd0.coalesce(1) else rdd0
+    // frag-stats ordinals resolved in the PERMUTED schema (what the
+    // tasks see); fail fast if the columns were projected away
+    val fragOrds = fragCounters.map { _ =>
+      (schema.fieldIndex("ip_frag_offset"), schema.fieldIndex("ip_mf"))
+    }
     rdd.foreachPartition { (it: Iterator[ColumnarBatch]) =>
       val sc = DataType.fromJson(schemaB.value).asInstanceOf[StructType]
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val file = new Path(outDir,
         f"part-$pid%05d-vec.${codec.name.toLowerCase}.parquet")
-      writePartition(it, sc, perm, file, serConf.value, codec, rowGroupBytes)
+      val observer: ColumnarBatch => Unit = (fragCounters, fragOrds) match {
+        case (Some((total, frag)), Some((offOrd, mfOrd))) => batch => {
+          val n = batch.numRows()
+          // the batch columns are in FRAME order; map through perm
+          val off = batch.column(perm(offOrd))
+          val mf = batch.column(perm(mfOrd))
+          var fragN = 0L
+          var r = 0
+          while (r < n) {
+            // fragmentedCond: (offset = 0 AND mf) OR offset > 0; both
+            // columns are non-null vectors (PacketSchema defaults)
+            val o = off.getInt(r)
+            if (o > 0 || (o == 0 && mf.getBoolean(r))) fragN += 1L
+            r += 1
+          }
+          total.add(n.toLong)
+          frag.add(fragN)
+        }
+        case _ => _ => ()
+      }
+      writePartition(it, sc, perm, file, serConf.value, codec, rowGroupBytes,
+        observer)
     }
     // SUCCESS marker for parity with the standard committer's layout
     fs.create(new Path(outDir, "_SUCCESS"), true).close()
@@ -179,7 +214,8 @@ object PcapColumnarWrite {
   private def writePartition(it: Iterator[ColumnarBatch], schema: StructType,
       perm: Array[Int],
       file: Path, conf: Configuration, codec: CompressionCodecName,
-      rowGroupBytes: Long): Unit = {
+      rowGroupBytes: Long,
+      observer: ColumnarBatch => Unit = _ => ()): Unit = {
     val msg = messageType(schema)
     val props = ParquetProperties.builder().build()
     val fs = file.getFileSystem(conf)
@@ -228,6 +264,7 @@ object PcapColumnarWrite {
         val batch = it.next()
         val n = batch.numRows()
         if (n > 0) {
+          observer(batch)
           var c = 0
           while (c < schema.length) {
             val cw = cws.getColumnWriter(descs.get(c))

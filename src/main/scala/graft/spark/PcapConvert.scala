@@ -90,6 +90,39 @@ object PcapConvert {
     a
   }
 
+  /** Driver-side fragmentation probe (round 13, the speculative
+    * single-pass convert): frame + L3-dissect up to `maxFrames` of the
+    * FIRST capture file and return the fragmented percentage of the
+    * sample. ~60 ms at the 200k default — cheap enough to run before
+    * every convert. A prefix sample can of course misread a capture
+    * whose fragments come later; the speculation it feeds is validated
+    * against EXACT whole-corpus counts after the write, so a misread
+    * only costs a wasted pass, never a wrong result.
+    */
+  def sampleFragPct(spark: SparkSession, fileOrGlob: String,
+      mode: PcapFramer.Mode, maxFrames: Int = 200000): Double = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val files = graft.sources.PcapFileEnum.list(Seq(fileOrGlob), hconf)
+    if (files.isEmpty) return 0.0
+    val path = new org.apache.hadoop.fs.Path(files.head)
+    val in = path.getFileSystem(hconf).open(path)
+    try {
+      val frames = PcapFramer.frames(in, mode)
+      val acc = new graft.dissect.DissectAcc
+      var total = 0L
+      var frag = 0L
+      while (frames.hasNext && total < maxFrames) {
+        graft.dissect.PacketDissector.dissectInto(acc, frames.next(),
+          walkV6 = mode != PcapFramer.ReferenceCompat,
+          level = graft.dissect.DissectLevel.L3)
+        val o = acc.ipFragOffset
+        if (o > 0 || (o == 0 && acc.ipMf)) frag += 1L
+        total += 1L
+      }
+      if (total == 0) 0.0 else 100.0 * frag / total
+    } finally in.close()
+  }
+
   def run(spark: SparkSession, a: Args): Unit = {
     if (a.debug) spark.sparkContext.setLogLevel("DEBUG")
     val mode: PcapFramer.Mode =
@@ -196,12 +229,53 @@ object PcapConvert {
       val patchPath = !a.nodefrag && !a.rowPath && !a.rowWrite && !doCache &&
         statsParsed.isDefined
       if (patchPath) {
-        val (pct, ffRows) = Defrag.statsAndSpill(statsParsed.get, ffSpill)
         def vecOrRow(df: org.apache.spark.sql.DataFrame,
             order: Option[Seq[String]] = None): Unit =
           if (!PcapColumnarWrite.write(df, a.out, a.compression,
               singleFile = a.singleFile, rebatch = true, outputOrder = order))
             PcapSource.write(df, a.out, a.singleFile, a.compression)
+        // Speculative SINGLE-PASS convert (round 13): most real captures
+        // sit under the 1% defrag threshold, yet the pipeline always
+        // paid a stats pass before the write. A ~60 ms driver-side
+        // prefix sample picks the strategy; when it reads (nearly)
+        // unfragmented, the exact stats ride the OUTPUT write itself as
+        // accumulators — one read of the corpus total. The speculation
+        // is validated against the exact whole-corpus counts after the
+        // write: a misread (fragments beyond the sampled prefix) drops
+        // the output, rolls the progress counters back, and falls
+        // through to the normal stats+spill flow — one wasted pass,
+        // never a wrong result. The 0.2% sample threshold is 5× under
+        // the decision threshold, so only genuinely skewed captures
+        // (unfragmented head, fragmented tail) ever mispredict.
+        // graft.convert.noSpeculate: instrumentation escape hatch (the
+        // interleaved A/B needs both strategies in one JVM)
+        val speculate = !sys.props.contains("graft.convert.noSpeculate") &&
+          sampleFragPct(spark, a.file, mode) < 0.2
+        val speculated = speculate && {
+          val accTotal = spark.sparkContext.longAccumulator("spec_total")
+          val accFrag = spark.sparkContext.longAccumulator("spec_frag")
+          val wrote = PcapColumnarWrite.write(
+            pcap, a.out, a.compression, singleFile = a.singleFile,
+            rebatch = true, fragCounters = Some((accTotal, accFrag)))
+          wrote && {
+            val total = accTotal.value
+            val pctExact =
+              if (total == 0) 0.0
+              else math.round(100.0 * accFrag.value / total).toDouble
+            if (pctExact < 1.0) true
+            else {
+              // mispredicted: discard and take the normal flow below
+              val p = new org.apache.hadoop.fs.Path(a.out)
+              p.getFileSystem(spark.sessionState.newHadoopConf())
+                .delete(p, true)
+              m.packets.add(-total) // roll back the progress counter
+              false
+            }
+          }
+        }
+        if (speculated) ()
+        else {
+        val (pct, ffRows) = Defrag.statsAndSpill(statsParsed.get, ffSpill)
         if (pct < 1.0) vecOrRow(pcap) // defrag skip (reference main.rs:277)
         else if (ffRows <= Defrag.MaxBroadcastFirstFragments) {
           val map = graft.sources.DefragPatch.build(
@@ -220,6 +294,7 @@ object PcapConvert {
           }
         } else vecOrRow(Defrag.defragWith(pcap,
           spark.read.parquet(ffSpill), broadcastFF = false))
+        }
       } else {
         // adaptive: joins only when >= 1% fragmented. The stats+spill
         // job reads the ff-gated scan when one exists (DSv2, uncached —

@@ -237,6 +237,62 @@ class PcapPipelineSpec extends SparkFunSuite {
     assert(canon(one) == canon(want))
   }
 
+  test("speculative single-pass convert: unfragmented corpus, and the mispredict fallback (round 13)") {
+    val dir = java.nio.file.Files.createTempDirectory("specconv")
+    // 1) unfragmented corpus → the sample speculates, stats ride the
+    // write, output equals the nodefrag shape (natural column order)
+    val tcp = dir.resolve("tcponly.pcap")
+    graft.spark.PcapGen.write(tcp.toString, 5000, mix = "tcp")
+    PcapConvert.run(spark, PcapConvert.Args(
+      file = tcp.toString, out = dir.toString + "/spec.parquet",
+      singleFile = false))
+    val spec = spark.read.parquet(dir.toString + "/spec.parquet")
+    assert(spec.columns.toSeq ==
+      graft.core.PacketSchema.schema.fieldNames.toSeq)
+    assert(spec.count() == 5000)
+    assert(spec.filter(col("ip_frag_offset") > 0).count() == 0)
+    // 2) mispredict: a >200k-packet unfragmented PREFIX (the whole
+    // sample window) followed by a heavily fragmented tail in the SAME
+    // file — the speculation must discard its output and the fallback
+    // must produce the exact join-defrag result
+    val head = dir.resolve("head.pcap")
+    val tail = dir.resolve("tail.pcap")
+    graft.spark.PcapGen.write(head.toString, 210000, mix = "tcp")
+    graft.spark.PcapGen.write(tail.toString, 90000, mix = "ddos")
+    val mixed = dir.resolve("mixed.pcap")
+    val headBytes = java.nio.file.Files.readAllBytes(head)
+    val tailBytes = java.nio.file.Files.readAllBytes(tail)
+    // legacy-pcap concatenation: drop the second file's 24-byte header
+    java.nio.file.Files.write(mixed,
+      headBytes ++ tailBytes.drop(24))
+    java.nio.file.Files.delete(head); java.nio.file.Files.delete(tail)
+    assert(PcapConvert.sampleFragPct(spark, mixed.toString,
+      graft.pcapio.PcapFramer.Sane) < 0.2) // the prefix really misleads
+    PcapConvert.run(spark, PcapConvert.Args(
+      file = mixed.toString, out = dir.toString + "/mixed.parquet",
+      singleFile = false))
+    val got = spark.read.parquet(dir.toString + "/mixed.parquet")
+    // fallback produced the DEFRAGGED output: patched-at-end order and
+    // back-filled continuation fragments
+    assert(got.columns.toSeq ==
+      Defrag.defraggedOrder(graft.core.PacketSchema.schema.fieldNames.toSeq))
+    val want = Defrag.defrag(
+      spark.read.format("pcap").load(mixed.toString))
+    assert(got.count() == 300000)
+    assert(got.filter(col("ip_frag_offset") > 0 &&
+      col("udp_srcport").isNotNull).count() ==
+      want.filter(col("ip_frag_offset") > 0 &&
+        col("udp_srcport").isNotNull).count())
+    // spot equality on the fragmented slice (full 300k-row canon is
+    // needless here; the patch≡join equality is pinned exhaustively by
+    // the dedicated test above)
+    def canonFrag(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      d.filter(col("ip_frag_offset") > 0)
+        .selectExpr(d.columns.sorted.map(c => s"`$c`"): _*)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString("|"))
+    assert(canonFrag(got) == canonFrag(want))
+  }
+
   test("IPv6 fragment chains defrag end-to-end (Sane walk feeds the v4 pipeline)") {
     // round 12: the Sane-mode v6 fragment gate populates ip_frag_offset/
     // ip_mf/ip_id (low 16 bits of the v6 identification), so v6 chains
