@@ -254,6 +254,7 @@ object PcapConvert {
         val speculated = speculate && {
           val accTotal = spark.sparkContext.longAccumulator("spec_total")
           val accFrag = spark.sparkContext.longAccumulator("spec_frag")
+          val errsBefore = m.errors.value
           val wrote = PcapColumnarWrite.write(
             pcap, a.out, a.compression, singleFile = a.singleFile,
             rebatch = true, fragCounters = Some((accTotal, accFrag)))
@@ -264,11 +265,14 @@ object PcapConvert {
               else math.round(100.0 * accFrag.value / total).toDouble
             if (pctExact < 1.0) true
             else {
-              // mispredicted: discard and take the normal flow below
+              // mispredicted: discard and take the normal flow below;
+              // roll back BOTH progress counters so the rewrite's pass
+              // counts once (reference parity: one number per convert)
               val p = new org.apache.hadoop.fs.Path(a.out)
               p.getFileSystem(spark.sessionState.newHadoopConf())
                 .delete(p, true)
-              m.packets.add(-total) // roll back the progress counter
+              m.packets.add(-total)
+              m.errors.add(errsBefore - m.errors.value)
               false
             }
           }

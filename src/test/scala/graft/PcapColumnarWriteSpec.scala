@@ -110,4 +110,29 @@ class PcapColumnarWriteSpec extends SparkFunSuite {
       .filter(_.getName.endsWith(".inprogress"))
     assert(leftovers.isEmpty, leftovers.mkString(", "))
   }
+
+  test("outputOrder: writer-side column permutation, values intact (round 13)") {
+    val dir = java.nio.file.Files.createTempDirectory("pcapvecperm").toString
+    graft.spark.PcapGen.write(s"$dir/cap.pcap", 5000)
+    val df = spark.read.format("pcap").load(s"$dir/cap.pcap")
+    val order = graft.spark.Defrag.defraggedOrder(df.columns.toSeq)
+    assert(PcapColumnarWrite.write(df, s"$dir/perm.parquet", "snappy",
+      outputOrder = Some(order)))
+    assert(PcapColumnarWrite.write(df, s"$dir/plain.parquet", "snappy"))
+    val perm = spark.read.parquet(s"$dir/perm.parquet")
+    val plain = spark.read.parquet(s"$dir/plain.parquet")
+    // the parquet carries the permuted order; values are identical once
+    // re-projected to a common order
+    assert(perm.columns.toSeq == order)
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      d.selectExpr(d.columns.sorted.map(c => s"`$c`"): _*)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.mkString(" "))
+    assert(canon(perm) == canon(plain))
+    // a non-permutation must fail fast, before any task launches
+    intercept[IllegalArgumentException] {
+      PcapColumnarWrite.write(df, s"$dir/bad.parquet", "snappy",
+        outputOrder = Some(order.tail))
+    }
+    ()
+  }
 }
