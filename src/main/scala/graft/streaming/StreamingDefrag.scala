@@ -67,6 +67,34 @@ object StreamingDefrag {
     * false` keeps the old path for the interleaved A/B
     * (`tools.BenchStreamDefrag`).
     */
+  /** [[defragStateful]] with a BYPASS SPLIT (round-13 experiment, the
+    * batch ShuffleBypass's streaming twin): rows that provably cannot
+    * change under the back-fill skip the state shuffle entirely and
+    * union with the stateful branch's output. The proof is tighter
+    * than batch's: a row is patchable only if its (proto=17) key can
+    * match a first fragment, and EVERY proto-17 row is joinable anyway
+    * (dns_* and ntp_* are mutually exclusive by the L7 dispatcher, so
+    * no UDP row has all six patched columns non-null) — hence the
+    * bypass is exactly the non-UDP slice. On TCP-heavy real traffic
+    * that removes 80–90% of the shuffle; the trade is that a streaming
+    * self-union plans TWO scans of the source per micro-batch, so the
+    * win is corpus-dependent — MEASURE with `tools.BenchStreamDefrag
+    * --bypass` before turning it on for a deployment. Default stays
+    * the single-scan plan.
+    */
+  def defragStatefulSplit(projected: DataFrame,
+      sortless: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val joinable = col("ip_proto") === 17 &&
+      col("ip_src").isNotNull && col("ip_dst").isNotNull
+    val stateful = defragStateful(projected.filter(joinable), sortless)
+    val bypass = projected.filter(!joinable).select(
+      col("ip_src"), col("ip_dst"), col("ip_proto"), col("ip_id"), col("tsu"),
+      col("udp_srcport"), col("udp_dstport"), col("ntp_priv_reqcode"),
+      col("dns_qry_type"), col("dns_qry_name"), col("col_protocol"))
+    stateful.unionByName(bypass)
+  }
+
   def defragStateful(projected: DataFrame,
       sortless: Boolean = true): DataFrame = {
     import projected.sparkSession.implicits._

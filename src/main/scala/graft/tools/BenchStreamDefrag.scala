@@ -6,13 +6,20 @@ package graft.tools
   * arms the same stride-sharded read. Rounds MUST interleave (this box
   * drifts ±2× sequentially).
   *
-  * Usage: `runMain graft.tools.BenchStreamDefrag [fileGlob] [rounds]`.
+  * `--bypass` flips the A/B to bypass-split vs plain (both sortless):
+  * the split skips the state shuffle for non-UDP rows at the price of a
+  * second source scan per micro-batch — corpus-dependent, measure on
+  * the traffic shape you mean to deploy on.
+  *
+  * Usage: `runMain graft.tools.BenchStreamDefrag [fileGlob] [rounds] [--bypass]`.
   */
 object BenchStreamDefrag {
   def main(args: Array[String]): Unit = {
     val dir = graft.BenchEnv.pcapCorpusDir()
-    val glob = args.headOption.getOrElse(s"$dir/cap*.pcap")
-    val rounds = if (args.length > 1) args(1).toInt else 3
+    val pos = args.filterNot(_.startsWith("--"))
+    val bypassAb = args.contains("--bypass")
+    val glob = pos.headOption.getOrElse(s"$dir/cap*.pcap")
+    val rounds = if (pos.length > 1) pos(1).toInt else 3
     val spark = graft.BenchEnv.abSession()
     val shards = graft.BenchEnv.pcapShards(spark, glob)
     def run(sortless: Boolean): Double = {
@@ -23,8 +30,16 @@ object BenchStreamDefrag {
       val t0 = System.nanoTime()
       val src = spark.readStream.format("pcap")
         .option("decodePartitions", shards).load(glob)
-      val q = graft.streaming.StreamingDefrag.defragStateful(
-          graft.streaming.StreamingDefrag.project(src), sortless)
+      val projected = graft.streaming.StreamingDefrag.project(src)
+      // plain A/B: sortless vs sorted pick; --bypass A/B: split vs
+      // plain (arm flag reused as "use the split")
+      val transformed =
+        if (bypassAb && sortless)
+          graft.streaming.StreamingDefrag.defragStatefulSplit(projected)
+        else if (bypassAb) // plain comparison arm: sortless, no split
+          graft.streaming.StreamingDefrag.defragStateful(projected)
+        else graft.streaming.StreamingDefrag.defragStateful(projected, sortless)
+      val q = transformed
         .writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .option("compression", "zstd")

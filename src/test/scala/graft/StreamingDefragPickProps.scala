@@ -25,9 +25,11 @@ object StreamingDefragPickProps extends Properties("streaming-defrag-pick") {
     tsu <- Gen.chooseNum(0L, 5L) // tight range forces tsu ties
     mf <- Gen.oneOf(true, false)
     off <- Gen.oneOf(0, 0, 0, 6, 12) // bias toward first fragments
+    proto <- Gen.frequency(4 -> Gen.const(17.toShort), // mostly UDP…
+      1 -> Gen.oneOf(6.toShort, 1.toShort)) // …some TCP/ICMP (bypass slice)
     us <- genOptInt; ud <- genOptInt; ntp <- genOptShort
     dt <- genOptInt; dn <- genOptStr; cp <- genOptStr
-  } yield FragRow("1.1.1.1", "2.2.2.2", 17, 7, tsu, mf, off, us, ud, ntp, dt, dn, cp)
+  } yield FragRow("1.1.1.1", "2.2.2.2", proto, 7, tsu, mf, off, us, ud, ntp, dt, dn, cp)
 
   private val genGroup = Gen.chooseNum(1, 12).flatMap(Gen.listOfN(_, genRow))
 
@@ -53,9 +55,13 @@ object StreamingDefragPickProps extends Properties("streaming-defrag-pick") {
         rs.map(_.copy(ip_id = idv * 100 + i))
       }
       val df = rows.toDF()
-      def canon(sortless: Boolean): Seq[String] =
-        StreamingDefrag.defragStateful(df, sortless).collect()
-          .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
-      Prop(canon(true) == canon(false)) :| "multiset diverged"
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+      val sortless = canon(StreamingDefrag.defragStateful(df, sortless = true))
+      val sorted = canon(StreamingDefrag.defragStateful(df, sortless = false))
+      // the bypass split routes non-UDP rows around the state shuffle —
+      // same multiset again (the split proof: no UDP row ever bypasses)
+      val split = canon(StreamingDefrag.defragStatefulSplit(df))
+      Prop(sortless == sorted && split == sortless) :| "multiset diverged"
     }
 }
