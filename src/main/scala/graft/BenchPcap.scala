@@ -252,7 +252,7 @@ object BenchPcap {
       math.ceil(cpus.toDouble / files).toInt))
     def statsScan(gated: Boolean) = {
       val r = spark.read.format("pcap").option("decodePartitions", statsShards)
-      (if (gated) r.option("dissectGate", "first-fragment") else r)
+      (if (gated) r.option("_internal.dissectGate", "first-fragment") else r)
         .load(s"$dir/*.pcap")
     }
     val statsProbe = statsScan(gated = false)

@@ -122,8 +122,16 @@ object PacketDissector {
     * up identical to a direct full dissection; DissectorProps pins it).
     * No-op when nothing is pending or `level` doesn't reach the pending
     * stage. `data` must be the same frame's bytes.
+    *
+    * Returns `true` iff the never-panic catch fired and RESET the
+    * accumulator to the base frame fields. Callers that made decisions
+    * on the pre-resume accumulator (the readers' L3 pushed-filter veto)
+    * must re-make them: a direct full dissection resets BEFORE any
+    * filter evaluates, so a staged scan that kept its pre-reset verdict
+    * could emit (or drop) a row the direct path wouldn't (round-13
+    * ADVICE; property-pinned via [[l7FaultHook]]).
     */
-  def dissectResume(a: DissectAcc, data: Array[Byte], level: Int): Unit = {
+  def dissectResume(a: DissectAcc, data: Array[Byte], level: Int): Boolean = {
     try {
       if (a.pendKind == 1 && level >= DissectLevel.Transport) {
         val proto = a.pendA; val s = a.pendB; val e = a.pendC
@@ -134,6 +142,7 @@ object PacketDissector {
         a.pendKind = 0
         dissectL7(a, data, sp, dp, s, e)
       }
+      false
     } catch {
       case _: Exception =>
         // same contract as dissectInto's catch: base frame fields only
@@ -143,8 +152,18 @@ object PacketDissector {
         a.frameLen = l
         a.rawOrigLen = l
         a.errors = 1
+        true
     }
   }
+
+  /** TEST-ONLY fault injection: when non-null, invoked at the top of the
+    * L7 stage, so specs can exercise the never-panic catch paths (both
+    * [[dissectInto]]'s and [[dissectResume]]'s) on otherwise-valid
+    * packets — the bounds-checked parser has no organic way to throw.
+    * Suites run sequentially in the forked test JVM; always reset in a
+    * finally.
+    */
+  @volatile private[graft] var l7FaultHook: () => Unit = null
 
   // ---- byte helpers ---------------------------------------------------------
   @inline private def u8(b: Array[Byte], o: Int): Int = b(o) & 0xff
@@ -311,7 +330,12 @@ object PacketDissector {
     * twin) while an atomic fragment walks through, and malformed or
     * over-long chains stop QUIETLY — lax parsing surfaces stop-errors
     * the reference never reads (packetstats.rs:150-158 counts only
-    * from_ethernet slice errors).
+    * from_ethernet slice errors). Round 14: the walk also mirrors
+    * etherparse's per-slot stop rules — hop-by-hop only immediately
+    * after the fixed header, routing/fragment/AH at most once,
+    * destination-options at most twice with a routing header between
+    * (Ipv6ExtensionsSlice slots) — a repeated or misplaced header stops
+    * the walk quietly, transportless.
     */
   private def dissectIpv6(a: DissectAcc, b: Array[Byte], off: Int,
       walkV6: Boolean, level: Int = DissectLevel.Full): Unit = {
@@ -388,26 +412,57 @@ object PacketDissector {
       }
     } else {
       // ReferenceCompat: same chain shapes, recorded etherparse-style —
-      // no ip_proto update, no fragment columns, no error counting
+      // no ip_proto update, no fragment columns, no error counting.
+      // Round 14 (ADVICE): mirror etherparse's lax STOP rules too
+      // (Ipv6ExtensionsSlice::from_slice_lax) — each extension slot is
+      // read at most once (hop-by-hop, routing, fragment, AH; plus
+      // destination-options twice only when a routing header sits
+      // between — the final_destination_options slot), and hop-by-hop
+      // is legal only IMMEDIATELY after the fixed header
+      // (HopByHopNotAtStart otherwise). A violated rule stops the walk
+      // quietly with the offending header as the payload ip_number —
+      // no transport columns, no error (the reference never reads lax
+      // stop errors). These rules bound the chain at 6 headers, so the
+      // Sane branch's 8-hop cap is unreachable here.
+      var seenRouting = false
+      var seenDest = false
+      var seenFinalDest = false
+      var seenFrag = false
+      var seenAuth = false
+      @inline def readExt8(): Unit = // Hdr Ext Len in 8-byte units
+        if (!within(2)) halt = true
+        else {
+          val l = (u8(b, p + 1) + 1) * 8
+          if (!within(l)) halt = true else { proto = u8(b, p); p += l }
+        }
       while (walking && !halt && hops < 8) {
         proto match {
-          case 0 | 43 | 60 =>
-            if (!within(2)) halt = true
-            else {
-              val l = (u8(b, p + 1) + 1) * 8
-              if (!within(l)) halt = true else { proto = u8(b, p); p += l }
-            }
+          case 0 =>
+            if (hops != 0) halt = true // HopByHopNotAtStart
+            else readExt8()
+          case 43 =>
+            if (seenRouting) halt = true
+            else { seenRouting = true; readExt8() }
+          case 60 =>
+            if (seenRouting) {
+              if (seenFinalDest) halt = true
+              else { seenFinalDest = true; readExt8() }
+            } else if (seenDest) halt = true
+            else { seenDest = true; readExt8() }
           case 51 =>
-            if (!within(2)) halt = true
+            if (seenAuth) halt = true
+            else if (!within(2)) halt = true
             else {
-              val l = (u8(b, p + 1) + 2) * 4
+              seenAuth = true
+              val l = (u8(b, p + 1) + 2) * 4 // AH: 4-byte units
               if (!within(l)) halt = true else { proto = u8(b, p); p += l }
             }
           case 44 =>
-            if (!within(8)) halt = true
+            if (seenFrag || !within(8)) halt = true
             else {
               // etherparse is_fragmenting_payload: offset != 0 || MF →
               // stop with no transport; an atomic fragment walks through
+              seenFrag = true
               val fo = u16(b, p + 2)
               if ((fo >>> 3) != 0 || (fo & 1) != 0) halt = true
               else { proto = u8(b, p); p += 8 }
@@ -540,7 +595,9 @@ object PacketDissector {
     */
   private def dissectL7(
       a: DissectAcc, b: Array[Byte], sp: Int, dp: Int, pStart: Int, pEnd: Int)
-      : Unit =
+      : Unit = {
+    val hook = l7FaultHook
+    if (hook != null) hook()
     if (sp == 53 || dp == 53) {
       a.protoIdx = DissectAcc.PDns
       Dns.dissectInto(b, pStart, pEnd, a)
@@ -551,4 +608,5 @@ object PacketDissector {
       a.protoIdx = DissectAcc.PDhip
       Dhip.dissectInto(b, pStart, pEnd, a)
     }
+  }
 }

@@ -403,8 +403,12 @@ object TextOps {
         // tools.BenchScrubSpill). The spill must outlive every action on
         // the returned frame — a per-build temp dir under the JVM tmpdir
         // (on a cluster the caller would pass a shared-FS scratch path).
-        val spill = java.nio.file.Files.createTempDirectory("graft_d52_freq")
-          .toString + "/freq"
+        // Registered with TempCleanup (round-14 ADVICE: these leaked one
+        // dir per build): purged after the frame is materialized, or by
+        // the shutdown hook.
+        val spillDir = java.nio.file.Files.createTempDirectory("graft_d52_freq")
+        graft.TempCleanup.registerDir(spillDir.toString)
+        val spill = spillDir.toString + "/freq"
         val (out, choice) = graft.operators.AdaptiveScrub
           .applyWithSpill(t(s, dir, "documents"), spill)
         require(choice == graft.operators.AdaptiveScrub.BroadcastSet,

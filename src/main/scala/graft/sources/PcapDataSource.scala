@@ -127,18 +127,30 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
     val decodeParts = options.getInt("decodePartitions", 1)
     require(decodeParts >= 1 && decodeParts <= 1024,
       s"pcap option decodePartitions must be in [1, 1024], got $decodeParts")
-    // dissectGate=first-fragment (round 13): an explicit consumer
-    // contract — transport/L7 columns are dissected ONLY on UDP
-    // first-fragment rows (ip_proto 17, MF, offset 0); every other row
-    // keeps its L3 columns exact and NULLs the rest. Sound only for
-    // consumers that read transport/L7 columns exclusively under that
-    // predicate — the defrag stats+spill pass is the intended (and
-    // only) user: its ff aggregate filters exactly this condition and
-    // its observed counts read no transport column, so the whole corpus
-    // stops paying the DNS/NTP parse for the 90%+ non-ff rows.
-    val gate = Option(options.get("dissectGate"))
+    // _internal.dissectGate=first-fragment (round 13; renamed round 14):
+    // an explicit consumer contract — transport/L7 columns are dissected
+    // ONLY on UDP first-fragment rows (ip_proto 17, MF, offset 0); every
+    // other row keeps its L3 columns exact and NULLs the rest. Sound
+    // only for consumers that read transport/L7 columns exclusively
+    // under that predicate — the defrag stats+spill pass is the intended
+    // (and only) user: its ff aggregate filters exactly this condition
+    // and its observed counts read no transport column, so the whole
+    // corpus stops paying the DNS/NTP parse for the 90%+ non-ff rows.
+    // The shape cannot be verified from inside the scan (the stats pass
+    // deliberately plans its observe barrier below the filter, so the
+    // scan sees no pushed predicate), hence the `_internal.` prefix: a
+    // general caller setting it would get silently-NULL transport/L7
+    // columns on most rows. The old public name refuses loudly
+    // (round-13 verdict hardening nit).
+    require(!options.containsKey("dissectGate"),
+      "pcap option dissectGate is an internal consumer contract of the " +
+        "defrag stats pass, not a general knob: non-first-fragment rows " +
+        "get NULL transport/L7 columns. If you are implementing a " +
+        "stats-pass-shaped consumer (transport/L7 read only under the " +
+        "UDP-first-fragment predicate), set '_internal.dissectGate'.")
+    val gate = Option(options.get("_internal.dissectGate"))
     require(gate.forall(_ == "first-fragment"),
-      s"pcap option dissectGate: only 'first-fragment' is supported, got ${gate.get}")
+      s"pcap option _internal.dissectGate: only 'first-fragment' is supported, got ${gate.get}")
     new PcapScan(paths, required,
       options.getOrDefault("mode", "sane") == "reference-compat", pushed,
       withBytes,
@@ -475,12 +487,20 @@ final class PcapColumnarReader(
         // contract); unknown filter shapes default to true, Spark
         // re-applies every filter above the scan
         var emit = noL3 || predL3(acc)
-        if (emit && stagedResume && (!ffGate || DissectPlan.gatePass(acc)))
-          PacketDissector.dissectResume(acc, raw.data, plan.levelRequired)
+        if (emit && stagedResume && (!ffGate || DissectPlan.gatePass(acc))) {
+          // a resume whose never-panic catch RESET the accumulator must
+          // re-make the L3 emit decision on the reset row — direct full
+          // dissection resets before any filter evaluates (round-13
+          // ADVICE; pinned by the l7FaultHook scan spec)
+          if (PacketDissector.dissectResume(acc, raw.data, plan.levelRequired))
+            emit = noL3 || predL3(acc)
+        }
         // defrag broadcast-patch BEFORE any transport-level filter: a
         // filter pushed against the patched scan must see the patched
-        // (defragged) values, like a filter above the join would
-        if (patchMap != null) DefragPatch.apply(patchMap, acc)
+        // (defragged) values, like a filter above the join would; rows
+        // already vetoed by the L3 filters never probe (they are never
+        // written — round-13 ADVICE)
+        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc)
         if (emit && !noHigh) emit = predHigh(acc)
         nPackets += 1
         if (acc.errors > 0) nErrors += acc.errors.toLong
@@ -563,9 +583,12 @@ final class PcapPartitionReader(
         PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat,
           level = plan.baseLevel)
         var emit = noL3 || predL3(acc)
-        if (emit && stagedResume && (!ffGate || DissectPlan.gatePass(acc)))
-          PacketDissector.dissectResume(acc, raw.data, plan.levelRequired)
-        if (patchMap != null) DefragPatch.apply(patchMap, acc)
+        if (emit && stagedResume && (!ffGate || DissectPlan.gatePass(acc))) {
+          // same reset-re-evaluation contract as the columnar reader
+          if (PacketDissector.dissectResume(acc, raw.data, plan.levelRequired))
+            emit = noL3 || predL3(acc)
+        }
+        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc)
         if (emit && !noHigh) emit = predHigh(acc)
         metrics.foreach { m =>
           m.packets.add(1L)

@@ -258,7 +258,7 @@ object Defrag {
   /** [[applyWithSpill]] with a SEPARATE stats-side frame (round 13):
     * the observe + ff-spill job runs on `statsPcap` while the
     * probe/enrichment side stays `pcap`. The intended `statsPcap` is
-    * the same scan with `option("dissectGate", "first-fragment")` —
+    * the same scan with `option("_internal.dissectGate", "first-fragment")` —
     * transport/L7 columns dissected only on UDP first-fragment rows.
     * That is exactly sound here by construction: the observed counts
     * (total, fragmented) read only L3 columns, and [[firstFragments]]

@@ -163,7 +163,7 @@ object PcapConvert {
           extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load(a.file)
         }
         if (!a.nodefrag)
-          statsParsed = Some(mkScan(Map("dissectGate" -> "first-fragment")))
+          statsParsed = Some(mkScan(Map("_internal.dissectGate" -> "first-fragment")))
         mkScan(Map("metricsKey" -> metricsKey))
       }
     // Pass strategy (re-measured round 8, 10M packets, local[32]):

@@ -17,7 +17,7 @@ object BenchStatsGate {
     val shards = graft.BenchEnv.pcapShards(spark, glob)
     def scan(gated: Boolean) = {
       val r = spark.read.format("pcap").option("decodePartitions", shards)
-      (if (gated) r.option("dissectGate", "first-fragment") else r).load(glob)
+      (if (gated) r.option("_internal.dissectGate", "first-fragment") else r).load(glob)
     }
     def run(gated: Boolean): Double = {
       val spill = s"$dir/statsgate-ab.ffspill"

@@ -223,6 +223,53 @@ object DissectorProps extends Properties("dissector") {
     staged.toPacketRow == direct.toPacketRow && staged.errors == direct.errors
   }
 
+  property("staged ≡ direct under a THROWING L7 stage (never-panic catch)") = forAll(
+    // round-14 ADVICE: if dissectResume's catch resets the accumulator,
+    // the staged row must still end up identical to a direct full
+    // dissection (whose own catch resets to base fields BEFORE any
+    // filter sees the row) — and resume must REPORT the reset so the
+    // readers re-make their L3 emit decision. The parser is
+    // bounds-checked, so the only way to exercise the catch is the
+    // test-only l7FaultHook.
+    genStagedPkt, Gen.oneOf(1, 12, 101, 9999),
+    Gen.oneOf(graft.dissect.DissectLevel.L3, graft.dissect.DissectLevel.Transport),
+    Gen.oneOf(true, false)
+  ) { (pkt, linktype, base, walk) =>
+    val frame = RawFrame(7L, pkt.length.toLong, pkt, linktype)
+    PacketDissector.l7FaultHook =
+      () => throw new IllegalStateException("injected L7 fault")
+    try {
+      val direct = new graft.dissect.DissectAcc
+      PacketDissector.dissectInto(direct, frame, walkV6 = walk)
+      val staged = new graft.dissect.DissectAcc
+      PacketDissector.dissectInto(staged, frame, walkV6 = walk, level = base)
+      val reset = PacketDissector.dissectResume(staged, pkt,
+        graft.dissect.DissectLevel.Full)
+      // rows that reach L7 reset to base-fields-only in BOTH paths and
+      // resume reports the reset; rows that never reach L7 are untouched
+      staged.toPacketRow == direct.toPacketRow &&
+        staged.errors == direct.errors &&
+        (!reset || (staged.errors == 1 && staged.toPacketRow.ipSrc.isEmpty))
+    } finally PacketDissector.l7FaultHook = null
+  }
+
+  property("resume REPORTS the catch reset on a clean DNS packet") = forAll(
+    genLabel, Gen.oneOf(graft.dissect.DissectLevel.L3,
+      graft.dissect.DissectLevel.Transport)
+  ) { (label, base) =>
+    val pkt = ethernet(0x0800,
+      ipv4("1.1.1.1", "2.2.2.2", 17, udp(4242, 53, dnsQuery(label, 1))))
+    val frame = RawFrame(7L, pkt.length.toLong, pkt, 1)
+    PacketDissector.l7FaultHook =
+      () => throw new IllegalStateException("injected L7 fault")
+    try {
+      val staged = new graft.dissect.DissectAcc
+      PacketDissector.dissectInto(staged, frame, walkV6 = true, level = base)
+      PacketDissector.dissectResume(staged, pkt, graft.dissect.DissectLevel.Full) &&
+        staged.errors == 1 && staged.toPacketRow.ipSrc.isEmpty
+    } finally PacketDissector.l7FaultHook = null
+  }
+
   property("L3-level dissection leaves every L3 column identical to full") = forAll(
     // the ff gate emits un-resumed rows: their L3 columns must match
     // what a full dissection would have produced (transport/L7 never

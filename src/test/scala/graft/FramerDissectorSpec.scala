@@ -252,11 +252,50 @@ class FramerDissectorSpec extends AnyFunSuite {
     val sane = dissectOne(pkt)
     assert(sane.errors == 0 && sane.ipProto == 17)
     assert(sane.udpSrcport.contains(5) && sane.colProtocol.contains("UDP"))
-    // compat: same transport parse, fixed next_header kept, no errors
+    // compat (round 14): etherparse's lax walk stops on the SECOND
+    // hop-by-hop (HopByHopNotAtStart) — no transport, quietly
     val compat = PacketDissector.dissect(
       graft.core.RawFrame(1L, pkt.length.toLong, pkt, 1), walkV6 = false)
     assert(compat.errors == 0 && compat.ipProto == 0)
-    assert(compat.udpSrcport.contains(5))
+    assert(compat.udpSrcport.isEmpty && compat.colProtocol.contains("IPv6"))
+  }
+
+  test("IPv6 compat stop rules mirror etherparse's extension slots (round-14 ADVICE)") {
+    import graft.core.RawFrame
+    val g = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 0xa)
+    val dst = Array(0x2001, 0xdb8, 0, 0, 0, 0, 0, 0xb)
+    def ext(next: Int): Array[Byte] = Array[Byte](next.toByte, 0, 0, 0, 0, 0, 0, 0)
+    def compatOf(nh: Int, payload: Array[Byte]) = PacketDissector.dissect(
+      RawFrame(1L, 0L, ethernet(0x86dd, ipv6(g, dst, nh, payload)), 1),
+      walkV6 = false)
+    def saneOf(nh: Int, payload: Array[Byte]) = PacketDissector.dissect(
+      RawFrame(1L, 0L, ethernet(0x86dd, ipv6(g, dst, nh, payload)), 1),
+      walkV6 = true)
+    val u = udp(9, 10, Array.empty)
+    // hop-by-hop NOT at start (dest-opts → hbh → udp): compat stops
+    // quietly with no transport; Sane (our column semantics) walks it
+    val hbhLate = compatOf(60, ext(0) ++ ext(17) ++ u)
+    assert(hbhLate.udpSrcport.isEmpty && hbhLate.errors == 0 &&
+      hbhLate.ipProto == 60 && hbhLate.colProtocol.contains("IPv6"))
+    assert(saneOf(60, ext(0) ++ ext(17) ++ u).udpSrcport.contains(9))
+    // repeated destination-options with NO routing between: stop
+    val destTwice = compatOf(60, ext(60) ++ ext(17) ++ u)
+    assert(destTwice.udpSrcport.isEmpty && destTwice.errors == 0)
+    // destination-options twice WITH routing between: legal (the
+    // final_destination_options slot) — walks to the transport
+    val destRoutedDest = compatOf(60, ext(43) ++ ext(60) ++ ext(17) ++ u)
+    assert(destRoutedDest.udpSrcport.contains(9) &&
+      destRoutedDest.ipProto == 60) // fixed header's next_header kept
+    // repeated routing: stop
+    val routingTwice = compatOf(43, ext(43) ++ ext(17) ++ u)
+    assert(routingTwice.udpSrcport.isEmpty && routingTwice.errors == 0)
+    // repeated AH: stop (AH length units differ — build explicitly)
+    def ah(next: Int): Array[Byte] = Array[Byte](next.toByte, 1, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0) // payload len 1 → (1+2)*4 = 12 bytes
+    val ahTwice = compatOf(51, ah(51) ++ ah(17) ++ u)
+    assert(ahTwice.udpSrcport.isEmpty && ahTwice.errors == 0)
+    // single AH still walks
+    assert(compatOf(51, ah(17) ++ u).udpSrcport.contains(9))
   }
 
   test("IPv6 compat fragment semantics: fragmenting stops quietly, atomic walks through (etherparse is_fragmenting_payload)") {

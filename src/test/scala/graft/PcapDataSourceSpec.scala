@@ -263,7 +263,7 @@ class PcapDataSourceSpec extends SparkFunSuite {
 
   test("dissectGate=first-fragment: ff rows full, others L3-exact with NULL transport/L7") {
     def gated(columnar: String) = spark.read.format("pcap")
-      .option("dissectGate", "first-fragment")
+      .option("_internal.dissectGate", "first-fragment")
       .option("columnar", columnar).load(stagedDir)
     val full = spark.read.format("pcap").load(stagedDir).collect()
       .map(r => r.getAs[Long]("frame_time") -> r).toMap
@@ -294,6 +294,58 @@ class PcapDataSourceSpec extends SparkFunSuite {
         Defrag.firstFragments(spark.read.format("pcap").load(stagedDir))
           .collect().toSeq.sortBy(_.toString))
     }
+  }
+
+  test("public dissectGate option refuses with a contract pointer (round-14 hardening)") {
+    // the gate's NULL-for-ungated-rows semantics are a consumer contract
+    // only the defrag stats pass satisfies; the shape cannot be checked
+    // from inside the scan (the stats pass plans its observe barrier
+    // below the filter), so the public name refuses and the internal
+    // name carries the contract
+    val e = intercept[Exception] {
+      spark.read.format("pcap").option("dissectGate", "first-fragment")
+        .load(dir).count()
+    }
+    assert(e.getMessage.contains("_internal.dissectGate"), e.getMessage)
+    // the internal name still validates its value
+    val e2 = intercept[Exception] {
+      spark.read.format("pcap").option("_internal.dissectGate", "everything")
+        .load(dir).count()
+    }
+    assert(e2.getMessage.contains("first-fragment"), e2.getMessage)
+  }
+
+  test("resume catch reset re-evaluates the pushed L3 filter (no leaked rows)") {
+    // round-14 ADVICE: staged scans decide `emit` from the L3 filters
+    // BEFORE dissectResume runs; if resume's never-panic catch resets
+    // the accumulator to base fields, the decision must be re-made on
+    // the reset row (direct full dissection resets before any filter
+    // evaluates). Drive the readers directly — above the scan Spark
+    // re-applies every residual filter, which would mask a leak.
+    import org.apache.spark.sql.sources.EqualTo
+    val conf = spark.sessionState.newHadoopConf()
+    val filt: Array[org.apache.spark.sql.sources.Filter] =
+      Array(EqualTo("ip_proto", 17.toShort))
+    val file = dir + "/a.pcap" // one UDP/DNS frame (reaches L7), one TCP
+    graft.dissect.PacketDissector.l7FaultHook =
+      () => throw new IllegalStateException("injected L7 fault")
+    try {
+      // sanity: staged plan engages (full schema + an L3-only filter)
+      val rr = new graft.sources.PcapPartitionReader(file, conf,
+        graft.core.PacketSchema.schema, false, filt)
+      var leaked = List.empty[Short]
+      while (rr.next()) leaked ::= rr.get().getShort(5)
+      rr.close()
+      // the DNS row resets to base fields (ip_proto 0) → must be dropped
+      // like the direct path would; the TCP row fails the filter at L3
+      assert(leaked.isEmpty, s"row reader leaked reset rows: $leaked")
+      val cr = new graft.sources.PcapColumnarReader(file, conf,
+        graft.core.PacketSchema.schema, false, filt)
+      var n = 0
+      while (cr.next()) n += cr.get().numRows()
+      cr.close()
+      assert(n == 0, s"columnar reader leaked $n reset rows")
+    } finally graft.dissect.PacketDissector.l7FaultHook = null
   }
 
   test("reference-compat mode option is honored") {

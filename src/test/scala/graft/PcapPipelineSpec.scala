@@ -177,7 +177,7 @@ class PcapPipelineSpec extends SparkFunSuite {
     val p = writeTemp("cap_gated.pcap", fragmentedCapture)
     val plain = spark.read.format("pcap").load(p.toString)
     val gated = spark.read.format("pcap")
-      .option("dissectGate", "first-fragment").load(p.toString)
+      .option("_internal.dissectGate", "first-fragment").load(p.toString)
     val dir = java.nio.file.Files.createTempDirectory("ffspill_gate")
     val (outGated, choiceGated) =
       Defrag.applyWithSpill(plain, gated, dir.toString + "/g", 1.0)
@@ -204,7 +204,7 @@ class PcapPipelineSpec extends SparkFunSuite {
     val p2 = writeTemp("cap_gated2.pcap", legacyPcap(frames))
     val plain2 = spark.read.format("pcap").load(p2.toString)
     val gated2 = spark.read.format("pcap")
-      .option("dissectGate", "first-fragment").load(p2.toString)
+      .option("_internal.dissectGate", "first-fragment").load(p2.toString)
     val (out2, choice2) = Defrag.applyWithSpill(plain2, gated2,
       java.nio.file.Files.createTempDirectory("ffspill_gate2").toString + "/ff", 1.0)
     assert(choice2 == Defrag.NoDefrag)
