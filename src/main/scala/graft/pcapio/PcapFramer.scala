@@ -40,16 +40,78 @@ object PcapFramer {
 
   val LinktypeEthernet = 1
 
-  def frames(in: InputStream, mode: Mode = Sane): Iterator[RawFrame] =
+  def frames(in: InputStream, mode: Mode = Sane): PcapFramer =
     new PcapFramer(in, mode)
 
-  def frames(bytes: Array[Byte], mode: Mode): Iterator[RawFrame] =
+  def frames(bytes: Array[Byte], mode: Mode): PcapFramer =
     new PcapFramer(new java.io.ByteArrayInputStream(bytes), mode)
 
-  def frames(bytes: Array[Byte]): Iterator[RawFrame] = frames(bytes, Sane)
+  def frames(bytes: Array[Byte]): PcapFramer = frames(bytes, Sane)
+
+  /** Pre-parsed legacy global header — the state a mid-file range framer
+    * needs (legacy pcap is the only STATELESS container: pcapng carries
+    * SHB/IDB state a seek would skip, so range framing is legacy-only).
+    */
+  final case class LegacyPreset(bigEndian: Boolean, linktype: Int)
+
+  /** Parse a legacy global header from the file's first ≥24 bytes; None
+    * for pcapng or non-pcap magic (range framing then falls back to the
+    * stride path).
+    */
+  def legacyPreset(header: Array[Byte]): Option[LegacyPreset] = {
+    if (header.length < 24) return None
+    def u32be(o: Int): Long =
+      ((header(o) & 0xffL) << 24) | ((header(o + 1) & 0xffL) << 16) |
+        ((header(o + 2) & 0xffL) << 8) | (header(o + 3) & 0xffL)
+    val be = u32be(0) match {
+      case 0xa1b2c3d4L | 0xa1b23c4dL => Some(true)
+      case 0xd4c3b2a1L | 0x4d3cb2a1L => Some(false)
+      case _ => None
+    }
+    be.map { bigEndian =>
+      val lt =
+        if (bigEndian) u32be(20).toInt
+        else (((header(23) & 0xffL) << 24) | ((header(22) & 0xffL) << 16) |
+          ((header(21) & 0xffL) << 8) | (header(20) & 0xffL)).toInt
+      LegacyPreset(bigEndian, lt)
+    }
+  }
+
+  /** The legacy global header is exactly 24 bytes — frame 0 starts there. */
+  val LegacyHeaderLen = 24
+
+  /** Frame a CONTIGUOUS BYTE RANGE of a legacy pcap: `in` must already be
+    * positioned at `rangeBytes`-from-the-end-of-range (i.e. seeked to the
+    * range start, which must be an exact frame boundary from a
+    * [[graft.pcapio.FrameIndex]]); exactly the frames whose record starts
+    * inside the range are emitted — the bound cuts the stream at the
+    * range end, and frame-aligned ranges mean the final record completes
+    * exactly at the cut.
+    */
+  def framesRange(in: InputStream, mode: Mode, preset: LegacyPreset,
+      rangeBytes: Long): PcapFramer =
+    new PcapFramer(new BoundedIn(in, rangeBytes), mode, preset)
 }
 
-private final class PcapFramer(in: InputStream, mode: PcapFramer.Mode)
+/** InputStream view capped at `limit` bytes (range framing). */
+private final class BoundedIn(in: InputStream, limit: Long)
+    extends InputStream {
+  private var left = limit
+  override def read(): Int =
+    if (left <= 0) -1
+    else { val r = in.read(); if (r >= 0) left -= 1; r }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (left <= 0) return -1
+    val r = in.read(b, off, math.min(len.toLong, left).toInt)
+    if (r > 0) left -= r
+    r
+  }
+  override def close(): Unit = in.close()
+}
+
+final class PcapFramer private[pcapio] (in: InputStream,
+    mode: PcapFramer.Mode,
+    preset: PcapFramer.LegacyPreset = null)
     extends Iterator[RawFrame] {
   import PcapFramer._
 
@@ -69,8 +131,24 @@ private final class PcapFramer(in: InputStream, mode: PcapFramer.Mode)
       if (r < 0) return null
       off += r
     }
+    pos += n
     buf
   }
+
+  // logical byte position (bytes DELIVERED, not buffered ahead) — for a
+  // whole-file framer this is the absolute file offset, which is what
+  // FrameIndex records
+  private var pos: Long = 0L
+  private var frameStart: Long = 0L
+
+  /** Absolute byte offset of the most recently returned frame's record
+    * header (whole-file framers only — range framers are offset-relative).
+    * Valid after `next()`; [[FrameIndex]] builders read it.
+    */
+  def lastFrameStart: Long = frameStart
+
+  /** Whether the stream is legacy pcap (valid once framing started). */
+  def isLegacy: Boolean = legacy
 
   private def u16(b: Array[Byte], o: Int, be: Boolean): Int =
     if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
@@ -99,6 +177,14 @@ private final class PcapFramer(in: InputStream, mode: PcapFramer.Mode)
 
   private def init(): Unit = {
     initialized = true
+    if (preset != null) {
+      // range framing: the caller parsed the legacy global header and
+      // seeked past it — the stream starts at a frame boundary
+      legacy = true
+      bigEndian = preset.bigEndian
+      legacyLinktype = preset.linktype
+      return
+    }
     val magic = readN(4)
     if (magic == null) { done = true; return }
     val m = u32(magic, 0, be = true)
@@ -255,6 +341,7 @@ private final class PcapFramer(in: InputStream, mode: PcapFramer.Mode)
   }
 
   private def readLegacyRecord(): Option[RawFrame] = {
+    frameStart = pos
     val head = readN(16)
     if (head == null) { done = true; return None }
     val tsSec = u32(head, 0, bigEndian)

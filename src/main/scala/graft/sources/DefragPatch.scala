@@ -148,37 +148,66 @@ object DefragPatch {
       ntp, dnsType, dnsName, proto)
   }
 
+  /** Per-reader probe memo (round 14, verdict #4): fragments of one
+    * datagram are ADJACENT in a capture (and still near-adjacent within
+    * a stride shard), so consecutive probing rows usually carry the
+    * same (ip_id, src, dst) key — the memo short-circuits both
+    * string-map gets with three compares. Keyed on REFERENCE equality
+    * of the address strings (the accumulator interns them per distinct
+    * address); a missed intern only costs a re-probe, never a wrong
+    * entry. `entry = -1` memoizes "this key has no patch" too — the
+    * common case on collided ids.
+    */
+  final class Memo {
+    var id: Int = -2 // never matches a real 16-bit id
+    var src: String = null
+    var dst: String = null
+    var entry: Int = -1
+  }
+
   /** Apply one row's patch to the dissection accumulator (post-dissect,
     * pre-vector-write): coalesce semantics per column. Cheap bail-outs
     * first — rows whose ip_id maps to no fragmented datagram pay one
     * array read; non-UDP rows and rows with every patched column
-    * populated never probe at all.
+    * populated never probe at all. `memo` may be null (memo-less probe;
+    * MemoProps pins memoized ≡ null-memo over fuzzed row sequences).
     */
-  @inline def apply(m: PatchMap, a: graft.dissect.DissectAcc): Unit = {
+  @inline def apply(m: PatchMap, a: graft.dissect.DissectAcc,
+      memo: Memo = null): Unit = {
     if (a.ipProto == 17 && a.ipSrcStr != null && a.ipDstStr != null &&
         (a.udpSrcport < 0 || a.udpDstport < 0 || a.ntpPrivReqcode < 0 ||
           a.dnsQryType < 0 || a.dnsQryName == null || a.protoIdx < 0)) {
-      val m1 = m.byId(a.ipId & 0xffff)
-      if (m1 != null) {
-        val m2 = m1.get(a.ipSrcStr)
-        if (m2 != null) {
-          val e = m2.get(a.ipDstStr)
-          if (e != null) {
-            val i = e.intValue()
-            if (a.udpSrcport < 0 && m.udpSrcport(i) >= 0)
-              a.udpSrcport = m.udpSrcport(i)
-            if (a.udpDstport < 0 && m.udpDstport(i) >= 0)
-              a.udpDstport = m.udpDstport(i)
-            if (a.ntpPrivReqcode < 0 && m.ntpPrivReqcode(i) >= 0)
-              a.ntpPrivReqcode = m.ntpPrivReqcode(i)
-            if (a.dnsQryType < 0 && m.dnsQryType(i) >= 0)
-              a.dnsQryType = m.dnsQryType(i)
-            if (a.dnsQryName == null && m.dnsNameIdx(i) >= 0)
-              a.dnsQryName = m.strings(m.dnsNameIdx(i))
-            if (a.protoIdx < 0 && m.protoIdx(i) >= 0)
-              a.protoIdx = m.protoIdx(i)
+      var i = -1
+      if (memo != null && a.ipId == memo.id && (a.ipSrcStr eq memo.src) &&
+          (a.ipDstStr eq memo.dst)) {
+        i = memo.entry
+      } else {
+        val m1 = m.byId(a.ipId & 0xffff)
+        if (m1 != null) {
+          val m2 = m1.get(a.ipSrcStr)
+          if (m2 != null) {
+            val e = m2.get(a.ipDstStr)
+            if (e != null) i = e.intValue()
           }
         }
+        if (memo != null) {
+          memo.id = a.ipId; memo.src = a.ipSrcStr; memo.dst = a.ipDstStr
+          memo.entry = i
+        }
+      }
+      if (i >= 0) {
+        if (a.udpSrcport < 0 && m.udpSrcport(i) >= 0)
+          a.udpSrcport = m.udpSrcport(i)
+        if (a.udpDstport < 0 && m.udpDstport(i) >= 0)
+          a.udpDstport = m.udpDstport(i)
+        if (a.ntpPrivReqcode < 0 && m.ntpPrivReqcode(i) >= 0)
+          a.ntpPrivReqcode = m.ntpPrivReqcode(i)
+        if (a.dnsQryType < 0 && m.dnsQryType(i) >= 0)
+          a.dnsQryType = m.dnsQryType(i)
+        if (a.dnsQryName == null && m.dnsNameIdx(i) >= 0)
+          a.dnsQryName = m.strings(m.dnsNameIdx(i))
+        if (a.protoIdx < 0 && m.protoIdx(i) >= 0)
+          a.protoIdx = m.protoIdx(i)
       }
     }
   }

@@ -161,7 +161,8 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
       Option(options.get("metricsKey")),
       retired,
       ffGate = gate.isDefined,
-      patchKey = Option(options.get("defragPatchKey")))
+      patchKey = Option(options.get("defragPatchKey")),
+      frameIndex = options.getBoolean("frameIndex", true))
   }
 }
 
@@ -178,7 +179,8 @@ final class PcapScan(
     metricsKey: Option[String] = None,
     retiredRoots: Seq[String] = Seq.empty,
     ffGate: Boolean = false,
-    patchKey: Option[String] = None)
+    patchKey: Option[String] = None,
+    frameIndex: Boolean = true)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -210,16 +212,32 @@ final class PcapScan(
     val files = PcapFileEnum.list(paths, hconf)
     // decodePartitions > 1 = the SINGLE-HUGE-FILE parallelism knob (the
     // DSv2 twin of PcapSource's RDD-path repartition, round-7 verdict
-    // #7): pcap has no sync markers, so a file cannot be byte-split —
-    // instead each of the N shard partitions re-frames the stream
-    // (framing runs ~6× faster than dissection) and DISSECTS only its
-    // `frameIndex % N` stride. Framing cost is paid N times; the
-    // expensive decode splits N ways with no shuffle, taking a
-    // decode-bound lone file from 1 core to framing-bound. For many
-    // small files leave it at 1 — per-file pipelining already saturates.
-    files.sorted.flatMap(f =>
-      (0 until decodePartitions).map(i =>
-        PcapInputPartition(f, i, decodePartitions): InputPartition)).toArray
+    // #7): pcap has no sync markers, so a file cannot be byte-split
+    // blindly — by default each of the N shard partitions re-frames the
+    // stream (framing runs ~6× faster than dissection) and DISSECTS only
+    // its `frameIdx % N` stride. Round 14: when a frame-index SIDECAR
+    // exists (built opportunistically by an earlier stride read — see
+    // [[graft.pcapio.FrameIndex]]), the shards become CONTIGUOUS byte
+    // ranges instead: each reader seeks to its range and frames only its
+    // 1/N of the bytes, cutting the N-fold framing cost. The decision is
+    // made HERE on the driver, once per scan — every reader of one file
+    // sees one consistent layout (a reader-side decision could race a
+    // sidecar appearing mid-scan and double- or drop-read frames). For
+    // many small files leave decodePartitions at 1 — per-file pipelining
+    // already saturates.
+    files.sorted.flatMap { f =>
+      val ranged =
+        if (decodePartitions > 1 && frameIndex)
+          graft.pcapio.FrameIndex.read(new Path(f), hconf)
+            .flatMap(graft.pcapio.FrameIndex.ranges(_, decodePartitions))
+        else None
+      ranged match {
+        case Some(rs) => rs.zipWithIndex.map { case ((s, e), i) =>
+          PcapInputPartition(f, i, decodePartitions, s, e): InputPartition }
+        case None => (0 until decodePartitions).map(i =>
+          PcapInputPartition(f, i, decodePartitions): InputPartition)
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -233,7 +251,7 @@ final class PcapScan(
         s"pcap option defragPatchKey: no patch registered under '$k'")))
     PcapReaderFactory(conf, required, refCompat, filters, withBytes,
       columnar, metricsKey.flatMap(graft.spark.PcapSource.metricsFor), ffGate,
-      patch)
+      patch, buildIndex = frameIndex)
   }
 }
 
@@ -265,8 +283,13 @@ private[graft] object PcapFileEnum {
   }.sorted
 }
 
+/** `rangeStart/rangeEnd >= 0` = a frame-aligned contiguous byte range
+  * from a [[graft.pcapio.FrameIndex]] sidecar (the reader seeks instead
+  * of striding); `-1` = classic `frameIdx % nShards` stride.
+  */
 final case class PcapInputPartition(
-    file: String, shard: Int = 0, nShards: Int = 1) extends InputPartition
+    file: String, shard: Int = 0, nShards: Int = 1,
+    rangeStart: Long = -1L, rangeEnd: Long = -1L) extends InputPartition
 
 final case class PcapReaderFactory(
     conf: SerializableConfiguration,
@@ -278,13 +301,14 @@ final case class PcapReaderFactory(
     metrics: Option[graft.spark.PcapSource.Metrics] = None,
     ffGate: Boolean = false,
     patch: Option[org.apache.spark.broadcast.Broadcast[
-      DefragPatch.PatchMap]] = None)
+      DefragPatch.PatchMap]] = None,
+    buildIndex: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapPartitionReader(pp.file,
       conf.value, required, refCompat, filters, withBytes, pp.shard, pp.nShards,
-      metrics, ffGate, patch)
+      metrics, ffGate, patch, pp.rangeStart, pp.rangeEnd, buildIndex)
   }
 
   /** COLUMNAR scan path (round-9 verdict #5): the dissector's unboxed
@@ -305,7 +329,77 @@ final case class PcapReaderFactory(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapColumnarReader(pp.file, conf.value, required, refCompat,
-      filters, pp.shard, pp.nShards, metrics, ffGate, patch)
+      filters, pp.shard, pp.nShards, metrics, ffGate, patch,
+      pp.rangeStart, pp.rangeEnd, buildIndex)
+  }
+}
+
+/** The shared open-a-pcap-stream logic for the two readers: whole-file
+  * framing (optionally building the [[graft.pcapio.FrameIndex]] sidecar
+  * when this reader is stride shard 0 and none is valid yet), or a
+  * range-mode seek when the planner assigned a frame-aligned byte range.
+  */
+private[sources] object PcapReaderOpen {
+  import graft.pcapio.{FrameIndex, PcapFramer}
+
+  final class Opened(
+      val in: org.apache.hadoop.fs.FSDataInputStream,
+      val frames: PcapFramer,
+      val ranged: Boolean,
+      var idxBuilder: FrameIndex.Builder,
+      val path: Path,
+      val conf: Configuration) {
+    private var legacyChecked = false
+    /** Call right after each frames.next(): feeds the sidecar builder
+      * (whole-file mode only; dropped on the first non-legacy frame —
+      * pcapng is stateful, its offsets can't be seeked to).
+      */
+    @inline def record(): Unit = if (idxBuilder != null) {
+      if (!legacyChecked) {
+        legacyChecked = true
+        if (!frames.isLegacy) { idxBuilder = null; return }
+      }
+      idxBuilder.record(frames.lastFrameStart)
+    }
+    /** Call when the framer is exhausted: writes the sidecar once. */
+    def finish(): Unit = if (idxBuilder != null && !frames.hasNext) {
+      FrameIndex.write(path, idxBuilder.result(), conf)
+      idxBuilder = null
+    }
+  }
+
+  def apply(file: String, conf: Configuration, mode: PcapFramer.Mode,
+      rangeStart: Long, rangeEnd: Long, shard: Int, nShards: Int,
+      buildIndex: Boolean): Opened = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    if (rangeStart >= 0L) {
+      // range mode: parse the legacy global header, seek to the
+      // frame-aligned range start, frame exactly rangeEnd-rangeStart bytes
+      val hdr = new Array[Byte](PcapFramer.LegacyHeaderLen)
+      in.readFully(0L, hdr)
+      val preset = PcapFramer.legacyPreset(hdr).getOrElse {
+        in.close()
+        throw new IllegalStateException(
+          s"pcap frame-index range read on a non-legacy file: $file " +
+            "(stale sidecar should have been rejected by the length check)")
+      }
+      in.seek(rangeStart)
+      new Opened(in, PcapFramer.framesRange(in, mode, preset,
+        rangeEnd - rangeStart), ranged = true, null, path, conf)
+    } else {
+      // stride mode; shard 0 (which frames the whole file anyway)
+      // opportunistically builds the sidecar a later scan's planner can
+      // turn into ranges — absent or stale (read() validates) only
+      val builder =
+        if (buildIndex && nShards > 1 && shard == 0 &&
+            FrameIndex.read(path, conf).isEmpty)
+          new FrameIndex.Builder(fs.getFileStatus(path).getLen)
+        else null
+      new Opened(in, PcapFramer.frames(in, mode), ranged = false, builder,
+        path, conf)
+    }
   }
 }
 
@@ -363,16 +457,21 @@ final class PcapColumnarReader(
     metrics: Option[graft.spark.PcapSource.Metrics] = None,
     ffGate: Boolean = false,
     patch: Option[org.apache.spark.broadcast.Broadcast[
-      DefragPatch.PatchMap]] = None)
+      DefragPatch.PatchMap]] = None,
+    rangeStart: Long = -1L,
+    rangeEnd: Long = -1L,
+    buildIndex: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
   private val BatchRows = 4096
-  private val path = new Path(file)
-  private val in = path.getFileSystem(conf).open(path)
   private val mode: PcapFramer.Mode =
     if (refCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
-  private val frames = PcapFramer.frames(in, mode)
+  private val opened = PcapReaderOpen(file, conf, mode, rangeStart, rangeEnd,
+    shard, nShards, buildIndex)
+  private val in = opened.in
+  private val frames = opened.frames
+  private val ranged = opened.ranged
   private val base = PcapSource.basename(file)
   private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String
     .fromString(base)
@@ -388,8 +487,12 @@ final class PcapColumnarReader(
   private val noL3 = plan.l3Filters.isEmpty
   private val noHigh = plan.highFilters.isEmpty
   private val stagedResume = plan.baseLevel < plan.levelRequired
-  // defrag broadcast-patch map (null = no patching) — see DefragPatch
+  // defrag broadcast-patch map (null = no patching) — see DefragPatch;
+  // the probe memo is per-reader (graft.patch.noMemo disables it for
+  // the interleaved A/B — BenchRebatchBound arm 3)
   private val patchMap = patch.map(_.value).orNull
+  private val patchMemo =
+    if (sys.props.contains("graft.patch.noMemo")) null else new DefragPatch.Memo
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
@@ -476,9 +579,11 @@ final class PcapColumnarReader(
     while (n < BatchRows && frames.hasNext) {
       val raw = frames.next()
       frameIdx += 1
+      opened.record()
       // decode-sharding stride, same as the row reader: foreign frames
-      // are framed (cheap) but never dissected or materialized
-      if (nShards <= 1 || frameIdx % nShards == shard) {
+      // are framed (cheap) but never dissected or materialized. Range
+      // mode (frame-index sidecar) owns EVERY frame in its byte range.
+      if (ranged || nShards <= 1 || frameIdx % nShards == shard) {
         PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat,
           level = plan.baseLevel)
         // L3-decidable pushed filters veto before transport/L7 ever
@@ -500,7 +605,7 @@ final class PcapColumnarReader(
         // (defragged) values, like a filter above the join would; rows
         // already vetoed by the L3 filters never probe (they are never
         // written — round-13 ADVICE)
-        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc)
+        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc, patchMemo)
         if (emit && !noHigh) emit = predHigh(acc)
         nPackets += 1
         if (acc.errors > 0) nErrors += acc.errors.toLong
@@ -521,6 +626,9 @@ final class PcapColumnarReader(
       m.packets.add(nPackets); m.errors.add(nErrors)
       nPackets = 0L; nErrors = 0L
     }
+    // a fully-framed file flushes the sidecar (no-op unless building);
+    // an early close (limit) never writes a partial index
+    if (n < BatchRows) opened.finish()
     n > 0
   }
 
@@ -540,14 +648,19 @@ final class PcapPartitionReader(
     metrics: Option[graft.spark.PcapSource.Metrics] = None,
     ffGate: Boolean = false,
     patch: Option[org.apache.spark.broadcast.Broadcast[
-      DefragPatch.PatchMap]] = None)
+      DefragPatch.PatchMap]] = None,
+    rangeStart: Long = -1L,
+    rangeEnd: Long = -1L,
+    buildIndex: Boolean = false)
     extends PartitionReader[InternalRow] {
 
-  private val path = new Path(file)
-  private val in = path.getFileSystem(conf).open(path)
   private val mode: PcapFramer.Mode =
     if (refCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
-  private val frames = PcapFramer.frames(in, mode)
+  private val opened = PcapReaderOpen(file, conf, mode, rangeStart, rangeEnd,
+    shard, nShards, buildIndex)
+  private val in = opened.in
+  private val frames = opened.frames
+  private val ranged = opened.ranged
   private val base = PcapSource.basename(file)
   private val baseUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(base)
   // same staged plan + unboxed predicates as the columnar reader (the
@@ -560,6 +673,8 @@ final class PcapPartitionReader(
   private val noHigh = plan.highFilters.isEmpty
   private val stagedResume = plan.baseLevel < plan.levelRequired
   private val patchMap = patch.map(_.value).orNull
+  private val patchMemo =
+    if (sys.props.contains("graft.patch.noMemo")) null else new DefragPatch.Memo
   private val sourceSchema =
     if (withBytes) PacketSchema.bytesSchema else PacketSchema.schema
   // projection map: required ordinal -> source-schema ordinal
@@ -575,10 +690,12 @@ final class PcapPartitionReader(
     while (frames.hasNext) {
       val raw = frames.next()
       frameIdx += 1
+      opened.record()
       // decode-sharding stride: frames outside this shard are framed
       // (cheap, sequential-scan bound) but never dissected or
-      // materialized — see PcapScan.planInputPartitions
-      val mine = nShards <= 1 || frameIdx % nShards == shard
+      // materialized — see PcapScan.planInputPartitions. Range mode owns
+      // every frame in its byte range.
+      val mine = ranged || nShards <= 1 || frameIdx % nShards == shard
       if (mine) {
         PacketDissector.dissectInto(acc, raw, walkV6 = !refCompat,
           level = plan.baseLevel)
@@ -588,7 +705,7 @@ final class PcapPartitionReader(
           if (PacketDissector.dissectResume(acc, raw.data, plan.levelRequired))
             emit = noL3 || predL3(acc)
         }
-        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc)
+        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc, patchMemo)
         if (emit && !noHigh) emit = predHigh(acc)
         metrics.foreach { m =>
           m.packets.add(1L)
@@ -616,6 +733,7 @@ final class PcapPartitionReader(
         }
       }
     }
+    opened.finish() // fully framed: flush the sidecar (no-op otherwise)
     false
   }
 

@@ -41,7 +41,31 @@ object StreamingDefrag {
       ntp_priv_reqcode: Option[Short], dns_qry_type: Option[Int],
       dns_qry_name: Option[String], col_protocol: Option[String])
 
+  // ---- round 14 (verdict #1): SENTINEL-CODED state machine ------------------
+  // The Option-boxed FragRow encoder allocated up to 10 objects per row
+  // crossing the state shuffle (Some + boxed numerics on deserialize,
+  // again on the emit side). The shuffled row, the carried state, and
+  // the emitted row are now all primitives — -1 = NULL for the numeric
+  // columns (ports/reqcode/qry_type are unsigned on the wire, so -1 is
+  // unreachable), null for the two strings. A codegen'd projection
+  // restores the nullable schema AFTER the state op, where it's one
+  // columnar `when` per column instead of per-row boxing.
+  final case class FragRowS(
+      ip_src: String, ip_dst: String, ip_proto: Short, ip_id: Int,
+      tsu: Long, ip_mf: Boolean, ip_frag_offset: Int,
+      udp_srcport: Int, udp_dstport: Int, ntp_priv_reqcode: Int,
+      dns_qry_type: Int, dns_qry_name: String, col_protocol: String)
+  final case class PatchS(
+      udp_srcport: Int, udp_dstport: Int, ntp_priv_reqcode: Int,
+      dns_qry_type: Int, dns_qry_name: String, col_protocol: String)
+  final case class PatchedRowS(
+      ip_src: String, ip_dst: String, ip_proto: Short, ip_id: Int, tsu: Long,
+      udp_srcport: Int, udp_dstport: Int, ntp_priv_reqcode: Int,
+      dns_qry_type: Int, dns_qry_name: String, col_protocol: String)
+
   private def toPatch(r: FragRow) = Patch(r.udp_srcport, r.udp_dstport,
+    r.ntp_priv_reqcode, r.dns_qry_type, r.dns_qry_name, r.col_protocol)
+  private def toPatchS(r: FragRowS) = PatchS(r.udp_srcport, r.udp_dstport,
     r.ntp_priv_reqcode, r.dns_qry_type, r.dns_qry_name, r.col_protocol)
 
   /** The 13 columns the defrag state machine consumes, from any packet
@@ -95,8 +119,22 @@ object StreamingDefrag {
     stateful.unionByName(bypass)
   }
 
-  def defragStateful(projected: DataFrame,
-      sortless: Boolean = true): DataFrame = {
+  /** The stateful back-fill. Round 14 (verdict #1): the default
+    * implementation is SENTINEL-CODED — the row crossing the state
+    * shuffle, the carried state, and the emitted row are all primitives
+    * (-1/null = NULL), and a codegen'd `when` projection restores the
+    * nullable schema after the state op. The Option-boxed path from
+    * rounds 12–13 is kept under `sentinel = false` for the interleaved
+    * A/B (`tools.BenchStreamDefrag`) and the equivalence property
+    * (StreamingDefragPickProps pins sentinel ≡ boxed as a whole-
+    * transform row multiset). Output schema is identical across paths.
+    */
+  def defragStateful(projected: DataFrame, sortless: Boolean = true,
+      sentinel: Boolean = true): DataFrame = {
+    if (sentinel) {
+      require(sortless, "the sentinel path implements only the sortless pick")
+      return defragStatefulSentinel(projected)
+    }
     import projected.sparkSession.implicits._
     val fn: (FragKey, Iterator[FragRow], GroupState[Patch]) => Iterator[PatchedRow] =
       (_, rows, state) => {
@@ -148,6 +186,85 @@ object StreamingDefrag {
       .groupByKey(r => FragKey(r.ip_src, r.ip_dst, r.ip_proto, r.ip_id))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .toDF()
+  }
+
+  /** The round-14 sentinel-coded implementation (see [[defragStateful]]).
+    * Same pick (carried state outranks the batch; least first-fragment
+    * row under [[ffOrderingS]] — the boxed [[ffOrdering]]'s total order
+    * with -1/null standing in for None), same state-update discipline,
+    * same output schema.
+    */
+  private def defragStatefulSentinel(projected: DataFrame): DataFrame = {
+    import projected.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val fn: (FragKey, Iterator[FragRowS], GroupState[PatchS]) => Iterator[PatchedRowS] =
+      (_, rows, state) => {
+        val carried = state.getOption
+        val b = new scala.collection.mutable.ArrayBuffer[FragRowS]()
+        var best: FragRowS = null
+        rows.foreach { r =>
+          b += r
+          if (r.ip_proto == 17 && r.ip_mf && r.ip_frag_offset == 0 &&
+              (best == null || ffOrderingS.compare(r, best) < 0))
+            best = r
+        }
+        val ff = carried.orElse(Option(best).map(toPatchS))
+        // write state only when it changes (changelog write amplification)
+        if (carried.isEmpty) ff.foreach(state.update)
+        val p = ff.getOrElse(PatchS(-1, -1, -1, -1, null, null))
+        b.iterator.map { r =>
+          PatchedRowS(r.ip_src, r.ip_dst, r.ip_proto, r.ip_id, r.tsu,
+            if (r.udp_srcport >= 0) r.udp_srcport else p.udp_srcport,
+            if (r.udp_dstport >= 0) r.udp_dstport else p.udp_dstport,
+            if (r.ntp_priv_reqcode >= 0) r.ntp_priv_reqcode else p.ntp_priv_reqcode,
+            if (r.dns_qry_type >= 0) r.dns_qry_type else p.dns_qry_type,
+            if (r.dns_qry_name != null) r.dns_qry_name else p.dns_qry_name,
+            if (r.col_protocol != null) r.col_protocol else p.col_protocol)
+        }
+      }
+    import org.apache.spark.sql.functions.col
+    val coded = projected.select(
+      col("ip_src"), col("ip_dst"), col("ip_proto"), col("ip_id"),
+      col("tsu"), col("ip_mf"), col("ip_frag_offset"),
+      coalesce(col("udp_srcport"), lit(-1)).as("udp_srcport"),
+      coalesce(col("udp_dstport"), lit(-1)).as("udp_dstport"),
+      coalesce(col("ntp_priv_reqcode").cast("int"), lit(-1)).as("ntp_priv_reqcode"),
+      coalesce(col("dns_qry_type"), lit(-1)).as("dns_qry_type"),
+      col("dns_qry_name"), col("col_protocol"))
+    coded.as[FragRowS]
+      .groupByKey(r => FragKey(r.ip_src, r.ip_dst, r.ip_proto, r.ip_id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .select(
+        col("ip_src"), col("ip_dst"), col("ip_proto"), col("ip_id"), col("tsu"),
+        when(col("udp_srcport") >= 0, col("udp_srcport")).as("udp_srcport"),
+        when(col("udp_dstport") >= 0, col("udp_dstport")).as("udp_dstport"),
+        when(col("ntp_priv_reqcode") >= 0,
+          col("ntp_priv_reqcode").cast("smallint")).as("ntp_priv_reqcode"),
+        when(col("dns_qry_type") >= 0, col("dns_qry_type")).as("dns_qry_type"),
+        col("dns_qry_name"), col("col_protocol"))
+  }
+
+  /** [[ffOrdering]]'s total order over the sentinel coding: -1 / null
+    * sort first, exactly where None sorted. Ports/reqcode/qry_type are
+    * unsigned wire fields, so -1 < any real value by plain Int compare.
+    */
+  private[graft] val ffOrderingS: Ordering[FragRowS] = new Ordering[FragRowS] {
+    @inline private def cmpStr(a: String, b: String): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else a.compareTo(b)
+    def compare(a: FragRowS, b: FragRowS): Int = {
+      var c = java.lang.Long.compare(a.tsu, b.tsu)
+      if (c != 0) return c
+      c = Integer.compare(a.udp_srcport, b.udp_srcport); if (c != 0) return c
+      c = Integer.compare(a.udp_dstport, b.udp_dstport); if (c != 0) return c
+      c = Integer.compare(a.ntp_priv_reqcode, b.ntp_priv_reqcode); if (c != 0) return c
+      c = Integer.compare(a.dns_qry_type, b.dns_qry_type); if (c != 0) return c
+      c = cmpStr(a.dns_qry_name, b.dns_qry_name); if (c != 0) return c
+      cmpStr(a.col_protocol, b.col_protocol)
+    }
   }
 
   /** The full first-fragment sort key as an allocation-free comparator:

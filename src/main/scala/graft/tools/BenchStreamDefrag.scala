@@ -1,28 +1,35 @@
 package graft.tools
 
-/** Interleaved A/B of the round-13 sortless first-fragment pick vs the
-  * round-12 group-sort inside the streaming defrag state function —
-  * landing → stateful back-fill → parquet sink under AvailableNow, both
-  * arms the same stride-sharded read. Rounds MUST interleave (this box
-  * drifts ±2× sequentially).
+/** Interleaved A/B over the streaming defrag state function — landing →
+  * stateful back-fill → parquet sink under AvailableNow, both arms the
+  * same stride-sharded read. Rounds MUST interleave (this box drifts
+  * ±2× sequentially).
   *
-  * `--bypass` flips the A/B to bypass-split vs plain (both sortless):
-  * the split skips the state shuffle for non-UDP rows at the price of a
-  * second source scan per micro-batch — corpus-dependent, measure on
-  * the traffic shape you mean to deploy on.
+  * Default arms (round 14): SENTINEL-coded state row (the shipped path)
+  * vs the round-13 Option-boxed sortless reference.
+  * `--sorted` restores the round-13 A/B: boxed sortless vs boxed
+  * group-sort.
+  * `--bypass` flips to bypass-split vs plain (both on the shipped
+  * path): the split skips the state shuffle for non-UDP rows at the
+  * price of a second source scan per micro-batch — corpus-dependent,
+  * measure on the traffic shape you mean to deploy on.
   *
-  * Usage: `runMain graft.tools.BenchStreamDefrag [fileGlob] [rounds] [--bypass]`.
+  * Usage: `runMain graft.tools.BenchStreamDefrag [fileGlob] [rounds]
+  * [--sorted|--bypass]`.
   */
 object BenchStreamDefrag {
   def main(args: Array[String]): Unit = {
     val dir = graft.BenchEnv.pcapCorpusDir()
     val pos = args.filterNot(_.startsWith("--"))
     val bypassAb = args.contains("--bypass")
+    val sortedAb = args.contains("--sorted")
     val glob = pos.headOption.getOrElse(s"$dir/cap*.pcap")
     val rounds = if (pos.length > 1) pos(1).toInt else 3
     val spark = graft.BenchEnv.abSession()
     val shards = graft.BenchEnv.pcapShards(spark, glob)
-    def run(sortless: Boolean): Double = {
+    // `a` = the candidate arm, `b` = the reference arm (naming below
+    // keeps the legacy JSON keys: sortless = candidate, sorted = ref)
+    def run(armA: Boolean): Double = {
       val out = s"$dir/sdefrag-ab-out.parquet"
       val ckpt = s"$dir/sdefrag-ab-ckpt"
       graft.TempCleanup.rmrf(new java.io.File(out))
@@ -31,14 +38,15 @@ object BenchStreamDefrag {
       val src = spark.readStream.format("pcap")
         .option("decodePartitions", shards).load(glob)
       val projected = graft.streaming.StreamingDefrag.project(src)
-      // plain A/B: sortless vs sorted pick; --bypass A/B: split vs
-      // plain (arm flag reused as "use the split")
+      val D = graft.streaming.StreamingDefrag
       val transformed =
-        if (bypassAb && sortless)
-          graft.streaming.StreamingDefrag.defragStatefulSplit(projected)
-        else if (bypassAb) // plain comparison arm: sortless, no split
-          graft.streaming.StreamingDefrag.defragStateful(projected)
-        else graft.streaming.StreamingDefrag.defragStateful(projected, sortless)
+        if (bypassAb)
+          if (armA) D.defragStatefulSplit(projected)
+          else D.defragStateful(projected)
+        else if (sortedAb) // round-13 A/B: boxed sortless vs boxed sorted
+          D.defragStateful(projected, sortless = armA, sentinel = false)
+        else // round-14 A/B: sentinel vs boxed sortless
+          D.defragStateful(projected, sortless = true, sentinel = armA)
       val q = transformed
         .writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
@@ -51,20 +59,24 @@ object BenchStreamDefrag {
       graft.TempCleanup.rmrf(new java.io.File(ckpt))
       t
     }
-    run(sortless = true); run(sortless = false) // JIT warmup, discarded
+    val names =
+      if (bypassAb) ("split", "plain")
+      else if (sortedAb) ("sortless", "sorted")
+      else ("sentinel", "boxed")
+    run(armA = true); run(armA = false) // JIT warmup, discarded
     val (sl, so) = (Array.newBuilder[Double], Array.newBuilder[Double])
     (1 to rounds).foreach { r =>
-      val a = run(sortless = true)
-      val b = run(sortless = false)
+      val a = run(armA = true)
+      val b = run(armA = false)
       sl += a; so += b
       System.err.println(
-        f"[stream-defrag] round $r: sortless $a%.2f s, sorted $b%.2f s")
+        f"[stream-defrag] round $r: ${names._1} $a%.2f s, ${names._2} $b%.2f s")
     }
     val (ab, am) = graft.BenchEnv.bestMedian(sl.result())
     val (bb, bm) = graft.BenchEnv.bestMedian(so.result())
-    System.err.println(f"[stream-defrag] sortless best $ab%.2f s median $am%.2f s; " +
-      f"sorted best $bb%.2f s median $bm%.2f s")
-    println(f"""{"metric":"stream_defrag_ab","sortless_best_s":$ab%.3f,"sortless_median_s":$am%.3f,"sorted_best_s":$bb%.3f,"sorted_median_s":$bm%.3f,"glob":"$glob"}""")
+    System.err.println(f"[stream-defrag] ${names._1} best $ab%.2f s median $am%.2f s; " +
+      f"${names._2} best $bb%.2f s median $bm%.2f s")
+    println(f"""{"metric":"stream_defrag_ab","a":"${names._1}","b":"${names._2}","a_best_s":$ab%.3f,"a_median_s":$am%.3f,"b_best_s":$bb%.3f,"b_median_s":$bm%.3f,"glob":"$glob"}""")
     spark.stop()
   }
 }

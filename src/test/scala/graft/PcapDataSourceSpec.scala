@@ -296,6 +296,116 @@ class PcapDataSourceSpec extends SparkFunSuite {
     }
   }
 
+  test("frame-index sidecar: range shards ≡ stride shards ≡ plain (round 14)") {
+    // a stride-sharded read of a legacy pcap re-frames the file N times;
+    // shard 0 opportunistically writes a .fidx sidecar, and the NEXT
+    // sharded scan is planned as contiguous frame-aligned byte ranges —
+    // same row multiset, 1/N the framing
+    val d = Files.createTempDirectory("fidx")
+    val f = d.resolve("big.pcap").toString
+    graft.spark.PcapGen.write(f, 100000, 1700000000000000L)
+    val plain = spark.read.format("pcap").load(f)
+      .orderBy("frame_time", "ip_id", "ip_frag_offset").collect().toSeq
+    // 1st sharded read: stride mode (no sidecar yet), builds it
+    val sharded1 = spark.read.format("pcap").option("decodePartitions", 8)
+      .load(f).orderBy("frame_time", "ip_id", "ip_frag_offset").collect().toSeq
+    assert(sharded1 == plain)
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(f)
+    val idx = graft.pcapio.FrameIndex.read(p, hconf)
+    assert(idx.isDefined, "stride shard 0 should have written the sidecar")
+    assert(idx.get.frameCount == 100000L)
+    // the planner now assigns ranges (assert on the partitions directly)
+    val parts = new graft.sources.PcapScan(Seq(f),
+      graft.core.PacketSchema.schema, refCompat = false,
+      decodePartitions = 8).planInputPartitions()
+    assert(parts.length == 8)
+    assert(parts.forall(_.asInstanceOf[graft.sources.PcapInputPartition]
+      .rangeStart >= 0), "expected range-mode partitions with a sidecar")
+    // 2nd sharded read (range mode): identical multiset, real parallelism
+    val sharded2df = spark.read.format("pcap").option("decodePartitions", 8).load(f)
+    val perPart = sharded2df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.length == 8 && perPart.forall(_ > 0), perPart.mkString(","))
+    assert(perPart.sum == 100000)
+    assert(sharded2df.orderBy("frame_time", "ip_id", "ip_frag_offset")
+      .collect().toSeq == plain)
+    // frameIndex=false forces the stride path even with a sidecar present
+    val strideParts = new graft.sources.PcapScan(Seq(f),
+      graft.core.PacketSchema.schema, refCompat = false,
+      decodePartitions = 8, frameIndex = false).planInputPartitions()
+    assert(strideParts.forall(_.asInstanceOf[graft.sources.PcapInputPartition]
+      .rangeStart < 0))
+    assert(spark.read.format("pcap").option("decodePartitions", 8)
+      .option("frameIndex", "false").load(f)
+      .orderBy("frame_time", "ip_id", "ip_frag_offset").collect().toSeq == plain)
+    // STALE sidecar (file grew): ignored, stride still correct, and the
+    // next sharded read REPLACES it
+    val grown = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    graft.spark.PcapGen.write(f, 120000, 1700000000000000L)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(f)) != grown.length)
+    assert(graft.pcapio.FrameIndex.read(p, hconf).isEmpty, "stale index must not validate")
+    val afterGrow = spark.read.format("pcap").option("decodePartitions", 8)
+      .load(f)
+    assert(afterGrow.count() == 120000L)
+    val rebuilt = graft.pcapio.FrameIndex.read(p, hconf)
+    assert(rebuilt.isDefined && rebuilt.get.frameCount == 120000L,
+      "stale sidecar should be rebuilt in place")
+    // pruned + filtered range scans agree with the plain path (the ddos
+    // mix is reflection-shaped: DNS rides udp_srcport 53)
+    val dnsRange = spark.read.format("pcap").option("decodePartitions", 8)
+      .load(f).filter(col("udp_srcport") === 53).select("dns_qry_name")
+      .collect().map(String.valueOf(_)).sorted.toSeq
+    val dnsPlain = spark.read.format("pcap").load(f)
+      .filter(col("udp_srcport") === 53).select("dns_qry_name")
+      .collect().map(String.valueOf(_)).sorted.toSeq
+    assert(dnsRange == dnsPlain && dnsPlain.nonEmpty)
+  }
+
+  test("frame-index: tiny files and pcapng fall back to stride; read-only dirs just skip") {
+    // tiny legacy file: too few frames for 8 real ranges → builder may
+    // write a sidecar but the planner falls back to stride
+    val d = Files.createTempDirectory("fidx2")
+    val tiny = d.resolve("tiny.pcap").toString
+    graft.spark.PcapGen.write(tiny, 500, 1700000000000000L)
+    val plainTiny = spark.read.format("pcap").load(tiny)
+      .orderBy("frame_time", "ip_id").collect().toSeq
+    (1 to 2).foreach { _ =>
+      assert(spark.read.format("pcap").option("decodePartitions", 8).load(tiny)
+        .orderBy("frame_time", "ip_id").collect().toSeq == plainTiny)
+    }
+    val partsTiny = new graft.sources.PcapScan(Seq(tiny),
+      graft.core.PacketSchema.schema, refCompat = false,
+      decodePartitions = 8).planInputPartitions()
+    assert(partsTiny.forall(_.asInstanceOf[graft.sources.PcapInputPartition]
+      .rangeStart < 0), "500 frames cannot cut 8 ranges")
+    // pcapng: stateful container — no sidecar is ever built for it
+    val ng = d.resolve("ng.pcapng")
+    val ngPkt = ethernet(0x0800,
+      ipv4("10.0.0.1", "10.0.0.2", 17, udp(1, 2, Array[Byte](0))))
+    Files.write(ng, pcapng(Seq((1, 6)),
+      Seq((0, 1000L, ngPkt.length, ngPkt))))
+    (1 to 2).foreach { _ =>
+      assert(spark.read.format("pcap").option("decodePartitions", 2)
+        .load(ng.toString).count() == 1L)
+    }
+    assert(graft.pcapio.FrameIndex.read(
+      new org.apache.hadoop.fs.Path(ng.toString),
+      spark.sessionState.newHadoopConf()).isEmpty)
+    // unwritable destination: the sidecar write must silently skip and
+    // the read succeed (tests run as root, which ignores permission
+    // bits — block the write by occupying .fidx with a plain FILE, so
+    // mkdirs fails for any uid)
+    val ro = Files.createTempDirectory("fidx_ro")
+    val rof = ro.resolve("ro.pcap").toString
+    graft.spark.PcapGen.write(rof, 20000, 1700000000000000L)
+    Files.write(ro.resolve(".fidx"), Array[Byte](1))
+    assert(spark.read.format("pcap").option("decodePartitions", 4)
+      .load(rof).count() == 20000L)
+    assert(graft.pcapio.FrameIndex.read(
+      new org.apache.hadoop.fs.Path(rof),
+      spark.sessionState.newHadoopConf()).isEmpty)
+  }
+
   test("public dissectGate option refuses with a contract pointer (round-14 hardening)") {
     // the gate's NULL-for-ungated-rows semantics are a consumer contract
     // only the defrag stats pass satisfies; the shape cannot be checked

@@ -57,11 +57,21 @@ object StreamingDefragPickProps extends Properties("streaming-defrag-pick") {
       val df = rows.toDF()
       def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
         d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
-      val sortless = canon(StreamingDefrag.defragStateful(df, sortless = true))
-      val sorted = canon(StreamingDefrag.defragStateful(df, sortless = false))
+      // round 14: the default path is SENTINEL-CODED; boxed sortless and
+      // boxed sorted are the rounds-13/12 references — all three must
+      // emit the same row multiset AND the same schema (the sentinel
+      // path's when()-restore must reproduce the nullable types exactly)
+      val sentinelDf = StreamingDefrag.defragStateful(df, sortless = true)
+      val boxedDf = StreamingDefrag.defragStateful(df, sortless = true,
+        sentinel = false)
+      val sentinel = canon(sentinelDf)
+      val boxed = canon(boxedDf)
+      val sorted = canon(StreamingDefrag.defragStateful(df, sortless = false,
+        sentinel = false))
       // the bypass split routes non-UDP rows around the state shuffle —
       // same multiset again (the split proof: no UDP row ever bypasses)
       val split = canon(StreamingDefrag.defragStatefulSplit(df))
-      Prop(sortless == sorted && split == sortless) :| "multiset diverged"
+      Prop(sentinel == boxed && sentinel == sorted && split == sentinel &&
+        sentinelDf.schema == boxedDf.schema) :| "multiset/schema diverged"
     }
 }
