@@ -89,6 +89,80 @@ object BenchPcap {
     // 100M-packet run would otherwise pin an n/8-packet parquet forever
     graft.TempCleanup.rmrf(new java.io.File(s"$dir/warmup.parquet"))
     val (tParse, total) = time(PcapSource.read(spark, s"$dir/*.pcap").count())
+    // Round 14: the two STREAMING rows run FIRST (one discarded warmup,
+    // then best-of-2), ahead of the twelve batch convert arms — the
+    // batch arms keep their own discarded warmups, so the swap costs
+    // them nothing. CAVEAT (measured, round 14): the order swap did NOT
+    // close the gap to the dedicated instrument — the full streaming
+    // pipeline (pcap scan + state store + zstd sink) swings 26–137 s
+    // for IDENTICAL code across sessions on this box, so the
+    // stream-defrag row here is an end-to-end smoke/throughput sample,
+    // not a steady-state mark; `tools.BenchStreamDefrag --batch` is the
+    // resolvable instrument for state-op-level changes.
+    // streaming landing→convert (round-11 verdict #5): drain the same
+    // 8-file corpus through the multi-root streaming pcap source under
+    // Trigger.AvailableNow into the streaming parquet sink — the
+    // round-over-round perf signal for the streaming read path
+    // (composite offsets, admission control; round 12: stride-sharded
+    // per-file dissection, same knob as the batch scan — one task per
+    // file left 24 of 32 cores idle here).
+    val streamShards = math.max(1, math.min(1024,
+      math.ceil(cpus.toDouble / files).toInt))
+    def streamOnce(): Double = {
+      val sOut = s"$dir/stream-out.parquet"
+      val sCkpt = s"$dir/stream-ckpt"
+      graft.TempCleanup.rmrf(new java.io.File(sOut))
+      graft.TempCleanup.rmrf(new java.io.File(sCkpt))
+      time {
+        val q = spark.readStream.format("pcap")
+          .option("decodePartitions", streamShards)
+          .load(s"$dir/cap*.pcap")
+          .writeStream.format("parquet")
+          .option("path", sOut)
+          .option("checkpointLocation", sCkpt)
+          .option("compression", "zstd")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }._1
+    }
+    streamOnce() // discarded: first streaming query pays JIT ramp
+    val tStream = (1 to 2).map(_ => streamOnce()).min
+    val streamRate = (total / tStream).toLong
+    // the streamed output is RAM-backed (tmpfs) — drop it like the
+    // warmup's (a 100M-packet run would otherwise pin GBs forever)
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/stream-out.parquet"))
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/stream-ckpt"))
+    // streaming DEFRAG-convert parity row (round-13 verdict #3): landing
+    // → stateful back-fill (s07's flatMapGroupsWithState operator) →
+    // parquet sink under AvailableNow. Emits the 11-column patched
+    // projection (the defrag state machine's schema), so the number is
+    // the stateful-defrag path's throughput, tracked next to batch
+    // convert and the plain stream convert above.
+    def streamDefragOnce(): Double = {
+      val sOut = s"$dir/sdefrag-out.parquet"
+      val sCkpt = s"$dir/sdefrag-ckpt"
+      graft.TempCleanup.rmrf(new java.io.File(sOut))
+      graft.TempCleanup.rmrf(new java.io.File(sCkpt))
+      time {
+        val src = spark.readStream.format("pcap")
+          .option("decodePartitions", streamShards)
+          .load(s"$dir/cap*.pcap")
+        val q = graft.streaming.StreamingDefrag.defragStateful(
+            graft.streaming.StreamingDefrag.project(src))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", sOut)
+          .option("checkpointLocation", sCkpt)
+          .option("compression", "zstd")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }._1
+    }
+    val tStreamDefrag = (1 to 2).map(_ => streamDefragOnce()).min
+    val streamDefragRate = (total / tStreamDefrag).toLong
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/sdefrag-out.parquet"))
+    graft.TempCleanup.rmrf(new java.io.File(s"$dir/sdefrag-ckpt"))
     // the production path (PcapConvert.run with auto cache: at bench sizes
     // the parsed table fits, so defrag's extra passes hit the cache);
     // best-of-2 — this machine's run-to-run variance is ±2×
@@ -179,69 +253,6 @@ object BenchPcap {
     val tSliceRow = slice(columnar = false)
     val sliceColRate = (total / tSliceCol).toLong
     val sliceRowRate = (total / tSliceRow).toLong
-    // streaming landing→convert (round-11 verdict #5): drain the same
-    // 8-file corpus through the multi-root streaming pcap source under
-    // Trigger.AvailableNow into the streaming parquet sink — the
-    // round-over-round perf signal for the streaming read path
-    // (composite offsets, admission control; round 12: stride-sharded
-    // per-file dissection, same knob as the batch scan — one task per
-    // file left 24 of 32 cores idle here).
-    val streamShards = math.max(1, math.min(1024,
-      math.ceil(cpus.toDouble / files).toInt))
-    def streamOnce(): Double = {
-      val sOut = s"$dir/stream-out.parquet"
-      val sCkpt = s"$dir/stream-ckpt"
-      graft.TempCleanup.rmrf(new java.io.File(sOut))
-      graft.TempCleanup.rmrf(new java.io.File(sCkpt))
-      time {
-        val q = spark.readStream.format("pcap")
-          .option("decodePartitions", streamShards)
-          .load(s"$dir/cap*.pcap")
-          .writeStream.format("parquet")
-          .option("path", sOut)
-          .option("checkpointLocation", sCkpt)
-          .option("compression", "zstd")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }._1
-    }
-    val tStream = (1 to 2).map(_ => streamOnce()).min
-    val streamRate = (total / tStream).toLong
-    // the streamed output is RAM-backed (tmpfs) — drop it like the
-    // warmup's (a 100M-packet run would otherwise pin GBs forever)
-    graft.TempCleanup.rmrf(new java.io.File(s"$dir/stream-out.parquet"))
-    graft.TempCleanup.rmrf(new java.io.File(s"$dir/stream-ckpt"))
-    // streaming DEFRAG-convert parity row (round-13 verdict #3): landing
-    // → stateful back-fill (s07's flatMapGroupsWithState operator) →
-    // parquet sink under AvailableNow. Emits the 11-column patched
-    // projection (the defrag state machine's schema), so the number is
-    // the stateful-defrag path's throughput, tracked next to batch
-    // convert and the plain stream convert above.
-    def streamDefragOnce(): Double = {
-      val sOut = s"$dir/sdefrag-out.parquet"
-      val sCkpt = s"$dir/sdefrag-ckpt"
-      graft.TempCleanup.rmrf(new java.io.File(sOut))
-      graft.TempCleanup.rmrf(new java.io.File(sCkpt))
-      time {
-        val src = spark.readStream.format("pcap")
-          .option("decodePartitions", streamShards)
-          .load(s"$dir/cap*.pcap")
-        val q = graft.streaming.StreamingDefrag.defragStateful(
-            graft.streaming.StreamingDefrag.project(src))
-          .writeStream.outputMode("append").format("parquet")
-          .option("path", sOut)
-          .option("checkpointLocation", sCkpt)
-          .option("compression", "zstd")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }._1
-    }
-    val tStreamDefrag = (1 to 2).map(_ => streamDefragOnce()).min
-    val streamDefragRate = (total / tStreamDefrag).toLong
-    graft.TempCleanup.rmrf(new java.io.File(s"$dir/sdefrag-out.parquet"))
-    graft.TempCleanup.rmrf(new java.io.File(s"$dir/sdefrag-ckpt"))
     // stats+spill pass A/B (round-13 verdicts #1/#2): the observe +
     // ff-spill job alone, on the dissectGate=first-fragment scan (the
     // convert CLI's production shape since round 13) vs the ungated

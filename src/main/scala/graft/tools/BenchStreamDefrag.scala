@@ -14,8 +14,18 @@ package graft.tools
   * price of a second source scan per micro-batch — corpus-dependent,
   * measure on the traffic shape you mean to deploy on.
   *
+  * `--batch` (round 14) isolates the STATE OP: the projection is
+  * materialized to tmpfs parquet once (untimed), then the arms run the
+  * same transform in batch mode into a noop sink — no pcap parse, no
+  * state-store checkpointing, no zstd sink. The full streaming pipeline
+  * arms swing 26–137 s for identical code across sessions on this box
+  * (state-store + sink wall noise), far past an encoder-level effect;
+  * the batch arms are the resolvable instrument for the sentinel-vs-
+  * boxed question, and the streaming arms remain the end-to-end
+  * smoke/throughput row.
+  *
   * Usage: `runMain graft.tools.BenchStreamDefrag [fileGlob] [rounds]
-  * [--sorted|--bypass]`.
+  * [--sorted|--bypass|--batch]`.
   */
 object BenchStreamDefrag {
   def main(args: Array[String]): Unit = {
@@ -63,6 +73,7 @@ object BenchStreamDefrag {
       if (bypassAb) ("split", "plain")
       else if (sortedAb) ("sortless", "sorted")
       else ("sentinel", "boxed")
+    if (args.contains("--batch")) { batchAb(spark, glob, shards, rounds); return }
     run(armA = true); run(armA = false) // JIT warmup, discarded
     val (sl, so) = (Array.newBuilder[Double], Array.newBuilder[Double])
     (1 to rounds).foreach { r =>
@@ -77,6 +88,40 @@ object BenchStreamDefrag {
     System.err.println(f"[stream-defrag] ${names._1} best $ab%.2f s median $am%.2f s; " +
       f"${names._2} best $bb%.2f s median $bm%.2f s")
     println(f"""{"metric":"stream_defrag_ab","a":"${names._1}","b":"${names._2}","a_best_s":$ab%.3f,"a_median_s":$am%.3f,"b_best_s":$bb%.3f,"b_median_s":$bm%.3f,"glob":"$glob"}""")
+    spark.stop()
+  }
+
+  /** `--batch`: sentinel vs boxed over a pre-materialized projection in
+    * batch mode — the state op alone, noop sink. See the class doc.
+    */
+  private def batchAb(spark: org.apache.spark.sql.SparkSession,
+      glob: String, shards: Int, rounds: Int): Unit = {
+    val D = graft.streaming.StreamingDefrag
+    val proj = s"${graft.BenchEnv.pcapCorpusDir()}/sdefrag-batch-proj.parquet"
+    if (!new java.io.File(proj, "_SUCCESS").exists()) {
+      D.project(spark.read.format("pcap").option("decodePartitions", shards)
+        .load(glob)).write.mode("overwrite").parquet(proj)
+    }
+    val projected = spark.read.parquet(proj)
+    def arm(sentinel: Boolean): Double = {
+      val t0 = System.nanoTime()
+      D.defragStateful(projected, sortless = true, sentinel = sentinel)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    arm(true); arm(false) // JIT warmup, discarded
+    val (sa, sb) = (Array.newBuilder[Double], Array.newBuilder[Double])
+    (1 to rounds).foreach { r =>
+      val a = arm(true); val b = arm(false)
+      sa += a; sb += b
+      System.err.println(
+        f"[stream-defrag --batch] round $r: sentinel $a%.2f s, boxed $b%.2f s")
+    }
+    val (ab, am) = graft.BenchEnv.bestMedian(sa.result())
+    val (bb, bm) = graft.BenchEnv.bestMedian(sb.result())
+    System.err.println(f"[stream-defrag --batch] sentinel best $ab%.2f s " +
+      f"median $am%.2f s; boxed best $bb%.2f s median $bm%.2f s")
+    println(f"""{"metric":"stream_defrag_batch_ab","sentinel_best_s":$ab%.3f,"sentinel_median_s":$am%.3f,"boxed_best_s":$bb%.3f,"boxed_median_s":$bm%.3f,"glob":"$glob"}""")
     spark.stop()
   }
 }
