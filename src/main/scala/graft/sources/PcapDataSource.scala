@@ -200,7 +200,7 @@ final class PcapScan(
     // composite offset (see PcapMicroBatchStream).
     new PcapMicroBatchStream(paths, required, refCompat, checkpointLocation,
       maxFilesPerTrigger, filters, withBytes, strictLanding, retiredRoots,
-      decodePartitions)
+      decodePartitions, frameIndex)
   }
   override def description(): String =
     s"PcapScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")}" +
@@ -225,19 +225,8 @@ final class PcapScan(
     // sidecar appearing mid-scan and double- or drop-read frames). For
     // many small files leave decodePartitions at 1 — per-file pipelining
     // already saturates.
-    files.sorted.flatMap { f =>
-      val ranged =
-        if (decodePartitions > 1 && frameIndex)
-          graft.pcapio.FrameIndex.read(new Path(f), hconf)
-            .flatMap(graft.pcapio.FrameIndex.ranges(_, decodePartitions))
-        else None
-      ranged match {
-        case Some(rs) => rs.zipWithIndex.map { case ((s, e), i) =>
-          PcapInputPartition(f, i, decodePartitions, s, e): InputPartition }
-        case None => (0 until decodePartitions).map(i =>
-          PcapInputPartition(f, i, decodePartitions): InputPartition)
-      }
-    }.toArray
+    files.sorted.flatMap(f =>
+      PcapShardPlan(f, decodePartitions, frameIndex, hconf)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -290,6 +279,37 @@ private[graft] object PcapFileEnum {
 final case class PcapInputPartition(
     file: String, shard: Int = 0, nShards: Int = 1,
     rangeStart: Long = -1L, rangeEnd: Long = -1L) extends InputPartition
+
+/** THE one shard-layout decision, shared by the batch planner and the
+  * streaming `planInputPartitions` (drifting hand copies here would let
+  * the two paths disagree on a file's decomposition): sidecar-planned
+  * contiguous byte ranges when a valid [[graft.pcapio.FrameIndex]]
+  * exists and can cut n real ranges, classic stride otherwise. Always
+  * driver-side — every reader of one file sees one consistent layout.
+  *
+  * Streaming replay safety: the committed offset fixes the FILE set; the
+  * shard decomposition is an execution detail BELOW the commit
+  * granularity, and both layouts read exactly the file's full frame
+  * multiset (spec-pinned), so a sidecar appearing between a batch's
+  * original attempt and its replay changes task boundaries, never rows —
+  * the file sink commits whole batches, so output stays exactly-once.
+  */
+private[sources] object PcapShardPlan {
+  def apply(file: String, decodePartitions: Int, frameIndex: Boolean,
+      hconf: Configuration): Seq[InputPartition] = {
+    val ranged =
+      if (decodePartitions > 1 && frameIndex)
+        graft.pcapio.FrameIndex.read(new Path(file), hconf)
+          .flatMap(graft.pcapio.FrameIndex.ranges(_, decodePartitions))
+      else None
+    ranged match {
+      case Some(rs) => rs.zipWithIndex.map { case ((s, e), i) =>
+        PcapInputPartition(file, i, decodePartitions, s, e): InputPartition }
+      case None => (0 until decodePartitions).map(i =>
+        PcapInputPartition(file, i, decodePartitions): InputPartition)
+    }
+  }
+}
 
 final case class PcapReaderFactory(
     conf: SerializableConfiguration,

@@ -62,8 +62,15 @@ final class PcapMicroBatchStream(
     /** Stride shards per admitted file (round 12): splits each file's
       * dissection across N reader tasks WITHIN its planned batch. Pure
       * execution parallelism — offsets, watermarks, and admission stay
-      * per-file, and replay regenerates the identical shard set. */
-    decodePartitions: Int = 1)
+      * per-file. Round 14: when a frame-index sidecar exists the shards
+      * become contiguous byte ranges ([[PcapShardPlan]]); replay may
+      * therefore regenerate a DIFFERENT decomposition than the original
+      * attempt (a sidecar appeared in between), which is safe — the
+      * committed offset fixes the file set, both layouts read exactly
+      * the file's frame multiset (spec-pinned), and the file sink
+      * commits whole batches. */
+    decodePartitions: Int = 1,
+    frameIndex: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   require(paths.nonEmpty, "pcap streaming needs at least one landing root")
@@ -296,13 +303,15 @@ final class PcapMicroBatchStream(
           "landing contract was violated; refusing to replay a different " +
           "batch than was committed")
       files.flatMap(f =>
-        (0 until decodePartitions).map(i =>
-          PcapInputPartition(f, i, decodePartitions): InputPartition))
+        PcapShardPlan(f, decodePartitions, frameIndex, hconf))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PcapReaderFactory(serConf, required, refCompat, filters, withBytes)
+    // buildIndex: stride shard 0 of a sidecar-less file writes one, so a
+    // replay (or a later batch job over the same landing) range-shards
+    PcapReaderFactory(serConf, required, refCompat, filters, withBytes,
+      buildIndex = frameIndex)
 
   override def stop(): Unit = ()
 }

@@ -135,6 +135,14 @@ final class PcapDataWriter(
   private val fs = finalPath.getFileSystem(conf)
   private val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
   private var wroteHeader = false
+  // frame-index sidecar, built for free as we write (round 14): the
+  // writer knows every record offset exactly, so the output is
+  // range-shardable on its very first sharded read. Legacy format only
+  // (pcapng is stateful — the reader never range-seeks it); skipped for
+  // files too small to ever cut ranges.
+  private var pos = 24L // global header
+  private var nFrames = 0L
+  private val idxOffsets = new scala.collection.mutable.ArrayBuffer[Long](64)
 
   private def le32(v: Int): Unit = {
     out.write(v & 0xff); out.write((v >>> 8) & 0xff)
@@ -159,6 +167,9 @@ final class PcapDataWriter(
     val orig =
       if (lenIdx >= 0 && !row.isNullAt(lenIdx)) row.getLong(lenIdx).toInt
       else bytes.length
+    if (nFrames % graft.pcapio.FrameIndex.Stride == 0) idxOffsets += pos
+    nFrames += 1
+    pos += 16L + bytes.length
     le32(Math.floorDiv(micros, 1000000L).toInt)
     le32(Math.floorMod(micros, 1000000L).toInt)
     le32(bytes.length)
@@ -171,6 +182,10 @@ final class PcapDataWriter(
     out.close()
     if (!fs.rename(tmpPath, finalPath))
       throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
+    // the sidecar only helps once it can cut >1 range — tiny outputs skip
+    if (idxOffsets.length >= 2)
+      graft.pcapio.FrameIndex.write(finalPath, graft.pcapio.FrameIndex.Index(
+        pos, nFrames, graft.pcapio.FrameIndex.Stride, idxOffsets.toArray), conf)
     PcapCommitMessage(finalPath.toString)
   }
 

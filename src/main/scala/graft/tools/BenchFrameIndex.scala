@@ -15,16 +15,23 @@ package graft.tools
   * (framing share smaller, win smaller). A warmup stride pass builds the
   * sidecars; the stride arm then disables them via the option.
   *
-  * Usage: `runMain graft.tools.BenchFrameIndex [fileGlob] [rounds]`.
+  * `--stream` (round 14, streaming range shards): arms become the
+  * STREAMING read — landing → L3-pruned projection → parquet sink under
+  * AvailableNow — stride vs sidecar ranges (the streaming source plans
+  * through the same PcapShardPlan since round 14).
+  *
+  * Usage: `runMain graft.tools.BenchFrameIndex [fileGlob] [rounds] [--stream]`.
   */
 object BenchFrameIndex {
   def main(args: Array[String]): Unit = {
     val dir = graft.BenchEnv.pcapCorpusDir()
-    val glob = args.headOption.getOrElse(s"$dir/*.pcap")
-    val rounds = if (args.length > 1) args(1).toInt else 3
+    val pos = args.filterNot(_.startsWith("--"))
+    val glob = pos.headOption.getOrElse(s"$dir/*.pcap")
+    val rounds = if (pos.length > 1) pos(1).toInt else 3
     val spark = graft.BenchEnv.abSession()
     import org.apache.spark.sql.functions._
     val shards = graft.BenchEnv.pcapShards(spark, glob)
+    if (args.contains("--stream")) { streamAb(spark, dir, glob, shards, rounds); return }
 
     def scan(useIndex: Boolean) = spark.read.format("pcap")
       .option("decodePartitions", shards)
@@ -64,6 +71,57 @@ object BenchFrameIndex {
       f"$rb%.2f/$rm%.2f s (${sm / rm}%.2fx); full stride $fsb%.2f/$fsm%.2f s " +
       f"vs range $frb%.2f/$frm%.2f s (${fsm / frm}%.2fx)")
     println(f"""{"metric":"frame_index_ab","l3_stride_best_s":$sb%.3f,"l3_stride_median_s":$sm%.3f,"l3_range_best_s":$rb%.3f,"l3_range_median_s":$rm%.3f,"full_stride_best_s":$fsb%.3f,"full_stride_median_s":$fsm%.3f,"full_range_best_s":$frb%.3f,"full_range_median_s":$frm%.3f,"shards":$shards,"glob":"$glob"}""")
+    spark.stop()
+  }
+
+  /** `--stream`: stride vs range on the STREAMING read (see class doc).
+    * Requires sidecars to exist (run the default mode once, or any
+    * sharded batch read of the corpus).
+    */
+  private def streamAb(spark: org.apache.spark.sql.SparkSession,
+      dir: String, glob: String, shards: Int, rounds: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(graft.sources.PcapFileEnum
+      .list(Seq(glob), spark.sessionState.newHadoopConf())
+      .forall(f => graft.pcapio.FrameIndex
+        .read(new org.apache.hadoop.fs.Path(f),
+          spark.sessionState.newHadoopConf()).isDefined),
+      "--stream needs sidecars: run the default mode (or a sharded batch read) first")
+    def arm(useIndex: Boolean): Double = {
+      val out = s"$dir/fidx-stream-out.parquet"
+      val ckpt = s"$dir/fidx-stream-ckpt"
+      graft.TempCleanup.rmrf(new java.io.File(out))
+      graft.TempCleanup.rmrf(new java.io.File(ckpt))
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("pcap")
+        .option("decodePartitions", shards)
+        .option("frameIndex", useIndex).load(glob)
+        .select(col("frame_time"), col("ip_src"), col("ip_dst"),
+          col("ip_proto"), col("ip_id"), col("ip_frag_offset"), col("ip_mf"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .option("compression", "zstd")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.TempCleanup.rmrf(new java.io.File(out))
+      graft.TempCleanup.rmrf(new java.io.File(ckpt))
+      t
+    }
+    arm(true); arm(false) // JIT warmup, discarded
+    val (ra, rb) = (Array.newBuilder[Double], Array.newBuilder[Double])
+    (1 to rounds).foreach { r =>
+      val a = arm(useIndex = true); val b = arm(useIndex = false)
+      ra += a; rb += b
+      System.err.println(
+        f"[frame-index --stream] round $r: range $a%.2f s, stride $b%.2f s")
+    }
+    val (ab, am) = graft.BenchEnv.bestMedian(ra.result())
+    val (bb, bm) = graft.BenchEnv.bestMedian(rb.result())
+    System.err.println(f"[frame-index --stream] range best $ab%.2f s median " +
+      f"$am%.2f s; stride best $bb%.2f s median $bm%.2f s (${bm / am}%.2fx)")
+    println(f"""{"metric":"frame_index_stream_ab","range_best_s":$ab%.3f,"range_median_s":$am%.3f,"stride_best_s":$bb%.3f,"stride_median_s":$bm%.3f,"shards":$shards,"glob":"$glob"}""")
     spark.stop()
   }
 }

@@ -406,6 +406,46 @@ class PcapDataSourceSpec extends SparkFunSuite {
       spark.sessionState.newHadoopConf()).isEmpty)
   }
 
+  test("pcap write emits an exact frame-index sidecar; the output range-shards on first read") {
+    // the writer knows every record offset, so its sidecar is exact and
+    // free — a written landing is range-shardable without ever paying a
+    // stride pass
+    val srcDir = Files.createTempDirectory("fidx_w_src")
+    val src = srcDir.resolve("src.pcap").toString
+    graft.spark.PcapGen.write(src, 20000, 1700000000000000L)
+    val outDir = Files.createTempDirectory("fidx_w_out").toString + "/out"
+    spark.read.format("pcap").option("bytes", "true").load(src)
+      .coalesce(1)
+      .write.format("pcap").mode("append").save(outDir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val part = graft.sources.PcapFileEnum.list(Seq(outDir), hconf)
+    assert(part.size == 1)
+    val idx = graft.pcapio.FrameIndex.read(
+      new org.apache.hadoop.fs.Path(part.head), hconf)
+    assert(idx.isDefined, "writer should emit the sidecar")
+    assert(idx.get.frameCount == 20000L)
+    // 20000 frames / 8192 stride = 3 offsets → 2 ranges max
+    val parts = new graft.sources.PcapScan(Seq(part.head),
+      graft.core.PacketSchema.schema, refCompat = false,
+      decodePartitions = 2).planInputPartitions()
+    assert(parts.length == 2 && parts.forall(
+      _.asInstanceOf[graft.sources.PcapInputPartition].rangeStart >= 0))
+    // range-sharded read of the written file ≡ plain read of the source
+    val a = spark.read.format("pcap").option("decodePartitions", 2)
+      .load(part.head).orderBy("frame_time", "ip_id")
+      .drop("pcap_file").collect().toSeq
+    val b = spark.read.format("pcap").load(src)
+      .orderBy("frame_time", "ip_id").drop("pcap_file").collect().toSeq
+    assert(a == b)
+    // tiny outputs skip the sidecar (it could never cut >1 range)
+    val tinyOut = Files.createTempDirectory("fidx_w_tiny").toString + "/out"
+    spark.read.format("pcap").option("bytes", "true").load(src)
+      .limit(100).coalesce(1).write.format("pcap").mode("append").save(tinyOut)
+    val tinyPart = graft.sources.PcapFileEnum.list(Seq(tinyOut), hconf)
+    assert(graft.pcapio.FrameIndex.read(
+      new org.apache.hadoop.fs.Path(tinyPart.head), hconf).isEmpty)
+  }
+
   test("public dissectGate option refuses with a contract pointer (round-14 hardening)") {
     // the gate's NULL-for-ungated-rows semantics are a consumer contract
     // only the defrag stats pass satisfies; the shape cannot be checked

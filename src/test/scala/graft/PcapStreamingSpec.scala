@@ -71,6 +71,50 @@ class PcapStreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("frame-index ranges in streaming: a sidecar appearing between plan and replay reads the same rows (round 14)") {
+    // the committed offset fixes the FILE set; the shard decomposition
+    // is an execution detail below the commit granularity. A sidecar
+    // built after a batch's original (stride) attempt makes its replay
+    // plan RANGES — the row multiset must be identical, or an
+    // uncommitted-batch replay would not be exactly-once.
+    val root = Files.createTempDirectory("pcapfidx_stream")
+    val f = root.resolve("c1.pcap").toString
+    graft.spark.PcapGen.write(f, 50000, 1700000000000000L)
+    val hconf = spark.sessionState.newHadoopConf()
+    val listed = graft.sources.PcapFileEnum.list(Seq(root.toString), hconf)
+    assert(listed.size == 1)
+    val stream = new graft.sources.PcapMicroBatchStream(Seq(root.toString),
+      graft.core.PacketSchema.schema, refCompat = false,
+      checkpointLocation = root.resolve("ckpt").toString,
+      decodePartitions = 4)
+    val start = graft.sources.PcapOffset(root.toString, 0, "")
+    val end = graft.sources.PcapOffset(root.toString, 1, listed.head)
+    def readAll(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Seq[Long] = {
+      val factory = stream.createReaderFactory()
+      parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val b = Seq.newBuilder[Long]
+        while (r.next()) b += r.get().getLong(0)
+        r.close()
+        b.result()
+      }.toSeq.sorted
+    }
+    // original attempt: no sidecar → stride (and shard 0 builds one)
+    val parts1 = stream.planInputPartitions(start, end)
+    assert(parts1.forall(_.asInstanceOf[graft.sources.PcapInputPartition]
+      .rangeStart < 0), "expected stride partitions before any sidecar")
+    val rows1 = readAll(parts1)
+    assert(rows1.size == 50000)
+    assert(graft.pcapio.FrameIndex.read(
+      new org.apache.hadoop.fs.Path(f), hconf).isDefined,
+      "streaming stride shard 0 should have built the sidecar")
+    // replay of the SAME committed range: now plans ranges — same rows
+    val parts2 = stream.planInputPartitions(start, end)
+    assert(parts2.forall(_.asInstanceOf[graft.sources.PcapInputPartition]
+      .rangeStart >= 0), "expected range partitions once the sidecar exists")
+    assert(readAll(parts2) == rows1, "replay multiset diverged across layouts")
+  }
+
   test("AvailableNow honors admission control and survives an uncommitted-batch restart") {
     // VERDICT r6 #5: without SupportsTriggerAvailableNow the source fell
     // back to a SINGLE batch of everything under Trigger.AvailableNow —
