@@ -97,11 +97,14 @@ object BenchStreamDefrag {
   private def batchAb(spark: org.apache.spark.sql.SparkSession,
       glob: String, shards: Int, rounds: Int): Unit = {
     val D = graft.streaming.StreamingDefrag
+    // rebuilt per run (untimed) and registered for exit cleanup: a
+    // fixed reused path silently measured a STALE corpus when the glob
+    // or SPARK_GRAFT_PCAP_PACKETS changed, and pinned GBs of tmpfs
+    // forever (round-14 review finding)
     val proj = s"${graft.BenchEnv.pcapCorpusDir()}/sdefrag-batch-proj.parquet"
-    if (!new java.io.File(proj, "_SUCCESS").exists()) {
-      D.project(spark.read.format("pcap").option("decodePartitions", shards)
-        .load(glob)).write.mode("overwrite").parquet(proj)
-    }
+    graft.TempCleanup.registerDir(proj)
+    D.project(spark.read.format("pcap").option("decodePartitions", shards)
+      .load(glob)).write.mode("overwrite").parquet(proj)
     val projected = spark.read.parquet(proj)
     def arm(sentinel: Boolean): Double = {
       val t0 = System.nanoTime()

@@ -57,11 +57,13 @@ object StreamingDefragPickProps extends Properties("streaming-defrag-pick") {
       val df = rows.toDF()
       def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
         d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
-      // round 14: the default path is SENTINEL-CODED; boxed sortless and
-      // boxed sorted are the rounds-13/12 references — all three must
+      // round 14: the sentinel-coded path (opt-in — it changes the
+      // state schema, so the checkpoint-compatible boxed coding stays
+      // the default) vs boxed sortless vs boxed sorted — all three must
       // emit the same row multiset AND the same schema (the sentinel
       // path's when()-restore must reproduce the nullable types exactly)
-      val sentinelDf = StreamingDefrag.defragStateful(df, sortless = true)
+      val sentinelDf = StreamingDefrag.defragStateful(df, sortless = true,
+        sentinel = true)
       val boxedDf = StreamingDefrag.defragStateful(df, sortless = true,
         sentinel = false)
       val sentinel = canon(sentinelDf)
