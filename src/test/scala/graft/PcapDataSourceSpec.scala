@@ -406,6 +406,40 @@ class PcapDataSourceSpec extends SparkFunSuite {
       spark.sessionState.newHadoopConf()).isEmpty)
   }
 
+  test("corrupted/truncated sidecars are rejected and the stride path rebuilds them") {
+    // a torn or garbage .fidx must never reach the planner as ranges —
+    // FrameIndex.read validates magic/version/monotonicity/bounds and
+    // any read error resolves to None (stride fallback), after which
+    // shard 0 REPLACES the bad sidecar
+    val d = Files.createTempDirectory("fidx_corrupt")
+    val f = d.resolve("c.pcap").toString
+    graft.spark.PcapGen.write(f, 30000, 1700000000000000L)
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(f)
+    val plain = spark.read.format("pcap").load(f)
+      .orderBy("frame_time", "ip_id").collect().toSeq
+    def sidecar = d.resolve(".fidx").resolve("c.pcap.fidx")
+    for (garbage <- Seq(
+        Array[Byte](1, 2, 3), // truncated mid-header
+        Array.fill[Byte](64)(0x5a), // wrong magic
+        // right magic+version, monotonicity violated in the offsets
+        java.nio.ByteBuffer.allocate(48)
+          .putInt(0x46494458).putInt(1).putLong(9999999L).putLong(30000L)
+          .putInt(8192).putInt(2).putLong(24L).putLong(10L).array())) {
+      java.nio.file.Files.createDirectories(sidecar.getParent)
+      Files.write(sidecar, garbage)
+      assert(graft.pcapio.FrameIndex.read(p, hconf).isEmpty,
+        s"garbage sidecar of ${garbage.length} bytes validated")
+      // the scan still reads correctly (stride) and rebuilds the sidecar
+      assert(spark.read.format("pcap").option("decodePartitions", 3)
+        .load(f).orderBy("frame_time", "ip_id").collect().toSeq == plain)
+      val rebuilt = graft.pcapio.FrameIndex.read(p, hconf)
+      assert(rebuilt.isDefined && rebuilt.get.frameCount == 30000L,
+        "bad sidecar should be replaced by the next stride read")
+      java.nio.file.Files.delete(sidecar)
+    }
+  }
+
   test("pcap write emits an exact frame-index sidecar; the output range-shards on first read") {
     // the writer knows every record offset, so its sidecar is exact and
     // free — a written landing is range-shardable without ever paying a
