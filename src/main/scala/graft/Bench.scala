@@ -47,6 +47,34 @@ object Bench {
     // JVM/codegen warmup so the first timed query doesn't absorb startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // NOISY-BOX CALIBRATION (round-15 verdict #2): this box's run-to-run
+    // variance is ±2× under external load, and BENCH_r14 recorded a
+    // uniform ~2× inflation that took an hour to adjudicate. A
+    // fixed-work CPU-bound row (no IO, no shuffle) timed at start and
+    // end, plus /proc/loadavg at both ends, makes a loaded box
+    // self-evident in the artifact: compare `calibration` across rounds
+    // first — if it moved, scale (or discount) the query deltas by it.
+    def loadavg(): String = try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .trim.split("\\s+")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Throwable => "[]" }
+    def calibrate(): Double = {
+      // bounded terms: sum(id*id) would overflow BIGINT under ANSI
+      def work(): Unit =
+        spark.range(1L << 28).selectExpr("sum(id % 1048573)").collect(): Unit
+      work() // discarded: the start sample must not absorb codegen JIT
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        work()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1) // median of 3
+    }
+    val loadStart = loadavg()
+    val calStart = calibrate()
+    System.err.println(f"[bench] calibration(start) $calStart%.3f s, loadavg $loadStart")
+
     /** (best, median) of `iters` full materializations of a fresh build. */
     def timeN(build: () => org.apache.spark.sql.DataFrame): (Double, Double) = {
       val ts = (1 to iters).map { _ =>
@@ -478,14 +506,18 @@ object Bench {
     val total = ok.map(_._2).sum
     val totalMedian = ok.map(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"failed":$failedJson,"queries":$qs,"queries_stats":$stats,"sf":"$sfDir"}"""
+    val calEnd = calibrate()
+    val loadEnd = loadavg()
+    System.err.println(f"[bench] calibration(end) $calEnd%.3f s, loadavg $loadEnd")
+    val noise = f""""calibration":{"start_s":$calStart%.3f,"end_s":$calEnd%.3f},"loadavg":{"start":$loadStart,"end":$loadEnd}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,$noise,"failed":$failedJson,"queries":$qs,"queries_stats":$stats,"sf":"$sfDir"}"""
     // the driver keeps only the LAST ~2000 chars of output and parses
     // a JSON line within them (round-7: the single full line had grown
     // past that, so its head was clipped and `parsed` came back null).
     // So the FULL line (with per-query {best, median, n}) goes first —
     // and to the sidecar file — and the FINAL line is a compact
     // tail-proof summary that always fits whole inside any sane tail.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,$noise,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")

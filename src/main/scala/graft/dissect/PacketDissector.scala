@@ -162,6 +162,22 @@ object PacketDissector {
     * packets — the bounds-checked parser has no organic way to throw.
     * Suites run sequentially in the forked test JVM; always reset in a
     * finally.
+    *
+    * DOCUMENTED ASYMMETRY under an injected fault (round-15 ADVICE): a
+    * row VETOED by a pushed L3 filter never resumes, so its would-be L7
+    * throw never fires — the staged scan drops it on the pre-fault L3
+    * values, while a direct full dissection would throw first, reset to
+    * base-frame fields (NULL L3, errors=1) and then be filtered on the
+    * RESET row, which an IS-NULL-shaped filter could admit; error
+    * metrics differ by the same rows. This is inherent to staging (the
+    * veto exists precisely to skip the stage that would throw) and is
+    * unreachable organically: the parser is bounds-checked never-throw,
+    * so only this hook can create the divergence. The staged≡direct
+    * fault property therefore quantifies over rows that REACH resume —
+    * extending it to vetoed rows would require running the very stage
+    * the veto exists to skip. Spark always re-applies pushed filters
+    * above the scan, so the asymmetry can only DROP a fault-reset row,
+    * never emit a wrong one.
     */
   @volatile private[graft] var l7FaultHook: () => Unit = null
 

@@ -37,7 +37,25 @@ import org.apache.hadoop.fs.Path
   */
 object FrameIndex {
   private val Magic = 0x46494458 // "FIDX"
-  private val Version = 1
+  // v2 (round 15, ADVICE): appends a CRC32 over header + offsets — a
+  // corrupted offset that stays monotone and in-range would otherwise
+  // pass validation and seek a range to a non-frame boundary, where the
+  // Sane framer stops quietly (silent frame loss). v1 sidecars fail the
+  // version check → None → rebuilt on the next stride scan.
+  private val Version = 2
+
+  /** CRC32 over the header fields and every offset, little pieces fed
+    * as longs — the integrity check [[read]] enforces and [[write]]
+    * appends.
+    */
+  private def crcOf(idx: Index): Long = {
+    val crc = new java.util.zip.CRC32
+    val buf = java.nio.ByteBuffer.allocate(8 * (idx.offsets.length + 3))
+    buf.putLong(idx.fileLen).putLong(idx.frameCount).putLong(idx.stride.toLong)
+    idx.offsets.foreach(buf.putLong)
+    crc.update(buf.array(), 0, buf.position())
+    crc.getValue
+  }
 
   /** Frames per recorded offset: 8Ki frames ≈ 1 MiB of 128 B packets —
     * fine enough that range skew is ≪1% on any file big enough to shard,
@@ -76,7 +94,9 @@ object FrameIndex {
         mono = offsets(i)
         i += 1
       }
-      Some(Index(fileLen, frameCount, stride, offsets))
+      val idx = Index(fileLen, frameCount, stride, offsets)
+      if (in.readLong() != crcOf(idx)) return None // corrupted content
+      Some(idx)
     } finally in.close()
   } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -96,6 +116,7 @@ object FrameIndex {
       out.writeLong(idx.fileLen); out.writeLong(idx.frameCount)
       out.writeInt(idx.stride); out.writeInt(idx.offsets.length)
       idx.offsets.foreach(out.writeLong)
+      out.writeLong(crcOf(idx))
     } finally out.close()
     if (!fs.rename(tmp, sp)) {
       // local FS refuses rename onto an existing destination — a STALE
@@ -116,12 +137,18 @@ object FrameIndex {
     val bounds = new Array[Long](n + 1)
     bounds(0) = idx.offsets(0)
     bounds(n) = idx.fileLen
+    // cut indices are STRICTLY increasing (round 15, ADVICE): a rounded
+    // cut landing on its predecessor's offset would yield a zero-byte
+    // range — correct but an idle shard. offsets.length >= n guarantees
+    // room: clamp up to prevJ+1 and down so the remaining cuts still fit.
     var i = 1
+    var prevJ = 0
     while (i < n) {
       val targetFrame = i.toDouble * idx.frameCount / n
-      val j = math.min(idx.offsets.length - 1,
-        math.round(targetFrame / idx.stride).toInt)
+      val j = math.min(idx.offsets.length - (n - i),
+        math.max(prevJ + 1, math.round(targetFrame / idx.stride).toInt))
       bounds(i) = idx.offsets(j)
+      prevJ = j
       i += 1
     }
     Some(Array.tabulate(n)(k => (bounds(k), bounds(k + 1))))

@@ -16,6 +16,15 @@ package graft.tools
   * verdict: build the operator only if the gap is ≥15% of the join arm.
   *
   * Usage: `runMain graft.tools.BenchRebatchBound [fileGlob] [rounds]`.
+  *
+  * LOCAL-MODE ASSUMPTION (round-15 ADVICE): arm 3 toggles the probe
+  * memo via the `graft.patch.noMemo` system property, which readers
+  * sample in their constructors — driver and executors share one JVM
+  * under local[*], so the toggle propagates. On a real cluster both
+  * arms would measure the memoized path; this instrument (like every
+  * interleaved A/B here) is a single-box measurement tool, not cluster
+  * tooling, and the shipped path never reads the flag in production
+  * (memo on, pinned ≡ memo-less by DefragProps).
   */
 object BenchRebatchBound {
   def main(args: Array[String]): Unit = {

@@ -41,7 +41,10 @@ object FrameIndexProps extends Properties("frame-index") {
             case _ => true
           }
           val bounds = rs.head._1 == idx.offsets.head && rs.last._2 == idx.fileLen
-          val monotone = rs.forall { case (s, e) => s <= e }
+          // STRICT: a zero-byte range is an idle shard (round-15 ADVICE —
+          // round(target/stride) could duplicate adjacent bounds when n
+          // approached offsets.length)
+          val monotone = rs.forall { case (s, e) => s < e }
           val aligned = rs.forall { case (s, _) =>
             s == idx.fileLen || idx.offsets.contains(s) }
           Prop(rs.length == n && contiguous && bounds && monotone && aligned) :|

@@ -438,6 +438,29 @@ class PcapDataSourceSpec extends SparkFunSuite {
         "bad sidecar should be replaced by the next stride read")
       java.nio.file.Files.delete(sidecar)
     }
+    // round-15 ADVICE: a corrupted offset that stays MONOTONE and
+    // IN-RANGE passed v1's structural checks — a range seeking to a
+    // non-frame boundary makes the Sane framer stop quietly (silent
+    // frame loss). v2's CRC catches it: bit-flip one offset of a valid
+    // sidecar (keeping monotonicity) and the read must reject.
+    assert(spark.read.format("pcap").option("decodePartitions", 3)
+      .load(f).count() == 30000L) // (re)build a valid v2 sidecar
+    val valid = Files.readAllBytes(sidecar)
+    val tampered = valid.clone()
+    // layout: int magic, int version, long fileLen, long frameCount,
+    // int stride, int n, then n longs — nudge offsets[1]'s low byte
+    val off1Low = 4 + 4 + 8 + 8 + 4 + 4 + 8 + 7
+    tampered(off1Low) = (tampered(off1Low) + 4).toByte
+    Files.write(sidecar, tampered)
+    assert(tampered.toSeq != valid.toSeq &&
+      graft.pcapio.FrameIndex.read(p, hconf).isEmpty,
+      "monotone in-range corruption must fail the CRC")
+    // and the legacy v1 format (no CRC) is rejected by the version check
+    val v1 = valid.clone()
+    v1(7) = 1 // version int's low byte
+    Files.write(sidecar, java.util.Arrays.copyOf(v1, v1.length - 8))
+    assert(graft.pcapio.FrameIndex.read(p, hconf).isEmpty,
+      "v1 sidecars must not validate")
   }
 
   test("pcap write emits an exact frame-index sidecar; the output range-shards on first read") {
