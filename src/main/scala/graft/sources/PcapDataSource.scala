@@ -274,11 +274,14 @@ private[graft] object PcapFileEnum {
 
 /** `rangeStart/rangeEnd >= 0` = a frame-aligned contiguous byte range
   * from a [[graft.pcapio.FrameIndex]] sidecar (the reader seeks instead
-  * of striding); `-1` = classic `frameIdx % nShards` stride.
+  * of striding); `-1` = classic `frameIdx % nShards` stride. For pcapng
+  * ranges, `ngState` carries the sidecar's section-state snapshot at
+  * `rangeStart` (round 15); null = legacy range or stride.
   */
 final case class PcapInputPartition(
     file: String, shard: Int = 0, nShards: Int = 1,
-    rangeStart: Long = -1L, rangeEnd: Long = -1L) extends InputPartition
+    rangeStart: Long = -1L, rangeEnd: Long = -1L,
+    ngState: graft.pcapio.PcapFramer.NgState = null) extends InputPartition
 
 /** THE one shard-layout decision, shared by the batch planner and the
   * streaming `planInputPartitions` (drifting hand copies here would let
@@ -299,12 +302,20 @@ private[sources] object PcapShardPlan {
       hconf: Configuration): Seq[InputPartition] = {
     val ranged =
       if (decodePartitions > 1 && frameIndex)
-        graft.pcapio.FrameIndex.read(new Path(file), hconf)
-          .flatMap(graft.pcapio.FrameIndex.ranges(_, decodePartitions))
+        graft.pcapio.FrameIndex.read(new Path(file), hconf).flatMap { idx =>
+          graft.pcapio.FrameIndex.cutIndices(idx, decodePartitions)
+            .map(cuts => (idx, cuts))
+        }
       else None
     ranged match {
-      case Some(rs) => rs.zipWithIndex.map { case ((s, e), i) =>
-        PcapInputPartition(file, i, decodePartitions, s, e): InputPartition }
+      case Some((idx, cuts)) =>
+        val n = cuts.length
+        (0 until n).map { k =>
+          val start = idx.offsets(cuts(k))
+          val end = if (k == n - 1) idx.fileLen else idx.offsets(cuts(k + 1))
+          val st = if (idx.isNg) idx.stateAt(cuts(k)) else null
+          PcapInputPartition(file, k, n, start, end, st): InputPartition
+        }
       case None => (0 until decodePartitions).map(i =>
         PcapInputPartition(file, i, decodePartitions): InputPartition)
     }
@@ -328,7 +339,8 @@ final case class PcapReaderFactory(
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapPartitionReader(pp.file,
       conf.value, required, refCompat, filters, withBytes, pp.shard, pp.nShards,
-      metrics, ffGate, patch, pp.rangeStart, pp.rangeEnd, buildIndex)
+      metrics, ffGate, patch, pp.rangeStart, pp.rangeEnd, buildIndex,
+      pp.ngState)
   }
 
   /** COLUMNAR scan path (round-9 verdict #5): the dissector's unboxed
@@ -350,7 +362,7 @@ final case class PcapReaderFactory(
     val pp = p.asInstanceOf[PcapInputPartition]
     new PcapColumnarReader(pp.file, conf.value, required, refCompat,
       filters, pp.shard, pp.nShards, metrics, ffGate, patch,
-      pp.rangeStart, pp.rangeEnd, buildIndex)
+      pp.rangeStart, pp.rangeEnd, buildIndex, pp.ngState)
   }
 }
 
@@ -369,17 +381,21 @@ private[sources] object PcapReaderOpen {
       var idxBuilder: FrameIndex.Builder,
       val path: Path,
       val conf: Configuration) {
-    private var legacyChecked = false
+    private var containerChecked = false
+    private var ng = false
     /** Call right after each frames.next(): feeds the sidecar builder
-      * (whole-file mode only; dropped on the first non-legacy frame —
-      * pcapng is stateful, its offsets can't be seeked to).
+      * (whole-file mode only). Legacy records bare offsets; pcapng
+      * (round 15) records offsets + section-state snapshots so ranges
+      * can resume mid-section.
       */
     @inline def record(): Unit = if (idxBuilder != null) {
-      if (!legacyChecked) {
-        legacyChecked = true
-        if (!frames.isLegacy) { idxBuilder = null; return }
+      if (!containerChecked) {
+        containerChecked = true
+        ng = !frames.isLegacy
+        if (ng) idxBuilder = new FrameIndex.Builder(idxBuilder.fileLen, ng = true)
       }
-      idxBuilder.record(frames.lastFrameStart)
+      if (ng) idxBuilder.recordNg(frames.lastFrameStart, frames.ngState)
+      else idxBuilder.record(frames.lastFrameStart)
     }
     /** Call when the framer is exhausted: writes the sidecar once. */
     def finish(): Unit = if (idxBuilder != null && !frames.hasNext) {
@@ -390,11 +406,17 @@ private[sources] object PcapReaderOpen {
 
   def apply(file: String, conf: Configuration, mode: PcapFramer.Mode,
       rangeStart: Long, rangeEnd: Long, shard: Int, nShards: Int,
-      buildIndex: Boolean): Opened = {
+      buildIndex: Boolean, ngState: PcapFramer.NgState = null): Opened = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val in = fs.open(path)
-    if (rangeStart >= 0L) {
+    if (rangeStart >= 0L && ngState != null) {
+      // pcapng range mode (round 15): seek to the sidecar-recorded block
+      // boundary and resume with its section-state snapshot
+      in.seek(rangeStart)
+      new Opened(in, PcapFramer.framesRangeNg(in, mode, ngState,
+        rangeEnd - rangeStart), ranged = true, null, path, conf)
+    } else if (rangeStart >= 0L) {
       // range mode: parse the legacy global header, seek to the
       // frame-aligned range start, frame exactly rangeEnd-rangeStart bytes
       val hdr = new Array[Byte](PcapFramer.LegacyHeaderLen)
@@ -480,7 +502,8 @@ final class PcapColumnarReader(
       DefragPatch.PatchMap]] = None,
     rangeStart: Long = -1L,
     rangeEnd: Long = -1L,
-    buildIndex: Boolean = false)
+    buildIndex: Boolean = false,
+    ngState: PcapFramer.NgState = null)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
@@ -488,7 +511,7 @@ final class PcapColumnarReader(
   private val mode: PcapFramer.Mode =
     if (refCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
   private val opened = PcapReaderOpen(file, conf, mode, rangeStart, rangeEnd,
-    shard, nShards, buildIndex)
+    shard, nShards, buildIndex, ngState)
   private val in = opened.in
   private val frames = opened.frames
   private val ranged = opened.ranged
@@ -671,13 +694,14 @@ final class PcapPartitionReader(
       DefragPatch.PatchMap]] = None,
     rangeStart: Long = -1L,
     rangeEnd: Long = -1L,
-    buildIndex: Boolean = false)
+    buildIndex: Boolean = false,
+    ngState: PcapFramer.NgState = null)
     extends PartitionReader[InternalRow] {
 
   private val mode: PcapFramer.Mode =
     if (refCompat) PcapFramer.ReferenceCompat else PcapFramer.Sane
   private val opened = PcapReaderOpen(file, conf, mode, rangeStart, rangeEnd,
-    shard, nShards, buildIndex)
+    shard, nShards, buildIndex, ngState)
   private val in = opened.in
   private val frames = opened.frames
   private val ranged = opened.ranged

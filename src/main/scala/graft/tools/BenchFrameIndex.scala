@@ -26,10 +26,16 @@ object BenchFrameIndex {
   def main(args: Array[String]): Unit = {
     val dir = graft.BenchEnv.pcapCorpusDir()
     val pos = args.filterNot(_.startsWith("--"))
-    val glob = pos.headOption.getOrElse(s"$dir/*.pcap")
+    val glob0 = pos.headOption.getOrElse(s"$dir/*.pcap")
     val rounds = if (pos.length > 1) pos(1).toInt else 3
     val spark = graft.BenchEnv.abSession()
     import org.apache.spark.sql.functions._
+    // --ng (round 15, verdict #4): same arms over a pcapng derivation of
+    // the corpus (one-time convert via the pcapng writer, cached next to
+    // the source with a staleness MANIFEST) — measures the stateful
+    // sidecar's range shards against stride re-framing
+    val glob = if (args.contains("--ng")) ngCorpus(spark, glob0) else glob0
+    val container = if (args.contains("--ng")) "pcapng" else "legacy"
     val shards = graft.BenchEnv.pcapShards(spark, glob)
     if (args.contains("--stream")) { streamAb(spark, dir, glob, shards, rounds); return }
 
@@ -70,8 +76,48 @@ object BenchFrameIndex {
     System.err.println(f"[frame-index] l3 stride $sb%.2f/$sm%.2f s vs range " +
       f"$rb%.2f/$rm%.2f s (${sm / rm}%.2fx); full stride $fsb%.2f/$fsm%.2f s " +
       f"vs range $frb%.2f/$frm%.2f s (${fsm / frm}%.2fx)")
-    println(f"""{"metric":"frame_index_ab","l3_stride_best_s":$sb%.3f,"l3_stride_median_s":$sm%.3f,"l3_range_best_s":$rb%.3f,"l3_range_median_s":$rm%.3f,"full_stride_best_s":$fsb%.3f,"full_stride_median_s":$fsm%.3f,"full_range_best_s":$frb%.3f,"full_range_median_s":$frm%.3f,"shards":$shards,"glob":"$glob"}""")
+    println(f"""{"metric":"frame_index_ab","l3_stride_best_s":$sb%.3f,"l3_stride_median_s":$sm%.3f,"l3_range_best_s":$rb%.3f,"l3_range_median_s":$rm%.3f,"full_stride_best_s":$fsb%.3f,"full_stride_median_s":$fsm%.3f,"full_range_best_s":$frb%.3f,"full_range_median_s":$frm%.3f,"shards":$shards,"container":"$container","glob":"$glob"}""")
     spark.stop()
+  }
+
+  /** One-time pcapng derivation of a legacy corpus (`--ng`): each source
+    * file converts byte-for-byte through the pcapng WRITER (SHB + lazy
+    * IDBs + EPBs) into `<parent>-ng/<base>.pcapng`; a MANIFEST of source
+    * names + lengths detects staleness. Returns the ng glob.
+    */
+  private def ngCorpus(spark: org.apache.spark.sql.SparkSession,
+      glob: String): String = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val files = graft.sources.PcapFileEnum.list(Seq(glob), hconf)
+    require(files.nonEmpty, s"--ng: no files under $glob")
+    val parent = new java.io.File(
+      new org.apache.hadoop.fs.Path(files.head).getParent.toUri.getPath)
+    val ngDir = new java.io.File(parent.getPath + "-ng")
+    val manifest = new java.io.File(ngDir, "MANIFEST")
+    val want = files.map(f => s"$f:${new java.io.File(
+      new org.apache.hadoop.fs.Path(f).toUri.getPath).length()}").mkString("\n")
+    val fresh = manifest.exists() &&
+      new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8") == want
+    if (!fresh) {
+      graft.TempCleanup.rmrf(ngDir)
+      ngDir.mkdirs()
+      files.foreach { f =>
+        val base = new org.apache.hadoop.fs.Path(f).getName
+          .stripSuffix(".pcap")
+        val tmp = new java.io.File(ngDir, s".conv-$base")
+        spark.read.format("pcap").option("bytes", "true").load(f)
+          .coalesce(1).write.format("pcap").option("format", "pcapng")
+          .mode("append").save(tmp.getPath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".pcapng"))
+        require(part.length == 1, s"--ng convert of $f produced ${part.length} parts")
+        require(part.head.renameTo(new java.io.File(ngDir, s"$base.pcapng")),
+          s"--ng: rename failed for $base")
+        graft.TempCleanup.rmrf(tmp)
+        System.err.println(s"[frame-index --ng] converted $f")
+      }
+      java.nio.file.Files.write(manifest.toPath, want.getBytes("UTF-8"))
+    }
+    s"${ngDir.getPath}/*.pcapng"
   }
 
   /** `--stream`: stride vs range on the STREAMING read (see class doc).

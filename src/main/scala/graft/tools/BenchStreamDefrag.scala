@@ -24,15 +24,26 @@ package graft.tools
   * boxed question, and the streaming arms remain the end-to-end
   * smoke/throughput row.
   *
+  * `--rocksdb` (round 15, verdict #5): both arms the SHIPPED transform
+  * (sentinel + sortless); arm A swaps the state store for the RocksDB
+  * provider with changelog checkpointing — the intended production
+  * store for exactly this groupByKey-heavy shape — vs the default
+  * HDFS-backed provider. Needs zero query changes; the provider conf is
+  * read per query start (fresh checkpoints per arm).
+  *
   * Usage: `runMain graft.tools.BenchStreamDefrag [fileGlob] [rounds]
-  * [--sorted|--bypass|--batch]`.
+  * [--sorted|--bypass|--batch|--rocksdb]`.
   */
 object BenchStreamDefrag {
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def main(args: Array[String]): Unit = {
     val dir = graft.BenchEnv.pcapCorpusDir()
     val pos = args.filterNot(_.startsWith("--"))
     val bypassAb = args.contains("--bypass")
     val sortedAb = args.contains("--sorted")
+    val rocksAb = args.contains("--rocksdb")
     val glob = pos.headOption.getOrElse(s"$dir/cap*.pcap")
     val rounds = if (pos.length > 1) pos(1).toInt else 3
     val spark = graft.BenchEnv.abSession()
@@ -44,6 +55,20 @@ object BenchStreamDefrag {
       val ckpt = s"$dir/sdefrag-ab-ckpt"
       graft.TempCleanup.rmrf(new java.io.File(out))
       graft.TempCleanup.rmrf(new java.io.File(ckpt))
+      if (rocksAb) {
+        // provider is read at query start; fresh checkpoint per arm so
+        // no StateSchemaNotCompatible/store-format carryover
+        if (armA) {
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            RocksDbProvider)
+          spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled", "true")
+        } else {
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          spark.conf.unset("spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled")
+        }
+      }
       val t0 = System.nanoTime()
       val src = spark.readStream.format("pcap")
         .option("decodePartitions", shards).load(glob)
@@ -55,6 +80,8 @@ object BenchStreamDefrag {
           else D.defragStateful(projected)
         else if (sortedAb) // round-13 A/B: boxed sortless vs boxed sorted
           D.defragStateful(projected, sortless = armA, sentinel = false)
+        else if (rocksAb) // round-15 A/B: state store, shipped transform
+          D.defragStateful(projected, sortless = true, sentinel = true)
         else // round-14 A/B: sentinel vs boxed sortless
           D.defragStateful(projected, sortless = true, sentinel = armA)
       val q = transformed
@@ -72,6 +99,7 @@ object BenchStreamDefrag {
     val names =
       if (bypassAb) ("split", "plain")
       else if (sortedAb) ("sortless", "sorted")
+      else if (rocksAb) ("rocksdb", "hdfs")
       else ("sentinel", "boxed")
     if (args.contains("--batch")) { batchAb(spark, glob, shards, rounds); return }
     run(armA = true); run(armA = false) // JIT warmup, discarded

@@ -54,7 +54,13 @@ object ScaleRehearsal {
         "d44_containment", "d07_simhash",
         "p01_prep_pipeline", "q56_peak_concurrency", "q59_equidepth_histogram",
         "e14_hybrid_rrf", "d51_scrub_bloom_gate",
-        "d53_dsir_select", "d54_k_anonymity", "q11_defrag_shape"))
+        "d53_dsir_select", "d54_k_anonymity", "q11_defrag_shape",
+        // round 15 (VERDICT #3): the remaining round-13/14 newcomers —
+        // d49's scrub regex ladder is linear per doc (pin it), d50's MMR
+        // shortlist² must stay corpus-independent, d52's spill-vs-lazy
+        // gate must still pick spill at 10× (its aux oracle replays the
+        // choice)
+        "d49_boilerplate_scrub", "d50_mmr_diversify", "d52_scrub_adaptive"))
       .map(_.trim).filter(_.nonEmpty)
     val localDir = graft.BenchEnv.localDir()
     val spark = SparkSession.builder().master("local[32]")

@@ -378,7 +378,9 @@ class PcapDataSourceSpec extends SparkFunSuite {
       decodePartitions = 8).planInputPartitions()
     assert(partsTiny.forall(_.asInstanceOf[graft.sources.PcapInputPartition]
       .rangeStart < 0), "500 frames cannot cut 8 ranges")
-    // pcapng: stateful container — no sidecar is ever built for it
+    // tiny pcapng (round 15: ng builds sidecars too — with section-state
+    // snapshots): the sidecar exists but can never cut >1 range, so the
+    // planner still strides
     val ng = d.resolve("ng.pcapng")
     val ngPkt = ethernet(0x0800,
       ipv4("10.0.0.1", "10.0.0.2", 17, udp(1, 2, Array[Byte](0))))
@@ -388,9 +390,15 @@ class PcapDataSourceSpec extends SparkFunSuite {
       assert(spark.read.format("pcap").option("decodePartitions", 2)
         .load(ng.toString).count() == 1L)
     }
-    assert(graft.pcapio.FrameIndex.read(
+    val ngIdx = graft.pcapio.FrameIndex.read(
       new org.apache.hadoop.fs.Path(ng.toString),
-      spark.sessionState.newHadoopConf()).isEmpty)
+      spark.sessionState.newHadoopConf())
+    assert(ngIdx.isDefined && ngIdx.get.isNg && ngIdx.get.frameCount == 1L)
+    val ngParts = new graft.sources.PcapScan(Seq(ng.toString),
+      graft.core.PacketSchema.schema, refCompat = false,
+      decodePartitions = 2).planInputPartitions()
+    assert(ngParts.forall(_.asInstanceOf[graft.sources.PcapInputPartition]
+      .rangeStart < 0), "1 frame cannot cut 2 ranges")
     // unwritable destination: the sidecar write must silently skip and
     // the read succeed (tests run as root, which ignores permission
     // bits — block the write by occupying .fidx with a plain FILE, so

@@ -134,6 +134,45 @@ object PcapFixtures {
   }
 
   /** pcapng: SHB + IDBs + EPBs. `epbs` = (ifId, ts64 in if_tsresol units, origLen, bytes). */
+  /** Interleaved pcapng builder (round 15, frame-index tests): items in
+    * stream order — Left((linktype, tsresol)) = IDB, Right((ifId, ts,
+    * origlen, data)) = EPB. Starts with one SHB; concatenate outputs for
+    * multi-section captures (each array begins with its own SHB).
+    */
+  def pcapngInterleaved(
+      items: Seq[Either[(Int, Int), (Int, Long, Int, Array[Byte])]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def block(btype: Int, body: Array[Byte]): Unit = {
+      val pad = (4 - body.length % 4) % 4
+      val total = 12 + body.length + pad
+      val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(btype).putInt(total).put(body)
+      bb.position(total - 4); bb.putInt(total)
+      out.write(bb.array())
+    }
+    val shb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    shb.putInt(0x1a2b3c4d).putShort(1).putShort(0).putLong(-1L)
+    block(0x0a0d0d0a, shb.array())
+    items.foreach {
+      case Left((lt, tsresol)) =>
+        val body = ByteBuffer.allocate(8 + 8 + 4).order(ByteOrder.LITTLE_ENDIAN)
+        body.putShort(lt.toShort).putShort(0).putInt(0)
+        body.putShort(9).putShort(1).put(tsresol.toByte)
+          .put(0.toByte).putShort(0)
+        body.putShort(0)
+        block(1, body.array())
+      case Right((ifId, ts, orig, data)) =>
+        val body = ByteBuffer.allocate(20 + data.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        body.putInt(ifId)
+        body.putInt((ts >>> 32).toInt).putInt(ts.toInt)
+        body.putInt(data.length).putInt(orig)
+        body.put(data)
+        block(6, body.array())
+    }
+    out.toByteArray
+  }
+
   def pcapng(interfaces: Seq[(Int, Int)], // (linktype, tsresol)
       epbs: Seq[(Int, Long, Int, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
