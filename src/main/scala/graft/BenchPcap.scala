@@ -253,6 +253,39 @@ object BenchPcap {
     val tSliceRow = slice(columnar = false)
     val sliceColRate = (total / tSliceCol).toLong
     val sliceRowRate = (total / tSliceRow).toLong
+    // convert-manifest readback A/B (round 15, verdict #6): the
+    // reference's consumer runs SQL over the emitted parquet — index
+    // $dir/out.parquet (the defrag convert's output, still on disk from
+    // the arms above) with ConvertManifest and time the canonical
+    // "attack window + one source" slice, full scan vs pruned read.
+    // The 0.6 s window early in the capture lands in few part files
+    // (the range-sharded write keeps each part time-contiguous).
+    val outParquet = s"$dir/out.parquet"
+    val (tManifestBuild, _) =
+      time(graft.sources.ConvertManifest.build(spark, outParquet))
+    val mBase = 1700000000000000L
+    val (mLo, mHi) = (mBase + 200000L, mBase + 800000L)
+    val mSrc = "198.51.100.7"
+    val keptFiles = graft.sources.ConvertManifest.prunedFiles(spark,
+      outParquet, Some(mLo), Some(mHi), src = Some(mSrc)).map(_.length).getOrElse(-1)
+    def readbackOnce(pruned: Boolean): Double = time {
+      val df =
+        if (pruned) graft.sources.ConvertManifest.slice(spark, outParquet,
+          Some(mLo), Some(mHi), src = Some(mSrc))
+        else spark.read.parquet(outParquet).filter(
+          org.apache.spark.sql.functions.expr(
+            s"unix_micros(CAST(frame_time AS TIMESTAMP)) BETWEEN $mLo AND $mHi") &&
+            col("ip_src") === mSrc)
+      df.count()
+    }._1
+    readbackOnce(pruned = true); readbackOnce(pruned = false) // JIT, discarded
+    // interleaved best-of-2, like every pcap A/B on this box
+    val (rbP, rbF) = (Array.newBuilder[Double], Array.newBuilder[Double])
+    (1 to 2).foreach { _ =>
+      rbP += readbackOnce(pruned = true); rbF += readbackOnce(pruned = false)
+    }
+    val tReadbackPruned = rbP.result().min
+    val tReadbackFull = rbF.result().min
     // stats+spill pass A/B (round-13 verdicts #1/#2): the observe +
     // ff-spill job alone, on the dissectGate=first-fragment scan (the
     // convert CLI's production shape since round 13) vs the ungated
@@ -296,8 +329,11 @@ object BenchPcap {
         f"stream convert $tStream%.2f s ($streamRate pkt/s); " +
         f"stream defrag $tStreamDefrag%.2f s ($streamDefragRate pkt/s); " +
         f"stats pass gated $tStatsGated%.2f s ($statsGatedRate pkt/s) " +
-        f"vs full $tStatsFull%.2f s ($statsFullRate pkt/s)")
-    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"full_rowwrite_pkt_per_s":$fullRowWriteRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate,"stream_convert_pkt_per_s":$streamRate,"stream_defrag_pkt_per_s":$streamDefragRate,"stats_pass_gated_pkt_per_s":$statsGatedRate,"stats_pass_full_pkt_per_s":$statsFullRate}""")
+        f"vs full $tStatsFull%.2f s ($statsFullRate pkt/s); " +
+        f"manifest readback pruned $tReadbackPruned%.3f s " +
+        f"vs full $tReadbackFull%.3f s ($keptFiles files kept, " +
+        f"build $tManifestBuild%.2f s)")
+    println(s"""{"metric":"pcap_convert_pkt_per_s","value":$fullRate,"unit":"pkt/s","parse_pkt_per_s":$parseRate,"full_cached_pkt_per_s":$cachedRate,"full_replan_pkt_per_s":$replanRate,"full_rowpath_pkt_per_s":$rowPathRate,"full_rowwrite_pkt_per_s":$fullRowWriteRate,"packets":$total,"tcp_mix_pkt_per_s":$tcpRate,"tcp_mix_rowwrite_pkt_per_s":$tcpRowWriteRate,"tcp_mix_packets":$nTcp,"slice_columnar_pkt_per_s":$sliceColRate,"slice_rowpath_pkt_per_s":$sliceRowRate,"stream_convert_pkt_per_s":$streamRate,"stream_defrag_pkt_per_s":$streamDefragRate,"stats_pass_gated_pkt_per_s":$statsGatedRate,"stats_pass_full_pkt_per_s":$statsFullRate,"readback_pruned_s":$tReadbackPruned,"readback_full_s":$tReadbackFull,"readback_files_kept":$keptFiles,"manifest_build_s":$tManifestBuild}""")
     spark.stop()
   }
 }

@@ -1209,10 +1209,69 @@ object Relational {
              |  CAST(COALESCE(ec.n_events, 0) AS BIGINT) AS n_events,
              |  CAST(COALESCE(af.n_after, 0) AS BIGINT) AS n_orders_after_last_event
              |FROM oc FULL OUTER JOIN ec ON ec.k = oc.k
-             |LEFT JOIN af ON af.k = COALESCE(oc.k, ec.k)""".stripMargin))
+             |LEFT JOIN af ON af.k = COALESCE(oc.k, ec.k)""".stripMargin)),
+
+    // --- q83: convert-manifest pruned slice (round 15, verdict #6) ---------
+    // The reference's real consumer runs arbitrary SQL over the emitted
+    // parquet (reference README.md:92); PcapConvert -m indexes the output
+    // with per-file frame_time zone maps + ip_src/ip_dst blooms
+    // (sources/ConvertManifest) so the canonical "slice one attack
+    // window / one source" queries prune part files. This entry drives
+    // the SAME machinery over a deterministic capture-shaped frame
+    // derived from events (DuckDB can't read pcap): write a time-range-
+    // partitioned copy, build the manifest, slice a 2-day window for one
+    // source. The build REQUIRES that pruning actually skipped files, so
+    // the oracle's row-for-row match proves the pruned read ≡ the full
+    // filtered scan (a zone map or bloom that wrongly rejects a matching
+    // file would show as missing rows). The aux export carries the exact
+    // capture for DuckDB's full-scan replay.
+    Q("q83_convert_slice_manifest",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q83_cap")
+        graft.TempCleanup.registerDir(tmp.toString)
+        val cap = tmp.toString + "/capture"
+        q83Capture(s, dir)
+          .repartitionByRange(6, col("frame_time"))
+          .write.mode("overwrite").parquet(cap)
+        val indexed = graft.sources.ConvertManifest.build(s, cap)
+        require(indexed >= 6, s"q83: expected >=6 indexed files, got $indexed")
+        val lo = 1704067200000000L // 2024-01-01T00:00:00Z µs
+        val hi = 1704240000000000L // 2024-01-03T00:00:00Z µs
+        val kept = graft.sources.ConvertManifest.prunedFiles(s, cap,
+          Some(lo), Some(hi), src = Some("10.7.0.1")).get
+        require(kept.length < indexed,
+          s"q83: the manifest pruned nothing ($kept of $indexed files)")
+        graft.sources.ConvertManifest.slice(s, cap, Some(lo), Some(hi),
+          src = Some("10.7.0.1"))
+          .select(col("event_id"),
+            expr("unix_micros(CAST(frame_time AS TIMESTAMP))").as("ts_us"),
+            col("ip_src"), col("ip_dst"))
+      },
+      Some("""SELECT event_id, CAST(epoch_us(frame_time) AS BIGINT) AS ts_us,
+             |  ip_src, ip_dst
+             |FROM '{OUT}/_aux/q83_convert_slice_manifest/aux_capture/*.parquet'
+             |WHERE epoch_us(frame_time) >= 1704067200000000
+             |  AND epoch_us(frame_time) <= 1704240000000000
+             |  AND ip_src = '10.7.0.1'""".stripMargin),
+      aux = Seq("aux_capture" -> ((s: SparkSession, dir: String) =>
+        q83Capture(s, dir))))
   )
 
   /** q81's statement, shared verbatim modulo the table names. */
+  /** q83's deterministic capture-shaped frame: events → (event_id,
+    * frame_time, ip_src, ip_dst). Shared verbatim by the build (which
+    * writes + indexes it) and the aux export (DuckDB's full-scan
+    * replay) — same rows by construction.
+    */
+  private def q83Capture(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      expr("timestamp_micros(ts div 1000)").as("frame_time"),
+      concat(lit("10."), expr("CAST(user_id % 200 AS STRING)"),
+        lit(".0.1")).as("ip_src"),
+      concat(lit("198.51."), expr("CAST(event_id % 100 AS STRING)"),
+        lit(".9")).as("ip_dst"))
+
   private def q81Body(evTbl: String, ordTbl: String): String =
     s"""WITH s AS (SELECT CASE WHEN event_type = 'error' THEN NULL
        |                       ELSE user_id END AS u FROM $evTbl),
