@@ -63,7 +63,10 @@ object Bench {
       // bounded terms: sum(id*id) would overflow BIGINT under ANSI
       def work(): Unit =
         spark.range(1L << 28).selectExpr("sum(id % 1048573)").collect(): Unit
-      work() // discarded: the start sample must not absorb codegen JIT
+      // two discarded warmups: one left the start sample still 2× the
+      // end sample (residual JIT) — cross-round comparison is start-to-
+      // start / end-to-end either way, but closer is better
+      work(); work()
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         work()
