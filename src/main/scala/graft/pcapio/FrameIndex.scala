@@ -277,10 +277,20 @@ object FrameIndex {
       count += 1
     }
 
-    def result(): Index =
+    def result(): Index = result(fileLen)
+
+    /** For writers, whose final file length exists only at commit (the
+      * constructor's `fileLen` is then a placeholder 0).
+      */
+    def result(finalLen: Long): Index =
       if (ng)
-        Index(fileLen, count, Stride, offs.toArray, ContainerNg,
+        Index(finalLen, count, Stride, offs.toArray, ContainerNg,
           states.toArray, stateIdx.toArray)
-      else Index(fileLen, count, Stride, offs.toArray)
+      else Index(finalLen, count, Stride, offs.toArray)
+
+    /** Recorded offsets so far (writers skip the sidecar below 2 — it
+      * cannot cut more than one range).
+      */
+    def offsetCount: Int = offs.length
   }
 }

@@ -89,7 +89,18 @@ object DefragPatch {
       while (i < ids.length) {
         var slot = hashOf(strings(srcIdx(i)), strings(dstIdx(i)), ids(i)) &
           (cap - 1)
-        while (a(slot) != -1) slot = (slot + 1) & (cap - 1)
+        // stop on an EQUAL key too, not just an empty slot (round-16
+        // ADVICE): entries are unique post-aggregate, but if that
+        // invariant ever slips, overwriting preserves the last-wins
+        // semantics the pre-round-15 HashMap index had — duplicate keys
+        // must not shadow each other from separate slots
+        var e = a(slot)
+        while (e != -1 && !(ids(e) == ids(i) &&
+            strings(srcIdx(e)) == strings(srcIdx(i)) &&
+            strings(dstIdx(e)) == strings(dstIdx(i)))) {
+          slot = (slot + 1) & (cap - 1)
+          e = a(slot)
+        }
         a(slot) = i
         i += 1
       }

@@ -137,9 +137,9 @@ final class PcapDataWriter(
   private var wroteHeader = false
   // frame-index sidecar, built for free as we write (round 14): the
   // writer knows every record offset exactly, so the output is
-  // range-shardable on its very first sharded read. Legacy format only
-  // (pcapng is stateful — the reader never range-seeks it); skipped for
-  // files too small to ever cut ranges.
+  // range-shardable on its very first sharded read (the pcapng writer
+  // emits its stateful twin since round 16 — see PcapNgDataWriter);
+  // skipped for files too small to ever cut ranges.
   private var pos = 24L // global header
   private var nFrames = 0L
   private val idxOffsets = new scala.collection.mutable.ArrayBuffer[Long](64)
@@ -239,6 +239,23 @@ final class PcapNgDataWriter(
   /** linktype → interface id, in first-seen order (pcapng numbers IDBs
     * implicitly by appearance). */
   private val ifaceOf = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+  // stateful frame-index sidecar, built for free as we write (round 16,
+  // closing the round-15 gap where only legacy outputs were born
+  // indexed): the writer knows every EPB offset AND its own section
+  // state exactly (one SHB, lazily-added IDBs, µs tsresol throughout),
+  // so written pcapng is range-shardable on its very first sharded read
+  // instead of paying one full stride scan to bootstrap the sidecar
+  private var pos = 0L
+  private val idx = new graft.pcapio.FrameIndex.Builder(0L, ng = true)
+
+  /** Section state a whole-file parse would hold at the CURRENT offset:
+    * LE, interfaces in emission order, all at the pcapng default µs
+    * tsresol (the writer never emits if_tsresol), so last-IDB-wins is 6
+    * too. Evaluated only on stride boundaries (recordNg is lazy in it).
+    */
+  private def ngState: graft.pcapio.PcapFramer.NgState =
+    graft.pcapio.PcapFramer.NgState(bigEndian = false,
+      ifaceOf.keysIterator.toArray, Array.fill(ifaceOf.size)(6), 6)
 
   private def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
   private def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
@@ -250,6 +267,7 @@ final class PcapNgDataWriter(
     le16(1); le16(0) // version 1.0
     le32(-1); le32(-1) // section length: unspecified
     le32(28)
+    pos += 28L
     wroteShb = true
   }
 
@@ -259,6 +277,7 @@ final class PcapNgDataWriter(
     le16(linktype); le16(0) // linktype, reserved
     le32(262144) // snaplen
     le32(20)
+    pos += 20L
     ifaceOf.size
   })
 
@@ -272,9 +291,14 @@ final class PcapNgDataWriter(
       else bytes.length
     val lt =
       if (ltIdx >= 0 && !row.isNullAt(ltIdx)) row.getInt(ltIdx) else defaultLinktype
+    // interface FIRST: a lazily-emitted IDB physically precedes this EPB,
+    // so the frame-start offset (and the state snapshot a range resuming
+    // here needs) is the position AFTER the IDB landed
     val iface = ifaceFor(lt)
+    idx.recordNg(pos, ngState)
     val pad = (4 - (bytes.length & 3)) & 3
     val blockLen = 32 + bytes.length + pad
+    pos += blockLen
     le32(6) // EPB block type
     le32(blockLen)
     le32(iface)
@@ -293,6 +317,10 @@ final class PcapNgDataWriter(
     out.close()
     if (!fs.rename(tmpPath, finalPath))
       throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
+    // same >1-range gate as the legacy writer; pos is the exact file
+    // length (every SHB/IDB/EPB byte is accounted above)
+    if (idx.offsetCount >= 2)
+      graft.pcapio.FrameIndex.write(finalPath, idx.result(pos), conf)
     PcapCommitMessage(finalPath.toString)
   }
 

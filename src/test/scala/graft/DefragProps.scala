@@ -158,8 +158,11 @@ object DefragProps extends Properties("defrag") {
       fresh <- Gen.oneOf(true, false)
     } yield (id, s, d, fresh)
     Prop.forAll(Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, genEntry)),
-        Gen.listOfN(40, genQuery)) { (es0, qs) =>
-      val es = es0.distinctBy(identity)
+        Gen.listOfN(40, genQuery)) { (es, qs) =>
+      // duplicates left IN deliberately (round 16): build() feeds unique
+      // post-aggregate keys, but the table must stay last-wins (the old
+      // HashMap index's semantics) if that invariant ever slips — the
+      // naive .toMap below is last-wins by construction
       val n = es.length
       val m = new DefragPatch.PatchMap(
         es.map(_._1).toArray, es.map(_._2).toArray, es.map(_._3).toArray,
