@@ -181,12 +181,46 @@ object DefragPatch {
     * on the driver — ~0.7 s of the ~1.4 s patch-vs-floor gap at 100M
     * packets / 1.12M keys.
     */
-  def build(ff: DataFrame): PatchMap = {
+  def build(ff: DataFrame): PatchMap = merge(fragmentsRdd(ff).collect())
+
+  /** [[build]] with a ROW CAP (round 16, the fused stats pass): the
+    * caller cannot know the distinct-key count before the aggregate
+    * runs (the old flow learned it from the spill parquet's footer), so
+    * the collect itself enforces the broadcast ceiling — fragments are
+    * merged as they arrive and DISCARDED wholesale the moment the
+    * cumulative row count exceeds `maxRows` (driver memory stays
+    * bounded by the cap plus one in-flight fragment). Returns the map
+    * (None = overflowed — take the shuffle branch) and the EXACT total
+    * row count across all fragments, which is the distinct datagram key
+    * count whether or not the map was kept.
+    */
+  def buildCapped(ff: DataFrame, maxRows: Long): (Option[PatchMap], Long) = {
+    val frags = scala.collection.mutable.ArrayBuffer.empty[PatchMap]
+    var seen = 0L
+    var over = false
+    // runJob's result handler runs serially (JobWaiter synchronizes), so
+    // plain vars are safe; collect() would instead hold every fragment
+    ff.sparkSession.sparkContext.runJob[PatchMap, Array[PatchMap]](
+      fragmentsRdd(ff),
+      (it: Iterator[PatchMap]) => it.toArray,
+      (_: Int, fs: Array[PatchMap]) => fs.foreach { f =>
+        seen += f.ids.length
+        if (seen > maxRows && !over) { over = true; frags.clear() }
+        if (!over) frags += f
+      })
+    if (over) (None, seen) else (Some(merge(frags.toArray)), seen)
+  }
+
+  /** Executor side of the distributed build: dictionary-encoded column
+    * fragments from unsafe-row reads, one per non-empty partition.
+    */
+  private def fragmentsRdd(ff: DataFrame)
+      : org.apache.spark.rdd.RDD[PatchMap] = {
     val protoIdxOf = graft.dissect.DissectAcc.ProtoStr.zipWithIndex.toMap
     val proj = ff.select("ip_src", "ip_dst", "ip_id", "udp_srcport",
       "udp_dstport", "ntp_priv_reqcode", "dns_qry_type", "dns_qry_name",
       "col_protocol")
-    val fragments = proj.queryExecution.toRdd.mapPartitions { it =>
+    proj.queryExecution.toRdd.mapPartitions { it =>
       val dict = new Dict
       val buf = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
       it.foreach { r =>
@@ -218,8 +252,11 @@ object DefragPatch {
         i += 1
       }
       if (n == 0) Iterator.empty else Iterator.single(c.toMap(dict))
-    }.collect()
-    // driver merge: remap each fragment's dictionary once, then copy
+    }
+  }
+
+  /** Driver merge: remap each fragment's dictionary once, then copy. */
+  private def merge(fragments: Array[PatchMap]): PatchMap = {
     val total = fragments.iterator.map(_.ids.length).sum
     val dict = new Dict
     val out = new Cols(total)

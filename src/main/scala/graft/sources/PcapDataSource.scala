@@ -136,12 +136,13 @@ final class PcapScanBuilder(options: CaseInsensitiveStringMap)
     // (and only) user: its ff aggregate filters exactly this condition
     // and its observed counts read no transport column, so the whole
     // corpus stops paying the DNS/NTP parse for the 90%+ non-ff rows.
-    // The shape cannot be verified from inside the scan (the stats pass
-    // deliberately plans its observe barrier below the filter, so the
-    // scan sees no pushed predicate), hence the `_internal.` prefix: a
-    // general caller setting it would get silently-NULL transport/L7
-    // columns on most rows. The old public name refuses loudly
-    // (round-13 verdict hardening nit).
+    // The shape cannot be verified from inside the scan (the round-16
+    // FUSED stats pass pushes the ff filter down, but the legacy
+    // observe flow plans its barrier below the filter and pushes
+    // nothing — the gate must be sound either way), hence the
+    // `_internal.` prefix: a general caller setting it would get
+    // silently-NULL transport/L7 columns on most rows. The old public
+    // name refuses loudly (round-13 verdict hardening nit).
     require(!options.containsKey("dissectGate"),
       "pcap option dissectGate is an internal consumer contract of the " +
         "defrag stats pass, not a general knob: non-first-fragment rows " +
@@ -543,6 +544,13 @@ final class PcapColumnarReader(
   private var frameIdx: Long = -1L
   private var nPackets = 0L
   private var nErrors = 0L
+  // fused-stats counting (round 16): when the scan's metrics carry a
+  // fragmented accumulator, every frame in this shard is classified by
+  // the reference's fragmented predicate (main.rs:274) regardless of
+  // pushed-filter vetoes — evaluated on the same post-resume values the
+  // old observe-barrier stats saw on emitted rows
+  private val countFrag = metrics.exists(_.fragmented != null)
+  private var nFrag = 0L
 
   private def putU8(v: OnHeapColumnVector, row: Int,
       s: org.apache.spark.unsafe.types.UTF8String): Unit = {
@@ -651,6 +659,9 @@ final class PcapColumnarReader(
         if (emit && patchMap != null) DefragPatch.apply(patchMap, acc, patchMemo)
         if (emit && !noHigh) emit = predHigh(acc)
         nPackets += 1
+        if (countFrag &&
+            (acc.ipFragOffset > 0 || (acc.ipFragOffset == 0 && acc.ipMf)))
+          nFrag += 1
         if (acc.errors > 0) nErrors += acc.errors.toLong
         if (emit) {
           var c = 0
@@ -667,6 +678,7 @@ final class PcapColumnarReader(
     // still surface live progress (`-v`) from the partial sums
     if (nPackets > 0) metrics.foreach { m =>
       m.packets.add(nPackets); m.errors.add(nErrors)
+      if (m.fragmented != null) { m.fragmented.add(nFrag); nFrag = 0L }
       nPackets = 0L; nErrors = 0L
     }
     // a fully-framed file flushes the sidecar (no-op unless building);
@@ -754,6 +766,10 @@ final class PcapPartitionReader(
         metrics.foreach { m =>
           m.packets.add(1L)
           if (acc.errors > 0) m.errors.add(acc.errors.toLong)
+          // same fused-stats classification as the columnar reader
+          if (m.fragmented != null &&
+              (acc.ipFragOffset > 0 || (acc.ipFragOffset == 0 && acc.ipMf)))
+            m.fragmented.add(1L)
         }
         if (emit) {
           val dissected = acc.toInternalRow(baseUtf8)

@@ -308,4 +308,55 @@ object Defrag {
     */
   def defraggedOrder(columns: Seq[String]): Seq[String] =
     columns.filterNot(Patched.contains) ++ Patched
+
+  /** Result of the FUSED stats pass (round 16): the adaptive decision
+    * inputs plus, on the broadcast branch, the already-built patch map.
+    * `ffKeys` is the exact distinct datagram key count (the aggregate's
+    * row count) whether or not the map fit the ceiling.
+    */
+  final case class FusedStats(pct: Double, total: Long, ffKeys: Long,
+      map: Option[graft.sources.DefragPatch.PatchMap])
+
+  /** The round-16 fused stats pass (verdict #1): ONE job replaces
+    * [[statsAndSpill]] + spill re-read + [[graft.sources.DefragPatch.build]]
+    * on the convert's broadcast-patch path. Three structural savings over
+    * the spill flow, all on the same gated scan:
+    *
+    *   - (total, fragmented) are counted IN THE READERS (`statsPcap`'s
+    *     metrics must carry the `fragmented` accumulator —
+    *     [[PcapSource.statsMetrics]]), not by an observe node — so there
+    *     is no CollectMetrics pushdown barrier, and the first-fragment
+    *     filter lands in the scan: the ~90% non-ff rows are vetoed at L3
+    *     BEFORE any column vector fills, instead of being materialized
+    *     and dropped by a filter above the scan;
+    *   - the aggregate ends at the collected dictionary-encoded patch
+    *     fragments (the broadcast payload) — no ff parquet round-trip;
+    *   - the broadcast decision uses the exact collected row count, with
+    *     [[graft.sources.DefragPatch.buildCapped]] bounding driver
+    *     memory at the ceiling (overflow ⇒ None ⇒ the caller spills for
+    *     the shuffle branch — one extra pass, pathological key spaces
+    *     only).
+    *
+    * Count semantics are the observe flow's exactly: every frame in the
+    * corpus is classified once, on the same post-resume values the
+    * barrier-below-filter plan counted (PcapPipelineSpec pins equality
+    * with [[fragStats]]). Accumulator caveat: like CollectMetrics
+    * (itself accumulator-based), re-executed stages on a real cluster
+    * could over-count; the 1% threshold is robust to that class of
+    * drift and the decision is a plan choice, never a correctness
+    * dependency.
+    */
+  def statsAndBuild(statsPcap: DataFrame,
+      sm: PcapSource.Metrics, maxKeys: Long): FusedStats = {
+    require(sm.fragmented != null,
+      "statsAndBuild needs stats metrics with the fragmented counter " +
+        "armed (PcapSource.statsMetrics), registered on the statsPcap scan")
+    val (map, keys) =
+      graft.sources.DefragPatch.buildCapped(firstFragments(statsPcap), maxKeys)
+    val total: Long = sm.packets.value
+    val frag: Long = sm.fragmented.value
+    val pct =
+      if (total == 0) 0.0 else math.round(100.0 * frag / total).toDouble
+    FusedStats(pct, total, keys, map)
+  }
 }

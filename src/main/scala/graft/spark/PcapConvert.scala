@@ -285,13 +285,8 @@ object PcapConvert {
             }
           }
         }
-        if (speculated) ()
-        else {
-        val (pct, ffRows) = Defrag.statsAndSpill(statsParsed.get, ffSpill)
-        if (pct < 1.0) vecOrRow(pcap) // defrag skip (reference main.rs:277)
-        else if (ffRows <= Defrag.MaxBroadcastFirstFragments) {
-          val map = graft.sources.DefragPatch.build(
-            spark.read.parquet(ffSpill))
+        // the broadcast-patch write, shared by the fused and spill flows
+        def patchedWrite(map: graft.sources.DefragPatch.PatchMap): Unit = {
           val bc = spark.sparkContext.broadcast(map)
           val pk = java.util.UUID.randomUUID().toString
           graft.sources.DefragPatch.register(pk, bc)
@@ -304,7 +299,45 @@ object PcapConvert {
             graft.sources.DefragPatch.unregister(pk)
             bc.destroy()
           }
-        } else vecOrRow(Defrag.defragWith(pcap,
+        }
+        if (speculated) ()
+        else if (!sys.props.contains("graft.convert.noFuseStats")) {
+          // FUSED stats pass (round 16, verdict #1): one job — gated
+          // scan with reader-side (total, fragmented) counting, the
+          // first-fragment filter pushed INTO the scan, ending at the
+          // collected patch-map arrays (see Defrag.statsAndBuild). The
+          // sysprop restores the observe+spill flow for the interleaved
+          // A/B (tools.BenchConvertFuse needs both in one JVM).
+          val statsKey = java.util.UUID.randomUUID().toString
+          val sm = PcapSource.statsMetrics(spark)
+          PcapSource.registerMetrics(statsKey, sm)
+          val fused =
+            try Defrag.statsAndBuild(
+              mkScan(Map("_internal.dissectGate" -> "first-fragment",
+                "metricsKey" -> statsKey)),
+              sm, Defrag.MaxBroadcastFirstFragments)
+            finally PcapSource.unregisterMetrics(statsKey)
+          if (fused.pct < 1.0) vecOrRow(pcap) // defrag skip (main.rs:277)
+          else fused.map match {
+            case Some(map) => patchedWrite(map)
+            case None =>
+              // > ceiling DISTINCT keys: the shuffle join needs a
+              // distributed ff side — spill it now (one extra gated
+              // pass; a corpus this pathological pays far more in the
+              // join itself, and collecting past the ceiling is exactly
+              // what buildCapped exists to refuse)
+              Defrag.firstFragments(statsParsed.get).write.mode("overwrite")
+                .option("compression", "zstd").parquet(ffSpill)
+              vecOrRow(Defrag.defragWith(pcap,
+                spark.read.parquet(ffSpill), broadcastFF = false))
+          }
+        } else {
+        val (pct, ffRows) = Defrag.statsAndSpill(statsParsed.get, ffSpill)
+        if (pct < 1.0) vecOrRow(pcap) // defrag skip (reference main.rs:277)
+        else if (ffRows <= Defrag.MaxBroadcastFirstFragments)
+          patchedWrite(graft.sources.DefragPatch.build(
+            spark.read.parquet(ffSpill)))
+        else vecOrRow(Defrag.defragWith(pcap,
           spark.read.parquet(ffSpill), broadcastFF = false))
         }
       } else {

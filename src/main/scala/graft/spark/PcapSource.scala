@@ -25,13 +25,31 @@ import graft.pcapio.PcapFramer
 object PcapSource {
 
   /** Per-job metric accumulators (reference's `Packets: N Errors: M`
-    * progress counter, src/statswriter.rs:62-68).
+    * progress counter, src/statswriter.rs:62-68). `fragmented` (round
+    * 16, the fused stats pass) is normally null — when set, readers
+    * additionally count rows matching the reference's fragmented-packet
+    * predicate (src/main.rs:274) AT THE SCAN, for every frame whether or
+    * not a pushed filter later vetoes it. That is what lets the fused
+    * stats job push the first-fragment filter into the scan instead of
+    * planning an observe barrier below it: the (total, fragmented)
+    * counts no longer depend on every row surviving to the plan's
+    * CollectMetrics node.
     */
-  final case class Metrics(packets: LongAccumulator, errors: LongAccumulator)
+  final case class Metrics(packets: LongAccumulator, errors: LongAccumulator,
+      fragmented: LongAccumulator = null)
 
   def metrics(spark: SparkSession): Metrics = Metrics(
     spark.sparkContext.longAccumulator("pcap_packets"),
     spark.sparkContext.longAccumulator("pcap_dissect_errors"))
+
+  /** Metrics for a fused stats scan: separate accumulators (never the
+    * CLI's progress counters — the stats job would double-count) with
+    * the fragmented counter armed.
+    */
+  def statsMetrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("pcap_stats_total"),
+    spark.sparkContext.longAccumulator("pcap_stats_errors"),
+    spark.sparkContext.longAccumulator("pcap_stats_fragmented"))
 
   /** Driver-side metrics registry for the DSv2 path: DataSource options
     * are strings, so [[PcapConvert]] registers its accumulators here and

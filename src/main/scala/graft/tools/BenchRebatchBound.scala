@@ -15,7 +15,12 @@ package graft.tools
   * remove (it would still pay the hash lookups). Decision rule from the
   * verdict: build the operator only if the gap is ≥15% of the join arm.
   *
-  * Usage: `runMain graft.tools.BenchRebatchBound [fileGlob] [rounds]`.
+  * Usage: `runMain graft.tools.BenchRebatchBound [fileGlob] [rounds]
+  * [--stride]` — `--stride` disables frame-index sidecars on every arm
+  * (round 16, the memo decision pair: the probe memo reads PARITY on
+  * range-sharded layouts across three sessions but won 27% on stride
+  * reads in round 14; stride is what first reads and sidecar-less
+  * layouts actually run).
   *
   * LOCAL-MODE ASSUMPTION (round-15 ADVICE): arm 3 toggles the probe
   * memo via the `graft.patch.noMemo` system property, which readers
@@ -29,22 +34,29 @@ package graft.tools
 object BenchRebatchBound {
   def main(args: Array[String]): Unit = {
     val dir = graft.BenchEnv.pcapCorpusDir()
-    val glob = args.headOption.getOrElse(s"$dir/*.pcap")
-    val rounds = if (args.length > 1) args(1).toInt else 3
+    val pos = args.filterNot(_.startsWith("--"))
+    val stride = args.contains("--stride")
+    val glob = pos.headOption.getOrElse(s"$dir/*.pcap")
+    val rounds = if (pos.length > 1) pos(1).toInt else 3
     val spark = graft.BenchEnv.abSession()
     val out = s"$dir/rebatch-ab.parquet"
     val spill = s"$dir/rebatch-ab.ffspill"
+    def read() = {
+      val r = spark.read.format("pcap")
+        .option("decodePartitions", graft.BenchEnv.pcapShards(spark, glob))
+      (if (stride) r.option("frameIndex", "false") else r).load(glob)
+    }
     // ff spill built ONCE, untimed — both timed arms then cost exactly
     // one dissect pass plus their write, so the gap isolates the join +
     // rebatch machinery rather than the stats pass
-    graft.spark.Defrag.firstFragments(graft.BenchEnv.pcapRead(spark, glob))
+    graft.spark.Defrag.firstFragments(read())
       .write.mode("overwrite").option("compression", "zstd").parquet(spill)
     // arm 0 = join (row-shaped broadcast join + rebatch), 1 = nojoin
     // (scan → vector write, the ceiling), 2 = patch (round-13 reader-side
     // broadcast patch + writer column permutation — the shipped path)
     def arm(kind: Int): Double = {
       val t0 = System.nanoTime()
-      val pcap = graft.BenchEnv.pcapRead(spark, glob)
+      val pcap = read()
       kind match {
         case 0 =>
           val df = graft.spark.Defrag.defragWith(pcap,
@@ -68,9 +80,11 @@ object BenchRebatchBound {
           if (k == 3) sys.props("graft.patch.noMemo") = "1"
           try {
             val shards = graft.BenchEnv.pcapShards(spark, glob)
-            val patched = spark.read.format("pcap")
+            var rd = spark.read.format("pcap")
               .option("decodePartitions", shards)
-              .option("defragPatchKey", pk).load(glob)
+              .option("defragPatchKey", pk)
+            if (stride) rd = rd.option("frameIndex", "false")
+            val patched = rd.load(glob)
             require(graft.spark.PcapColumnarWrite.write(patched, out, "zstd",
               singleFile = false, rebatch = true,
               outputOrder = Some(graft.spark.Defrag
@@ -98,7 +112,7 @@ object BenchRebatchBound {
       f"nojoin best $nb%.2f s median $nm%.2f s; patch best $pb%.2f s " +
       f"median $pm%.2f s; patch-nomemo best $qb%.2f s median $qm%.2f s; " +
       f"join→nojoin gap $gapPct%.1f%%, join→patch $patchGapPct%.1f%%")
-    println(f"""{"metric":"rebatch_bound_ab","join_best_s":$jb%.3f,"join_median_s":$jm%.3f,"nojoin_best_s":$nb%.3f,"nojoin_median_s":$nm%.3f,"patch_best_s":$pb%.3f,"patch_median_s":$pm%.3f,"patch_nomemo_best_s":$qb%.3f,"patch_nomemo_median_s":$qm%.3f,"median_gap_pct":$gapPct%.1f,"patch_gap_pct":$patchGapPct%.1f,"glob":"$glob"}""")
+    println(f"""{"metric":"rebatch_bound_ab","join_best_s":$jb%.3f,"join_median_s":$jm%.3f,"nojoin_best_s":$nb%.3f,"nojoin_median_s":$nm%.3f,"patch_best_s":$pb%.3f,"patch_median_s":$pm%.3f,"patch_nomemo_best_s":$qb%.3f,"patch_nomemo_median_s":$qm%.3f,"median_gap_pct":$gapPct%.1f,"patch_gap_pct":$patchGapPct%.1f,"stride":$stride,"glob":"$glob"}""")
     graft.TempCleanup.rmrf(new java.io.File(out))
     graft.TempCleanup.rmrf(new java.io.File(spill))
     spark.stop()

@@ -1,10 +1,18 @@
 package graft.tools
 
-/** Interleaved A/B of the defrag stats+spill job on the
-  * dissectGate=first-fragment scan vs the plain scan — fresh JVM,
-  * nothing else run first, so the arms don't inherit another path's
-  * JIT/heap state (BenchPcap's trailing stats rows sit after ~10
-  * convert arms and have read both directions across sessions).
+/** Interleaved A/B/C of the defrag stats job — fresh JVM, nothing else
+  * run first, so the arms don't inherit another path's JIT/heap state
+  * (BenchPcap's trailing stats rows sit after ~10 convert arms and have
+  * read both directions across sessions). Arms:
+  *
+  *   - `gated`: the round-13..15 shipped shape — observe barrier below
+  *     the ff filter on the dissectGate=first-fragment scan, ff
+  *     aggregate spilled to parquet, spill re-counted;
+  *   - `full`: the same observe+spill job on the ungated scan;
+  *   - `fused` (round 16, the shipped shape): reader-side (total,
+  *     fragmented) counting, ff filter PUSHED into the gated scan, job
+  *     ends at the collected dictionary-encoded patch-map arrays — no
+  *     spill round-trip ([[graft.spark.Defrag.statsAndBuild]]).
   *
   * Usage: `runMain graft.tools.BenchStatsGate [fileGlob] [rounds]`.
   */
@@ -15,11 +23,13 @@ object BenchStatsGate {
     val rounds = if (args.length > 1) args(1).toInt else 3
     val spark = graft.BenchEnv.abSession()
     val shards = graft.BenchEnv.pcapShards(spark, glob)
-    def scan(gated: Boolean) = {
-      val r = spark.read.format("pcap").option("decodePartitions", shards)
-      (if (gated) r.option("_internal.dissectGate", "first-fragment") else r).load(glob)
+    def scan(gated: Boolean, metricsKey: String = null) = {
+      var r = spark.read.format("pcap").option("decodePartitions", shards)
+      if (gated) r = r.option("_internal.dissectGate", "first-fragment")
+      if (metricsKey != null) r = r.option("metricsKey", metricsKey)
+      r.load(glob)
     }
-    def run(gated: Boolean): Double = {
+    def runSpill(gated: Boolean): Double = {
       val spill = s"$dir/statsgate-ab.ffspill"
       graft.TempCleanup.rmrf(new java.io.File(spill))
       val t0 = System.nanoTime()
@@ -28,19 +38,35 @@ object BenchStatsGate {
       graft.TempCleanup.rmrf(new java.io.File(spill))
       t
     }
-    run(gated = true); run(gated = false) // JIT warmup, discarded
-    val (g, f) = (Array.newBuilder[Double], Array.newBuilder[Double])
+    def runFused(): Double = {
+      val key = java.util.UUID.randomUUID().toString
+      val sm = graft.spark.PcapSource.statsMetrics(spark)
+      graft.spark.PcapSource.registerMetrics(key, sm)
+      try {
+        val t0 = System.nanoTime()
+        val fused = graft.spark.Defrag.statsAndBuild(
+          scan(gated = true, metricsKey = key), sm, Long.MaxValue)
+        require(fused.ffKeys > 0 || fused.pct == 0.0, "fused stats came back empty")
+        (System.nanoTime() - t0) / 1e9
+      } finally graft.spark.PcapSource.unregisterMetrics(key)
+    }
+    runSpill(gated = true); runSpill(gated = false); runFused() // JIT warmup
+    val (g, f, u) = (Array.newBuilder[Double], Array.newBuilder[Double],
+      Array.newBuilder[Double])
     (1 to rounds).foreach { r =>
-      val a = run(gated = true)
-      val b = run(gated = false)
-      g += a; f += b
-      System.err.println(f"[stats-gate] round $r: gated $a%.2f s, full $b%.2f s")
+      val a = runSpill(gated = true)
+      val b = runSpill(gated = false)
+      val c = runFused()
+      g += a; f += b; u += c
+      System.err.println(
+        f"[stats-gate] round $r: gated $a%.2f s, full $b%.2f s, fused $c%.2f s")
     }
     val (gb, gm) = graft.BenchEnv.bestMedian(g.result())
     val (fb, fm) = graft.BenchEnv.bestMedian(f.result())
+    val (ub, um) = graft.BenchEnv.bestMedian(u.result())
     System.err.println(f"[stats-gate] gated best $gb%.2f s median $gm%.2f s; " +
-      f"full best $fb%.2f s median $fm%.2f s")
-    println(f"""{"metric":"stats_gate_ab","gated_best_s":$gb%.3f,"gated_median_s":$gm%.3f,"full_best_s":$fb%.3f,"full_median_s":$fm%.3f,"glob":"$glob"}""")
+      f"full best $fb%.2f s median $fm%.2f s; fused best $ub%.2f s median $um%.2f s")
+    println(f"""{"metric":"stats_gate_ab","gated_best_s":$gb%.3f,"gated_median_s":$gm%.3f,"full_best_s":$fb%.3f,"full_median_s":$fm%.3f,"fused_best_s":$ub%.3f,"fused_median_s":$um%.3f,"glob":"$glob"}""")
     spark.stop()
   }
 }

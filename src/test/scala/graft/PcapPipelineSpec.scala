@@ -211,6 +211,76 @@ class PcapPipelineSpec extends SparkFunSuite {
     assert(out2.columns.toSeq == plain2.columns.toSeq)
   }
 
+  test("fused stats pass ≡ observe stats + spill-built patch map (round 16)") {
+    import graft.sources.DefragPatch
+    // the fused job counts (total, fragmented) in the READERS and pushes
+    // the ff filter into the scan — it must reproduce the observe flow's
+    // stats exactly and build the identical patch map
+    val p = writeTemp("cap_fused.pcap", fragmentedCapture)
+    def gatedStats(path: String): (PcapSource.Metrics, org.apache.spark.sql.DataFrame) = {
+      val sm = PcapSource.statsMetrics(spark)
+      val key = java.util.UUID.randomUUID().toString
+      PcapSource.registerMetrics(key, sm)
+      (sm, spark.read.format("pcap")
+        .option("_internal.dissectGate", "first-fragment")
+        .option("metricsKey", key).load(path))
+    }
+    val (sm, gated) = gatedStats(p.toString)
+    // the ff filter really lands in the scan (the whole point: non-ff
+    // rows veto at L3 before any vector fills) — visible in the scan's
+    // pushed-filter description
+    val planStr = Defrag.firstFragments(gated)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("pushed=") && planStr.contains("ip_frag_offset"),
+      s"ff filter not pushed into the fused stats scan:\n$planStr")
+    val fused = Defrag.statsAndBuild(gated, sm, 4000000L)
+    val plain = spark.read.format("pcap").load(p.toString)
+    val st = Defrag.fragStats(plain)
+    assert(fused.total == st.total && fused.pct == st.pct,
+      s"fused (${fused.total}, ${fused.pct}) != observe (${st.total}, ${st.pct})")
+    val spill = java.nio.file.Files.createTempDirectory("fusedspill").toString + "/ff"
+    val (pctSpill, keysSpill) = Defrag.statsAndSpill(plain, spill)
+    assert(fused.pct == pctSpill && fused.ffKeys == keysSpill)
+    def entries(m: DefragPatch.PatchMap): Set[(String, String, Int, Int, Int, Int, Int, String, Int)] =
+      m.ids.indices.map { i =>
+        (m.strings(m.srcIdx(i)), m.strings(m.dstIdx(i)), m.ids(i),
+          m.udpSrcport(i), m.udpDstport(i), m.ntpPrivReqcode(i),
+          m.dnsQryType(i),
+          if (m.dnsNameIdx(i) < 0) null else m.strings(m.dnsNameIdx(i)),
+          m.protoIdx(i))
+      }.toSet
+    assert(entries(fused.map.get) ==
+      entries(DefragPatch.build(spark.read.parquet(spill))),
+      "fused patch map diverged from the spill-built one")
+
+    // the DISCRIMINATING corpus (round-12's observe-barrier case, now
+    // the reader-counting case): 500 TCP rows + one 2-fragment datagram.
+    // The pushed ff filter vetoes the 500 TCP rows at the scan — the
+    // reader counters must still have counted them (pct 0, not 100)
+    val frames = (1 to 500).map { i =>
+      (i * 1000L, -1, ethernet(0x0800,
+        ipv4("9.9.9.9", "8.8.8.8", 6, tcp(80, 2000 + i, 0x10))))
+    } ++ Seq(
+      (400000L, -1, ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17,
+        udp(53, 41000, dnsQuery("x.example.org", 1)), id = 9, mf = true))),
+      (400001L, -1, ethernet(0x0800, ipv4("9.9.9.9", "8.8.8.8", 17,
+        Array.fill[Byte](16)(0x42), id = 9, fragOffset = 5))))
+    val p2 = writeTemp("cap_fused2.pcap", legacyPcap(frames))
+    val (sm2, gated2) = gatedStats(p2.toString)
+    val fused2 = Defrag.statsAndBuild(gated2, sm2, 4000000L)
+    assert(fused2.total == 502L,
+      s"reader total ${fused2.total} — vetoed rows went uncounted")
+    assert(fused2.pct == 0.0, s"pct ${fused2.pct} — the skip decision flipped")
+    assert(fused2.ffKeys == 1L && fused2.map.get.ids.length == 1)
+
+    // buildCapped refuses past the ceiling but still reports the exact
+    // key count (the shuffle-branch decision input)
+    val (sm3, gated3) = gatedStats(p.toString)
+    val over = Defrag.statsAndBuild(gated3, sm3, maxKeys = 1L)
+    assert(over.map.isEmpty && over.ffKeys == fused.ffKeys)
+    assert(over.pct == fused.pct)
+  }
+
   test("columnar broadcast-patch convert ≡ join defrag, defragged column order (round 13)") {
     // the CLI's default convert shape now enriches IN THE READER from
     // the broadcast ff map (no join node) — its output must be
