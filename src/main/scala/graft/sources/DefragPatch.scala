@@ -282,46 +282,25 @@ object DefragPatch {
     out.toMap(dict)
   }
 
-  /** Per-reader probe memo (round 14, verdict #4): fragments of one
-    * datagram are ADJACENT in a capture (and still near-adjacent within
-    * a stride shard), so consecutive probing rows usually carry the
-    * same (ip_id, src, dst) key — the memo short-circuits both
-    * string-map gets with three compares. Keyed on REFERENCE equality
-    * of the address strings (the accumulator interns them per distinct
-    * address); a missed intern only costs a re-probe, never a wrong
-    * entry. `entry = -1` memoizes "this key has no patch" too — the
-    * common case on collided ids.
-    */
-  final class Memo {
-    var id: Int = -2 // never matches a real 16-bit id
-    var src: String = null
-    var dst: String = null
-    var entry: Int = -1
-  }
-
   /** Apply one row's patch to the dissection accumulator (post-dissect,
     * pre-vector-write): coalesce semantics per column. Cheap bail-outs
     * first — rows whose ip_id maps to no fragmented datagram pay one
     * array read; non-UDP rows and rows with every patched column
-    * populated never probe at all. `memo` may be null (memo-less probe;
-    * MemoProps pins memoized ≡ null-memo over fuzzed row sequences).
+    * populated never probe at all.
+    *
+    * The round-14 per-reader probe MEMO was DELETED in round 16 (the
+    * verdict's decision pair): with the round-15 open-addressing probe
+    * a miss is one array read, and interleaved BenchRebatchBound read
+    * memo ≡ no-memo within noise on BOTH range and stride layouts at
+    * 100M (stride, where it had won 27% against the old two-level
+    * HashMap probe: 9.63 vs 9.51 s median — the memo's compares now
+    * cost what they save).
     */
-  @inline def apply(m: PatchMap, a: graft.dissect.DissectAcc,
-      memo: Memo = null): Unit = {
+  @inline def apply(m: PatchMap, a: graft.dissect.DissectAcc): Unit = {
     if (a.ipProto == 17 && a.ipSrcStr != null && a.ipDstStr != null &&
         (a.udpSrcport < 0 || a.udpDstport < 0 || a.ntpPrivReqcode < 0 ||
           a.dnsQryType < 0 || a.dnsQryName == null || a.protoIdx < 0)) {
-      var i = -1
-      if (memo != null && a.ipId == memo.id && (a.ipSrcStr eq memo.src) &&
-          (a.ipDstStr eq memo.dst)) {
-        i = memo.entry
-      } else {
-        i = m.probe(a.ipSrcStr, a.ipDstStr, a.ipId & 0xffff)
-        if (memo != null) {
-          memo.id = a.ipId; memo.src = a.ipSrcStr; memo.dst = a.ipDstStr
-          memo.entry = i
-        }
-      }
+      val i = m.probe(a.ipSrcStr, a.ipDstStr, a.ipId & 0xffff)
       if (i >= 0) {
         if (a.udpSrcport < 0 && m.udpSrcport(i) >= 0)
           a.udpSrcport = m.udpSrcport(i)

@@ -531,12 +531,8 @@ final class PcapColumnarReader(
   private val noL3 = plan.l3Filters.isEmpty
   private val noHigh = plan.highFilters.isEmpty
   private val stagedResume = plan.baseLevel < plan.levelRequired
-  // defrag broadcast-patch map (null = no patching) — see DefragPatch;
-  // the probe memo is per-reader (graft.patch.noMemo disables it for
-  // the interleaved A/B — BenchRebatchBound arm 3)
+  // defrag broadcast-patch map (null = no patching) — see DefragPatch
   private val patchMap = patch.map(_.value).orNull
-  private val patchMemo =
-    if (sys.props.contains("graft.patch.noMemo")) null else new DefragPatch.Memo
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
@@ -656,7 +652,7 @@ final class PcapColumnarReader(
         // (defragged) values, like a filter above the join would; rows
         // already vetoed by the L3 filters never probe (they are never
         // written — round-13 ADVICE)
-        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc, patchMemo)
+        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc)
         if (emit && !noHigh) emit = predHigh(acc)
         nPackets += 1
         if (countFrag &&
@@ -729,8 +725,6 @@ final class PcapPartitionReader(
   private val noHigh = plan.highFilters.isEmpty
   private val stagedResume = plan.baseLevel < plan.levelRequired
   private val patchMap = patch.map(_.value).orNull
-  private val patchMemo =
-    if (sys.props.contains("graft.patch.noMemo")) null else new DefragPatch.Memo
   private val sourceSchema =
     if (withBytes) PacketSchema.bytesSchema else PacketSchema.schema
   // projection map: required ordinal -> source-schema ordinal
@@ -761,7 +755,7 @@ final class PcapPartitionReader(
           if (PacketDissector.dissectResume(acc, raw.data, plan.levelRequired))
             emit = noL3 || predL3(acc)
         }
-        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc, patchMemo)
+        if (emit && patchMap != null) DefragPatch.apply(patchMap, acc)
         if (emit && !noHigh) emit = predHigh(acc)
         metrics.foreach { m =>
           m.packets.add(1L)

@@ -17,19 +17,10 @@ package graft.tools
   *
   * Usage: `runMain graft.tools.BenchRebatchBound [fileGlob] [rounds]
   * [--stride]` — `--stride` disables frame-index sidecars on every arm
-  * (round 16, the memo decision pair: the probe memo reads PARITY on
-  * range-sharded layouts across three sessions but won 27% on stride
-  * reads in round 14; stride is what first reads and sidecar-less
-  * layouts actually run).
-  *
-  * LOCAL-MODE ASSUMPTION (round-15 ADVICE): arm 3 toggles the probe
-  * memo via the `graft.patch.noMemo` system property, which readers
-  * sample in their constructors — driver and executors share one JVM
-  * under local[*], so the toggle propagates. On a real cluster both
-  * arms would measure the memoized path; this instrument (like every
-  * interleaved A/B here) is a single-box measurement tool, not cluster
-  * tooling, and the shipped path never reads the flag in production
-  * (memo on, pinned ≡ memo-less by DefragProps).
+  * (stride is what first reads and sidecar-less layouts actually run;
+  * round 16 used this pair to retire the round-14 probe memo: memo ≡
+  * no-memo within noise on both layouts once the open-addressing probe
+  * landed, so the memo was deleted).
   */
 object BenchRebatchBound {
   def main(args: Array[String]): Unit = {
@@ -52,7 +43,7 @@ object BenchRebatchBound {
     graft.spark.Defrag.firstFragments(read())
       .write.mode("overwrite").option("compression", "zstd").parquet(spill)
     // arm 0 = join (row-shaped broadcast join + rebatch), 1 = nojoin
-    // (scan → vector write, the ceiling), 2 = patch (round-13 reader-side
+    // (scan → vector write, the ceiling), 2 = patch (reader-side
     // broadcast patch + writer column permutation — the shipped path)
     def arm(kind: Int): Double = {
       val t0 = System.nanoTime()
@@ -66,10 +57,7 @@ object BenchRebatchBound {
         case 1 =>
           require(graft.spark.PcapColumnarWrite.write(pcap, out, "zstd",
             singleFile = false, rebatch = true), "vector write refused")
-        case k =>
-          // arm 2 = shipped patch path (per-reader probe memo, round 14);
-          // arm 3 = same path with the memo disabled (graft.patch.noMemo)
-          // — the interleaved A/B for the memo itself
+        case _ =>
           val tb = System.nanoTime()
           val map = graft.sources.DefragPatch.build(spark.read.parquet(spill))
           val bc = spark.sparkContext.broadcast(map)
@@ -77,7 +65,6 @@ object BenchRebatchBound {
             f"[rebatch-bound]   patch map build+broadcast ${(System.nanoTime() - tb) / 1e9}%.2f s")
           val pk = java.util.UUID.randomUUID().toString
           graft.sources.DefragPatch.register(pk, bc)
-          if (k == 3) sys.props("graft.patch.noMemo") = "1"
           try {
             val shards = graft.BenchEnv.pcapShards(spark, glob)
             var rd = spark.read.format("pcap")
@@ -92,27 +79,26 @@ object BenchRebatchBound {
               "vector write refused")
           } finally {
             graft.sources.DefragPatch.unregister(pk); bc.destroy()
-            sys.props.remove("graft.patch.noMemo")
           }
       }
       (System.nanoTime() - t0) / 1e9
     }
-    arm(0); arm(1); arm(2); arm(3) // JIT warmup, discarded
-    val builders = Array.fill(4)(Array.newBuilder[Double])
+    arm(0); arm(1); arm(2) // JIT warmup, discarded
+    val builders = Array.fill(3)(Array.newBuilder[Double])
     (1 to rounds).foreach { r =>
-      val ts = (0 to 3).map { k => val t = arm(k); builders(k) += t; t }
+      val ts = (0 to 2).map { k => val t = arm(k); builders(k) += t; t }
       System.err.println(f"[rebatch-bound] round $r: join ${ts(0)}%.2f s, " +
-        f"nojoin ${ts(1)}%.2f s, patch ${ts(2)}%.2f s, patch-nomemo ${ts(3)}%.2f s")
+        f"nojoin ${ts(1)}%.2f s, patch ${ts(2)}%.2f s")
     }
-    val Seq((jb, jm), (nb, nm), (pb, pm), (qb, qm)) =
+    val Seq((jb, jm), (nb, nm), (pb, pm)) =
       builders.toSeq.map(b => graft.BenchEnv.bestMedian(b.result()))
     val gapPct = 100.0 * (jm - nm) / jm
     val patchGapPct = 100.0 * (jm - pm) / jm
     System.err.println(f"[rebatch-bound] join best $jb%.2f s median $jm%.2f s; " +
       f"nojoin best $nb%.2f s median $nm%.2f s; patch best $pb%.2f s " +
-      f"median $pm%.2f s; patch-nomemo best $qb%.2f s median $qm%.2f s; " +
+      f"median $pm%.2f s; " +
       f"join→nojoin gap $gapPct%.1f%%, join→patch $patchGapPct%.1f%%")
-    println(f"""{"metric":"rebatch_bound_ab","join_best_s":$jb%.3f,"join_median_s":$jm%.3f,"nojoin_best_s":$nb%.3f,"nojoin_median_s":$nm%.3f,"patch_best_s":$pb%.3f,"patch_median_s":$pm%.3f,"patch_nomemo_best_s":$qb%.3f,"patch_nomemo_median_s":$qm%.3f,"median_gap_pct":$gapPct%.1f,"patch_gap_pct":$patchGapPct%.1f,"stride":$stride,"glob":"$glob"}""")
+    println(f"""{"metric":"rebatch_bound_ab","join_best_s":$jb%.3f,"join_median_s":$jm%.3f,"nojoin_best_s":$nb%.3f,"nojoin_median_s":$nm%.3f,"patch_best_s":$pb%.3f,"patch_median_s":$pm%.3f,"median_gap_pct":$gapPct%.1f,"patch_gap_pct":$patchGapPct%.1f,"stride":$stride,"glob":"$glob"}""")
     graft.TempCleanup.rmrf(new java.io.File(out))
     graft.TempCleanup.rmrf(new java.io.File(spill))
     spark.stop()

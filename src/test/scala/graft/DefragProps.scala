@@ -227,64 +227,4 @@ object DefragProps extends Properties("defrag") {
     }
   }
 
-  property("patch-probe memo ≡ memo-less probe over adjacent-fragment sequences") = {
-    // round-14 verdict #4: the readers' per-reader Memo short-circuits
-    // the two string-map probes on repeated (ip_id, src, dst) keys. The
-    // memo must be a pure cache: same patched fields as apply(m, a,
-    // null) over ANY row sequence — including interleaved keys, keys
-    // absent from the table, and equal-but-not-identical strings (those
-    // just miss the memo).
-    import graft.sources.DefragPatch
-    val addrs = Array("10.0.0.1", "10.0.0.2", "10.9.9.9", "172.16.0.1")
-    val genEntry = for {
-      id <- Gen.chooseNum(0, 5)
-      s <- Gen.chooseNum(0, addrs.length - 1)
-      d <- Gen.chooseNum(0, addrs.length - 1)
-      sp <- Gen.oneOf(-1, 53, 123)
-      dp <- Gen.oneOf(-1, 53, 4000)
-      qn <- Gen.oneOf(-1, 0) // -1 = null, 0 = strings(0)… remapped below
-    } yield (id, s, d, sp, dp, qn)
-    val genRow = for {
-      id <- Gen.chooseNum(0, 7) // some ids have no entry
-      s <- Gen.chooseNum(0, addrs.length - 1)
-      d <- Gen.chooseNum(0, addrs.length - 1)
-      fresh <- Gen.oneOf(true, false) // non-identical equal string
-      hasSp <- Gen.oneOf(true, false)
-      rep <- Gen.chooseNum(1, 4) // adjacency: fragments repeat
-    } yield (id, s, d, fresh, hasSp, rep)
-    Prop.forAll(Gen.listOfN(6, genEntry), Gen.listOfN(20, genRow)) { (es0, rows) =>
-      val es = es0.distinctBy(e => (e._1, e._2, e._3))
-      val n = es.length
-      val dict = addrs ++ Array("frag.example.org")
-      val m = new DefragPatch.PatchMap(
-        es.map(_._1).toArray, es.map(_._2).toArray, es.map(_._3).toArray,
-        dict,
-        es.map(_._4).toArray, es.map(_._5).toArray,
-        Array.fill(n)(-1),
-        Array.fill(n)(-1),
-        es.map(e => if (e._6 < 0) -1 else addrs.length).toArray,
-        Array.fill(n)(-1))
-      val memo = new DefragPatch.Memo
-      def mkAcc(r: (Int, Int, Int, Boolean, Boolean, Int)): graft.dissect.DissectAcc = {
-        val a = new graft.dissect.DissectAcc
-        a.ipProto = 17
-        a.ipId = r._1
-        a.ipSrcStr = if (r._4) new String(addrs(r._2)) else addrs(r._2)
-        a.ipDstStr = addrs(r._3)
-        if (r._5) a.udpSrcport = 5353
-        a
-      }
-      val seq = rows.flatMap(r => List.fill(r._6)(r))
-      val ok = seq.forall { r =>
-        val am = mkAcc(r); val ap = mkAcc(r)
-        DefragPatch.apply(m, am, memo)
-        DefragPatch.apply(m, ap, null)
-        am.udpSrcport == ap.udpSrcport && am.udpDstport == ap.udpDstport &&
-          am.ntpPrivReqcode == ap.ntpPrivReqcode &&
-          am.dnsQryType == ap.dnsQryType && am.dnsQryName == ap.dnsQryName &&
-          am.protoIdx == ap.protoIdx
-      }
-      Prop(ok) :| "memoized patch diverged from memo-less"
-    }
-  }
 }
