@@ -181,22 +181,29 @@ object KMeansIvf {
   }
 
   /** Nearest-centroid assignment via broadcast join + per-vector argmax.
-    * One hash aggregate: `min(struct(-sim, cell, e))` is the (sim DESC,
-    * cell ASC) argmax with lexicographic tie-breaks — with map-side
-    * partials and no per-group sort (IEEE negation is exact, so the
-    * ordering over FINITE sims is identical to the old sort+row_number
-    * window). The round-5 NaN-ordering divergence (window sim-DESC ranks
-    * NaN greatest; min(struct(-sim,...)) ranks it last) is UNREACHABLE
-    * since cosine_sim defines zero-norm similarity as 0.0
-    * (GraftFunctions.cosine) — every sim is finite, both orderings agree;
-    * KMeansSpec pins it with planted zero vectors.
+    * One aggregate: `min(struct(-sim, cell, e))` is the (sim DESC,
+    * cell ASC) argmax with lexicographic tie-breaks (IEEE negation is
+    * exact, so the ordering over FINITE sims is identical to the old
+    * sort+row_number window). The round-5 NaN-ordering divergence
+    * (window sim-DESC ranks NaN greatest; min(struct(-sim,...)) ranks it
+    * last) is UNREACHABLE since cosine_sim defines zero-norm similarity
+    * as 0.0 (GraftFunctions.cosine) — every sim is finite, both
+    * orderings agree; KMeansSpec pins it with planted zero vectors.
+    *
+    * Round 16: the argmin runs through MinStructAgg
+    * (ObjectHashAggregate) — the declarative `min(struct)` this used to
+    * call silently planned as SortAggregate (struct buffers aren't
+    * UnsafeRow-mutable), sorting the N×cells exploded frame by vec_id on
+    * both exchange sides EVERY learning round; the "one hash aggregate"
+    * this comment used to claim was never the executed plan.
     */
   private def assign(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("e"), col("cell"),
         negate(cosine_sim(col("e"), col("ce"))).as("nsim"))
       .groupBy("vec_id")
-      .agg(min(struct(col("nsim"), col("cell"), col("e"))).as("m"))
+      .agg(graft.functions.MinStructAgg.minStructOrDeclarative(
+        struct(col("nsim"), col("cell"), col("e"))).as("m"))
       .select(col("vec_id"), col("m.e").as("e"), col("m.cell").as("cell"))
 
   /** ANN search: score queries against the `nprobe` closest cells only. */

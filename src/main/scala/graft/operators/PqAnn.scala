@@ -67,17 +67,20 @@ object PqAnn {
     val svDist = distExpr("sv", "0", "ce", dsub)
 
     /** nearest-code assignment: broadcast codebooks, integer argmin.
-      * The argmin is ONE hash aggregate — `min(struct(di, code, sv))`
-      * compares lexicographically, so ties break on the lowest code
-      * exactly like the old sort+row_number window but with map-side
-      * partial aggregation and no per-group sort (round-5 bench win).
+      * `min(struct(di, code, sv))` compares lexicographically, so ties
+      * break on the lowest code exactly like the old sort+row_number
+      * window. Round 16: through MinStructAgg (ObjectHashAggregate) —
+      * the declarative form planned as SortAggregate (struct buffers
+      * aren't UnsafeRow-mutable), sorting the N×k exploded frame by
+      * (vec_id, sub_m) on both exchange sides every encode round.
       */
     def encode(cb: DataFrame): DataFrame =
       sv.join(broadcast(cb), Seq("sub_m"))
         .select(col("vec_id"), col("sub_m"), col("sv"), col("code"),
           expr(svDist).as("di"))
         .groupBy("vec_id", "sub_m")
-        .agg(min(struct(col("di"), col("code"), col("sv"))).as("m"))
+        .agg(graft.functions.MinStructAgg.minStructOrDeclarative(
+          struct(col("di"), col("code"), col("sv"))).as("m"))
         .select(col("vec_id"), col("sub_m"),
           col("m.sv").as("sv"), col("m.code").as("code"))
 

@@ -89,18 +89,29 @@ object Defrag {
     * row_number window. Identical row choice — struct ordering is
     * field-by-field with nulls first, exactly the window's
     * `frame_time.asc +: patched.asc` full sort key (the patched columns
-    * still break retransmit ties at the same µs) — but the aggregate
-    * gets map-side partial combining with no per-partition sort (each
-    * scan task pre-aggregates ITS fragments — per capture file/stride —
-    * before anything shuffles), and its output exchange is already
+    * still break retransmit ties at the same µs) — and the aggregate
+    * gets map-side partial combining, and its output exchange is already
     * hash-partitioned by the join keys, so the shuffle branch of
     * [[defrag]] reuses it for the build side.
+    *
+    * Round 16: the argmin runs through [[graft.functions.MinStructAgg]]
+    * (ObjectHashAggregate) instead of the declarative `min(struct)` —
+    * structs are not UnsafeRow-mutable, so the old form silently planned
+    * as SortAggregate, sorting every first-fragment row by the datagram
+    * keys on BOTH sides of the exchange (the "no per-partition sort"
+    * claim this comment used to make was wrong — the plan had
+    * Sort+SortAggregate on the map side too). Same total order, same
+    * row choice (DefragProps pins agg ≡ min(struct));
+    * `graft.agg.noMinStruct` restores the declarative form for the
+    * interleaved A/B (shared with KMeansIvf/PqAnn's argmins).
     */
   def firstFragments(pcap: DataFrame): DataFrame = {
+    val ffStruct = struct((col("frame_time") +: Patched.map(col)): _*)
+    val ffMin = graft.functions.MinStructAgg.minStructOrDeclarative(ffStruct)
     pcap
       .filter(col("ip_proto") === 17 && col("ip_mf") && col("ip_frag_offset") === 0)
       .groupBy(JoinKeys.map(col): _*)
-      .agg(min(struct((col("frame_time") +: Patched.map(col)): _*)).as("__ff"))
+      .agg(ffMin.as("__ff"))
       .select((JoinKeys.map(col) ++ Patched.map(c => col(s"__ff.$c").as(c))): _*)
   }
 

@@ -12,7 +12,10 @@ package graft.tools
   *   - `fused` (round 16, the shipped shape): reader-side (total,
   *     fragmented) counting, ff filter PUSHED into the gated scan, job
   *     ends at the collected dictionary-encoded patch-map arrays — no
-  *     spill round-trip ([[graft.spark.Defrag.statsAndBuild]]).
+  *     spill round-trip ([[graft.spark.Defrag.statsAndBuild]]);
+  *   - `fusedSort`: the fused job with `graft.agg.noMinStruct` — the
+  *     declarative min(struct) SortAggregate instead of MinStructAgg's
+  *     ObjectHashAggregate; the round-16 argmin decision pair.
   *
   * Usage: `runMain graft.tools.BenchStatsGate [fileGlob] [rounds]`.
   */
@@ -38,35 +41,43 @@ object BenchStatsGate {
       graft.TempCleanup.rmrf(new java.io.File(spill))
       t
     }
-    def runFused(): Double = {
+    def runFused(sortAggMin: Boolean = false): Double = {
       val key = java.util.UUID.randomUUID().toString
       val sm = graft.spark.PcapSource.statsMetrics(spark)
       graft.spark.PcapSource.registerMetrics(key, sm)
+      if (sortAggMin) sys.props("graft.agg.noMinStruct") = "1"
       try {
         val t0 = System.nanoTime()
         val fused = graft.spark.Defrag.statsAndBuild(
           scan(gated = true, metricsKey = key), sm, Long.MaxValue)
         require(fused.ffKeys > 0 || fused.pct == 0.0, "fused stats came back empty")
         (System.nanoTime() - t0) / 1e9
-      } finally graft.spark.PcapSource.unregisterMetrics(key)
+      } finally {
+        graft.spark.PcapSource.unregisterMetrics(key)
+        sys.props.remove("graft.agg.noMinStruct"); ()
+      }
     }
-    runSpill(gated = true); runSpill(gated = false); runFused() // JIT warmup
-    val (g, f, u) = (Array.newBuilder[Double], Array.newBuilder[Double],
-      Array.newBuilder[Double])
+    runSpill(gated = true); runSpill(gated = false) // JIT warmup
+    runFused(); runFused(sortAggMin = true)
+    val (g, f, u, us) = (Array.newBuilder[Double], Array.newBuilder[Double],
+      Array.newBuilder[Double], Array.newBuilder[Double])
     (1 to rounds).foreach { r =>
       val a = runSpill(gated = true)
       val b = runSpill(gated = false)
       val c = runFused()
-      g += a; f += b; u += c
+      val d = runFused(sortAggMin = true)
+      g += a; f += b; u += c; us += d
       System.err.println(
-        f"[stats-gate] round $r: gated $a%.2f s, full $b%.2f s, fused $c%.2f s")
+        f"[stats-gate] round $r: gated $a%.2f s, full $b%.2f s, fused $c%.2f s, fusedSort $d%.2f s")
     }
     val (gb, gm) = graft.BenchEnv.bestMedian(g.result())
     val (fb, fm) = graft.BenchEnv.bestMedian(f.result())
     val (ub, um) = graft.BenchEnv.bestMedian(u.result())
+    val (sb, sm_) = graft.BenchEnv.bestMedian(us.result())
     System.err.println(f"[stats-gate] gated best $gb%.2f s median $gm%.2f s; " +
-      f"full best $fb%.2f s median $fm%.2f s; fused best $ub%.2f s median $um%.2f s")
-    println(f"""{"metric":"stats_gate_ab","gated_best_s":$gb%.3f,"gated_median_s":$gm%.3f,"full_best_s":$fb%.3f,"full_median_s":$fm%.3f,"fused_best_s":$ub%.3f,"fused_median_s":$um%.3f,"glob":"$glob"}""")
+      f"full best $fb%.2f s median $fm%.2f s; fused best $ub%.2f s median $um%.2f s; " +
+      f"fusedSort best $sb%.2f s median $sm_%.2f s")
+    println(f"""{"metric":"stats_gate_ab","gated_best_s":$gb%.3f,"gated_median_s":$gm%.3f,"full_best_s":$fb%.3f,"full_median_s":$fm%.3f,"fused_best_s":$ub%.3f,"fused_median_s":$um%.3f,"fused_sortagg_best_s":$sb%.3f,"fused_sortagg_median_s":$sm_%.3f,"glob":"$glob"}""")
     spark.stop()
   }
 }

@@ -227,4 +227,43 @@ object DefragProps extends Properties("defrag") {
     }
   }
 
+  property("MinStructAgg ≡ declarative min(struct) over fuzzed groups") = {
+    // round 16: firstFragments' argmin moved from the declarative
+    // min(struct) (which plans as SortAggregate — structs aren't
+    // UnsafeRow-mutable) to the typed-imperative MinStructAgg
+    // (ObjectHashAggregate, no sorts). Same total order by contract;
+    // fuzz groups with null fields, exact-tie rows, and multiple
+    // partitions (exercises update, partial merge, and the
+    // serialize/deserialize hop across the exchange).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, min, struct}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("ft", LongType),
+      StructField("s1", StringType),
+      StructField("s2", StringType),
+      StructField("n", IntegerType)))
+    val genRow = for {
+      k <- Gen.chooseNum(0, 6)
+      ft <- Gen.oneOf[Any](null, Long.box(1L), Long.box(2L), Long.box(3L))
+      s1 <- Gen.oneOf[Any](null, "", "a", "aa", "b")
+      s2 <- Gen.oneOf[Any](null, "x", "y")
+      n <- Gen.oneOf[Any](null, Int.box(0), Int.box(7))
+    } yield Row(k, ft, s1, s2, n)
+    Prop.forAll(Gen.chooseNum(1, 60).flatMap(m => Gen.listOfN(m, genRow)),
+        Gen.chooseNum(1, 5)) { (rows, parts) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      def run(agg: org.apache.spark.sql.Column) = df.groupBy("k")
+        .agg(agg.as("m"))
+        .select(col("k"), col("m.ft"), col("m.s1"), col("m.s2"), col("m.n"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val s = struct(col("ft"), col("s1"), col("s2"), col("n"))
+      val got = run(graft.functions.MinStructAgg.min_struct(s))
+      val want = run(min(s))
+      Prop(got == want) :| s"argmin diverged: got ${got.take(3)} want ${want.take(3)}"
+    }
+  }
+
 }
