@@ -137,22 +137,39 @@ object GlobalRank {
   private def sampleBounds(df: DataFrame, keys: Seq[(Column, Boolean)], p: Int): Seq[Row] = {
     if (p <= 1) return Nil
     val perPart = 256
-    val samples = df.select(keys.map(_._1): _*).rdd
+    // Sample on INTERNAL rows (round 16): `.rdd` deserializes EVERY row
+    // of the scan to an external Row (UTF8String→String, boxing) just to
+    // keep ≤256 of them per partition — the guide-§4 boundary cost paid
+    // on the full fact table. queryExecution.toRdd streams the physical
+    // plan's UnsafeRows instead; only ACCEPTED rows are copied (the
+    // reservoir touches ~perPart·ln(n/perPart) rows), and only the
+    // ≤256·P survivors convert to external Rows on the driver. Same
+    // seeding, same partitioning, same acceptance indices → identical
+    // bounds to the old form (and the output is exact under ANY bounds —
+    // they only steer balance).
+    val proj = df.select(keys.map(_._1): _*)
+    val schema = proj.schema
+    val samplesInternal = proj.queryExecution.toRdd
       .mapPartitionsWithIndex { (idx, it) =>
         val rng = new java.util.Random(0x9E3779B97F4A7C15L * (idx + 1))
-        val buf = new Array[Row](perPart)
+        val buf = new Array[org.apache.spark.sql.catalyst.InternalRow](perPart)
         var n = 0L
         while (it.hasNext) {
           val r = it.next()
-          if (n < perPart) buf(n.toInt) = r
+          if (n < perPart) buf(n.toInt) = r.copy()
           else {
             val j = (rng.nextDouble() * (n + 1)).toLong
-            if (j < perPart) buf(j.toInt) = r
+            if (j < perPart) buf(j.toInt) = r.copy()
           }
           n += 1
         }
         Iterator.single((n, buf.take(math.min(n, perPart.toLong).toInt)))
       }.collect()
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    val samples = samplesInternal.map { case (n, rows) =>
+      (n, rows.map(r => toScala(r).asInstanceOf[Row]))
+    }
     val total = samples.map(_._1).sum
     if (total == 0L) return Nil
     val weighted = samples.toSeq.flatMap { case (n, rows) =>
