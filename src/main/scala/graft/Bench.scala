@@ -40,11 +40,6 @@ object Bench {
       // the 64-column minhash signature aggregate must stay inside
       // whole-stage codegen (default maxFields=100 silently disables it)
       .config("spark.sql.codegen.maxFields", "300")
-      // row-shaped ObjectHashAggregate buffers (MinStructAgg): the
-      // default 128-group sort fallback guards collect_list-style
-      // unbounded state, not one-row-per-group argmins
-      .config(graft.functions.MinStructAgg.FallbackKey,
-        graft.functions.MinStructAgg.FallbackThreshold.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -83,14 +78,29 @@ object Bench {
     val calStart = calibrate()
     System.err.println(f"[bench] calibration(start) $calStart%.3f s, loadavg $loadStart")
 
+    // per-row WORK counters (round-17 verdict #4: wall seconds at this
+    // SF drown in host load — task counts / records / shuffle bytes are
+    // the load-independent signal, measured once on the LAST iteration,
+    // where plans are AQE-warm; the listener drain runs AFTER the timer
+    // stops, so timings are unaffected)
+    val workOf = scala.collection.mutable.Map[String, graft.tools.TaskRecords.Work]()
+
     /** (best, median) of `iters` full materializations of a fresh build. */
-    def timeN(build: () => org.apache.spark.sql.DataFrame): (Double, Double) = {
-      val ts = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        // full materialization of every output column; the noop sink
-        // discards rows but cannot be pruned by the optimizer
-        build().write.mode("overwrite").format("noop").save()
-        val sec = (System.nanoTime() - t0) / 1e9
+    def timeN(name: String)(build: () => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val ts = (1 to iters).map { i =>
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          // full materialization of every output column; the noop sink
+          // discards rows but cannot be pruned by the optimizer
+          build().write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec =
+          if (i == iters) {
+            val (s, w) = graft.tools.TaskRecords.measureWork(spark)(run())
+            workOf(name) = w
+            s
+          } else run()
         spark.catalog.clearCache() // queries may cache; isolate timings
         sec
       }.sorted
@@ -105,7 +115,7 @@ object Bench {
     val ordered = SparkEntry.headline.sortBy(q => if (q.name.startsWith("d")) 1 else 0)
     val results = ordered.map { q =>
       val (best, median) =
-        try timeN(() => q.build(spark, sfDir))
+        try timeN(q.name)(() => q.build(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           (-1.0, -1.0)
@@ -117,7 +127,7 @@ object Bench {
       // degrade like the headline rows: one broken A/B arm must cost its
       // own row, never the whole round's JSON line
       val (best, median) =
-        try timeN(build)
+        try timeN(name)(build)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           (-1.0, -1.0)
@@ -518,7 +528,14 @@ object Bench {
     val loadEnd = loadavg()
     System.err.println(f"[bench] calibration(end) $calEnd%.3f s, loadavg $loadEnd")
     val noise = f""""calibration":{"start_s":$calStart%.3f,"end_s":$calEnd%.3f},"loadavg":{"start":$loadStart,"end":$loadEnd}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,$noise,"failed":$failedJson,"queries":$qs,"queries_stats":$stats,"sf":"$sfDir"}"""
+    // load-independent per-row work: tasks, records read, shuffle MB —
+    // full line / sidecar only (the compact tail line must stay small)
+    val work = emitted.flatMap { case (k, _, _) =>
+      workOf.get(k).map { w =>
+        "\"" + k + f"""\":{"tasks":${w.tasks},"recs":${w.records},"shuf_r_mb":${w.shuffleReadB / 1048576.0}%.2f,"shuf_w_mb":${w.shuffleWriteB / 1048576.0}%.2f}"""
+      }
+    }.mkString("{", ",", "}")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,$noise,"failed":$failedJson,"queries":$qs,"queries_stats":$stats,"queries_work":$work,"sf":"$sfDir"}"""
     // the driver keeps only the LAST ~2000 chars of output and parses
     // a JSON line within them (round-7: the single full line had grown
     // past that, so its head was clipped and `parsed` came back null).

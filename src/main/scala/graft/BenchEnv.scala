@@ -53,8 +53,6 @@ object BenchEnv {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config(graft.functions.MinStructAgg.FallbackKey,
-        graft.functions.MinStructAgg.FallbackThreshold.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

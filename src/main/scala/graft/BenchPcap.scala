@@ -59,10 +59,6 @@ object BenchPcap {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", localDir)
-      // row-shaped ObjectHashAggregate buffers (MinStructAgg in the
-      // defrag stats pass): see MinStructAgg.FallbackThreshold
-      .config(graft.functions.MinStructAgg.FallbackKey,
-        graft.functions.MinStructAgg.FallbackThreshold.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -27,11 +27,6 @@ object Verify {
       // the 64-column minhash signature aggregate must stay inside
       // whole-stage codegen (default maxFields=100 silently disables it)
       .config("spark.sql.codegen.maxFields", "300")
-      // row-shaped ObjectHashAggregate buffers (MinStructAgg): the
-      // default 128-group sort fallback guards collect_list-style
-      // unbounded state, not one-row-per-group argmins
-      .config(graft.functions.MinStructAgg.FallbackKey,
-        graft.functions.MinStructAgg.FallbackThreshold.toString)
       // fair sharing across the concurrently-running queries: a long
       // pair-generation query must not starve the quick scans queued
       // behind it (pools get equal shares; FIFO within a pool)

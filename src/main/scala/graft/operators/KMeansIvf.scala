@@ -26,8 +26,16 @@ object KMeansIvf {
     */
   def fit(emb: DataFrame, k: Int, iterations: Int,
       init: String = "first-k"): (DataFrame, DataFrame) = {
-    val e = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    // scoped (round 17): every frame in the operator derives from `e`,
+    // so the per-round localCheckpoint actions and the caller's final
+    // action all execute under the argmin session clone — the raised
+    // ObjectHashAggregate fallback threshold applies to this operator's
+    // queries only, not the caller's session. The clone also covers the
+    // centroid-update collect_list, whose state is bounded by this
+    // operator's own shape (k cells × dim-length lists), not unbounded.
+    val e = graft.functions.MinStructAgg.scoped(
+      emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")))
       .cache()
     var centroids = init match {
       case "kmeans||" => initKMeansParallel(e, k)

@@ -57,8 +57,15 @@ object PqAnn {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val e = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")).cache()
+    // scoped (round 17): `sv` and every encode/codebook frame derive
+    // from `e`, so the per-round localCheckpoints and the caller's
+    // actions execute under the argmin session clone (raised
+    // ObjectHashAggregate fallback threshold scoped to this operator;
+    // its collect_list state is bounded by m·k groups × dsub-length
+    // lists). See MinStructAgg.scoped.
+    val e = graft.functions.MinStructAgg.scoped(
+      emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))).cache()
     // (vec_id, sub_m, sv): the corpus split into m subvectors per vector
     val sv = e.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), j -> slice(e, j * $dsub + 1, $dsub))")))

@@ -108,11 +108,19 @@ object Defrag {
   def firstFragments(pcap: DataFrame): DataFrame = {
     val ffStruct = struct((col("frame_time") +: Patched.map(col)): _*)
     val ffMin = graft.functions.MinStructAgg.minStructOrDeclarative(ffStruct)
-    pcap
+    // scoped (round 17): the raised ObjectHashAggregate fallback
+    // threshold rides a session clone rooted HERE instead of the
+    // round-16 session-wide config — every production action on the
+    // argmin (the fused-stats collect, the ff spill write) runs on this
+    // frame or a unary descendant, so it executes under the clone. A
+    // caller that embeds this frame under a parent-session root (the
+    // test-only Defrag.defrag convenience) just plans with the default
+    // threshold and degrades to the framework's sort-based fallback.
+    graft.functions.MinStructAgg.scoped(pcap
       .filter(col("ip_proto") === 17 && col("ip_mf") && col("ip_frag_offset") === 0)
       .groupBy(JoinKeys.map(col): _*)
       .agg(ffMin.as("__ff"))
-      .select((JoinKeys.map(col) ++ Patched.map(c => col(s"__ff.$c").as(c))): _*)
+      .select((JoinKeys.map(col) ++ Patched.map(c => col(s"__ff.$c").as(c))): _*))
   }
 
   /** Max first-fragment rows we force into a broadcast. Above this (a
@@ -301,7 +309,12 @@ object Defrag {
   def statsAndSpill(statsPcap: DataFrame, spillDir: String): (Double, Long) = {
     val obs = org.apache.spark.sql.Observation(
       "defrag_stats_" + java.util.UUID.randomUUID().toString)
-    val observed = statsPcap.observe(obs,
+    // scope BEFORE observe: the Observation registers its listener on
+    // the session of the frame observe() is called on, and the write
+    // below executes under firstFragments' scoped clone — observing the
+    // parent-session frame would register on a bus the clone-run query
+    // never posts to, and obs.get would hang (MinStructAgg.scoped doc)
+    val observed = graft.functions.MinStructAgg.scoped(statsPcap).observe(obs,
       count(lit(1)).as("total"),
       sum(when(fragmentedCond, 1L).otherwise(0L)).as("frag"))
     firstFragments(observed).write.mode("overwrite")

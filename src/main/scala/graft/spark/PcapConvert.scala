@@ -384,10 +384,6 @@ object PcapConvert {
     val builder = SparkSession.builder()
       .appName("pcap-convert")
       .config("spark.sql.session.timeZone", "UTC")
-      // row-shaped ObjectHashAggregate buffers (MinStructAgg in the
-      // defrag stats pass): see MinStructAgg.FallbackThreshold
-      .config(graft.functions.MinStructAgg.FallbackKey,
-        graft.functions.MinStructAgg.FallbackThreshold.toString)
     // default to local mode when not launched via spark-submit
     if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
       builder.master("local[*]").config("spark.sql.shuffle.partitions", "32")

@@ -53,4 +53,27 @@ object TaskRecords {
     val r = measureWith(spark)(m => { recs.addAndGet(m.inputMetrics.recordsRead); () })(body)
     (r, recs.get())
   }
+
+  /** Load-independent WORK counters for one measured action (round-17
+    * verdict #4: at bench SF, wall-clock deltas drown in host load —
+    * these are what stays comparable round over round, like the
+    * existing `_recs` rows proved). All task-summed. */
+  final case class Work(tasks: Long, records: Long,
+      shuffleReadB: Long, shuffleWriteB: Long)
+
+  /** (result, work counters of the tasks `body` triggered). */
+  def measureWork[T](spark: SparkSession)(body: => T): (T, Work) = {
+    val tasks = new AtomicLong
+    val recs = new AtomicLong
+    val shR = new AtomicLong
+    val shW = new AtomicLong
+    val r = measureWith(spark) { m =>
+      tasks.incrementAndGet()
+      recs.addAndGet(m.inputMetrics.recordsRead)
+      shR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      ()
+    }(body)
+    (r, Work(tasks.get(), recs.get(), shR.get(), shW.get()))
+  }
 }

@@ -21,11 +21,6 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.maxFields", "300")
-      // row-shaped ObjectHashAggregate buffers (MinStructAgg): the
-      // default 128-group sort fallback guards collect_list-style
-      // unbounded state, not one-row-per-group argmins
-      .config(graft.functions.MinStructAgg.FallbackKey,
-        graft.functions.MinStructAgg.FallbackThreshold.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

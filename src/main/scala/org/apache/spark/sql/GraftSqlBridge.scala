@@ -37,6 +37,19 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `SparkSession.cloneSession()` is `private[sql]`: a session sharing
+    * the SparkContext/SharedState (so caches and accumulators carry
+    * over) with a COPY of the current SessionState — runtime confs,
+    * temp views, experimental strategies as of the clone. Unlike the
+    * public `newSession()`, runtime `conf.set` values survive. Used by
+    * [[graft.functions.MinStructAgg.scoped]] to give argmin-bearing
+    * query trees their own `SQLConf` without mutating the caller's
+    * session (round-17: the fallback threshold must not be raised
+    * session-wide).
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** The analyzed logical plan of a DataFrame (custom-plan children). */
   def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed

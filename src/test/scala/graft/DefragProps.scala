@@ -266,4 +266,49 @@ object DefragProps extends Properties("defrag") {
     }
   }
 
+  property("MinStructAgg sort-based fallback path ≡ min(struct)") = {
+    // round-16 ADVICE: the property above can never reach
+    // ObjectHashAggregate's sort-based fallback (its 60-row inputs stay
+    // far under any threshold), so the fallback's buffer
+    // serialize/spill/merge shipped untested. Pin the threshold at 1 for
+    // this arm — EVERY group past the first falls back, exercising the
+    // sort-based merge of typed buffers on both exchange sides.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, min, struct}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("ft", LongType),
+      StructField("s1", StringType),
+      StructField("n", IntegerType)))
+    val genRow = for {
+      k <- Gen.chooseNum(0, 9)
+      ft <- Gen.oneOf[Any](null, Long.box(1L), Long.box(2L))
+      s1 <- Gen.oneOf[Any](null, "", "a", "b")
+      n <- Gen.oneOf[Any](null, Int.box(0), Int.box(7))
+    } yield Row(k, ft, s1, n)
+    val key = graft.functions.MinStructAgg.FallbackKey
+    val saved = spark.conf.getOption(key)
+    Prop.forAll(Gen.chooseNum(8, 60).flatMap(m => Gen.listOfN(m, genRow)),
+        Gen.chooseNum(1, 5)) { (rows, parts) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      def run(agg: org.apache.spark.sql.Column) = df.groupBy("k")
+        .agg(agg.as("m"))
+        .select(col("k"), col("m.ft"), col("m.s1"), col("m.n"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val s = struct(col("ft"), col("s1"), col("n"))
+      try {
+        spark.conf.set(key, "1")
+        val got = run(graft.functions.MinStructAgg.min_struct(s))
+        spark.conf.unset(key)
+        val want = run(min(s))
+        Prop(got == want) :| s"fallback argmin diverged: got ${got.take(3)} want ${want.take(3)}"
+      } finally saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
 }
