@@ -200,12 +200,35 @@ object MinStructAgg {
     GraftSqlBridge.column(
       MinStructAgg(GraftSqlBridge.expression(c)).toAggregateExpression())
 
-  /** The production argmin: MinStructAgg, unless the
-    * `graft.agg.noMinStruct` sysprop restores the declarative
-    * `min(struct)` — interleaved-A/B instrumentation only (both forms in
-    * one JVM), shared by every call site (Defrag/KMeansIvf/PqAnn). */
+  /** The production argmin at the EMBEDDING sites (KMeansIvf/PqAnn):
+    * MinStructAgg, unless the `graft.agg.noMinStruct` sysprop restores
+    * the declarative `min(struct)` — interleaved-A/B instrumentation
+    * only (both forms in one JVM). */
   def minStructOrDeclarative(c: Column): Column =
     if (sys.props.contains("graft.agg.noMinStruct"))
       org.apache.spark.sql.functions.min(c)
     else min_struct(c)
+
+  /** The production argmin at the DEFRAG first-fragment site:
+    * DECLARATIVE `min(struct)` (SortAggregate), re-flipped in round 17
+    * by measurement. Round 16 moved this site to MinStructAgg on a
+    * plan-shape argument (two Sort nodes removed) but never got a clean
+    * 100M read of the pair; round 17's order-alternating
+    * `tools.BenchFfArgminAB` read declarative 3.0–4.3 s vs MinStructAgg
+    * 4.5–15.3 s over 8 consecutive both-order rounds at 100M packets —
+    * the per-task sorts (~35k–300k rows) are cheaper than the typed
+    * aggregate's per-row struct allocation (`child.eval` builds a
+    * GenericInternalRow per input row, outside whole-stage codegen),
+    * and the allocation churn also drove MinStructAgg's 3× run-to-run
+    * GC variance. The embedding sites keep MinStructAgg: their structs
+    * carry the embedding array (a far wider sort row) and measure
+    * parity-or-better (BenchArgminAB).
+    *
+    * `graft.agg.ffMinStruct` forces MinStructAgg here — the A/B
+    * instrument's arm; `graft.agg.noMinStruct` still wins if both are
+    * set. */
+  def ffArgmin(c: Column): Column =
+    if (sys.props.contains("graft.agg.ffMinStruct") &&
+        !sys.props.contains("graft.agg.noMinStruct")) min_struct(c)
+    else org.apache.spark.sql.functions.min(c)
 }

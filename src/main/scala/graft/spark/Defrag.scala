@@ -94,20 +94,19 @@ object Defrag {
     * hash-partitioned by the join keys, so the shuffle branch of
     * [[defrag]] reuses it for the build side.
     *
-    * Round 16: the argmin runs through [[graft.functions.MinStructAgg]]
-    * (ObjectHashAggregate) instead of the declarative `min(struct)` —
-    * structs are not UnsafeRow-mutable, so the old form silently planned
-    * as SortAggregate, sorting every first-fragment row by the datagram
-    * keys on BOTH sides of the exchange (the "no per-partition sort"
-    * claim this comment used to make was wrong — the plan had
-    * Sort+SortAggregate on the map side too). Same total order, same
-    * row choice (DefragProps pins agg ≡ min(struct));
-    * `graft.agg.noMinStruct` restores the declarative form for the
-    * interleaved A/B (shared with KMeansIvf/PqAnn's argmins).
+    * Round 16 moved the argmin to MinStructAgg (ObjectHashAggregate,
+    * no sorts); round 17 REVERTED this site to the declarative
+    * `min(struct)` (SortAggregate) on an order-alternating 100M A/B —
+    * the per-task sorts are cheaper than the typed aggregate's
+    * per-row struct allocation here (see
+    * [[graft.functions.MinStructAgg.ffArgmin]] for the numbers;
+    * `graft.agg.ffMinStruct` forces the ObjectHashAggregate form for
+    * the A/B). Same total order, same row choice either way
+    * (DefragProps pins agg ≡ min(struct)).
     */
   def firstFragments(pcap: DataFrame): DataFrame = {
     val ffStruct = struct((col("frame_time") +: Patched.map(col)): _*)
-    val ffMin = graft.functions.MinStructAgg.minStructOrDeclarative(ffStruct)
+    val ffMin = graft.functions.MinStructAgg.ffArgmin(ffStruct)
     // scoped (round 17): the raised ObjectHashAggregate fallback
     // threshold rides a session clone rooted HERE instead of the
     // round-16 session-wide config — every production action on the

@@ -20,7 +20,9 @@ object BenchFfArgminAB {
       val key = java.util.UUID.randomUUID().toString
       val sm = graft.spark.PcapSource.statsMetrics(spark)
       graft.spark.PcapSource.registerMetrics(key, sm)
-      if (sortAggMin) sys.props("graft.agg.noMinStruct") = "1"
+      // round 17: the ff site defaults to the declarative form, so the
+      // MinStructAgg arm now FORCES it via graft.agg.ffMinStruct
+      if (!sortAggMin) sys.props("graft.agg.ffMinStruct") = "1"
       try {
         val scan = spark.read.format("pcap").option("decodePartitions", shards)
           .option("_internal.dissectGate", "first-fragment")
@@ -31,7 +33,7 @@ object BenchFfArgminAB {
         (System.nanoTime() - t0) / 1e9
       } finally {
         graft.spark.PcapSource.unregisterMetrics(key)
-        sys.props.remove("graft.agg.noMinStruct"); ()
+        sys.props.remove("graft.agg.ffMinStruct"); ()
       }
     }
     run(false); run(true) // JIT warmup, one per arm, discarded

@@ -44,7 +44,13 @@ object BenchRebatchBound {
       .write.mode("overwrite").option("compression", "zstd").parquet(spill)
     // arm 0 = join (row-shaped broadcast join + rebatch), 1 = nojoin
     // (scan → vector write, the ceiling), 2 = patch (reader-side
-    // broadcast patch + writer column permutation — the shipped path)
+    // broadcast patch + writer column permutation — the shipped path),
+    // 3 = patchEmpty (round 17: the identical patch machinery with an
+    // EMPTY map — probes all miss, nothing is enriched, output ≈ the
+    // nojoin arm's. patchEmpty−nojoin isolates the probe+permutation
+    // machinery; patch−patchEmpty is the semantic cost of actually
+    // WRITING ~90M patched L7 values into parquet, which no patch
+    // implementation can remove)
     def arm(kind: Int): Double = {
       val t0 = System.nanoTime()
       val pcap = read()
@@ -59,7 +65,9 @@ object BenchRebatchBound {
             singleFile = false, rebatch = true), "vector write refused")
         case _ =>
           val tb = System.nanoTime()
-          val map = graft.sources.DefragPatch.build(spark.read.parquet(spill))
+          val ffSrc = spark.read.parquet(spill)
+          val map = graft.sources.DefragPatch.build(
+            if (kind == 3) ffSrc.limit(0) else ffSrc)
           val bc = spark.sparkContext.broadcast(map)
           System.err.println(
             f"[rebatch-bound]   patch map build+broadcast ${(System.nanoTime() - tb) / 1e9}%.2f s")
@@ -83,22 +91,23 @@ object BenchRebatchBound {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    arm(0); arm(1); arm(2) // JIT warmup, discarded
-    val builders = Array.fill(3)(Array.newBuilder[Double])
+    arm(0); arm(1); arm(2); arm(3) // JIT warmup, discarded
+    val builders = Array.fill(4)(Array.newBuilder[Double])
     (1 to rounds).foreach { r =>
-      val ts = (0 to 2).map { k => val t = arm(k); builders(k) += t; t }
+      val ts = (0 to 3).map { k => val t = arm(k); builders(k) += t; t }
       System.err.println(f"[rebatch-bound] round $r: join ${ts(0)}%.2f s, " +
-        f"nojoin ${ts(1)}%.2f s, patch ${ts(2)}%.2f s")
+        f"nojoin ${ts(1)}%.2f s, patch ${ts(2)}%.2f s, patchEmpty ${ts(3)}%.2f s")
     }
-    val Seq((jb, jm), (nb, nm), (pb, pm)) =
+    val Seq((jb, jm), (nb, nm), (pb, pm), (eb, em)) =
       builders.toSeq.map(b => graft.BenchEnv.bestMedian(b.result()))
     val gapPct = 100.0 * (jm - nm) / jm
     val patchGapPct = 100.0 * (jm - pm) / jm
     System.err.println(f"[rebatch-bound] join best $jb%.2f s median $jm%.2f s; " +
       f"nojoin best $nb%.2f s median $nm%.2f s; patch best $pb%.2f s " +
       f"median $pm%.2f s; " +
+      f"patchEmpty best $eb%.2f s median $em%.2f s; " +
       f"join→nojoin gap $gapPct%.1f%%, join→patch $patchGapPct%.1f%%")
-    println(f"""{"metric":"rebatch_bound_ab","join_best_s":$jb%.3f,"join_median_s":$jm%.3f,"nojoin_best_s":$nb%.3f,"nojoin_median_s":$nm%.3f,"patch_best_s":$pb%.3f,"patch_median_s":$pm%.3f,"median_gap_pct":$gapPct%.1f,"patch_gap_pct":$patchGapPct%.1f,"stride":$stride,"glob":"$glob"}""")
+    println(f"""{"metric":"rebatch_bound_ab","join_best_s":$jb%.3f,"join_median_s":$jm%.3f,"nojoin_best_s":$nb%.3f,"nojoin_median_s":$nm%.3f,"patch_best_s":$pb%.3f,"patch_median_s":$pm%.3f,"patch_empty_best_s":$eb%.3f,"patch_empty_median_s":$em%.3f,"median_gap_pct":$gapPct%.1f,"patch_gap_pct":$patchGapPct%.1f,"stride":$stride,"glob":"$glob"}""")
     graft.TempCleanup.rmrf(new java.io.File(out))
     graft.TempCleanup.rmrf(new java.io.File(spill))
     spark.stop()

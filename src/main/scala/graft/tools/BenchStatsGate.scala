@@ -13,9 +13,14 @@ package graft.tools
   *     fragmented) counting, ff filter PUSHED into the gated scan, job
   *     ends at the collected dictionary-encoded patch-map arrays — no
   *     spill round-trip ([[graft.spark.Defrag.statsAndBuild]]);
-  *   - `fusedSort`: the fused job with `graft.agg.noMinStruct` — the
-  *     declarative min(struct) SortAggregate instead of MinStructAgg's
-  *     ObjectHashAggregate; the round-16 argmin decision pair.
+  *   - `fusedSort`: the fused job with the declarative min(struct)
+  *     SortAggregate — since round 17 this IS the shipped ff argmin, so
+  *     the pair inverted: the `fused` arm forces MinStructAgg's
+  *     ObjectHashAggregate via `graft.agg.ffMinStruct` and `fusedSort`
+  *     is the production default (tools.BenchFfArgminAB is the
+  *     order-alternating pair-only version — prefer it; this tool's
+  *     fixed arm order systematically flatters the last arm under
+  *     decaying load).
   *
   * Usage: `runMain graft.tools.BenchStatsGate [fileGlob] [rounds]`.
   */
@@ -45,7 +50,7 @@ object BenchStatsGate {
       val key = java.util.UUID.randomUUID().toString
       val sm = graft.spark.PcapSource.statsMetrics(spark)
       graft.spark.PcapSource.registerMetrics(key, sm)
-      if (sortAggMin) sys.props("graft.agg.noMinStruct") = "1"
+      if (!sortAggMin) sys.props("graft.agg.ffMinStruct") = "1"
       try {
         val t0 = System.nanoTime()
         val fused = graft.spark.Defrag.statsAndBuild(
@@ -54,7 +59,7 @@ object BenchStatsGate {
         (System.nanoTime() - t0) / 1e9
       } finally {
         graft.spark.PcapSource.unregisterMetrics(key)
-        sys.props.remove("graft.agg.noMinStruct"); ()
+        sys.props.remove("graft.agg.ffMinStruct"); ()
       }
     }
     runSpill(gated = true); runSpill(gated = false) // JIT warmup

@@ -42,14 +42,23 @@ class ScopedArgminSpec extends SparkFunSuite {
     val f = dir.resolve("p.pcap")
     java.nio.file.Files.write(f, legacyPcap(Seq((1L, -1, first), (2L, -1, tail))))
     val pcap = graft.spark.PcapSource.read(spark, f.toString)
-    val ff = graft.spark.Defrag.firstFragments(pcap)
-    assert(ff.sparkSession ne pcap.sparkSession)
-    assert(ff.sparkSession.conf.get(MinStructAgg.FallbackKey) ===
-      MinStructAgg.FallbackThreshold.toString)
-    // the argmin still PLANS as ObjectHashAggregate under the clone
-    val plan = ff.queryExecution.executedPlan.toString
-    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
-    assert(!plan.contains("SortAggregate"), plan.take(500))
+    // round 17: the ff site ships the declarative argmin (SortAggregate)
+    // — the scoping must still hold for the forced-MinStructAgg A/B arm
+    sys.props("graft.agg.ffMinStruct") = "1"
+    try {
+      val ff = graft.spark.Defrag.firstFragments(pcap)
+      assert(ff.sparkSession ne pcap.sparkSession)
+      assert(ff.sparkSession.conf.get(MinStructAgg.FallbackKey) ===
+        MinStructAgg.FallbackThreshold.toString)
+      // the forced argmin PLANS as ObjectHashAggregate under the clone
+      val plan = ff.queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+      assert(!plan.contains("SortAggregate"), plan.take(500))
+    } finally { sys.props.remove("graft.agg.ffMinStruct"); () }
+    // the shipped default plans the declarative SortAggregate form
+    val dplan = graft.spark.Defrag.firstFragments(pcap)
+      .queryExecution.executedPlan.toString
+    assert(dplan.contains("SortAggregate"), dplan.take(500))
   }
 
   test("KMeansIvf results execute under the clone, caller session untouched") {
