@@ -45,11 +45,19 @@ object DiagArgminFallback {
     }
     def run(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
+      // drive THIS QueryExecution's RDD — a noop write plans a separate
+      // QueryExecution, so reading metrics off df.queryExecution after a
+      // write inspects plan instances that never executed (all zeros)
+      df.queryExecution.toRdd.foreachPartition(
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+          while (it.hasNext) it.next())
       val t = (System.nanoTime() - t0) / 1e9
       val sess = df.sparkSession
+      // getOption, not get-with-default: conf.get validates the default
+      // string against the entry's int type and throws on "unset"
       println(f"[diag] $label: $t%.2f s, conf=" +
-        sess.conf.get(graft.functions.MinStructAgg.FallbackKey, "unset") +
+        sess.conf.getOption(graft.functions.MinStructAgg.FallbackKey)
+          .getOrElse("unset") +
         s", numTasksFallBacked=${fallbacks(df.queryExecution.executedPlan)}")
     }
     // warmup
@@ -60,6 +68,11 @@ object DiagArgminFallback {
     run("global ", agg(base))
     spark.conf.unset(graft.functions.MinStructAgg.FallbackKey)
     run("default", agg(base))
+    // threshold=1: every multi-group task MUST fall back — if this row
+    // reads 0, the metric extraction is broken, not the aggregate
+    spark.conf.set(graft.functions.MinStructAgg.FallbackKey, "1")
+    run("thresh1", agg(base))
+    spark.conf.unset(graft.functions.MinStructAgg.FallbackKey)
     spark.stop()
   }
 }
