@@ -63,6 +63,9 @@ object DiagArgminFallback {
     // warmup
     agg(base).write.mode("overwrite").format("noop").save()
     run("scoped ", agg(graft.functions.MinStructAgg.scoped(base)))
+    // second scoped run: the clone's lazy SessionState init is paid by
+    // the FIRST scoped query on a session; this row shows steady-state
+    run("scoped2", agg(graft.functions.MinStructAgg.scoped(base)))
     spark.conf.set(graft.functions.MinStructAgg.FallbackKey,
       graft.functions.MinStructAgg.FallbackThreshold.toString)
     run("global ", agg(base))
